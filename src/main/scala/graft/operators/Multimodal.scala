@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata, and per-batch "decode / feature
+  * extract" runs as a partition-parallel transform (LLM-pipeline surface).
+  *
+  * The actual media codecs are NOT in this container, so the decode kernel
+  * is a clearly-marked deterministic fake ([[fakeDecode]]); everything
+  * around it — schema, batching, partition parallelism, metadata extraction
+  * — is real and is what matters at 100 TB (the codec is a per-row black
+  * box either way).
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
+      header_hex: String, content_hash: Long, feature: Double)
+
+  /** Wrap a text corpus as a binary "media" table: payload = utf-8 bytes,
+    * modality assigned deterministically. Stands in for reading real blobs
+    * (at scale: parquet binary columns or object-store pointers). */
+  def synthMediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
+      col(textCol).cast("binary").as("payload"))
+
+  /** STUB decode kernel — deterministic fake standing in for a real codec
+    * (e.g. JPEG decode + embedding). Signature and per-partition batch shape
+    * are the real contract; the body would be replaced by a native library
+    * call. */
+  def fakeDecode(payload: Array[Byte]): Double = {
+    // ??? real codec goes here; deterministic fake: mean byte value.
+    if (payload.isEmpty) 0.0 else payload.map(_ & 0xff).sum.toDouble / payload.length
+  }
+
+  /** Partition-parallel decode: the Dataset[T] analog of a Pandas-UDF
+    * `mapInPandas` — one JVM call per partition, rows streamed through the
+    * kernel, no per-row UDF dispatch overhead. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "modality", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val header = r.payload.take(6).map(b => f"${b & 0xff}%02X").mkString
+          MediaFeatures(
+            doc_id = r.doc_id,
+            modality = r.modality,
+            n_bytes = r.payload.length,
+            header_hex = header,
+            content_hash = java.lang.Long.parseLong(
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(r.payload).map(b => f"${b & 0xff}%02x").mkString.take(15), 16),
+            feature = fakeDecode(r.payload))
+        }
+      }
+  }
+
+  /** Column-only metadata extraction (no kernel boundary) — what a pure
+    * Catalyst plan can get from a binary column: sizes, headers, hashes. */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("modality"),
+      octet_length(col("payload")).as("n_bytes"),
+      substring(hex(col("payload")), 1, 12).as("header_hex"),
+      Portable.md5Long60(col("payload")).as("content_hash"))
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Relational operator library (SURVEY.md §2C): the pieces of the
+  * reference's SQL surface that aren't a bare Spark call, each expressed so
+  * Catalyst keeps pushdown/pruning and the shuffle count is minimal.
+  */
+object Relational {
+
+  /** Latest-record-per-key — the table view of a compacted topic
+    * (reference: `sample-data/variables.env:6` cleanup.policy=compact for
+    * `telecom_italia_grid`; SURVEY.md §2 C9).
+    *
+    * One hash aggregation (map-side partial `max_by` then one shuffle on
+    * the key) — no window sort, no row_number. `ordering` is the compaction
+    * order (offset in Kafka; any strict total order here).
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains).toSeq
+    val packed = df.groupBy(keys.map(col): _*).agg(
+      max_by(struct(payload.map(col): _*), struct(ordering: _*)).as("_latest"))
+    packed.select(keys.map(col) ++ payload.map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
+  /** Deterministic dedup: keep exactly one row per `dupKeys` group — the
+    * row minimal under `ordering` (e.g. smallest id = first-seen).
+    * Exact-duplicate removal for the LLM-pipeline surface; same single
+    * shuffle shape as [[latestByKey]].
+    */
+  def keepFirstBy(df: DataFrame, dupKeys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val payload = df.columns.filterNot(dupKeys.contains).toSeq
+    val packed = df.groupBy(dupKeys.map(col): _*).agg(
+      min_by(struct(payload.map(col): _*), struct(ordering: _*)).as("_first"))
+    packed.select(dupKeys.map(col) ++ payload.map(c => col(s"_first.$c").as(c)): _*)
+  }
+
+  /** Top-k rows per group under a strict total order (SURVEY.md §2 C11).
+    * `orderBy` must be a total order (include a unique tiebreak column) or
+    * results are nondeterministic. Single shuffle; rank truncation happens
+    * before any downstream join.
+    */
+  def topKPerGroup(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+
+  /** Backward as-of join: for each left row, attach the latest right row
+    * with `right.time <= left.time` for the same key (stream enrichment
+    * against a versioned/compacted table — the temporal generalization of
+    * SURVEY.md §2 C7's stream–table join).
+    *
+    * Implemented as union → one shuffle on the key → running
+    * `last(_, ignoreNulls)` window, NOT as a range join: wall-clock and
+    * shuffle volume stay O(|L|+|R|) at any scale, with no range-explosion.
+    * Right rows sort before left rows at equal timestamps, making the
+    * match inclusive (DuckDB/pandas `ASOF JOIN` semantics).
+    *
+    * Returns all left columns plus the matched right row as a nullable
+    * struct column `_asof`.
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val rightStruct = struct(right.columns.map(col): _*)
+    val rightTyped = right.select(
+      col(rightKey).cast("long").as("_k"),
+      col(rightTime).cast("timestamp").as("_t"),
+      lit(0).as("_side"),
+      rightStruct.as("_r"))
+    val rightSchema = rightTyped.schema("_r").dataType
+    val leftTyped = left.select(
+      col(leftKey).cast("long").as("_k"),
+      col(leftTime).cast("timestamp").as("_t"),
+      lit(1).as("_side"),
+      lit(null).cast(rightSchema).as("_r"),
+      struct(left.columns.map(col): _*).as("_l"))
+    val unioned = rightTyped
+      .withColumn("_l", lit(null).cast(leftTyped.schema("_l").dataType))
+      .unionByName(leftTyped)
+    val w = Window
+      .partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("_l.*"), col("_asof"))
+  }
+}

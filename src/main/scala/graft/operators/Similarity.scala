@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over an embedding column (`array<float>`) — the
+  * ANN surface of the LLM-data-pipeline (BASELINE.json north star).
+  *
+  * Ranking anywhere in this module is over `(round(cosine, 5) DESC, id ASC)`
+  * — a strict total order on deterministic values, so top-k sets are stable
+  * across engines and runs (see `VectorFunctions.cosineRounded`).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self-match excluded).
+    *
+    * The query side is broadcast (queries ≪ corpus is the ANN contract), so
+    * the corpus is scanned exactly once with NO shuffle of the corpus side;
+    * the only shuffle is the per-query top-k aggregation, whose input is
+    * already truncated per partition by the window-free rank below.
+    * This is the exact baseline the LSH path is measured against.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", VectorFunctions.cosineRounded(col("_qv"), col("_cv"), 5))
+    topKBySim(scored, k)
+  }
+
+  /** LSH-bucketed approximate top-k (the 100-TB scale path): corpus and
+    * queries are sketched with `nBits` signed random hyperplanes
+    * (deterministic, seeded); candidates = corpus vectors agreeing with the
+    * query on at least one of the `bands` sketch bands; exact cosine + top-k
+    * on candidates only. Recall < 1 by design; measured against
+    * [[bruteForceTopK]] in the spec.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nBits: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1L
+    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+      val sk = VectorFunctions.hyperplaneSketch(col(vec), nBits, dim)
+      df.select(col(id), col(vec), sk.as("_sk"))
+        .select(col(id), col(vec),
+          posexplode(array((0 until bands).map(bnd =>
+            shiftrightunsigned(col("_sk"), bnd * bandBits).bitwiseAND(lit(mask))): _*))
+            .as(Seq("_band", "_bv")))
+    }
+    val q = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), "query_id", "_qv")
+    val c = banded(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")), "neighbor_id", "_cv")
+    val cand = c.join(broadcast(q), Seq("_band", "_bv"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", VectorFunctions.cosineRounded(col("_qv"), col("_cv"), 5))
+    topKBySim(cand, k)
+  }
+
+  /** Embedding near-duplicate pairs: all (idA < idB) pairs with rounded
+    * cosine >= minSim. Brute-force all-pairs via a self-join blocked on the
+    * smaller id — exact semantics for the dedup verify gate; the LSH path
+    * above is the approximate scale-out. */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSim: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosineRounded(col("_va"), col("_vb"), 5))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "sim")
+  }
+
+  private def topKBySim(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+}

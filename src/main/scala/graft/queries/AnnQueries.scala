@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity-search query pack over `embeddings` (LLM-pipeline ANN
+  * surface). The brute-force top-k is the oracle-verified baseline; the
+  * LSH-bucketed variant is the approximate scale path (no SQL oracle —
+  * recall measured against brute force in the spec instead).
+  */
+object AnnQueries {
+
+  private def queriesSubset(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
+
+  // Exact cosine top-5 neighbors for each query vector.
+  def q50AnnBrute(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(
+      Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 5)
+
+  // LSH-bucketed approximate top-5 (random hyperplane sketches).
+  def q51AnnLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(
+      Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
+      k = 5, dim = 64, nBits = 16, bands = 4)
+
+  // Sketch-family coverage: approximate distinct + frequency sketch outputs
+  // (engine-side only; no cross-engine oracle for approximations).
+  def q52ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_ann_brute" -> q50AnnBrute,
+    "q51_ann_lsh" -> q51AnnLsh,
+    "q52_approx_distinct" -> q52ApproxDistinct)
+
+  // q51/q52 are approximate → rows-only checks (no oracle entries).
+  val oracles: Map[String, String] = Map(
+    "q50_ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 5) AS sim
+           FROM q JOIN e ON e.vec_id <> q.query_id
+         )
+         SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         FROM scored
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5""")
+}

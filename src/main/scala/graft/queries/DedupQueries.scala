@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Relational, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deduplication query pack — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * and embedding-cosine near-dup (LLM-pipeline surface; BASELINE.json
+  * north star). Oracles are brute-force definitions of the same pair sets;
+  * the Spark side must produce EXACTLY those pairs via prune+verify plans.
+  */
+object DedupQueries {
+
+  // Exact dedup: corpus unioned with a shifted copy of itself; keep the
+  // first (min doc_id) row per identical text.
+  def q40DedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    Relational.keepFirstBy(doubled, Seq("text"), Seq(col("doc_id")))
+      .select(col("doc_id"))
+  }
+
+  // MinHash+LSH near-dup pairs at Jaccard >= 0.6 on word 3-shingles.
+  def q41DedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minJaccard = 0.6)
+
+  // Exact n-gram Jaccard pairs at >= 0.4 (inverted-index join, no LSH).
+  def q42NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minJaccard = 0.4)
+
+  // SimHash pairs within hamming distance 3 (pigeonhole-exact candidates).
+  def q43Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+
+  // Embedding-cosine near-dup pairs at rounded cosine >= 0.45.
+  def q44EmbedNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> q40DedupExact,
+    "q41_dedup_minhash" -> q41DedupMinhash,
+    "q42_ngram_jaccard" -> q42NgramJaccard,
+    "q43_simhash" -> q43Simhash,
+    "q44_embed_neardup" -> q44EmbedNearDup)
+
+  /** Word n-gram distinct shingle list in DuckDB. */
+  private def shinglesSql(n: Int) =
+    s"""list_distinct(list_transform(
+         generate_series(1, greatest(len(string_split(trim(text),' ')) - ${n - 1}, 0)),
+         i -> array_to_string(string_split(trim(text),' ')[i:i+${n - 1}], ' ')))"""
+
+  private def jaccardPairsSql(n: Int, thr: Double) =
+    s"""WITH sh AS (SELECT doc_id, ${shinglesSql(n)} AS s FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= $thr"""
+
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 100000, text FROM documents)
+         GROUP BY text""",
+    "q41_dedup_minhash" -> jaccardPairsSql(3, 0.6),
+    "q42_ngram_jaccard" -> jaccardPairsSql(3, 0.4),
+    "q43_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+         ), bits AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN (('0x' || substring(md5(tok), 1, 16))::UBIGINT >> b) & 1 = 1
+                 THEN 1 ELSE -1 END) AS score
+           FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+           GROUP BY doc_id, b
+         ), hashes AS (
+           SELECT doc_id,
+             sum(CASE WHEN score > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS h
+           FROM bits GROUP BY doc_id
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.h, b.h)) <= 3""",
+    "q44_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 5) AS sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45""")
+}

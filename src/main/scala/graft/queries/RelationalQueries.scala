@@ -1,0 +1,468 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{GeoFunctions, Portable, TimeFunctions}
+import graft.operators.Relational
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational query pack — SURVEY.md §2C C1-C14: scan/project/filter,
+  * aggregation, time windows, joins (broadcast star, semi/anti, as-of),
+  * latest-by-key, top-k, set ops, sort/limit, scalar date/math/geo.
+  *
+  * Every query returns only cross-engine-deterministic columns (see
+  * `graft.functions.Portable`): integer counts/cents, canonical timestamp
+  * strings, or per-row IEEE arithmetic. Paired DuckDB oracle SQL lives in
+  * [[RelationalQueries.oracles]].
+  */
+object RelationalQueries {
+
+  /** Normalized events table: `ts` forced to micro-precision TimestampType
+    * regardless of how the engine surfaces the parquet NANOS type. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
+    val tsNorm = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros((col("ts") / 1000).cast("long"))
+      case _        => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", tsNorm)
+  }
+
+  // C1/C2/C3: scan with pushed filter + pruned projection.
+  def q01ScanFilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp") && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("long").as("qty"),
+        Portable.cents(col("l_extendedprice")).as("price_cents"))
+
+  // C3: predicates — IN, BETWEEN, LIKE, boolean logic.
+  def q02FilterPredicates(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+        col("c_acctbal").between(0, 5000) &&
+        col("c_name").like("%9%"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  // C5: global aggregate.
+  def q03AggGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      sum(col("l_quantity")).cast("long").as("sum_qty"),
+      sum(Portable.cents(col("l_extendedprice"))).as("sum_price_cents"),
+      min(Portable.cents(col("l_extendedprice"))).as("min_price_cents"),
+      max(Portable.cents(col("l_extendedprice"))).as("max_price_cents"))
+
+  // C5: grouped aggregate (TPC-H Q1 shape) with deterministic money math.
+  def q04AggGroup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(Portable.cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(Portable.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", Portable.ratio(col("sum_qty"), col("count_order")))
+
+  // C6: tumbling event-time window (10 min — the telecom bucketing).
+  def q05WindowTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents"))
+      .select(TimeFunctions.canonical(col("w.start")).as("window_start"),
+        col("event_type"), col("n"), col("value_cents"))
+
+  // C6: hopping window (10 min length, 5 min slide).
+  def q06WindowHopping(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(TimeFunctions.canonical(col("w.start")).as("window_start"),
+        col("event_type"), col("n"))
+
+  // C6: session window, 5-minute gap, per user. Timestamps truncated to
+  // seconds FIRST so both engines sessionize identical values.
+  def q07SessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents"))
+      .select(col("user_id"),
+        TimeFunctions.canonical(col("w.start")).as("session_start"),
+        TimeFunctions.canonical(col("w.end")).as("session_end"),
+        col("n"), col("value_cents"))
+
+  // C7 + broadcast: star join, revenue per nation (TPC-H Q5 shape). Dims
+  // broadcast explicitly — no shuffle of the fact side except the final agg.
+  def q08JoinStar(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(Portable.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // C7: stream-table enrichment (batch analog): events × broadcast customer dim.
+  def q09JoinEnrich(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents"))
+
+  // C9: latest-by-key (compacted-topic table view).
+  def q10LatestByKey(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).withColumn("ts", date_trunc("second", col("ts")))
+    Relational.latestByKey(e, Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeFunctions.canonical(col("ts")).as("ts_s"),
+        Portable.cents(col("value")).as("value_cents"))
+  }
+
+  // C11: top-k per group.
+  def q11TopKPerGroup(s: SparkSession, d: String): DataFrame =
+    Relational.topKPerGroup(
+      Tables.orders(s, d),
+      Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")),
+      3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        Portable.cents(col("o_totalprice")).as("total_cents"))
+
+  // C4/C11: global order-by + limit under a strict total order.
+  def q12OrderLimit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Portable.cents(col("l_extendedprice")).as("price_cents"))
+
+  // C10: set operations (union / intersect / except, all distinct).
+  def q13SetOps(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val a = p.filter(col("p_size") < 10)
+    val b = p.filter(col("p_brand") === "Brand#13")
+    a.unionByName(b).distinct()
+      .exceptAll(a.intersect(b))
+      .distinct()
+  }
+
+  // C3 via anti-join: customers with no orders, per segment.
+  def q14AntiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers_no_orders"))
+
+  // Semi-join: suppliers that shipped, per nation.
+  def q15SemiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"))
+
+  // C12: string scalar functions (the key-synthesis / location-string family).
+  def q16StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") < 200)
+      .select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        upper(col("c_name")).as("upper_name"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        length(col("c_name")).as("name_len"),
+        element_at(split(col("c_name"), "#"), 1).as("name_head"))
+
+  // C13: date/time scalar functions across the reference's 3 encodings.
+  def q17DatetimeFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("h"),
+        (weekday(col("ts")) + 1).as("isodow"),
+        TimeFunctions.canonical(date_trunc("hour", col("ts"))).as("hour_start"),
+        TimeFunctions.canonical(TimeFunctions.fromEpochMillis(
+          (unix_timestamp(col("ts")) * 1000))).as("roundtrip_ms"))
+
+  // C14: math scalar functions (exact-IEEE subset only).
+  def q18MathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_d"),
+        ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+        floor(col("l_extendedprice")).cast("long").as("floor_price"),
+        round(col("l_extendedprice"), 1).as("round1"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        pmod(col("l_orderkey"), lit(7)).as("mod7"),
+        greatest(col("l_tax"), col("l_discount")).as("gr"),
+        least(col("l_tax"), col("l_discount")).as("le"))
+
+  // C14: haversine geo distance over synthesized coordinates.
+  def q19GeoHaversine(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      col("c_custkey"),
+      ((col("c_custkey") % 17000) / 100.0 - 85.0).as("lat1"),
+      ((col("c_custkey") * 7 % 36000) / 100.0 - 180.0).as("lon1"),
+      ((col("c_nationkey") * 700 % 17000) / 100.0 - 85.0).as("lat2"),
+      ((col("c_nationkey") * 1400 % 36000) / 100.0 - 180.0).as("lon2"))
+    c.select(col("c_custkey"),
+      round(GeoFunctions.haversineMeters(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+        .cast("long").as("dist_m"))
+  }
+
+  // C15: JSON extraction on the schemaless column.
+  def q20Json(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  // C2/C13 composite: rollup with grand total (free Catalyst capability).
+  def q21Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .rollup(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(Portable.cents(col("c_acctbal"))).as("bal_cents"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"), col("n"), col("bal_cents"))
+
+  // C5: exact percentiles (deterministic: integer-valued doubles, shared
+  // linear-interpolation definition).
+  def q22Quantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("q25"),
+        percentile(col("l_quantity"), lit(0.5)).as("q50"),
+        percentile(col("l_quantity"), lit(0.75)).as("q75"))
+
+  // As-of join: each event enriched with the latest order at-or-before its
+  // time for the same customer (temporal stream-table join).
+  def q23AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val o = Tables.orders(s, d)
+    Relational.asofJoinBackward(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("_asof.o_orderkey")).as("n_matched"),
+        sum(col("_asof.o_orderkey")).as("sum_matched_orderkey"))
+  }
+
+  // C17: format conversion — binary/base64/hex round-trips.
+  def q24FormatConv(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        base64(substring(col("text"), 1, 12).cast("binary")).as("b64"),
+        hex(substring(col("text"), 1, 6).cast("binary")).as("hex6"),
+        md5(col("text")).as("text_md5"),
+        substring(unbase64(base64(col("text").cast("binary"))).cast("string"), 1, 20).as("roundtrip20"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_project" -> q01ScanFilterProject,
+    "q02_filter_predicates" -> q02FilterPredicates,
+    "q03_agg_global" -> q03AggGlobal,
+    "q04_agg_group" -> q04AggGroup,
+    "q05_window_tumbling" -> q05WindowTumbling,
+    "q06_window_hopping" -> q06WindowHopping,
+    "q07_session_window" -> q07SessionWindow,
+    "q08_join_star" -> q08JoinStar,
+    "q09_join_enrich" -> q09JoinEnrich,
+    "q10_latest_by_key" -> q10LatestByKey,
+    "q11_topk_per_group" -> q11TopKPerGroup,
+    "q12_order_limit" -> q12OrderLimit,
+    "q13_setops" -> q13SetOps,
+    "q14_anti_join" -> q14AntiJoin,
+    "q15_semi_join" -> q15SemiJoin,
+    "q16_string_funcs" -> q16StringFuncs,
+    "q17_datetime_funcs" -> q17DatetimeFuncs,
+    "q18_math_funcs" -> q18MathFuncs,
+    "q19_geo_haversine" -> q19GeoHaversine,
+    "q20_json" -> q20Json,
+    "q21_rollup" -> q21Rollup,
+    "q22_quantiles" -> q22Quantiles,
+    "q23_asof_join" -> q23AsofJoin,
+    "q24_format_conv" -> q24FormatConv)
+
+  private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+          ${cents("l_extendedprice")} AS price_cents
+          FROM lineitem
+          WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity < 10""",
+    "q02_filter_predicates" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+           AND c_acctbal BETWEEN 0 AND 5000 AND c_name LIKE '%9%'""",
+    "q03_agg_global" ->
+      s"""SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          sum(${cents("l_extendedprice")}) AS sum_price_cents,
+          min(${cents("l_extendedprice")}) AS min_price_cents,
+          max(${cents("l_extendedprice")}) AS max_price_cents
+          FROM lineitem""",
+    "q04_agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          sum(${cents("l_extendedprice")}) AS sum_base_cents,
+          sum(${cents("l_extendedprice*(1-l_discount)")}) AS sum_disc_cents,
+          count(*) AS count_order,
+          CAST(sum(l_quantity) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_qty
+          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q05_window_tumbling" ->
+      s"""SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+          event_type, count(*) AS n, sum(${cents("value")}) AS value_cents
+          FROM events GROUP BY 1, 2""",
+    "q06_window_hopping" ->
+      """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP) - k * INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n
+         FROM events CROSS JOIN (SELECT unnest([0,1]) AS k) offs
+         GROUP BY 1, 2""",
+    "q07_session_window" ->
+      s"""WITH e AS (
+            SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS t, value FROM events
+          ), flagged AS (
+            SELECT user_id, t, value,
+              CASE WHEN lag(t) OVER w IS NULL
+                     OR t >= lag(t) OVER w + INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+          ), sess AS (
+            SELECT user_id, t, value,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+          )
+          SELECT user_id,
+            strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+            strftime(max(t) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+            count(*) AS n, sum(${cents("value")}) AS value_cents
+          FROM sess GROUP BY user_id, sid""",
+    "q08_join_star" ->
+      s"""SELECT n_name,
+          sum(${cents("l_extendedprice*(1-l_discount)")}) AS revenue_cents,
+          count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA' GROUP BY n_name""",
+    "q09_join_enrich" ->
+      s"""SELECT c_mktsegment, count(*) AS n, sum(${cents("value")}) AS value_cents
+          FROM events LEFT JOIN customer ON user_id = c_custkey
+          GROUP BY c_mktsegment""",
+    "q10_latest_by_key" ->
+      s"""SELECT user_id, event_id, event_type,
+          strftime(date_trunc('second', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+          ${cents("value")} AS value_cents
+          FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY date_trunc('second', ts::TIMESTAMP) DESC, event_id DESC) = 1""",
+    "q11_topk_per_group" ->
+      s"""SELECT o_orderpriority, o_orderkey, ${cents("o_totalprice")} AS total_cents
+          FROM orders
+          QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) <= 3""",
+    "q12_order_limit" ->
+      s"""SELECT l_orderkey, l_linenumber, ${cents("l_extendedprice")} AS price_cents
+          FROM lineitem
+          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "q13_setops" ->
+      """WITH a AS (SELECT p_partkey, p_brand, p_size FROM part WHERE p_size < 10),
+         b AS (SELECT p_partkey, p_brand, p_size FROM part WHERE p_brand = 'Brand#13')
+         SELECT * FROM (SELECT * FROM a UNION SELECT * FROM b)
+         EXCEPT (SELECT * FROM a INTERSECT SELECT * FROM b)""",
+    "q14_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers_no_orders FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "q15_semi_join" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+         GROUP BY s_nationkey""",
+    "q16_string_funcs" ->
+      """SELECT c_custkey,
+         regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+         upper(c_name) AS upper_name,
+         substring(c_name, 1, 8) AS prefix8,
+         concat_ws('|', c_mktsegment, c_name) AS joined,
+         length(c_name) AS name_len,
+         string_split(c_name, '#')[1] AS name_head
+         FROM customer WHERE c_custkey < 200""",
+    "q17_datetime_funcs" ->
+      """SELECT event_id,
+         CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS epoch_s,
+         year(ts::TIMESTAMP) AS y, month(ts::TIMESTAMP) AS m,
+         day(ts::TIMESTAMP) AS dom, hour(ts::TIMESTAMP) AS h,
+         isodow(ts::TIMESTAMP) AS isodow,
+         strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         strftime(to_timestamp(CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT))::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS roundtrip_ms
+         FROM events WHERE event_id < 500""",
+    "q18_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         abs(l_discount - 0.05) AS abs_d,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+         CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+         round(l_extendedprice, 1) AS round1,
+         sqrt(l_quantity) AS sqrt_qty,
+         l_orderkey % 7 AS mod7,
+         greatest(l_tax, l_discount) AS gr,
+         least(l_tax, l_discount) AS le
+         FROM lineitem WHERE l_orderkey < 100""",
+    "q19_geo_haversine" ->
+      """WITH c AS (SELECT c_custkey,
+           (c_custkey % 17000)/100.0 - 85.0 AS lat1,
+           (c_custkey*7 % 36000)/100.0 - 180.0 AS lon1,
+           (c_nationkey*700 % 17000)/100.0 - 85.0 AS lat2,
+           (c_nationkey*1400 % 36000)/100.0 - 180.0 AS lon2
+         FROM customer)
+         SELECT c_custkey, CAST(round(2 * 6371000.0 * asin(sqrt(
+           pow(sin(radians(lat2-lat1)/2),2) +
+           cos(radians(lat1))*cos(radians(lat2))*pow(sin(radians(lon2-lon1)/2),2)
+         ))) AS BIGINT) AS dist_m FROM c""",
+    "q20_json" ->
+      """SELECT CAST(json_extract_string(props,'$.k') AS INT) % 10 AS k_mod,
+         count(*) AS n, sum(CAST(json_extract_string(props,'$.k') AS INT)) AS sum_k
+         FROM events GROUP BY 1""",
+    "q21_rollup" ->
+      s"""SELECT coalesce(c_mktsegment,'ALL') AS segment, count(*) AS n,
+          sum(${cents("c_acctbal")}) AS bal_cents
+          FROM customer GROUP BY ROLLUP(c_mktsegment)""",
+    "q22_quantiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS q25,
+         quantile_cont(l_quantity, 0.5) AS q50,
+         quantile_cont(l_quantity, 0.75) AS q75
+         FROM lineitem GROUP BY l_returnflag""",
+    "q23_asof_join" ->
+      """SELECT event_type, count(*) AS n_events,
+         count(o_orderkey) AS n_matched, sum(o_orderkey) AS sum_matched_orderkey
+         FROM events ASOF LEFT JOIN orders
+           ON user_id = o_custkey AND ts::TIMESTAMP >= o_orderdate
+         GROUP BY event_type""",
+    "q24_format_conv" ->
+      """SELECT doc_id,
+         to_base64(substring(text,1,12)::BLOB) AS b64,
+         hex(substring(text,1,6)::BLOB) AS hex6,
+         md5(text) AS text_md5,
+         substring(from_base64(to_base64(text::BLOB))::VARCHAR, 1, 20) AS roundtrip20
+         FROM documents""")
+}

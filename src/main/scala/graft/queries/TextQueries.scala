@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis query pack over `documents` — the LLM-training-pipeline
+  * text surface: language-ID, quality scoring, token counting, document
+  * fingerprinting, plus tokenize/explode (SURVEY.md §2C C15 tail +
+  * BASELINE.json north star).
+  */
+object TextQueries {
+
+  // Explode tokens → corpus term frequencies, top 20 (C15 explode + C11 top-k).
+  def q30Explode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 3)
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  // Language identification by marker-word evidence.
+  def q31LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      .withColumn("agree", (col("lang") === col("lang_pred")).cast("int"))
+
+  // Quality scoring: exact ratio features + composite score.
+  def q32Quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        TextFunctions.stopwordCount(col("text")).as("n_stop"),
+        TextFunctions.punctCount(col("text")).as("n_punct"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+
+  // Token counting: whitespace and BPE-ish subword counts per language.
+  def q33TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("ws_tokens"),
+        sum(TextFunctions.subwordCount(col("text"))).as("subword_tokens"))
+
+  // Rolling-hash document fingerprint.
+  def q34Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_explode_tokens" -> q30Explode,
+    "q31_lang_id" -> q31LangId,
+    "q32_text_quality" -> q32Quality,
+    "q33_token_count" -> q33TokenCount,
+    "q34_fingerprint" -> q34Fingerprint)
+
+  private val markersSql = TextFunctions.LangMarkers.zipWithIndex.map {
+    case ((lang, ms), i) => s"('$lang', $i, [${ms.map(m => s"'$m'").mkString(",")}])"
+  }.mkString(", ")
+
+  private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
+
+  val oracles: Map[String, String] = Map(
+    "q30_explode_tokens" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+         WHERE length(token) > 3
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    "q31_lang_id" ->
+      s"""WITH langs AS (
+            SELECT * FROM (VALUES $markersSql) AS t(cand, rank, markers)
+          ), scored AS (
+            SELECT doc_id, lang, cand AS lang_pred,
+              len(list_filter(string_split(trim(text), ' '), t -> list_contains(markers, t))) AS hits,
+              rank
+            FROM documents CROSS JOIN langs
+          )
+          SELECT doc_id, lang, lang_pred,
+            CAST(lang = lang_pred AS INT) AS agree
+          FROM scored
+          QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, rank) = 1""",
+    "q32_text_quality" ->
+      s"""WITH f AS (
+            SELECT doc_id,
+              len(string_split(trim(text), ' ')) AS n_tokens,
+              length(text) AS len_chars,
+              len(list_filter(string_split(trim(text), ' '), t -> t IN ($stopSql))) AS n_stop,
+              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+            FROM documents
+          )
+          SELECT doc_id, n_tokens, len_chars, n_stop, n_punct,
+            ((CASE WHEN len_chars >= 100 AND len_chars <= 20000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) > 0.01 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN CAST(n_punct AS DOUBLE)/CAST(len_chars AS DOUBLE) < 0.1 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN CAST(len_chars AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= 2.0
+                     AND CAST(len_chars AS DOUBLE)/CAST(n_tokens AS DOUBLE) <= 12.0 THEN 1.0 ELSE 0.0 END))
+            * 0.25 AS quality
+          FROM f""",
+    "q33_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(string_split(trim(text), ' '))) AS ws_tokens,
+         sum(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS subword_tokens
+         FROM documents GROUP BY lang""",
+    "q34_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(trim(text), ' '),
+               t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 1000003)),
+           (acc, x) -> (acc * 131 + x) % 2147483647) AS fp
+         FROM documents""")
+}
