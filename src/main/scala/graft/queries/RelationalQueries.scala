@@ -302,6 +302,13 @@ object RelationalQueries {
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
 
+  /** DuckDB `sum()` over integers returns HUGEINT (int128), which the
+    * driver's pandas-side canonicalization stringifies instead of keeping
+    * numeric — every integer sum in an oracle MUST be cast back to BIGINT
+    * or the value hash can never match (round-1 lesson: the 10 hash
+    * mismatches were exactly the queries with uncast integer sums). */
+  private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
@@ -315,21 +322,21 @@ object RelationalQueries {
     "q03_agg_global" ->
       s"""SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-          sum(${cents("l_extendedprice")}) AS sum_price_cents,
+          ${sumL(cents("l_extendedprice"))} AS sum_price_cents,
           min(${cents("l_extendedprice")}) AS min_price_cents,
           max(${cents("l_extendedprice")}) AS max_price_cents
           FROM lineitem""",
     "q04_agg_group" ->
       s"""SELECT l_returnflag, l_linestatus,
           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-          sum(${cents("l_extendedprice")}) AS sum_base_cents,
-          sum(${cents("l_extendedprice*(1-l_discount)")}) AS sum_disc_cents,
+          ${sumL(cents("l_extendedprice"))} AS sum_base_cents,
+          ${sumL(cents("l_extendedprice*(1-l_discount)"))} AS sum_disc_cents,
           count(*) AS count_order,
           CAST(sum(l_quantity) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_qty
           FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q05_window_tumbling" ->
       s"""SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
-          event_type, count(*) AS n, sum(${cents("value")}) AS value_cents
+          event_type, count(*) AS n, ${sumL(cents("value"))} AS value_cents
           FROM events GROUP BY 1, 2""",
     "q06_window_hopping" ->
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP) - k * INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -353,11 +360,11 @@ object RelationalQueries {
           SELECT user_id,
             strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
             strftime(max(t) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
-            count(*) AS n, sum(${cents("value")}) AS value_cents
+            count(*) AS n, ${sumL(cents("value"))} AS value_cents
           FROM sess GROUP BY user_id, sid""",
     "q08_join_star" ->
       s"""SELECT n_name,
-          sum(${cents("l_extendedprice*(1-l_discount)")}) AS revenue_cents,
+          ${sumL(cents("l_extendedprice*(1-l_discount)"))} AS revenue_cents,
           count(*) AS n_items
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
@@ -366,7 +373,7 @@ object RelationalQueries {
           JOIN region ON n_regionkey = r_regionkey
           WHERE r_name = 'ASIA' GROUP BY n_name""",
     "q09_join_enrich" ->
-      s"""SELECT c_mktsegment, count(*) AS n, sum(${cents("value")}) AS value_cents
+      s"""SELECT c_mktsegment, count(*) AS n, ${sumL(cents("value"))} AS value_cents
           FROM events LEFT JOIN customer ON user_id = c_custkey
           GROUP BY c_mktsegment""",
     "q10_latest_by_key" ->
@@ -440,11 +447,11 @@ object RelationalQueries {
          ))) AS BIGINT) AS dist_m FROM c""",
     "q20_json" ->
       """SELECT CAST(json_extract_string(props,'$.k') AS INT) % 10 AS k_mod,
-         count(*) AS n, sum(CAST(json_extract_string(props,'$.k') AS INT)) AS sum_k
+         count(*) AS n, CAST(sum(CAST(json_extract_string(props,'$.k') AS INT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1""",
     "q21_rollup" ->
       s"""SELECT coalesce(c_mktsegment,'ALL') AS segment, count(*) AS n,
-          sum(${cents("c_acctbal")}) AS bal_cents
+          ${sumL(cents("c_acctbal"))} AS bal_cents
           FROM customer GROUP BY ROLLUP(c_mktsegment)""",
     "q22_quantiles" ->
       """SELECT l_returnflag,
@@ -454,7 +461,7 @@ object RelationalQueries {
          FROM lineitem GROUP BY l_returnflag""",
     "q23_asof_join" ->
       """SELECT event_type, count(*) AS n_events,
-         count(o_orderkey) AS n_matched, sum(o_orderkey) AS sum_matched_orderkey
+         count(o_orderkey) AS n_matched, CAST(sum(o_orderkey) AS BIGINT) AS sum_matched_orderkey
          FROM events ASOF LEFT JOIN orders
            ON user_id = o_custkey AND ts::TIMESTAMP >= o_orderdate
          GROUP BY event_type""",

@@ -105,8 +105,8 @@ object TextQueries {
           FROM f""",
     "q33_token_count" ->
       """SELECT lang, count(*) AS n_docs,
-         sum(len(string_split(trim(text), ' '))) AS ws_tokens,
-         sum(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS subword_tokens
+         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS ws_tokens,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS subword_tokens
          FROM documents GROUP BY lang""",
     "q34_fingerprint" ->
       """SELECT doc_id,
