@@ -1,0 +1,163 @@
+package graft.catalyst
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Dense-vector Catalyst expressions for the similarity-search surface.
+  *
+  * The round-1 implementation composed `zip_with` + `aggregate` built-ins;
+  * higher-order functions evaluate their lambdas interpreted and allocate an
+  * intermediate array per call, which at 12.5M candidate pairs (sf0.1
+  * embedding near-dup) dominated the bench (~71 s). These expressions do the
+  * same math in one tight primitive loop per row, and [[DotProductD]]
+  * participates in codegen so the nested-loop join condition it feeds stays
+  * compiled.
+  */
+
+/** Dot product of two array<double> columns (unit vectors from
+  * [[UnitVector]]) → double. Null if either side is null; asymmetric
+  * lengths take the shorter (never happens on fixed-dim embeddings). */
+case class DotProductD(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_d requires (array<double>, array<double>), got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
+    copy(left = l, right = r)
+}
+
+/** L2-normalize an array<float|double> into a unit array<double>; an
+  * all-zero vector normalizes to all-zero (cosine 0 against everything,
+  * matching DuckDB's list_cosine_similarity NULL→filtered behavior is not
+  * needed — the synthetic embeddings are never zero). Computed once per
+  * corpus row so every downstream pair costs only [[DotProductD]]. */
+case class UnitVector(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val fromFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unit_vec requires array<float|double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "unit_vec"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    var ss = 0.0
+    while (i < n) {
+      val v = if (fromFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      out(i) = v
+      ss += v * v
+      i += 1
+    }
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < n) { out(i) *= inv; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnitVector =
+    copy(child = newChild)
+}
+
+/** Signed random-hyperplane sketch (LSH for cosine): bit b of the result =
+  * sign of the projection of `vec` onto pseudo-random hyperplane b, whose
+  * per-dimension signs derive from `byteswap64(seed ^ (b<<32) ^ d)` — the
+  * exact formula of the round-1 column composition, kept so LSH bucketing
+  * is reproducible, but evaluated in one loop instead of nBits×dim column
+  * expressions. */
+case class HyperplaneSketch64(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  require(nBits >= 1 && nBits <= 64, "nBits in [1,64]")
+
+  @transient private lazy val fromFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sketch requires array<float|double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sketch"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    var sketch = 0L
+    var b = 0
+    while (b < nBits) {
+      var proj = 0.0
+      var d = 0
+      val bKey = seed ^ (b.toLong << 32)
+      while (d < dim) {
+        val v = if (fromFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        val sign = if (scala.util.hashing.byteswap64(bKey ^ d) < 0) -v else v
+        proj += sign
+        d += 1
+      }
+      if (proj >= 0) sketch |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sketch)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSketch64 =
+    copy(child = newChild)
+}
+
+object VectorExprs {
+  def dotD(a: Column, b: Column): Column =
+    Cols.column(DotProductD(Cols.expression(a), Cols.expression(b)))
+  def unitVec(v: Column): Column =
+    Cols.column(UnitVector(Cols.expression(v)))
+  def hyperplaneSketch(v: Column, nBits: Int, seed: Long = 42L): Column =
+    Cols.column(HyperplaneSketch64(Cols.expression(v), nBits, seed))
+}

@@ -1,7 +1,8 @@
 package graft.operators
 
-import graft.catalyst.SimHash64
+import graft.catalyst.{ShingleExprs, SimHash64}
 import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -10,10 +11,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   * returns the EXACT pair set defined by its threshold (candidate
   * generation is a recall-1.0-by-construction prune, then an exact verify),
   * so results are independently checkable by a brute-force oracle.
+  *
+  * Internal representation: a document's shingle set is a sorted distinct
+  * `array<long>` of shingle hashes (`graft.catalyst.ShingleHashes`) —
+  * set sizes and intersection counts are what Jaccard needs, and longs
+  * shuffle ~10× smaller than the shingle strings.
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column, distinct, as array<string>. */
+  /** Word n-gram shingles of a text column, distinct, as array<string> —
+    * the human-readable form (kept for inspection APIs; the operators below
+    * run on hashed shingles). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = TextFunctions.tokens(text)
     val nShingles = size(toks) - (n - 1)
@@ -23,72 +31,85 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** (id, sorted-distinct shingle-hash array, set size) per document. */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("_id"),
+        ShingleExprs.shingleHashes(TextFunctions.tokens(col(textCol)), n).as("_sh"))
+      .withColumn("_setSize", size(col("_sh")))
+
+  /** Exact-verify a candidate pair set: re-attach both shingle arrays,
+    * count the intersection with one linear merge, keep pairs at/above the
+    * Jaccard threshold. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, minJaccard: Double): DataFrame =
+    cand
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("_shA"), col("_setSize").as("_sa")), Seq("id_a"))
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("_shB"), col("_setSize").as("_sb")), Seq("id_b"))
+      .withColumn("_shared", ShingleExprs.intersectCountSorted(col("_shA"), col("_shB")))
+      .withColumn("jaccard",
+        col("_shared").cast("double") /
+          (col("_sa") + col("_sb") - col("_shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+
   /** Exact n-gram Jaccard near-dup pairs: all (idA < idB) document pairs
     * with `|shingles(A) ∩ shingles(B)| / |shingles(A) ∪ shingles(B)| >= minJaccard`.
     *
-    * Exact algorithm with a distributed plan: inverted-index join on the
-    * shared shingle (candidates = pairs sharing >= 1 shingle — any pair
-    * with Jaccard > 0 appears; recall is exactly 1.0), count shared
-    * shingles per pair with one aggregation, then compute Jaccard from
-    * |A∩B| and the per-doc set sizes without re-joining the shingle arrays:
-    * |A∪B| = |A| + |B| - |A∩B|.
-    *
-    * Shuffles: explode→(shingle) join, then (idA,idB) agg. No N² stage;
-    * skewed (very frequent) shingles are the scale risk — `maxDocFreq`
-    * drops shingles present in more than that many docs (document frequency
-    * pruning; a shingle shared by thousands of docs contributes candidate
-    * pairs but almost no Jaccard evidence at high thresholds).
+    * Distributed ALL-PAIRS prefix filtering (Bayardo et al., WWW 2007;
+    * Xiao et al. PPJoin): order shingles globally by (document frequency,
+    * hash) — rarest first — and index only each document's PREFIX of
+    * `|A| - ceil(τ·|A|) + 1` shingles. Any pair with J >= τ has overlap
+    * >= τ/(1+τ)(|A|+|B|) >= ceil(τ·|A|) (given the length filter
+    * τ·|A| <= |B|), so the two prefixes must share a shingle: recall is
+    * exactly 1.0 while the candidate join runs over rare shingles only —
+    * the frequent-shingle df² blowup of a naive inverted-index join never
+    * happens. Shuffles: posting df agg, prefix self-join, pair dedup,
+    * verify joins — all equi-joins/aggs that scale out on keys.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      minJaccard: Double,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("_id"), wordShingles(col(textCol), n).as("_sh"))
-      .withColumn("_setSize", size(col("_sh")))
+      minJaccard: Double): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n)
     val posting = sh.select(col("_id"), col("_setSize"), explode(col("_sh")).as("_g"))
-    val pruned = maxDocFreq match {
-      case Some(limit) =>
-        val dfreq = posting.groupBy("_g").agg(count(lit(1)).as("_df"))
-        posting.join(broadcast(dfreq.filter(col("_df") > limit)), Seq("_g"), "left_anti")
-      case None => posting
-    }
-    val a = pruned.select(col("_g"), col("_id").as("id_a"), col("_setSize").as("_sa"))
-    val b = pruned.select(col("_g"), col("_id").as("id_b"), col("_setSize").as("_sb"))
-    a.join(b, Seq("_g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "_sa", "_sb")
-      .agg(count(lit(1)).as("_shared"))
-      .withColumn("jaccard",
-        col("_shared").cast("double") /
-          (col("_sa") + col("_sb") - col("_shared")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    val dfreq = posting.groupBy("_g").agg(count(lit(1)).as("_df"))
+    val prefixLen = (col("_setSize") - ceil(lit(minJaccard) * col("_setSize")) + 1).cast("int")
+    val prefix = posting
+      .join(dfreq, Seq("_g"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_id")).orderBy(col("_df"), col("_g"))))
+      .filter(col("_rn") <= prefixLen)
+      .select("_g", "_id", "_setSize")
+    val a = prefix.select(col("_g"), col("_id").as("id_a"), col("_setSize").as("_sa0"))
+    val b = prefix.select(col("_g"), col("_id").as("id_b"), col("_setSize").as("_sb0"))
+    val cand = a.join(b, Seq("_g"))
+      .filter(col("id_a") < col("id_b") &&
+        col("_sb0") >= col("_sa0") * minJaccard &&
+        col("_sb0") <= col("_sa0") / minJaccard)
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(cand, sh, minJaccard)
   }
 
-  /** MinHash signature: for each of `numPerms` hash permutations, the min
-    * over the shingle set of `xxhash64(permIndex, shingle)`. Internal
-    * bucketing hash only — never exported (engine-specific), see
-    * `Portable`. */
-  def minhashSignature(shingles: Column, numPerms: Int): Column =
-    array((0 until numPerms).map { p =>
-      array_min(transform(shingles, s => xxhash64(lit(p), s)))
-    }: _*)
+  /** MinHash signature over hashed shingles — kept public for the sketch
+    * API surface; `numPerms` mixed permutations in one pass. */
+  def minhashSignature(shingleHashes: Column, numPerms: Int): Column =
+    ShingleExprs.minhashSig(shingleHashes, numPerms)
 
   /** MinHash+LSH near-dup pairs with exact verification.
     *
     * Pipeline (shingle → minhash → band → bucket-join → exact verify):
-    *   1. signature of `numPerms` minhashes per doc;
+    *   1. signature of `numPerms` minhashes per doc (single pass over the
+    *      hashed shingle set);
     *   2. LSH with 1-row bands: candidate pairs = docs agreeing on ANY
     *      signature position. P(miss | J) = (1-J)^numPerms — at J >= 0.6,
-    *      numPerms = 32: < 2e-13, so the candidate prune loses nothing in
-    *      practice while cutting the verify stage far below N²;
-    *   3. exact Jaccard on candidates via shared-shingle counting (same
-    *      arithmetic as [[ngramJaccardPairs]]; output is the exact pair
-    *      set, not the minhash estimate).
+    *      numPerms = 16: 4e-7, so the prune loses nothing in practice
+    *      while cutting the verify stage far below N²;
+    *   3. exact Jaccard on candidates via one sorted-merge intersection
+    *      count per pair (output is the exact pair set, not the minhash
+    *      estimate).
     */
   def minhashLshPairs(
       docs: DataFrame,
@@ -96,30 +117,20 @@ object Dedup {
       textCol: String,
       n: Int,
       minJaccard: Double,
-      numPerms: Int = 32): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("_id"), wordShingles(col(textCol), n).as("_sh"))
-      .withColumn("_setSize", size(col("_sh")))
+      numPerms: Int = 16): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n)
     // Signatures travel WITHOUT the shingle arrays: the ×numPerms explode
     // would otherwise multiply the array bytes through the shuffle. Arrays
     // are re-attached only to the (much smaller) deduped candidate set.
     val sig = sh.select(col("_id"),
-      posexplode(minhashSignature(col("_sh"), numPerms)).as(Seq("_band", "_mh")))
+      posexplode(ShingleExprs.minhashSig(col("_sh"), numPerms)).as(Seq("_band", "_mh")))
     val a = sig.select(col("_band"), col("_mh"), col("_id").as("id_a"))
     val b = sig.select(col("_band"), col("_mh"), col("_id").as("id_b"))
     val cand = a.join(b, Seq("_band", "_mh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    cand
-      .join(sh.select(col("_id").as("id_a"), col("_sh").as("_shA"), col("_setSize").as("_sa")), Seq("id_a"))
-      .join(sh.select(col("_id").as("id_b"), col("_sh").as("_shB"), col("_setSize").as("_sb")), Seq("id_b"))
-      .withColumn("_shared", size(array_intersect(col("_shA"), col("_shB"))))
-      .withColumn("jaccard",
-        col("_shared").cast("double") /
-          (col("_sa") + col("_sb") - col("_shared")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(cand, sh, minJaccard)
   }
 
   /** SimHash near-dup pairs: all (idA < idB) pairs with

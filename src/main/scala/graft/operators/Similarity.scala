@@ -1,26 +1,30 @@
 package graft.operators
 
-import graft.functions.VectorFunctions
+import graft.catalyst.VectorExprs
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame}
 
 /** Similarity search over an embedding column (`array<float>`) — the
   * ANN surface of the LLM-data-pipeline (BASELINE.json north star).
   *
-  * Ranking anywhere in this module is over `(round(cosine, 5) DESC, id ASC)`
-  * — a strict total order on deterministic values, so top-k sets are stable
-  * across engines and runs (see `VectorFunctions.cosineRounded`).
+  * Vectors are L2-normalized ONCE per row (`unit_vec`), so every pair
+  * evaluation is a single codegen'd dot product (`dot_d`) — no per-pair
+  * norms, no intermediate arrays. Ranking anywhere in this module is over
+  * `(round(cosine, 5) DESC, id ASC)` — a strict total order on
+  * deterministic values, so top-k sets are stable across engines and runs.
   */
 object Similarity {
+
+  private def cosineOfUnits(qv: String, cv: String) =
+    round(VectorExprs.dotD(col(qv), col(cv)), 5)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self-match excluded).
     *
     * The query side is broadcast (queries ≪ corpus is the ANN contract), so
     * the corpus is scanned exactly once with NO shuffle of the corpus side;
-    * the only shuffle is the per-query top-k aggregation, whose input is
-    * already truncated per partition by the window-free rank below.
+    * the only shuffle is the per-query top-k aggregation.
     * This is the exact baseline the LSH path is measured against.
     */
   def bruteForceTopK(
@@ -30,19 +34,20 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("_qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      col(idCol).as("query_id"), VectorExprs.unitVec(col(vecCol)).as("_qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), VectorExprs.unitVec(col(vecCol)).as("_cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", VectorFunctions.cosineRounded(col("_qv"), col("_cv"), 5))
+      .withColumn("sim", cosineOfUnits("_qv", "_cv"))
     topKBySim(scored, k)
   }
 
   /** LSH-bucketed approximate top-k (the 100-TB scale path): corpus and
     * queries are sketched with `nBits` signed random hyperplanes
-    * (deterministic, seeded); candidates = corpus vectors agreeing with the
-    * query on at least one of the `bands` sketch bands; exact cosine + top-k
-    * on candidates only. Recall < 1 by design; measured against
-    * [[bruteForceTopK]] in the spec.
+    * (deterministic, seeded; sketch sign is scale-invariant so unit vectors
+    * sketch identically to raw ones); candidates = corpus vectors agreeing
+    * with the query on at least one of the `bands` sketch bands; exact
+    * cosine + top-k on candidates only. Recall < 1 by design; measured
+    * against [[bruteForceTopK]] in the spec.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -56,36 +61,39 @@ object Similarity {
     require(nBits % bands == 0, "bands must divide nBits")
     val bandBits = nBits / bands
     val mask = (1L << bandBits) - 1L
-    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
-      val sk = VectorFunctions.hyperplaneSketch(col(vec), nBits, dim)
-      df.select(col(id), col(vec), sk.as("_sk"))
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.withColumn("_sk", VectorExprs.hyperplaneSketch(col(vec), nBits))
         .select(col(id), col(vec),
           posexplode(array((0 until bands).map(bnd =>
             shiftrightunsigned(col("_sk"), bnd * bandBits).bitwiseAND(lit(mask))): _*))
             .as(Seq("_band", "_bv")))
-    }
-    val q = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), "query_id", "_qv")
-    val c = banded(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")), "neighbor_id", "_cv")
+    val q = banded(
+      queries.select(col(idCol).as("query_id"), VectorExprs.unitVec(col(vecCol)).as("_qv")),
+      "query_id", "_qv")
+    val c = banded(
+      corpus.select(col(idCol).as("neighbor_id"), VectorExprs.unitVec(col(vecCol)).as("_cv")),
+      "neighbor_id", "_cv")
     val cand = c.join(broadcast(q), Seq("_band", "_bv"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", VectorFunctions.cosineRounded(col("_qv"), col("_cv"), 5))
+      .withColumn("sim", cosineOfUnits("_qv", "_cv"))
     topKBySim(cand, k)
   }
 
   /** Embedding near-duplicate pairs: all (idA < idB) pairs with rounded
-    * cosine >= minSim. Brute-force all-pairs via a self-join blocked on the
-    * smaller id — exact semantics for the dedup verify gate; the LSH path
-    * above is the approximate scale-out. */
+    * cosine >= minSim. All-pairs via a nested-loop self-join over unit
+    * vectors — exact semantics for the dedup verify gate (the LSH path
+    * above is the approximate scale-out; at 100 TB this operator runs on
+    * LSH-blocked candidates instead of the full cross product). */
   def cosineNearDupPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       minSim: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    val a = emb.select(col(idCol).as("id_a"), VectorExprs.unitVec(col(vecCol)).as("_va"))
+    val b = emb.select(col(idCol).as("id_b"), VectorExprs.unitVec(col(vecCol)).as("_vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", VectorFunctions.cosineRounded(col("_va"), col("_vb"), 5))
+      .withColumn("sim", cosineOfUnits("_va", "_vb"))
       .filter(col("sim") >= minSim)
       .select("id_a", "id_b", "sim")
   }

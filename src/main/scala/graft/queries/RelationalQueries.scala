@@ -246,10 +246,10 @@ object RelationalQueries {
   def q22Quantiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(
-        percentile(col("l_quantity"), lit(0.25)).as("q25"),
-        percentile(col("l_quantity"), lit(0.5)).as("q50"),
-        percentile(col("l_quantity"), lit(0.75)).as("q75"))
+      .agg(percentile(col("l_quantity"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("_q"))
+      .select(col("l_returnflag"),
+        col("_q")(0).as("q25"), col("_q")(1).as("q50"), col("_q")(2).as("q75"))
 
   // As-of join: each event enriched with the latest order at-or-before its
   // time for the same customer (temporal stream-table join).
