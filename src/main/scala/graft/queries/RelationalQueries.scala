@@ -274,6 +274,30 @@ object RelationalQueries {
         md5(col("text")).as("text_md5"),
         substring(unbase64(base64(col("text").cast("binary"))).cast("string"), 1, 20).as("roundtrip20"))
 
+  // C17/C18 + B1-B4: registry-framed Avro round-trip WITH schema evolution
+  // on read — rows encoded under schema v1 (custkey, name) are decoded
+  // through the v2 reader (adds nullable c_note, default null) by
+  // per-record schema-id dispatch. Output = original values + the default,
+  // so the DuckDB oracle is a plain projection.
+  def q25AvroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val reg = new graft.registry.SchemaRegistry
+    val v1 = reg.register("customer-value",
+      """{"type":"record","name":"customer","namespace":"graft","fields":[
+        |{"name":"c_custkey","type":["null","long"],"default":null},
+        |{"name":"c_name","type":["null","string"],"default":null}]}""".stripMargin)
+    reg.register("customer-value",
+      """{"type":"record","name":"customer","namespace":"graft","fields":[
+        |{"name":"c_custkey","type":["null","long"],"default":null},
+        |{"name":"c_name","type":["null","string"],"default":null},
+        |{"name":"c_note","type":["null","string"],"default":null}]}""".stripMargin)
+    Tables.customer(s, d)
+      .select(graft.formats.AvroFunctions.toAvroWire(
+        struct(col("c_custkey"), col("c_name")), v1).as("payload"))
+      .select(graft.formats.AvroFunctions.fromAvroRegistry(
+        col("payload"), reg, "customer-value").as("rec"))
+      .select("rec.c_custkey", "rec.c_name", "rec.c_note")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> q01ScanFilterProject,
     "q02_filter_predicates" -> q02FilterPredicates,
@@ -298,7 +322,8 @@ object RelationalQueries {
     "q21_rollup" -> q21Rollup,
     "q22_quantiles" -> q22Quantiles,
     "q23_asof_join" -> q23AsofJoin,
-    "q24_format_conv" -> q24FormatConv)
+    "q24_format_conv" -> q24FormatConv,
+    "q25_avro_roundtrip" -> q25AvroRoundtrip)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
 
@@ -471,5 +496,7 @@ object RelationalQueries {
          hex(substring(text,1,6)::BLOB) AS hex6,
          md5(text) AS text_md5,
          substring(from_base64(to_base64(text::BLOB))::VARCHAR, 1, 20) AS roundtrip20
-         FROM documents""")
+         FROM documents""",
+    "q25_avro_roundtrip" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_note FROM customer""")
 }

@@ -1,0 +1,106 @@
+package graft.formats
+
+import graft.SparkSpec
+import graft.registry.{AvroSchemaConverter, Compatibility, IncompatibleSchemaException, SchemaRegistry}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class AvroCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val v1Json =
+    """{"type":"record","name":"user","namespace":"graft.test","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"}]}""".stripMargin
+  private val v2Json =
+    """{"type":"record","name":"user","namespace":"graft.test","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"},
+      |{"name":"score","type":["null","double"],"default":null}]}""".stripMargin
+  private val incompatibleJson =
+    """{"type":"record","name":"user","namespace":"graft.test","fields":[
+      |{"name":"id","type":"long"},
+      |{"name":"name","type":"string"},
+      |{"name":"mandatory","type":"string"}]}""".stripMargin
+
+  test("registry: register/versions/latest/getById; idempotent re-register") {
+    val reg = new SchemaRegistry
+    val r1 = reg.register("user-value", v1Json)
+    assert(r1.version == 1)
+    assert(reg.register("user-value", v1Json).id == r1.id) // idempotent
+    val r2 = reg.register("user-value", v2Json)
+    assert(r2.version == 2 && r2.id != r1.id)
+    assert(reg.subjects == Seq("user-value"))
+    assert(reg.versions("user-value") == Seq(1, 2))
+    assert(reg.latest("user-value").get.version == 2)
+    assert(reg.getById(r1.id).get.schemaJson == r1.schemaJson)
+  }
+
+  test("registry: BACKWARD compatibility gate accepts defaulted, rejects mandatory field") {
+    val reg = new SchemaRegistry
+    reg.register("user-value", v1Json)
+    assert(reg.compatibilityLevel == Compatibility.Backward)
+    assert(reg.checkCompatibility("user-value", v2Json))
+    assert(!reg.checkCompatibility("user-value", incompatibleJson))
+    intercept[IncompatibleSchemaException] {
+      reg.register("user-value", incompatibleJson)
+    }
+    // NONE level lets anything through
+    reg.setCompatibilityLevel("user-value", Compatibility.None)
+    assert(reg.checkCompatibility("user-value", incompatibleJson))
+  }
+
+  test("registry: save/load round-trip") {
+    val reg = new SchemaRegistry
+    reg.register("user-value", v1Json)
+    reg.register("user-value", v2Json)
+    val f = java.io.File.createTempFile("registry", ".tsv")
+    reg.save(f.getPath)
+    val loaded = SchemaRegistry.load(f.getPath)
+    assert(loaded.versions("user-value") == Seq(1, 2))
+    assert(loaded.latest("user-value").get.schema == reg.latest("user-value").get.schema)
+  }
+
+  test("avro schema converter: struct -> avro -> struct round-trip") {
+    val st = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = true),
+      StructField("c", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("d", StructType(Seq(StructField("x", IntegerType, nullable = true))), nullable = true)))
+    val avro = AvroSchemaConverter.toAvroSchema(st)
+    val back = AvroSchemaConverter.toStructType(avro)
+    assert(back == st)
+  }
+
+  test("wire codec: encode/decode round-trip through DataFrame") {
+    val reg = new SchemaRegistry
+    val r1 = reg.register("user-value", v1Json)
+    val df = Seq((1L, "alice"), (2L, "bob"), (3L, "carol")).toDF("id", "name")
+    val encoded = df.select(
+      AvroFunctions.toAvroWire(struct(col("id"), col("name")), r1).as("payload"))
+    val decoded = encoded.select(
+      AvroFunctions.fromAvroRegistry(col("payload"), reg, "user-value").as("rec"))
+      .select("rec.id", "rec.name")
+    assert(decoded.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "alice"), (2L, "bob"), (3L, "carol")))
+  }
+
+  test("wire codec: per-record schema-id dispatch decodes mixed v1+v2 with v2 reader") {
+    val reg = new SchemaRegistry
+    val r1 = reg.register("user-value", v1Json)
+    val r2 = reg.register("user-value", v2Json)
+    val oldRows = Seq((1L, "alice")).toDF("id", "name")
+      .select(AvroFunctions.toAvroWire(struct(col("id"), col("name")), r1).as("payload"))
+    val newRows = Seq((2L, "bob", 0.9)).toDF("id", "name", "score")
+      .select(AvroFunctions.toAvroWire(
+        struct(col("id"), col("name"), col("score")), r2).as("payload"))
+    val decoded = oldRows.unionByName(newRows)
+      .select(AvroFunctions.fromAvroRegistry(col("payload"), reg, "user-value").as("rec"))
+      .select("rec.id", "rec.name", "rec.score")
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // v1 record surfaces with the v2 reader's defaulted score = null
+    assert(decoded.toSeq == Seq((1L, "alice", None), (2L, "bob", Some(0.9))))
+  }
+}
