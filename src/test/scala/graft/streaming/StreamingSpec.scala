@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingAgg aggregates per 10-minute window with watermark (update mode)") {
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.tumblingAgg(
+      in.toDF().toDF("ts", "k", "v"), "ts", "10 minutes", "5 minutes",
+      Seq(col("k")), Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+      .select(col("w.start").cast("string").as("ws"), col("k"), col("n"), col("s"))
+    val q = agg.writeStream.format("memory").queryName("tumbling").outputMode("update").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:01:00"), "a", 1.0),
+        (ts("2024-01-01 00:04:00"), "a", 2.0),
+        (ts("2024-01-01 00:11:00"), "b", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2024-01-01 00:00:00", "a", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 00:10:00", "b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("latestByKeyStream keeps the max-offset row per key across batches") {
+    val in = MemoryStream[(String, Long, String)]
+    val latest = StreamOps.latestByKeyStream(in.toDF().toDF("k", "off", "v"), "k", "off")
+    val q = latest.writeStream.format("memory").queryName("latest").outputMode("update").start()
+    try {
+      in.addData(("k1", 1L, "old"), ("k2", 1L, "only"))
+      q.processAllAvailable()
+      in.addData(("k1", 3L, "new"), ("k1", 2L, "stale")) // out-of-order in one batch
+      q.processAllAvailable()
+      // update-mode memory sink appends each update; the LAST update per key
+      // is the compacted view
+      val byKey = spark.table("latest").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.last }
+      assert(byKey("k1") == ("k1", 3L, "new"))
+      assert(byKey("k2") == ("k2", 1L, "only"))
+    } finally q.stop()
+  }
+
+  test("enrich: stream-static broadcast join") {
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val out = StreamOps.enrich(in.toDF().toDF("uid", "v"), dim, col("uid") === col("id"))
+      .select("uid", "tier", "v")
+    val q = out.writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"), r.getDouble(2))).toSet
+      assert(rows == Set((1L, "GOLD", 10.0), (3L, "-", 30.0)))
+    } finally q.stop()
+  }
+
+  test("pipelines: named lifecycle (start/list/stop) with checkpoint resume over file source") {
+    val inDir = Files.createTempDirectory("graft-in").toString
+    val outDir = Files.createTempDirectory("graft-out").toString
+    val ckRoot = Files.createTempDirectory("graft-ck").toString
+    val pipes = new Pipelines(ckRoot)
+    val monitor = new Monitor().attach(spark)
+    try {
+      Files.writeString(java.nio.file.Path.of(inDir, "f1.txt"), "a\nb\nc\n")
+      def startPipe() = pipes.start("logs_to_parquet",
+        spark.readStream.text(inDir),
+        w => w.format("parquet").option("path", outDir).outputMode("append"))
+      startPipe()
+      pipes.awaitDrained("logs_to_parquet")
+      val info1 = pipes.list.find(_.name == "logs_to_parquet").get
+      assert(info1.isActive)
+      pipes.stop("logs_to_parquet")
+      assert(!pipes.list.find(_.name == "logs_to_parquet").get.isActive)
+
+      // second file while stopped; restart resumes from checkpoint —
+      // no reprocessing of f1
+      Files.writeString(java.nio.file.Path.of(inDir, "f2.txt"), "d\ne\n")
+      startPipe()
+      pipes.awaitDrained("logs_to_parquet")
+      pipes.stop("logs_to_parquet")
+      val lines = spark.read.parquet(outDir).as[String].collect().sorted.toSeq
+      assert(lines == Seq("a", "b", "c", "d", "e"))
+
+      // monitor captured per-batch progress rows
+      val m = monitor.metricsTable(spark)
+      assert(m.count() >= 1)
+      assert(m.columns.toSet.contains("numInputRows"))
+    } finally {
+      pipes.stopAll()
+      monitor.detach(spark)
+    }
+  }
+
+  test("dedupStream drops exact duplicates within the watermark") {
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.dedupStream(in.toDF().toDF("ts", "id"), "ts", "10 minutes", Seq("id"))
+    val q = out.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:01:00"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+}
