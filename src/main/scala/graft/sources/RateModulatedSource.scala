@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Deterministic rate-modulated generator source — the Spark-native
+  * re-creation of the reference's continuous data generators
+  * (SURVEY.md §2A A2: `normcat -r RATE -j JITTER -p PERIOD -c -v`,
+  * rates/jitters/periods per dataset in `sample-data/variables.env:11-13`).
+  *
+  * Per-second emission rate:
+  *   rate(u) = max(0, round(r + a·sin(2π·u / p) + jitter_u)),
+  * with `jitter_u` a seeded uniform integer in [-j, +j] — deterministic,
+  * so a given (options, offset range) always yields identical records:
+  * generators double as reproducible test fixtures, exactly the role the
+  * reference's committed sample datasets play.
+  *
+  * Options: `rowsPerSecond` (r), `jitter` (j), `periodSeconds` (p),
+  * `amplitude` (a, default r/2), `seed`, `startTimestamp` (epoch millis of
+  * the first record), `numPartitions`, and `advancePerBatchSeconds` — when
+  * set, the logical clock advances by that many seconds per trigger
+  * instead of following the wall clock (fully deterministic streams for
+  * tests; leave unset for real-time pacing).
+  *
+  * Schema: `ts TIMESTAMP, seq BIGINT, value DOUBLE` (value = seeded
+  * uniform in [0,1) keyed by seq — the "payload" a real topic would carry).
+  */
+class RateModulatedProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rate"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RateModulatedSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RateModulatedTable(RateConf(properties.asScala.toMap))
+}
+
+object RateModulatedSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("ts", TimestampType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+}
+
+final case class RateConf(
+    rowsPerSecond: Double, jitter: Double, periodSeconds: Double, amplitude: Double,
+    seed: Long, startTimestampMs: Long, numPartitions: Int, advancePerBatchSeconds: Long) {
+
+  /** Deterministic per-second rate (records emitted during second u). */
+  def rateAt(u: Long): Long = {
+    val jit =
+      if (jitter <= 0) 0.0
+      else {
+        val r = RateModulatedSource.splitmix64(seed ^ u)
+        // uniform in [-jitter, +jitter]
+        ((r >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0) * jitter
+      }
+    val sine = if (periodSeconds > 0) amplitude * math.sin(2.0 * math.Pi * u / periodSeconds) else 0.0
+    math.max(0L, math.round(rowsPerSecond + sine + jit))
+  }
+
+  /** Total records emitted in seconds [0, seconds). */
+  def cumulative(seconds: Long): Long = {
+    var s = 0L
+    var u = 0L
+    while (u < seconds) { s += rateAt(u); u += 1 }
+    s
+  }
+}
+
+object RateConf {
+  def apply(opts: Map[String, String]): RateConf = {
+    def d(k: String, dv: Double) = opts.get(k).map(_.toDouble).getOrElse(dv)
+    def l(k: String, dv: Long) = opts.get(k).map(_.toLong).getOrElse(dv)
+    val r = d("rowsPerSecond", 10.0)
+    RateConf(
+      rowsPerSecond = r,
+      jitter = d("jitter", 0.0),
+      periodSeconds = d("periodSeconds", 0.0),
+      amplitude = d("amplitude", r / 2.0),
+      seed = l("seed", 42L),
+      startTimestampMs = l("startTimestamp", 0L),
+      numPartitions = l("numPartitions", 4L).toInt,
+      advancePerBatchSeconds = l("advancePerBatchSeconds", 0L))
+  }
+}
+
+class RateModulatedTable(conf: RateConf) extends Table with SupportsRead {
+  override def name(): String = "graft_rate_modulated"
+  override def schema(): StructType = RateModulatedSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = RateModulatedSource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new RateModulatedStream(conf)
+      }
+    }
+}
+
+final case class CountOffset(count: Long) extends Offset {
+  override def json(): String = count.toString
+}
+
+class RateModulatedStream(conf: RateConf) extends MicroBatchStream {
+
+  private val startWallMs = System.currentTimeMillis()
+  private var logicalSeconds = 0L
+
+  override def initialOffset(): Offset = CountOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val seconds =
+      if (conf.advancePerBatchSeconds > 0) {
+        logicalSeconds += conf.advancePerBatchSeconds
+        logicalSeconds
+      } else (System.currentTimeMillis() - startWallMs) / 1000
+    CountOffset(conf.cumulative(seconds))
+  }
+
+  override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CountOffset].count
+    val e = end.asInstanceOf[CountOffset].count
+    val n = math.max(1, math.min(conf.numPartitions.toLong, e - s)).toInt
+    (0 until n).map { i =>
+      val lo = s + (e - s) * i / n
+      val hi = s + (e - s) * (i + 1) / n
+      RatePartition(lo, hi, conf): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = RateReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class RatePartition(startSeq: Long, endSeq: Long, conf: RateConf)
+    extends InputPartition
+
+object RateReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RatePartition]
+    new PartitionReader[InternalRow] {
+      private var seq = p.startSeq
+      // walk the per-second schedule up to the first record of this range
+      private var second = 0L
+      private var cumAtSecond = 0L // records emitted before `second`
+      private var rate = p.conf.rateAt(0L)
+      advanceToSecondOf(p.startSeq)
+
+      private def advanceToSecondOf(target: Long): Unit = {
+        while (cumAtSecond + rate <= target) {
+          cumAtSecond += rate
+          second += 1
+          rate = p.conf.rateAt(second)
+        }
+      }
+
+      override def next(): Boolean = seq < p.endSeq
+      override def get(): InternalRow = {
+        advanceToSecondOf(seq)
+        val within = seq - cumAtSecond
+        val microsInSecond = if (rate > 0) within * (1000000L / math.max(1L, rate)) else 0L
+        val tsMicros = p.conf.startTimestampMs * 1000L + second * 1000000L + microsInSecond
+        val value =
+          (RateModulatedSource.splitmix64(p.conf.seed ^ (seq * 0x9E3779B97F4A7C15L)) >>> 11) *
+            (1.0 / (1L << 53))
+        val row = InternalRow(tsMicros, seq, value)
+        seq += 1
+        row
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
