@@ -298,6 +298,26 @@ object RelationalQueries {
       .select("rec.c_custkey", "rec.c_name", "rec.c_note")
   }
 
+  // C2/C15: array-of-struct construction, positional explode, and nested
+  // field access — the `Polygon: array<record{lon,lat}>` shape of the
+  // reference's grid topic (TelecomItalia-Milano-Grid.value.json:13-25).
+  def q26NestedArray(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(
+      col("c_custkey"),
+      ((col("c_custkey") % 17000) / 100.0 - 85.0).as("lat1"),
+      ((col("c_custkey") * 7 % 36000) / 100.0 - 180.0).as("lon1"),
+      ((col("c_nationkey") * 700 % 17000) / 100.0 - 85.0).as("lat2"),
+      ((col("c_nationkey") * 1400 % 36000) / 100.0 - 180.0).as("lon2"))
+    c.select(col("c_custkey"),
+        array(
+          struct(col("lat1").as("lat"), col("lon1").as("lon")),
+          struct(col("lat2").as("lat"), col("lon2").as("lon"))).as("polygon"))
+      .select(col("c_custkey"),
+        col("polygon")(0)("lat").as("first_lat"),
+        posexplode(col("polygon")).as(Seq("pos", "pt")))
+      .select(col("c_custkey"), col("pos"), col("pt.lat"), col("pt.lon"), col("first_lat"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> q01ScanFilterProject,
     "q02_filter_predicates" -> q02FilterPredicates,
@@ -323,7 +343,8 @@ object RelationalQueries {
     "q22_quantiles" -> q22Quantiles,
     "q23_asof_join" -> q23AsofJoin,
     "q24_format_conv" -> q24FormatConv,
-    "q25_avro_roundtrip" -> q25AvroRoundtrip)
+    "q25_avro_roundtrip" -> q25AvroRoundtrip,
+    "q26_nested_array" -> q26NestedArray)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
 
@@ -498,5 +519,15 @@ object RelationalQueries {
          substring(from_base64(to_base64(text::BLOB))::VARCHAR, 1, 20) AS roundtrip20
          FROM documents""",
     "q25_avro_roundtrip" ->
-      """SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_note FROM customer""")
+      """SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_note FROM customer""",
+    "q26_nested_array" ->
+      """WITH c AS (SELECT c_custkey,
+           (c_custkey % 17000)/100.0 - 85.0 AS lat1,
+           (c_custkey*7 % 36000)/100.0 - 180.0 AS lon1,
+           (c_nationkey*700 % 17000)/100.0 - 85.0 AS lat2,
+           (c_nationkey*1400 % 36000)/100.0 - 180.0 AS lon2
+         FROM customer)
+         SELECT c_custkey, 0 AS pos, lat1 AS lat, lon1 AS lon, lat1 AS first_lat FROM c
+         UNION ALL
+         SELECT c_custkey, 1 AS pos, lat2 AS lat, lon2 AS lon, lat1 AS first_lat FROM c""")
 }
