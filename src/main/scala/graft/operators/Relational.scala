@@ -48,6 +48,30 @@ object Relational {
       .filter(col("_rn") <= k)
       .drop("_rn")
 
+  /** Skew-salted equi-join: spread a hot key across `saltBuckets` reducers
+    * by salting the (large, skewed) left side deterministically from its
+    * row content and replicating the (small) right side across all salt
+    * values. Same result set as the plain equi-join.
+    *
+    * AQE's skew-join splitting is the first line of defense; salting is
+    * for the cases AQE can't re-plan — a single hot key inside a required
+    * shuffle (e.g. pre-aggregation feeding a stateful op) or a sink that
+    * needs balanced partitions. At 100 TB one pathological key otherwise
+    * pins one executor while 999 idle.
+    */
+  def saltedEquiJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets >= 1")
+    val l = left.withColumn("_salt_l",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltBuckets)).cast("int"))
+    val r = right.withColumn("_salt_r",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    l.join(r, l(leftKey) === r(rightKey) && col("_salt_l") === col("_salt_r"), joinType)
+      .drop("_salt_l", "_salt_r")
+  }
+
   /** Backward as-of join: for each left row, attach the latest right row
     * with `right.time <= left.time` for the same key (stream enrichment
     * against a versioned/compacted table — the temporal generalization of

@@ -29,6 +29,20 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq((0, 16), (0, 18), (0, 20), (1, 15), (1, 17), (1, 19)))
   }
 
+  test("saltedEquiJoin returns exactly the plain-join result under skew") {
+    val left = (1 to 5000).map(i => (if (i % 100 == 0) i.toLong else 7L, i))
+      .toDF("k", "payload") // ~4950 rows share key 7 — one hot key
+    val right = Seq((7L, "hot"), (100L, "cold"), (999L, "unmatched")).toDF("rk", "v")
+    val plain = left.join(right, col("k") === col("rk")).count()
+    val salted = Relational.saltedEquiJoin(left, right, "k", "rk", saltBuckets = 8)
+    assert(salted.count() == plain)
+    // the hot key's rows really are spread over multiple salt buckets
+    val buckets = left
+      .withColumn("_salt", pmod(xxhash64(struct(col("k"), col("payload"))), lit(8)))
+      .filter(col("k") === 7L).select("_salt").distinct().count()
+    assert(buckets > 1)
+  }
+
   test("asofJoinBackward matches latest right at-or-before left time, per key") {
     val left = Seq(
       (1L, "2020-01-01 10:00:00", "e1"),
