@@ -61,6 +61,32 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling: split a binary payload into fixed-size frames and
+    * keep every `everyK`-th — the video-frame-sampling plumbing (frame
+    * boundaries here are byte-offset stubs; a real container demuxer
+    * would replace the slicing, not the plan). Pure Catalyst: sequence +
+    * substring on binary, exploded with position — codegen-friendly and
+    * fully distributed. */
+  def frameSample(media: DataFrame, frameSize: Int, everyK: Int): DataFrame = {
+    require(frameSize > 0 && everyK > 0)
+    val nFramesMinus1 = floor((octet_length(col("payload")) - 1) / frameSize).cast("int")
+    media
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), col("modality"),
+        posexplode(transform(sequence(lit(0), nFramesMinus1),
+          i => substring(col("payload"), (i * frameSize + 1).cast("int"), lit(frameSize))))
+          .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % everyK === 0)
+  }
+
+  /** STUB resize kernel: deterministic byte-stride downsample standing in
+    * for an image resize (every `factor`-th byte). Same partition-parallel
+    * contract as [[decodeFeatures]]. */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    // ??? real resize goes here; deterministic fake keeps every factor-th byte.
+    payload.indices.collect { case i if i % factor == 0 => payload(i) }.toArray
+  }
+
   /** Column-only metadata extraction (no kernel boundary) — what a pure
     * Catalyst plan can get from a binary column: sizes, headers, hashes. */
   def metadata(media: DataFrame): DataFrame =

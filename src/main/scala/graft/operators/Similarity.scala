@@ -80,6 +80,56 @@ object Similarity {
     topKBySim(cand, k)
   }
 
+  /** IVF-style ANN (inverted-file index): coarse-quantize the corpus into
+    * `nlist` buckets by nearest centroid; each query probes its `nprobe`
+    * nearest centroids and scores ONLY those buckets.
+    *
+    * Centroids are picked deterministically by striding the corpus in id
+    * order (a k-means|| seeding stand-in — the bucketing plan, not the
+    * centroid quality, is what changes at scale). Distributed shape: the
+    * corpus is scanned once against broadcast centroids and lands
+    * partitioned by bucket; probing shuffles only (query, bucket) pairs,
+    * so query cost tracks corpus/nlist × nprobe — the IVF contract.
+    * Recall < 1 by design; measured against [[bruteForceTopK]] in the
+    * spec. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe <= nlist, "nprobe <= nlist")
+    val c = corpus.select(col(idCol).as("neighbor_id"), VectorExprs.unitVec(col(vecCol)).as("_cv"))
+    val n = c.count()
+    val stride = math.max(1L, n / nlist)
+    val centroids = broadcast(
+      c.withColumn("_rn", row_number().over(Window.orderBy(col("neighbor_id"))))
+        .filter((col("_rn") - 1) % stride === 0)
+        .limit(nlist)
+        .select(col("_rn").as("_centroid_id"), col("_cv").as("_centroid")))
+    // corpus side: every vector assigned to its single nearest centroid
+    val assigned = c.join(centroids)
+      .withColumn("_cdist", VectorExprs.dotD(col("_cv"), col("_centroid")))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("neighbor_id")).orderBy(col("_cdist").desc, col("_centroid_id"))))
+      .filter(col("_r") === 1)
+      .select(col("_centroid_id").as("_bucket"), col("neighbor_id"), col("_cv"))
+    // query side: nprobe nearest centroids each
+    val q = queries.select(col(idCol).as("query_id"), VectorExprs.unitVec(col(vecCol)).as("_qv"))
+    val probes = q.join(centroids)
+      .withColumn("_cdist", VectorExprs.dotD(col("_qv"), col("_centroid")))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("_cdist").desc, col("_centroid_id"))))
+      .filter(col("_r") <= nprobe)
+      .select(col("_centroid_id").as("_bucket"), col("query_id"), col("_qv"))
+    val cand = assigned.join(broadcast(probes), Seq("_bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineOfUnits("_qv", "_cv"))
+    topKBySim(cand, k)
+  }
+
   /** Embedding near-duplicate pairs: all (idA < idB) pairs with rounded
     * cosine >= minSim. All-pairs via a nested-loop self-join over unit
     * vectors — exact semantics for the dedup verify gate (the LSH path

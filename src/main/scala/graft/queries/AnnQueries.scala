@@ -35,10 +35,18 @@ object AnnQueries {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
 
+  // IVF-bucketed approximate top-5 (coarse quantizer + probe): the second
+  // ANN scale path next to LSH. Recall vs q50 measured in the spec.
+  def q53AnnIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(
+      Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ann_brute" -> q50AnnBrute,
     "q51_ann_lsh" -> q51AnnLsh,
-    "q52_approx_distinct" -> q52ApproxDistinct)
+    "q52_approx_distinct" -> q52ApproxDistinct,
+    "q53_ann_ivf" -> q53AnnIvf)
 
   // q51/q52 are approximate → rows-only checks (no oracle entries).
   val oracles: Map[String, String] = Map(

@@ -18,9 +18,22 @@ object MultimodalQueries {
     Multimodal.decodeFeatures(s,
       Multimodal.synthMediaTable(Tables.documents(s, d), "doc_id", "text")).toDF()
 
+  // Frame sampling over binary payloads: 32-byte "frames", every 4th kept.
+  // Pure-Catalyst slicing → DuckDB replicates it exactly (oracle-checked).
+  def q62MultimodalFrames(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Multimodal.frameSample(
+        Multimodal.synthMediaTable(Tables.documents(s, d), "doc_id", "text"),
+        frameSize = 32, everyK = 4)
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).as("n_bytes"),
+        hex(col("frame")).as("frame_hex"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_multimodal_meta" -> q60MultimodalMeta,
-    "q61_multimodal_decode" -> q61MultimodalDecode)
+    "q61_multimodal_decode" -> q61MultimodalDecode,
+    "q62_multimodal_frames" -> q62MultimodalFrames)
 
   val oracles: Map[String, String] = Map(
     "q60_multimodal_meta" ->
@@ -29,5 +42,19 @@ object MultimodalQueries {
          octet_length(text::BLOB) AS n_bytes,
          substring(hex(text::BLOB), 1, 12) AS header_hex,
          ('0x' || substring(md5(text), 1, 15))::BIGINT AS content_hash
-         FROM documents""")
+         FROM documents""",
+    "q62_multimodal_frames" ->
+      """WITH m AS (
+           SELECT doc_id, hex(text::BLOB) AS h FROM documents
+           WHERE octet_length(text::BLOB) > 0
+         ), idx AS (
+           SELECT doc_id, h,
+             unnest(generate_series(0,
+               CAST(floor((length(h) / 2 - 1) / 32.0) AS INT))) AS frame_idx
+           FROM m
+         )
+         SELECT doc_id, frame_idx,
+           CAST(length(substring(h, frame_idx * 64 + 1, 64)) / 2 AS BIGINT) AS n_bytes,
+           substring(h, frame_idx * 64 + 1, 64) AS frame_hex
+         FROM idx WHERE frame_idx % 4 = 0""")
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.{Portable, TimeFunctions}
+import graft.streaming.StreamOps
+
+/** Streaming-parity queries in the correctness gate: the SAME logical
+  * queries as their batch twins (q05/q09), executed as Structured
+  * Streaming jobs (file source → windowed agg / stream-static join →
+  * memory sink, Trigger.AvailableNow) and checked against the SAME DuckDB
+  * oracles. This is the reference's browse-SQL vs continuous-SQL duality
+  * (SURVEY.md §2C): one plan language, two execution modes, identical
+  * results.
+  */
+object StreamingQueries {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val streamDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** FileStreamSource needs a DIRECTORY; the testdata tables are single
+    * parquet files. Expose each as a one-file directory via symlink. */
+  private def asStreamDir(tablePath: String): String =
+    streamDirs.computeIfAbsent(tablePath, { p =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(java.nio.file.Paths.get(p).getFileName), java.nio.file.Paths.get(p))
+      dir.toString
+    })
+
+  /** events as a bounded file STREAM (FileStreamSource over the parquet
+    * file), ts normalized exactly like the batch loader. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = Tables.events(s, d).schema
+    val raw = s.readStream.schema(schema).parquet(asStreamDir(s"$d/events.parquet"))
+    val tsNorm = schema("ts").dataType match {
+      case LongType => timestamp_micros((col("ts") / 1000).cast("long"))
+      case _        => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", tsNorm)
+  }
+
+  /** Drain a streaming DataFrame through a memory sink and return the
+    * materialized result table. */
+  private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_q_${counter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // Streaming twin of q05: tumbling 10-minute windows (complete mode —
+  // every window in the bounded stream, same rows as the batch query).
+  def q27StreamTumbling(s: SparkSession, d: String): DataFrame =
+    drain(s,
+      StreamOps.tumblingAgg(eventsStream(s, d), "ts", "10 minutes", "0 seconds",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents")))
+        .select(TimeFunctions.canonical(col("w.start")).as("window_start"),
+          col("event_type"), col("n"), col("value_cents")),
+      "complete")
+
+  // Streaming twin of q09: stream-static broadcast enrichment + aggregation.
+  def q28StreamEnrich(s: SparkSession, d: String): DataFrame =
+    drain(s,
+      StreamOps.enrich(eventsStream(s, d), Tables.customer(s, d),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents")),
+      "complete")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_stream_tumbling" -> q27StreamTumbling,
+    "q28_stream_enrich" -> q28StreamEnrich)
+
+  private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
+  private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q27_stream_tumbling" ->
+      s"""SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+          event_type, count(*) AS n, ${sumL(cents("value"))} AS value_cents
+          FROM events GROUP BY 1, 2""",
+    "q28_stream_enrich" ->
+      s"""SELECT c_mktsegment, count(*) AS n, ${sumL(cents("value"))} AS value_cents
+          FROM events LEFT JOIN customer ON user_id = c_custkey
+          GROUP BY c_mktsegment""")
+}
