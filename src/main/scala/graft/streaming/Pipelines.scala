@@ -38,8 +38,9 @@ class Pipelines(checkpointRoot: String) {
       trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
     require(!running.containsKey(name) || !running.get(name).isActive,
       s"pipeline '$name' is already running")
-    val q = configure(df.writeStream)
-      .queryName(name)
+    // queryName defaults to the pipeline name; `configure` may override it
+    // (e.g. a memory sink whose table name is the INSERT target).
+    val q = configure(df.writeStream.queryName(name))
       .option("checkpointLocation", checkpointDir(name))
       .trigger(trigger)
       .start()
