@@ -75,9 +75,27 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents")),
       "complete")
 
+  // Streaming twin of q10: the compacted-topic view kept by
+  // mapGroupsWithState (C9 streaming side). The bounded stream arrives as
+  // ONE AvailableNow batch (single source file), so the update-mode output
+  // is exactly one latest row per key — the same rows as the batch
+  // latest-by-key aggregate.
+  def q29StreamLatestByKey(s: SparkSession, d: String): DataFrame = {
+    val e = eventsStream(s, d).withColumn("ts", date_trunc("second", col("ts")))
+      // encode the (ts, event_id) compaction order as one orderable column:
+      // epoch-seconds * 2^32 + event_id (epoch < 2^31 keeps this in Long range)
+      .withColumn("_ord", unix_timestamp(col("ts")) * lit(4294967296L) + col("event_id"))
+    val latest = graft.streaming.StreamOps.latestByKeyStream(e, "user_id", "_ord")
+    drain(s, latest, "update")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeFunctions.canonical(col("ts")).as("ts_s"),
+        Portable.cents(col("value")).as("value_cents"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_stream_tumbling" -> q27StreamTumbling,
-    "q28_stream_enrich" -> q28StreamEnrich)
+    "q28_stream_enrich" -> q28StreamEnrich,
+    "q29_stream_latest_by_key" -> q29StreamLatestByKey)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -90,5 +108,12 @@ object StreamingQueries {
     "q28_stream_enrich" ->
       s"""SELECT c_mktsegment, count(*) AS n, ${sumL(cents("value"))} AS value_cents
           FROM events LEFT JOIN customer ON user_id = c_custkey
-          GROUP BY c_mktsegment""")
+          GROUP BY c_mktsegment""",
+    "q29_stream_latest_by_key" ->
+      s"""SELECT user_id, event_id, event_type,
+          strftime(date_trunc('second', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+          ${cents("value")} AS value_cents
+          FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id
+            ORDER BY date_trunc('second', ts::TIMESTAMP) DESC, event_id DESC) = 1""")
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards: the scale properties that make these
+  * queries viable at 100 TB are asserted, not assumed — if an edit turns a
+  * broadcast join into a sort-merge (or worse, a cartesian product), or
+  * un-pushes a scan filter, this spec fails before any bench does.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: filters pushed to the parquet scan; schema pruned to needed columns") {
+    val p = plan(RelationalQueries.q01ScanFilterProject(spark, sf))
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(l_shipdate"),
+      "shipdate filter must reach the scan")
+    assert(p.contains("LessThan(l_quantity,10.0)"), "quantity filter must reach the scan")
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_returnflag"),
+      s"scan reads more columns than the query needs: $readSchema")
+  }
+
+  test("q08 star join: all dimensions broadcast, no sort-merge, no cartesian") {
+    val p = plan(RelationalQueries.q08JoinStar(spark, sf))
+    assert(p.split("BroadcastHashJoin").length >= 4, "3 dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no fact-side shuffle join expected")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q42 prefix-filtered Jaccard: equi-joins only — never a cartesian/BNL pair stage") {
+    val p = plan(DedupQueries.q42NgramJaccard(spark, sf))
+    assert(!p.contains("CartesianProduct"), "pair generation degenerated to N²")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair generation degenerated to N²")
+  }
+
+  test("q44 near-dup: nested-loop over vectors normalized BEFORE the join") {
+    val p = plan(DedupQueries.q44EmbedNearDup(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    // unit_vec must appear in Project nodes (per-row, pre-join), and the
+    // join condition must reference only ids + the cheap dot product
+    val joinSection = p.linesIterator.filter(_.contains("Join condition")).mkString
+    assert(!joinSection.contains("unit_vec"),
+      "normalization leaked into the join condition: evaluated N² times instead of N")
+  }
+
+  test("q10 latest-by-key: aggregation with partial (map-side) phase, no window sort") {
+    val p = plan(RelationalQueries.q10LatestByKey(spark, sf))
+    assert(!p.contains("Window"), "latest-by-key must not window-sort the log")
+    assert(p.contains("max_by"))
+    assert(p.split("Aggregate").length >= 3, "expected partial + final aggregate phases")
+  }
+
+  test("q09 stream-table enrich: dimension broadcast, fact side un-shuffled before agg") {
+    val p = plan(RelationalQueries.q09JoinEnrich(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
