@@ -1,0 +1,91 @@
+package graft.catalyst
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extension-loaded session: custom expressions as plain SQL functions +
+  * the unit_vec idempotence rule. Extensions bind at session BUILD time,
+  * and `getOrCreate` reuses any default session — so the default is
+  * cleared first (a new session is built over the shared SparkContext)
+  * and restored after; the context itself is never stopped. */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var prevDefault: Option[SparkSession] = None
+
+  private lazy val spark: SparkSession = {
+    prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+  }
+
+  test("custom expressions are callable from plain SQL") {
+    val row = spark.sql(
+      """SELECT
+         simhash64(split('the quick brown fox', ' ')) AS sh,
+         round(dot_d(unit_vec(array(3.0D, 4.0D)), unit_vec(array(3.0D, 4.0D))), 9) AS self_cos,
+         size(shingle_hashes(split('a b c d', ' '), 2)) AS n_shingles,
+         size(minhash_sig(shingle_hashes(split('a b c d', ' '), 2), 8)) AS sig_len,
+         intersect_count_sorted(array(1L, 5L, 9L), array(5L, 9L, 12L)) AS shared,
+         hyperplane_sketch(array(1.0D, -2.0D, 0.5D), 16) AS sketch
+       """).collect()(0)
+    assert(row.getDouble(1) == 1.0)     // unit vector dotted with itself
+    assert(row.getInt(2) == 3)          // 'a b','b c','c d'
+    assert(row.getInt(3) == 8)
+    assert(row.getInt(4) == 2)          // {5,9}
+    // sketch and simhash: deterministic 64-bit values, just type checks
+    assert(row.schema("sh").dataType.typeName == "long")
+    assert(row.schema("sketch").dataType.typeName == "long")
+  }
+
+  test("SQL results match the Column-API expressions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val viaSql = df.createOrReplaceTempView("t")
+    val sqlHash = spark.sql("SELECT simhash64(split(text, ' ')) FROM t").collect()(0).getLong(0)
+    val apiHash = df.select(SimHash64(split(col("text"), " "))).collect()(0).getLong(0)
+    assert(sqlHash == apiHash)
+  }
+
+  test("optimizer collapses unit_vec(unit_vec(x)) on non-foldable columns") {
+    // literal inputs constant-fold regardless of the rule; a parquet-backed
+    // column is the case only UnitVecIdempotence can simplify
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_ext")
+    val df = spark.sql(
+      """SELECT round(dot_d(unit_vec(unit_vec(embedding)), unit_vec(embedding)), 6) AS c
+         FROM emb_ext LIMIT 3""")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("unit_vec(unit_vec"),
+      s"idempotence rule did not fire:\n$optimized")
+    assert(optimized.contains("unit_vec("), "single normalization must remain")
+    assert(df.collect().forall(_.getDouble(0) == 1.0)) // self-cosine of a unit vector
+  }
+
+  test("bad literal args to SQL builders produce named errors") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(split('a b',' '), 1 + 2) AS x").collect()
+    }
+    // constant-folded 1+2 IS a literal by analysis time — that succeeds; a
+    // truly non-literal arg must fail with the builder's message
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(split(text,' '), length(text)) FROM VALUES ('ab') AS t(text)").collect()
+    }
+    assert(e2.getMessage.contains("integer literal") || e2.getMessage.contains("n must be"))
+    val _ = e
+  }
+}
