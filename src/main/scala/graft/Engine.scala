@@ -37,6 +37,8 @@ object Engine {
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // custom expressions as SQL functions + graft optimizer rules
+      .config("spark.sql.extensions", "graft.catalyst.GraftExtensions")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -83,6 +83,27 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
       .save(t.path)
   }
 
+  /** Enforce the table's `retention.ms` (the reference's dual regime:
+    * 10-year browse retention vs size/time-bounded rolling streams):
+    * data files whose modification time is older than `nowMs - retentionMs`
+    * are deleted. Returns the number of files removed. At 100 TB this
+    * belongs to the table format's vacuum/expire-snapshots; here it is the
+    * file-level analog for plain parquet logs. */
+  def vacuum(name: String, nowMs: Long = System.currentTimeMillis()): Int = {
+    val t = synchronized(tables.getOrElse(name,
+      throw new IllegalArgumentException(s"table '$name' not found")))
+    val cutoff = nowMs - t.retentionMs
+    val dir = Paths.get(t.path)
+    if (!Files.exists(dir)) return 0
+    val victims = Files.list(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => !p.getFileName.toString.startsWith("_")) // keep commit markers
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .toSeq
+    victims.foreach(Files.delete)
+    victims.size
+  }
+
   private def persist(): Unit = catalogFile.foreach { f =>
     val lines = tables.values.map { t =>
       Seq(t.name, t.path, t.format, t.keyCols.mkString(","), t.orderCol.getOrElse(""),

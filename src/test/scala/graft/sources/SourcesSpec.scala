@@ -89,12 +89,35 @@ class SourcesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
     assert(compacted == Seq(("k1", 2L, "new"), ("k2", 1L, "only")))
 
+    // physical write policy is honored: gzip parquet part files
+    val eventFiles = new java.io.File(s"$dir/events").listFiles().map(_.getName)
+    assert(eventFiles.exists(_.endsWith(".gz.parquet")),
+      s"expected gzip parquet parts, got: ${eventFiles.mkString(",")}")
+
+    // retention vacuum: files older than retention.ms are deleted, newer
+    // segments survive (the reference's rolling-stream regime). The clock
+    // is passed explicitly and derived from real file mtimes — wall-clock
+    // cutoffs against sub-second retentions race with append duration.
+    cat.createTable(TableDef("ephemeral", s"$dir/eph", retentionMs = 60000L))
+    cat.append("ephemeral", Seq((1L, "old")).toDF("id", "v"))
+    Thread.sleep(100)
+    cat.append("ephemeral", Seq((2L, "new")).toDF("id", "v"))
+    val mtimes = new java.io.File(s"$dir/eph").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.lastModified()).sorted
+    assert(mtimes.length >= 2 && mtimes.head < mtimes.last, "need two distinct segments")
+    // cutoff lands strictly between the two segments' mtimes
+    val removed = cat.vacuum("ephemeral", nowMs = mtimes.head + 60000L + 1)
+    assert(removed >= 1)
+    val left = cat.table("ephemeral").collect().map(_.getString(1)).toSeq
+    assert(left == Seq("new"))
+
     // catalog persists across instances; drop removes
     val cat2 = new GraftCatalog(spark, Some(catFile))
-    assert(cat2.listTables.map(_.name).toSet == Set("events_log", "grid"))
+    assert(cat2.listTables.map(_.name).toSet == Set("events_log", "grid", "ephemeral"))
     assert(cat2.describe("grid").get.cleanupPolicy == "compact")
     cat2.dropTable("grid")
-    assert(new GraftCatalog(spark, Some(catFile)).listTables.map(_.name) == Seq("events_log"))
+    assert(new GraftCatalog(spark, Some(catFile)).listTables.map(_.name) == Seq("events_log", "ephemeral"))
     intercept[IllegalArgumentException](cat2.table("grid"))
   }
 }
