@@ -318,6 +318,31 @@ object RelationalQueries {
       .select(col("c_custkey"), col("pos"), col("pt.lat"), col("pt.lon"), col("first_lat"))
   }
 
+  // C19 typed surface: a custom Aggregator[IN, BUF, OUT] over Dataset[Long]
+  // — exact integer moments buffer, deterministic double finish (see
+  // graft.functions.MomentsAgg). Grouped via the untyped bridge so it
+  // composes with groupBy like any built-in.
+  def q35TypedMoments(s: SparkSession, d: String): DataFrame = {
+    val agg = udaf(new graft.functions.MomentsAgg, org.apache.spark.sql.Encoders.scalaLong)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(agg(col("l_quantity").cast("long")).as("m"))
+      .select(col("l_returnflag"), col("m.n"),
+        round(col("m.mean"), 6).as("mean_qty"),
+        round(col("m.variance"), 6).as("var_qty"))
+  }
+
+  // C5 sketch family: approximate percentile + count-min sketch (binary
+  // sketch surfaced as its md5 fingerprint; approximations are engine-side
+  // so the driver applies the rows-only check).
+  def q54Sketches(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(1000)).as("p50_p95"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        md5(count_min_sketch(col("l_suppkey"), lit(0.01d), lit(0.95d), lit(42))).as("cms_md5"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> q01ScanFilterProject,
     "q02_filter_predicates" -> q02FilterPredicates,
@@ -344,7 +369,9 @@ object RelationalQueries {
     "q23_asof_join" -> q23AsofJoin,
     "q24_format_conv" -> q24FormatConv,
     "q25_avro_roundtrip" -> q25AvroRoundtrip,
-    "q26_nested_array" -> q26NestedArray)
+    "q26_nested_array" -> q26NestedArray,
+    "q35_typed_moments" -> q35TypedMoments,
+    "q54_sketches" -> q54Sketches)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
 
@@ -529,5 +556,19 @@ object RelationalQueries {
          FROM customer)
          SELECT c_custkey, 0 AS pos, lat1 AS lat, lon1 AS lon, lat1 AS first_lat FROM c
          UNION ALL
-         SELECT c_custkey, 1 AS pos, lat2 AS lat, lon2 AS lon, lat1 AS first_lat FROM c""")
+         SELECT c_custkey, 1 AS pos, lat2 AS lat, lon2 AS lon, lat1 AS first_lat FROM c""",
+    // q54 is approximate → rows-only; q35's formula is replicated exactly:
+    // integer sums, then the same fixed sequence of double divisions.
+    "q35_typed_moments" ->
+      """WITH s AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sm,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+           FROM lineitem GROUP BY l_returnflag
+         )
+         SELECT l_returnflag, n,
+           round(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty,
+           round((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 6) AS var_qty
+         FROM s""")
 }
