@@ -81,13 +81,20 @@ object Dedup {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("_id")).orderBy(col("_df"), col("_g"))))
       .filter(col("_rn") <= prefixLen)
-      .select("_g", "_id", "_setSize")
-    val a = prefix.select(col("_g"), col("_id").as("id_a"), col("_setSize").as("_sa0"))
-    val b = prefix.select(col("_g"), col("_id").as("id_b"), col("_setSize").as("_sb0"))
+      .select("_g", "_id", "_setSize", "_rn")
+    val a = prefix.select(col("_g"), col("_id").as("id_a"), col("_setSize").as("_sa0"), col("_rn").as("_pa"))
+    val b = prefix.select(col("_g"), col("_id").as("id_b"), col("_setSize").as("_sb0"), col("_rn").as("_pb"))
+    // PPJoin positional filter (Xiao et al.): a J >= τ pair needs overlap
+    // α = ceil(τ/(1+τ)(|A|+|B|)); at the FIRST shared prefix element all α
+    // overlap lies at/after positions (pa, pb), so
+    // 1 + min(|A|-pa, |B|-pb) >= α must hold — exact (recall 1.0 via the
+    // first occurrence; pair-dedup keeps any surviving occurrence).
+    val alpha = ceil(lit(minJaccard / (1 + minJaccard)) * (col("_sa0") + col("_sb0")))
     val cand = a.join(b, Seq("_g"))
       .filter(col("id_a") < col("id_b") &&
         col("_sb0") >= col("_sa0") * minJaccard &&
-        col("_sb0") <= col("_sa0") / minJaccard)
+        col("_sb0") <= col("_sa0") / minJaccard &&
+        lit(1) + least(col("_sa0") - col("_pa"), col("_sb0") - col("_pb")) >= alpha)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     verifyJaccard(cand, sh, minJaccard)
