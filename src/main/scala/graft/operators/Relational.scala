@@ -83,6 +83,11 @@ object Relational {
     * Right rows sort before left rows at equal timestamps, making the
     * match inclusive (DuckDB/pandas `ASOF JOIN` semantics).
     *
+    * `rightTiebreak` names a column ordering right rows that share a
+    * timestamp — the match is then max(time, tiebreak), deterministic.
+    * Without it, equal-time right rows are matched arbitrarily (exactly
+    * as SQL ASOF joins leave unspecified) — fine for unique times only.
+    *
     * Returns all left columns plus the matched right row as a nullable
     * struct column `_asof`.
     */
@@ -92,18 +97,22 @@ object Relational {
       leftKey: String,
       rightKey: String,
       leftTime: String,
-      rightTime: String): DataFrame = {
+      rightTime: String,
+      rightTiebreak: Option[String] = None): DataFrame = {
     val rightStruct = struct(right.columns.map(col): _*)
+    val tb = rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L))
     val rightTyped = right.select(
       col(rightKey).cast("long").as("_k"),
       col(rightTime).cast("timestamp").as("_t"),
       lit(0).as("_side"),
+      tb.as("_tb"),
       rightStruct.as("_r"))
     val rightSchema = rightTyped.schema("_r").dataType
     val leftTyped = left.select(
       col(leftKey).cast("long").as("_k"),
       col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"),
+      lit(Long.MaxValue).as("_tb"), // left rows sort after all right ties
       lit(null).cast(rightSchema).as("_r"),
       struct(left.columns.map(col): _*).as("_l"))
     val unioned = rightTyped
@@ -111,7 +120,7 @@ object Relational {
       .unionByName(leftTyped)
     val w = Window
       .partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))

@@ -256,7 +256,8 @@ object RelationalQueries {
   def q23AsofJoin(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
     val o = Tables.orders(s, d)
-    Relational.asofJoinBackward(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+    Relational.asofJoinBackward(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        rightTiebreak = Some("o_orderkey"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
@@ -421,8 +422,11 @@ object RelationalQueries {
             SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS t, value FROM events
           ), flagged AS (
             SELECT user_id, t, value,
+              -- Spark session_window MERGES events exactly gap apart
+              -- (probe: [00:00, 00:05] with 5-min gap -> ONE session
+              -- ending 00:10), so a new session needs STRICTLY > gap.
               CASE WHEN lag(t) OVER w IS NULL
-                     OR t >= lag(t) OVER w + INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS is_new
+                     OR t > lag(t) OVER w + INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS is_new
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
           ), sess AS (
             SELECT user_id, t, value,
@@ -532,12 +536,22 @@ object RelationalQueries {
          quantile_cont(l_quantity, 0.5) AS q50,
          quantile_cont(l_quantity, 0.75) AS q75
          FROM lineitem GROUP BY l_returnflag""",
+    // SQL ASOF JOIN leaves equal-timestamp matches unspecified (a customer
+    // with two same-date orders), so the oracle states the deterministic
+    // definition directly: max by (orderdate, orderkey) — lexicographic
+    // list comparison — among orders at-or-before the event.
     "q23_asof_join" ->
-      """SELECT event_type, count(*) AS n_events,
-         count(o_orderkey) AS n_matched, CAST(sum(o_orderkey) AS BIGINT) AS sum_matched_orderkey
-         FROM events ASOF LEFT JOIN orders
-           ON user_id = o_custkey AND ts::TIMESTAMP >= o_orderdate
-         GROUP BY event_type""",
+      """WITH m AS (
+           SELECT e.event_id, e.event_type,
+             max_by(o.o_orderkey,
+               CAST(epoch(o.o_orderdate) AS BIGINT) * 4294967296 + o.o_orderkey) AS matched
+           FROM events e LEFT JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts::TIMESTAMP
+           GROUP BY e.event_id, e.event_type
+         )
+         SELECT event_type, count(*) AS n_events,
+           count(matched) AS n_matched, CAST(sum(matched) AS BIGINT) AS sum_matched_orderkey
+         FROM m GROUP BY event_type""",
     "q24_format_conv" ->
       """SELECT doc_id,
          to_base64(substring(text,1,12)::BLOB) AS b64,
