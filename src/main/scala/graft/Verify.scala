@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.catalyst.GraftExtensions")
       // events.ts is parquet TIMESTAMP(NANOS): surface as long, normalized
       // to TimestampType in RelationalQueries.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

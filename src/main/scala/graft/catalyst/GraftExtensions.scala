@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
     ext.injectOptimizerRule(_ => UnitVecIdempotence)
+    ext.injectOptimizerRule(_ => graft.formats.AvroProjectionPruning)
   }
 }
 

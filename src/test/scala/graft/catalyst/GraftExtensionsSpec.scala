@@ -76,6 +76,41 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().forall(_.getDouble(0) == 1.0)) // self-cosine of a unit vector
   }
 
+  test("AvroProjectionPruning narrows the reader schema to accessed fields") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.formats.{AvroDecodeWire, AvroFunctions}
+    import graft.registry.SchemaRegistry
+    val reg = new SchemaRegistry
+    val v = reg.register("wide-value",
+      """{"type":"record","name":"wide","fields":[
+        |{"name":"a","type":"long"},{"name":"b","type":"string"},{"name":"c","type":"double"}]}"""
+        .stripMargin)
+    val encoded = Seq((1L, "x", 0.5), (2L, "y", 1.5)).toDF("a", "b", "c")
+      .select(AvroFunctions.toAvroWire(struct(col("a"), col("b"), col("c")), v).as("payload"))
+    encoded.write.mode("overwrite").parquet("/tmp/graft-ext-prune")
+    val src = spark.read.parquet("/tmp/graft-ext-prune")
+
+    def decodeWires(df: org.apache.spark.sql.DataFrame): Seq[AvroDecodeWire] =
+      df.queryExecution.optimizedPlan.expressions
+        .flatMap(_.collect { case d: AvroDecodeWire => d })
+
+    // one-field access → reader pruned to 1 field, value unchanged
+    val one = src.select(
+      AvroFunctions.fromAvroWire(col("payload"), reg.schemasById,
+        reg.latest("wide-value").get.schemaJson).getField("c").as("c"))
+    assert(decodeWires(one).exists(_.dataType.asInstanceOf[org.apache.spark.sql.types.StructType].length == 1),
+      one.queryExecution.optimizedPlan.toString)
+    assert(one.orderBy("c").as[Double].collect().toSeq == Seq(0.5, 1.5))
+
+    // bare struct reference → pruning must NOT fire
+    val whole = src.select(
+      AvroFunctions.fromAvroWire(col("payload"), reg.schemasById,
+        reg.latest("wide-value").get.schemaJson).as("rec"))
+    assert(decodeWires(whole).forall(_.dataType.asInstanceOf[org.apache.spark.sql.types.StructType].length == 3))
+    assert(whole.select("rec.b").as[String].collect().sorted.toSeq == Seq("x", "y"))
+  }
+
   test("bad literal args to SQL builders produce named errors") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b',' '), 1 + 2) AS x").collect()
