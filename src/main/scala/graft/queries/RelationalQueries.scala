@@ -319,6 +319,24 @@ object RelationalQueries {
       .select(col("c_custkey"), col("pos"), col("pt.lat"), col("pt.lon"), col("first_lat"))
   }
 
+  // C8 batch analog: time-bounded equi-join of two event streams — each
+  // event matched to OTHER events of the same user within ±10 minutes
+  // (the stream-stream interval join's semantics on bounded data; the
+  // streaming form with watermark state expiry is StreamOps.intervalJoin).
+  def q36IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val a = events(s, d).select(col("user_id"), col("event_id").as("id_a"),
+      col("ts").as("ts_a"), col("event_type").as("type_a"))
+    val b = events(s, d).select(col("user_id").as("uid_b"), col("event_id").as("id_b"),
+      col("ts").as("ts_b"))
+    a.join(b, col("user_id") === col("uid_b") && col("id_a") =!= col("id_b") &&
+        col("ts_b") >= col("ts_a") - expr("INTERVAL 10 MINUTES") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"), "inner")
+      .groupBy("type_a")
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("id_a")).as("n_events_matched"),
+        sum(col("id_b")).cast("long").as("sum_matched_ids"))
+  }
+
   // C19 typed surface: a custom Aggregator[IN, BUF, OUT] over Dataset[Long]
   // — exact integer moments buffer, deterministic double finish (see
   // graft.functions.MomentsAgg). Grouped via the untyped bridge so it
@@ -372,6 +390,7 @@ object RelationalQueries {
     "q25_avro_roundtrip" -> q25AvroRoundtrip,
     "q26_nested_array" -> q26NestedArray,
     "q35_typed_moments" -> q35TypedMoments,
+    "q36_interval_join" -> q36IntervalJoin,
     "q54_sketches" -> q54Sketches)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
@@ -571,6 +590,15 @@ object RelationalQueries {
          SELECT c_custkey, 0 AS pos, lat1 AS lat, lon1 AS lon, lat1 AS first_lat FROM c
          UNION ALL
          SELECT c_custkey, 1 AS pos, lat2 AS lat, lon2 AS lon, lat1 AS first_lat FROM c""",
+    "q36_interval_join" ->
+      """SELECT a.event_type AS type_a, count(*) AS n_matches,
+         count(DISTINCT a.event_id) AS n_events_matched,
+         CAST(sum(b.event_id) AS BIGINT) AS sum_matched_ids
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id <> b.event_id
+          AND b.ts::TIMESTAMP >= a.ts::TIMESTAMP - INTERVAL 10 MINUTE
+          AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 10 MINUTE
+         GROUP BY a.event_type""",
     // q54 is approximate → rows-only; q35's formula is replicated exactly:
     // integer sums, then the same fixed sequence of double divisions.
     "q35_typed_moments" ->
