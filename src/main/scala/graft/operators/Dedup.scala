@@ -140,6 +140,45 @@ object Dedup {
     verifyJaccard(cand, sh, minJaccard)
   }
 
+  /** Connected components over a near-duplicate pair graph: every node
+    * gets the MINIMUM id reachable from it (`rep`) — the canonical
+    * representative of its duplicate cluster, i.e. the "keep one copy"
+    * step after pair detection.
+    *
+    * Label propagation to fixpoint: each round joins current labels
+    * across the (symmetrized) edge set and keeps the per-node minimum.
+    * Rounds needed = graph diameter; near-dup clusters are small
+    * quasi-cliques so this converges in 2-3 rounds (at web scale the
+    * big-star/small-star variant halves round count; same join shape).
+    * The driver-side loop only checks a per-round convergence COUNT —
+    * no data is collected.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("_x"), col(bCol).as("_y"))
+      .unionByName(pairs.select(col(bCol).as("_x"), col(aCol).as("_y")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("_x").as("_id")).distinct()
+      .withColumn("_rep", col("_id"))
+    var converged = false
+    var round = 0
+    while (!converged && round < 50) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("_id", "_y2"), col("_y") === col("_y2"))
+        .select(col("_x").as("_id"), col("_rep"))
+      val next = labels.select("_id", "_rep").unionByName(viaNeighbors)
+        .groupBy("_id").agg(min(col("_rep")).as("_rep"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("_rep", "_prev"), Seq("_id"))
+        .filter(col("_rep") =!= col("_prev")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("_id").as("id"), col("_rep").as("rep"))
+  }
+
   /** SimHash near-dup pairs: all (idA < idB) pairs with
     * hamming(simhash64(tokens A), simhash64(tokens B)) <= maxHamming.
     *

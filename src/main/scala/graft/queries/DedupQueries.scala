@@ -38,12 +38,21 @@ object DedupQueries {
   def q44EmbedNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
 
+  // Near-dup clusters: connected components over the exact Jaccard >= 0.4
+  // pair graph; every clustered doc mapped to its minimum-id representative
+  // (the keep-one-copy step of the dedup pipeline).
+  def q45DedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minJaccard = 0.4),
+      "id_a", "id_b")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q41_dedup_minhash" -> q41DedupMinhash,
     "q42_ngram_jaccard" -> q42NgramJaccard,
     "q43_simhash" -> q43Simhash,
-    "q44_embed_neardup" -> q44EmbedNearDup)
+    "q44_embed_neardup" -> q44EmbedNearDup,
+    "q45_dedup_clusters" -> q45DedupClusters)
 
   /** Word n-gram distinct shingle list in DuckDB. */
   private def shinglesSql(n: Int) =
@@ -91,5 +100,21 @@ object DedupQueries {
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 5) AS sim
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45""")
+         WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45""",
+    "q45_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.4
+          ),
+          edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          walk(id, rep) AS (
+            SELECT x, x FROM (SELECT DISTINCT x FROM edges) t
+            UNION
+            SELECT e.x, w.rep FROM edges e JOIN walk w ON w.id = e.y
+          )
+          SELECT id, min(rep) AS rep FROM walk GROUP BY id""")
 }
