@@ -158,19 +158,26 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("_x"), col(aCol).as("_y")))
       .distinct()
       .cache()
+    // Each round references the previous labels TWICE (union + change
+    // count), so without lineage truncation the logical plan doubles per
+    // round — 2^rounds analysis blow-up on high-diameter graphs (found by
+    // probing a 39-node path). localCheckpoint materializes the round and
+    // resets the plan; on a cluster use reliable checkpointing instead.
     var labels = edges.select(col("_x").as("_id")).distinct()
       .withColumn("_rep", col("_id"))
+      .localCheckpoint()
     var converged = false
     var round = 0
-    while (!converged && round < 50) {
+    while (!converged && round < 64) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("_id", "_y2"), col("_y") === col("_y2"))
         .select(col("_x").as("_id"), col("_rep"))
       val next = labels.select("_id", "_rep").unionByName(viaNeighbors)
         .groupBy("_id").agg(min(col("_rep")).as("_rep"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("_rep", "_prev"), Seq("_id"))
         .filter(col("_rep") =!= col("_prev")).count()
+      labels.unpersist()
       labels = next
       converged = changed == 0
       round += 1

@@ -46,13 +46,32 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minJaccard = 0.4),
       "id_a", "id_b")
 
+  // The curation pipeline end-to-end (the LLM-training-data story in one
+  // query): quality gate -> exact dedup (first per identical text) ->
+  // near-dup pair detection -> cluster -> keep only representatives ->
+  // per-language kept counts. Every stage is one of this engine's
+  // operators; the oracle replays the identical pipeline in SQL.
+  def q46CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, d)
+      .filter(TextFunctions.qualityScore(col("text")) >= 0.75)
+    val exact = Relational.keepFirstBy(docs, Seq("text"), Seq(col("doc_id")))
+    val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text", n = 3, minJaccard = 0.4)
+    val dups = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("rep")) // non-representative members
+    exact.join(dups, exact("doc_id") === dups("id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q41_dedup_minhash" -> q41DedupMinhash,
     "q42_ngram_jaccard" -> q42NgramJaccard,
     "q43_simhash" -> q43Simhash,
     "q44_embed_neardup" -> q44EmbedNearDup,
-    "q45_dedup_clusters" -> q45DedupClusters)
+    "q45_dedup_clusters" -> q45DedupClusters,
+    "q46_curation_pipeline" -> q46CurationPipeline)
 
   /** Word n-gram distinct shingle list in DuckDB. */
   private def shinglesSql(n: Int) =
@@ -116,5 +135,43 @@ object DedupQueries {
             UNION
             SELECT e.x, w.rep FROM edges e JOIN walk w ON w.id = e.y
           )
-          SELECT id, min(rep) AS rep FROM walk GROUP BY id""")
+          SELECT id, min(rep) AS rep FROM walk GROUP BY id""",
+    "q46_curation_pipeline" -> {
+      val stopSql = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
+      s"""WITH RECURSIVE q AS (
+            SELECT doc_id, text, lang FROM (
+              SELECT doc_id, text, lang,
+                ((CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '), t -> t IN ($stopSql))) AS DOUBLE)
+                         / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) > 0.01 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE) < 0.1 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN CAST(length(text) AS DOUBLE) / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) >= 2.0
+                         AND CAST(length(text) AS DOUBLE) / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) <= 12.0
+                        THEN 1.0 ELSE 0.0 END)) * 0.25 AS quality
+              FROM documents)
+            WHERE quality >= 0.75
+          ), ex AS (
+            SELECT doc_id, text, lang FROM q
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+          ), sh AS (
+            SELECT doc_id, ${shinglesSql(3)} AS s FROM ex
+          ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.4
+          ), edges AS (
+            SELECT id_a AS x, id_b AS y FROM pairs UNION SELECT id_b, id_a FROM pairs
+          ), walk(id, rep) AS (
+            SELECT x, x FROM (SELECT DISTINCT x FROM edges) t
+            UNION
+            SELECT e.x, w.rep FROM edges e JOIN walk w ON w.id = e.y
+          ), dups AS (
+            SELECT id FROM (SELECT id, min(rep) AS rep FROM walk GROUP BY id) WHERE rep <> id
+          )
+          SELECT lang, count(*) AS n_kept FROM ex
+          WHERE doc_id NOT IN (SELECT id FROM dups)
+          GROUP BY lang"""
+    })
 }
