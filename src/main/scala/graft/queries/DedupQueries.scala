@@ -18,7 +18,7 @@ object DedupQueries {
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val doubled = docs.unionByName(
       docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-    Relational.keepFirstBy(doubled, Seq("text"), Seq(col("doc_id")))
+    Relational.keepFirstBy(doubled, Seq("text"), Seq(col("doc_id")), hashWideKeys = true)
       .select(col("doc_id"))
   }
 
@@ -55,7 +55,7 @@ object DedupQueries {
     import graft.functions.TextFunctions
     val docs = Tables.documents(s, d)
       .filter(TextFunctions.qualityScore(col("text")) >= 0.75)
-    val exact = Relational.keepFirstBy(docs, Seq("text"), Seq(col("doc_id")))
+    val exact = Relational.keepFirstBy(docs, Seq("text"), Seq(col("doc_id")), hashWideKeys = true)
     val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text", n = 3, minJaccard = 0.4)
     val dups = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("rep")) // non-representative members
