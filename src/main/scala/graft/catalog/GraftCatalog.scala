@@ -83,6 +83,26 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
       .save(t.path)
   }
 
+  /** Write-side log compaction: materialize a compact table's
+    * latest-by-key view back to storage, replacing the accumulated log
+    * (Kafka's background compaction as an explicit operation — readers see
+    * the same rows before and after, but storage and scan cost drop to one
+    * row per key). Returns the compacted row count. */
+  def compact(name: String): Long = {
+    val t = synchronized(tables.getOrElse(name,
+      throw new IllegalArgumentException(s"table '$name' not found")))
+    require(t.cleanupPolicy == "compact", s"table '$name' has cleanup.policy=delete")
+    val snapshot = table(name).cache()
+    val n = snapshot.count() // materialize before overwriting the source
+    snapshot.repartition(t.partitions)
+      .write.format(t.format)
+      .option("compression", t.compression)
+      .mode("overwrite")
+      .save(t.path)
+    snapshot.unpersist()
+    n
+  }
+
   /** Enforce the table's `retention.ms` (the reference's dual regime:
     * 10-year browse retention vs size/time-bounded rolling streams):
     * data files whose modification time is older than `nowMs - retentionMs`

@@ -92,10 +92,36 @@ object StreamingQueries {
         Portable.cents(col("value")).as("value_cents"))
   }
 
+  // Streaming twin of q06: hopping windows.
+  def q38StreamHopping(s: SparkSession, d: String): DataFrame =
+    drain(s,
+      StreamOps.hoppingAgg(eventsStream(s, d), "ts", "10 minutes", "5 minutes", "0 seconds",
+        Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+        .select(TimeFunctions.canonical(col("w.start")).as("window_start"),
+          col("event_type"), col("n")),
+      "complete")
+
+  // Streaming twin of q07: session windows (gap-merged state) — the
+  // hardest window type to keep incrementally; same oracle as batch.
+  def q37StreamSession(s: SparkSession, d: String): DataFrame =
+    drain(s,
+      StreamOps.sessionAgg(
+        eventsStream(s, d).withColumn("ts", date_trunc("second", col("ts"))),
+        "ts", "5 minutes", "0 seconds",
+        Seq(col("user_id")),
+        Seq(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents")))
+        .select(col("user_id"),
+          TimeFunctions.canonical(col("w.start")).as("session_start"),
+          TimeFunctions.canonical(col("w.end")).as("session_end"),
+          col("n"), col("value_cents")),
+      "complete")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_stream_tumbling" -> q27StreamTumbling,
     "q28_stream_enrich" -> q28StreamEnrich,
-    "q29_stream_latest_by_key" -> q29StreamLatestByKey)
+    "q29_stream_latest_by_key" -> q29StreamLatestByKey,
+    "q38_stream_hopping" -> q38StreamHopping,
+    "q37_stream_session" -> q37StreamSession)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -115,5 +141,29 @@ object StreamingQueries {
           ${cents("value")} AS value_cents
           FROM events
           QUALIFY row_number() OVER (PARTITION BY user_id
-            ORDER BY date_trunc('second', ts::TIMESTAMP) DESC, event_id DESC) = 1""")
+            ORDER BY date_trunc('second', ts::TIMESTAMP) DESC, event_id DESC) = 1""",
+    "q38_stream_hopping" ->
+      """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP) - k * INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n
+         FROM events CROSS JOIN (SELECT unnest([0,1]) AS k) offs
+         GROUP BY 1, 2""",
+    "q37_stream_session" ->
+      s"""WITH e AS (
+            SELECT user_id, date_trunc('second', ts::TIMESTAMP) AS t, value FROM events
+          ), flagged AS (
+            SELECT user_id, t, value,
+              CASE WHEN lag(t) OVER w IS NULL
+                     OR t > lag(t) OVER w + INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+          ), sess AS (
+            SELECT user_id, t, value,
+              sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+          )
+          SELECT user_id,
+            strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+            strftime(max(t) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+            count(*) AS n, ${sumL(cents("value"))} AS value_cents
+          FROM sess GROUP BY user_id, sid""")
 }

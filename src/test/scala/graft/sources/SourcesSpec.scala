@@ -112,6 +112,16 @@ class SourcesSpec extends SparkSpec {
     val left = cat.table("ephemeral").collect().map(_.getString(1)).toSeq
     assert(left == Seq("new"))
 
+    // write-side compaction: the log shrinks to one row per key on disk,
+    // and the view is identical before/after
+    val before = cat.table("grid").orderBy("k").collect().map(_.toSeq).toSeq
+    val nCompacted = cat.compact("grid")
+    assert(nCompacted == 2)
+    val after = cat.table("grid").orderBy("k").collect().map(_.toSeq).toSeq
+    assert(after == before)
+    assert(spark.read.parquet(s"$dir/grid").count() == 2) // raw log = 2 rows now
+    intercept[IllegalArgumentException](cat.compact("events_log")) // delete-policy table
+
     // catalog persists across instances; drop removes
     val cat2 = new GraftCatalog(spark, Some(catFile))
     assert(cat2.listTables.map(_.name).toSet == Set("events_log", "grid", "ephemeral"))
