@@ -83,6 +83,24 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
       .save(t.path)
   }
 
+  /** Schema-validated append (the registry gate on the write path,
+    * SURVEY §2B B3): the batch's schema, converted to Avro, must be
+    * compatible with the named subject under the registry's level — i.e.
+    * every registered reader can still consume rows written now. Rejects
+    * with the registry's diagnostics; on success the batch schema is
+    * registered as a new version if it differs. */
+  def appendValidated(name: String, df: DataFrame,
+      registry: graft.registry.SchemaRegistry, subject: String): Unit = {
+    require(describe(name).isDefined, s"table '$name' not found")
+    val candidate = graft.registry.AvroSchemaConverter
+      .toAvroSchema(df.schema, name).toString
+    if (!registry.checkCompatibility(subject, candidate))
+      throw new graft.registry.IncompatibleSchemaException(
+        s"append to '$name' rejected: batch schema is incompatible with subject '$subject'")
+    registry.register(subject, candidate)
+    append(name, df)
+  }
+
   /** Write-side log compaction: materialize a compact table's
     * latest-by-key view back to storage, replacing the accumulated log
     * (Kafka's background compaction as an explicit operation — readers see

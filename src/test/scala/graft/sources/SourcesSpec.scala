@@ -50,6 +50,32 @@ class SourcesSpec extends SparkSpec {
     assert(perSecond.values.forall(n => n >= 0 && n <= 18))
   }
 
+  test("appendValidated gates writes on registry compatibility") {
+    import graft.registry.{IncompatibleSchemaException, SchemaRegistry}
+    val dir = Files.createTempDirectory("val").toString
+    val cat = new GraftCatalog(spark)
+    val reg = new SchemaRegistry
+    cat.createTable(TableDef("acc", s"$dir/acc"))
+    // first write registers v1
+    cat.appendValidated("acc", Seq((1L, "alice")).toDF("id", "name"), reg, "acc-value")
+    assert(reg.versions("acc-value") == Seq(1))
+    // widened batch (extra nullable column) is BACKWARD-compatible -> v2
+    cat.appendValidated("acc",
+      Seq((2L, "bob", Some(0.5))).toDF("id", "name", "score"), reg, "acc-value")
+    assert(reg.versions("acc-value") == Seq(1, 2))
+    // dropping a column is BACKWARD-compatible in Avro semantics (narrower
+    // readers skip writer fields) -> accepted as v3
+    cat.appendValidated("acc", Seq(Tuple1(3L)).toDF("id"), reg, "acc-value")
+    assert(reg.versions("acc-value") == Seq(1, 2, 3))
+    // a REQUIRED (non-nullable, no-default) new field breaks old data:
+    // rejected, nothing written
+    val before = spark.read.parquet(s"$dir/acc").count()
+    intercept[IncompatibleSchemaException] {
+      cat.appendValidated("acc", Seq((4L, 40L)).toDF("id", "age"), reg, "acc-value")
+    }
+    assert(spark.read.parquet(s"$dir/acc").count() == before)
+  }
+
   test("incremental poll: only new rows per poll, offset survives restart") {
     val dir = Files.createTempDirectory("inc").toString
     val offsets = s"$dir/offsets.txt"
