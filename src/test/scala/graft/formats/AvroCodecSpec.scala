@@ -50,6 +50,30 @@ class AvroCodecSpec extends SparkSpec {
     assert(reg.checkCompatibility("user-value", incompatibleJson))
   }
 
+  test("registry: FORWARD and FULL levels enforce the write direction too") {
+    // FORWARD: old schema (reader) must read data written with the
+    // candidate — dropping a field the old reader requires is rejected.
+    val dropped =
+      """{"type":"record","name":"user","namespace":"graft.test","fields":[
+        |{"name":"id","type":"long"}]}""".stripMargin
+    val fwd = new SchemaRegistry
+    fwd.setCompatibilityLevel(Compatibility.Forward)
+    fwd.register("user-value", v1Json)
+    assert(!fwd.checkCompatibility("user-value", dropped),
+      "FORWARD must reject dropping a required field")
+    assert(fwd.checkCompatibility("user-value", v2Json),
+      "FORWARD accepts adding a defaulted field (old reader skips it)")
+
+    // FULL: both directions — dropping a required field fails (forward),
+    // adding a mandatory field fails (backward); defaulted add passes.
+    val full = new SchemaRegistry
+    full.setCompatibilityLevel(Compatibility.Full)
+    full.register("user-value", v1Json)
+    assert(!full.checkCompatibility("user-value", dropped))
+    assert(!full.checkCompatibility("user-value", incompatibleJson))
+    assert(full.checkCompatibility("user-value", v2Json))
+  }
+
   test("registry: save/load round-trip") {
     val reg = new SchemaRegistry
     reg.register("user-value", v1Json)
