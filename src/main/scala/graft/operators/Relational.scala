@@ -84,6 +84,59 @@ object Relational {
       .drop("_salt_l", "_salt_r")
   }
 
+  /** Time-bounded pair join (the interval join's batch form, SURVEY.md §2
+    * C8): all (left, right) pairs satisfying `keyCond` with
+    * `|leftTs - rightTs| <= maxDelay`.
+    *
+    * NOT a post-join time filter: that shape generates every same-key pair
+    * first (per-key quadratic — the round-2 scale hazard). Instead both
+    * sides are bucketized on `floor(ts / maxDelay)` and the bucket joins as
+    * an EQUI key next to `keyCond`: the left side expands to buckets
+    * {b-1, b, b+1} (any pair within maxDelay differs by at most one bucket,
+    * since floor of two values ≤ Δ apart differs by ≤ 1 when dividing by Δ),
+    * the right side keeps its single bucket, so each qualifying pair meets
+    * exactly once and candidate count is bounded by bucket occupancy — not
+    * key cardinality. The exact time bound then filters candidates.
+    * Shuffle key = (join keys, bucket); left shuffles ×3, pairs never
+    * explode.
+    */
+  def intervalJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      keyCond: Column, maxDelay: String): DataFrame =
+    bucketedTimeJoin(left, leftTs, right, rightTs, keyCond, maxDelay)
+      .drop("_gbkt_l", "_gbkt_r")
+
+  /** Shared core of the batch and streaming interval joins: adds the
+    * ±1-bucket equi keys and the exact time bound. The time bound is left
+    * as a raw `timestamp ± INTERVAL` comparison so Structured Streaming
+    * still recognizes it as a watermark range condition for state expiry.
+    * Callers drop `_gbkt_l`/`_gbkt_r` after the join. */
+  private[graft] def bucketedTimeJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      keyCond: Column, maxDelay: String): DataFrame = {
+    val micros = intervalMicros(maxDelay)
+    val l = left.withColumn("_gbkt_l",
+      explode(array(Seq(-1L, 0L, 1L).map(d =>
+        (floor(unix_micros(col(leftTs)) / micros) + d).cast("long")): _*)))
+    val r = right.withColumn("_gbkt_r",
+      floor(unix_micros(col(rightTs)) / micros).cast("long"))
+    l.join(r, keyCond && col("_gbkt_l") === col("_gbkt_r") &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxDelay") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
+  /** Day/time interval string (e.g. "10 minutes") → microseconds. */
+  private[graft] def intervalMicros(interval: String): Long = {
+    val ci = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    require(ci.months == 0, s"interval '$interval' must not contain months")
+    val micros = ci.days * 86400000000L + ci.microseconds
+    require(micros > 0, s"interval '$interval' must be positive")
+    micros
+  }
+
   /** Backward as-of join: for each left row, attach the latest right row
     * with `right.time <= left.time` for the same key (stream enrichment
     * against a versioned/compacted table — the temporal generalization of

@@ -323,14 +323,15 @@ object RelationalQueries {
   // event matched to OTHER events of the same user within ±10 minutes
   // (the stream-stream interval join's semantics on bounded data; the
   // streaming form with watermark state expiry is StreamOps.intervalJoin).
+  // Bucketized on (user_id, floor(ts/10min))±1 — see Relational.intervalJoin
+  // for why the time bound must ride an equi key, not a post-join filter.
   def q36IntervalJoin(s: SparkSession, d: String): DataFrame = {
     val a = events(s, d).select(col("user_id"), col("event_id").as("id_a"),
       col("ts").as("ts_a"), col("event_type").as("type_a"))
     val b = events(s, d).select(col("user_id").as("uid_b"), col("event_id").as("id_b"),
       col("ts").as("ts_b"))
-    a.join(b, col("user_id") === col("uid_b") && col("id_a") =!= col("id_b") &&
-        col("ts_b") >= col("ts_a") - expr("INTERVAL 10 MINUTES") &&
-        col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"), "inner")
+    graft.operators.Relational.intervalJoin(a, "ts_a", b, "ts_b",
+        col("user_id") === col("uid_b") && col("id_a") =!= col("id_b"), "10 minutes")
       .groupBy("type_a")
       .agg(count(lit(1)).as("n_matches"),
         countDistinct(col("id_a")).as("n_events_matched"),

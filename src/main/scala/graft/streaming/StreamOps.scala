@@ -54,17 +54,20 @@ object StreamOps {
     stream.join(broadcast(dim), cond, joinType)
 
   /** C8: stream–stream equi-join within an event-time bound. Both sides
-    * get watermarks; the range condition lets Spark expire join state. */
+    * get watermarks; the range condition lets Spark expire join state.
+    * The join key includes `floor(ts / maxDelay)` (±1 buckets on the left,
+    * via [[graft.operators.Relational.bucketedTimeJoin]]) so join state is
+    * keyed by (user key, time bucket) — candidates per state key are
+    * bounded by bucket occupancy instead of exploding per-key pairs. */
   def intervalJoin(
       left: DataFrame, leftTs: String, leftWm: String,
       right: DataFrame, rightTs: String, rightWm: String,
-      keyCond: Column, maxDelay: String): DataFrame = {
-    val l = left.withWatermark(leftTs, leftWm)
-    val r = right.withWatermark(rightTs, rightWm)
-    l.join(r, keyCond &&
-      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxDelay") &&
-      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
-  }
+      keyCond: Column, maxDelay: String): DataFrame =
+    graft.operators.Relational.bucketedTimeJoin(
+        left.withWatermark(leftTs, leftWm), leftTs,
+        right.withWatermark(rightTs, rightWm), rightTs,
+        keyCond, maxDelay)
+      .drop("_gbkt_l", "_gbkt_r")
 
   /** C9 (streaming side): latest-by-key over an update stream — the
     * compacted-topic table view, kept incrementally with

@@ -43,6 +43,28 @@ class RelationalSpec extends SparkSpec {
     assert(buckets > 1)
   }
 
+  test("intervalJoin: bucketized join == naive post-filter join, boundaries inclusive") {
+    val ev = graft.queries.RelationalQueries.events(spark, sf)
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val b = ev.select(col("user_id").as("uid_b"), col("event_id").as("id_b"), col("ts").as("ts_b"))
+    val cond = col("user_id") === col("uid_b") && col("id_a") =!= col("id_b")
+    val naive = a.join(b, cond &&
+        col("ts_b") >= col("ts_a") - expr("INTERVAL 10 MINUTES") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 10 MINUTES"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Relational.intervalJoin(a, "ts_a", b, "ts_b", cond, "10 minutes")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive, s"symmetric diff: ${(bucketed diff naive) ++ (naive diff bucketed)}")
+    // exact-boundary pairs (delta == maxDelay) must be kept once, not dropped or doubled
+    val l = Seq((1L, 10L, "2020-01-01 10:00:00")).toDF("k", "ida", "tsa")
+      .withColumn("tsa", to_timestamp(col("tsa")))
+    val r = Seq((1L, 20L, "2020-01-01 10:10:00"), (1L, 21L, "2020-01-01 10:10:01"))
+      .toDF("k2", "idb", "tsb").withColumn("tsb", to_timestamp(col("tsb")))
+    val edge = Relational.intervalJoin(l, "tsa", r, "tsb", col("k") === col("k2"), "10 minutes")
+      .select("idb").as[Long].collect().toSeq
+    assert(edge == Seq(20L))
+  }
+
   test("asofJoinBackward matches latest right at-or-before left time, per key") {
     val left = Seq(
       (1L, "2020-01-01 10:00:00", "e1"),

@@ -47,6 +47,14 @@ class PlanSpec extends SparkSpec {
       "normalization leaked into the join condition: evaluated N² times instead of N")
   }
 
+  test("q36 interval join: time bucket rides the equi-join key — no bare-key self-join") {
+    val p = plan(RelationalQueries.q36IntervalJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val keyLines = p.linesIterator.filter(_.contains("keys [")).mkString("\n")
+    assert(keyLines.contains("_gbkt_l") && keyLines.contains("_gbkt_r"),
+      s"join keys must include the time bucket, got:\n$keyLines")
+  }
+
   test("q10 latest-by-key: aggregation with partial (map-side) phase, no window sort") {
     val p = plan(RelationalQueries.q10LatestByKey(spark, sf))
     assert(!p.contains("Window"), "latest-by-key must not window-sort the log")
