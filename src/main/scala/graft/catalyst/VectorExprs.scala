@@ -153,6 +153,69 @@ case class HyperplaneSketch64(child: Expression, nBits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Indices of the `topN` centroids nearest (max dot product) to a unit
+  * array<double> vector, ordered by (dot desc, index asc) — the IVF coarse
+  * quantizer's assign/probe step as ONE argmax-over-broadcast-centroids
+  * pass: no corpus×nlist row explosion, no per-row window sort (the
+  * round-2 single-partition WindowExec hazard). The centroid matrix rides
+  * inside the expression to the executors (nlist × dim doubles — the
+  * trained model, tiny next to any corpus partition). */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], topN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(topN >= 1 && topN <= centroids.length, "topN in [1, nlist]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids requires array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = arr.getDouble(i); i += 1 }
+    val n = centroids.length
+    if (topN == 1) {
+      var bestIdx = 0
+      var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        val cent = centroids(c)
+        val d = math.min(dim, cent.length)
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += v(j) * cent(j); j += 1 }
+        if (s > bestDot) { bestDot = s; bestIdx = c }
+        c += 1
+      }
+      new GenericArrayData(Array(bestIdx))
+    } else {
+      val scores = new Array[Double](n)
+      var c = 0
+      while (c < n) {
+        val cent = centroids(c)
+        val d = math.min(dim, cent.length)
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += v(j) * cent(j); j += 1 }
+        scores(c) = s
+        c += 1
+      }
+      val idx = Array.range(0, n).sortBy(i0 => (-scores(i0), i0)).take(topN)
+      new GenericArrayData(idx)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def dotD(a: Column, b: Column): Column =
     Cols.column(DotProductD(Cols.expression(a), Cols.expression(b)))
@@ -160,4 +223,6 @@ object VectorExprs {
     Cols.column(UnitVector(Cols.expression(v)))
   def hyperplaneSketch(v: Column, nBits: Int, seed: Long = 42L): Column =
     Cols.column(HyperplaneSketch64(Cols.expression(v), nBits, seed))
+  def nearestCentroids(v: Column, centroids: Array[Array[Double]], topN: Int): Column =
+    Cols.column(NearestCentroids(Cols.expression(v), centroids, topN))
 }

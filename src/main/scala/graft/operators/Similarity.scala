@@ -81,17 +81,20 @@ object Similarity {
   }
 
   /** IVF-style ANN (inverted-file index): coarse-quantize the corpus into
-    * `nlist` buckets by nearest centroid; each query probes its `nprobe`
-    * nearest centroids and scores ONLY those buckets.
+    * up to `nlist` buckets by nearest centroid; each query probes its
+    * `nprobe` nearest centroids and scores ONLY those buckets.
     *
-    * Centroids are picked deterministically by striding the corpus in id
-    * order (a k-means|| seeding stand-in — the bucketing plan, not the
-    * centroid quality, is what changes at scale). Distributed shape: the
-    * corpus is scanned once against broadcast centroids and lands
-    * partitioned by bucket; probing shuffles only (query, bucket) pairs,
-    * so query cost tracks corpus/nlist × nprobe — the IVF contract.
-    * Recall < 1 by design; measured against [[bruteForceTopK]] in the
-    * spec. */
+    * Train step: ONE map-side-combinable aggregation picks a deterministic
+    * representative per id-hash bucket (`min_by` id) — no global window,
+    * no `count()` pre-scan, no corpus×nlist row explosion (all three were
+    * round-2 single-partition/extra-scan hazards). The ≤nlist centroids
+    * are collected as the coarse-quantizer model (nlist × dim doubles — a
+    * model fetch, not a data collect) and ride to executors inside
+    * [[graft.catalyst.NearestCentroids]], which assigns each corpus row
+    * its bucket in one argmax pass. Probing shuffles only broadcast
+    * (query, bucket) pairs, so query cost tracks corpus/nlist × nprobe —
+    * the IVF contract. Recall < 1 by design; measured against
+    * [[bruteForceTopK]] in the spec. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -102,28 +105,17 @@ object Similarity {
       nprobe: Int): DataFrame = {
     require(nprobe <= nlist, "nprobe <= nlist")
     val c = corpus.select(col(idCol).as("neighbor_id"), VectorExprs.unitVec(col(vecCol)).as("_cv"))
-    val n = c.count()
-    val stride = math.max(1L, n / nlist)
-    val centroids = broadcast(
-      c.withColumn("_rn", row_number().over(Window.orderBy(col("neighbor_id"))))
-        .filter((col("_rn") - 1) % stride === 0)
-        .limit(nlist)
-        .select(col("_rn").as("_centroid_id"), col("_cv").as("_centroid")))
-    // corpus side: every vector assigned to its single nearest centroid
-    val assigned = c.join(centroids)
-      .withColumn("_cdist", VectorExprs.dotD(col("_cv"), col("_centroid")))
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col("neighbor_id")).orderBy(col("_cdist").desc, col("_centroid_id"))))
-      .filter(col("_r") === 1)
-      .select(col("_centroid_id").as("_bucket"), col("neighbor_id"), col("_cv"))
-    // query side: nprobe nearest centroids each
+    val centroids: Array[Array[Double]] = c
+      .groupBy(pmod(xxhash64(col("neighbor_id")), lit(nlist)).as("_cb"))
+      .agg(min_by(col("_cv"), col("neighbor_id")).as("_centroid"))
+      .orderBy("_cb")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val assigned = c.withColumn("_bucket",
+      VectorExprs.nearestCentroids(col("_cv"), centroids, 1).getItem(0))
     val q = queries.select(col(idCol).as("query_id"), VectorExprs.unitVec(col(vecCol)).as("_qv"))
-    val probes = q.join(centroids)
-      .withColumn("_cdist", VectorExprs.dotD(col("_qv"), col("_centroid")))
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("_cdist").desc, col("_centroid_id"))))
-      .filter(col("_r") <= nprobe)
-      .select(col("_centroid_id").as("_bucket"), col("query_id"), col("_qv"))
+    val probes = q.withColumn("_bucket",
+      explode(VectorExprs.nearestCentroids(col("_qv"), centroids, math.min(nprobe, centroids.length))))
     val cand = assigned.join(broadcast(probes), Seq("_bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineOfUnits("_qv", "_cv"))
@@ -131,21 +123,46 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (idA < idB) pairs with rounded
-    * cosine >= minSim. All-pairs via a nested-loop self-join over unit
-    * vectors — exact semantics for the dedup verify gate (the LSH path
-    * above is the approximate scale-out; at 100 TB this operator runs on
-    * LSH-blocked candidates instead of the full cross product). */
+    * cosine >= minSim — EXACT by construction (the dedup verify gate).
+    *
+    * Dense embeddings at a low cosine threshold admit no recall-1.0 prune
+    * (every prefix/projection bound degenerates when vector mass is spread
+    * across dimensions), so the exact pair set inherently costs O(N²)
+    * dot products. What CAN scale is the plan shape: instead of
+    * broadcasting the whole corpus through a nested-loop join (round-2
+    * hazard: full-corpus broadcast + one giant task), the corpus is hashed
+    * into `blocks` id-blocks and every block PAIR (i ≤ j) becomes one
+    * equi-join key — a tiled self-join. Per-task memory is bounded by two
+    * blocks (2N/blocks rows), the B(B+1)/2 tiles spread evenly across
+    * executors, replication per row is ≤ blocks+1, and the dot product
+    * stays a codegen'd filter. Approximate-at-scale variants (LSH bands /
+    * IVF candidates + exact verify) are [[lshTopK]]/[[ivfTopK]]; this
+    * operator is the exact contract.
+    */
   def cosineNearDupPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      minSim: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), VectorExprs.unitVec(col(vecCol)).as("_va"))
-    val b = emb.select(col(idCol).as("id_b"), VectorExprs.unitVec(col(vecCol)).as("_vb"))
-    a.join(b, col("id_a") < col("id_b"))
+      minSim: Double,
+      blocks: Int = 8): DataFrame = {
+    require(blocks >= 1, "blocks >= 1")
+    val v = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
+      .withColumn("_blk", pmod(xxhash64(col("_id")), lit(blocks)).cast("int"))
+    // left side owns tiles (its block, j >= its block); right side owns
+    // (i <= its block, its block): tile (i,j) then holds exactly
+    // block-i rows on the left and block-j rows on the right, so every
+    // unordered pair meets in exactly one tile (twice when i == j, once
+    // in each id order — the id_a < id_b guard on the diagonal keeps one).
+    val a = v.select(col("_id").as("id_a"), col("_v").as("_va"), col("_blk").as("_ti"))
+      .withColumn("_tj", explode(sequence(col("_ti"), lit(blocks - 1))))
+    val b = v.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_blk").as("_tj"))
+      .withColumn("_ti", explode(sequence(lit(0), col("_tj"))))
+    a.join(b, Seq("_ti", "_tj"))
+      .filter(col("_ti") =!= col("_tj") || col("id_a") < col("id_b"))
       .withColumn("sim", cosineOfUnits("_va", "_vb"))
       .filter(col("sim") >= minSim)
-      .select("id_a", "id_b", "sim")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
   }
 
   private def topKBySim(scored: DataFrame, k: Int): DataFrame =

@@ -37,11 +37,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "pair generation degenerated to N²")
   }
 
-  test("q44 near-dup: nested-loop over vectors normalized BEFORE the join") {
+  test("q44 near-dup: tiled equi self-join — no full-corpus BNL/cartesian, tile keys joined") {
     val p = plan(DedupQueries.q44EmbedNearDup(spark, sf))
-    assert(p.contains("BroadcastNestedLoopJoin"))
-    // unit_vec must appear in Project nodes (per-row, pre-join), and the
-    // join condition must reference only ids + the cheap dot product
+    assert(!p.contains("BroadcastNestedLoopJoin"), "all-pairs over the full corpus")
+    assert(!p.contains("CartesianProduct"))
+    val keyLines = p.linesIterator.filter(_.contains("keys [")).mkString("\n")
+    assert(keyLines.contains("_ti") && keyLines.contains("_tj"),
+      s"join keys must be the tile pair, got:\n$keyLines")
+    // normalization stays per-row (Project), never inside the O(N²) condition
     val joinSection = p.linesIterator.filter(_.contains("Join condition")).mkString
     assert(!joinSection.contains("unit_vec"),
       "normalization leaked into the join condition: evaluated N² times instead of N")
