@@ -354,14 +354,20 @@ object RelationalQueries {
 
   // C5 sketch family: approximate percentile + count-min sketch (binary
   // sketch surfaced as its md5 fingerprint; approximations are engine-side
-  // so the driver applies the rows-only check).
+  // so the driver applies the rows-only check). Percentiles surface as
+  // SCALAR double columns — an array column here crashed the round-2
+  // driver-side canonicalizer (pandas can't sort ndarray cells), voiding
+  // even the rows-only check.
   def q54Sketches(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(1000)).as("p50_p95"),
+        approx_percentile(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(1000)).as("_pp"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         md5(count_min_sketch(col("l_suppkey"), lit(0.01d), lit(0.95d), lit(42))).as("cms_md5"))
+      .select(col("l_returnflag"),
+        col("_pp").getItem(0).as("p50"), col("_pp").getItem(1).as("p95"),
+        col("approx_parts"), col("cms_md5"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> q01ScanFilterProject,

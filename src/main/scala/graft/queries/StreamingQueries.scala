@@ -46,12 +46,24 @@ object StreamingQueries {
   }
 
   /** Drain a streaming DataFrame through a memory sink and return the
-    * materialized result table. */
+    * materialized result table.
+    *
+    * Shuffle partitions are pinned low for the stream's lifetime: a
+    * streaming query materializes ONE state store (+ per-batch commit) per
+    * shuffle partition per stateful operator, so the session default (32)
+    * spends more time committing near-empty stores than processing these
+    * bounded gates. 8 keeps semantics identical — state partitioning is an
+    * implementation detail — while cutting state-store overhead 4×. (A
+    * real deployment sizes this to key cardinality, not gate latency.) */
   private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_q_${counter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
@@ -92,6 +104,27 @@ object StreamingQueries {
         Portable.cents(col("value")).as("value_cents"))
   }
 
+  // Streaming twin of q36: stream-stream interval join (C8) — two file
+  // streams of the same events table joined within ±10 minutes per user
+  // via StreamOps.intervalJoin (join state keyed by user AND time bucket,
+  // expired by watermark). The join is the streaming stage (append mode —
+  // the only mode a stream-stream join supports); the small per-type
+  // rollup runs on the drained match table, keeping the gate comparable
+  // to q36's oracle without chaining a second stateful operator.
+  def q39StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val a = eventsStream(s, d).select(col("user_id"), col("event_id").as("id_a"),
+      col("ts").as("ts_a"), col("event_type").as("type_a"))
+    val b = eventsStream(s, d).select(col("user_id").as("uid_b"), col("event_id").as("id_b"),
+      col("ts").as("ts_b"))
+    val joined = StreamOps.intervalJoin(a, "ts_a", "20 minutes", b, "ts_b", "20 minutes",
+      col("user_id") === col("uid_b") && col("id_a") =!= col("id_b"), "10 minutes")
+    drain(s, joined.select("type_a", "id_a", "id_b"), "append")
+      .groupBy("type_a")
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("id_a")).as("n_events_matched"),
+        sum(col("id_b")).cast("long").as("sum_matched_ids"))
+  }
+
   // Streaming twin of q06: hopping windows.
   def q38StreamHopping(s: SparkSession, d: String): DataFrame =
     drain(s,
@@ -120,6 +153,7 @@ object StreamingQueries {
     "q27_stream_tumbling" -> q27StreamTumbling,
     "q28_stream_enrich" -> q28StreamEnrich,
     "q29_stream_latest_by_key" -> q29StreamLatestByKey,
+    "q39_stream_interval_join" -> q39StreamIntervalJoin,
     "q38_stream_hopping" -> q38StreamHopping,
     "q37_stream_session" -> q37StreamSession)
 
@@ -142,6 +176,15 @@ object StreamingQueries {
           FROM events
           QUALIFY row_number() OVER (PARTITION BY user_id
             ORDER BY date_trunc('second', ts::TIMESTAMP) DESC, event_id DESC) = 1""",
+    "q39_stream_interval_join" ->
+      """SELECT a.event_type AS type_a, count(*) AS n_matches,
+         count(DISTINCT a.event_id) AS n_events_matched,
+         CAST(sum(b.event_id) AS BIGINT) AS sum_matched_ids
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id <> b.event_id
+          AND b.ts::TIMESTAMP >= a.ts::TIMESTAMP - INTERVAL 10 MINUTE
+          AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 10 MINUTE
+         GROUP BY a.event_type""",
     "q38_stream_hopping" ->
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP) - k * INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n
