@@ -147,43 +147,55 @@ object Dedup {
     *
     * Label propagation to fixpoint: each round joins current labels
     * across the (symmetrized) edge set and keeps the per-node minimum.
+    * ONE distributed job per round: the previous label travels through
+    * the same aggregation as a `_prev` column, so the convergence count
+    * is a filter over the round's already-checkpointed output — not a
+    * second join+shuffle (the round-2 shape paid both per round).
     * Rounds needed = graph diameter; near-dup clusters are small
     * quasi-cliques so this converges in 2-3 rounds (at web scale the
-    * big-star/small-star variant halves round count; same join shape).
-    * The driver-side loop only checks a per-round convergence COUNT —
-    * no data is collected.
+    * big-star/small-star contraction gets O(log n) rounds; same join
+    * shape). If the cap is hit before fixpoint the labels are WRONG
+    * (nodes farther than maxRounds from their component minimum keep a
+    * stale rep), so this throws rather than silently returning them.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 64): DataFrame = {
     val edges = pairs.select(col(aCol).as("_x"), col(bCol).as("_y"))
       .unionByName(pairs.select(col(bCol).as("_x"), col(aCol).as("_y")))
       .distinct()
       .cache()
-    // Each round references the previous labels TWICE (union + change
-    // count), so without lineage truncation the logical plan doubles per
-    // round — 2^rounds analysis blow-up on high-diameter graphs (found by
-    // probing a 39-node path). localCheckpoint materializes the round and
-    // resets the plan; on a cluster use reliable checkpointing instead.
-    var labels = edges.select(col("_x").as("_id")).distinct()
+    // Each round references the previous labels twice (carry + propagate),
+    // so without lineage truncation the logical plan doubles per round —
+    // 2^rounds analysis blow-up on high-diameter graphs (found by probing
+    // a 39-node path). localCheckpoint materializes the round and resets
+    // the plan; on a cluster use reliable checkpointing instead.
+    var current = edges.select(col("_x").as("_id")).distinct()
       .withColumn("_rep", col("_id"))
       .localCheckpoint()
+    val repType = current.schema("_rep").dataType
     var converged = false
     var round = 0
-    while (!converged && round < 64) {
+    while (!converged && round < maxRounds) {
+      val labels = current.select("_id", "_rep")
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("_id", "_y2"), col("_y") === col("_y2"))
-        .select(col("_x").as("_id"), col("_rep"))
-      val next = labels.select("_id", "_rep").unionByName(viaNeighbors)
-        .groupBy("_id").agg(min(col("_rep")).as("_rep"))
+        .select(col("_x").as("_id"), col("_rep"), lit(null).cast(repType).as("_prev"))
+      val next = labels.select(col("_id"), col("_rep"), col("_rep").as("_prev"))
+        .unionByName(viaNeighbors)
+        .groupBy("_id")
+        .agg(min(col("_rep")).as("_rep"), max(col("_prev")).as("_prev"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("_rep", "_prev"), Seq("_id"))
-        .filter(col("_rep") =!= col("_prev")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("_rep") =!= col("_prev")).count() // scans checkpointed blocks only
+      current.unpersist()
+      current = next
       converged = changed == 0
       round += 1
     }
     edges.unpersist()
-    labels.select(col("_id").as("id"), col("_rep").as("rep"))
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        "(graph diameter exceeds the cap); raise maxRounds")
+    current.select(col("_id").as("id"), col("_rep").as("rep"))
   }
 
   /** SimHash near-dup pairs: all (idA < idB) pairs with
