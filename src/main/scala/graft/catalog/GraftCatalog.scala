@@ -105,20 +105,48 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
     * latest-by-key view back to storage, replacing the accumulated log
     * (Kafka's background compaction as an explicit operation — readers see
     * the same rows before and after, but storage and scan cost drop to one
-    * row per key). Returns the compacted row count. */
+    * row per key). Returns the compacted row count.
+    *
+    * Crash-safe: the snapshot is written to a sibling temp directory and
+    * only swapped into place once fully durable. Overwriting the live path
+    * directly (the round-2 shape) deletes the input before the output
+    * commits — `cache()` pins blocks in memory but is NOT a durability
+    * guarantee (eviction or a mid-job failure recomputes from the
+    * half-deleted source and the log is gone). */
   def compact(name: String): Long = {
     val t = synchronized(tables.getOrElse(name,
       throw new IllegalArgumentException(s"table '$name' not found")))
     require(t.cleanupPolicy == "compact", s"table '$name' has cleanup.policy=delete")
-    val snapshot = table(name).cache()
-    val n = snapshot.count() // materialize before overwriting the source
-    snapshot.repartition(t.partitions)
+    val tmp = t.path + ".compact-tmp"
+    val old = t.path + ".compact-old"
+    deleteRecursively(Paths.get(tmp))
+    deleteRecursively(Paths.get(old))
+    table(name).repartition(t.partitions)
       .write.format(t.format)
       .option("compression", t.compression)
       .mode("overwrite")
-      .save(t.path)
-    snapshot.unpersist()
+      .save(tmp)
+    val n = spark.read.format(t.format).load(tmp).count() // parquet-footer count of the durable snapshot
+    // swap: live -> old, tmp -> live, drop old. Directory moves on one
+    // filesystem are metadata renames; the source log exists (as `old`)
+    // until the replacement is in place. (Object stores need the table
+    // format's commit protocol instead — this is the file-level analog.)
+    Files.move(Paths.get(t.path), Paths.get(old))
+    try Files.move(Paths.get(tmp), Paths.get(t.path))
+    catch { case e: Throwable => Files.move(Paths.get(old), Paths.get(t.path)); throw e }
+    deleteRecursively(Paths.get(old))
     n
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.iterator().asScala.toSeq.foreach(deleteRecursively)
+        finally children.close()
+      }
+      Files.delete(p)
+    }
   }
 
   /** Enforce the table's `retention.ms` (the reference's dual regime:
@@ -130,16 +158,40 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
   def vacuum(name: String, nowMs: Long = System.currentTimeMillis()): Int = {
     val t = synchronized(tables.getOrElse(name,
       throw new IllegalArgumentException(s"table '$name' not found")))
+    // Kafka retention semantics: cleanup.policy=compact keeps the latest
+    // record per key INDEFINITELY — time-based retention applies only to
+    // delete-policy logs. mtime deletion on a compact table (the round-2
+    // behavior) would drop ALL data once the table idles past retention.
+    // Vacuuming a compact table instead runs compaction: superseded
+    // segments are reclaimed, the latest-per-key snapshot survives any
+    // retention age.
+    if (t.cleanupPolicy == "compact") {
+      val before = countDataFiles(t.path)
+      compact(name)
+      return math.max(0, before - countDataFiles(t.path))
+    }
     val cutoff = nowMs - t.retentionMs
     val dir = Paths.get(t.path)
     if (!Files.exists(dir)) return 0
-    val victims = Files.list(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter(p => !p.getFileName.toString.startsWith("_")) // keep commit markers
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .toSeq
+    val listing = Files.list(dir)
+    val victims =
+      try listing.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => !p.getFileName.toString.startsWith("_")) // keep commit markers
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+      finally listing.close()
     victims.foreach(Files.delete)
     victims.size
+  }
+
+  private def countDataFiles(path: String): Int = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) return 0
+    val listing = Files.list(dir)
+    try listing.iterator().asScala
+      .count(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_"))
+    finally listing.close()
   }
 
   private def persist(): Unit = catalogFile.foreach { f =>

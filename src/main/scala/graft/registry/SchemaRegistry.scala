@@ -132,14 +132,38 @@ class SchemaRegistry extends Serializable {
     }
   }
 
-  /** Persist as TSV (subject, version, id, schemaJson) — Avro's
-    * `Schema.toString` is single-line JSON so the format is unambiguous. */
+  /** Persist as TSV — `!`-prefixed header lines carry the global and
+    * per-subject compatibility levels, then one row per registered schema
+    * (subject, version, id, schemaJson; Avro's `Schema.toString` is
+    * single-line JSON so the format is unambiguous). Everything `load`
+    * needs to restore the registry VERBATIM is here: the wire format
+    * embeds the global id, so a reload must never re-derive ids. */
   def save(path: String): Unit = synchronized {
-    val lines = bySubject.values.flatten.map { r =>
+    val headers =
+      Seq(s"!global\t${globalLevel.name}") ++
+        subjectLevel.toSeq.sortBy(_._1).map { case (s, l) => s"!subject\t$s\t${l.name}" }
+    val lines = headers ++ bySubject.values.flatten.map { r =>
       s"${r.subject}\t${r.version}\t${r.id}\t${r.schemaJson}"
     }.toSeq
     Files.write(Paths.get(path), lines.asJava,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Internal restore: insert a persisted row with its ORIGINAL version
+    * and global id, bypassing compatibility enforcement (the history was
+    * already gated when first registered — re-gating on reload under a
+    * different level could reject a valid saved registry, and re-assigning
+    * ids would silently dispatch already-written wire frames to the wrong
+    * writer schema). */
+  private[registry] def restore(r: RegisteredSchema): Unit = synchronized {
+    val versions = bySubject.getOrElseUpdate(r.subject, mutable.ArrayBuffer.empty)
+    require(!versions.exists(_.version == r.version),
+      s"duplicate version ${r.version} for subject '${r.subject}' in persisted registry")
+    require(!byId.contains(r.id), s"duplicate global id ${r.id} in persisted registry")
+    versions += r
+    versions.sortInPlaceBy(_.version)
+    byId(r.id) = r
+    nextId = math.max(nextId, r.id + 1)
   }
 }
 
@@ -147,8 +171,15 @@ object SchemaRegistry {
   def load(path: String): SchemaRegistry = {
     val reg = new SchemaRegistry
     Files.readAllLines(Paths.get(path)).asScala.filter(_.nonEmpty).foreach { line =>
-      val Array(subject, _, _, json) = line.split("\t", 4)
-      reg.register(subject, json)
+      if (line.startsWith("!global\t")) {
+        reg.setCompatibilityLevel(Compatibility(line.split("\t", 2)(1)))
+      } else if (line.startsWith("!subject\t")) {
+        val Array(_, subject, level) = line.split("\t", 3)
+        reg.setCompatibilityLevel(subject, Compatibility(level))
+      } else {
+        val Array(subject, version, id, json) = line.split("\t", 4)
+        reg.restore(RegisteredSchema(subject, version.toInt, id.toInt, json))
+      }
     }
     reg
   }

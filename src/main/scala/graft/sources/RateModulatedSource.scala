@@ -116,31 +116,50 @@ class RateModulatedTable(conf: RateConf) extends Table with SupportsRead {
     }
 }
 
-final case class CountOffset(count: Long) extends Offset {
-  override def json(): String = count.toString
+/** Offset = (records emitted, logical seconds elapsed). Carrying the
+  * logical clock INSIDE the offset is what makes the deterministic mode
+  * restart-safe: the clock is recovered from the checkpointed offset log,
+  * never from mutable stream state. */
+final case class CountOffset(count: Long, seconds: Long = 0L) extends Offset {
+  override def json(): String = s"$count:$seconds"
 }
 
 class RateModulatedStream(conf: RateConf) extends MicroBatchStream {
 
   private val startWallMs = System.currentTimeMillis()
-  private var logicalSeconds = 0L
+  // High-water offset this stream has OBSERVED (restored from the offset
+  // log on recovery, or planned/committed this run). latestOffset derives
+  // the next clock value from it and never mutates it: Spark may invoke
+  // latestOffset any number of times per trigger (and again after a
+  // restart), so the advance must be a pure function of durable progress —
+  // the round-2 shape advanced a var per CALL, drifting the clock.
+  @volatile private var highWater = CountOffset(0L, 0L)
 
-  override def initialOffset(): Offset = CountOffset(0L)
-
-  override def latestOffset(): Offset = {
-    val seconds =
-      if (conf.advancePerBatchSeconds > 0) {
-        logicalSeconds += conf.advancePerBatchSeconds
-        logicalSeconds
-      } else (System.currentTimeMillis() - startWallMs) / 1000
-    CountOffset(conf.cumulative(seconds))
+  private def observe(o: Offset): Offset = {
+    val c = o.asInstanceOf[CountOffset]
+    synchronized { if (c.seconds > highWater.seconds || c.count > highWater.count) highWater = c }
+    o
   }
 
-  override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
+  override def initialOffset(): Offset = CountOffset(0L, 0L)
+
+  override def latestOffset(): Offset =
+    if (conf.advancePerBatchSeconds > 0) {
+      val seconds = highWater.seconds + conf.advancePerBatchSeconds
+      CountOffset(conf.cumulative(seconds), seconds)
+    } else {
+      val seconds = (System.currentTimeMillis() - startWallMs) / 1000
+      CountOffset(conf.cumulative(seconds), seconds)
+    }
+
+  override def deserializeOffset(json: String): Offset = {
+    val parts = json.split(":", 2)
+    observe(CountOffset(parts(0).toLong, if (parts.length > 1) parts(1).toLong else 0L))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CountOffset].count
-    val e = end.asInstanceOf[CountOffset].count
+    val e = observe(end).asInstanceOf[CountOffset].count
     val n = math.max(1, math.min(conf.numPartitions.toLong, e - s)).toInt
     (0 until n).map { i =>
       val lo = s + (e - s) * i / n
@@ -151,7 +170,7 @@ class RateModulatedStream(conf: RateConf) extends MicroBatchStream {
 
   override def createReaderFactory(): PartitionReaderFactory = RateReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = { observe(end); () }
   override def stop(): Unit = ()
 }
 

@@ -74,15 +74,50 @@ class AvroCodecSpec extends SparkSpec {
     assert(full.checkCompatibility("user-value", v2Json))
   }
 
-  test("registry: save/load round-trip") {
+  test("registry: save/load round-trip preserves interleaved ids and levels verbatim") {
+    val other =
+      """{"type":"record","name":"evt","namespace":"graft.test","fields":[
+        |{"name":"k","type":"string"}]}""".stripMargin
     val reg = new SchemaRegistry
-    reg.register("user-value", v1Json)
-    reg.register("user-value", v2Json)
+    reg.setCompatibilityLevel(Compatibility.Forward)
+    reg.setCompatibilityLevel("evt-value", Compatibility.None)
+    // INTERLEAVED multi-subject registration: a load that replays
+    // register() in subject-grouped order would reassign these ids
+    // (user=1,3 evt=2 -> user=1,2 evt=3) and silently dispatch existing
+    // wire frames to the wrong writer schema.
+    val id1 = reg.register("user-value", v1Json).id
+    val id2 = reg.register("evt-value", other).id
+    val id3 = reg.register("user-value", v2Json).id
     val f = java.io.File.createTempFile("registry", ".tsv")
     reg.save(f.getPath)
     val loaded = SchemaRegistry.load(f.getPath)
     assert(loaded.versions("user-value") == Seq(1, 2))
     assert(loaded.latest("user-value").get.schema == reg.latest("user-value").get.schema)
+    assert(Seq(id1, id2, id3).map(loaded.getById(_).map(_.subject)) ==
+      Seq(Some("user-value"), Some("evt-value"), Some("user-value")),
+      "global ids must survive the round-trip exactly")
+    assert(loaded.getById(id3).get.version == 2)
+    assert(loaded.compatibilityLevel == Compatibility.Forward)
+    assert(loaded.compatibilityLevel("evt-value") == Compatibility.None)
+    assert(loaded.compatibilityLevel("user-value") == Compatibility.Forward)
+    // a fresh registration on the reloaded registry continues the id space
+    val v3Json =
+      """{"type":"record","name":"user","namespace":"graft.test","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"},
+        |{"name":"age","type":["null","int"],"default":null},
+        |{"name":"note","type":["null","string"],"default":null}]}""".stripMargin
+    assert(loaded.register("user-value", v3Json).id == Seq(id1, id2, id3).max + 1)
+    // saved under NONE for evt: reload must not re-gate under the default
+    // BACKWARD (the round-2 failure mode); an incompatible evt history
+    // must survive. Build one: NONE allows a breaking change.
+    val breaking =
+      """{"type":"record","name":"evt","namespace":"graft.test","fields":[
+        |{"name":"k","type":"long"}]}""".stripMargin
+    reg.register("evt-value", breaking)
+    reg.save(f.getPath)
+    val reloaded = SchemaRegistry.load(f.getPath)
+    assert(reloaded.versions("evt-value") == Seq(1, 2),
+      "incompatible history registered under NONE must reload without re-gating")
   }
 
   test("avro schema converter: struct -> avro -> struct round-trip") {

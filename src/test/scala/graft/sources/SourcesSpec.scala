@@ -50,6 +50,46 @@ class SourcesSpec extends SparkSpec {
     assert(perSecond.values.forall(n => n >= 0 && n <= 18))
   }
 
+  test("graft-rate: logical clock is pure over durable progress — repeat calls and restarts") {
+    val conf = RateConf(Map(
+      "rowsPerSecond" -> "10", "advancePerBatchSeconds" -> "5", "startTimestamp" -> "0"))
+    val s1 = new RateModulatedStream(conf)
+    val o1 = s1.latestOffset().asInstanceOf[CountOffset]
+    assert(o1.seconds == 5)
+    // Spark may call latestOffset any number of times per trigger: the
+    // clock must NOT advance per call (round-2 bug mode 1)
+    assert(s1.latestOffset() == o1)
+    s1.planInputPartitions(s1.initialOffset(), o1)
+    val o2 = s1.latestOffset().asInstanceOf[CountOffset]
+    assert(o2.seconds == 10 && o2.count == conf.cumulative(10))
+    s1.planInputPartitions(o1, o2)
+    // restart recovery: a fresh stream restores the clock from the
+    // checkpointed offset log, not from lost instance state (bug mode 2:
+    // a restarted query re-advanced from zero)
+    val s2 = new RateModulatedStream(conf)
+    s2.deserializeOffset(o2.json())
+    val o3 = s2.latestOffset().asInstanceOf[CountOffset]
+    assert(o3.seconds == 15 && o3.count == conf.cumulative(15))
+  }
+
+  test("catalog: vacuum on a compact table keeps latest-per-key at ANY retention age") {
+    val dir = Files.createTempDirectory("catc").toString
+    val cat = new GraftCatalog(spark)
+    cat.createTable(TableDef("cgrid", s"$dir/cgrid", keyCols = Seq("k"),
+      orderCol = Some("off"), cleanupPolicy = "compact", retentionMs = 1L))
+    cat.append("cgrid", Seq(("k1", 1L, "old"), ("k1", 2L, "new"), ("k2", 1L, "only"))
+      .toDF("k", "off", "v"))
+    // nowMs far past any mtime + retention: a delete-policy table would
+    // lose every file; Kafka compact semantics must keep latest-per-key
+    cat.vacuum("cgrid", nowMs = System.currentTimeMillis() + 3600L * 1000)
+    val rows = cat.table("cgrid").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq(("k1", 2L, "new"), ("k2", 1L, "only")))
+    // compaction swap left no temp/backup directories behind
+    val siblings = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(siblings == Set("cgrid"), s"leftover swap dirs: $siblings")
+  }
+
   test("appendValidated gates writes on registry compatibility") {
     import graft.registry.{IncompatibleSchemaException, SchemaRegistry}
     val dir = Files.createTempDirectory("val").toString
