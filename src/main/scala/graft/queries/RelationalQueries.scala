@@ -338,6 +338,29 @@ object RelationalQueries {
         sum(col("id_b")).cast("long").as("sum_matched_ids"))
   }
 
+  // B1/C18: schemaless-JSON on-ramp — the props column arrives with NO
+  // declared schema (the reference's backblaze topic registers NULL
+  // schemas). The engine infers a StructType distributed, registers it as
+  // an Avro subject, round-trips the REGISTERED schema back to a
+  // StructType (proving the registry carries the full structure), and
+  // reads the column typed with it. The oracle replays the extraction
+  // with DuckDB's JSON functions — matching values prove the inferred
+  // types are the right ones.
+  def q47SchemalessJson(s: SparkSession, d: String): DataFrame = {
+    import graft.registry.{AvroSchemaConverter, SchemaInference, SchemaRegistry}
+    val ev = events(s, d)
+    val reg = new SchemaRegistry
+    val registered = SchemaInference.registerJsonSubject(
+      reg, "events-props-value", "props_value", ev, "props")
+    val inferred = AvroSchemaConverter.toStructType(registered.schema)
+    ev.select(from_json(col("props"), inferred).as("p"), col("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p.k")).cast("long").as("sum_k"),
+        min(col("p.k")).cast("long").as("min_k"),
+        max(col("p.k")).cast("long").as("max_k"))
+  }
+
   // C19 typed surface: a custom Aggregator[IN, BUF, OUT] over Dataset[Long]
   // — exact integer moments buffer, deterministic double finish (see
   // graft.functions.MomentsAgg). Grouped via the untyped bridge so it
@@ -398,6 +421,7 @@ object RelationalQueries {
     "q26_nested_array" -> q26NestedArray,
     "q35_typed_moments" -> q35TypedMoments,
     "q36_interval_join" -> q36IntervalJoin,
+    "q47_schemaless_json" -> q47SchemalessJson,
     "q54_sketches" -> q54Sketches)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
@@ -606,6 +630,12 @@ object RelationalQueries {
           AND b.ts::TIMESTAMP >= a.ts::TIMESTAMP - INTERVAL 10 MINUTE
           AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 10 MINUTE
          GROUP BY a.event_type""",
+    "q47_schemaless_json" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type""",
     // q54 is approximate → rows-only; q35's formula is replicated exactly:
     // integer sums, then the same fixed sequence of double divisions.
     "q35_typed_moments" ->

@@ -1,7 +1,7 @@
 package graft.formats
 
 import graft.SparkSpec
-import graft.registry.{AvroSchemaConverter, Compatibility, IncompatibleSchemaException, SchemaRegistry}
+import graft.registry.{AvroSchemaConverter, Compatibility, IncompatibleSchemaException, SchemaInference, SchemaRegistry}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -118,6 +118,30 @@ class AvroCodecSpec extends SparkSpec {
     val reloaded = SchemaRegistry.load(f.getPath)
     assert(reloaded.versions("evt-value") == Seq(1, 2),
       "incompatible history registered under NONE must reload without re-gating")
+  }
+
+  test("schemaless JSON: distributed inference registers a subject that types nested data") {
+    val df = Seq(
+      """{"id": 1, "name": "a", "tags": ["x","y"], "geo": {"lat": 1.5, "lon": 2.5}}""",
+      """{"id": 2, "name": null, "tags": [], "geo": {"lat": 0.0, "lon": 0.1}, "extra": 7}"""
+    ).toDF("js")
+    val reg = new SchemaRegistry
+    val r = SchemaInference.registerJsonSubject(reg, "js-value", "js_value", df, "js")
+    val st = AvroSchemaConverter.toStructType(r.schema)
+    val byName = st.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("id") == LongType && byName("extra") == LongType)
+    assert(byName("name") == StringType)
+    assert(byName("tags") == ArrayType(StringType, containsNull = true))
+    assert(byName("geo").isInstanceOf[StructType])
+    // the registered schema really parses the data typed (missing fields null)
+    val rows = df.select(from_json(col("js"), st).as("p"))
+      .select(col("p.id"), col("p.geo.lat"), col("p.extra"))
+      .collect().map(r0 => (r0.getLong(0), r0.getDouble(1),
+        if (r0.isNullAt(2)) -1L else r0.getLong(2))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 1.5, -1L), (2L, 0.0, 7L)))
+    // and it is a normal subject: gated, versioned, id-dispatched
+    assert(reg.versions("js-value") == Seq(1))
+    assert(reg.getById(r.id).get.subject == "js-value")
   }
 
   test("avro schema converter: struct -> avro -> struct round-trip") {
