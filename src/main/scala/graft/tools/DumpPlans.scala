@@ -1,0 +1,60 @@
+package graft.tools
+import java.nio.file.{Files, Paths}
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64*1024*1024).toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val entries: Seq[(String, String, DataFrame)] = Seq(
+      ("q01_scan_filter_project",
+       "Filters reach the parquet scan (PushedFilters), ReadSchema pruned to 5 of 11 columns, single WholeStageCodegen span.",
+       RelationalQueries.q01ScanFilterProject(spark, d)),
+      ("q08_join_star",
+       "TPC-H Q5 shape: every dimension BroadcastHashJoin (no fact shuffle until the final keyed agg), partial+final HashAggregate.",
+       RelationalQueries.q08JoinStar(spark, d)),
+      ("q10_latest_by_key",
+       "Compacted-topic view: partial+final max_by aggregation — one key shuffle, NO window sort of the log.",
+       RelationalQueries.q10LatestByKey(spark, d)),
+      ("q23_asof_join",
+       "As-of join as union + single key shuffle + running last() window: O(|L|+|R|), no range-join explosion.",
+       RelationalQueries.q23AsofJoin(spark, d)),
+      ("q36_interval_join",
+       "Interval join BUCKETIZED: join keys = (user_id, floor(ts/10min)) with ±1-bucket left expansion; exact time bound filters candidates. Candidates track bucket occupancy — never per-key pair squares.",
+       RelationalQueries.q36IntervalJoin(spark, d)),
+      ("q41_dedup_minhash",
+       "shingle->minhash->band explode->equi-join on (band,minhash)->pair dedup->exact verify on re-attached sorted hash arrays.",
+       DedupQueries.q41DedupMinhash(spark, d)),
+      ("q42_ngram_jaccard",
+       "All-Pairs prefix filter: df aggregation, rarest-first prefix (row_number window), prefix-only equi-join + length filter, exact verify. No cartesian anywhere.",
+       DedupQueries.q42NgramJaccard(spark, d)),
+      ("q44_embed_neardup",
+       "Exact near-dup as a TILED self-join: hashed id-blocks, tile pair (i<=j) as the equi key, unit_vec projected per-row BEFORE the join, codegen dot as the filter. No full-corpus broadcast, no BNLJ.",
+       DedupQueries.q44EmbedNearDup(spark, d)),
+      ("q50_ann_brute",
+       "Queries broadcast (ANN contract: queries << corpus); corpus scanned once with no shuffle; per-query top-k via bounded window.",
+       AnnQueries.q50AnnBrute(spark, d)),
+      ("q53_ann_ivf",
+       "IVF probe: corpus assigned to buckets by one NearestCentroids argmax pass (no window, no corpus×nlist explode); probes broadcast; per-query top-k window only on candidates.",
+       AnnQueries.q53AnnIvf(spark, d)))
+    val sb = new StringBuilder
+    sb.append("# PLANS — annotated `.explain(\"formatted\")` for headline queries\n\n")
+    sb.append("> Regenerate: `sbt \"runMain graft.tools.DumpPlans\"` (written by that main).\n")
+    sb.append("> The properties called out here are asserted in `PlanSpec` so they cannot silently regress.\n\n")
+    entries.foreach { case (name, note, df) =>
+      sb.append(s"## $name\n\n$note\n\n```\n")
+      sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim.take(4000))
+      sb.append("\n```\n\n")
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println("WROTE PLANS.md " + Files.size(Paths.get("PLANS.md")) + " bytes")
+    spark.stop()
+  }
+}
