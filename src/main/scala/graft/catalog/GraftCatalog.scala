@@ -72,6 +72,16 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
     else raw
   }
 
+  /** Register every catalog table as a session temp view carrying its
+    * cleanup policy, so plain SQL sees the same semantics as [[table]]:
+    * `SELECT * FROM grid` on a compact table reads latest-per-key — the
+    * stream/table duality's SQL face (the reference's browse SQL hits
+    * compacted topics the same way). Views snapshot the file listing at
+    * registration; call again after appends/DDL to refresh. */
+  def createViews(): Unit = synchronized {
+    tables.keys.foreach(n => table(n).createOrReplaceTempView(n))
+  }
+
   /** Append rows honoring the table's physical write policy. */
   def append(name: String, df: DataFrame): Unit = {
     val t = synchronized(tables.getOrElse(name,

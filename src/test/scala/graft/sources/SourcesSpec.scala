@@ -188,6 +188,14 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/grid").count() == 2) // raw log = 2 rows now
     intercept[IllegalArgumentException](cat.compact("events_log")) // delete-policy table
 
+    // SQL face: registered views carry the cleanup policy — plain SQL on a
+    // compact table reads latest-per-key, same rows as cat.table("grid")
+    cat.createViews()
+    val viaSql = spark.sql("SELECT k, off, v FROM grid ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(viaSql == Seq(("k1", 2L, "new"), ("k2", 1L, "only")))
+    assert(spark.sql("SELECT count(*) FROM events_log").head.getLong(0) == 2)
+
     // catalog persists across instances; drop removes
     val cat2 = new GraftCatalog(spark, Some(catFile))
     assert(cat2.listTables.map(_.name).toSet == Set("events_log", "grid", "ephemeral"))
