@@ -65,6 +65,33 @@ class RelationalSpec extends SparkSpec {
     assert(edge == Seq(20L))
   }
 
+  test("intervalJoin: randomized bucket-edge stress == naive join (seeded trials)") {
+    // timestamps deliberately pile onto bucket boundaries: multiples of the
+    // 1-minute bucket ± {0, ±1µs, 1s-1µs, bucket-1µs} — the cases where an
+    // off-by-one in the ±1-bucket expansion or an exclusive bound would show
+    val rnd = new scala.util.Random(7)
+    val bucketUs = 60000000L
+    for (_ <- 1 to 3) {
+      val rows = (1 to 300).map { i =>
+        val base = rnd.nextInt(20).toLong * bucketUs
+        val jitter = Seq(0L, 1L, -1L, 999999L, bucketUs - 1)(rnd.nextInt(5))
+        (rnd.nextInt(5).toLong, i.toLong, math.max(0L, base + jitter))
+      }
+      val df = rows.toDF("k", "id", "us").withColumn("ts", timestamp_micros(col("us")))
+      val a = df.select(col("k"), col("id").as("id_a"), col("ts").as("ts_a"))
+      val b = df.select(col("k").as("k2"), col("id").as("id_b"), col("ts").as("ts_b"))
+      val cond = col("k") === col("k2") && col("id_a") =!= col("id_b")
+      val naive = a.join(b, cond &&
+          col("ts_b") >= col("ts_a") - expr("INTERVAL 1 MINUTE") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 1 MINUTE"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val bucketed = Relational.intervalJoin(a, "ts_a", b, "ts_b", cond, "1 minute")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(bucketed == naive,
+        s"diff: ${(bucketed diff naive) ++ (naive diff bucketed)}")
+    }
+  }
+
   test("asofJoinBackward matches latest right at-or-before left time, per key") {
     val left = Seq(
       (1L, "2020-01-01 10:00:00", "e1"),
