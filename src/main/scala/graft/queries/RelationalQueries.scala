@@ -338,6 +338,19 @@ object RelationalQueries {
         sum(col("id_b")).cast("long").as("sum_matched_ids"))
   }
 
+  // Skew machinery in the gate: the salted equi-join must return EXACTLY
+  // the plain join's rows (the salt is a partitioning detail, invisible in
+  // results). The oracle is the plain join — any salt-replication bug
+  // (lost rows, double-counted rows) breaks the hash match.
+  def q48SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    graft.operators.Relational.saltedEquiJoin(li, sup, "l_suppkey", "s_suppkey", saltBuckets = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(Portable.cents(col("l_extendedprice"))).as("price_cents"))
+  }
+
   // B1/C18: schemaless-JSON on-ramp — the props column arrives with NO
   // declared schema (the reference's backblaze topic registers NULL
   // schemas). The engine infers a StructType distributed, registers it as
@@ -422,6 +435,7 @@ object RelationalQueries {
     "q35_typed_moments" -> q35TypedMoments,
     "q36_interval_join" -> q36IntervalJoin,
     "q47_schemaless_json" -> q47SchemalessJson,
+    "q48_salted_join" -> q48SaltedJoin,
     "q54_sketches" -> q54Sketches)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
@@ -636,6 +650,11 @@ object RelationalQueries {
          min(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS min_k,
          max(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type""",
+    "q48_salted_join" ->
+      s"""SELECT s_nationkey, count(*) AS n,
+          ${sumL(cents("l_extendedprice"))} AS price_cents
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_nationkey""",
     // q54 is approximate → rows-only; q35's formula is replicated exactly:
     // integer sums, then the same fixed sequence of double divisions.
     "q35_typed_moments" ->

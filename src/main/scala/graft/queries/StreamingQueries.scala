@@ -125,6 +125,19 @@ object StreamingQueries {
         sum(col("id_b")).cast("long").as("sum_matched_ids"))
   }
 
+  // Streaming exact dedup in the gate: the events stream unioned with a
+  // second read of itself — every record arrives twice — then
+  // StreamOps.dedupStream drops duplicates on (event_id, ts) within the
+  // watermark. The per-type rollup must equal the plain (un-doubled)
+  // table's: one surviving copy per event, none lost.
+  def q49StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val doubled = eventsStream(s, d).unionByName(eventsStream(s, d))
+    val deduped = StreamOps.dedupStream(doubled, "ts", "0 seconds", Seq("event_id"))
+    drain(s, deduped.select("event_type", "event_id", "value"), "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents"))
+  }
+
   // Streaming twin of q06: hopping windows.
   def q38StreamHopping(s: SparkSession, d: String): DataFrame =
     drain(s,
@@ -154,6 +167,7 @@ object StreamingQueries {
     "q28_stream_enrich" -> q28StreamEnrich,
     "q29_stream_latest_by_key" -> q29StreamLatestByKey,
     "q39_stream_interval_join" -> q39StreamIntervalJoin,
+    "q49_stream_dedup" -> q49StreamDedup,
     "q38_stream_hopping" -> q38StreamHopping,
     "q37_stream_session" -> q37StreamSession)
 
@@ -185,6 +199,9 @@ object StreamingQueries {
           AND b.ts::TIMESTAMP >= a.ts::TIMESTAMP - INTERVAL 10 MINUTE
           AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 10 MINUTE
          GROUP BY a.event_type""",
+    "q49_stream_dedup" ->
+      s"""SELECT event_type, count(*) AS n, ${sumL(cents("value"))} AS value_cents
+          FROM events GROUP BY event_type""",
     "q38_stream_hopping" ->
       """SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts::TIMESTAMP) - k * INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n
