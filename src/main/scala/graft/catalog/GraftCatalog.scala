@@ -77,9 +77,16 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
     * `SELECT * FROM grid` on a compact table reads latest-per-key — the
     * stream/table duality's SQL face (the reference's browse SQL hits
     * compacted topics the same way). Views snapshot the file listing at
-    * registration; call again after appends/DDL to refresh. */
-  def createViews(): Unit = synchronized {
-    tables.keys.foreach(n => table(n).createOrReplaceTempView(n))
+    * registration; call again after appends/DDL to refresh. Tables with
+    * no data directory yet (created, never appended) are skipped — one
+    * empty table must not break SQL access to the rest. Returns the
+    * names actually registered. */
+  def createViews(): Seq[String] = synchronized {
+    tables.keys.toSeq.filter { n =>
+      val exists = Files.exists(Paths.get(tables(n).path))
+      if (exists) table(n).createOrReplaceTempView(n)
+      exists
+    }
   }
 
   /** Append rows honoring the table's physical write policy. */
@@ -129,6 +136,12 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
     require(t.cleanupPolicy == "compact", s"table '$name' has cleanup.policy=delete")
     val tmp = t.path + ".compact-tmp"
     val old = t.path + ".compact-old"
+    // Recovery preamble: a previous run may have died INSIDE the swap
+    // window (live moved aside, replacement not yet in place). The full
+    // log survives at `old`; restore it BEFORE any cleanup — deleting
+    // leftovers first would destroy the only remaining copies.
+    if (!Files.exists(Paths.get(t.path)) && Files.exists(Paths.get(old)))
+      Files.move(Paths.get(old), Paths.get(t.path))
     deleteRecursively(Paths.get(tmp))
     deleteRecursively(Paths.get(old))
     table(name).repartition(t.partitions)
@@ -168,6 +181,9 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
   def vacuum(name: String, nowMs: Long = System.currentTimeMillis()): Int = {
     val t = synchronized(tables.getOrElse(name,
       throw new IllegalArgumentException(s"table '$name' not found")))
+    // A table created but never appended has no directory yet — nothing
+    // to reclaim under either policy (and compaction can't read it).
+    if (!Files.exists(Paths.get(t.path))) return 0
     // Kafka retention semantics: cleanup.policy=compact keeps the latest
     // record per key INDEFINITELY — time-based retention applies only to
     // delete-policy logs. mtime deletion on a compact table (the round-2

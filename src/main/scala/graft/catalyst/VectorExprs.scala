@@ -165,6 +165,8 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
 
   require(centroids.nonEmpty, "centroids must be non-empty")
   require(topN >= 1 && topN <= centroids.length, "topN in [1, nlist]")
+  private val centroidDim = centroids(0).length
+  require(centroids.forall(_.length == centroidDim), "ragged centroid matrix")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -177,6 +179,11 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dim = arr.numElements()
+    // A silently-truncated dot product would hand every drifted row a
+    // plausible-looking bucket (near-zero recall, no error anywhere) —
+    // dimension mismatch is data corruption and must surface.
+    if (dim != centroidDim) throw new IllegalStateException(
+      s"nearest_centroids: vector dim $dim != trained centroid dim $centroidDim")
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) { v(i) = arr.getDouble(i); i += 1 }
@@ -187,10 +194,9 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
       var c = 0
       while (c < n) {
         val cent = centroids(c)
-        val d = math.min(dim, cent.length)
         var s = 0.0
         var j = 0
-        while (j < d) { s += v(j) * cent(j); j += 1 }
+        while (j < dim) { s += v(j) * cent(j); j += 1 }
         if (s > bestDot) { bestDot = s; bestIdx = c }
         c += 1
       }
@@ -200,10 +206,9 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
       var c = 0
       while (c < n) {
         val cent = centroids(c)
-        val d = math.min(dim, cent.length)
         var s = 0.0
         var j = 0
-        while (j < d) { s += v(j) * cent(j); j += 1 }
+        while (j < dim) { s += v(j) * cent(j); j += 1 }
         scores(c) = s
         c += 1
       }

@@ -116,7 +116,13 @@ object StreamingQueries {
       col("ts").as("ts_a"), col("event_type").as("type_a"))
     val b = eventsStream(s, d).select(col("user_id").as("uid_b"), col("event_id").as("id_b"),
       col("ts").as("ts_b"))
-    val joined = StreamOps.intervalJoin(a, "ts_a", "20 minutes", b, "ts_b", "20 minutes",
+    // Watermark = 30 days: sized to the replayed table's full span, so the
+    // gate's answer is batch-exact even if the file source ever splits the
+    // replay into multiple micro-batches (a shorter watermark would drop
+    // cross-batch late matches — correct streaming semantics, but then the
+    // oracle comparison would measure batch alignment, not the join).
+    // State-EXPIRY behavior is exercised in StreamingSpec, not here.
+    val joined = StreamOps.intervalJoin(a, "ts_a", "30 days", b, "ts_b", "30 days",
       col("user_id") === col("uid_b") && col("id_a") =!= col("id_b"), "10 minutes")
     drain(s, joined.select("type_a", "id_a", "id_b"), "append")
       .groupBy("type_a")
@@ -132,7 +138,10 @@ object StreamingQueries {
   // table's: one surviving copy per event, none lost.
   def q49StreamDedup(s: SparkSession, d: String): DataFrame = {
     val doubled = eventsStream(s, d).unionByName(eventsStream(s, d))
-    val deduped = StreamOps.dedupStream(doubled, "ts", "0 seconds", Seq("event_id"))
+    // Watermark sized to the table span (see q39): with two independent
+    // file reads, a copy landing in a later micro-batch than its twin
+    // must still be recognized as a duplicate, not dropped as late.
+    val deduped = StreamOps.dedupStream(doubled, "ts", "30 days", Seq("event_id"))
     drain(s, deduped.select("event_type", "event_id", "value"), "append")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents"))

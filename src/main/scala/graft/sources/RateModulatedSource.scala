@@ -148,8 +148,13 @@ class RateModulatedStream(conf: RateConf) extends MicroBatchStream {
       val seconds = highWater.seconds + conf.advancePerBatchSeconds
       CountOffset(conf.cumulative(seconds), seconds)
     } else {
-      val seconds = (System.currentTimeMillis() - startWallMs) / 1000
-      CountOffset(conf.cumulative(seconds), seconds)
+      // Wall-clock mode must stay MONOTONE across restarts too: a fresh
+      // instance's wall clock starts over, so without the floor the first
+      // post-restart offset would regress below the checkpointed one and
+      // the source would emit nothing until wall time re-caught the log.
+      val seconds = math.max(
+        (System.currentTimeMillis() - startWallMs) / 1000, highWater.seconds)
+      CountOffset(math.max(conf.cumulative(seconds), highWater.count), seconds)
     }
 
   override def deserializeOffset(json: String): Offset = {

@@ -90,6 +90,29 @@ class SourcesSpec extends SparkSpec {
     assert(siblings == Set("cgrid"), s"leftover swap dirs: $siblings")
   }
 
+  test("catalog: compact recovers the log after a simulated mid-swap crash") {
+    val dir = Files.createTempDirectory("catr").toString
+    val cat = new GraftCatalog(spark)
+    cat.createTable(TableDef("rg", s"$dir/rg", keyCols = Seq("k"),
+      orderCol = Some("off"), cleanupPolicy = "compact"))
+    cat.append("rg", Seq(("k1", 1L, "old"), ("k1", 2L, "new")).toDF("k", "off", "v"))
+    // simulate dying between live->old and tmp->live: live gone, full log
+    // parked at .compact-old, a half-written snapshot at .compact-tmp
+    Files.move(java.nio.file.Paths.get(s"$dir/rg"),
+      java.nio.file.Paths.get(s"$dir/rg.compact-old"))
+    Files.createDirectory(java.nio.file.Paths.get(s"$dir/rg.compact-tmp"))
+    val n = cat.compact("rg") // must restore the log, then compact it
+    assert(n == 1)
+    val rows = cat.table("rg").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(rows == Seq(("k1", "new")))
+    // vacuum on a data-less table is a no-op, not an error
+    cat.createTable(TableDef("emptyc", s"$dir/none", keyCols = Seq("k"),
+      orderCol = Some("off"), cleanupPolicy = "compact"))
+    assert(cat.vacuum("emptyc") == 0)
+    // createViews skips the data-less table instead of failing the batch
+    assert(cat.createViews().toSet == Set("rg"))
+  }
+
   test("appendValidated gates writes on registry compatibility") {
     import graft.registry.{IncompatibleSchemaException, SchemaRegistry}
     val dir = Files.createTempDirectory("val").toString
