@@ -36,6 +36,9 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS): without this flag every
+      // events-based query crashes on scan (all other entry points set it)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // custom expressions as SQL functions + graft optimizer rules
       .config("spark.sql.extensions", "graft.catalyst.GraftExtensions")

@@ -114,8 +114,10 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
     if (!registry.checkCompatibility(subject, candidate))
       throw new graft.registry.IncompatibleSchemaException(
         s"append to '$name' rejected: batch schema is incompatible with subject '$subject'")
-    registry.register(subject, candidate)
+    // write BEFORE registering: registering first would leave a phantom
+    // schema version gating future writes if the append fails midway
     append(name, df)
+    registry.register(subject, candidate)
   }
 
   /** Write-side log compaction: materialize a compact table's

@@ -37,10 +37,17 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  // One digest per thread, not per row: the JCA provider lookup is
+  // measurable on a corpus-wide scan, and in local mode one Expression
+  // instance can be evaluated by many tasks concurrently — ThreadLocal
+  // gives reuse without sharing the (non-thread-safe) MessageDigest.
+  @transient private lazy val digestPerThread: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val counts = new Array[Int](64)
-    val md = MessageDigest.getInstance("MD5")
+    val md = digestPerThread.get()
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {

@@ -212,6 +212,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int): DataFrame = {
+    // >= 64 would make non-final chunks 0 bits wide (constant 0) — the
+    // candidate join degenerates to an N² cross product with no error
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val nChunks = maxHamming + 1
     val chunkBits = 64 / nChunks
     val sh = docs.select(

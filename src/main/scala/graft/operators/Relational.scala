@@ -45,7 +45,10 @@ object Relational {
       val payload = df.columns.filterNot(dupKeys.contains).toSeq
       val packed = df.groupBy(dupKeys.map(col): _*).agg(
         min_by(struct(payload.map(col): _*), struct(ordering: _*)).as("_first"))
-      packed.select(dupKeys.map(col) ++ payload.map(c => col(s"_first.$c").as(c)): _*)
+      // original column ORDER (not keys-first): the flag must be a pure
+      // performance knob — both branches return identically-shaped frames
+      packed.select(df.columns.toSeq.map(c =>
+        if (dupKeys.contains(c)) col(c) else col(s"_first.$c").as(c)): _*)
     }
   }
 
@@ -76,6 +79,12 @@ object Relational {
       leftKey: String, rightKey: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets >= 1")
+    // The replicated side is the RIGHT one, so only join types that never
+    // emit unmatched right rows preserve plain-join semantics: a right/full
+    // outer would surface each unmatched replica separately (×saltBuckets).
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports inner/left/semi/anti join types, got '$joinType'")
     val l = left.withColumn("_salt_l",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltBuckets)).cast("int"))
     val r = right.withColumn("_salt_r",
@@ -165,19 +174,26 @@ object Relational {
       rightTime: String,
       rightTiebreak: Option[String] = None): DataFrame = {
     val rightStruct = struct(right.columns.map(col): _*)
-    val tb = rightTiebreak.map(col(_).cast("long")).getOrElse(lit(0L))
+    // Keys and tiebreak keep their NATIVE types: casting to long (the
+    // round-2 shape) nulled out non-numeric keys, collapsing every key
+    // into one window partition — silent cross-key matches. Mismatched
+    // left/right key types now fail analysis loudly instead.
+    val tb = rightTiebreak.map(col(_)).getOrElse(lit(0L))
     val rightTyped = right.select(
-      col(rightKey).cast("long").as("_k"),
+      col(rightKey).as("_k"),
       col(rightTime).cast("timestamp").as("_t"),
       lit(0).as("_side"),
       tb.as("_tb"),
       rightStruct.as("_r"))
     val rightSchema = rightTyped.schema("_r").dataType
+    val tbSchema = rightTyped.schema("_tb").dataType
     val leftTyped = left.select(
-      col(leftKey).cast("long").as("_k"),
+      col(leftKey).as("_k"),
       col(leftTime).cast("timestamp").as("_t"),
       lit(1).as("_side"),
-      lit(Long.MaxValue).as("_tb"), // left rows sort after all right ties
+      // _side=1 already orders left rows after every right tie at equal
+      // _t, so the left tiebreak value is irrelevant — null keeps types
+      lit(null).cast(tbSchema).as("_tb"),
       lit(null).cast(rightSchema).as("_r"),
       struct(left.columns.map(col): _*).as("_l"))
     val unioned = rightTyped

@@ -42,7 +42,9 @@ class IncrementalPoll(
       case None => base
     }
     val hwm = incremental.agg(max(col(idCol))).collect()(0) match {
-      case r: Row if !r.isNullAt(0) => Some(r.getLong(0))
+      // numeric-width-safe: max(id) is Integer for INT columns, Long for
+      // BIGINT — getLong on an Integer throws ClassCastException
+      case r: Row if !r.isNullAt(0) => Some(r.get(0).asInstanceOf[Number].longValue())
       case _ => lastOffset
     }
     (incremental, hwm)

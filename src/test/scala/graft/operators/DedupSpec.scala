@@ -23,6 +23,14 @@ class DedupSpec extends SparkSpec {
     assert((1L to 39L).forall(out(_) == 1L))
   }
 
+  test("simhashPairs rejects degenerate maxHamming instead of going N²") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64))
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = -1))
+  }
+
   test("connectedComponents throws instead of returning non-converged labels") {
     val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {

@@ -20,6 +20,12 @@ class RelationalSpec extends SparkSpec {
     val out = Relational.keepFirstBy(df, Seq("text"), Seq(col("id")))
       .select("id").as[Long].collect().sorted
     assert(out.toSeq == Seq(3L, 5L))
+    // hashWideKeys is a pure performance knob: both branches return the
+    // SAME column order (positional consumers must not see the flag)
+    val plain = Relational.keepFirstBy(df, Seq("text"), Seq(col("id")))
+    val hashed = Relational.keepFirstBy(df, Seq("text"), Seq(col("id")), hashWideKeys = true)
+    assert(plain.columns.toSeq == df.columns.toSeq)
+    assert(hashed.columns.toSeq == df.columns.toSeq)
   }
 
   test("topKPerGroup returns k rows per group in strict order") {
@@ -41,6 +47,10 @@ class RelationalSpec extends SparkSpec {
       .withColumn("_salt", pmod(xxhash64(struct(col("k"), col("payload"))), lit(8)))
       .filter(col("k") === 7L).select("_salt").distinct().count()
     assert(buckets > 1)
+    // outer-on-the-replicated-side would emit each unmatched replica —
+    // the API refuses rather than silently duplicating right rows
+    intercept[IllegalArgumentException](
+      Relational.saltedEquiJoin(left, right, "k", "rk", 8, joinType = "full"))
   }
 
   test("intervalJoin: bucketized join == naive post-filter join, boundaries inclusive") {
@@ -111,5 +121,20 @@ class RelationalSpec extends SparkSpec {
       .orderBy("ev")
       .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
     assert(out.toSeq == Seq(("e1", 100), ("e2", 300), ("e3", -1)))
+  }
+
+  test("asofJoinBackward keeps native key types — string keys stay per-key") {
+    // the round-2 cast("long") nulled string keys into ONE window
+    // partition: every left row got the globally-latest right row
+    val left = Seq(("A-1", "2020-01-01 10:00:00", "e1"),
+      ("B-2", "2020-01-01 10:00:00", "e2")).toDF("k", "t", "ev")
+      .withColumn("t", to_timestamp(col("t")))
+    val right = Seq(("A-1", "2020-01-01 09:00:00", 1),
+      ("B-2", "2020-01-01 09:30:00", 2)).toDF("k", "t", "val")
+      .withColumn("t", to_timestamp(col("t")))
+    val out = Relational.asofJoinBackward(left, right, "k", "k", "t", "t")
+      .select(col("ev"), col("_asof.val").as("v")).orderBy("ev")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(out == Seq(("e1", 1), ("e2", 2)))
   }
 }
