@@ -1,16 +1,12 @@
 package graft.tools
 import java.nio.file.{Files, Paths}
 import graft.queries._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 object DumpPlans {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64*1024*1024).toString)
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Engine.session(appName = "graft-plans", master = "local[4]",
+      extraConf = Map("spark.sql.shuffle.partitions" -> "4"))
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
     val entries: Seq[(String, String, DataFrame)] = Seq(

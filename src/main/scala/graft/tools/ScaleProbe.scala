@@ -2,7 +2,7 @@ package graft.tools
 
 import graft.operators.{Dedup, Relational}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 
 /** Cross-scale probe: run a plan at 1× and N× data (replicated with
   * DISTINCT keys, so per-key density stays constant — the honest
@@ -14,15 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Engine.session(appName = "graft-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     def time(tag: String)(f: => Long): Unit = {
