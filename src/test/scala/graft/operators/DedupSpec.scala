@@ -23,6 +23,15 @@ class DedupSpec extends SparkSpec {
     assert((1L to 39L).forall(out(_) == 1L))
   }
 
+  test("connectedComponents rounds are O(log diameter): 1000-link chain within 16 rounds") {
+    // plain min-label propagation needs ~1000 rounds here; pointer jumping
+    // must land it in ~log2(1000) + slack — the cap IS the assertion
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b", maxRounds = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 1000 && out.values.forall(_ == 1L))
+  }
+
   test("simhashPairs rejects degenerate maxHamming instead of going N²") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
