@@ -46,6 +46,15 @@ object DedupQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minJaccard = 0.4),
       "id_a", "id_b")
 
+  // Embedding-modality twin of q45: connected components over the EXACT
+  // cosine near-dup pair graph (q44's operator feeding q45's) — the
+  // keep-one-copy step for semantic duplicates, oracle-replayed with a
+  // recursive CTE over DuckDB's own cosine pairs.
+  def q55EmbedClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45),
+      "id_a", "id_b")
+
   // The curation pipeline end-to-end (the LLM-training-data story in one
   // query): quality gate -> exact dedup (first per identical text) ->
   // near-dup pair detection -> cluster -> keep only representatives ->
@@ -76,7 +85,8 @@ object DedupQueries {
     "q43_simhash" -> q43Simhash,
     "q44_embed_neardup" -> q44EmbedNearDup,
     "q45_dedup_clusters" -> q45DedupClusters,
-    "q46_curation_pipeline" -> q46CurationPipeline)
+    "q46_curation_pipeline" -> q46CurationPipeline,
+    "q55_embed_clusters" -> q55EmbedClusters)
 
   /** Word n-gram distinct shingle list in DuckDB. */
   private def shinglesSql(n: Int) =
@@ -139,6 +149,21 @@ object DedupQueries {
             SELECT x, x FROM (SELECT DISTINCT x FROM edges) t
             UNION
             SELECT e.x, w.rep FROM edges e JOIN walk w ON w.id = e.y
+          )
+          SELECT id, min(rep) AS rep FROM walk GROUP BY id""",
+    "q55_embed_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45
+          ),
+          edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          walk(id, rep) AS (
+            SELECT x, x FROM (SELECT DISTINCT x FROM edges) t
+            UNION
+            SELECT e2.x, w.rep FROM edges e2 JOIN walk w ON w.id = e2.y
           )
           SELECT id, min(rep) AS rep FROM walk GROUP BY id""",
     "q46_curation_pipeline" -> {
