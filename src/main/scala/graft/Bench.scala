@@ -13,6 +13,11 @@ object Bench {
     }
     try SparkEntry.queries.get("q04_agg_group").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // ... and one streaming query, so the first timed streaming gate
+    // doesn't absorb Structured Streaming's one-time machinery (state
+    // store coordinator, streaming listener bus, checkpoint FS init).
+    try SparkEntry.queries.get("q38_stream_hopping").foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => () }
     // Optional comma-separated subset for local iteration (driver leaves unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
