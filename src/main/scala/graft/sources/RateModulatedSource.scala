@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -27,10 +27,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Options: `rowsPerSecond` (r), `jitter` (j), `periodSeconds` (p),
   * `amplitude` (a, default r/2), `seed`, `startTimestamp` (epoch millis of
-  * the first record), `numPartitions`, and `advancePerBatchSeconds` — when
+  * the first record), `numPartitions`, `advancePerBatchSeconds` — when
   * set, the logical clock advances by that many seconds per trigger
   * instead of following the wall clock (fully deterministic streams for
-  * tests; leave unset for real-time pacing).
+  * tests; leave unset for real-time pacing) — and `maxRecordsPerTrigger`:
+  * Spark-native backpressure via `SupportsAdmissionControl` (the engine
+  * analog of the reference's rate-limited producers / Kafka
+  * `maxOffsetsPerTrigger`, SURVEY §4). Under sustained capping the
+  * logical clock falls behind the schedule — deferred records are
+  * emitted, never dropped.
   *
   * Schema: `ts TIMESTAMP, seq BIGINT, value DOUBLE` (value = seeded
   * uniform in [0,1) keyed by seq — the "payload" a real topic would carry).
@@ -60,7 +65,8 @@ object RateModulatedSource {
 
 final case class RateConf(
     rowsPerSecond: Double, jitter: Double, periodSeconds: Double, amplitude: Double,
-    seed: Long, startTimestampMs: Long, numPartitions: Int, advancePerBatchSeconds: Long) {
+    seed: Long, startTimestampMs: Long, numPartitions: Int, advancePerBatchSeconds: Long,
+    maxRecordsPerTrigger: Long = 0L) {
 
   /** Deterministic per-second rate (records emitted during second u). */
   def rateAt(u: Long): Long = {
@@ -97,7 +103,8 @@ object RateConf {
       seed = l("seed", 42L),
       startTimestampMs = l("startTimestamp", 0L),
       numPartitions = l("numPartitions", 4L).toInt,
-      advancePerBatchSeconds = l("advancePerBatchSeconds", 0L))
+      advancePerBatchSeconds = l("advancePerBatchSeconds", 0L),
+      maxRecordsPerTrigger = l("maxRecordsPerTrigger", 0L))
   }
 }
 
@@ -124,7 +131,7 @@ final case class CountOffset(count: Long, seconds: Long = 0L) extends Offset {
   override def json(): String = s"$count:$seconds"
 }
 
-class RateModulatedStream(conf: RateConf) extends MicroBatchStream {
+class RateModulatedStream(conf: RateConf) extends MicroBatchStream with SupportsAdmissionControl {
 
   private val startWallMs = System.currentTimeMillis()
   // High-water offset this stream has OBSERVED (restored from the offset
@@ -156,6 +163,38 @@ class RateModulatedStream(conf: RateConf) extends MicroBatchStream {
         (System.currentTimeMillis() - startWallMs) / 1000, highWater.seconds)
       CountOffset(math.max(conf.cumulative(seconds), highWater.count), seconds)
     }
+
+  /** Backpressure (SupportsAdmissionControl): Spark calls this form when
+    * the source declares a read limit. A capped batch stops at
+    * `start + maxRows` records; the offset's logical-seconds field is
+    * wound back to the smallest second covering the capped prefix, so the
+    * next trigger resumes the SCHEDULE where emission actually got to —
+    * deferred records drain in later batches, none are skipped. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = latestOffset().asInstanceOf[CountOffset]
+    limit match {
+      case m: ReadMaxRows =>
+        val from = start.asInstanceOf[CountOffset].count
+        if (target.count - from <= m.maxRows) target
+        else {
+          val capped = from + m.maxRows
+          CountOffset(capped, secondsCovering(capped))
+        }
+      case _ => target
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (conf.maxRecordsPerTrigger > 0) ReadLimit.maxRows(conf.maxRecordsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  /** Smallest logical second s with cumulative(s) >= count. */
+  private def secondsCovering(count: Long): Long = {
+    var s = 0L
+    var cum = 0L
+    while (cum < count) { cum += conf.rateAt(s); s += 1 }
+    s
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val parts = json.split(":", 2)

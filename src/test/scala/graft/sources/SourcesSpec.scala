@@ -72,6 +72,34 @@ class SourcesSpec extends SparkSpec {
     assert(o3.seconds == 15 && o3.count == conf.cumulative(15))
   }
 
+  test("graft-rate: maxRecordsPerTrigger caps batches, defers (never drops) the schedule") {
+    val conf = RateConf(Map(
+      "rowsPerSecond" -> "10", "jitter" -> "0", "periodSeconds" -> "0",
+      "advancePerBatchSeconds" -> "5", "startTimestamp" -> "0",
+      "maxRecordsPerTrigger" -> "20"))
+    val st = new RateModulatedStream(conf)
+    st.getDefaultReadLimit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        assert(m.maxRows == 20L)
+      case other => fail(s"expected ReadMaxRows, got $other")
+    }
+    // uncapped schedule would emit 50 records (10/s × 5s); cap = 20,
+    // logical clock wound back to the second covering the capped prefix
+    val o1 = st.latestOffset(st.initialOffset(), st.getDefaultReadLimit)
+      .asInstanceOf[CountOffset]
+    assert(o1.count == 20 && o1.seconds == 2)
+    st.planInputPartitions(CountOffset(0, 0), o1)
+    // next trigger resumes from the capped point: another 20, none skipped
+    val o2 = st.latestOffset(o1, st.getDefaultReadLimit).asInstanceOf[CountOffset]
+    assert(o2.count == 40 && o2.seconds == 4)
+    st.planInputPartitions(o1, o2)
+    // lifting the limit drains the full deferred schedule
+    val o3 = st.latestOffset(o2,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[CountOffset]
+    assert(o3.count == conf.cumulative(o2.seconds + 5))
+  }
+
   test("catalog: vacuum on a compact table keeps latest-per-key at ANY retention age") {
     val dir = Files.createTempDirectory("catc").toString
     val cat = new GraftCatalog(spark)
