@@ -68,6 +68,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => IntersectCountSorted(exprs(0), exprs(1))
     }
 
+    // Text-analysis surface as SQL macros: these are Column compositions,
+    // registered by expanding their expression trees — a SQL user gets
+    // `SELECT lang_id(text), quality_score(text) FROM docs` with the
+    // exact semantics of the oracle-checked column API (q31-q34).
+    def registerComposed(name: String, usage: String)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      register(name, usage)(exprs =>
+        // eager conversion: the builder must hand the analyzer a plain
+        // catalyst tree, not a lazy Column-node wrapper (see GraftBridge)
+        org.apache.spark.sql.GraftBridge.expressionEager(f(Cols.column(exprs.head))))
+    import graft.functions.TextFunctions
+    registerComposed("graft_tokens", "graft_tokens(text) - whitespace tokens")(TextFunctions.tokens)
+    registerComposed("token_count", "token_count(text) - whitespace token count")(TextFunctions.tokenCount)
+    registerComposed("subword_count", "subword_count(text) - BPE-ish subword unit count")(TextFunctions.subwordCount)
+    registerComposed("quality_score", "quality_score(text) - 4-heuristic quality score in [0,1]")(TextFunctions.qualityScore)
+    registerComposed("lang_id", "lang_id(text) - n-gram/stopword language guess")(TextFunctions.langId)
+    registerComposed("doc_fingerprint", "doc_fingerprint(text) - rolling polynomial hash")(TextFunctions.fingerprint)
+
     ext.injectOptimizerRule(_ => UnitVecIdempotence)
     ext.injectOptimizerRule(_ => graft.formats.AvroProjectionPruning)
   }

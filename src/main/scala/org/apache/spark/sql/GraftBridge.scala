@@ -11,4 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager node→Expression conversion. `expression` wraps node-backed
+    * Columns in a LAZY `ColumnNodeExpression`, which the analyzer only
+    * unwraps on the DataFrame path — an expression returned from a SQL
+    * function builder (SparkSessionExtensions.injectFunction) must
+    * already be a plain catalyst tree (UnresolvedFunction and friends),
+    * or codegen hits the Unevaluable wrapper. */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -61,6 +61,26 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqlHash == apiHash)
   }
 
+  test("text-analysis macros are callable from plain SQL with column-API semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val df = Seq("The quick brown fox jumps over the lazy dog today").toDF("text")
+    df.createOrReplaceTempView("tt")
+    val viaSql = spark.sql(
+      """SELECT token_count(text) AS tc, subword_count(text) AS sw,
+         round(quality_score(text), 6) AS q, lang_id(text) AS lang,
+         doc_fingerprint(text) AS fp FROM tt""").collect()(0)
+    val viaApi = df.select(
+      TextFunctions.tokenCount(col("text")).as("tc"),
+      TextFunctions.subwordCount(col("text")).as("sw"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("q"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp")).collect()(0)
+    assert(viaSql == viaApi)
+    assert(viaSql.getAs[String]("lang") == "en")
+  }
+
   test("optimizer collapses unit_vec(unit_vec(x)) on non-foldable columns") {
     // literal inputs constant-fold regardless of the rule; a parquet-backed
     // column is the case only UnitVecIdempotence can simplify
