@@ -84,6 +84,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerComposed("quality_score", "quality_score(text) - 4-heuristic quality score in [0,1]")(TextFunctions.qualityScore)
     registerComposed("lang_id", "lang_id(text) - n-gram/stopword language guess")(TextFunctions.langId)
     registerComposed("doc_fingerprint", "doc_fingerprint(text) - rolling polynomial hash")(TextFunctions.fingerprint)
+    register("haversine_m",
+      "haversine_m(lat1, lon1, lat2, lon2) - great-circle distance in meters") { exprs =>
+      org.apache.spark.sql.GraftBridge.expressionEager(
+        graft.functions.GeoFunctions.haversineMeters(
+          Cols.column(exprs(0)), Cols.column(exprs(1)),
+          Cols.column(exprs(2)), Cols.column(exprs(3))))
+    }
+    register("parse_lat_lon",
+      "parse_lat_lon(s) - parse 'lat,lon' string to struct<lat:double,lon:double>") { exprs =>
+      org.apache.spark.sql.GraftBridge.expressionEager(
+        graft.functions.GeoFunctions.parseLatLon(Cols.column(exprs.head)))
+    }
 
     ext.injectOptimizerRule(_ => UnitVecIdempotence)
     ext.injectOptimizerRule(_ => graft.formats.AvroProjectionPruning)

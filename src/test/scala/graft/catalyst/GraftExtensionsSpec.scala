@@ -79,6 +79,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextFunctions.fingerprint(col("text")).as("fp")).collect()(0)
     assert(viaSql == viaApi)
     assert(viaSql.getAs[String]("lang") == "en")
+    // geo macros: London -> Paris great-circle ≈ 343.5 km
+    val d = spark.sql(
+      "SELECT haversine_m(51.5074D, -0.1278D, 48.8566D, 2.3522D) AS m").collect()(0).getDouble(0)
+    assert(math.abs(d - 343500) < 1500, s"got $d")
+    val ll = spark.sql("SELECT parse_lat_lon('48.85,2.35') AS p").collect()(0)
+      .getStruct(0)
+    assert(ll.getDouble(0) == 48.85 && ll.getDouble(1) == 2.35)
   }
 
   test("optimizer collapses unit_vec(unit_vec(x)) on non-foldable columns") {
