@@ -34,37 +34,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+    // minArgs/maxArgs: silently dropping extra args (or surfacing a bare
+    // IndexOutOfBounds on missing ones) would hide user errors — reject
+    // wrong arity with the function's own name and usage string.
+    def register(name: String, usage: String, minArgs: Int, maxArgs: Int)(
+        builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.catalyst.GraftExtensions", null, name, usage, ""),
-        builder))
+        exprs => {
+          if (exprs.length < minArgs || exprs.length > maxArgs)
+            throw new IllegalArgumentException(
+              s"$name expects ${if (minArgs == maxArgs) s"$minArgs" else s"$minArgs to $maxArgs"}" +
+                s" argument(s), got ${exprs.length}; usage: $usage")
+          builder(exprs)
+        }))
 
-    register("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array") {
+    register("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array", 1, 1) {
       exprs => SimHash64(exprs.head)
     }
-    register("dot_d", "dot_d(a, b) - dot product of two double arrays") {
+    register("dot_d", "dot_d(a, b) - dot product of two double arrays", 2, 2) {
       exprs => DotProductD(exprs(0), exprs(1))
     }
-    register("unit_vec", "unit_vec(v) - L2-normalize a float/double array to unit double array") {
+    register("unit_vec", "unit_vec(v) - L2-normalize a float/double array to unit double array", 1, 1) {
       exprs => UnitVector(exprs.head)
     }
     register("hyperplane_sketch",
-      "hyperplane_sketch(v, nBits[, seed]) - signed random-hyperplane LSH sketch") {
+      "hyperplane_sketch(v, nBits[, seed]) - signed random-hyperplane LSH sketch", 2, 3) {
       exprs => HyperplaneSketch64(exprs.head, litInt(exprs(1), "nBits"),
         if (exprs.length > 2) litLong(exprs(2), "seed") else 42L)
     }
     register("shingle_hashes",
-      "shingle_hashes(tokens, n) - sorted distinct 64-bit hashes of word n-gram shingles") {
+      "shingle_hashes(tokens, n) - sorted distinct 64-bit hashes of word n-gram shingles", 2, 2) {
       exprs => ShingleHashes(exprs.head, litInt(exprs(1), "n"))
     }
     register("minhash_sig",
-      "minhash_sig(shingleHashes, numPerms[, seed]) - MinHash signature array") {
+      "minhash_sig(shingleHashes, numPerms[, seed]) - MinHash signature array", 2, 3) {
       exprs => MinHashSig(exprs.head, litInt(exprs(1), "numPerms"),
         if (exprs.length > 2) litLong(exprs(2), "seed") else 42L)
     }
     register("intersect_count_sorted",
-      "intersect_count_sorted(a, b) - |A∩B| of two sorted distinct long arrays") {
+      "intersect_count_sorted(a, b) - |A∩B| of two sorted distinct long arrays", 2, 2) {
       exprs => IntersectCountSorted(exprs(0), exprs(1))
     }
 
@@ -73,7 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `SELECT lang_id(text), quality_score(text) FROM docs` with the
     // exact semantics of the oracle-checked column API (q31-q34).
     def registerComposed(name: String, usage: String)(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
-      register(name, usage)(exprs =>
+      register(name, usage, 1, 1)(exprs =>
         // eager conversion: the builder must hand the analyzer a plain
         // catalyst tree, not a lazy Column-node wrapper (see GraftBridge)
         org.apache.spark.sql.GraftBridge.expressionEager(f(Cols.column(exprs.head))))
@@ -85,14 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerComposed("lang_id", "lang_id(text) - n-gram/stopword language guess")(TextFunctions.langId)
     registerComposed("doc_fingerprint", "doc_fingerprint(text) - rolling polynomial hash")(TextFunctions.fingerprint)
     register("haversine_m",
-      "haversine_m(lat1, lon1, lat2, lon2) - great-circle distance in meters") { exprs =>
+      "haversine_m(lat1, lon1, lat2, lon2) - great-circle distance in meters", 4, 4) { exprs =>
       org.apache.spark.sql.GraftBridge.expressionEager(
         graft.functions.GeoFunctions.haversineMeters(
           Cols.column(exprs(0)), Cols.column(exprs(1)),
           Cols.column(exprs(2)), Cols.column(exprs(3))))
     }
     register("parse_lat_lon",
-      "parse_lat_lon(s) - parse 'lat,lon' string to struct<lat:double,lon:double>") { exprs =>
+      "parse_lat_lon(s) - parse 'lat,lon' string to struct<lat:double,lon:double>", 1, 1) { exprs =>
       org.apache.spark.sql.GraftBridge.expressionEager(
         graft.functions.GeoFunctions.parseLatLon(Cols.column(exprs.head)))
     }

@@ -183,10 +183,14 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("_id", "_y2"), col("_y") === col("_y2"))
         .select(col("_x").as("_id"), col("_rep"), lit(null).cast(repType).as("_prev"))
+      // cache: the jump self-join below consumes `propagated` twice —
+      // uncached, the whole edges-join + aggregation would execute twice
+      // per round (exchange reuse is not guaranteed under AQE)
       val propagated = labels.select(col("_id"), col("_rep"), col("_rep").as("_prev"))
         .unionByName(viaNeighbors)
         .groupBy("_id")
         .agg(min(col("_rep")).as("_rep"), max(col("_prev")).as("_prev"))
+        .cache()
       // pointer jump: _rep := _rep(_rep). Every rep value is itself a node
       // (labels start as self-ids and only node ids propagate), so the
       // lookup side is unique-keyed; left join guards the identity case.
@@ -196,6 +200,7 @@ object Dedup {
         .select(col("_id"), coalesce(col("_rrep"), col("_rep")).as("_rep"), col("_prev"))
         .localCheckpoint()
       val changed = next.filter(col("_rep") =!= col("_prev")).count() // scans checkpointed blocks only
+      propagated.unpersist()
       current.unpersist()
       current = next
       converged = changed == 0

@@ -188,12 +188,30 @@ class RateModulatedStream(conf: RateConf) extends MicroBatchStream with Supports
     if (conf.maxRecordsPerTrigger > 0) ReadLimit.maxRows(conf.maxRecordsPerTrigger)
     else ReadLimit.allAvailable()
 
+  // Memoized schedule walk: capped offsets are monotone across triggers,
+  // so the walker resumes from where the last call stopped instead of
+  // re-summing from second 0 every trigger (a days-old capped stream
+  // would otherwise pay millions of rateAt() steps per trigger).
+  private var walkSeconds = 0L
+  private var walkCum = 0L // invariant: walkCum == cumulative(walkSeconds)
+
   /** Smallest logical second s with cumulative(s) >= count. */
-  private def secondsCovering(count: Long): Long = {
-    var s = 0L
-    var cum = 0L
-    while (cum < count) { cum += conf.rateAt(s); s += 1 }
-    s
+  private def secondsCovering(count: Long): Long = synchronized {
+    if (count <= 0L) return 0L
+    if (count <= walkCum && walkSeconds > 0L) return walkSeconds // same/earlier trigger replay
+    var zeroStreak = 0L
+    while (walkCum < count) {
+      val r = conf.rateAt(walkSeconds)
+      walkCum += r
+      walkSeconds += 1
+      zeroStreak = if (r == 0L) zeroStreak + 1 else 0L
+      // a schedule stuck at rate 0 can never cover the offset (e.g. a
+      // checkpoint restored under changed zero-rate options) — fail
+      // instead of spinning the driver forever
+      if (zeroStreak > 10000000L) throw new IllegalStateException(
+        s"rate schedule cannot cover offset count $count (rate stuck at 0)")
+    }
+    walkSeconds
   }
 
   override def deserializeOffset(json: String): Offset = {
