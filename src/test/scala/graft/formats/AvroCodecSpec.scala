@@ -144,6 +144,36 @@ class AvroCodecSpec extends SparkSpec {
     assert(reg.getById(r.id).get.subject == "js-value")
   }
 
+  test("wire codec: a frame with an unregistered schema id fails with the id named") {
+    val reg = new SchemaRegistry
+    val r1 = reg.register("user-value", v1Json)
+    val encoded = Seq((1L, "alice")).toDF("id", "name")
+      .select(AvroFunctions.toAvroWire(struct(col("id"), col("name")), r1).as("payload"))
+    // decode against a registry snapshot that does NOT contain r1's id
+    val empty = new SchemaRegistry
+    empty.register("other-value", v2Json)
+    val e = intercept[Exception] {
+      encoded.select(graft.formats.AvroFunctions
+        .fromAvroWire(col("payload"), Map(999 -> v2Json), v2Json)).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains(s"schema id ${r1.id}"),
+      s"error must name the missing id: $messages")
+  }
+
+  test("registry: re-registering an identical schema after reload is idempotent") {
+    val reg = new SchemaRegistry
+    val r1 = reg.register("user-value", v1Json)
+    val f = java.io.File.createTempFile("registry-idem", ".tsv")
+    reg.save(f.getPath)
+    val loaded = SchemaRegistry.load(f.getPath)
+    val again = loaded.register("user-value", v1Json)
+    assert(again.id == r1.id && again.version == r1.version,
+      "identical schema must resolve to the restored registration, not a new version")
+    assert(loaded.versions("user-value") == Seq(1))
+  }
+
   test("avro schema converter: struct -> avro -> struct round-trip") {
     val st = StructType(Seq(
       StructField("a", LongType, nullable = false),
