@@ -1,0 +1,20 @@
+package graft
+
+/** The driver contract itself: entry() returns rows on sf0.001 (the
+  * driver's smoke check), every gate query has a runnable builder, and
+  * every oracle key references a real query. */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry() flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query builder") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("gate inventory: 58 queries, unique names") {
+    assert(SparkEntry.queries.size == 58)
+  }
+}
