@@ -178,38 +178,45 @@ object Dedup {
     val repType = current.schema("_rep").dataType
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
-      val labels = current.select("_id", "_rep")
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("_id", "_y2"), col("_y") === col("_y2"))
-        .select(col("_x").as("_id"), col("_rep"), lit(null).cast(repType).as("_prev"))
-      // cache: the jump self-join below consumes `propagated` twice —
-      // uncached, the whole edges-join + aggregation would execute twice
-      // per round (exchange reuse is not guaranteed under AQE)
-      val propagated = labels.select(col("_id"), col("_rep"), col("_rep").as("_prev"))
-        .unionByName(viaNeighbors)
-        .groupBy("_id")
-        .agg(min(col("_rep")).as("_rep"), max(col("_prev")).as("_prev"))
-        .cache()
-      // pointer jump: _rep := _rep(_rep). Every rep value is itself a node
-      // (labels start as self-ids and only node ids propagate), so the
-      // lookup side is unique-keyed; left join guards the identity case.
-      val next = propagated
-        .join(propagated.select(col("_id").as("_rid"), col("_rep").as("_rrep")),
-          col("_rep") === col("_rid"), "left")
-        .select(col("_id"), coalesce(col("_rrep"), col("_rep")).as("_rep"), col("_prev"))
-        .localCheckpoint()
-      val changed = next.filter(col("_rep") =!= col("_prev")).count() // scans checkpointed blocks only
-      propagated.unpersist()
-      current.unpersist()
-      current = next
-      converged = changed == 0
-      round += 1
-    }
-    edges.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxRounds rounds " +
-        "(graph diameter exceeds the cap); raise maxRounds")
+    // try/finally so a failure path (round-cap throw, or any exception
+    // mid-round) releases every cached/checkpointed block instead of
+    // leaking it for the session's lifetime
+    try {
+      while (!converged && round < maxRounds) {
+        val labels = current.select("_id", "_rep")
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("_id", "_y2"), col("_y") === col("_y2"))
+          .select(col("_x").as("_id"), col("_rep"), lit(null).cast(repType).as("_prev"))
+        // cache: the jump self-join below consumes `propagated` twice —
+        // uncached, the whole edges-join + aggregation would execute twice
+        // per round (exchange reuse is not guaranteed under AQE)
+        val propagated = labels.select(col("_id"), col("_rep"), col("_rep").as("_prev"))
+          .unionByName(viaNeighbors)
+          .groupBy("_id")
+          .agg(min(col("_rep")).as("_rep"), max(col("_prev")).as("_prev"))
+          .cache()
+        try {
+          // pointer jump: _rep := _rep(_rep). Every rep value is itself a node
+          // (labels start as self-ids and only node ids propagate), so the
+          // lookup side is unique-keyed; left join guards the identity case.
+          val next = propagated
+            .join(propagated.select(col("_id").as("_rid"), col("_rep").as("_rrep")),
+              col("_rep") === col("_rid"), "left")
+            .select(col("_id"), coalesce(col("_rrep"), col("_rep")).as("_rep"), col("_prev"))
+            .localCheckpoint()
+          val changed = next.filter(col("_rep") =!= col("_prev")).count() // scans checkpointed blocks only
+          current.unpersist()
+          current = next
+          converged = changed == 0
+          round += 1
+        } finally propagated.unpersist()
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(graph diameter exceeds the cap); raise maxRounds")
+    } catch {
+      case t: Throwable => current.unpersist(); throw t
+    } finally edges.unpersist()
     current.select(col("_id").as("id"), col("_rep").as("rep"))
   }
 

@@ -45,8 +45,11 @@ object StreamingQueries {
     raw.withColumn("ts", tsNorm)
   }
 
-  /** Drain a streaming DataFrame through a memory sink and return the
-    * materialized result table.
+  /** Dedicated child session for the streaming gates: shares the
+    * SparkContext, shared state, and extensions with the parent but owns
+    * its OWN conf, so pinning shuffle partitions low here can never leak
+    * into queries planned concurrently on the parent session (parallel
+    * test suites, a future concurrent gate runner).
     *
     * Shuffle partitions are pinned low for the stream's lifetime: a
     * streaming query materializes ONE state store (+ per-batch commit) per
@@ -55,50 +58,60 @@ object StreamingQueries {
     * bounded gates. 8 keeps semantics identical — state partitioning is an
     * implementation detail — while cutting state-store overhead 4×. (A
     * real deployment sizes this to key cardinality, not gate latency.) */
-  private def drain(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  private def streamSession(parent: SparkSession): SparkSession = {
+    val ns = parent.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    ns
+  }
+
+  /** Drain a streaming DataFrame through a memory sink and return the
+    * materialized result table (registered in the DataFrame's own —
+    * child — session). */
+  private def drain(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_q_${counter.incrementAndGet()}"
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
   }
 
   // Streaming twin of q05: tumbling 10-minute windows (complete mode —
   // every window in the bounded stream, same rows as the batch query).
-  def q27StreamTumbling(s: SparkSession, d: String): DataFrame =
-    drain(s,
+  def q27StreamTumbling(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    drain(
       StreamOps.tumblingAgg(eventsStream(s, d), "ts", "10 minutes", "0 seconds",
         Seq(col("event_type")),
         Seq(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents")))
         .select(TimeFunctions.canonical(col("w.start")).as("window_start"),
           col("event_type"), col("n"), col("value_cents")),
       "complete")
+  }
 
   // Streaming twin of q09: stream-static broadcast enrichment + aggregation.
-  def q28StreamEnrich(s: SparkSession, d: String): DataFrame =
-    drain(s,
+  def q28StreamEnrich(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    drain(
       StreamOps.enrich(eventsStream(s, d), Tables.customer(s, d),
           col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents")),
       "complete")
+  }
 
   // Streaming twin of q10: the compacted-topic view kept by
   // mapGroupsWithState (C9 streaming side). The bounded stream arrives as
   // ONE AvailableNow batch (single source file), so the update-mode output
   // is exactly one latest row per key — the same rows as the batch
   // latest-by-key aggregate.
-  def q29StreamLatestByKey(s: SparkSession, d: String): DataFrame = {
+  def q29StreamLatestByKey(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val e = eventsStream(s, d).withColumn("ts", date_trunc("second", col("ts")))
       // encode the (ts, event_id) compaction order as one orderable column:
       // epoch-seconds * 2^32 + event_id (epoch < 2^31 keeps this in Long range)
       .withColumn("_ord", unix_timestamp(col("ts")) * lit(4294967296L) + col("event_id"))
     val latest = graft.streaming.StreamOps.latestByKeyStream(e, "user_id", "_ord")
-    drain(s, latest, "update")
+    drain(latest, "update")
       .select(col("user_id"), col("event_id"), col("event_type"),
         TimeFunctions.canonical(col("ts")).as("ts_s"),
         Portable.cents(col("value")).as("value_cents"))
@@ -111,7 +124,8 @@ object StreamingQueries {
   // the only mode a stream-stream join supports); the small per-type
   // rollup runs on the drained match table, keeping the gate comparable
   // to q36's oracle without chaining a second stateful operator.
-  def q39StreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+  def q39StreamIntervalJoin(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val a = eventsStream(s, d).select(col("user_id"), col("event_id").as("id_a"),
       col("ts").as("ts_a"), col("event_type").as("type_a"))
     val b = eventsStream(s, d).select(col("user_id").as("uid_b"), col("event_id").as("id_b"),
@@ -124,7 +138,7 @@ object StreamingQueries {
     // State-EXPIRY behavior is exercised in StreamingSpec, not here.
     val joined = StreamOps.intervalJoin(a, "ts_a", "30 days", b, "ts_b", "30 days",
       col("user_id") === col("uid_b") && col("id_a") =!= col("id_b"), "10 minutes")
-    drain(s, joined.select("type_a", "id_a", "id_b"), "append")
+    drain(joined.select("type_a", "id_a", "id_b"), "append")
       .groupBy("type_a")
       .agg(count(lit(1)).as("n_matches"),
         countDistinct(col("id_a")).as("n_events_matched"),
@@ -136,30 +150,34 @@ object StreamingQueries {
   // StreamOps.dedupStream drops duplicates on (event_id, ts) within the
   // watermark. The per-type rollup must equal the plain (un-doubled)
   // table's: one surviving copy per event, none lost.
-  def q49StreamDedup(s: SparkSession, d: String): DataFrame = {
+  def q49StreamDedup(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val doubled = eventsStream(s, d).unionByName(eventsStream(s, d))
     // Watermark sized to the table span (see q39): with two independent
     // file reads, a copy landing in a later micro-batch than its twin
     // must still be recognized as a duplicate, not dropped as late.
     val deduped = StreamOps.dedupStream(doubled, "ts", "30 days", Seq("event_id"))
-    drain(s, deduped.select("event_type", "event_id", "value"), "append")
+    drain(deduped.select("event_type", "event_id", "value"), "append")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents"))
   }
 
   // Streaming twin of q06: hopping windows.
-  def q38StreamHopping(s: SparkSession, d: String): DataFrame =
-    drain(s,
+  def q38StreamHopping(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    drain(
       StreamOps.hoppingAgg(eventsStream(s, d), "ts", "10 minutes", "5 minutes", "0 seconds",
         Seq(col("event_type")), Seq(count(lit(1)).as("n")))
         .select(TimeFunctions.canonical(col("w.start")).as("window_start"),
           col("event_type"), col("n")),
       "complete")
+  }
 
   // Streaming twin of q07: session windows (gap-merged state) — the
   // hardest window type to keep incrementally; same oracle as batch.
-  def q37StreamSession(s: SparkSession, d: String): DataFrame =
-    drain(s,
+  def q37StreamSession(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    drain(
       StreamOps.sessionAgg(
         eventsStream(s, d).withColumn("ts", date_trunc("second", col("ts"))),
         "ts", "5 minutes", "0 seconds",
@@ -170,6 +188,7 @@ object StreamingQueries {
           TimeFunctions.canonical(col("w.end")).as("session_end"),
           col("n"), col("value_cents")),
       "complete")
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_stream_tumbling" -> q27StreamTumbling,

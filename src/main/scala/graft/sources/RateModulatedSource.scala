@@ -144,7 +144,13 @@ class RateModulatedStream(conf: RateConf) extends MicroBatchStream with Supports
 
   private def observe(o: Offset): Offset = {
     val c = o.asInstanceOf[CountOffset]
-    synchronized { if (c.seconds > highWater.seconds || c.count > highWater.count) highWater = c }
+    // merge per FIELD, not per offset: an offset that advances only one
+    // field (e.g. a restored legacy count-only checkpoint) must never drag
+    // the other field backwards, or latestOffset could plan end < start
+    synchronized {
+      highWater = CountOffset(
+        math.max(c.count, highWater.count), math.max(c.seconds, highWater.seconds))
+    }
     o
   }
 
@@ -216,7 +222,12 @@ class RateModulatedStream(conf: RateConf) extends MicroBatchStream with Supports
 
   override def deserializeOffset(json: String): Offset = {
     val parts = json.split(":", 2)
-    observe(CountOffset(parts(0).toLong, if (parts.length > 1) parts(1).toLong else 0L))
+    val count = parts(0).toLong
+    // a legacy count-only offset carries no clock; derive it from the
+    // schedule so the count == cumulative(seconds) invariant holds on
+    // upgrade instead of restoring seconds = 0 under a wound-up count
+    val seconds = if (parts.length > 1) parts(1).toLong else secondsCovering(count)
+    observe(CountOffset(count, seconds))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

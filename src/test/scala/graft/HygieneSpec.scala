@@ -1,0 +1,27 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo hygiene: no Scala source may contain raw control characters.
+  * A literal NUL (or any C0 control) byte in a string literal makes git
+  * classify the file as binary, so its diffs/blame/grep go dark — write
+  * `backslash-u0000` escapes instead (advisor finding, round 3).
+  */
+class HygieneSpec extends AnyFunSuite {
+
+  test("no .scala source contains raw control characters") {
+    val offenders = Files.walk(Paths.get("src")).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
+      .filter { p =>
+        val bytes = Files.readAllBytes(p)
+        bytes.exists(b => b >= 0 && b < 0x20 && b != '\n' && b != '\t' && b != '\r')
+      }
+      .map(_.toString).toList
+    assert(offenders.isEmpty,
+      s"raw control characters (git-binary trap) in: ${offenders.mkString(", ")}")
+  }
+}
