@@ -135,26 +135,44 @@ object Similarity {
     * equi-join key — a tiled self-join. Per-task memory is bounded by two
     * blocks (2N/blocks rows), the B(B+1)/2 tiles spread evenly across
     * executors, replication per row is ≤ blocks+1, and the dot product
-    * stays a codegen'd filter. Approximate-at-scale variants (LSH bands /
-    * IVF candidates + exact verify) are [[lshTopK]]/[[ivfTopK]]; this
-    * operator is the exact contract.
+    * stays a codegen'd filter. `blocks <= 0` (the default) derives the
+    * tile count from corpus size via [[deriveBlocks]], so the memory
+    * bound holds without the caller knowing the formula. The
+    * approximate-at-scale sibling with the same output contract is
+    * [[cosineNearDupCandidates]]; this operator is the exact contract.
     */
+  /** Tile block count for [[cosineNearDupPairs]] when the caller doesn't
+    * pass one: large enough that a task's two blocks of unit vectors fit
+    * a 64 MB budget (B >= 2·N·d·8B / budget), floored at √(2·parallelism)
+    * so the B(B+1)/2 tiles can occupy every core, capped at 4096 (per-row
+    * replication is <= B+1). The sizing scan is one count+dim aggregate —
+    * noise next to the O(N²) verify it sizes. */
+  private def deriveBlocks(emb: DataFrame, vecCol: String): Int = {
+    val row = emb.select(count(lit(1)).as("n"), max(size(col(vecCol))).as("d")).head()
+    val n = row.getLong(0)
+    val d = if (row.isNullAt(1)) 0L else row.getInt(1).toLong
+    val taskBudgetBytes = 64L << 20
+    val memBlocks = math.ceil(2.0 * n * d * 8.0 / taskBudgetBytes).toLong
+    val spread = math.ceil(math.sqrt(2.0 * emb.sparkSession.sparkContext.defaultParallelism)).toLong
+    math.max(1L, math.min(math.max(memBlocks, spread), 4096L)).toInt
+  }
+
   def cosineNearDupPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       minSim: Double,
-      blocks: Int = 8): DataFrame = {
-    require(blocks >= 1, "blocks >= 1")
+      blocks: Int = 0): DataFrame = {
+    val nBlocks = if (blocks >= 1) blocks else deriveBlocks(emb, vecCol)
     val v = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
-      .withColumn("_blk", pmod(xxhash64(col("_id")), lit(blocks)).cast("int"))
+      .withColumn("_blk", pmod(xxhash64(col("_id")), lit(nBlocks)).cast("int"))
     // left side owns tiles (its block, j >= its block); right side owns
     // (i <= its block, its block): tile (i,j) then holds exactly
     // block-i rows on the left and block-j rows on the right, so every
     // unordered pair meets in exactly one tile (twice when i == j, once
     // in each id order — the id_a < id_b guard on the diagonal keeps one).
     val a = v.select(col("_id").as("id_a"), col("_v").as("_va"), col("_blk").as("_ti"))
-      .withColumn("_tj", explode(sequence(col("_ti"), lit(blocks - 1))))
+      .withColumn("_tj", explode(sequence(col("_ti"), lit(nBlocks - 1))))
     val b = v.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_blk").as("_tj"))
       .withColumn("_ti", explode(sequence(lit(0), col("_tj"))))
     a.join(b, Seq("_ti", "_tj"))
@@ -163,6 +181,86 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
+  }
+
+  /** Candidate id pairs for [[cosineNearDupCandidates]]: unordered (idA <
+    * idB) pairs agreeing on at least one sketch band. Exposed separately so
+    * the prune factor (candidates / all pairs) is measurable in the spec.
+    *
+    * Each of `sketchSeeds` independent `nBits`-bit hyperplane sketches is
+    * split into `bands` bands of nBits/bands bits; a pair is a candidate
+    * iff some band of some sketch matches exactly — one equi-join on
+    * (band index, band value) per the whole family (band index spans
+    * seeds × bands, so buckets from different bands/seeds never mix).
+    * Band rows carry only (id, band key) — never the vectors — so the
+    * explode multiplies shuffle bytes by bands × seeds over IDS, not
+    * over the d-dimensional arrays. */
+  def cosineBandCandidates(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nBits: Int,
+      bands: Int,
+      sketchSeeds: Seq[Long]): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, "nBits in [1, 64]")
+    require(bands >= 1 && nBits % bands == 0, "bands must divide nBits")
+    require(sketchSeeds.nonEmpty, "at least one sketch seed")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1L
+    val unit = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
+    // one sketch column per seed (computed once per row), then all
+    // seeds × bands band values in a single posexplode
+    val sketched = sketchSeeds.zipWithIndex.foldLeft(unit) { case (df, (seed, i)) =>
+      df.withColumn(s"_sk$i", VectorExprs.hyperplaneSketch(col("_v"), nBits, seed))
+    }
+    val bandCols = sketchSeeds.indices.flatMap { i =>
+      (0 until bands).map { b =>
+        shiftrightunsigned(col(s"_sk$i"), b * bandBits).bitwiseAND(lit(mask))
+      }
+    }
+    val banded = sketched.select(col("_id"),
+      posexplode(array(bandCols: _*)).as(Seq("_bk", "_bv")))
+    val a = banded.select(col("_bk"), col("_bv"), col("_id").as("id_a"))
+    val b = banded.select(col("_bk"), col("_bv"), col("_id").as("id_b"))
+    a.join(b, Seq("_bk", "_bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Approximate-candidates + exact-verify sibling of
+    * [[cosineNearDupPairs]] — the 100-TB path for embedding near-dup.
+    *
+    * Pipeline: hyperplane band candidates ([[cosineBandCandidates]]) →
+    * re-attach unit vectors → codegen dot verify → threshold. Output rows
+    * are a SUBSET of the exact operator's (verify admits no false
+    * positives); recall is governed by the banding: a pair at cosine s
+    * survives with probability 1 - (1 - p^w)^B over the whole family
+    * (p = 1 - acos(s)/π per bit, w = nBits/bands, B = bands × seeds).
+    *
+    * Scale shape: candidates grow ~N^(1+ρ) with ρ = ln(p₁)/ln(½) < 1
+    * (sub-quadratic; ρ ≈ 0.62 at minSim 0.45, far lower at real near-dup
+    * thresholds ≥ 0.8), and every stage is an equi-join/agg — no tile
+    * explosion, no BNLJ. At LOW thresholds the per-pair miss bound is
+    * weak, so the defaults are workload-tuned and recall is MEASURED, not
+    * assumed: SimilaritySpec asserts recall 1.0 vs the exact pair set at
+    * the gate parameters on the gate data, and the q56 gate cross-checks
+    * the full output against q44's DuckDB oracle. */
+  def cosineNearDupCandidates(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSim: Double,
+      nBits: Int = 60,
+      bands: Int = 10,
+      sketchSeeds: Seq[Long] = Seq(42L, 43L, 44L)): DataFrame = {
+    val unit = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
+    cosineBandCandidates(emb, idCol, vecCol, nBits, bands, sketchSeeds)
+      .join(unit.select(col("_id").as("id_a"), col("_v").as("_va")), Seq("id_a"))
+      .join(unit.select(col("_id").as("id_b"), col("_v").as("_vb")), Seq("id_b"))
+      .withColumn("sim", cosineOfUnits("_va", "_vb"))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "sim")
   }
 
   private def topKBySim(scored: DataFrame, k: Int): DataFrame =
