@@ -8,17 +8,22 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
   * `binary` columns with typed metadata, and per-batch "decode / feature
   * extract" runs as a partition-parallel transform (LLM-pipeline surface).
   *
-  * The actual media codecs are NOT in this container, so the decode kernel
-  * is a clearly-marked deterministic fake ([[fakeDecode]]); everything
-  * around it — schema, batching, partition parallelism, metadata extraction
-  * — is real and is what matters at 100 TB (the codec is a per-row black
-  * box either way).
+  * The image path uses a REAL codec: `javax.imageio` (in every JRE)
+  * encodes/decodes 8-bit grayscale PNGs, and [[resizeImage]] is a real
+  * nearest-neighbor resampler over the decoded raster. Payloads are
+  * synthesized ([[synthImageTable]]) because no external media ships in
+  * the container — but synthesized DETERMINISTICALLY from arithmetic on
+  * `doc_id`, so the decoded statistics (width/height/mean luma, before and
+  * after resize) are oracle-checkable in plain SQL: the gate proves the
+  * codec round-trip, not just the plumbing. Audio/video remain opaque
+  * binary + metadata/frame-slicing plumbing ([[metadata]], [[frameSample]]).
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
-  case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
-      header_hex: String, content_hash: Long, feature: Double)
+  case class ImageRecord(doc_id: Long, payload: Array[Byte])
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int, mean_luma: Double,
+      rz_width: Int, rz_height: Int, rz_mean_luma: Double)
 
   /** Wrap a text corpus as a binary "media" table: payload = utf-8 bytes,
     * modality assigned deterministically. Stands in for reading real blobs

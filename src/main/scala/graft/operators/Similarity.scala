@@ -19,6 +19,15 @@ object Similarity {
   private def cosineOfUnits(qv: String, cv: String) =
     round(VectorExprs.dotD(col(qv), col(cv)), 5)
 
+  /** Low-`bandBits` mask of a 64-bit sketch. JVM long shifts are mod 64, so
+    * `(1L << 64) - 1L` would be 0 — a full-width band masks with -1L
+    * (all 64 bits) instead of silently collapsing every band value to 0
+    * (which would put ALL rows in one bucket: still correct after verify,
+    * but O(N²) candidates — the scale contract broken without a test
+    * noticing). */
+  private def bandMask(bandBits: Int): Long =
+    if (bandBits >= 64) -1L else (1L << bandBits) - 1L
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self-match excluded).
     *
@@ -60,7 +69,7 @@ object Similarity {
       bands: Int = 4): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val bandBits = nBits / bands
-    val mask = (1L << bandBits) - 1L
+    val mask = bandMask(bandBits)
     def banded(df: DataFrame, id: String, vec: String): DataFrame =
       df.withColumn("_sk", VectorExprs.hyperplaneSketch(col(vec), nBits))
         .select(col(id), col(vec),
@@ -206,7 +215,7 @@ object Similarity {
     require(bands >= 1 && nBits % bands == 0, "bands must divide nBits")
     require(sketchSeeds.nonEmpty, "at least one sketch seed")
     val bandBits = nBits / bands
-    val mask = (1L << bandBits) - 1L
+    val mask = bandMask(bandBits)
     val unit = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
     // one sketch column per seed (computed once per row), then all
     // seeds × bands band values in a single posexplode
@@ -238,21 +247,26 @@ object Similarity {
     * survives with probability 1 - (1 - p^w)^B over the whole family
     * (p = 1 - acos(s)/π per bit, w = nBits/bands, B = bands × seeds).
     *
-    * Scale shape: candidates grow ~N^(1+ρ) with ρ = ln(p₁)/ln(½) < 1
+    * Scale shape: candidates grow ~N^(1+ρ) with ρ = ln(1/p₁)/ln(1/p₂) < 1
     * (sub-quadratic; ρ ≈ 0.62 at minSim 0.45, far lower at real near-dup
     * thresholds ≥ 0.8), and every stage is an equi-join/agg — no tile
     * explosion, no BNLJ. At LOW thresholds the per-pair miss bound is
-    * weak, so the defaults are workload-tuned and recall is MEASURED, not
-    * assumed: SimilaritySpec asserts recall 1.0 vs the exact pair set at
-    * the gate parameters on the gate data, and the q56 gate cross-checks
-    * the full output against q44's DuckDB oracle. */
+    * weak, so the defaults are workload-tuned for recall at the q44 gate
+    * threshold: 3-bit bands × 60 total give per-pair miss
+    * (1 − p³)⁶⁰ ≈ 5e-9 at cosine 0.45 (p ≈ 0.649) — and recall is
+    * MEASURED, not assumed: SimilaritySpec asserts recall 1.0 vs
+    * [[cosineNearDupPairs]]' exact pair set at these defaults on the gate
+    * data, and gate q56 cross-checks the full output against the same
+    * DuckDB all-pairs oracle as q44. The narrow bands trade prune factor
+    * for recall — at tight thresholds (≥ 0.8) wider bands (e.g. bands=10,
+    * 6-bit) prune far harder; SimilaritySpec measures that knob too. */
   def cosineNearDupCandidates(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       minSim: Double,
       nBits: Int = 60,
-      bands: Int = 10,
+      bands: Int = 20,
       sketchSeeds: Seq[Long] = Seq(42L, 43L, 44L)): DataFrame = {
     val unit = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
     cosineBandCandidates(emb, idCol, vecCol, nBits, bands, sketchSeeds)

@@ -38,6 +38,15 @@ object DedupQueries {
   def q44EmbedNearDup(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
 
+  // The 100-TB sibling of q44: banded-hyperplane CANDIDATES + exact-dot
+  // verify instead of the tiled all-pairs join. Verify admits no false
+  // positives and the band family is tuned for ~5e-9 per-pair miss at the
+  // 0.45 threshold, so the output must EQUAL the exact pair set — it is
+  // cross-checked against the same DuckDB all-pairs oracle as q44 (recall
+  // additionally asserted vs the exact operator in SimilaritySpec).
+  def q56EmbedNearDupCand(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupCandidates(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+
   // Near-dup clusters: connected components over the exact Jaccard >= 0.4
   // pair graph; every clustered doc mapped to its minimum-id representative
   // (the keep-one-copy step of the dedup pipeline).
@@ -86,13 +95,23 @@ object DedupQueries {
     "q44_embed_neardup" -> q44EmbedNearDup,
     "q45_dedup_clusters" -> q45DedupClusters,
     "q46_curation_pipeline" -> q46CurationPipeline,
-    "q55_embed_clusters" -> q55EmbedClusters)
+    "q55_embed_clusters" -> q55EmbedClusters,
+    "q56_embed_neardup_cand" -> q56EmbedNearDupCand)
 
   /** Word n-gram distinct shingle list in DuckDB. */
   private def shinglesSql(n: Int) =
     s"""list_distinct(list_transform(
          generate_series(1, greatest(len(string_split(trim(text),' ')) - ${n - 1}, 0)),
          i -> array_to_string(string_split(trim(text),' ')[i:i+${n - 1}], ' ')))"""
+
+  /** Brute-force cosine pair set at >= 0.45 — the shared oracle for the
+    * exact (q44) and candidates+verify (q56) operators. */
+  private val cosinePairsOracleSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 5) AS sim
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45"""
 
   private def jaccardPairsSql(n: Int, thr: Double) =
     s"""WITH sh AS (SELECT doc_id, ${shinglesSql(n)} AS s FROM documents)
@@ -129,12 +148,10 @@ object DedupQueries {
            CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.h, b.h)) <= 3""",
-    "q44_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.v, b.v), 5) AS sim
-         FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45""",
+    "q44_embed_neardup" -> cosinePairsOracleSql,
+    // q56's candidates+verify path must reproduce the exact pair set —
+    // same oracle as q44 by design.
+    "q56_embed_neardup_cand" -> cosinePairsOracleSql,
     "q45_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
           pairs AS (

@@ -14,13 +14,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class HygieneSpec extends AnyFunSuite {
 
   test("no .scala source contains raw control characters") {
-    val offenders = Files.walk(Paths.get("src")).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
-      .filter { p =>
-        val bytes = Files.readAllBytes(p)
-        bytes.exists(b => b >= 0 && b < 0x20 && b != '\n' && b != '\t' && b != '\r')
-      }
-      .map(_.toString).toList
+    // anchor on this spec's own compiled source path, not the process CWD
+    // (a runner started elsewhere would otherwise scan nothing and pass
+    // vacuously); walk stream closed so directory handles don't leak.
+    val src = Iterator.iterate(Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).map(_.resolve("src")).find(Files.isDirectory(_))
+      .getOrElse(fail("no src/ directory found above user.dir — cannot scan sources"))
+    val walk = Files.walk(src)
+    val offenders =
+      try {
+        walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
+          .filter { p =>
+            val bytes = Files.readAllBytes(p)
+            bytes.exists(b => b >= 0 && b < 0x20 && b != '\n' && b != '\t' && b != '\r')
+          }
+          .map(_.toString).toList
+      } finally walk.close()
     assert(offenders.isEmpty,
       s"raw control characters (git-binary trap) in: ${offenders.mkString(", ")}")
   }

@@ -50,6 +50,15 @@ class PlanSpec extends SparkSpec {
       "normalization leaked into the join condition: evaluated N² times instead of N")
   }
 
+  test("q56 banded near-dup: band equi-join only — no BNL/cartesian, band keys joined") {
+    val p = plan(DedupQueries.q56EmbedNearDupCand(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate generation degenerated to N²")
+    assert(!p.contains("CartesianProduct"))
+    val keyLines = p.linesIterator.filter(_.contains("keys [")).mkString("\n")
+    assert(keyLines.contains("_bk") && keyLines.contains("_bv"),
+      s"candidate join keys must be the (band index, band value) pair, got:\n$keyLines")
+  }
+
   test("q36 interval join: time bucket rides the equi-join key — no bare-key self-join") {
     val p = plan(RelationalQueries.q36IntervalJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
