@@ -20,7 +20,6 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
   */
 object Multimodal {
 
-  case class MediaRecord(doc_id: Long, modality: String, payload: Array[Byte])
   case class ImageRecord(doc_id: Long, payload: Array[Byte])
   case class ImageFeatures(doc_id: Long, width: Int, height: Int, mean_luma: Double,
       rz_width: Int, rz_height: Int, rz_mean_luma: Double)
@@ -35,35 +34,97 @@ object Multimodal {
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
       col(textCol).cast("binary").as("payload"))
 
-  /** STUB decode kernel — deterministic fake standing in for a real codec
-    * (e.g. JPEG decode + embedding). Signature and per-partition batch shape
-    * are the real contract; the body would be replaced by a native library
-    * call. */
-  def fakeDecode(payload: Array[Byte]): Double = {
-    // ??? real codec goes here; deterministic fake: mean byte value.
-    if (payload.isEmpty) 0.0 else payload.map(_ & 0xff).sum.toDouble / payload.length
+  /** Deterministic test image for `doc_id`: an 8-bit grayscale raster whose
+    * dimensions and pixel values are pure arithmetic on the id —
+    * `w = 8 + id%7`, `h = 8 + id%5`, `luma(x,y) = (id*7 + x*5 + y*3) % 256`
+    * — so every statistic a decoder recovers is replayable in plain SQL.
+    * Grayscale PNG is lossless, so the codec round-trip must be bit-exact. */
+  private[operators] def imageDims(id: Long): (Int, Int) =
+    (8 + (id % 7).toInt, 8 + (id % 5).toInt)
+
+  private[operators] def imageLuma(id: Long, x: Int, y: Int): Int =
+    ((id * 7 + x * 5 + y * 3) % 256).toInt
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Partition-parallel decode: the Dataset[T] analog of a Pandas-UDF
-    * `mapInPandas` — one JVM call per partition, rows streamed through the
-    * kernel, no per-row UDF dispatch overhead. */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  private[operators] def synthPng(id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) raster.setSample(x, y, 0, imageLuma(id, x, y))
+    encodePng(img)
+  }
+
+  /** PNG-encode one deterministic image per document — the "read a blob
+    * column" stand-in (at scale: parquet binary columns or object-store
+    * pointers). Encoding runs partition-parallel on executors; only ids
+    * ride the wire in. */
+  def synthImageTable(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    media.select("doc_id", "modality", "payload").as[MediaRecord]
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => ImageRecord(id, synthPng(id))))
+      .toDF()
+  }
+
+  /** REAL image decode + feature extraction, partition-parallel (the
+    * Dataset analog of a Pandas-UDF `mapInPandas`: one JVM call per
+    * partition, rows streamed through the kernel, no per-row UDF dispatch).
+    * Each payload is decoded with `javax.imageio`, per-pixel mean luma is
+    * computed from the raster, then the raster is resized with
+    * [[resizeImage]] (factor 2) and re-decoded — so the emitted columns
+    * prove a full encode→decode→resample→encode→decode round-trip, and
+    * all of them are oracle-checked against the SQL replay of the
+    * generator arithmetic (gate q61). */
+  def decodeImageFeatures(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[ImageRecord]
       .mapPartitions { it =>
         it.map { r =>
-          val header = r.payload.take(6).map(b => f"${b & 0xff}%02X").mkString
-          MediaFeatures(
-            doc_id = r.doc_id,
-            modality = r.modality,
-            n_bytes = r.payload.length,
-            header_hex = header,
-            content_hash = java.lang.Long.parseLong(
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(r.payload).map(b => f"${b & 0xff}%02x").mkString.take(15), 16),
-            feature = fakeDecode(r.payload))
+          val img = decodeGray(r.payload)
+          val rz = decodeGray(resizeImage(r.payload, 2))
+          ImageFeatures(r.doc_id,
+            img.getWidth, img.getHeight, meanLuma(img),
+            rz.getWidth, rz.getHeight, meanLuma(rz))
         }
       }
+  }
+
+  private def decodeGray(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    img
+  }
+
+  /** Integer pixel sum divided once in double — a single IEEE-754 division
+    * of two exact integers, so the oracle's `CAST(sum AS DOUBLE)/(w*h)`
+    * reproduces it bit-for-bit (no rounding-tie hazard). */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    val raster = img.getRaster
+    var sum = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      sum += raster.getSample(x, y, 0)
+    sum.toDouble / (img.getWidth.toLong * img.getHeight)
+  }
+
+  /** REAL image resize: decode, nearest-neighbor resample (output pixel
+    * (x,y) takes source pixel (x*factor, y*factor); output dims
+    * ceil(dim/factor)), re-encode as PNG. Nearest-neighbor is chosen over
+    * interpolating kernels because it is exactly reproducible — the gate
+    * oracle replays the sampled grid in SQL. Same partition-parallel
+    * per-row contract as [[decodeImageFeatures]]'s kernel. */
+  def resizeImage(payload: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, "factor >= 1")
+    val src = decodeGray(payload)
+    val (w, h) = ((src.getWidth + factor - 1) / factor, (src.getHeight + factor - 1) / factor)
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val (sr, or) = (src.getRaster, out.getRaster)
+    for (y <- 0 until h; x <- 0 until w)
+      or.setSample(x, y, 0, sr.getSample(x * factor, y * factor, 0))
+    encodePng(out)
   }
 
   /** Frame sampling: split a binary payload into fixed-size frames and
@@ -82,14 +143,6 @@ object Multimodal {
           i => substring(col("payload"), (i * frameSize + 1).cast("int"), lit(frameSize))))
           .as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % everyK === 0)
-  }
-
-  /** STUB resize kernel: deterministic byte-stride downsample standing in
-    * for an image resize (every `factor`-th byte). Same partition-parallel
-    * contract as [[decodeFeatures]]. */
-  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
-    // ??? real resize goes here; deterministic fake keeps every factor-th byte.
-    payload.indices.collect { case i if i % factor == 0 => payload(i) }.toArray
   }
 
   /** Column-only metadata extraction (no kernel boundary) — what a pure

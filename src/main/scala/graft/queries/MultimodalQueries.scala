@@ -14,9 +14,14 @@ object MultimodalQueries {
     Multimodal.metadata(
       Multimodal.synthMediaTable(Tables.documents(s, d), "doc_id", "text"))
 
+  // Real codec round-trip: deterministic grayscale PNGs are encoded AND
+  // decoded with javax.imageio, resized (nearest-neighbor) and re-decoded;
+  // the oracle replays the generator arithmetic in SQL, so width/height/
+  // mean-luma (original and resized) are fully hash-checked — the gate
+  // proves the codec, not just the binary plumbing.
   def q61MultimodalDecode(s: SparkSession, d: String): DataFrame =
-    Multimodal.decodeFeatures(s,
-      Multimodal.synthMediaTable(Tables.documents(s, d), "doc_id", "text")).toDF()
+    Multimodal.decodeImageFeatures(s,
+      Multimodal.synthImageTable(s, Tables.documents(s, d), "doc_id")).toDF()
 
   // Frame sampling over binary payloads: 32-byte "frames", every 4th kept.
   // Pure-Catalyst slicing → DuckDB replicates it exactly (oracle-checked).
@@ -36,6 +41,32 @@ object MultimodalQueries {
     "q62_multimodal_frames" -> q62MultimodalFrames)
 
   val oracles: Map[String, String] = Map(
+    // Replays the image-generator arithmetic (w = 8 + id%7, h = 8 + id%5,
+    // luma(x,y) = (id*7 + 5x + 3y) % 256; resize samples even (x,y)):
+    // matching this PROVES imageio encode→decode→resample round-trips the
+    // exact raster.
+    "q61_multimodal_decode" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(8 + doc_id % 7 AS INT) AS w, CAST(8 + doc_id % 5 AS INT) AS h
+           FROM documents
+         ), g AS (
+           SELECT d.doc_id, d.w, d.h,
+             CAST(sum((d.doc_id * 7 + x.x * 5 + y.y * 3) % 256) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN x.x % 2 = 0 AND y.y % 2 = 0
+               THEN (d.doc_id * 7 + x.x * 5 + y.y * 3) % 256 ELSE 0 END) AS BIGINT) AS rs
+           FROM d
+           JOIN (SELECT unnest(generate_series(0, 13)) AS x) x ON x.x < d.w
+           JOIN (SELECT unnest(generate_series(0, 11)) AS y) y ON y.y < d.h
+           GROUP BY d.doc_id, d.w, d.h
+         )
+         SELECT doc_id, w AS width, h AS height,
+           CAST(s AS DOUBLE) / (w * h) AS mean_luma,
+           CAST(ceil(w / 2.0) AS INT) AS rz_width,
+           CAST(ceil(h / 2.0) AS INT) AS rz_height,
+           CAST(rs AS DOUBLE) /
+             (CAST(ceil(w / 2.0) AS INT) * CAST(ceil(h / 2.0) AS INT)) AS rz_mean_luma
+         FROM g""",
     "q60_multimodal_meta" ->
       """SELECT doc_id,
          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
