@@ -1,10 +1,12 @@
 package graft.catalyst
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StringType
 
 /** Session extension wiring (`spark.sql.extensions=graft.catalyst.
   * GraftExtensions` or `builder.withExtensions(new GraftExtensions)`):
@@ -18,6 +20,36 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     pipelines don't renormalize per stage.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v, _) if v != null && e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  /** Comma-separated column list; each entry may carry a trailing
+    * ASC/DESC (for ordering positions). */
+  private def colList(spec: String): Seq[String] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def orderCols(spec: String): Seq[Column] =
+    colList(spec).map { s =>
+      val lower = s.toLowerCase
+      if (lower.endsWith(" desc")) col(s.dropRight(5).trim).desc
+      else if (lower.endsWith(" asc")) col(s.dropRight(4).trim).asc
+      else col(s)
+    }
 
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -105,6 +137,74 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "parse_lat_lon(s) - parse 'lat,lon' string to struct<lat:double,lon:double>", 1, 1) { exprs =>
       org.apache.spark.sql.GraftBridge.expressionEager(
         graft.functions.GeoFunctions.parseLatLon(Cols.column(exprs.head)))
+    }
+
+    // ---- Table-valued functions: the workhorse OPERATORS for plain-SQL
+    // users (the reference's actual audience). Each TVF macro-expands at
+    // resolution time: the named view is resolved through the active
+    // session, the DataFrame-level operator builds its full logical plan,
+    // and that analyzed subtree is spliced into the outer query — so SQL
+    // callers get the IDENTICAL oracle-checked plan as the Column API
+    // (same shuffle shape, same broadcast decisions), not a re-
+    // implementation. Works over streaming views too: streaming-ness of
+    // the source plan is preserved, so `INSERT INTO … SELECT … FROM
+    // latest_by_key(...)` runs continuously (SqlProcessorsSpec).
+    def registerTable(name: String, usage: String, nArgs: Int)(
+        builder: Seq[Expression] => LogicalPlan): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.catalyst.GraftExtensions", null, name, usage, ""),
+        exprs => {
+          if (exprs.length != nArgs)
+            throw new IllegalArgumentException(
+              s"$name expects $nArgs argument(s), got ${exprs.length}; usage: $usage")
+          builder(exprs)
+        }))
+    def expand(df: org.apache.spark.sql.DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+    registerTable("latest_by_key",
+      "latest_by_key('table', 'k1,k2', 'ordCol1,ordCol2') - one latest row per key (compaction)", 3) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Relational.latestByKey(t,
+          colList(litStr(exprs(1), "keys")),
+          colList(litStr(exprs(2), "ordering")).map(col)))
+    }
+    registerTable("top_k_per_group",
+      "top_k_per_group('table', 'g1,g2', 'ord1 DESC,ord2', k) - k best rows per group", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Relational.topKPerGroup(t,
+          colList(litStr(exprs(1), "groups")).map(col),
+          orderCols(litStr(exprs(2), "ordering")),
+          litInt(exprs(3), "k")))
+    }
+    registerTable("interval_join",
+      "interval_join('left', 'leftTs', 'right', 'rightTs', 'leftKey', 'rightKey', 'max delay') " +
+        "- equi-key join where right.ts is within +/- delay of left.ts", 7) {
+      exprs =>
+        val l = SparkSession.active.table(litStr(exprs(0), "left table"))
+        val r = SparkSession.active.table(litStr(exprs(2), "right table"))
+        expand(graft.operators.Relational.intervalJoin(
+          l, litStr(exprs(1), "left ts"), r, litStr(exprs(3), "right ts"),
+          l(litStr(exprs(4), "left key")) === r(litStr(exprs(5), "right key")),
+          litStr(exprs(6), "max delay")))
+    }
+    registerTable("neardup_pairs",
+      "neardup_pairs('table', 'idCol', 'textCol', n, minJaccard) - exact n-gram Jaccard pairs", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Dedup.ngramJaccardPairs(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "n"), litDouble(exprs(4), "minJaccard")))
+    }
+    registerTable("minhash_pairs",
+      "minhash_pairs('table', 'idCol', 'textCol', n, minJaccard) - MinHash+LSH candidate pairs, verified", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Dedup.minhashLshPairs(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "n"), litDouble(exprs(4), "minJaccard")))
     }
 
     ext.injectOptimizerRule(_ => UnitVecIdempotence)

@@ -88,6 +88,50 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ll.getDouble(0) == 48.85 && ll.getDouble(1) == 2.35)
   }
 
+  test("table-valued functions expose the workhorse operators to plain SQL") {
+    import spark.implicits._
+    Seq((1L, "a", 1), (1L, "b", 3), (1L, "c", 2), (2L, "x", 5))
+      .toDF("k", "v", "ts").createOrReplaceTempView("updates_t")
+
+    val latest = spark.sql("SELECT k, v FROM latest_by_key('updates_t', 'k', 'ts')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latest == Set((1L, "b"), (2L, "x")))
+
+    val top2 = spark.sql("SELECT k, v FROM top_k_per_group('updates_t', 'k', 'ts DESC', 2)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(top2 == Set((1L, "b"), (1L, "c"), (2L, "x")))
+
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW lt AS SELECT * FROM VALUES
+      ('k1', timestamp'2024-01-01 00:00:00'),
+      ('k2', timestamp'2024-01-01 01:00:00') AS t(lk, lts)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW rt AS SELECT * FROM VALUES
+      ('k1', timestamp'2024-01-01 00:04:00', 'hit'),
+      ('k1', timestamp'2024-01-01 00:20:00', 'far'),
+      ('k2', timestamp'2024-01-01 00:57:00', 'back') AS t(rk, rts, tag)""")
+    val ij = spark.sql(
+      "SELECT lk, tag FROM interval_join('lt', 'lts', 'rt', 'rts', 'lk', 'rk', '5 minutes')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ij == Set(("k1", "hit"), ("k2", "back")), s"got $ij")
+
+    Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"), (3L, "unrelated text entirely here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("docs_t")
+    val nd = spark.sql("SELECT id_a, id_b FROM neardup_pairs('docs_t', 'doc_id', 'text', 2, 0.3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == Set((1L, 2L)), s"got $nd")
+    val mh = spark.sql("SELECT id_a, id_b FROM minhash_pairs('docs_t', 'doc_id', 'text', 2, 0.3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((1L, 2L)), s"got $mh")
+  }
+
+  test("TVF output plan is the operator's plan: latest_by_key stays a max_by agg, no window") {
+    import spark.implicits._
+    Seq((1L, "a", 1)).toDF("k", "v", "ts").createOrReplaceTempView("updates_plan_t")
+    val p = spark.sql("SELECT * FROM latest_by_key('updates_plan_t', 'k', 'ts')")
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("max_by"), "SQL surface must reuse the operator's map-side-combinable agg")
+    assert(!p.contains("Window"), "latest-by-key must not degrade to a window sort via SQL")
+  }
+
   test("optimizer collapses unit_vec(unit_vec(x)) on non-foldable columns") {
     // literal inputs constant-fold regardless of the rule; a parquet-backed
     // column is the case only UnitVecIdempotence can simplify

@@ -44,6 +44,56 @@ class SqlProcessorsSpec extends SparkSpec {
     } finally pipes.stopAll()
   }
 
+  test("pure-SQL continuous pipeline through the operator TVFs: interval_join -> latest_by_key") {
+    // A plain-SQL user's pipeline: enrich a stream against a static
+    // calibration table with the interval-join OPERATOR, compact to the
+    // latest row per key with the latest-by-key OPERATOR — both reached
+    // only through SQL table functions (GraftExtensions), no Column API.
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-sql-tvf-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.catalyst.GraftExtensions)
+      .getOrCreate()
+    val pipes = new Pipelines(Files.createTempDirectory("sqlp-tvf").toString)
+    try {
+      import ext.implicits._
+      val in = MemoryStream[(Timestamp, String, Double)](
+        implicitly[org.apache.spark.sql.Encoder[(Timestamp, String, Double)]], ext.sqlContext)
+      val procs = new SqlProcessors(ext, pipes)
+      procs.registerSource("meters_stream", in.toDF().toDF("ts", "k", "v"))
+      procs.registerSource("calib_static", Seq(
+        ("m1", Timestamp.valueOf("2024-01-01 00:02:00"), 2.0),
+        ("m2", Timestamp.valueOf("2024-01-01 00:03:00"), 10.0))
+        .toDF("ck", "cts", "factor"))
+      ext.sql("""CREATE OR REPLACE TEMPORARY VIEW meters_enriched AS
+        SELECT k, ts, v * factor AS v_cal
+        FROM interval_join('meters_stream', 'ts', 'calib_static', 'cts', 'k', 'ck', '10 minutes')""")
+      procs.submit("latest_meters",
+        "INSERT INTO meters_latest SELECT * FROM latest_by_key('meters_enriched', 'k', 'ts')",
+        outputMode = "complete")
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "m1", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:05:00"), "m1", 3.0),
+        (Timestamp.valueOf("2024-01-01 00:04:00"), "m2", 5.0),
+        (Timestamp.valueOf("2024-01-01 09:00:00"), "m2", 7.0)) // outside the calib interval
+      pipes.awaitDrained("latest_meters")
+      val rows = ext.table("meters_latest").collect()
+        .map(r => (r.getString(0), r.getDouble(2))).toSet
+      assert(rows == Set(("m1", 6.0), ("m2", 50.0)), s"got ${rows.mkString(", ")}")
+    } finally {
+      pipes.stopAll()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("submit rejects bounded SELECTs and non-INSERT statements") {
     val pipes = new Pipelines(Files.createTempDirectory("sqlp-ck3").toString)
     val procs = new SqlProcessors(spark, pipes)
