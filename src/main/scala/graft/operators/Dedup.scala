@@ -31,12 +31,22 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** (id, sorted-distinct shingle-hash array, set size) per document. */
+  /** (id, sorted-distinct shingle-hash array, set size) per document.
+    *
+    * Cached: every consumer evaluates the shingle table 3-4× (posting/
+    * df-frequency/prefix branches plus BOTH sides of the verify join —
+    * and connected-components callers re-evaluate the whole pair plan
+    * when symmetrizing edges), so tokenize+hash+sort would otherwise run
+    * that many times over the corpus. The cache is MEMORY_AND_DISK and
+    * LRU-evictable, so at 100 TB it degrades to recompute rather than
+    * OOM; on a cluster a pipeline would persist this stage to storage
+    * explicitly. */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).as("_id"),
         ShingleExprs.shingleHashes(TextFunctions.tokens(col(textCol)), n).as("_sh"))
       .withColumn("_setSize", size(col("_sh")))
+      .cache()
 
   /** Exact-verify a candidate pair set: re-attach both shingle arrays,
     * count the intersection with one linear merge, keep pairs at/above the

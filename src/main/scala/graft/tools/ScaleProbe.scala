@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Relational}
+import graft.operators.{Dedup, Relational, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -49,6 +49,59 @@ object ScaleProbe {
     }
     time("connected components 1x (100k nodes)")(ccCount(100000L))
     time("connected components 10x (1M nodes)")(ccCount(1000000L))
+
+    // --- text dedup: replicate docs with per-copy token salt -------------
+    // The salt only perturbs a few tail shingles, so each doc keeps its 9
+    // cross-copy near-clones (r2 convention): output pairs grow ~1000x
+    // while input grows 10x — the deliberately adversarial candidate-
+    // explosion stress, not a constant-density scale-up.
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    def docsX(k: Int): DataFrame =
+      (0 until k).map(i => docs.select(
+        (col("doc_id") + i * 10000000L).as("doc_id"),
+        concat(col("text"), lit(s" zqcopy$i")).as("text"))).reduce(_ unionByName _)
+    time("minhash-lsh pairs 1x")(
+      Dedup.minhashLshPairs(docsX(1), "doc_id", "text", n = 3, minJaccard = 0.6).count())
+    time("minhash-lsh pairs 10x (10x docs, salted)")(
+      Dedup.minhashLshPairs(docsX(10), "doc_id", "text", n = 3, minJaccard = 0.6).count())
+
+    // --- embedding family: replicate vectors with a per-copy seeded sign
+    // flip (flipping the SAME coordinates of every vector in a copy
+    // preserves all within-copy cosines exactly, while cross-copy pairs
+    // decorrelate — per-copy near-dup structure is constant, no clone
+    // explosion)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    def embX(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val flipped = transform(col("embedding"),
+          (x, j) => when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(-x))
+        emb.select((col("vec_id") + i * 10000000L).as("vec_id"), flipped.as("embedding"))
+      }.reduce(_ unionByName _)
+    // queries from copy 0, sign-flipped the same way so they live in the
+    // same space as the 1x corpus
+    val queries1x = embX(1).filter(col("vec_id") % 100 === 0)
+    time("ivf top-k 1x")(
+      Similarity.ivfTopK(embX(1), queries1x, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4).count())
+    time("ivf top-k 10x (10x corpus, same queries)")(
+      Similarity.ivfTopK(embX(10), queries1x, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4).count())
+    time("tiled exact near-dup 1x (quadratic by contract)")(
+      Similarity.cosineNearDupPairs(embX(1), "vec_id", "embedding", 0.45).count())
+    time("tiled exact near-dup 10x (expect ~100x dots, bounded tasks)")(
+      Similarity.cosineNearDupPairs(embX(10), "vec_id", "embedding", 0.45).count())
+    // Gate parameters (recall-1.0 at tau=0.45): at so low a threshold
+    // rho ~ 1, so candidate mass ~ all pairs — the exact tiled join is
+    // the better tool here and this row proves it HONESTLY.
+    time("banded-candidate near-dup 1x (tau .45, gate bands)")(
+      Similarity.cosineNearDupCandidates(embX(1), "vec_id", "embedding", 0.45).count())
+    time("banded-candidate near-dup 10x (tau .45, gate bands)")(
+      Similarity.cosineNearDupCandidates(embX(10), "vec_id", "embedding", 0.45).count())
+    // Threshold-tuned bands (tau=0.8, 10-bit bands x 48): p_rand^10 cuts
+    // random-pair collisions ~20x below the gate bands — the regime where
+    // the candidate path beats exact, and the knob the docstring promises.
+    val hiSeeds = (42L to 49L)
+    time("banded-candidate near-dup 10x (tau .8, 10-bit bands)")(
+      Similarity.cosineNearDupCandidates(embX(10), "vec_id", "embedding", 0.8,
+        nBits = 60, bands = 6, sketchSeeds = hiSeeds).count())
 
     spark.stop()
   }
