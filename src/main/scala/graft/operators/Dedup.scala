@@ -173,8 +173,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 64): DataFrame = {
-    val edges = pairs.select(col(aCol).as("_x"), col(bCol).as("_y"))
-      .unionByName(pairs.select(col(bCol).as("_x"), col(aCol).as("_y")))
+    // symmetrize via explode, NOT a self-union: a union evaluates the
+    // whole upstream pair plan twice (for q45/q46/q55 that plan is the
+    // full candidate+verify join), explode doubles rows in one pass
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("_x"), col(bCol).as("_y")),
+        struct(col(bCol).as("_x"), col(aCol).as("_y")))).as("_e"))
+      .select(col("_e._x").as("_x"), col("_e._y").as("_y"))
       .distinct()
       .cache()
     // Each round references the previous labels twice (carry + propagate),

@@ -145,6 +145,78 @@ object Multimodal {
       .filter(col("frame_idx") % everyK === 0)
   }
 
+  case class AudioRecord(doc_id: Long, payload: Array[Byte])
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Int,
+      peak_amp: Int, mean_square: Double)
+
+  /** Deterministic PCM test signal for `doc_id`: 16-bit mono at 8 kHz,
+    * `n = 64 + id%64` samples, `sample(t) = (id*31 + t*17) % 2003 - 1001`
+    * — pure arithmetic, so decoded statistics are replayable in SQL. */
+  private[operators] def audioSamples(id: Long): Array[Short] = {
+    val n = 64 + (id % 64).toInt
+    Array.tabulate(n)(t => (((id * 31 + t.toLong * 17) % 2003) - 1001).toShort)
+  }
+
+  private val WavFormat = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+
+  private[operators] def synthWav(id: Long): Array[Byte] = {
+    val samples = audioSamples(id)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array), WavFormat, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** WAV-encode one deterministic PCM clip per document (the audio twin of
+    * [[synthImageTable]]); encoding runs partition-parallel. */
+  def synthAudioTable(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => AudioRecord(id, synthWav(id))))
+      .toDF()
+  }
+
+  /** REAL audio decode, partition-parallel: each payload runs through
+    * `javax.sound.sampled.AudioSystem` (WAV container parse + PCM frame
+    * extraction), then sample statistics are computed from the decoded
+    * frames. Lossless PCM means the round-trip must be bit-exact, and
+    * every emitted column is oracle-checked against the SQL replay of the
+    * generator arithmetic (gate q63). `mean_square` = exact integer
+    * sum-of-squares divided once in double (same no-tie trick as q61). */
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[AudioRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"expected 16-bit mono PCM, got $fmt")
+          val raw = in.readAllBytes()
+          in.close()
+          val buf = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = raw.length / 2
+          var peak = 0
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            val s = buf.getShort(i * 2).toInt
+            if (math.abs(s) > peak) peak = math.abs(s)
+            sumSq += s.toLong * s
+            i += 1
+          }
+          AudioFeatures(r.doc_id, fmt.getSampleRate.toInt, n, peak, sumSq.toDouble / n)
+        }
+      }
+  }
+
   /** Column-only metadata extraction (no kernel boundary) — what a pure
     * Catalyst plan can get from a binary column: sizes, headers, hashes. */
   def metadata(media: DataFrame): DataFrame =

@@ -63,6 +63,24 @@ object Relational {
       .filter(col("_rn") <= k)
       .drop("_rn")
 
+  /** Deterministic train/valid/test split: every row gets a stable label
+    * from a content hash of `keyCol` — the split a training pipeline must
+    * reproduce run-over-run and engine-over-engine (no `rand()`, no row
+    * numbering: adding or repartitioning data never flips an existing
+    * row's split). `cuts` are cumulative percentage bounds over a 100-way
+    * md5 bucket, e.g. `("train" -> 80, "valid" -> 90, "test" -> 100)`.
+    * Pure projection — no shuffle; cross-engine replayable
+    * (`('0x'||substring(md5(x),1,15))::BIGINT % 100` in DuckDB). */
+  def hashSplit(df: DataFrame, keyCol: String, cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100, "cuts must be cumulative and end at 100")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be non-decreasing")
+    val bucket = pmod(graft.functions.Portable.md5Long60(col(keyCol)), lit(100))
+    val label = cuts.init.foldRight(lit(cuts.last._1)) { case ((name, cut), rest) =>
+      when(bucket < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Skew-salted equi-join: spread a hot key across `saltBuckets` reducers
     * by salting the (large, skewed) left side deterministically from its
     * row content and replicating the (small) right side across all salt

@@ -42,14 +42,36 @@ object AnnQueries {
       Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
       k = 5, nlist = 16, nprobe = 4)
 
+  // int8 embedding quantization (compression-for-shipping): scale, code
+  // checksum, and reconstruction error per vector — all IEEE-deterministic
+  // arithmetic, hash-checked against a DuckDB list-algebra replay.
+  def q57EmbedQuantize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Embeddings.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ann_brute" -> q50AnnBrute,
     "q51_ann_lsh" -> q51AnnLsh,
     "q52_approx_distinct" -> q52ApproxDistinct,
-    "q53_ann_ivf" -> q53AnnIvf)
+    "q53_ann_ivf" -> q53AnnIvf,
+    "q57_embed_quantize" -> q57EmbedQuantize)
 
   // q51/q52 are approximate → rows-only checks (no oracle entries).
   val oracles: Map[String, String] = Map(
+    "q57_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sc AS (
+           SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM e
+         )
+         SELECT vec_id, CAST(len(v) AS INT) AS n_dims, scale,
+           CASE WHEN scale = 0 THEN 0
+                ELSE CAST(list_sum(list_transform(v,
+                  x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) END AS q_sum,
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE list_max(list_transform(v,
+                  x -> abs(x - CAST(round(x / scale) AS BIGINT) * scale))) END AS max_err
+         FROM sc""",
     "q50_ann_brute" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),

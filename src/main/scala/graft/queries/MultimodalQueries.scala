@@ -35,10 +35,18 @@ object MultimodalQueries {
         hex(col("frame")).as("frame_hex"))
   }
 
+  // Audio twin of q61: deterministic 16-bit mono PCM clips are
+  // WAV-encoded AND decoded with javax.sound.sampled; decoded sample
+  // statistics hash-check against the SQL replay of the generator.
+  def q63AudioDecode(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudioFeatures(s,
+      Multimodal.synthAudioTable(s, Tables.documents(s, d), "doc_id")).toDF()
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_multimodal_meta" -> q60MultimodalMeta,
     "q61_multimodal_decode" -> q61MultimodalDecode,
-    "q62_multimodal_frames" -> q62MultimodalFrames)
+    "q62_multimodal_frames" -> q62MultimodalFrames,
+    "q63_audio_decode" -> q63AudioDecode)
 
   val oracles: Map[String, String] = Map(
     // Replays the image-generator arithmetic (w = 8 + id%7, h = 8 + id%5,
@@ -67,6 +75,21 @@ object MultimodalQueries {
            CAST(rs AS DOUBLE) /
              (CAST(ceil(w / 2.0) AS INT) * CAST(ceil(h / 2.0) AS INT)) AS rz_mean_luma
          FROM g""",
+    // Replays the PCM generator (n = 64 + id%64, sample(t) =
+    // (id*31 + t*17) % 2003 - 1001): matching proves the WAV container +
+    // 16-bit PCM frames round-trip exactly through javax.sound.
+    "q63_audio_decode" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(64 + doc_id % 64 AS INT) AS n FROM documents
+         ), s AS (
+           SELECT d.doc_id, d.n,
+             (d.doc_id * 31 + t.t * 17) % 2003 - 1001 AS v
+           FROM d JOIN (SELECT unnest(generate_series(0, 126)) AS t) t ON t.t < d.n
+         )
+         SELECT doc_id, 8000 AS sample_rate, n AS n_samples,
+           CAST(max(abs(v)) AS INT) AS peak_amp,
+           CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE) / n AS mean_square
+         FROM s GROUP BY doc_id, n""",
     "q60_multimodal_meta" ->
       """SELECT doc_id,
          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,

@@ -54,12 +54,22 @@ object TextQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
 
+  // Deterministic train/valid/test split (80/10/10 by text-content md5
+  // bucket): the split assignment a training pipeline must reproduce
+  // run-over-run; per-(lang, split) counts are the gate surface.
+  def q58HashSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.hashSplit(Tables.documents(s, d), "text",
+        Seq("train" -> 80, "valid" -> 90, "test" -> 100))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_explode_tokens" -> q30Explode,
     "q31_lang_id" -> q31LangId,
     "q32_text_quality" -> q32Quality,
     "q33_token_count" -> q33TokenCount,
-    "q34_fingerprint" -> q34Fingerprint)
+    "q34_fingerprint" -> q34Fingerprint,
+    "q58_hash_split" -> q58HashSplit)
 
   private val markersSql = TextFunctions.LangMarkers.zipWithIndex.map {
     case ((lang, ms), i) => s"('$lang', $i, [${ms.map(m => s"'$m'").mkString(",")}])"
@@ -68,6 +78,18 @@ object TextQueries {
   private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q58_hash_split" ->
+      """WITH b AS (
+           SELECT lang,
+             ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket
+           FROM documents
+         )
+         SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY 1, 2""",
     "q30_explode_tokens" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)

@@ -42,6 +42,24 @@ class MultimodalSpec extends SparkSpec {
       assert(id0.getRaster.getSample(x, y, 0) == src0.getRaster.getSample(x, y, 0))
   }
 
+  test("synthWav round-trips exact PCM samples through the WAV codec") {
+    import spark.implicits._
+    val docs = spark.range(0, 30).toDF("doc_id")
+    val feats = Multimodal.decodeAudioFeatures(spark,
+        Multimodal.synthAudioTable(spark, docs, "doc_id"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.size == 30)
+    (0L until 30L).foreach { id =>
+      val expected = Multimodal.audioSamples(id)
+      val f = feats(id)
+      assert(f.sample_rate == 8000)
+      assert(f.n_samples == expected.length, s"sample count wrong for doc $id")
+      assert(f.peak_amp == expected.map(s => math.abs(s.toInt)).max, s"peak wrong for doc $id")
+      val sumSq = expected.map(s => s.toLong * s).sum
+      assert(f.mean_square == sumSq.toDouble / expected.length, s"mean square wrong for doc $id")
+    }
+  }
+
   test("decodeImageFeatures emits codec-derived stats matching the generator arithmetic") {
     import spark.implicits._
     val docs = spark.range(0, 40).toDF("doc_id")

@@ -6,6 +6,44 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("hashSplit: deterministic, exhaustive, invariant to partitioning and extra rows") {
+    val docs = (1 to 500).map(i => (i.toLong, s"document number $i payload")).toDF("id", "text")
+    val cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100)
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Relational.hashSplit(df, "text", cuts).select("id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = splits(docs)
+    assert(s1.size == 500 && s1.values.toSet.subsetOf(Set("train", "valid", "test")))
+    // roughly proportional (md5 is uniform; 500 rows -> loose bounds)
+    val frac = s1.values.count(_ == "train") / 500.0
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac far from 0.8")
+    // SAME assignment after repartitioning and after adding unrelated rows
+    assert(splits(docs.repartition(7)) == s1)
+    val more = docs.unionByName(Seq((9999L, "an entirely new document")).toDF("id", "text"))
+    assert(splits(more).view.filterKeys(_ != 9999L).toMap == s1,
+      "adding rows must never flip an existing row's split")
+    intercept[IllegalArgumentException] {
+      Relational.hashSplit(docs, "text", Seq("a" -> 50, "b" -> 99))
+    }
+  }
+
+  test("quantizeInt8: reconstruction error bounded by scale/2, codes pinned by checksum") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = Embeddings.quantizeInt8(emb, "vec_id", "embedding").collect()
+    assert(q.length == emb.count())
+    q.foreach { r =>
+      val (dims, scale, err) = (r.getInt(1), r.getDouble(2), r.getDouble(4))
+      assert(dims == 64)
+      assert(scale > 0, "test embeddings have nonzero vectors")
+      assert(err <= scale / 2 + 1e-12,
+        s"rounding guarantees |x - code*scale| <= scale/2, got $err vs scale $scale")
+    }
+    // q_sum range sanity: |code| <= 127 each
+    q.foreach { r =>
+      assert(math.abs(r.getLong(3)) <= 127L * r.getInt(1))
+    }
+  }
+
   test("latestByKey keeps exactly the max-ordered row per key") {
     val df = Seq(
       ("k1", 1L, "old"), ("k1", 3L, "new"), ("k1", 2L, "mid"),
