@@ -63,13 +63,34 @@ object TextQueries {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n"))
 
+  // Token-window chunking (40-token windows, 10-token overlap): the
+  // context-length packing input; every (doc, chunk) row hash-checked.
+  def q59ChunkTokens(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+      window = 40, overlap = 10)
+
+  // PII redaction over deterministically injected addresses/numbers (the
+  // corpus itself is synthetic and PII-free, so both engines append the
+  // same generated email + phone per doc, then redact and count them —
+  // proving the regex surface on text that actually contains PII).
+  def q64PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.org or 555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+    graft.operators.TextOps.redactPii(aug, "doc_id", "text")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_explode_tokens" -> q30Explode,
     "q31_lang_id" -> q31LangId,
     "q32_text_quality" -> q32Quality,
     "q33_token_count" -> q33TokenCount,
     "q34_fingerprint" -> q34Fingerprint,
-    "q58_hash_split" -> q58HashSplit)
+    "q58_hash_split" -> q58HashSplit,
+    "q59_chunk_tokens" -> q59ChunkTokens,
+    "q64_pii_redact" -> q64PiiRedact)
 
   private val markersSql = TextFunctions.LangMarkers.zipWithIndex.map {
     case ((lang, ms), i) => s"('$lang', $i, [${ms.map(m => s"'$m'").mkString(",")}])"
@@ -78,6 +99,37 @@ object TextQueries {
   private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q59_chunk_tokens" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+         ), n AS (
+           SELECT doc_id, toks,
+             CAST(1 + ceil(greatest(len(toks) - 40, 0) / 30.0) AS INT) AS nc
+           FROM t
+         ), c AS (
+           SELECT doc_id, CAST(k.k AS INT) AS chunk_idx,
+             toks[k.k * 30 + 1 : k.k * 30 + 40] AS chunk
+           FROM n JOIN (SELECT unnest(generate_series(0, 2000)) AS k) k ON k.k < nc
+         )
+         SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+         FROM c""",
+    "q64_pii_redact" -> {
+      import graft.operators.TextOps.{EmailRe, PhoneRe}
+      s"""WITH aug AS (
+            SELECT doc_id,
+              text || ' contact user' || doc_id || '@mail.example.org or 555-' ||
+              lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+            FROM documents
+          )
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INT) AS n_phones,
+            regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+              '$PhoneRe', '[PHONE]', 'g') AS clean_text
+          FROM aug"""
+    },
     "q58_hash_split" ->
       """WITH b AS (
            SELECT lang,
