@@ -59,6 +59,19 @@ class PlanSpec extends SparkSpec {
       s"candidate join keys must be the (band index, band value) pair, got:\n$keyLines")
   }
 
+  test("q57/q59/q64 row-local operators: pure projections, zero Exchange") {
+    // quantization, chunking, and redaction are per-row transforms — a
+    // shuffle appearing in any of them means the operator stopped scaling
+    // embarrassingly
+    for ((name, df) <- Seq(
+        "q57" -> AnnQueries.q57EmbedQuantize(spark, sf),
+        "q59" -> TextQueries.q59ChunkTokens(spark, sf),
+        "q64" -> TextQueries.q64PiiRedact(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n${p.take(800)}")
+    }
+  }
+
   test("q36 interval join: time bucket rides the equi-join key — no bare-key self-join") {
     val p = plan(RelationalQueries.q36IntervalJoin(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
