@@ -29,7 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def litDouble(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
-    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    // SQL decimal literals (e.g. 0.3) arrive as o.a.s.sql.types.Decimal
     case Literal(v, _) if v != null && e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
       v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
     case Literal(v: Int, _) => v.toDouble
@@ -166,9 +166,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "latest_by_key('table', 'k1,k2', 'ordCol1,ordCol2') - one latest row per key (compaction)", 3) {
       exprs =>
         val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        val ordering = colList(litStr(exprs(2), "ordering"))
+        // the ordering is a max_by VALUE tuple, not a sort spec — a
+        // trailing DESC (valid in top_k_per_group) would silently become
+        // a bogus column name, so reject it with the actual alternative
+        ordering.filter(_.toLowerCase.matches(".*\\s(asc|desc)$")).foreach { o =>
+          throw new IllegalArgumentException(
+            s"latest_by_key ordering takes plain columns (row with MAX ordering tuple wins), " +
+              s"got '$o'; for custom sort direction use top_k_per_group(..., k=1)")
+        }
         expand(graft.operators.Relational.latestByKey(t,
-          colList(litStr(exprs(1), "keys")),
-          colList(litStr(exprs(2), "ordering")).map(col)))
+          colList(litStr(exprs(1), "keys")), ordering.map(col)))
     }
     registerTable("top_k_per_group",
       "top_k_per_group('table', 'g1,g2', 'ord1 DESC,ord2', k) - k best rows per group", 4) {

@@ -33,20 +33,24 @@ object Dedup {
 
   /** (id, sorted-distinct shingle-hash array, set size) per document.
     *
-    * Cached: every consumer evaluates the shingle table 3-4× (posting/
-    * df-frequency/prefix branches plus BOTH sides of the verify join —
-    * and connected-components callers re-evaluate the whole pair plan
-    * when symmetrizing edges), so tokenize+hash+sort would otherwise run
-    * that many times over the corpus. The cache is MEMORY_AND_DISK and
-    * LRU-evictable, so at 100 TB it degrades to recompute rather than
-    * OOM; on a cluster a pipeline would persist this stage to storage
-    * explicitly. */
+    * Persisted MEMORY_ONLY: every consumer evaluates the shingle table
+    * 3-4× (posting/df-frequency/prefix branches plus BOTH sides of the
+    * verify join), so tokenize+hash+sort would otherwise run that many
+    * times over the corpus. MEMORY_ONLY deliberately, not the
+    * MEMORY_AND_DISK default: memory blocks are LRU-evicted and then
+    * RECOMPUTED, so under pressure this degrades to the uncached cost —
+    * the AND_DISK level would instead spill every evicted block and never
+    * free the disk. One cached table accumulates per operator call for
+    * the session's lifetime (Spark offers no result-scoped unpersist
+    * hook); bounded by the evictable storage pool, and a long-lived
+    * cluster deployment would persist this stage to storage explicitly
+    * instead. */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).as("_id"),
         ShingleExprs.shingleHashes(TextFunctions.tokens(col(textCol)), n).as("_sh"))
       .withColumn("_setSize", size(col("_sh")))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
   /** Exact-verify a candidate pair set: re-attach both shingle arrays,
     * count the intersection with one linear merge, keep pairs at/above the

@@ -210,13 +210,25 @@ object Similarity {
       vecCol: String,
       nBits: Int,
       bands: Int,
+      sketchSeeds: Seq[Long]): DataFrame =
+    bandCandidatesOfUnit(
+      emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v")),
+      nBits, bands, sketchSeeds)
+
+  /** [[cosineBandCandidates]] over an already-normalized `(_id, _v)`
+    * table — split out so [[cosineNearDupCandidates]] can share one
+    * persisted unit-vector projection between candidate generation and
+    * both verify joins. */
+  private def bandCandidatesOfUnit(
+      unit: DataFrame,
+      nBits: Int,
+      bands: Int,
       sketchSeeds: Seq[Long]): DataFrame = {
     require(nBits >= 1 && nBits <= 64, "nBits in [1, 64]")
     require(bands >= 1 && nBits % bands == 0, "bands must divide nBits")
     require(sketchSeeds.nonEmpty, "at least one sketch seed")
     val bandBits = nBits / bands
     val mask = bandMask(bandBits)
-    val unit = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
     // one sketch column per seed (computed once per row), then all
     // seeds × bands band values in a single posexplode
     val sketched = sketchSeeds.zipWithIndex.foldLeft(unit) { case (df, (seed, i)) =>
@@ -269,8 +281,14 @@ object Similarity {
       nBits: Int = 60,
       bands: Int = 15,
       sketchSeeds: Seq[Long] = Seq(42L, 43L, 44L)): DataFrame = {
+    // MEMORY_ONLY persist: the normalized corpus is evaluated three times
+    // per call (sketch branch inside cosineBandCandidates + both verify
+    // joins) and the three subtrees are not canonically identical, so
+    // nothing dedupes them without an explicit persist. Same
+    // eviction-degrades-to-recompute rationale as Dedup.shingled.
     val unit = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
-    cosineBandCandidates(emb, idCol, vecCol, nBits, bands, sketchSeeds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    bandCandidatesOfUnit(unit, nBits, bands, sketchSeeds)
       .join(unit.select(col("_id").as("id_a"), col("_v").as("_va")), Seq("id_a"))
       .join(unit.select(col("_id").as("id_b"), col("_v").as("_vb")), Seq("id_b"))
       .withColumn("sim", cosineOfUnits("_va", "_vb"))

@@ -46,13 +46,18 @@ object TextOps {
   /** Redact emails and phone numbers from a text column, counting each —
     * the PII-scrub stage of a curation pipeline. Emails are replaced
     * first (their local parts may contain digits/dashes that would
-    * otherwise partially match the phone pattern), then phones. */
+    * otherwise partially match the phone pattern), then phones — and
+    * `n_phones` is counted on the email-redacted text so the counts
+    * reconcile exactly with the `[EMAIL]`/`[PHONE]` tokens in
+    * `clean_text` (counting phones on the raw text would report phantom
+    * redactions for digit runs inside email local parts). */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol),
-      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
-      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
-      regexp_replace(
-        regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
-        PhoneRe, "[PHONE]").as("clean_text"))
+    docs
+      .select(col(idCol), col(textCol).as("_raw"),
+        regexp_replace(col(textCol), EmailRe, "[EMAIL]").as("_deEmailed"))
+      .select(
+        col(idCol),
+        regexp_count(col("_raw"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("_deEmailed"), lit(PhoneRe)).as("n_phones"),
+        regexp_replace(col("_deEmailed"), PhoneRe, "[PHONE]").as("clean_text"))
 }

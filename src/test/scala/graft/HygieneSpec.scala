@@ -14,12 +14,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class HygieneSpec extends AnyFunSuite {
 
   test("no .scala source contains raw control characters") {
-    // anchor on this spec's own compiled source path, not the process CWD
-    // (a runner started elsewhere would otherwise scan nothing and pass
-    // vacuously); walk stream closed so directory handles don't leak.
-    val src = Iterator.iterate(Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+    // anchor on this spec's own compiled class location (target/...),
+    // walking up to the build root that owns src/ — NOT the process CWD,
+    // which a runner started elsewhere could point at an unrelated tree
+    // (vacuous pass or foreign-file failures); walk stream closed so
+    // directory handles don't leak.
+    val classAnchor = Paths.get(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).toAbsolutePath
+    val src = Iterator.iterate(classAnchor)(_.getParent)
       .takeWhile(_ != null).map(_.resolve("src")).find(Files.isDirectory(_))
-      .getOrElse(fail("no src/ directory found above user.dir — cannot scan sources"))
+      .getOrElse(fail("no src/ directory found above the compiled classes — cannot scan sources"))
     val walk = Files.walk(src)
     val offenders =
       try {

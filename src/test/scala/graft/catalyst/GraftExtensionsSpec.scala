@@ -123,6 +123,16 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mh == Set((1L, 2L)), s"got $mh")
   }
 
+  test("latest_by_key rejects a DESC ordering entry with a pointer to top_k_per_group") {
+    import spark.implicits._
+    Seq((1L, "a", 1)).toDF("k", "v", "ts").createOrReplaceTempView("updates_desc_t")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM latest_by_key('updates_desc_t', 'k', 'ts DESC')").collect()
+    }
+    assert(e.getMessage.contains("top_k_per_group"),
+      s"expected a guided rejection, got: ${e.getMessage}")
+  }
+
   test("TVF output plan is the operator's plan: latest_by_key stays a max_by agg, no window") {
     import spark.implicits._
     Seq((1L, "a", 1)).toDF("k", "v", "ts").createOrReplaceTempView("updates_plan_t")

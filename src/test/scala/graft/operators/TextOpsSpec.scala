@@ -47,4 +47,15 @@ class TextOpsSpec extends SparkSpec {
     assert(e3 == 2 && t3.contains("[EMAIL]") && !t3.contains("a@b.io"))
     assert(p3 >= 1 && t3.contains("[PHONE]"))
   }
+
+  test("redactPii counts reconcile with redacted tokens when a phone hides inside an email") {
+    val docs = Seq((1L, "reach me at 555-123-4567@corp.example.com now")).toDF("doc_id", "text")
+    val r = TextOps.redactPii(docs, "doc_id", "text").collect()(0)
+    val (emails, phones, clean) = (r.getInt(1), r.getInt(2), r.getString(3))
+    // the email swallows the digits: one [EMAIL], zero [PHONE] — and the
+    // counts must say exactly that (phones counted post-email-redaction)
+    assert(clean == "reach me at [EMAIL] now")
+    assert(emails == 1 && phones == 0,
+      s"counts ($emails, $phones) must reconcile with the redacted text")
+  }
 }
