@@ -215,6 +215,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(exprs(3), "n"), litDouble(exprs(4), "minJaccard")))
     }
 
+    registerTable("chunk_tokens",
+      "chunk_tokens('table', 'idCol', 'textCol', window, overlap) - overlapping token windows", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.chunkTokens(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "window"), litInt(exprs(4), "overlap")))
+    }
+    registerTable("redact_pii",
+      "redact_pii('table', 'idCol', 'textCol') - scrub emails/phones, with counts", 3) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.redactPii(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column")))
+    }
+    registerTable("hash_split",
+      "hash_split('table', 'keyCol', 'train:80,valid:90,test:100') - stable md5-bucket split", 3) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        val cuts = colList(litStr(exprs(2), "cuts")).map { entry =>
+          entry.split(":") match {
+            case Array(name, cut) if cut.trim.forall(_.isDigit) => name.trim -> cut.trim.toInt
+            case _ => throw new IllegalArgumentException(
+              s"hash_split cut '$entry' must be 'name:percent' (e.g. 'train:80')")
+          }
+        }
+        expand(graft.operators.Relational.hashSplit(t, litStr(exprs(1), "key column"), cuts))
+    }
+    registerTable("quantize_int8",
+      "quantize_int8('table', 'idCol', 'vecCol') - per-vector int8 quantization stats", 3) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Embeddings.quantizeInt8(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "vector column")))
+    }
+
     ext.injectOptimizerRule(_ => UnitVecIdempotence)
     ext.injectOptimizerRule(_ => graft.formats.AvroProjectionPruning)
   }

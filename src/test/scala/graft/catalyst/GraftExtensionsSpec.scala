@@ -123,6 +123,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mh == Set((1L, 2L)), s"got $mh")
   }
 
+  test("curation TVFs: chunk_tokens, redact_pii, hash_split, quantize_int8 from plain SQL") {
+    import spark.implicits._
+    Seq((7L, (1 to 50).map(i => s"w$i").mkString(" ") + " mail me x@y.zz"))
+      .toDF("doc_id", "text").createOrReplaceTempView("cur_docs_t")
+    val chunks = spark.sql("SELECT * FROM chunk_tokens('cur_docs_t', 'doc_id', 'text', 40, 10)")
+      .collect()
+    // 53 tokens: chunk 0 = 1-40, chunk 1 = 31-53 (23 tokens)
+    assert(chunks.length == 2 && chunks.map(_.getInt(2)).sorted.toSeq == Seq(23, 40))
+    val red = spark.sql("SELECT * FROM redact_pii('cur_docs_t', 'doc_id', 'text')").collect()(0)
+    assert(red.getInt(1) == 1 && red.getString(3).endsWith("mail me [EMAIL]"))
+    val splits = spark.sql(
+      "SELECT DISTINCT split FROM hash_split('cur_docs_t', 'text', 'train:80,valid:90,test:100')")
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")) && splits.size == 1)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_tvf_t")
+    val q = spark.sql("SELECT * FROM quantize_int8('emb_tvf_t', 'vec_id', 'embedding')")
+    assert(q.count() == 500 && q.columns.toSeq ==
+      Seq("vec_id", "n_dims", "scale", "q_sum", "max_err"))
+  }
+
   test("latest_by_key rejects a DESC ordering entry with a pointer to top_k_per_group") {
     import spark.implicits._
     Seq((1L, "a", 1)).toDF("k", "v", "ts").createOrReplaceTempView("updates_desc_t")
