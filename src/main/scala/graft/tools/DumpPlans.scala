@@ -39,7 +39,19 @@ object DumpPlans {
        AnnQueries.q50AnnBrute(spark, d)),
       ("q53_ann_ivf",
        "IVF probe: corpus assigned to buckets by one NearestCentroids argmax pass (no window, no corpus×nlist explode); probes broadcast; per-query top-k window only on candidates.",
-       AnnQueries.q53AnnIvf(spark, d)))
+       AnnQueries.q53AnnIvf(spark, d)),
+      ("q56_embed_neardup_cand",
+       "Banded candidates: per-row sketches (3 seeds computed once), ids-only band explode, (band,value) equi self-join, pair dedup, verify = two id joins re-attaching the SHARED persisted unit-vector projection + codegen dot filter. No BNLJ/cartesian; vectors never ride the band explode.",
+       DedupQueries.q56EmbedNearDupCand(spark, d)),
+      ("q57_embed_quantize",
+       "Int8 quantization: pure per-row projection — scan + one Project, ZERO Exchange (asserted in PlanSpec). The shape every row-local curation op in this engine compiles to.",
+       AnnQueries.q57EmbedQuantize(spark, d)),
+      ("q59_chunk_tokens",
+       "Token chunking: tokenize, windowed slice via sequence+transform, posexplode — per-row generate, no shuffle.",
+       TextQueries.q59ChunkTokens(spark, d)),
+      ("q61_multimodal_decode",
+       "Real-codec path: DeserializeToObject -> partition-parallel MapPartitions (imageio encode/decode/resize kernel) -> SerializeFromObject. One narrow stage, no Exchange: the kernel boundary is the only non-codegen span, by design.",
+       MultimodalQueries.q61MultimodalDecode(spark, d)))
     val sb = new StringBuilder
     sb.append("# PLANS — annotated `.explain(\"formatted\")` for headline queries\n\n")
     sb.append("> Regenerate: `sbt \"runMain graft.tools.DumpPlans\"` (written by that main).\n")
