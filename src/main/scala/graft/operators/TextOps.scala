@@ -38,6 +38,47 @@ object TextOps {
         concat_ws(" ", col("_chunk")).as("chunk_text"))
   }
 
+  /** Sequential pack assignment: walking rows in `idCol` order, each row's
+    * pack is `floor(cumulative-weight-before-it / budget)` — the
+    * deterministic contiguous-greedy packing used to group documents into
+    * fixed token budgets for training batches (order-stable: same data →
+    * same packs, no rand(), replayable as a SQL window cumsum).
+    *
+    * The cumulative sum is a DISTRIBUTED two-phase prefix sum, NOT a
+    * global-order window (which Spark executes as a single partition — the
+    * classic scale killer for exactly this query): range-partition by id,
+    * cumsum per partition in parallel windows, then shift each partition
+    * by the total of all partitions before it. The per-partition totals
+    * are a #partitions-row collect (a model fetch, like the IVF
+    * centroids); everything row-scale stays distributed. Range partition
+    * boundaries don't affect the OUTPUT (the global order is by id
+    * regardless of where the cuts land) — they only balance the work. */
+  def sequentialPack(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    val spark = df.sparkSession
+    val w = df.select(col(idCol), col(weightCol).cast("long").as("_w"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .withColumn("_pid", spark_partition_id())
+    val pidTotals = w.groupBy("_pid").agg(sum("_w").as("_psum"))
+      .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
+    // offset of partition k = total weight of partitions before it
+    val offsets = pidTotals.map(_._1).zip(
+      pidTotals.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
+    val cumIn = sum(col("_w")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("_pid").orderBy(idCol)) - col("_w")
+    // exact integer floor-division for ANY budget: subtract the remainder
+    // first, so the double division is of an exact multiple (Spark's `/`
+    // on longs is double division)
+    val cumBefore = col("_off") + cumIn
+    w.join(offDf, Seq("_pid"))
+      .withColumn("pack_id",
+        ((cumBefore - pmod(cumBefore, lit(budget))) / lit(budget)).cast("long"))
+      .select(col(idCol), col("_w").as("weight"), col("pack_id"))
+  }
+
   // Conservative syntax shared by Java regex and RE2 (no lookaround, no
   // backrefs) so the SQL oracle replays the exact same matches.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

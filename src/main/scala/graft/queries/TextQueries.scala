@@ -82,6 +82,16 @@ object TextQueries {
     graft.operators.TextOps.redactPii(aug, "doc_id", "text")
   }
 
+  // Sequence packing: contiguous-greedy 1024-token packs over doc_id
+  // order via a DISTRIBUTED two-phase prefix sum (never a global-order
+  // window = single partition); replayed by a DuckDB window cumsum.
+  def q65SeqPack(s: SparkSession, d: String): DataFrame = {
+    val weighted = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    graft.operators.TextOps.sequentialPack(weighted, "doc_id", "n_tokens", budget = 1024L)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_explode_tokens" -> q30Explode,
     "q31_lang_id" -> q31LangId,
@@ -90,7 +100,8 @@ object TextQueries {
     "q34_fingerprint" -> q34Fingerprint,
     "q58_hash_split" -> q58HashSplit,
     "q59_chunk_tokens" -> q59ChunkTokens,
-    "q64_pii_redact" -> q64PiiRedact)
+    "q64_pii_redact" -> q64PiiRedact,
+    "q65_seq_pack" -> q65SeqPack)
 
   private val markersSql = TextFunctions.LangMarkers.zipWithIndex.map {
     case ((lang, ms), i) => s"('$lang', $i, [${ms.map(m => s"'$m'").mkString(",")}])"
@@ -99,6 +110,18 @@ object TextQueries {
   private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q65_seq_pack" ->
+      """WITH w AS (
+           SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS weight
+           FROM documents
+         ), c AS (
+           SELECT doc_id, weight,
+             COALESCE(CAST(sum(weight) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+           FROM w
+         )
+         SELECT doc_id, weight, cum_before // 1024 AS pack_id FROM c""",
     // NOTE: the generate_series(0, 2000) bound caps the replay at 2001
     // chunks/doc = 60,040 tokens; TESTDATA docs are <= 20k chars (~4k
     // tokens, nc <= 133), so the cap is 15x headroom — if the corpus ever

@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 64 queries, unique names") {
-    assert(SparkEntry.queries.size == 64)
+  test("gate inventory: 65 queries, unique names") {
+    assert(SparkEntry.queries.size == 65)
   }
 }

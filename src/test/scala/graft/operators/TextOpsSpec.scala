@@ -33,6 +33,29 @@ class TextOpsSpec extends SparkSpec {
     assert(covered == (1 to 100).map(i => s"t$i").toSet)
   }
 
+  test("sequentialPack: distributed prefix sum equals the single-partition ground truth") {
+    // weights chosen so packs straddle partition boundaries; 997 is not a
+    // power of two (exercises the exact floor-division path)
+    val rows = (1 to 1000).map(i => (i.toLong, (i * 37 % 250 + 1).toLong))
+    val df = rows.toDF("doc_id", "w").repartition(13) // scrambled input partitioning
+    val packed = TextOps.sequentialPack(df, "doc_id", "w", budget = 997L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(packed.length == 1000)
+    // ground truth: sequential scan in id order
+    var cum = 0L
+    val truth = rows.sortBy(_._1).map { case (id, w) =>
+      val pack = cum / 997L; cum += w; (id, w, pack)
+    }
+    assert(packed.sortBy(_._1).toSeq == truth,
+      "distributed two-phase prefix sum must equal the sequential scan")
+    // packs are contiguous in id order and weights fill the budget
+    val byPack = truth.groupBy(_._3)
+    byPack.values.foreach { docs =>
+      val ids = docs.map(_._1)
+      assert(ids.max - ids.min + 1 == ids.length, "packs must be contiguous id ranges")
+    }
+  }
+
   test("redactPii: replaces and counts emails and phones, leaves clean text intact") {
     val docs = Seq(
       (1L, "write to jane.doe+spam@corp.example.com or call 555-123-4567 today"),
