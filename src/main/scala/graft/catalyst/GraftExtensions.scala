@@ -243,6 +243,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         expand(graft.operators.Relational.hashSplit(t, litStr(exprs(1), "key column"), cuts))
     }
+    registerTable("seq_pack",
+      "seq_pack('table', 'idCol', 'weightCol', budget) - contiguous token-budget pack ids", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.sequentialPack(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "weight column"),
+          litLong(exprs(3), "budget")))
+    }
     registerTable("quantize_int8",
       "quantize_int8('table', 'idCol', 'vecCol') - per-vector int8 quantization stats", 3) {
       exprs =>

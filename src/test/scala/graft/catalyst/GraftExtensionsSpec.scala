@@ -137,6 +137,11 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT DISTINCT split FROM hash_split('cur_docs_t', 'text', 'train:80,valid:90,test:100')")
       .collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "valid", "test")) && splits.size == 1)
+    Seq((1L, 700L), (2L, 700L), (3L, 700L)).toDF("doc_id", "w")
+      .createOrReplaceTempView("pack_tvf_t")
+    val packs = spark.sql("SELECT * FROM seq_pack('pack_tvf_t', 'doc_id', 'w', 1024)")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L)) // cum_before 0, 700, 1400
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .createOrReplaceTempView("emb_tvf_t")
     val q = spark.sql("SELECT * FROM quantize_int8('emb_tvf_t', 'vec_id', 'embedding')")
