@@ -113,6 +113,17 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(ij == Set(("k1", "hit"), ("k2", "back")), s"got $ij")
 
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW trades_t AS SELECT * FROM VALUES
+      ('A', timestamp'2024-01-01 10:00:30', 101.0) AS t(sym, tts, px)""")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW quotes_t AS SELECT * FROM VALUES
+      ('A', timestamp'2024-01-01 10:00:00', 100.5),
+      ('A', timestamp'2024-01-01 10:00:29', 100.7),
+      ('A', timestamp'2024-01-01 10:00:31', 100.9) AS t(qsym, qts, bid)""")
+    val asof = spark.sql(
+      "SELECT _asof.bid FROM asof_join('trades_t', 'quotes_t', 'sym', 'qsym', 'tts', 'qts')")
+      .collect().map(_.getDecimal(0).doubleValue).toSeq
+    assert(asof == Seq(100.7), s"latest quote at-or-before the trade, got $asof")
+
     Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"), (3L, "unrelated text entirely here"))
       .toDF("doc_id", "text").createOrReplaceTempView("docs_t")
     val nd = spark.sql("SELECT id_a, id_b FROM neardup_pairs('docs_t', 'doc_id', 'text', 2, 0.3)")
