@@ -94,6 +94,41 @@ class SqlProcessorsSpec extends SparkSpec {
     }
   }
 
+  test("curation TVFs compose with streams: redact_pii runs continuously over a doc stream") {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-sql-curation-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.catalyst.GraftExtensions)
+      .getOrCreate()
+    val pipes = new Pipelines(Files.createTempDirectory("sqlp-cur").toString)
+    try {
+      import ext.implicits._
+      val in = MemoryStream[(Long, String)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, String)]], ext.sqlContext)
+      val procs = new SqlProcessors(ext, pipes)
+      procs.registerSource("docs_stream", in.toDF().toDF("doc_id", "text"))
+      procs.submit("scrubbed",
+        "INSERT INTO docs_clean SELECT * FROM redact_pii('docs_stream', 'doc_id', 'text')")
+      in.addData((1L, "ping alice@example.org today"), (2L, "nothing here"))
+      pipes.awaitDrained("scrubbed")
+      val rows = ext.table("docs_clean").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getString(3))).toMap
+      assert(rows(1L) == ((1, "ping [EMAIL] today")))
+      assert(rows(2L) == ((0, "nothing here")))
+    } finally {
+      pipes.stopAll()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("submit rejects bounded SELECTs and non-INSERT statements") {
     val pipes = new Pipelines(Files.createTempDirectory("sqlp-ck3").toString)
     val procs = new SqlProcessors(spark, pipes)
