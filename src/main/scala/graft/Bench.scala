@@ -20,12 +20,22 @@ object Bench {
     catch { case _: Throwable => () }
     // Optional comma-separated subset for local iteration (driver leaves unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Optional per-query repeat count: report the MEDIAN of n runs inside
+    // one warm JVM (single runs on this box carry ±30-50% variance on the
+    // multi-job queries — BASELINE.md r5). Default 1 = driver-compatible.
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1).max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> median(times)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
