@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.catalyst.VectorExprs
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -7,6 +8,107 @@ import org.apache.spark.sql.{Column, DataFrame}
   * shipping side of a training-data pipeline.
   */
 object Embeddings {
+
+  /** Product-quantization codebooks: `m` subspaces × (≤`k`) centroids ×
+    * `dim/m` doubles. The model a 100-TB ANN index stores ONCE while every
+    * corpus vector shrinks to `m` small codes (e.g. 64-dim float32 →
+    * 8 bytes: 32× smaller). */
+  type PqCodebooks = Array[Array[Array[Double]]]
+
+  /** Train PQ codebooks over the (L2-normalized) corpus: per subspace, a
+    * deterministic hash-bucket seeding (same shape as the IVF coarse
+    * quantizer — min_by representative per id-hash bucket, one map-side
+    * agg) followed by `iters` Lloyd rounds (assign = one argmax expression
+    * pass; update = element-position mean via posexplode + groupBy — all
+    * distributed; only the k×dim/m centroid table is ever collected, a
+    * model fetch). Deterministic for fixed data: no random init, and every
+    * aggregation is over disjoint keys. Empty cells keep their previous
+    * centroid (standard Lloyd degenerate-cell handling). */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 2): PqCodebooks = {
+    require(m >= 1 && k >= 2 && iters >= 0)
+    val unit = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
+    val dim = unit.select(size(col("_v"))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sv = unit.select(col("_id"), slice(col("_v"), s * sub + 1, sub).as("_sv"))
+      var centroids: Array[Array[Double]] = sv
+        .groupBy(pmod(xxhash64(col("_id")), lit(k)).as("_cb"))
+        .agg(min_by(col("_sv"), col("_id")).as("_c"))
+        .collect().map(_.getSeq[Double](1).toArray)
+      for (_ <- 0 until iters) {
+        val updated = sv
+          .withColumn("_code", VectorExprs.nearestCentroids(col("_sv"), centroids, 1).getItem(0))
+          .select(col("_code"), posexplode(col("_sv")).as(Seq("_pos", "_x")))
+          .groupBy("_code", "_pos").agg(avg(col("_x")).as("_mean"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (code, rows) =>
+            code -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          }
+        centroids = centroids.indices.map(c => updated.getOrElse(c, centroids(c))).toArray
+      }
+      centroids
+    }.toArray
+  }
+
+  /** Encode each (normalized) vector as `m` centroid codes — one argmax
+    * expression per subspace, pure projection, no shuffle. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: PqCodebooks): DataFrame = {
+    val sub = codebooks(0)(0).length
+    val unit = VectorExprs.unitVec(col(vecCol))
+    val codes = array(codebooks.indices.map(s =>
+      VectorExprs.nearestCentroids(slice(unit, s * sub + 1, sub), codebooks(s), 1).getItem(0)): _*)
+    emb.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Reconstruct the approximate vector from PQ codes: concatenate the
+    * per-subspace centroids (codebooks ride as a literal — the model is
+    * broadcast with the plan, never joined). */
+  private def pqDecode(codesCol: Column, codebooks: PqCodebooks): Column =
+    concat(codebooks.indices.map(s =>
+      element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), codesCol.getItem(s) + 1)): _*)
+
+  /** Approximate cosine top-k over PQ codes (asymmetric distance: exact
+    * query dotted with the reconstructed corpus vector — equivalent to the
+    * classic per-subspace ADC lookup-table sum, expressed as one codegen
+    * dot). At scale the corpus side stores ONLY the codes; the decode is
+    * a per-row projection off the broadcast codebook literal. Recall < 1
+    * by design; measured against [[Similarity.bruteForceTopK]] in the
+    * spec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, codebooks: PqCodebooks): DataFrame = {
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks)
+      .select(col(idCol).as("neighbor_id"), pqDecode(col("codes"), codebooks).as("_cv"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), VectorExprs.unitVec(col(vecCol)).as("_qv")))
+    val scored = codes.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(VectorExprs.dotD(col("_qv"), col("_cv")), 5))
+    Similarity.topKBySim(scored, k)
+  }
+
+  /** Two-stage PQ search — the production shape (compressed scan, then
+    * refine): stage 1 ranks the WHOLE corpus with [[pqTopK]]'s compressed
+    * scorer and keeps a shortlist of `shortlist` candidates per query;
+    * stage 2 re-attaches full vectors for the shortlist ONLY and ranks
+    * exactly. At 100 TB the full-vector store is touched for
+    * queries×shortlist rows instead of the whole corpus, while the scan
+    * reads 32×-compressed codes. Recall is governed by shortlist depth
+    * (stage 2 is exact on it) — measured vs brute force in the spec. */
+  def pqTopKRerank(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortlist: Int, codebooks: PqCodebooks): DataFrame = {
+    require(shortlist >= k, "shortlist >= k")
+    val cand = pqTopK(corpus, queries, idCol, vecCol, shortlist, codebooks)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = corpus.select(col(idCol).as("neighbor_id"), VectorExprs.unitVec(col(vecCol)).as("_cv"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), VectorExprs.unitVec(col(vecCol)).as("_qv")))
+    val exact = cand.join(full, Seq("neighbor_id")).join(q, Seq("query_id"))
+      .withColumn("sim", round(VectorExprs.dotD(col("_qv"), col("_cv")), 5))
+    Similarity.topKBySim(exact, k)
+  }
 
   /** Symmetric per-vector int8 quantization: `scale = max|v| / 127`,
     * `code_i = round(v_i / scale)` — the standard embedding-compression

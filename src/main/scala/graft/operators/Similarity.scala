@@ -296,7 +296,7 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
-  private def topKBySim(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topKBySim(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))

@@ -48,12 +48,24 @@ object AnnQueries {
   def q57EmbedQuantize(s: SparkSession, d: String): DataFrame =
     graft.operators.Embeddings.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
 
+  // Product-quantization two-stage ANN (compressed scan -> exact rerank):
+  // the 32x-memory-compression scale path next to LSH (q51) and IVF
+  // (q53). Approximate by design -> rows-only check; recall floors
+  // asserted in EmbeddingsSpec.
+  def q66AnnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = graft.operators.Embeddings.pqTrain(emb, "vec_id", "embedding", m = 8, k = 32, iters = 2)
+    graft.operators.Embeddings.pqTopKRerank(
+      emb, queriesSubset(s, d), "vec_id", "embedding", k = 5, shortlist = 100, cb)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ann_brute" -> q50AnnBrute,
     "q51_ann_lsh" -> q51AnnLsh,
     "q52_approx_distinct" -> q52ApproxDistinct,
     "q53_ann_ivf" -> q53AnnIvf,
-    "q57_embed_quantize" -> q57EmbedQuantize)
+    "q57_embed_quantize" -> q57EmbedQuantize,
+    "q66_ann_pq" -> q66AnnPq)
 
   // q51/q52 are approximate → rows-only checks (no oracle entries).
   val oracles: Map[String, String] = Map(
