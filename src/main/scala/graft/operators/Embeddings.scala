@@ -31,26 +31,44 @@ object Embeddings {
     val dim = unit.select(size(col("_v"))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    (0 until m).map { s =>
-      val sv = unit.select(col("_id"), slice(col("_v"), s * sub + 1, sub).as("_sv"))
-      var centroids: Array[Array[Double]] = sv
-        .groupBy(pmod(xxhash64(col("_id")), lit(k)).as("_cb"))
-        .agg(min_by(col("_sv"), col("_id")).as("_c"))
-        .collect().map(_.getSeq[Double](1).toArray)
-      for (_ <- 0 until iters) {
-        val updated = sv
-          .withColumn("_code", VectorExprs.nearestCentroids(col("_sv"), centroids, 1).getItem(0))
-          .select(col("_code"), posexplode(col("_sv")).as(Seq("_pos", "_x")))
-          .groupBy("_code", "_pos").agg(avg(col("_x")).as("_mean"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (code, rows) =>
-            code -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-          }
-        centroids = centroids.indices.map(c => updated.getOrElse(c, centroids(c))).toArray
-      }
-      centroids
-    }.toArray
+    // all m subspaces travel through ONE plan per training phase (a
+    // subspace column next to the sliced subvector), so each phase is a
+    // single distributed job + one ≤ m×k×(dim/m)-value collect — not
+    // m separate job chains (24 serial driver round-trips at m=8,
+    // iters=2; this shape does 3).
+    val sv = unit.select(col("_id"),
+      posexplode(array((0 until m).map(s => slice(col("_v"), s * sub + 1, sub)): _*))
+        .as(Seq("_s", "_sv")))
+    def toBooks(rows: Array[org.apache.spark.sql.Row]): Map[(Int, Int), Array[Double]] =
+      rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val init = toBooks(sv
+      .groupBy(col("_s"), pmod(xxhash64(col("_id")), lit(k)).cast("int").as("_cb"))
+      .agg(min_by(col("_sv"), col("_id")).as("_c"))
+      .collect())
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      (0 until k).flatMap(c => init.get((s, c))).toArray
+    }
+    for (_ <- 0 until iters) {
+      // per-subspace assignment needs that subspace's centroids: union of
+      // m filtered branches, each with its own codebook literal — still
+      // ONE job at collect time
+      val assigned = (0 until m).map { s =>
+        sv.filter(col("_s") === s)
+          .withColumn("_code",
+            VectorExprs.nearestCentroids(col("_sv"), books(s), 1).getItem(0))
+      }.reduce(_ unionByName _)
+      val updated = assigned
+        .select(col("_s"), col("_code"), posexplode(col("_sv")).as(Seq("_pos", "_x")))
+        .groupBy("_s", "_code", "_pos").agg(avg(col("_x")).as("_mean"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      books = Array.tabulate(m)(s =>
+        books(s).indices.map(c => updated.getOrElse((s, c), books(s)(c))).toArray)
+    }
+    books
   }
 
   /** Encode each (normalized) vector as `m` centroid codes — one argmax
