@@ -33,6 +33,7 @@ object Bench {
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        finally CacheScope.release() // inside the timer: release cost is part of the query
         (System.nanoTime() - t0) / 1e9
       }
       name -> median(times)

@@ -16,6 +16,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release operator-internal persists (shingle tables, unit-vector
+      // projections) between queries — see CacheScope's contract
+      finally CacheScope.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -40,17 +40,17 @@ object Dedup {
     * MEMORY_AND_DISK default: memory blocks are LRU-evicted and then
     * RECOMPUTED, so under pressure this degrades to the uncached cost —
     * the AND_DISK level would instead spill every evicted block and never
-    * free the disk. One cached table accumulates per operator call for
-    * the session's lifetime (Spark offers no result-scoped unpersist
-    * hook); bounded by the evictable storage pool, and a long-lived
-    * cluster deployment would persist this stage to storage explicitly
-    * instead. */
+    * free the disk. The persist is registered with [[graft.CacheScope]]:
+    * harness callers release it deterministically after materializing the
+    * consuming query, so repeated invocations don't accumulate cached
+    * tables for the session's lifetime (a cluster deployment would persist
+    * this stage to storage explicitly instead). */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
+    graft.CacheScope.track(docs
       .select(col(idCol).as("_id"),
         ShingleExprs.shingleHashes(TextFunctions.tokens(col(textCol)), n).as("_sh"))
       .withColumn("_setSize", size(col("_sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
 
   /** Exact-verify a candidate pair set: re-attach both shingle arrays,
     * count the intersection with one linear merge, keep pairs at/above the

@@ -285,9 +285,11 @@ object Similarity {
     // per call (sketch branch inside cosineBandCandidates + both verify
     // joins) and the three subtrees are not canonically identical, so
     // nothing dedupes them without an explicit persist. Same
-    // eviction-degrades-to-recompute rationale as Dedup.shingled.
-    val unit = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // eviction-degrades-to-recompute rationale as Dedup.shingled, and the
+    // same CacheScope release contract.
+    val unit = graft.CacheScope.track(
+      emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     bandCandidatesOfUnit(unit, nBits, bands, sketchSeeds)
       .join(unit.select(col("_id").as("id_a"), col("_v").as("_va")), Seq("id_a"))
       .join(unit.select(col("_id").as("id_b"), col("_v").as("_vb")), Seq("id_b"))

@@ -19,7 +19,9 @@ object ScaleProbe {
 
     def time(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val n = f
+      // release operator-internal persists per probe: consecutive 1x/10x
+      // runs must not warm (or evict) each other through leftover caches
+      val n = try f finally graft.CacheScope.release()
       println(f"$tag%-42s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
     }
 
