@@ -48,6 +48,16 @@ object DedupQueries {
   def q56EmbedNearDupCand(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupCandidates(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
 
+  // The dispatcher over q44/q56's operators: derives an LSH band family
+  // from (threshold, target recall, corpus size) and picks exact-tiled vs
+  // banded on the measured cost crossover (BASELINE.md probe: exact wins
+  // at τ=0.45, banded at τ≥0.8 at scale). Both arms emit the same pair
+  // set, so one DuckDB all-pairs oracle checks whichever arm fires — at
+  // gate size (500-2k vectors) that is the exact arm; the banded arm and
+  // the decision function are pinned across τ in SimilaritySpec.
+  def q68EmbedNearDupAuto(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupAuto(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+
   // Near-dup clusters: connected components over the exact Jaccard >= 0.4
   // pair graph; every clustered doc mapped to its minimum-id representative
   // (the keep-one-copy step of the dedup pipeline).
@@ -97,7 +107,8 @@ object DedupQueries {
     "q45_dedup_clusters" -> q45DedupClusters,
     "q46_curation_pipeline" -> q46CurationPipeline,
     "q55_embed_clusters" -> q55EmbedClusters,
-    "q56_embed_neardup_cand" -> q56EmbedNearDupCand)
+    "q56_embed_neardup_cand" -> q56EmbedNearDupCand,
+    "q68_embed_neardup_auto" -> q68EmbedNearDupAuto)
 
   /** Word n-gram distinct shingle list in DuckDB. */
   private def shinglesSql(n: Int) =
@@ -153,6 +164,8 @@ object DedupQueries {
     // q56's candidates+verify path must reproduce the exact pair set —
     // same oracle as q44 by design.
     "q56_embed_neardup_cand" -> cosinePairsOracleSql,
+    // the dispatcher must reproduce the same pair set whichever arm fires
+    "q68_embed_neardup_auto" -> cosinePairsOracleSql,
     "q45_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
           pairs AS (

@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 66 queries, unique names") {
-    assert(SparkEntry.queries.size == 66)
+  test("gate inventory: 67 queries, unique names") {
+    assert(SparkEntry.queries.size == 67)
   }
 }

@@ -62,6 +62,96 @@ class SimilaritySpec extends SparkSpec {
       s"q56 gate contract: band family must not miss pairs; missed ${(exact -- banded).take(5)}")
   }
 
+  // --- derived band families (deriveBands / cosineNearDupAuto) ---------
+
+  /** Gate corpus plus, for each base vector u, a planted twin at cosine
+    * exactly `tau + 0.02` with u: v' = s·u + √(1−s²)·ŵ where ŵ is the
+    * unit component of a deterministic companion direction (circular
+    * shift) orthogonal to u. Gives every sweep threshold a non-empty
+    * truth set (the raw gate data has no pairs above 0.6). */
+  private def plantedCorpus(tau: Double): DataFrame = {
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (a, b) => a * b }.sum
+    def unit(x: Array[Double]) = { val n = math.sqrt(dot(x, x)); x.map(_ / n) }
+    val s = tau + 0.02
+    val planted = base.map { case (id, v) =>
+      val u = unit(v.map(_.toDouble))
+      val e = Array.tabulate(u.length)(i => u((i + 1) % u.length))
+      val orth = e.zip(u).map { case (ei, ui) => ei - dot(e, u) * ui }
+      val w = unit(orth)
+      (id + 100000L, u.zip(w).map { case (ui, wi) =>
+        (s * ui + math.sqrt(1 - s * s) * wi).toFloat })
+    }
+    import spark.implicits._
+    (base ++ planted).toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("deriveBands honors the recall bound and prunes monotonically harder with threshold") {
+    val taus = Seq(0.45, 0.6, 0.8, 0.9)
+    val plans = taus.map(Similarity.deriveBands(_, targetRecall = 0.9999))
+    for ((t, p) <- taus.zip(plans)) {
+      info(f"tau=$t: ${p.sketchSeeds.length} x ${p.bands} bands of ${p.bandBits} bits, " +
+        f"miss=${p.missAtThreshold}%.2e, candidateFraction=${p.candidateFraction}%.4f")
+      assert(p.missAtThreshold <= 1e-4 + 1e-12,
+        s"tau=$t: derived family violates its own recall bound")
+      assert(p.nBits <= 64 && p.nBits % p.bands == 0, s"tau=$t: invalid sketch layout")
+    }
+    val fractions = plans.map(_.candidateFraction)
+    assert(fractions.zip(fractions.tail).forall { case (lo, hi) => hi < lo },
+      s"candidate fraction must fall as the threshold tightens: $fractions")
+  }
+
+  test("derived families: recall 1.0 vs exact pairs at tau in {0.45, 0.6, 0.8, 0.9}") {
+    for (tau <- Seq(0.45, 0.6, 0.8, 0.9)) {
+      val corpus = plantedCorpus(tau)
+      val exact = pairSet(Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", tau))
+      val banded = pairSet(Similarity.cosineNearDupCandidates(corpus, "vec_id", "embedding", tau))
+      assert(exact.size >= 500, s"tau=$tau: planted corpus must contain a real truth set")
+      assert((banded -- exact).isEmpty, s"tau=$tau: verify admits no false positives")
+      assert(banded == exact,
+        s"tau=$tau: derived family missed ${(exact -- banded).size} of ${exact.size} pairs")
+      info(s"tau=$tau: ${exact.size} true pairs, all recovered")
+    }
+  }
+
+  test("measured candidate counts fall as the threshold tightens (derived families)") {
+    val emb = Tables.embeddings(spark, sf)
+    // families as a 1M-row corpus would derive them — at spec-corpus size
+    // the cost model rightly stops paying for pruning, which would make
+    // this measurement vacuous
+    val counts = Seq(0.45, 0.8).map { tau =>
+      val p = Similarity.deriveBands(tau, corpusSize = 1L << 20)
+      val c = Similarity.cosineBandCandidates(
+        emb, "vec_id", "embedding", p.nBits, p.bands, p.sketchSeeds).count()
+      info(f"tau=$tau: ${c} candidates (fraction bound ${p.candidateFraction}%.4f)")
+      c
+    }
+    assert(counts(1) < counts(0),
+      s"tight-threshold family must emit fewer candidates: $counts")
+  }
+
+  test("auto dispatch reproduces the measured crossover and the exact pair set") {
+    // r5 ScaleProbe: exact won at tau=0.45 at every probed N; banded won
+    // at tau=0.8 at 20k vectors. Small corpora never amortize the sketch.
+    def pick(tau: Double, n: Long) =
+      Similarity.bandedCheaper(n, Similarity.deriveBands(tau, corpusSize = n))
+    assert(!pick(0.45, 20000), "tau=0.45 is the banding-degenerate regime: exact must win")
+    assert(!pick(0.45, 1000000))
+    assert(!pick(0.9, 500), "sketch cost can't amortize over a tiny corpus")
+    assert(pick(0.8, 20000), "measured r5: banded won tau=0.8 at 20k")
+    assert(pick(0.9, 1000000))
+    // end-to-end on gate data: the dispatcher (exact arm at this N) must
+    // emit exactly the pair set both arms promise
+    val emb = Tables.embeddings(spark, sf)
+    val auto = Similarity.cosineNearDupAuto(emb, "vec_id", "embedding", 0.45)
+    assert(!auto.queryExecution.analyzed.toString.contains("_bk"),
+      "at N=500 the dispatcher must take the exact tiled arm")
+    assert(pairSet(auto) == pairSet(
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)))
+  }
+
   test("band candidates prune: wider bands cut candidates; narrower bands regain recall") {
     val emb = Tables.embeddings(spark, sf)
     val n = emb.count()
