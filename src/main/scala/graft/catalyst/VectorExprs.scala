@@ -160,13 +160,23 @@ case class HyperplaneSketch64(child: Expression, nBits: Int, seed: Long)
   * round-2 single-partition WindowExec hazard). The centroid matrix rides
   * inside the expression to the executors (nlist × dim doubles — the
   * trained model, tiny next to any corpus partition). */
-case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], topN: Int)
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], topN: Int,
+    l2: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(centroids.nonEmpty, "centroids must be non-empty")
   require(topN >= 1 && topN <= centroids.length, "topN in [1, nlist]")
   private val centroidDim = centroids(0).length
   require(centroids.forall(_.length == centroidDim), "ragged centroid matrix")
+
+  // With `l2`, score = v·c − ||c||²/2, whose argmax is argmin ||v−c||²
+  // (the ||v||² term is constant per row). Needed when centroids are NOT
+  // unit-norm — e.g. PQ codebooks, whose update step is an L2 mean: a
+  // plain max-dot assign would optimize a different objective than the
+  // update and bias assignment toward large-norm centroids.
+  @transient private lazy val halfSqNorms: Array[Double] =
+    if (l2) centroids.map(c => 0.5 * c.map(x => x * x).sum)
+    else new Array[Double](centroids.length)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -194,7 +204,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
       var c = 0
       while (c < n) {
         val cent = centroids(c)
-        var s = 0.0
+        var s = -halfSqNorms(c)
         var j = 0
         while (j < dim) { s += v(j) * cent(j); j += 1 }
         if (s > bestDot) { bestDot = s; bestIdx = c }
@@ -206,7 +216,7 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
       var c = 0
       while (c < n) {
         val cent = centroids(c)
-        var s = 0.0
+        var s = -halfSqNorms(c)
         var j = 0
         while (j < dim) { s += v(j) * cent(j); j += 1 }
         scores(c) = s
@@ -230,4 +240,10 @@ object VectorExprs {
     Cols.column(HyperplaneSketch64(Cols.expression(v), nBits, seed))
   def nearestCentroids(v: Column, centroids: Array[Array[Double]], topN: Int): Column =
     Cols.column(NearestCentroids(Cols.expression(v), centroids, topN))
+
+  /** Nearest centroids by MINIMUM L2 distance (argmax of v·c − ||c||²/2)
+    * — for non-unit centroids such as PQ codebooks, where Lloyd's update
+    * is an L2 mean and assignment must optimize the same objective. */
+  def nearestCentroidsL2(v: Column, centroids: Array[Array[Double]], topN: Int): Column =
+    Cols.column(NearestCentroids(Cols.expression(v), centroids, topN, l2 = true))
 }

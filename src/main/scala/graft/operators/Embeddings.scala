@@ -18,8 +18,10 @@ object Embeddings {
   /** Train PQ codebooks over the (L2-normalized) corpus: per subspace, a
     * deterministic hash-bucket seeding (same shape as the IVF coarse
     * quantizer — min_by representative per id-hash bucket, one map-side
-    * agg) followed by `iters` Lloyd rounds (assign = one argmax expression
-    * pass; update = element-position mean via posexplode + groupBy — all
+    * agg) followed by `iters` Lloyd rounds (assign = argmin ||v−c||² as one
+    * norm-corrected argmax pass — subvector slices are NOT unit-norm, so
+    * assignment must share the L2 objective of the mean update;
+    * update = element-position mean via posexplode + groupBy — all
     * distributed; only the k×dim/m centroid table is ever collected, a
     * model fetch). Deterministic for fixed data: no random init, and every
     * aggregation is over disjoint keys. Empty cells keep their previous
@@ -55,7 +57,7 @@ object Embeddings {
       val assigned = (0 until m).map { s =>
         sv.filter(col("_s") === s)
           .withColumn("_code",
-            VectorExprs.nearestCentroids(col("_sv"), books(s), 1).getItem(0))
+            VectorExprs.nearestCentroidsL2(col("_sv"), books(s), 1).getItem(0))
       }.reduce(_ unionByName _)
       val updated = assigned
         .select(col("_s"), col("_code"), posexplode(col("_sv")).as(Seq("_pos", "_x")))
@@ -78,7 +80,7 @@ object Embeddings {
     val sub = codebooks(0)(0).length
     val unit = VectorExprs.unitVec(col(vecCol))
     val codes = array(codebooks.indices.map(s =>
-      VectorExprs.nearestCentroids(slice(unit, s * sub + 1, sub), codebooks(s), 1).getItem(0)): _*)
+      VectorExprs.nearestCentroidsL2(slice(unit, s * sub + 1, sub), codebooks(s), 1).getItem(0)): _*)
     emb.select(col(idCol), codes.as("codes"))
   }
 
@@ -88,6 +90,27 @@ object Embeddings {
   private def pqDecode(codesCol: Column, codebooks: PqCodebooks): Column =
     concat(codebooks.indices.map(s =>
       element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), codesCol.getItem(s) + 1)): _*)
+
+  /** Mean squared L2 reconstruction error E‖v − decode(encode(v))‖² over
+    * the (normalized) corpus — THE objective Lloyd training minimizes.
+    * Each full round (L2 assign + per-cell mean update, empty cells
+    * frozen) is non-increasing in this by construction, so the spec pins
+    * `error(iters=n) ≤ error(iters=0)` as a law — unlike recall@k, which
+    * is a downstream proxy the objective does not promise monotonically
+    * (and on near-uniform synthetic embeddings, measurably isn't). */
+  def pqReconstructionError(emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: PqCodebooks): Double = {
+    val sub = codebooks(0)(0).length
+    val unit = VectorExprs.unitVec(col(vecCol))
+    val codes = array(codebooks.indices.map(s =>
+      VectorExprs.nearestCentroidsL2(slice(unit, s * sub + 1, sub), codebooks(s), 1)
+        .getItem(0)): _*)
+    emb.select(unit.as("_v"), pqDecode(codes, codebooks).as("_a"))
+      .select(avg(aggregate(
+        zip_with(col("_v"), col("_a"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e)).as("_mse"))
+      .head().getDouble(0)
+  }
 
   /** Approximate cosine top-k over PQ codes (asymmetric distance: exact
     * query dotted with the reconstructed corpus vector — equivalent to the
