@@ -122,10 +122,10 @@ object TextQueries {
            FROM w
          )
          SELECT doc_id, weight, cum_before // 1024 AS pack_id FROM c""",
-    // NOTE: the generate_series(0, 2000) bound caps the replay at 2001
-    // chunks/doc = 60,040 tokens; TESTDATA docs are <= 20k chars (~4k
-    // tokens, nc <= 133), so the cap is 15x headroom — if the corpus ever
-    // grows past it the oracle (not the operator) under-produces rows.
+    // The chunk replay is bounded by the corpus's own max chunk count
+    // (scalar subquery over the SAME CTE), so a corpus with longer docs
+    // can never make the oracle silently under-produce rows — the r5
+    // fixed generate_series(0, 2000) cap would have (ADVICE r5).
     "q59_chunk_tokens" ->
       """WITH t AS (
            SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
@@ -136,7 +136,8 @@ object TextQueries {
          ), c AS (
            SELECT doc_id, CAST(k.k AS INT) AS chunk_idx,
              toks[k.k * 30 + 1 : k.k * 30 + 40] AS chunk
-           FROM n JOIN (SELECT unnest(generate_series(0, 2000)) AS k) k ON k.k < nc
+           FROM n JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(nc) AS BIGINT) FROM n))) AS k) k ON k.k < nc
          )
          SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens,
            array_to_string(chunk, ' ') AS chunk_text
