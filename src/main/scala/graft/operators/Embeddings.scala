@@ -27,9 +27,9 @@ object Embeddings {
     * aggregation is over disjoint keys. Empty cells keep their previous
     * centroid (standard Lloyd degenerate-cell handling). */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, iters: Int = 2): PqCodebooks = {
+      m: Int, k: Int, iters: Int = 2, normalize: Boolean = true): PqCodebooks = {
     require(m >= 1 && k >= 2 && iters >= 0)
-    val unit = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
+    val unit = emb.select(col(idCol).as("_id"), prep(vecCol, normalize).as("_v"))
     val dim = unit.select(size(col("_v"))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
@@ -73,16 +73,26 @@ object Embeddings {
     books
   }
 
+  /** `vecCol` as the array<double> the codebooks were trained on: unit-
+    * normalized for whole-vector PQ, raw for residual coding (residuals
+    * must NOT be re-normalized — their magnitude IS the signal the
+    * coarse quantizer left behind). */
+  private def prep(vecCol: String, normalize: Boolean) =
+    if (normalize) VectorExprs.unitVec(col(vecCol)) else col(vecCol).cast("array<double>")
+
+  /** The `m` per-subspace nearest-centroid codes of one vector column —
+    * min-L2 argmax passes over the codebook literals, pure projection. */
+  private def codesOf(vec: Column, codebooks: PqCodebooks): Column = {
+    val sub = codebooks(0)(0).length
+    array(codebooks.indices.map(s =>
+      VectorExprs.nearestCentroidsL2(slice(vec, s * sub + 1, sub), codebooks(s), 1).getItem(0)): _*)
+  }
+
   /** Encode each (normalized) vector as `m` centroid codes — one argmax
     * expression per subspace, pure projection, no shuffle. */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-      codebooks: PqCodebooks): DataFrame = {
-    val sub = codebooks(0)(0).length
-    val unit = VectorExprs.unitVec(col(vecCol))
-    val codes = array(codebooks.indices.map(s =>
-      VectorExprs.nearestCentroidsL2(slice(unit, s * sub + 1, sub), codebooks(s), 1).getItem(0)): _*)
-    emb.select(col(idCol), codes.as("codes"))
-  }
+      codebooks: PqCodebooks, normalize: Boolean = true): DataFrame =
+    emb.select(col(idCol), codesOf(prep(vecCol, normalize), codebooks).as("codes"))
 
   /** Reconstruct the approximate vector from PQ codes: concatenate the
     * per-subspace centroids (codebooks ride as a literal — the model is
@@ -100,17 +110,17 @@ object Embeddings {
     * (and on near-uniform synthetic embeddings, measurably isn't). */
   def pqReconstructionError(emb: DataFrame, idCol: String, vecCol: String,
       codebooks: PqCodebooks): Double = {
-    val sub = codebooks(0)(0).length
     val unit = VectorExprs.unitVec(col(vecCol))
-    val codes = array(codebooks.indices.map(s =>
-      VectorExprs.nearestCentroidsL2(slice(unit, s * sub + 1, sub), codebooks(s), 1)
-        .getItem(0)): _*)
-    emb.select(unit.as("_v"), pqDecode(codes, codebooks).as("_a"))
-      .select(avg(aggregate(
+    meanSqError(emb.select(unit.as("_v"),
+      pqDecode(codesOf(unit, codebooks), codebooks).as("_a")))
+  }
+
+  /** avg ‖_v − _a‖² of a two-array-column frame. */
+  private def meanSqError(frame: DataFrame): Double =
+    frame.select(avg(aggregate(
         zip_with(col("_v"), col("_a"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, e) => acc + e)).as("_mse"))
       .head().getDouble(0)
-  }
 
   /** Approximate cosine top-k over PQ codes (asymmetric distance: exact
     * query dotted with the reconstructed corpus vector — equivalent to the
@@ -141,14 +151,147 @@ object Embeddings {
   def pqTopKRerank(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, shortlist: Int, codebooks: PqCodebooks): DataFrame = {
     require(shortlist >= k, "shortlist >= k")
-    val cand = pqTopK(corpus, queries, idCol, vecCol, shortlist, codebooks)
-      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(pqTopK(corpus, queries, idCol, vecCol, shortlist, codebooks),
+      corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Stage 2 of any two-stage search: re-attach full vectors for the
+    * (query_id, neighbor_id) shortlist ONLY and rank exactly — the
+    * full-vector store is touched for queries×shortlist rows. */
+  private def rerankExact(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val full = corpus.select(col(idCol).as("neighbor_id"), VectorExprs.unitVec(col(vecCol)).as("_cv"))
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), VectorExprs.unitVec(col(vecCol)).as("_qv")))
-    val exact = cand.join(full, Seq("neighbor_id")).join(q, Seq("query_id"))
+    val exact = cand.select(col("query_id"), col("neighbor_id"))
+      .join(full, Seq("neighbor_id")).join(q, Seq("query_id"))
       .withColumn("sim", round(VectorExprs.dotD(col("_qv"), col("_cv")), 5))
     Similarity.topKBySim(exact, k)
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ: the composed index shape a 100-TB ANN deployment actually
+  // runs — coarse-quantize (the IVF inverted file bounds how much of the
+  // corpus a query touches), PQ-encode the RESIDUAL v − c(v) per list
+  // (residuals have less variance than raw vectors, so the same (m, k)
+  // budget quantizes them more finely), probe = compressed-scan the codes
+  // of nprobe lists, then exact-rerank the shortlist.
+  // ------------------------------------------------------------------
+
+  /** The IVF-PQ model: ≤`nlist` k-means coarse centroids + PQ codebooks
+    * trained on coarse residuals. Unlike [[Similarity.ivfTopK]]'s
+    * representative-based quantizer (which only partitions the corpus, so
+    * any deterministic representative works), IVF-PQ's coarse centroids
+    * must MINIMIZE residual variance — a random unit representative
+    * leaves ‖v − c‖ ≈ √2 on spread-out data, residuals with MORE
+    * variance than the raw vectors, and residual coding then loses to
+    * plain PQ (measured: MSE 0.76 vs 0.46 on the gate corpus). Bucket
+    * MEANS guarantee E‖v−c(v)‖² = 1 − Σ nᵦ‖c̄ᵦ‖²/N < E‖v‖² already at
+    * init, and every Lloyd round is non-increasing. */
+  final case class IvfPqModel(coarse: Array[Array[Double]], books: PqCodebooks)
+
+  /** k-means coarse quantizer: init = per-id-hash-bucket mean, then
+    * `iters` Lloyd rounds (L2 assign as one norm-corrected argmax pass;
+    * mean update via posexplode + groupBy). One distributed job + one
+    * ≤nlist×dim collect per round — model fetches only. Cells emptied by
+    * a round drop out (indices recompact; bucket ids are only ever
+    * defined as positions in the CURRENT centroid array). */
+  private def coarseTrain(c: DataFrame, nlist: Int, iters: Int): Array[Array[Double]] = {
+    def meansOf(assigned: DataFrame): Array[Array[Double]] =
+      assigned.select(col("_bucket"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy("_bucket", "_pos").agg(avg(col("_x")).as("_m"))
+        .collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        .toArray
+    var cent = meansOf(c.withColumn("_bucket",
+      pmod(xxhash64(col("_id")), lit(nlist)).cast("int")))
+    for (_ <- 0 until iters) cent = meansOf(c.withColumn("_bucket",
+      VectorExprs.nearestCentroidsL2(col("_v"), cent, 1).getItem(0)))
+    cent
+  }
+
+  /** v − coarse(bucket): the residual the PQ codes. The coarse matrix
+    * rides as one literal; the subtraction is a per-row projection. */
+  private def residualOf(vec: Column, bucket: Column,
+      coarse: Array[Array[Double]]): Column =
+    zip_with(vec, element_at(typedLit(coarse.map(_.toSeq).toSeq), bucket + 1),
+      (a, b) => a - b)
+
+  /** Train: k-means coarse quantizer ([[coarseTrain]], `iters` Lloyd
+    * rounds) + [[pqTrain]] over the residual frame — one distributed job
+    * per phase, model-sized collects only. */
+  def ivfPqTrain(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, k: Int, iters: Int = 2): IvfPqModel = {
+    val c = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
+    val coarse = coarseTrain(c, nlist, iters)
+    val resid = c
+      .withColumn("_bucket", VectorExprs.nearestCentroidsL2(col("_v"), coarse, 1).getItem(0))
+      .select(col("_id"), residualOf(col("_v"), col("_bucket"), coarse).as("_r"))
+    IvfPqModel(coarse, pqTrain(resid, "_id", "_r", m, k, iters, normalize = false))
+  }
+
+  /** The stored index: (id, inverted-list bucket, m residual codes) —
+    * what a 100-TB deployment persists instead of full vectors. Pure
+    * projection, no shuffle. */
+  def ivfPqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel): DataFrame =
+    emb.select(col(idCol), VectorExprs.unitVec(col(vecCol)).as("_v"))
+      .withColumn("bucket", VectorExprs.nearestCentroidsL2(col("_v"), model.coarse, 1).getItem(0))
+      .select(col(idCol), col("bucket"),
+        codesOf(residualOf(col("_v"), col("bucket"), model.coarse), model.books).as("codes"))
+
+  /** Compressed-scan candidates of the `nprobe` probed lists, scored
+    * asymmetrically: sim ≈ q·c(bucket) + q·decode(codes) (dot is linear,
+    * so the coarse term is computed ONCE per (query, bucket) on the
+    * broadcast probe side — nq×nprobe rows — and only the residual dot
+    * runs per candidate). Probe cost tracks corpus/nlist × nprobe. */
+  def ivfPqCandidates(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int, model: IvfPqModel): DataFrame = {
+    val coarseLit = typedLit(model.coarse.map(_.toSeq).toSeq)
+    val index = ivfPqEncode(corpus, idCol, vecCol, model)
+      .select(col(idCol).as("neighbor_id"), col("bucket"),
+        pqDecode(col("codes"), model.books).as("_rv"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), VectorExprs.unitVec(col(vecCol)).as("_qv"))
+        .withColumn("bucket", explode(VectorExprs.nearestCentroidsL2(
+          col("_qv"), model.coarse, math.min(nprobe, model.coarse.length))))
+        .withColumn("_csim", VectorExprs.dotD(col("_qv"), element_at(coarseLit, col("bucket") + 1))))
+    index.join(probes, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(col("_csim") + VectorExprs.dotD(col("_qv"), col("_rv")), 5))
+  }
+
+  /** One-stage IVF-PQ top-k (compressed scan only). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, model: IvfPqModel): DataFrame =
+    Similarity.topKBySim(
+      ivfPqCandidates(corpus, queries, idCol, vecCol, nprobe, model), k)
+
+  /** Two-stage IVF-PQ: compressed scan of nprobe lists → shortlist →
+    * exact rerank. The production shape: the scan touches codes of
+    * nprobe/nlist of the corpus, the full-vector store only
+    * queries×shortlist rows. */
+  def ivfPqTopKRerank(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, shortlist: Int, model: IvfPqModel): DataFrame = {
+    require(shortlist >= k, "shortlist >= k")
+    rerankExact(ivfPqTopK(corpus, queries, idCol, vecCol, shortlist, nprobe, model),
+      corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Mean squared IVF-PQ reconstruction error
+    * E‖v − (c(v) + decode(codes))‖² — comparable to
+    * [[pqReconstructionError]] at equal (m, k): the residual family's
+    * reason to exist is making this smaller. */
+  def ivfPqReconstructionError(emb: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel): Double = {
+    val enc = emb.select(col(idCol), VectorExprs.unitVec(col(vecCol)).as("_v"))
+      .withColumn("_bucket", VectorExprs.nearestCentroidsL2(col("_v"), model.coarse, 1).getItem(0))
+      .withColumn("_r", residualOf(col("_v"), col("_bucket"), model.coarse))
+    meanSqError(enc.select(col("_v"),
+      zip_with(element_at(typedLit(model.coarse.map(_.toSeq).toSeq), col("_bucket") + 1),
+        pqDecode(codesOf(col("_r"), model.books), model.books),
+        (a, b) => a + b).as("_a")))
   }
 
   /** Symmetric per-vector int8 quantization: `scale = max|v| / 127`,

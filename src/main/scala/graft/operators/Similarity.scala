@@ -235,6 +235,20 @@ object Similarity {
     * (query, bucket) pairs, so query cost tracks corpus/nlist × nprobe —
     * the IVF contract. Recall < 1 by design; measured against
     * [[bruteForceTopK]] in the spec. */
+  /** The deterministic coarse quantizer shared by [[ivfTopK]] and
+    * [[Embeddings.ivfPqTrain]]: one map-side-combinable `min_by`
+    * aggregation picking a representative (unit) corpus vector per
+    * id-hash bucket; the ≤nlist×dim result is a model fetch. Unit
+    * representatives make max-dot assignment ≡ min-L2 (‖c‖ constant),
+    * so the assign objective is unambiguous. */
+  private[operators] def coarseCentroids(
+      c: DataFrame, idCol: String, vecCol: String, nlist: Int): Array[Array[Double]] =
+    c.groupBy(pmod(xxhash64(col(idCol)), lit(nlist)).as("_cb"))
+      .agg(min_by(col(vecCol), col(idCol)).as("_centroid"))
+      .orderBy("_cb")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -245,12 +259,7 @@ object Similarity {
       nprobe: Int): DataFrame = {
     require(nprobe <= nlist, "nprobe <= nlist")
     val c = corpus.select(col(idCol).as("neighbor_id"), VectorExprs.unitVec(col(vecCol)).as("_cv"))
-    val centroids: Array[Array[Double]] = c
-      .groupBy(pmod(xxhash64(col("neighbor_id")), lit(nlist)).as("_cb"))
-      .agg(min_by(col("_cv"), col("neighbor_id")).as("_centroid"))
-      .orderBy("_cb")
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = coarseCentroids(c, "neighbor_id", "_cv", nlist)
     val assigned = c.withColumn("_bucket",
       VectorExprs.nearestCentroids(col("_cv"), centroids, 1).getItem(0))
     val q = queries.select(col(idCol).as("query_id"), VectorExprs.unitVec(col(vecCol)).as("_qv"))

@@ -59,13 +59,28 @@ object AnnQueries {
       emb, queriesSubset(s, d), "vec_id", "embedding", k = 5, shortlist = 100, cb)
   }
 
+  // IVF-PQ composed index (coarse inverted lists + residual PQ codes +
+  // exact rerank): the production 100-TB ANN shape — the scan touches
+  // codes of nprobe/nlist of the corpus, full vectors only for
+  // queries x shortlist rows. Approximate -> rows-only check; recall and
+  // reconstruction laws vs standalone PQ asserted in EmbeddingsSpec.
+  def q67AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val model = graft.operators.Embeddings.ivfPqTrain(
+      emb, "vec_id", "embedding", nlist = 16, m = 8, k = 32, iters = 2)
+    graft.operators.Embeddings.ivfPqTopKRerank(
+      emb, queriesSubset(s, d), "vec_id", "embedding",
+      k = 5, nprobe = 8, shortlist = 100, model)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ann_brute" -> q50AnnBrute,
     "q51_ann_lsh" -> q51AnnLsh,
     "q52_approx_distinct" -> q52ApproxDistinct,
     "q53_ann_ivf" -> q53AnnIvf,
     "q57_embed_quantize" -> q57EmbedQuantize,
-    "q66_ann_pq" -> q66AnnPq)
+    "q66_ann_pq" -> q66AnnPq,
+    "q67_ann_ivfpq" -> q67AnnIvfPq)
 
   // q51/q52 are approximate → rows-only checks (no oracle entries).
   val oracles: Map[String, String] = Map(
