@@ -269,6 +269,69 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "vector column")))
     }
 
+    // ---- ANN family as TVFs: similarity SEARCH for plain-SQL users,
+    // completing the near-dup surface above. All return
+    // (query_id, neighbor_id, sim, rank). The model-based variants
+    // (ann_ivf / ann_pq / ann_ivfpq) TRAIN on the corpus at resolution
+    // time — the centroid/codebook collects are model fetches the Column
+    // API does too; the model then rides the expanded plan as a literal.
+    registerTable("ann_brute",
+      "ann_brute('corpus', 'queries', 'idCol', 'vecCol', k) - exact cosine top-k per query", 5) {
+      exprs =>
+        expand(graft.operators.Similarity.bruteForceTopK(
+          SparkSession.active.table(litStr(exprs(0), "corpus table")),
+          SparkSession.active.table(litStr(exprs(1), "queries table")),
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(4), "k")))
+    }
+    registerTable("ann_lsh",
+      "ann_lsh('corpus', 'queries', 'idCol', 'vecCol', k, nBits, bands) - " +
+        "hyperplane-LSH bucketed approximate top-k", 7) {
+      exprs =>
+        expand(graft.operators.Similarity.lshTopK(
+          SparkSession.active.table(litStr(exprs(0), "corpus table")),
+          SparkSession.active.table(litStr(exprs(1), "queries table")),
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(4), "k"), litInt(exprs(5), "nBits"), litInt(exprs(6), "bands")))
+    }
+    registerTable("ann_ivf",
+      "ann_ivf('corpus', 'queries', 'idCol', 'vecCol', k, nlist, nprobe) - " +
+        "inverted-file approximate top-k (probes nprobe of nlist coarse lists)", 7) {
+      exprs =>
+        expand(graft.operators.Similarity.ivfTopK(
+          SparkSession.active.table(litStr(exprs(0), "corpus table")),
+          SparkSession.active.table(litStr(exprs(1), "queries table")),
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(4), "k"), litInt(exprs(5), "nlist"), litInt(exprs(6), "nprobe")))
+    }
+    registerTable("ann_pq",
+      "ann_pq('corpus', 'queries', 'idCol', 'vecCol', k, m, codebookK, shortlist) - " +
+        "product-quantization two-stage top-k (compressed scan -> exact rerank)", 8) {
+      exprs =>
+        val corpus = SparkSession.active.table(litStr(exprs(0), "corpus table"))
+        val cb = graft.operators.Embeddings.pqTrain(corpus,
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(5), "m"), litInt(exprs(6), "codebookK"))
+        expand(graft.operators.Embeddings.pqTopKRerank(corpus,
+          SparkSession.active.table(litStr(exprs(1), "queries table")),
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(4), "k"), litInt(exprs(7), "shortlist"), cb))
+    }
+    registerTable("ann_ivfpq",
+      "ann_ivfpq('corpus', 'queries', 'idCol', 'vecCol', k, nlist, m, codebookK, nprobe, shortlist)" +
+        " - IVF-PQ composed index top-k (residual codes of nprobe lists -> exact rerank)", 10) {
+      exprs =>
+        val corpus = SparkSession.active.table(litStr(exprs(0), "corpus table"))
+        val model = graft.operators.Embeddings.ivfPqTrain(corpus,
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(5), "nlist"), litInt(exprs(6), "m"), litInt(exprs(7), "codebookK"))
+        expand(graft.operators.Embeddings.ivfPqTopKRerank(corpus,
+          SparkSession.active.table(litStr(exprs(1), "queries table")),
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(4), "k"), litInt(exprs(8), "nprobe"),
+          litInt(exprs(9), "shortlist"), model))
+    }
+
     ext.injectOptimizerRule(_ => UnitVecIdempotence)
     ext.injectOptimizerRule(_ => graft.formats.AvroProjectionPruning)
   }

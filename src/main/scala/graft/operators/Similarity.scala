@@ -195,7 +195,6 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      dim: Int,
       nBits: Int = 16,
       bands: Int = 4): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")

@@ -24,7 +24,7 @@ object AnnQueries {
   def q51AnnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(
       Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
-      k = 5, dim = 64, nBits = 16, bands = 4)
+      k = 5, nBits = 16, bands = 4)
 
   // Sketch-family coverage: approximate distinct + frequency sketch outputs
   // (engine-side only; no cross-engine oracle for approximations).

@@ -160,6 +160,47 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("vec_id", "n_dims", "scale", "q_sum", "max_err"))
   }
 
+  test("ANN family TVFs: similarity search from plain SQL, identical to the Column API") {
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("ann_corpus_t")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ann_queries_t AS " +
+      "SELECT * FROM ann_corpus_t WHERE vec_id % 100 = 0")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val bruteSql = spark.sql(
+      "SELECT * FROM ann_brute('ann_corpus_t', 'ann_queries_t', 'vec_id', 'embedding', 5)")
+    assert(bruteSql.columns.toSeq == Seq("query_id", "neighbor_id", "sim", "rank"))
+    val viaApi = graft.operators.Similarity.bruteForceTopK(
+      spark.table("ann_corpus_t"), spark.table("ann_queries_t"), "vec_id", "embedding", 5)
+    assert(pairs(bruteSql) == pairs(viaApi),
+      "SQL surface must produce the Column API's exact neighbor set")
+    // plan identity, not just result identity: the partial top-k pushdown
+    // survives the TVF expansion
+    assert(bruteSql.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("WindowGroupLimit"),
+      "ann_brute via SQL must keep the rank-pushdown plan shape")
+    val brute = pairs(bruteSql)
+
+    def recallOf(sql: String): Double =
+      (pairs(spark.sql(sql)) & brute).size.toDouble / brute.size
+    val lsh = recallOf(
+      "SELECT * FROM ann_lsh('ann_corpus_t', 'ann_queries_t', 'vec_id', 'embedding', 5, 16, 16)")
+    val ivf = recallOf(
+      "SELECT * FROM ann_ivf('ann_corpus_t', 'ann_queries_t', 'vec_id', 'embedding', 5, 16, 16)")
+    val pq = recallOf(
+      "SELECT * FROM ann_pq('ann_corpus_t', 'ann_queries_t', 'vec_id', 'embedding', 5, 8, 32, 100)")
+    val ivfpq = recallOf("SELECT * FROM ann_ivfpq('ann_corpus_t', 'ann_queries_t', " +
+      "'vec_id', 'embedding', 5, 16, 8, 32, 16, 100)")
+    info(f"SQL ANN recall@5 vs brute: lsh $lsh%.2f, ivf $ivf%.2f, pq $pq%.2f, ivfpq $ivfpq%.2f")
+    // 1-bit bands / nprobe=nlist are exhaustive by construction; the PQ
+    // pair sit at their spec-measured floors
+    assert(lsh == 1.0 && ivf == 1.0, s"exhaustive knobs must reach recall 1.0: lsh=$lsh ivf=$ivf")
+    assert(pq >= 0.9 && ivfpq >= 0.9, s"two-stage PQ floors (spec: 0.96): pq=$pq ivfpq=$ivfpq")
+  }
+
   test("latest_by_key rejects a DESC ordering entry with a pointer to top_k_per_group") {
     import spark.implicits._
     Seq((1L, "a", 1)).toDF("k", "v", "ts").createOrReplaceTempView("updates_desc_t")

@@ -20,7 +20,7 @@ class SimilaritySpec extends SparkSpec {
     def recallAt(bands: Int): Double = {
       val lsh = topkSet(Similarity.lshTopK(
         Tables.embeddings(spark, sf), queriesSubset, "vec_id", "embedding",
-        k = 5, dim = 64, nBits = 16, bands = bands))
+        k = 5, nBits = 16, bands = bands))
       (lsh & brute).size.toDouble / brute.size
     }
     val r4 = recallAt(4)

@@ -94,6 +94,46 @@ class SqlProcessorsSpec extends SparkSpec {
     }
   }
 
+  test("pure-SQL similarity search: ann TVF composed with relational SQL, no Column API") {
+    // The reference's audience works in plain SQL (README.md:41-43): a
+    // similarity search there is an ann_* table function composed with
+    // ordinary joins/filters. Top neighbor per query vector, enriched
+    // against a metadata view, browse()-served — Column API untouched.
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-sql-ann-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.catalyst.GraftExtensions)
+      .getOrCreate()
+    val pipes = new Pipelines(Files.createTempDirectory("sqlp-ann").toString)
+    try {
+      val procs = new SqlProcessors(ext, pipes)
+      procs.registerSource("ann_sql_corpus",
+        ext.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      ext.sql("CREATE OR REPLACE TEMPORARY VIEW ann_sql_queries AS " +
+        "SELECT * FROM ann_sql_corpus WHERE vec_id % 100 = 0")
+      val out = procs.browse(
+        """SELECT a.query_id, a.neighbor_id, a.sim, c.vec_id IS NOT NULL AS resolved
+           FROM ann_brute('ann_sql_corpus', 'ann_sql_queries', 'vec_id', 'embedding', 5) a
+           JOIN ann_sql_corpus c ON c.vec_id = a.neighbor_id
+           WHERE a.rank = 1
+           ORDER BY a.query_id""").collect()
+      assert(out.length == 5, s"one top neighbor per query, got ${out.length}")
+      assert(out.forall(_.getBoolean(3)), "every neighbor must resolve against the corpus view")
+      assert(out.forall(r => r.getLong(0) != r.getLong(1)), "self-matches are excluded")
+    } finally {
+      pipes.stopAll()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("curation TVFs compose with streams: redact_pii runs continuously over a doc stream") {
     import org.apache.spark.sql.SparkSession
     val prevDefault = SparkSession.getDefaultSession
