@@ -168,6 +168,8 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
   require(topN >= 1 && topN <= centroids.length, "topN in [1, nlist]")
   private val centroidDim = centroids(0).length
   require(centroids.forall(_.length == centroidDim), "ragged centroid matrix")
+  ModelGuard.check("nearest_centroids matrix",
+    centroids.length.toLong * centroidDim, "nlist (or the vector dim)")
 
   // With `l2`, score = v·c − ||c||²/2, whose argmax is argmin ||v−c||²
   // (the ||v||² term is constant per row). Needed when centroids are NOT
@@ -229,6 +231,28 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
+}
+
+/** Guard rail for trained models that ride query plans as literals /
+  * expression state (IVF centroids, PQ codebooks): they are broadcast
+  * with EVERY serialized task, so they must stay broadcast-sized, not
+  * data-sized. At production dims the knobs can silently ask for
+  * hundreds of MB (nlist=65k × dim=768 ≈ 400 MB) — fail at train time
+  * with the knobs to turn, not at job-submit time with an opaque
+  * serialization error. */
+object ModelGuard {
+  /** Documented ceiling: 128 MiB of model doubles — ~2× the default
+    * broadcast-join threshold the engine runs with, far above any sane
+    * coarse-quantizer/codebook and far below task-serialization pain. */
+  val MaxModelBytes: Long = 128L << 20
+
+  def check(what: String, values: Long, knobs: String): Unit = {
+    val bytes = values * 8L
+    require(bytes <= MaxModelBytes,
+      f"$what is ${bytes / (1 << 20)} MiB of doubles, above the " +
+        f"${MaxModelBytes / (1 << 20)} MiB plan-literal ceiling - models ride every " +
+        f"serialized task; reduce $knobs (or shard the index) instead of raising the ceiling")
+  }
 }
 
 object VectorExprs {

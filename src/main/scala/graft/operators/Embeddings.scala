@@ -33,6 +33,10 @@ object Embeddings {
     val dim = unit.select(size(col("_v"))).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
+    // the full codebook set (m × k × dim/m = k × dim doubles) rides query
+    // plans as one literal — fail here with the knobs, not at job submit
+    graft.catalyst.ModelGuard.check("PQ codebook model",
+      k.toLong * dim, "k (centroids per subspace)")
     // all m subspaces travel through ONE plan per training phase (a
     // subspace column next to the sliced subvector), so each phase is a
     // single distributed job + one ≤ m×k×(dim/m)-value collect — not

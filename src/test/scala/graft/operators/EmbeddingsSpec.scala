@@ -87,6 +87,24 @@ class EmbeddingsSpec extends SparkSpec {
       s"a quarter of the lists must scan well under 60% of the codes: $c4/$c16")
   }
 
+  test("model guard: oversized centroid/codebook literals fail at train time with the knobs to turn") {
+    // 16640 x 1024 doubles = 130 MiB, just above the 128 MiB ceiling —
+    // the nlist=65k/dim=768 production mistake in miniature.
+    val big = Array.fill(16640)(new Array[Double](1024))
+    val e = intercept[IllegalArgumentException] {
+      graft.catalyst.VectorExprs.nearestCentroids(org.apache.spark.sql.functions.col("x"), big, 1)
+    }
+    assert(e.getMessage.contains("plan-literal ceiling") && e.getMessage.contains("nlist"),
+      s"guard must name the ceiling and the knob: ${e.getMessage}")
+    // PQ: k x dim doubles; k=300k at dim 64 = 146 MiB. Fails before any
+    // training job runs.
+    val e2 = intercept[IllegalArgumentException] {
+      Embeddings.pqTrain(emb, "vec_id", "embedding", m = 8, k = 300000, iters = 0)
+    }
+    assert(e2.getMessage.contains("PQ codebook model") && e2.getMessage.contains("ceiling"),
+      s"got: ${e2.getMessage}")
+  }
+
   test("two-stage PQ (compressed scan -> exact rerank): recall rises with shortlist, >= 0.9 at 100") {
     val cb = Embeddings.pqTrain(emb, "vec_id", "embedding", m = 8, k = 32, iters = 2)
     def recallAt(shortlist: Int): Double = {
