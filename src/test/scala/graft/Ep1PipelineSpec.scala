@@ -33,7 +33,7 @@ class Ep1PipelineSpec extends SparkSpec {
       val genSchema = spark.readStream.format("graft-rate").load().schema
       val v1 = reg.register("gen-value",
         AvroSchemaConverter.toAvroSchema(genSchema, "gen").toString)
-      pipes.start("producer",
+      val producer = pipes.start("producer",
         spark.readStream.format("graft-rate")
           .option("rowsPerSecond", "20").option("jitter", "0").option("periodSeconds", "0")
           .option("advancePerBatchSeconds", "10").option("startTimestamp", "0")
@@ -41,7 +41,14 @@ class Ep1PipelineSpec extends SparkSpec {
           .select(AvroFunctions.toAvroWire(
             struct(col("ts"), col("seq"), col("value")), v1).as("value")),
         w => w.format("parquet").option("path", topicDir).outputMode("append"))
-      Thread.sleep(2500) // a few logical 10-second batches
+      // wait for >= 2 COMMITTED logical batches (400 rows) instead of a
+      // fixed sleep: on a cold JVM stream startup alone can eat seconds,
+      // and stopping before the first commit leaves an empty topic dir
+      // that fails the batch read below
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (producer.recentProgress.map(_.numInputRows).sum < 400 &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
       pipes.stop("producer")
 
       val framed = spark.read.parquet(topicDir)
