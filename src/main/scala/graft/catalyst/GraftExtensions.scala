@@ -317,6 +317,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
           litInt(exprs(4), "k"), litInt(exprs(7), "shortlist"), cb))
     }
+    registerTable("embed_neardup",
+      "embed_neardup('table', 'idCol', 'vecCol', minSim) - cosine near-duplicate pairs; " +
+        "dispatches exact-tiled vs banded-LSH on (threshold, corpus size)", 4) {
+      exprs =>
+        expand(graft.operators.Similarity.cosineNearDupAuto(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "vector column"),
+          litDouble(exprs(3), "minSim")))
+    }
     registerTable("ann_ivfpq",
       "ann_ivfpq('corpus', 'queries', 'idCol', 'vecCol', k, nlist, m, codebookK, nprobe, shortlist)" +
         " - IVF-PQ composed index top-k (residual codes of nprobe lists -> exact rerank)", 10) {

@@ -99,31 +99,46 @@ object Similarity {
       candidateFraction = math.min(1.0, total * math.pow(0.5, w)))
   }
 
-  /** Measured per-candidate overhead of the banded path relative to one
-    * tiled-join dot: a surviving band candidate is shuffled through the
-    * band join, deduped, and joined twice more to re-attach vectors,
-    * where the exact path streams the same dot through one local tile.
-    * r5 ScaleProbe, 20k vectors, τ=0.45 (candidateFraction ≈ 1, so the
-    * two paths do the same dots and the ratio IS the overhead):
-    * 112.7 s banded / 17.2 s exact ≈ 6.5 → 6. */
+  /** Measured unit costs of the banded path, in units of one tiled-join
+    * dot product. Calibrated by solving the two r6 ScaleProbe rows at
+    * 20k vectors / dim 64 simultaneously (exact tiled = 16.9 s for 2e8
+    * dots fixes the dot-equivalent rate; τ=0.8 derived family w=10 × 90
+    * bands, f=0.088 took 21.7 s; τ=0.45 family w=9 × 455 bands, f=0.889
+    * took 154.3 s — two equations in (σ, κ) with β fixed at 4):
+    *
+    *  - [[SketchBitCost]] β: one sketch bit is a HASHED dim-length
+    *    projection (byteswap64 per dimension) — ~4 ops/dim vs the dot's
+    *    fused multiply-add.
+    *  - [[BandRowCost]] σ: each of the N×B band rows is exploded,
+    *    shuffled on (band, value), equi-joined and deduped — ~40
+    *    dot-equivalents per row; together with the sketch bits this is
+    *    the term the r5 model omitted (it predicted banded far cheaper
+    *    at τ=0.8/20k; measurement says 1.3× DEARER there).
+    *  - [[CandidateVerifyOverhead]] κ: a surviving candidate is shuffled
+    *    and joined twice more to re-attach vectors (~6× a tiled dot).
+    */
+  private val SketchBitCost = 4.0
+  private val BandRowCost = 40.0
   private val CandidateVerifyOverhead = 6.0
 
-  /** Exact-vs-banded near-dup dispatch on the derived cost model — both
-    * arms return the SAME rows (`(id_a < id_b, sim >= minSim)`; the
+  /** Exact-vs-banded near-dup dispatch on the calibrated cost model —
+    * both arms return the SAME rows (`(id_a < id_b, sim >= minSim)`; the
     * banded arm's recall bound is `targetRecall`, and at gate scale it
     * measures 1.0), so the choice is purely a cost decision:
     *
     *   exact:  N²/2 tiled dots
-    *   banded: N·B·w sketch bits + κ·f·N²/2 shuffled verify dots
-    *           (f = candidateFraction, κ = [[CandidateVerifyOverhead]])
+    *   banded: N·B·(w·β + σ) sketch + band-row machinery
+    *           + κ·f·N²/2 shuffled verify dots
+    *   (β/σ/κ = the three measured constants above, f = candidateFraction)
     *
-    * Low thresholds (f → 1: banding can't separate pairs) and small
-    * corpora (sketch cost not amortized) go exact; tight thresholds at
-    * scale go banded — reproducing the measured r5 crossover (exact wins
-    * at τ=0.45 at every probed N; banded wins at τ=0.8 by 17.2/9.0 s at
-    * 20k vectors) without the caller knowing any of the math. The one
-    * sizing count is the same model fetch the exact path's tile
-    * derivation does anyway. */
+    * Low thresholds (f → 1: banding can't separate pairs) go exact at
+    * EVERY N — the verify term alone exceeds the exact cost. Tight
+    * thresholds go banded once the quadratic exact term overtakes the
+    * linear sketch + band-row terms: at τ=0.8 the calibrated crossover
+    * sits just above the probed 20k vectors (measured there: exact wins
+    * 16.9 vs 21.7 s; model at 200k: banded 3.4× cheaper), earlier for
+    * tighter τ. The one sizing count is the same model fetch the exact
+    * path's tile derivation does anyway. */
   def cosineNearDupAuto(
       emb: DataFrame,
       idCol: String,
@@ -140,13 +155,13 @@ object Similarity {
   }
 
   /** The [[cosineNearDupAuto]] decision, exposed so the spec can pin the
-    * measured r5 crossover (exact wins at τ=0.45 at every probed N;
-    * banded wins at τ=0.8/20k) without materializing either arm. */
+    * measured crossovers without materializing either arm. */
   def bandedCheaper(n: Long, plan: BandPlan): Boolean = {
     val nd = n.toDouble
     val exactCost = nd * nd / 2.0
-    val bandedCost = nd * plan.totalBands.toDouble * plan.bandBits +
-      CandidateVerifyOverhead * plan.candidateFraction * exactCost
+    val bandedCost =
+      nd * plan.totalBands.toDouble * (plan.bandBits * SketchBitCost + BandRowCost) +
+        CandidateVerifyOverhead * plan.candidateFraction * exactCost
     bandedCost < exactCost
   }
 

@@ -104,6 +104,70 @@ object ScaleProbe {
     time("banded-candidate near-dup 10x (tau .8, 10-bit bands)")(
       Similarity.cosineNearDupCandidates(embX(10), "vec_id", "embedding", 0.8,
         nBits = 60, bands = 6, sketchSeeds = hiSeeds).count())
+    // Derived bands (no knobs): deriveBands solves the same trade from
+    // (tau, recall, N) — should be in the hand-tuned row's league.
+    time("banded-candidate near-dup 10x (tau .8, derived bands)")(
+      Similarity.cosineNearDupCandidates(embX(10), "vec_id", "embedding", 0.8).count())
+    // The dispatcher must never lose to BOTH siblings at any probed tau.
+    // r6 finding baked into the cost model: at 20k vectors even tau=0.8
+    // derived bands lose to exact (21.7 vs 16.9 s — sketch + band-row
+    // machinery unamortized), so the calibrated dispatcher takes the
+    // exact arm at EVERY probed tau at this N; the banded arm pays off
+    // from ~30k vectors up (model: 3.4x cheaper by 200k at tau=0.8).
+    time("auto near-dup 1x (tau .45)")(
+      Similarity.cosineNearDupAuto(embX(1), "vec_id", "embedding", 0.45).count())
+    time("auto near-dup 10x (tau .45)")(
+      Similarity.cosineNearDupAuto(embX(10), "vec_id", "embedding", 0.45).count())
+    time("auto near-dup 10x (tau .8)")(
+      Similarity.cosineNearDupAuto(embX(10), "vec_id", "embedding", 0.8).count())
+
+    // --- PQ / IVF-PQ: train cost ~ corpus scan per phase; search cost =
+    // compressed scan (+ rerank shortlist) — probe both at 1x/10x -------
+    import graft.operators.Embeddings
+    def booksSize(b: Embeddings.PqCodebooks): Long = b.map(_.length.toLong).sum
+    time("pq train 1x (m=8 k=32 iters=2)")(
+      booksSize(Embeddings.pqTrain(embX(1), "vec_id", "embedding", 8, 32)))
+    time("pq train 10x")(
+      booksSize(Embeddings.pqTrain(embX(10), "vec_id", "embedding", 8, 32)))
+    val cb1 = Embeddings.pqTrain(embX(1), "vec_id", "embedding", 8, 32)
+    val cb10 = Embeddings.pqTrain(embX(10), "vec_id", "embedding", 8, 32)
+    time("pq two-stage search 1x (shortlist 100)")(
+      Embeddings.pqTopKRerank(embX(1), queries1x, "vec_id", "embedding", 5, 100, cb1).count())
+    time("pq two-stage search 10x")(
+      Embeddings.pqTopKRerank(embX(10), queries1x, "vec_id", "embedding", 5, 100, cb10).count())
+    val ivfpq10 = Embeddings.ivfPqTrain(embX(10), "vec_id", "embedding", nlist = 16, m = 8, k = 32)
+    time("ivf-pq search 10x (nprobe 4/16, shortlist 100)")(
+      Embeddings.ivfPqTopKRerank(embX(10), queries1x, "vec_id", "embedding", 5, 4, 100, ivfpq10).count())
+    time("ivf-pq search 10x (nprobe 16/16 = full scan)")(
+      Embeddings.ivfPqTopKRerank(embX(10), queries1x, "vec_id", "embedding", 5, 16, 100, ivfpq10).count())
+
+    // --- sequence packing: distributed two-phase prefix sum — linear ----
+    def packX(k: Int): DataFrame = docsX(k).select(col("doc_id"),
+      size(split(trim(col("text")), " ")).cast("long").as("w"))
+    time("sequential pack 1x")(
+      graft.operators.TextOps.sequentialPack(packX(1), "doc_id", "w", 1024L).count())
+    time("sequential pack 10x")(
+      graft.operators.TextOps.sequentialPack(packX(10), "doc_id", "w", 1024L).count())
+
+    // --- streaming gate at scale: bounded replay of the replicated events
+    // through the SAME tumbling-window builder the q27 gate uses ---------
+    def streamTumbling(k: Int, tag: String): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory(s"probe-stream-$k").toString
+      evX(k).write.mode("overwrite").parquet(dir)
+      time(tag) {
+        val src = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+        val name = s"probe_tumbling_$k"
+        val q = graft.streaming.StreamOps.tumblingAgg(src, "ts", "10 minutes", "0 seconds",
+            Seq(col("event_type")),
+            Seq(count(lit(1)).as("n"), sum(col("event_id")).as("s")))
+          .writeStream.format("memory").queryName(name).outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(name).count()
+      }
+    }
+    streamTumbling(1, "stream tumbling window 1x (100k events)")
+    streamTumbling(10, "stream tumbling window 10x (1M events)")
 
     spark.stop()
   }

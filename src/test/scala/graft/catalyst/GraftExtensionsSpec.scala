@@ -199,6 +199,16 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pair sit at their spec-measured floors
     assert(lsh == 1.0 && ivf == 1.0, s"exhaustive knobs must reach recall 1.0: lsh=$lsh ivf=$ivf")
     assert(pq >= 0.9 && ivfpq >= 0.9, s"two-stage PQ floors (spec: 0.96): pq=$pq ivfpq=$ivfpq")
+
+    // the near-dup side of the embedding surface: the auto dispatcher
+    // from SQL equals the exact operator's pair set
+    val ndSql = spark.sql(
+      "SELECT * FROM embed_neardup('ann_corpus_t', 'vec_id', 'embedding', 0.45)")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ndApi = graft.operators.Similarity.cosineNearDupPairs(
+      spark.table("ann_corpus_t"), "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ndSql == ndApi && ndSql.nonEmpty, s"embed_neardup via SQL: $ndSql vs $ndApi")
   }
 
   test("latest_by_key rejects a DESC ordering entry with a pointer to top_k_per_group") {

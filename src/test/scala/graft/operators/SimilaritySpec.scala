@@ -133,14 +133,22 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("auto dispatch reproduces the measured crossover and the exact pair set") {
-    // r5 ScaleProbe: exact won at tau=0.45 at every probed N; banded won
-    // at tau=0.8 at 20k vectors. Small corpora never amortize the sketch.
+    // Calibrated on the r6 ScaleProbe (20k vectors): exact tiled 16.9s,
+    // derived-band tau=0.8 family 21.7s, tau=0.45 family 154s. Exact wins
+    // at tau=0.45 at EVERY N (the verify term alone exceeds exact cost);
+    // at recall-0.9999 derived families the sketch + band-row machinery
+    // doesn't amortize at 20k, so the tau=0.8 crossover sits just above
+    // the probed size. (r5's 'banded wins at tau=0.8/20k' used a
+    // hand-tuned 48-band family with a ~150x weaker miss bound — not the
+    // recall contract the dispatcher promises.)
     def pick(tau: Double, n: Long) =
       Similarity.bandedCheaper(n, Similarity.deriveBands(tau, corpusSize = n))
     assert(!pick(0.45, 20000), "tau=0.45 is the banding-degenerate regime: exact must win")
     assert(!pick(0.45, 1000000))
     assert(!pick(0.9, 500), "sketch cost can't amortize over a tiny corpus")
-    assert(pick(0.8, 20000), "measured r5: banded won tau=0.8 at 20k")
+    assert(!pick(0.8, 20000), "measured r6: exact won tau=0.8 at 20k, 16.9s vs 21.7s")
+    assert(pick(0.8, 200000), "model: banded 3.4x cheaper by 200k")
+    assert(pick(0.8, 1000000))
     assert(pick(0.9, 1000000))
     // end-to-end on gate data: the dispatcher (exact arm at this N) must
     // emit exactly the pair set both arms promise
