@@ -59,13 +59,15 @@ object Similarity {
     *                             uncorrelated pairs collide per band
     *                             with 2^−w)
     *
-    * and keep the cheapest. Wider bands prune harder per band but need
+    * and keep the cheapest — scored with the SAME calibrated
+    * [[bandedCost]] the [[cosineNearDupAuto]] dispatcher uses, so the
+    * family optimizer and the arm chooser can never disagree about what
+    * "cheap" means. Wider bands prune harder per band but need
     * exponentially more bands for the same recall, so the optimum slides
     * from narrow bands at low thresholds to ~log₂(N)-bit bands at tight
     * ones — with a B ≤ 512 feasibility cap so sketch cost can't run away
     * at thresholds where banding is the wrong tool anyway (the
-    * [[cosineNearDupAuto]] dispatcher sends those to the exact tiled
-    * path instead). */
+    * dispatcher sends those to the exact tiled path instead). */
   def deriveBands(
       minSim: Double,
       targetRecall: Double = 0.9999,
@@ -80,10 +82,7 @@ object Similarity {
     val plans = (1 to 32).flatMap { w =>
       val pw = math.pow(p, w)
       val b = math.ceil(logMiss / math.log1p(-pw)).toInt
-      if (b >= 1 && b <= maxBands) {
-        val cost = b.toDouble * (w * n + math.pow(0.5, w) * n * n / 2.0)
-        Some((w, b, cost))
-      } else None
+      if (b >= 1 && b <= maxBands) Some((w, b, bandedCost(n, w, b))) else None
     }
     // w = 1 is always feasible at minSim >= 0 (p >= 1/2 -> B(1) <= 14
     // at targetRecall 0.9999), so `plans` is never empty.
@@ -154,15 +153,21 @@ object Similarity {
       cosineNearDupPairs(emb, idCol, vecCol, minSim)
   }
 
+  /** Calibrated banded-path cost at corpus size `n` for a `b`-band
+    * family of `w`-bit bands, in tiled-dot units. The false-candidate
+    * mass is capped at all pairs (candidates dedupe before verify) —
+    * without the cap, saturated low-threshold families (B·2^−w > 1)
+    * multi-count the same verifies and the optimizer buys extra bands
+    * that cannot prune anything. */
+  private def bandedCost(n: Double, w: Int, b: Int): Double =
+    b * n * (w * SketchBitCost + BandRowCost) +
+      CandidateVerifyOverhead * math.min(1.0, b * math.pow(0.5, w)) * n * n / 2.0
+
   /** The [[cosineNearDupAuto]] decision, exposed so the spec can pin the
     * measured crossovers without materializing either arm. */
   def bandedCheaper(n: Long, plan: BandPlan): Boolean = {
     val nd = n.toDouble
-    val exactCost = nd * nd / 2.0
-    val bandedCost =
-      nd * plan.totalBands.toDouble * (plan.bandBits * SketchBitCost + BandRowCost) +
-        CandidateVerifyOverhead * plan.candidateFraction * exactCost
-    bandedCost < exactCost
+    bandedCost(nd, plan.bandBits, plan.totalBands) < nd * nd / 2.0
   }
 
   /** Low-`bandBits` mask of a 64-bit sketch. JVM long shifts are mod 64, so
