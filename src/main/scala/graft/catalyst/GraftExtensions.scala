@@ -240,6 +240,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         expand(graft.operators.TextOps.redactPii(t,
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column")))
     }
+    registerTable("decontaminate",
+      "decontaminate('corpus', 'idCol', 'textCol', 'evalTable', 'evalIdCol', 'evalTextCol', n, minShared)" +
+        " - (doc, eval) pairs sharing >= minShared distinct word n-grams (train/test overlap sweep)", 8) {
+      exprs =>
+        expand(graft.operators.Dedup.crossContamination(
+          SparkSession.active.table(litStr(exprs(0), "corpus table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          SparkSession.active.table(litStr(exprs(3), "eval table")),
+          litStr(exprs(4), "eval id column"), litStr(exprs(5), "eval text column"),
+          litInt(exprs(6), "n"), litInt(exprs(7), "minShared")))
+    }
     registerTable("hash_split",
       "hash_split('table', 'keyCol', 'train:80,valid:90,test:100') - stable md5-bucket split", 3) {
       exprs =>

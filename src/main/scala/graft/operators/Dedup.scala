@@ -279,4 +279,38 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Eval-set decontamination: every (corpus doc, eval doc) pair sharing
+    * at least `minShared` distinct word n-gram shingles — the standard
+    * train/test-overlap sweep run before training (flagged corpus docs
+    * are dropped or their spans masked so benchmarks stay honest).
+    * Output: `(doc_id, eval_id, shared_ngrams)`, exact by construction.
+    *
+    * 100-TB shape: the eval set is model-sized next to the corpus, so
+    * its exploded (shingle, eval_id) posting list BROADCASTS — the
+    * corpus is scanned once, never shuffled; only rows that actually hit
+    * an eval shingle reach the (doc, eval) count aggregation (map-side
+    * combinable). No posting-list self-join, no df computation: unlike
+    * near-dup pairs, the probe side is fixed and small. Shingle sets are
+    * distinct per doc (ShingleHashes), so the post-join row count per
+    * (doc, eval) IS the distinct shared-shingle count. */
+  def crossContamination(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusText: String,
+      evalSet: DataFrame,
+      evalId: String,
+      evalText: String,
+      n: Int,
+      minShared: Int): DataFrame = {
+    require(minShared >= 1, "minShared >= 1")
+    def posting(df: DataFrame, id: String, text: String, as: String) = df
+      .select(col(id).as(as),
+        explode(ShingleExprs.shingleHashes(TextFunctions.tokens(col(text)), n)).as("_g"))
+    posting(corpus, corpusId, corpusText, "doc_id")
+      .join(broadcast(posting(evalSet, evalId, evalText, "eval_id")), Seq("_g"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
 }

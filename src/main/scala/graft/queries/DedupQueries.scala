@@ -58,6 +58,17 @@ object DedupQueries {
   def q68EmbedNearDupAuto(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupAuto(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
 
+  // Eval-set decontamination: corpus docs sharing >= 3 distinct 3-gram
+  // shingles with any held-out eval doc (doc_id % 50 == 0 plays the eval
+  // set) — the train/test-overlap sweep run before training.
+  def q69Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.crossContamination(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+      n = 3, minShared = 3)
+  }
+
   // Near-dup clusters: connected components over the exact Jaccard >= 0.4
   // pair graph; every clustered doc mapped to its minimum-id representative
   // (the keep-one-copy step of the dedup pipeline).
@@ -108,7 +119,8 @@ object DedupQueries {
     "q46_curation_pipeline" -> q46CurationPipeline,
     "q55_embed_clusters" -> q55EmbedClusters,
     "q56_embed_neardup_cand" -> q56EmbedNearDupCand,
-    "q68_embed_neardup_auto" -> q68EmbedNearDupAuto)
+    "q68_embed_neardup_auto" -> q68EmbedNearDupAuto,
+    "q69_decontaminate" -> q69Decontaminate)
 
   /** Word n-gram distinct shingle list in DuckDB. */
   private def shinglesSql(n: Int) =
@@ -166,6 +178,15 @@ object DedupQueries {
     "q56_embed_neardup_cand" -> cosinePairsOracleSql,
     // the dispatcher must reproduce the same pair set whichever arm fires
     "q68_embed_neardup_auto" -> cosinePairsOracleSql,
+    // distinct string-shingle intersection counts replay the hashed
+    // operator exactly (same no-collision assumption as q42)
+    "q69_decontaminate" ->
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
+          c AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+          e AS (SELECT * FROM sh WHERE doc_id % 50 = 0)
+          SELECT c.doc_id, e.doc_id AS eval_id,
+            CAST(len(list_intersect(c.s, e.s)) AS BIGINT) AS shared_ngrams
+          FROM c JOIN e ON len(list_intersect(c.s, e.s)) >= 3""",
     "q45_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
           pairs AS (

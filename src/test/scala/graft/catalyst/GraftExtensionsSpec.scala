@@ -148,6 +148,16 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT DISTINCT split FROM hash_split('cur_docs_t', 'text', 'train:80,valid:90,test:100')")
       .collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "valid", "test")) && splits.size == 1)
+    Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("eval_id", "text")
+      .createOrReplaceTempView("decon_eval_t")
+    Seq((1L, "prefix the quick brown fox jumps over the lazy dog suffix"),
+        (2L, "nothing shared at all here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("decon_corpus_t")
+    val dec = spark.sql("SELECT * FROM decontaminate(" +
+      "'decon_corpus_t', 'doc_id', 'text', 'decon_eval_t', 'eval_id', 'text', 3, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dec == Set((1L, 100L, 7L)), s"got $dec")
+
     Seq((1L, 700L), (2L, 700L), (3L, 700L)).toDF("doc_id", "w")
       .createOrReplaceTempView("pack_tvf_t")
     val packs = spark.sql("SELECT * FROM seq_pack('pack_tvf_t', 'doc_id', 'w', 1024)")

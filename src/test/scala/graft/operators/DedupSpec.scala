@@ -40,6 +40,39 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = -1))
   }
 
+  test("crossContamination flags exactly the corpus docs overlapping the eval set") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog"),
+      (1001L, "pack my box with five dozen liquor jugs"))
+      .toDF("eval_id", "text")
+    val corpus = Seq(
+      // 7 distinct 3-grams of eval 1000 ride inside a longer doc
+      (1L, "intro words then the quick brown fox jumps over the lazy dog and more"),
+      // shares exactly two 3-grams with eval 1001 ('pack my box', 'my box with')
+      (2L, "please pack my box with care today"),
+      // clean
+      (3L, "completely unrelated content about spark physical plans"),
+      // contaminated by BOTH eval docs
+      (4L, "the quick brown fox jumps over the lazy dog pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossContamination(
+      corpus, "doc_id", "text", evalSet, "eval_id", "text", n = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((1L, 1000L), (4L, 1000L), (4L, 1001L)),
+      s"got ${out.keySet}")
+    assert(out((1L, 1000L)) == 7L, "all 7 eval 3-grams appear in doc 1")
+    assert(out((4L, 1001L)) == 6L, "6 of eval 1001's 3-grams fit in doc 4's tail")
+    // doc 2 shares only 2 shingles — below minShared, must not be flagged
+
+    // scale shape: the eval posting list must broadcast; the corpus side
+    // must never shuffle before the count aggregation
+    val plan = Dedup.crossContamination(
+      corpus, "doc_id", "text", evalSet, "eval_id", "text", n = 3, minShared = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval posting must broadcast:\n$plan")
+  }
+
   test("connectedComponents throws instead of returning non-converged labels") {
     val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
