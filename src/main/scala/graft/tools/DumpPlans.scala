@@ -41,8 +41,17 @@ object DumpPlans {
        "IVF probe: corpus assigned to buckets by one NearestCentroids argmax pass (no window, no corpus×nlist explode); probes broadcast; per-query top-k window only on candidates.",
        AnnQueries.q53AnnIvf(spark, d)),
       ("q56_embed_neardup_cand",
-       "Banded candidates: per-row sketches (3 seeds computed once), ids-only band explode, (band,value) equi self-join, pair dedup, verify = two id joins re-attaching the SHARED persisted unit-vector projection + codegen dot filter. No BNLJ/cartesian; vectors never ride the band explode.",
+       "Banded candidates: per-row sketches (band family DERIVED from threshold/recall/corpus size), ids-only band explode, (band,value) equi self-join, pair dedup, verify = two id joins re-attaching the SHARED persisted unit-vector projection + codegen dot filter. No BNLJ/cartesian; vectors never ride the band explode.",
        DedupQueries.q56EmbedNearDupCand(spark, d)),
+      ("q67_ann_ivfpq",
+       "IVF-PQ two-stage probe: corpus assigned to k-means coarse lists + residual-encoded by argmax passes (models ride as literals — no join against a model table); probes broadcast; compressed scan of probed lists only; exact rerank joins full vectors for the shortlist alone.",
+       AnnQueries.q67AnnIvfPq(spark, d)),
+      ("q68_embed_neardup_auto",
+       "Auto-dispatched near-dup: at gate corpus size the calibrated cost model picks the exact tiled arm — the plan IS q44's tiled self-join (one sizing aggregate precedes it); at scale past the crossover the same call compiles to q56's banded plan.",
+       DedupQueries.q68EmbedNearDupAuto(spark, d)),
+      ("q69_decontaminate",
+       "Decontamination: corpus shingle posting BroadcastHashJoins against the exploded eval posting (eval is model-sized) — corpus scanned once, never shuffled; only shingle hits reach the partial+final (doc,eval) count aggregation.",
+       DedupQueries.q69Decontaminate(spark, d)),
       ("q57_embed_quantize",
        "Int8 quantization: pure per-row projection — scan + one Project, ZERO Exchange (asserted in PlanSpec). The shape every row-local curation op in this engine compiles to.",
        AnnQueries.q57EmbedQuantize(spark, d)),
