@@ -169,6 +169,49 @@ class SqlProcessorsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate composes with streams: arriving docs swept against a static eval set") {
+    // The production shape: the eval posting is a static broadcast side,
+    // the corpus arrives continuously — contamination flags stream out
+    // as docs land, no batch re-sweep.
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-sql-decon-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.catalyst.GraftExtensions)
+      .getOrCreate()
+    val pipes = new Pipelines(Files.createTempDirectory("sqlp-dec").toString)
+    try {
+      import ext.implicits._
+      val in = MemoryStream[(Long, String)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, String)]], ext.sqlContext)
+      val procs = new SqlProcessors(ext, pipes)
+      procs.registerSource("arriving_docs", in.toDF().toDF("doc_id", "text"))
+      procs.registerSource("eval_set",
+        Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("eval_id", "text"))
+      procs.submit("contamination",
+        """INSERT INTO contaminated SELECT * FROM decontaminate(
+           'arriving_docs', 'doc_id', 'text', 'eval_set', 'eval_id', 'text', 3, 3)""",
+        outputMode = "complete")
+      in.addData(
+        (1L, "prefix the quick brown fox jumps over the lazy dog suffix"),
+        (2L, "totally clean document"))
+      pipes.awaitDrained("contamination")
+      val rows = ext.table("contaminated").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 100L, 7L)), s"got $rows")
+    } finally {
+      pipes.stopAll()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("submit rejects bounded SELECTs and non-INSERT statements") {
     val pipes = new Pipelines(Files.createTempDirectory("sqlp-ck3").toString)
     val procs = new SqlProcessors(spark, pipes)
