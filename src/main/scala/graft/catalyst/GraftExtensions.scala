@@ -264,6 +264,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         expand(graft.operators.Relational.hashSplit(t, litStr(exprs(1), "key column"), cuts))
     }
+    registerTable("weighted_mixture",
+      "weighted_mixture('table', 'stratumCol', 'keyCol', 'a:2.5,b:1,c:0.25') - " +
+        "deterministic training mix: stratum rows appear weight times in expectation, with copy_idx", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        val weights = colList(litStr(exprs(3), "weights")).map { entry =>
+          entry.split(":") match {
+            case Array(name, w) if w.trim.nonEmpty && w.trim.forall(c => c.isDigit || c == '.') =>
+              name.trim -> w.trim.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"weighted_mixture weight '$entry' must be 'stratum:weight' (e.g. 'en:2.5')")
+          }
+        }
+        expand(graft.operators.Relational.weightedMixture(t,
+          litStr(exprs(1), "stratum column"), litStr(exprs(2), "key column"), weights))
+    }
     registerTable("seq_pack",
       "seq_pack('table', 'idCol', 'weightCol', budget) - contiguous token-budget pack ids", 4) {
       exprs =>

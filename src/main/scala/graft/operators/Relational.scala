@@ -81,6 +81,35 @@ object Relational {
     df.withColumn("split", label)
   }
 
+  /** Deterministic weighted training mix: rows of stratum s appear
+    * `weight(s)` times in expectation — floor(w) guaranteed copies plus
+    * one more iff the row's stable unit draw < frac(w). w < 1
+    * subsamples, w = 1 passes through, w > 1 upsamples; strata absent
+    * from `weights` are dropped. Adds `copy_idx` (0-based) so repeats
+    * stay distinguishable downstream (per-epoch shuffles, pack ids).
+    *
+    * The mixture a training run must reproduce run-over-run and
+    * engine-over-engine: the draw is a salted 60-bit md5 of `keyCol`
+    * (no `rand()`, no row numbering — repartitioning or data growth
+    * never flips an existing row's copy count), replayable in DuckDB as
+    * `('0x'||substring(md5(key||'#mix'),1,15))::BIGINT / 2^60`. Pure
+    * projection + per-row generator, no shuffle. */
+  def weightedMixture(df: DataFrame, stratumCol: String, keyCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0), "weights must be >= 0")
+    val wt = weights.foldRight(lit(0.0)) { case ((s, w), rest) =>
+      when(col(stratumCol) === s, lit(w)).otherwise(rest)
+    }
+    val u = graft.functions.Portable
+      .md5Long60(concat(col(keyCol).cast("string"), lit("#mix")))
+      .cast("double") / lit(math.pow(2, 60))
+    val copies = (floor(wt) + when(u < wt - floor(wt), 1).otherwise(0)).cast("int")
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") >= 1)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0), col("_copies") - 1)).as("copy_idx"): _*)
+  }
+
   /** Skew-salted equi-join: spread a hot key across `saltBuckets` reducers
     * by salting the (large, skewed) left side deterministically from its
     * row content and replicating the (small) right side across all salt

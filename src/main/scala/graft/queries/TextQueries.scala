@@ -63,6 +63,15 @@ object TextQueries {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n"))
 
+  // Deterministic weighted training mix (en ×2.5, de ×1, fr ×0.25, zh/es
+  // dropped): every emitted (doc, copy) row hash-checked — the mixture a
+  // training run must reproduce engine-over-engine.
+  def q70WeightedMixture(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.weightedMixture(
+        Tables.documents(s, d).select("doc_id", "lang"), "lang", "doc_id",
+        Seq("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25))
+      .select("doc_id", "lang", "copy_idx")
+
   // Token-window chunking (40-token windows, 10-token overlap): the
   // context-length packing input; every (doc, chunk) row hash-checked.
   def q59ChunkTokens(s: SparkSession, d: String): DataFrame =
@@ -99,6 +108,7 @@ object TextQueries {
     "q33_token_count" -> q33TokenCount,
     "q34_fingerprint" -> q34Fingerprint,
     "q58_hash_split" -> q58HashSplit,
+    "q70_weighted_mixture" -> q70WeightedMixture,
     "q59_chunk_tokens" -> q59ChunkTokens,
     "q64_pii_redact" -> q64PiiRedact,
     "q65_seq_pack" -> q65SeqPack)
@@ -162,6 +172,22 @@ object TextQueries {
             regexp_replace(de_emailed, '$PhoneRe', '[PHONE]', 'g') AS clean_text
           FROM de"""
     },
+    "q70_weighted_mixture" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             ('0x' || substring(md5(doc_id::VARCHAR || '#mix'), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u,
+             CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+                       WHEN 'fr' THEN 0.25 ELSE 0.0 END AS wt
+           FROM documents
+         ), c AS (
+           SELECT doc_id, lang,
+             CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS INT) AS copies
+           FROM w
+         )
+         SELECT doc_id, lang, CAST(k.k AS INT) AS copy_idx
+         FROM c JOIN (SELECT unnest(generate_series(0,
+           (SELECT CAST(max(copies) AS BIGINT) FROM c))) AS k) k ON k.k < copies""",
     "q58_hash_split" ->
       """WITH b AS (
            SELECT lang,

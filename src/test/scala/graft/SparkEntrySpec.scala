@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 69 queries, unique names") {
-    assert(SparkEntry.queries.size == 69)
+  test("gate inventory: 70 queries, unique names") {
+    assert(SparkEntry.queries.size == 70)
   }
 }

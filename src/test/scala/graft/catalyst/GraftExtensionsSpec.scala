@@ -144,6 +144,11 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chunks.length == 2 && chunks.map(_.getInt(2)).sorted.toSeq == Seq(23, 40))
     val red = spark.sql("SELECT * FROM redact_pii('cur_docs_t', 'doc_id', 'text')").collect()(0)
     assert(red.getInt(1) == 1 && red.getString(3).endsWith("mail me [EMAIL]"))
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "stratum").createOrReplaceTempView("mix_tvf_t")
+    val mixed = spark.sql(
+      "SELECT doc_id, copy_idx FROM weighted_mixture('mix_tvf_t', 'stratum', 'doc_id', 'a:3')")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(mixed == Set((1L, 0), (1L, 1), (1L, 2)), s"got $mixed")
     val splits = spark.sql(
       "SELECT DISTINCT split FROM hash_split('cur_docs_t', 'text', 'train:80,valid:90,test:100')")
       .collect().map(_.getString(0)).toSet

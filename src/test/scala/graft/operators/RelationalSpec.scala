@@ -27,6 +27,39 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("weightedMixture: copy counts are floor/ceil of the weight, stable, strata exact") {
+    val docs = (1 to 600).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", s"payload $i"))
+      .toDF("id", "stratum", "text")
+    val weights = Seq("a" -> 2.0, "b" -> 0.5) // c absent -> dropped
+    def mix(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), String] =
+      Relational.weightedMixture(df, "stratum", "id", weights)
+        .select("id", "copy_idx", "stratum")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val m1 = mix(docs)
+    val byId = m1.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // integer weight 2.0 -> EXACTLY two copies (0, 1) for every 'a' row
+    val aIds = (1 to 600).filter(_ % 3 == 0).map(_.toLong).toSet
+    assert(aIds.forall(id => byId.get(id).contains(Set(0, 1))),
+      "weight 2.0 must emit exactly copies {0,1}")
+    // fractional weight 0.5 -> 0 or 1 copies; empirical rate near 0.5
+    val bIds = (1 to 600).filter(_ % 3 == 1).map(_.toLong).toSet
+    assert(bIds.forall(id => byId.get(id).forall(_ == Set(0))))
+    val bRate = bIds.count(byId.contains) / bIds.size.toDouble
+    assert(bRate > 0.4 && bRate < 0.6, s"b-stratum keep rate $bRate far from 0.5")
+    // absent stratum dropped entirely
+    assert(m1.values.toSet == Set("a", "b"))
+    // deterministic under repartitioning and data growth
+    assert(mix(docs.repartition(7)) == m1)
+    val more = docs.unionByName(Seq((9999L, "a", "new")).toDF("id", "stratum", "text"))
+    assert(mix(more).view.filterKeys(_._1 != 9999L).toMap == m1,
+      "adding rows must never change an existing row's copy count")
+    // no shuffle: pure projection + generator
+    val plan = Relational.weightedMixture(docs, "stratum", "id", weights)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixture must not shuffle:\n$plan")
+  }
+
   test("quantizeInt8: reconstruction error bounded by scale/2, codes pinned by checksum") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = Embeddings.quantizeInt8(emb, "vec_id", "embedding").collect()
