@@ -10,7 +10,12 @@ object Verify {
     val spark = Engine.session(appName = "graft-verify", master = s"local[$cpus]",
       extraConf = Map("spark.sql.shuffle.partitions" -> cpus))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated subset for local iteration (driver leaves
+    // unset) — same knob as Bench.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

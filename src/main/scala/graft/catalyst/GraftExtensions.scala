@@ -240,6 +240,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         expand(graft.operators.TextOps.redactPii(t,
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column")))
     }
+    registerTable("rep_stats",
+      "rep_stats('table', 'idCol', 'textCol', n) - per-doc n-gram repetition quality stats", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.repetitionStats(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "n")))
+    }
+    registerTable("bm25_search",
+      "bm25_search('table', 'idCol', 'textCol', 'term1,term2', k) - top-k docs by BM25", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.bm25Search(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          colList(litStr(exprs(3), "query terms")), litInt(exprs(4), "k")))
+    }
+    registerTable("repeated_spans",
+      "repeated_spans('table', 'idCol', 'textCol', span, minDocs) - corpus-common token spans", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.repeatedSpans(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
+    }
+    registerTable("boilerplate_coverage",
+      "boilerplate_coverage('table', 'idCol', 'textCol', span, minDocs) - per-doc common-span fraction", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.boilerplateCoverage(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
+    }
     registerTable("decontaminate",
       "decontaminate('corpus', 'idCol', 'textCol', 'evalTable', 'evalIdCol', 'evalTextCol', n, minShared)" +
         " - (doc, eval) pairs sharing >= minShared distinct word n-grams (train/test overlap sweep)", 8) {

@@ -1,8 +1,10 @@
 package graft.operators
 
-import graft.functions.TextFunctions
+import graft.CacheScope
+import graft.functions.{Portable, TextFunctions}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 
 /** Document-shaping operators for training-data preparation: token-window
   * chunking (context-length packing input) and PII redaction (curation
@@ -98,6 +100,141 @@ object TextOps {
   // backrefs) so the SQL oracle replays the exact same matches.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** All stride-1 token `n`-grams of a token array, re-joined with single
+    * spaces; empty (never null) below `n` tokens. Shared by the repetition
+    * stats and repeated-span operators. */
+  private def ngramArr(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        k => array_join(slice(toks, k + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style n-gram repetition statistics per document — the
+    * repetition quality filter of a curation pipeline (drop docs whose
+    * most frequent n-gram dominates, or whose n-gram stream is mostly
+    * duplicates). Per doc: total / distinct n-gram counts, the top
+    * n-gram's occurrence count, and the two derived fractions
+    * (`dup_frac` = 1 − distinct/total, `top_frac` = top/total; both NULL
+    * for docs shorter than `n` tokens).
+    *
+    * Distributed shape: explode n-grams → count per (doc, n-gram) →
+    * re-aggregate per doc. Two keyed aggregations with map-side partial
+    * combine, never a per-row mode loop (which would be O(len²) per doc);
+    * fractions are single IEEE divisions of exact longs, so the DuckDB
+    * oracle matches bit-exact. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val perNgram = docs
+      .select(col(idCol), explode(ngramArr(TextFunctions.tokens(col(textCol)), n)).as("_ng"))
+      .groupBy(col(idCol), col("_ng")).agg(count(lit(1)).as("_c"))
+    val perDoc = perNgram.groupBy(idCol).agg(
+      sum("_c").as("n_ngrams"),
+      count(lit(1)).as("n_distinct"),
+      max("_c").as("top_cnt"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"))
+      .withColumn("dup_frac",
+        when(col("n_ngrams") > 0,
+          lit(1.0) - Portable.ratio(col("n_distinct"), col("n_ngrams"))))
+      .withColumn("top_frac",
+        when(col("n_ngrams") > 0, Portable.ratio(col("top_cnt"), col("n_ngrams"))))
+  }
+
+  /** BM25 keyword search: top-`k` documents for a bag-of-terms query
+    * (Okapi BM25, k1/b defaults per Robertson et al.). Scores are exported
+    * as `score_micro` = Σ round(10⁶·idf·tf-norm) per matched term — each
+    * per-(doc,term) contribution is quantized to an exact long BEFORE the
+    * per-doc sum, so the aggregate is order-free and the DuckDB oracle
+    * replays it (the Portable convention; `ln` is the one transcendental,
+    * same 1-ulp-before-rounding exposure as the haversine gate q19).
+    *
+    * Distributed shape: tokens are filtered to query terms BEFORE the
+    * explode (map-side prune — non-query tokens never reach a shuffle),
+    * per-term document frequencies are a query-sized broadcast, corpus
+    * size/avgdl ride a broadcast 1-row frame (no driver collect), and the
+    * final top-k is a partial-top-k sort-limit, never a global sort. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query terms required")
+    require(k >= 1, "k >= 1")
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.select(col(idCol), size(toks).cast("long").as("_dl"),
+      filter(toks, t => t.isin(query.map(x => x: Any): _*)).as("_qt"))
+    val stats = base.agg(count(lit(1)).as("_n"), sum("_dl").as("_sumdl"))
+    val tf = base.select(col(idCol), col("_dl"), explode(col("_qt")).as("term"))
+      .groupBy(col(idCol), col("_dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val idf = log(
+      ((col("_n") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("_dl").cast("double") / avgdl)))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_c", round(lit(1e6) * (idf * tfNorm)).cast("long"))
+      .groupBy(idCol)
+      .agg(sum(col("_c")).as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Corpus-level repeated spans: every stride-1 `span`-token window that
+    * occurs in at least `minDocs` distinct documents, with its document
+    * and occurrence counts — the boilerplate-discovery pass of a curation
+    * pipeline (navigation chrome, license headers, share-buttons).
+    * One explode + one keyed aggregation; candidate volume tracks corpus
+    * token count, never document pairs. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      span: Int, minDocs: Int): DataFrame = {
+    require(span >= 1, "span >= 1")
+    require(minDocs >= 2, "minDocs >= 2")
+    docs
+      .select(col(idCol), explode(ngramArr(TextFunctions.tokens(col(textCol)), span)).as("span_text"))
+      .groupBy("span_text")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Per-document boilerplate coverage: the fraction of each document's
+    * `span`-token windows that are corpus-common (appear in ≥ `minDocs`
+    * docs, per [[repeatedSpans]] semantics) — the per-doc signal that
+    * turns span discovery into a drop/keep curation decision.
+    *
+    * The exploded span table feeds three consumers (common-span agg,
+    * per-doc totals, the semi join), so it is persisted for the plan's
+    * lifetime and registered with [[graft.CacheScope]] for deterministic
+    * release; the common-span side joins as a LEFT SEMI shuffle join
+    * (common spans scale with corpus vocabulary — never broadcast). */
+  def boilerplateCoverage(docs: DataFrame, idCol: String, textCol: String,
+      span: Int, minDocs: Int): DataFrame = {
+    require(span >= 1, "span >= 1")
+    require(minDocs >= 2, "minDocs >= 2")
+    val spans = CacheScope.track(
+      docs.select(col(idCol), explode(ngramArr(TextFunctions.tokens(col(textCol)), span)).as("_s"))
+        .persist(StorageLevel.MEMORY_ONLY))
+    val common = spans.groupBy("_s")
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("_s")
+    val totals = spans.groupBy(idCol).agg(count(lit(1)).as("n_spans"))
+    val commons = spans.join(common, Seq("_s"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_common"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(commons, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("coverage",
+        when(col("n_spans") > 0, Portable.ratio(col("n_common"), col("n_spans"))))
+  }
 
   /** Redact emails and phone numbers from a text column, counting each —
     * the PII-scrub stage of a curation pipeline. Emails are replaced

@@ -101,6 +101,37 @@ object TextQueries {
     graft.operators.TextOps.sequentialPack(weighted, "doc_id", "n_tokens", budget = 1024L)
   }
 
+  // Gopher-style bigram repetition stats — the repetition quality filter;
+  // every per-doc count and fraction hash-checked.
+  def q71RepetitionStats(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text", n = 2)
+
+  // BM25 keyword search: top-10 docs for a 4-term query; quantized
+  // per-term contributions make the score order-free and replayable.
+  def q72Bm25(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.bm25Search(Tables.documents(s, d), "doc_id", "text",
+      query = Seq("spark", "hash", "merge", "window"), k = 10)
+
+  // The synthetic corpus is random text (no natural boilerplate), so both
+  // engines append the same 9-token boilerplate tail to every third doc —
+  // the q64 convention: prove the operator on data that actually has the
+  // phenomenon. 5-token spans, common = present in >= 10 docs.
+  private val Boiler = " follow us for updates and subscribe to the newsletter"
+  private def withBoiler(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(Boiler)))
+        .otherwise(col("text")).as("text"))
+
+  // Corpus-level repeated spans (boilerplate discovery).
+  def q73RepeatedSpans(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.repeatedSpans(withBoiler(s, d), "doc_id", "text",
+      span = 5, minDocs = 10)
+
+  // Per-doc boilerplate coverage (the drop/keep curation signal).
+  def q74BoilerplateCoverage(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.boilerplateCoverage(withBoiler(s, d), "doc_id", "text",
+      span = 5, minDocs = 10)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_explode_tokens" -> q30Explode,
     "q31_lang_id" -> q31LangId,
@@ -111,7 +142,11 @@ object TextQueries {
     "q70_weighted_mixture" -> q70WeightedMixture,
     "q59_chunk_tokens" -> q59ChunkTokens,
     "q64_pii_redact" -> q64PiiRedact,
-    "q65_seq_pack" -> q65SeqPack)
+    "q65_seq_pack" -> q65SeqPack,
+    "q71_repetition_stats" -> q71RepetitionStats,
+    "q72_bm25_search" -> q72Bm25,
+    "q73_repeated_spans" -> q73RepeatedSpans,
+    "q74_boilerplate_coverage" -> q74BoilerplateCoverage)
 
   private val markersSql = TextFunctions.LangMarkers.zipWithIndex.map {
     case ((lang, ms), i) => s"('$lang', $i, [${ms.map(m => s"'$m'").mkString(",")}])"
@@ -120,6 +155,87 @@ object TextQueries {
   private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q71_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         g AS (
+           SELECT doc_id, array_to_string(toks[k.k + 1 : k.k + 2], ' ') AS ng
+           FROM t JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+             ON k.k <= len(toks) - 2
+         ),
+         c AS (SELECT doc_id, ng, count(*) AS c FROM g GROUP BY doc_id, ng),
+         d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                      CAST(count(*) AS BIGINT) AS n_distinct,
+                      CAST(max(c) AS BIGINT) AS top_cnt
+               FROM c GROUP BY doc_id)
+         SELECT doc_id,
+           CAST(COALESCE(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(top_cnt, 0) AS BIGINT) AS top_cnt,
+           CASE WHEN COALESCE(n_ngrams, 0) > 0
+                THEN 1.0 - (CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)) END AS dup_frac,
+           CASE WHEN COALESCE(n_ngrams, 0) > 0
+                THEN CAST(top_cnt AS DOUBLE) / CAST(n_ngrams AS DOUBLE) END AS top_frac
+         FROM documents LEFT JOIN d USING (doc_id)""",
+    "q72_bm25_search" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+         tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                WHERE tok IN ('spark', 'hash', 'merge', 'window')
+                GROUP BY doc_id, tok),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         c AS (
+           SELECT tf.doc_id,
+             CAST(round(1000000.0 * (
+               ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+                  (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                    (CAST(dl.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+             )) AS BIGINT) AS c
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         )
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS n_terms
+         FROM c GROUP BY doc_id
+         ORDER BY score_micro DESC, doc_id LIMIT 10""",
+    "q73_repeated_spans" ->
+      s"""WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '$Boiler' ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM aug),
+         g AS (
+           SELECT doc_id, array_to_string(toks[k.k + 1 : k.k + 5], ' ') AS span_text
+           FROM t JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+             ON k.k <= len(toks) - 5
+         )
+         SELECT span_text, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+         FROM g GROUP BY span_text HAVING count(DISTINCT doc_id) >= 10""",
+    "q74_boilerplate_coverage" ->
+      s"""WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '$Boiler' ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM aug),
+         g AS (
+           SELECT doc_id, array_to_string(toks[k.k + 1 : k.k + 5], ' ') AS span_text
+           FROM t JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+             ON k.k <= len(toks) - 5
+         ),
+         common AS (SELECT span_text FROM g GROUP BY span_text
+                    HAVING count(DISTINCT doc_id) >= 10),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM g GROUP BY doc_id),
+         com AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_common FROM g
+                 WHERE span_text IN (SELECT span_text FROM common) GROUP BY doc_id)
+         SELECT doc_id,
+           CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+           CASE WHEN COALESCE(n_spans, 0) > 0
+                THEN CAST(COALESCE(n_common, 0) AS DOUBLE) / CAST(n_spans AS DOUBLE) END AS coverage
+         FROM documents LEFT JOIN tot USING (doc_id) LEFT JOIN com USING (doc_id)""",
     "q65_seq_pack" ->
       """WITH w AS (
            SELECT doc_id,

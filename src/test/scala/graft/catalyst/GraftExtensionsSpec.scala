@@ -175,6 +175,32 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("vec_id", "n_dims", "scale", "q_sum", "max_err"))
   }
 
+  test("text-curation TVFs: rep_stats, bm25_search, repeated_spans, boilerplate_coverage") {
+    import spark.implicits._
+    Seq(
+      (1L, "spam spam spam spam click here to win"),
+      (2L, "an ordinary sentence with click here to win appended"),
+      (3L, "fully unrelated text body nothing shared"))
+      .toDF("doc_id", "text").createOrReplaceTempView("rep_docs_t")
+    val rep = spark.sql("SELECT * FROM rep_stats('rep_docs_t', 'doc_id', 'text', 2)")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rep(1L) == 3L, "top bigram of doc 1 is 'spam spam' x3") // 7 bigrams, top 3
+    val hits = spark.sql(
+      "SELECT * FROM bm25_search('rep_docs_t', 'doc_id', 'text', 'spam,win', 2)")
+      .collect().map(_.getLong(0))
+    assert(hits.head == 1L, "the spam-heavy doc must rank first")
+    assert(hits.toSeq == spark.sql("SELECT * FROM bm25_search('rep_docs_t', 'doc_id', 'text', 'spam,win', 2)")
+      .collect().map(_.getLong(0)).toSeq, "deterministic rerun")
+    val spans = spark.sql(
+      "SELECT * FROM repeated_spans('rep_docs_t', 'doc_id', 'text', 4, 2)")
+      .collect().map(_.getString(0)).toSet
+    assert(spans == Set("click here to win"))
+    val cov = spark.sql(
+      "SELECT * FROM boilerplate_coverage('rep_docs_t', 'doc_id', 'text', 4, 2)")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cov == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+  }
+
   test("ANN family TVFs: similarity search from plain SQL, identical to the Column API") {
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .createOrReplaceTempView("ann_corpus_t")

@@ -68,6 +68,12 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("boilerplateCoverage releases its exploded span table") {
+    assertReleasedAfter(expectTracked = true) {
+      TextOps.boilerplateCoverage(docs, "doc_id", "text", span = 2, minDocs = 5).count()
+    }
+  }
+
   test("sequentialPack is self-contained: pinned partitioning released before return") {
     CacheScope.release()
     val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet

@@ -81,4 +81,86 @@ class TextOpsSpec extends SparkSpec {
     assert(emails == 1 && phones == 0,
       s"counts ($emails, $phones) must reconcile with the redacted text")
   }
+
+  test("repetitionStats: counts and fractions match hand-computed ground truth") {
+    val docs = Seq(
+      (1L, "a a a a"),        // bigrams: "a a" x3 -> total 3, distinct 1, top 3
+      (2L, "x y z"),          // bigrams: "x y", "y z" -> total 2, distinct 2, top 1
+      (3L, "solo"))           // < n tokens -> zero bigrams, NULL fractions
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text", n = 2)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_ngrams", "n_distinct", "top_cnt", "dup_frac", "top_frac"))
+    val m = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(m(1L) == ((3L, 1L, 3L, Some(1.0 - 1.0 / 3.0), Some(1.0))))
+    assert(m(2L) == ((2L, 2L, 1L, Some(0.0), Some(0.5))))
+    assert(m(3L) == ((0L, 0L, 0L, None, None)))
+  }
+
+  test("bm25Search: scores equal a local BM25 reference and rank by relevance") {
+    val docs = Seq(
+      (1L, "spark spark spark fills this document with spark mentions entirely"),
+      (2L, "spark appears once among many other unrelated filler words here"),
+      (3L, "nothing relevant lives in this document at all frankly speaking"),
+      (4L, "hash hash spark"),
+      (5L, "the rare term merge shows up exactly once right here today"))
+      .toDF("doc_id", "text")
+    val query = Seq("spark", "hash", "merge")
+    val out = TextOps.bm25Search(docs, "doc_id", "text", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // local reference: same formula, same quantization
+    val toks = Map(
+      1L -> "spark spark spark fills this document with spark mentions entirely",
+      2L -> "spark appears once among many other unrelated filler words here",
+      3L -> "nothing relevant lives in this document at all frankly speaking",
+      4L -> "hash hash spark",
+      5L -> "the rare term merge shows up exactly once right here today")
+      .map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val dfm = query.map(t => t -> toks.values.count(_.contains(t))).toMap
+    def score(id: Long): (Long, Long) = {
+      val dl = toks(id).size.toDouble
+      val cs = query.flatMap { term =>
+        val tf = toks(id).count(_ == term).toDouble
+        if (tf == 0 || dfm(term) == 0) None
+        else {
+          val idf = math.log((n - dfm(term) + 0.5) / (dfm(term) + 0.5) + 1.0)
+          val tfn = (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+          Some(math.round(1e6 * (idf * tfn)))
+        }
+      }
+      (cs.sum, cs.size.toLong)
+    }
+    val expected = toks.keys.map(id => (id, score(id)._1, score(id)._2))
+      .filter(_._3 > 0).toSeq.sortBy(t => (-t._2, t._1))
+    assert(out.toSeq == expected, "engine scores must equal the local BM25 reference")
+    // sanity on the ranking itself: doc 3 (no query terms) is absent
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("repeatedSpans and boilerplateCoverage agree on injected boilerplate") {
+    val boiler = "click here to subscribe now"
+    val docs = (1 to 30).map { i =>
+      val body = (1 to 10).map(j => s"w${i}_$j").mkString(" ") // unique per doc
+      (i.toLong, if (i <= 20) s"$body $boiler" else body)
+    }.toDF("doc_id", "text")
+    val spans = TextOps.repeatedSpans(docs, "doc_id", "text", span = 5, minDocs = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the only 5-token span shared by >= 10 docs is the boilerplate itself
+    assert(spans.toSeq == Seq((boiler, 20L, 20L)))
+    val cov = TextOps.boilerplateCoverage(docs, "doc_id", "text", span = 5, minDocs = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // boilerplated docs: 15 tokens -> 11 spans, 1 common; clean docs: 10 -> 6 spans, 0
+    (1 to 20).foreach { i =>
+      assert(cov(i.toLong) == ((11L, 1L, Some(1.0 / 11.0))), s"doc $i")
+    }
+    (21 to 30).foreach { i =>
+      assert(cov(i.toLong) == ((6L, 0L, Some(0.0))), s"doc $i")
+    }
+  }
 }
