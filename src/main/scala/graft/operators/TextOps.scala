@@ -157,14 +157,19 @@ object TextOps {
     * explode (map-side prune — non-query tokens never reach a shuffle),
     * per-term document frequencies are a query-sized broadcast, corpus
     * size/avgdl ride a broadcast 1-row frame (no driver collect), and the
-    * final top-k is a partial-top-k sort-limit, never a global sort. */
+    * final top-k is a partial-top-k sort-limit, never a global sort. The
+    * pruned (id, doclen, query-tokens) projection feeds three consumers
+    * (corpus stats, tf, df), so it is persisted for the plan's lifetime
+    * ([[graft.CacheScope]]-tracked) — one corpus scan, not three. */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query terms required")
     require(k >= 1, "k >= 1")
     val toks = TextFunctions.tokens(col(textCol))
-    val base = docs.select(col(idCol), size(toks).cast("long").as("_dl"),
-      filter(toks, t => t.isin(query.map(x => x: Any): _*)).as("_qt"))
+    val base = CacheScope.track(
+      docs.select(col(idCol), size(toks).cast("long").as("_dl"),
+        filter(toks, t => t.isin(query.map(x => x: Any): _*)).as("_qt"))
+        .persist(StorageLevel.MEMORY_ONLY))
     val stats = base.agg(count(lit(1)).as("_n"), sum("_dl").as("_sumdl"))
     val tf = base.select(col(idCol), col("_dl"), explode(col("_qt")).as("term"))
       .groupBy(col(idCol), col("_dl"), col("term")).agg(count(lit(1)).as("tf"))

@@ -60,7 +60,13 @@ object DumpPlans {
        TextQueries.q59ChunkTokens(spark, d)),
       ("q61_multimodal_decode",
        "Real-codec path: DeserializeToObject -> partition-parallel MapPartitions (imageio encode/decode/resize kernel) -> SerializeFromObject. One narrow stage, no Exchange: the kernel boundary is the only non-codegen span, by design.",
-       MultimodalQueries.q61MultimodalDecode(spark, d)))
+       MultimodalQueries.q61MultimodalDecode(spark, d)),
+      ("q72_bm25_search",
+       "BM25: tokens filtered to query terms BEFORE the explode (map-side prune — the generate's input array is already query-only), and that pruned projection persisted once (InMemoryRelation) for its three consumers (stats/tf/df) — ONE corpus scan. Per-term df joins as BroadcastHashJoin, corpus stats as a 1-row BroadcastNestedLoopJoin (single-row frame, the one legitimate BNLJ), final TakeOrderedAndProject — a partial top-k, never a global sort.",
+       TextQueries.q72Bm25(spark, d)),
+      ("q74_boilerplate_coverage",
+       "Boilerplate coverage: one exploded span table persisted (InMemoryRelation) feeding the common-span aggregation, the per-doc totals, and a LEFT SEMI join. No broadcast hint anywhere: at gate scale the optimizer broadcasts the small common-span side; at corpus scale (common spans ~ vocabulary) the same plan degrades to a shuffle semi join by size estimate, not by code change.",
+       TextQueries.q74BoilerplateCoverage(spark, d)))
     val sb = new StringBuilder
     sb.append("# PLANS — annotated `.explain(\"formatted\")` for headline queries\n\n")
     sb.append("> Regenerate: `sbt \"runMain graft.tools.DumpPlans\"` (written by that main).\n")

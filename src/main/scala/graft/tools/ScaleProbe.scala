@@ -17,12 +17,17 @@ object ScaleProbe {
     val spark = graft.Engine.session(appName = "graft-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Optional substring filter over probe tags (local iteration on one
+    // family without paying for the expensive banded rows).
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
     def time(tag: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      // release operator-internal persists per probe: consecutive 1x/10x
-      // runs must not warm (or evict) each other through leftover caches
-      val n = try f finally graft.CacheScope.release()
-      println(f"$tag%-42s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+      if (only.forall(tag.contains)) {
+        val t0 = System.nanoTime()
+        // release operator-internal persists per probe: consecutive 1x/10x
+        // runs must not warm (or evict) each other through leftover caches
+        val n = try f finally graft.CacheScope.release()
+        println(f"$tag%-42s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+      }
     }
 
     // --- interval join: replicate events with distinct users ------------
@@ -168,6 +173,27 @@ object ScaleProbe {
     }
     streamTumbling(1, "stream tumbling window 1x (100k events)")
     streamTumbling(10, "stream tumbling window 10x (1M events)")
+
+    // --- text curation family (r6): explode + keyed-agg shapes — all
+    // linear in corpus tokens, never doc-pair-shaped --------------------
+    import graft.operators.TextOps
+    time("text curation: repetition stats 1x (bigrams)")(
+      TextOps.repetitionStats(docsX(1), "doc_id", "text", 2).count())
+    time("text curation: repetition stats 10x")(
+      TextOps.repetitionStats(docsX(10), "doc_id", "text", 2).count())
+    val bmTerms = Seq("spark", "hash", "merge", "window")
+    time("text curation: bm25 search 1x (4 terms)")(
+      TextOps.bm25Search(docsX(1), "doc_id", "text", bmTerms, 10).count())
+    time("text curation: bm25 search 10x")(
+      TextOps.bm25Search(docsX(10), "doc_id", "text", bmTerms, 10).count())
+    def boilX(k: Int): DataFrame = docsX(k).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"),
+        lit(" follow us for updates and subscribe to the newsletter")))
+        .otherwise(col("text")).as("text"))
+    time("text curation: boilerplate coverage 1x")(
+      TextOps.boilerplateCoverage(boilX(1), "doc_id", "text", 5, 10).count())
+    time("text curation: boilerplate coverage 10x")(
+      TextOps.boilerplateCoverage(boilX(10), "doc_id", "text", 5, 10).count())
 
     spark.stop()
   }

@@ -74,6 +74,12 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("bm25Search releases its pruned token projection") {
+    assertReleasedAfter(expectTracked = true) {
+      TextOps.bm25Search(docs, "doc_id", "text", Seq("spark", "table"), k = 5).count()
+    }
+  }
+
   test("sequentialPack is self-contained: pinned partitioning released before return") {
     CacheScope.release()
     val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
