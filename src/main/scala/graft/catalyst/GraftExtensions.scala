@@ -264,6 +264,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
     }
+    registerTable("inverted_index",
+      "inverted_index('table', 'idCol', 'textCol', minDf, maxPostings) - term stats + capped postings", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.invertedIndex(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "minDf"), litInt(exprs(4), "maxPostings")))
+    }
+    registerTable("corpus_profile",
+      "corpus_profile('table', 'stratum1,stratum2', 'textCol') - per-stratum corpus datasheet", 3) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.corpusProfile(t,
+          colList(litStr(exprs(1), "strata")), litStr(exprs(2), "text column")))
+    }
     registerTable("boilerplate_coverage",
       "boilerplate_coverage('table', 'idCol', 'textCol', span, minDocs) - per-doc common-span fraction", 5) {
       exprs =>

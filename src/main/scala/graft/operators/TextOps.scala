@@ -190,6 +190,62 @@ object TextOps {
       .limit(k)
   }
 
+  /** Inverted index over the corpus: one row per term with document
+    * frequency, total term frequency, and a portable postings string
+    * `"docId:tf,docId:tf,…"` ascending by doc id — the materialized
+    * search-index artifact behind [[bm25Search]]. `minDf` drops hapax
+    * noise; `maxPostings` caps each postings list to its first
+    * `maxPostings` doc ids (real indexes shard or cap hot terms — a
+    * stopword's full postings list at corpus scale is every doc; `df` and
+    * `total_tf` always reflect the FULL corpus, only the stored list is
+    * capped).
+    *
+    * Distributed shape: two keyed aggregations with map-side combine
+    * ((term, doc) counts, then per-term fold); the postings string is
+    * built from a sorted in-memory list per term, bounded by
+    * `maxPostings`. Postings are plain strings so any engine (and the
+    * DuckDB oracle) can replay them byte-identically. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 1, maxPostings: Int = Int.MaxValue): DataFrame = {
+    require(minDf >= 1, "minDf >= 1")
+    require(maxPostings >= 1, "maxPostings >= 1")
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("_tf"))
+    tf.groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("_tf").as("total_tf"),
+        array_join(
+          transform(
+            slice(array_sort(collect_list(struct(col(idCol).as("d"), col("_tf").as("t")))),
+              1, maxPostings),
+            s => concat(s("d").cast("string"), lit(":"), s("t").cast("string"))),
+          ",").as("postings"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Corpus profile ("dataset datasheet") per stratum: document, token and
+    * character totals, mean chars per doc, and exact token-count
+    * percentiles (p50/p90) — the summary table a training-data pipeline
+    * publishes alongside every corpus snapshot. One keyed aggregation;
+    * percentiles use Spark's exact linear-interpolation `percentile`
+    * (cross-engine deterministic, the q22 convention). */
+  def corpusProfile(docs: DataFrame, strata: Seq[String], textCol: String): DataFrame = {
+    require(strata.nonEmpty, "at least one stratum column")
+    val nTok = TextFunctions.tokenCount(col(textCol))
+    docs.groupBy(strata.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok.cast("long")).as("tokens"),
+        sum(length(col(textCol)).cast("long")).as("chars"),
+        percentile(nTok, array(lit(0.5), lit(0.9))).as("_p"))
+      .select(strata.map(col) ++ Seq(
+        col("n_docs"), col("tokens"), col("chars"),
+        Portable.ratio(col("chars"), col("n_docs")).as("chars_per_doc"),
+        col("_p")(0).as("p50_tokens"), col("_p")(1).as("p90_tokens")): _*)
+  }
+
   /** Corpus-level repeated spans: every stride-1 `span`-token window that
     * occurs in at least `minDocs` distinct documents, with its document
     * and occurrence counts — the boilerplate-discovery pass of a curation

@@ -132,6 +132,18 @@ object TextQueries {
     graft.operators.TextOps.boilerplateCoverage(withBoiler(s, d), "doc_id", "text",
       span = 5, minDocs = 10)
 
+  // Inverted index (the artifact behind q72's BM25): df >= 2, postings
+  // capped to the first 25 doc ids — both knobs exercised; every
+  // (term, df, total_tf, postings-string) row hash-checked.
+  def q75InvertedIndex(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.invertedIndex(Tables.documents(s, d), "doc_id", "text",
+      minDf = 2, maxPostings = 25)
+
+  // Corpus datasheet per (source, lang): totals + exact token percentiles.
+  def q76CorpusProfile(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.corpusProfile(Tables.documents(s, d),
+      Seq("source", "lang"), "text")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_explode_tokens" -> q30Explode,
     "q31_lang_id" -> q31LangId,
@@ -146,7 +158,9 @@ object TextQueries {
     "q71_repetition_stats" -> q71RepetitionStats,
     "q72_bm25_search" -> q72Bm25,
     "q73_repeated_spans" -> q73RepeatedSpans,
-    "q74_boilerplate_coverage" -> q74BoilerplateCoverage)
+    "q74_boilerplate_coverage" -> q74BoilerplateCoverage,
+    "q75_inverted_index" -> q75InvertedIndex,
+    "q76_corpus_profile" -> q76CorpusProfile)
 
   private val markersSql = TextFunctions.LangMarkers.zipWithIndex.map {
     case ((lang, ms), i) => s"('$lang', $i, [${ms.map(m => s"'$m'").mkString(",")}])"
@@ -155,6 +169,24 @@ object TextQueries {
   private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q75_inverted_index" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+         tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+                FROM t GROUP BY term, doc_id)
+         SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+           array_to_string((list(doc_id || ':' || tf ORDER BY doc_id))[1:25], ',') AS postings
+         FROM tf GROUP BY term HAVING count(*) >= 2""",
+    "q76_corpus_profile" ->
+      """WITH t AS (SELECT source, lang, text,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok FROM documents)
+         SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           CAST(sum(length(text)) AS BIGINT) AS chars,
+           CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS chars_per_doc,
+           quantile_cont(n_tok, 0.5) AS p50_tokens,
+           quantile_cont(n_tok, 0.9) AS p90_tokens
+         FROM t GROUP BY source, lang""",
     "q71_repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
          g AS (

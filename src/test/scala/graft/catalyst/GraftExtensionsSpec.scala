@@ -199,6 +199,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM boilerplate_coverage('rep_docs_t', 'doc_id', 'text', 4, 2)")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(cov == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+    val idx = spark.sql(
+      "SELECT * FROM inverted_index('rep_docs_t', 'doc_id', 'text', 2, 100)")
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(idx("click") == "1:1,2:1" && !idx.contains("unrelated"))
+    val prof = spark.sql(
+      "SELECT * FROM corpus_profile('rep_docs_t', 'doc_id', 'text')")
+      .collect()
+    assert(prof.length == 3 && prof.map(_.getLong(1)).sum == 3L) // one doc per stratum
   }
 
   test("ANN family TVFs: similarity search from plain SQL, identical to the Column API") {

@@ -142,6 +142,38 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("invertedIndex: postings sorted by doc id, df/total_tf full-corpus, cap truncates") {
+    val docs = Seq(
+      (3L, "b a b"),   // b:2, a:1
+      (1L, "a b c"),
+      (2L, "a a c"))
+      .toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(idx("a") == ((3L, 4L, "1:1,2:2,3:1")))
+    assert(idx("b") == ((2L, 3L, "1:1,3:2")))
+    assert(idx("c") == ((2L, 2L, "1:1,2:1")))
+    // minDf drops terms; the cap truncates postings but NOT df/total_tf
+    val capped = TextOps.invertedIndex(docs, "doc_id", "text", minDf = 3, maxPostings = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(capped == Map("a" -> ((3L, 4L, "1:1,2:2"))))
+  }
+
+  test("corpusProfile: totals, mean and exact percentiles per stratum") {
+    val docs = Seq(
+      ("s1", "en", "one two three"),        // 3 tokens, 13 chars
+      ("s1", "en", "four five"),            // 2 tokens, 9 chars
+      ("s1", "en", "six seven eight nine"), // 4 tokens, 20 chars
+      ("s2", "de", "zehn"))                 // 1 token, 4 chars
+      .toDF("source", "lang", "text")
+    val prof = TextOps.corpusProfile(docs, Seq("source", "lang"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // s1/en: p50 of (2,3,4) = 3; p90 = 2 + 0.9*2 = 3.8 (linear interpolation)
+    assert(prof(("s1", "en")) == ((3L, 9L, 42L, 14.0, 3.0, 3.8)))
+    assert(prof(("s2", "de")) == ((1L, 1L, 4L, 4.0, 1.0, 1.0)))
+  }
+
   test("repeatedSpans and boilerplateCoverage agree on injected boilerplate") {
     val boiler = "click here to subscribe now"
     val docs = (1 to 30).map { i =>
