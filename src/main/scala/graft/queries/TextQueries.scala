@@ -144,6 +144,27 @@ object TextQueries {
     graft.operators.TextOps.corpusProfile(Tables.documents(s, d),
       Seq("source", "lang"), "text")
 
+  // Curation v2 — the new quartet composed end-to-end: drop docs carrying
+  // corpus-common boilerplate spans, drop repetition-dominated docs
+  // (top bigram > 34% of the stream, incl. docs too short to judge),
+  // split the survivors deterministically, and publish the per-(lang,
+  // split) datasheet. Every stage is an engine operator and the whole
+  // chain replays as one DuckDB CTE — the proof the operators compose.
+  def q77CurationV2(s: SparkSession, d: String): DataFrame = {
+    val aug = withBoiler(s, d)
+    val cov = graft.operators.TextOps.boilerplateCoverage(aug, "doc_id", "text", 5, 10)
+    val rep = graft.operators.TextOps.repetitionStats(aug, "doc_id", "text", 2)
+    val kept = aug
+      .join(cov.filter(col("n_common") === 0).select("doc_id"), Seq("doc_id"))
+      .join(rep.filter(col("top_frac") <= 0.34).select("doc_id"), Seq("doc_id"))
+    val split = graft.operators.Relational.hashSplit(kept, "text",
+      Seq("train" -> 80, "valid" -> 90, "test" -> 100))
+    split.join(Tables.documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_explode_tokens" -> q30Explode,
     "q31_lang_id" -> q31LangId,
@@ -160,7 +181,8 @@ object TextQueries {
     "q73_repeated_spans" -> q73RepeatedSpans,
     "q74_boilerplate_coverage" -> q74BoilerplateCoverage,
     "q75_inverted_index" -> q75InvertedIndex,
-    "q76_corpus_profile" -> q76CorpusProfile)
+    "q76_corpus_profile" -> q76CorpusProfile,
+    "q77_curation_v2" -> q77CurationV2)
 
   private val markersSql = TextFunctions.LangMarkers.zipWithIndex.map {
     case ((lang, ms), i) => s"('$lang', $i, [${ms.map(m => s"'$m'").mkString(",")}])"
@@ -169,6 +191,49 @@ object TextQueries {
   private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q77_curation_v2" ->
+      s"""WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '$Boiler' ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM aug),
+         g AS (
+           SELECT doc_id, array_to_string(toks[k.k + 1 : k.k + 5], ' ') AS span_text
+           FROM t JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+             ON k.k <= len(toks) - 5
+         ),
+         common AS (SELECT span_text FROM g GROUP BY span_text
+                    HAVING count(DISTINCT doc_id) >= 10),
+         com AS (SELECT doc_id, count(*) AS n_common FROM g
+                 WHERE span_text IN (SELECT span_text FROM common) GROUP BY doc_id),
+         bg AS (
+           SELECT doc_id, array_to_string(toks[k.k + 1 : k.k + 2], ' ') AS ng
+           FROM t JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+             ON k.k <= len(toks) - 2
+         ),
+         bc AS (SELECT doc_id, ng, count(*) AS c FROM bg GROUP BY doc_id, ng),
+         bd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                       CAST(max(c) AS BIGINT) AS top_cnt
+                FROM bc GROUP BY doc_id),
+         kept AS (
+           SELECT a.doc_id, a.text FROM aug a
+           LEFT JOIN com USING (doc_id)
+           JOIN bd USING (doc_id)
+           WHERE COALESCE(com.n_common, 0) = 0
+             AND CAST(bd.top_cnt AS DOUBLE) / CAST(bd.n_ngrams AS DOUBLE) <= 0.34
+         ),
+         sp AS (
+           SELECT doc_id, text,
+             CASE WHEN ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+           FROM kept
+         )
+         SELECT d.lang, sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(trim(sp.text), ' '))) AS BIGINT) AS tokens
+         FROM sp JOIN documents d USING (doc_id)
+         GROUP BY d.lang, sp.split""",
     "q75_inverted_index" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
          tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf

@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 76 queries, unique names") {
-    assert(SparkEntry.queries.size == 76)
+  test("gate inventory: 77 queries, unique names") {
+    assert(SparkEntry.queries.size == 77)
   }
 }
