@@ -25,9 +25,14 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column = {
     val toks = TextFunctions.tokens(text)
     val nShingles = size(toks) - (n - 1)
-    when(nShingles >= 1,
-      array_distinct(transform(sequence(lit(1), nShingles),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
+    // Built by zipping n shifted slices rather than slicing inside a
+    // transform lambda: a lambda body that captures `toks` re-evaluates
+    // the tokenizer once per shingle, not per row (the q73 finding,
+    // COVERAGE.md scale notes). Here every lambda references only its own
+    // variables; `toks` is evaluated n times per ROW.
+    val parts = (0 until n).map(j => slice(toks, lit(j + 1), nShingles))
+    val joined = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(nShingles >= 1, array_distinct(joined))
       .otherwise(array().cast("array<string>"))
   }
 
