@@ -170,7 +170,13 @@ object TextOps {
     * final top-k is a partial-top-k sort-limit, never a global sort. The
     * pruned (id, doclen, query-tokens) projection feeds three consumers
     * (corpus stats, tf, df), so it is persisted for the plan's lifetime
-    * ([[graft.CacheScope]]-tracked) — one corpus scan, not three. */
+    * ([[graft.CacheScope]]-tracked) — one corpus scan, not three.
+    *
+    * The query-term prune is an `isin` literal list, i.e. O(|query|) per
+    * token — right for human-scale queries (an IN set of tens to
+    * hundreds of terms stays codegen'd). A batch-scoring workload with
+    * tens of thousands of "query" terms is a different op: explode
+    * tokens and broadcast-join a terms table instead. */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query terms required")
