@@ -62,10 +62,18 @@ object Multimodal {
   /** PNG-encode one deterministic image per document — the "read a blob
     * column" stand-in (at scale: parquet binary columns or object-store
     * pointers). Encoding runs partition-parallel on executors; only ids
-    * ride the wire in. */
+    * ride the wire in — and because the ids are 8 bytes, they are first
+    * REPARTITIONED to the session's default parallelism: a codec kernel's
+    * parallelism must follow cores, not the input file's split count (a
+    * small parquet reads as 1-2 partitions, which would run the whole
+    * CPU-bound codec chain nearly single-threaded — measured 2× on the
+    * q61 gate). Real media tables carry heavy payloads, so there the
+    * caller decides where the shuffle goes; an id-only frame shuffles
+    * for free. */
   def synthImageTable(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(it => it.map(id => ImageRecord(id, synthPng(id))))
       .toDF()
   }
@@ -173,10 +181,12 @@ object Multimodal {
   }
 
   /** WAV-encode one deterministic PCM clip per document (the audio twin of
-    * [[synthImageTable]]); encoding runs partition-parallel. */
+    * [[synthImageTable]]); encoding runs partition-parallel, ids
+    * repartitioned to cores first for the same reason as the image side. */
   def synthAudioTable(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(it => it.map(id => AudioRecord(id, synthWav(id))))
       .toDF()
   }
