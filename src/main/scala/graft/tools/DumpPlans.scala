@@ -59,7 +59,7 @@ object DumpPlans {
        "Token chunking: tokenize, windowed slice via sequence+transform, posexplode — per-row generate, no shuffle.",
        TextQueries.q59ChunkTokens(spark, d)),
       ("q61_multimodal_decode",
-       "Real-codec path: DeserializeToObject -> partition-parallel MapPartitions (imageio encode/decode/resize kernel) -> SerializeFromObject. One narrow stage, no Exchange: the kernel boundary is the only non-codegen span, by design.",
+       "Real-codec path: one id-only Exchange spreads the synth input to cores (codec parallelism must follow CPUs, not the small file's split count — r6 fix, 4.1->1.2 s), then DeserializeToObject -> partition-parallel MapPartitions (imageio encode/decode/resize kernel) -> SerializeFromObject. The kernel boundary is the only non-codegen span, by design.",
        MultimodalQueries.q61MultimodalDecode(spark, d)),
       ("q72_bm25_search",
        "BM25: tokens filtered to query terms BEFORE the explode (map-side prune — the generate's input array is already query-only), and that pruned projection persisted once (InMemoryRelation) for its three consumers (stats/tf/df) — ONE corpus scan. Per-term df joins as BroadcastHashJoin, corpus stats as a 1-row BroadcastNestedLoopJoin (single-row frame, the one legitimate BNLJ), final TakeOrderedAndProject — a partial top-k, never a global sort.",
