@@ -83,6 +83,76 @@ class CurationPropertySpec extends SparkSpec {
     }, cases = 8)
   }
 
+  test("repetitionStats law: counts equal a local reference for arbitrary corpora") {
+    val docGen = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "xyz")))
+    val corpusGen = Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, docGen))
+    val n = 2
+    check(Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = TextOps.repetitionStats(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      corpus.zipWithIndex.forall { case (ws, i) =>
+        val grams = ws.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val freq = grams.groupBy(identity).view.mapValues(_.size)
+        out(i.toLong) == ((grams.size.toLong, freq.size.toLong,
+          if (freq.isEmpty) 0L else freq.values.max.toLong))
+      }
+    }, cases = 8)
+  }
+
+  test("invertedIndex law: postings reconstruct the corpus term frequencies") {
+    val docGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("t1", "t2", "t3", "t4", "q")))
+    val corpusGen = Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, docGen))
+    check(Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val idx = TextOps.invertedIndex(df, "doc_id", "text")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      // ground truth: per-term map of doc -> tf
+      val truth = corpus.zipWithIndex
+        .flatMap { case (ws, i) => ws.map(w => (w, i.toLong)) }
+        .groupBy(_._1).view
+        .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+      idx.forall { case (term, (df_, totalTf, postings)) =>
+        val t = truth(term)
+        val parsed = postings.split(",").map { p =>
+          val Array(d, c) = p.split(":"); (d.toLong, c.toLong)
+        }
+        df_ == t.size && totalTf == t.values.sum &&
+          parsed.toMap == t && parsed.map(_._1).toSeq == parsed.map(_._1).sorted.toSeq
+      } && idx.length == truth.size
+    }, cases = 8)
+  }
+
+  test("boilerplateCoverage law: bounds hold and common spans match ground truth") {
+    val docGen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("u", "v", "w")))
+    val corpusGen = Gen.choose(2, 8).flatMap(k => Gen.listOfN(k, docGen))
+    val (span, minDocs) = (3, 2)
+    check(Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val spansOf = corpus.map(_.sliding(span).filter(_.length == span)
+        .map(_.mkString(" ")).toSeq)
+      val commonTruth = spansOf.zipWithIndex
+        .flatMap { case (ss, i) => ss.distinct.map(s => (s, i)) }
+        .groupBy(_._1).filter(_._2.size >= minDocs).keySet
+      val out = TextOps.boilerplateCoverage(df, "doc_id", "text", span, minDocs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      graft.CacheScope.release()
+      corpus.indices.forall { i =>
+        val (nSpans, nCommon) = out(i.toLong)
+        nSpans == spansOf(i).size.toLong &&
+          nCommon == spansOf(i).count(commonTruth).toLong &&
+          nCommon <= nSpans
+      }
+    }, cases = 8)
+  }
+
   test("quantizeInt8 law: reconstruction error <= scale/2 for arbitrary vectors") {
     val vecGen = Gen.choose(2, 32).flatMap(d =>
       Gen.listOfN(d, Gen.choose(-1000, 1000).map(_ / 7.0f)))
