@@ -105,6 +105,26 @@ class EmbeddingsSpec extends SparkSpec {
       s"got: ${e2.getMessage}")
   }
 
+  test("filtered vector search: pre-trained index + corpus predicate, recall vs filtered brute force") {
+    // the filtered-ANN shape: train ONCE on the full corpus, then search
+    // any metadata-filtered subset by composing the predicate with the
+    // search — no retrain, the model stays valid (codes are per-vector)
+    val pred = col("vec_id") % 3 =!= 0 // drop a third of the corpus
+    val filtered = emb.filter(pred)
+    val bruteFiltered = pairs(Similarity.bruteForceTopK(
+      filtered, queries, "vec_id", "embedding", 5))
+    val books = Embeddings.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16)
+    val got = pairs(Embeddings.pqTopKRerank(
+      filtered, queries, "vec_id", "embedding", k = 5, shortlist = 100, books))
+    // every neighbor respects the predicate...
+    assert(got.forall { case (_, n) => n % 3 != 0 })
+    // ...result sizes match brute force exactly...
+    assert(got.size == bruteFiltered.size)
+    // ...and two-stage recall holds on the filtered corpus
+    val recall = got.intersect(bruteFiltered).size.toDouble / bruteFiltered.size
+    assert(recall >= 0.9, s"filtered two-stage recall $recall < 0.9")
+  }
+
   test("two-stage PQ (compressed scan -> exact rerank): recall rises with shortlist, >= 0.9 at 100") {
     val cb = Embeddings.pqTrain(emb, "vec_id", "embedding", m = 8, k = 32, iters = 2)
     def recallAt(shortlist: Int): Double = {
