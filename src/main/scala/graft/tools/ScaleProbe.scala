@@ -194,6 +194,20 @@ object ScaleProbe {
       TextOps.boilerplateCoverage(boilX(1), "doc_id", "text", 5, 10).count())
     time("text curation: boilerplate coverage 10x")(
       TextOps.boilerplateCoverage(boilX(10), "doc_id", "text", 5, 10).count())
+    time("text curation: inverted index 1x")(
+      TextOps.invertedIndex(docsX(1), "doc_id", "text", minDf = 2, maxPostings = 1000).count())
+    time("text curation: inverted index 10x")(
+      TextOps.invertedIndex(docsX(10), "doc_id", "text", minDf = 2, maxPostings = 1000).count())
+    val profiled = graft.Tables.documents(spark, sfDir).select("doc_id", "text", "source", "lang")
+    def profX(k: Int): DataFrame =
+      (0 until k).map(i => profiled.select(
+        (col("doc_id") + i * 10000000L).as("doc_id"), col("text"),
+        concat(col("source"), lit(s"_$i")).as("source"), col("lang")))
+        .reduce(_ unionByName _)
+    time("text curation: corpus profile 1x")(
+      TextOps.corpusProfile(profX(1), Seq("source", "lang"), "text").count())
+    time("text curation: corpus profile 10x (10x strata)")(
+      TextOps.corpusProfile(profX(10), Seq("source", "lang"), "text").count())
 
     spark.stop()
   }

@@ -92,4 +92,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q72 BM25: one corpus scan (persisted prune), partial top-k, the only BNLJ is the 1-row stats frame") {
+    // simple mode: each node appears once (formatted mode re-lists nodes
+    // in its detail section, so occurrence counts there mislead)
+    val p = TextQueries.q72Bm25(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be a partial sort-limit, never a global sort")
+    assert(p.split("BroadcastNestedLoopJoin").length == 2,
+      "exactly one BNLJ expected: the broadcast 1-row corpus-stats frame")
+    // all three consumers (stats/tf/df) must read the persisted pruned
+    // projection, not re-scan the corpus: three InMemoryTableScans (each
+    // prints its cached InMemoryRelation subtree — those inner scans are
+    // the one cached scan, not repeats)
+    assert(p.split("InMemoryTableScan").length >= 4,
+      "stats/tf/df must all read the persisted pruned projection")
+  }
+
+  test("q73/q74 span aggregation: two-phase keyed counts, never an Expand distinct") {
+    val p73 = plan(TextQueries.q73RepeatedSpans(spark, sf))
+    assert(!p73.contains("Expand"),
+      "countDistinct-style Expand doubles the exploded span stream")
+    val p74 = plan(TextQueries.q74BoilerplateCoverage(spark, sf))
+    assert(!p74.contains("Expand"))
+    assert(p74.contains("InMemoryTableScan"), "span table must be persisted once")
+    assert(!p74.contains("CartesianProduct"))
+  }
+
+  test("q61 codec kernel: parallelism follows cores, not the input file's splits") {
+    val df = MultimodalQueries.q61MultimodalDecode(spark, sf)
+    val parts = df.rdd.getNumPartitions
+    assert(parts >= spark.sparkContext.defaultParallelism / 2,
+      s"codec stage would run on $parts partition(s) — repartition lost")
+  }
 }
