@@ -174,6 +174,23 @@ class TextOpsSpec extends SparkSpec {
     assert(prof(("s2", "de")) == ((1L, 1L, 4L, 4.0, 1.0, 1.0)))
   }
 
+  test("degenerate inputs: no query hits, no repeated spans, single-token docs") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta")).toDF("doc_id", "text")
+    // BM25 with zero matching terms: empty result, not an error
+    assert(TextOps.bm25Search(docs, "doc_id", "text", Seq("zz", "qq"), k = 5).count() == 0)
+    // no span occurs in >= 2 docs
+    assert(TextOps.repeatedSpans(docs, "doc_id", "text", span = 2, minDocs = 2).count() == 0)
+    // single-token doc: zero spans, zero common, NULL coverage
+    val cov = TextOps.boilerplateCoverage(docs, "doc_id", "text", span = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.isNullAt(3)))).toMap
+    assert(cov(2L) == ((0L, 0L, true)))
+    // inverted index on a term appearing once with minDf=2: filtered out
+    assert(TextOps.invertedIndex(docs, "doc_id", "text", minDf = 2).count() == 0)
+    // profile over one stratum column with one doc per stratum
+    val prof = TextOps.corpusProfile(docs, Seq("doc_id"), "text").collect()
+    assert(prof.length == 2)
+  }
+
   test("repeatedSpans and boilerplateCoverage agree on injected boilerplate") {
     val boiler = "click here to subscribe now"
     val docs = (1 to 30).map { i =>
