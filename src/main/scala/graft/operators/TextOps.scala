@@ -217,10 +217,14 @@ object TextOps {
     * capped).
     *
     * Distributed shape: two keyed aggregations with map-side combine
-    * ((term, doc) counts, then per-term fold); the postings string is
-    * built from a sorted in-memory list per term, bounded by
-    * `maxPostings`. Postings are plain strings so any engine (and the
-    * DuckDB oracle) can replay them byte-identically. */
+    * ((term, doc) counts, then per-term fold). With a cap, rows beyond
+    * the first `maxPostings` doc ids are EXCLUDED BEFORE the collect (a
+    * per-term row_number over the same term partitioning — the exchange
+    * is shared with the final aggregation), so a hot term's aggregation
+    * state is bounded by the cap, not by its corpus frequency — capping
+    * only the output string would leave the real hazard in place.
+    * Postings are plain strings so any engine (and the DuckDB oracle)
+    * can replay them byte-identically. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Int = 1, maxPostings: Int = Int.MaxValue): DataFrame = {
     require(minDf >= 1, "minDf >= 1")
@@ -228,14 +232,20 @@ object TextOps {
     val tf = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("_tf"))
-    tf.groupBy("term")
+    // collect_list drops nulls: posting entries past the cap become null
+    // and never enter the aggregation buffer
+    val entry = struct(col(idCol).as("d"), col("_tf").as("t"))
+    val capped =
+      if (maxPostings == Int.MaxValue) tf.withColumn("_e", entry)
+      else tf.withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("term").orderBy(idCol)))
+        .withColumn("_e", when(col("_rn") <= maxPostings, entry))
+    capped.groupBy("term")
       .agg(
         count(lit(1)).as("df"),
         sum("_tf").as("total_tf"),
         array_join(
-          transform(
-            slice(array_sort(collect_list(struct(col(idCol).as("d"), col("_tf").as("t")))),
-              1, maxPostings),
+          transform(array_sort(collect_list(col("_e"))),
             s => concat(s("d").cast("string"), lit(":"), s("t").cast("string"))),
           ",").as("postings"))
       .filter(col("df") >= minDf)
