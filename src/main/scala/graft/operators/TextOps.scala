@@ -252,24 +252,37 @@ object TextOps {
   }
 
   /** Corpus profile ("dataset datasheet") per stratum: document, token and
-    * character totals, mean chars per doc, and exact token-count
-    * percentiles (p50/p90) — the summary table a training-data pipeline
-    * publishes alongside every corpus snapshot. One keyed aggregation;
-    * percentiles use Spark's exact linear-interpolation `percentile`
-    * (cross-engine deterministic, the q22 convention). */
-  def corpusProfile(docs: DataFrame, strata: Seq[String], textCol: String): DataFrame = {
+    * character totals, mean chars per doc, and token-count percentiles
+    * (p50/p90) — the summary table a training-data pipeline publishes
+    * alongside every corpus snapshot. One keyed aggregation.
+    *
+    * `exactPercentiles = true` (the oracle-checked gate setting) uses
+    * Spark's linear-interpolation `percentile` (cross-engine
+    * deterministic, the q22 convention) — whose aggregation state buffers
+    * every value in the stratum, fine for datasheet-sized strata at gate
+    * scale. At corpus scale a stratum is billions of docs, so `false`
+    * switches to `approx_percentile` (Greenwald-Khanna, state bounded by
+    * the accuracy parameter, rank error ≤ 1/10000) — same columns, sketch
+    * semantics; the spec pins the approx values into the exact run's
+    * rank-ε window. */
+  def corpusProfile(docs: DataFrame, strata: Seq[String], textCol: String,
+      exactPercentiles: Boolean = true): DataFrame = {
     require(strata.nonEmpty, "at least one stratum column")
     val nTok = TextFunctions.tokenCount(col(textCol))
+    val pcts =
+      if (exactPercentiles) percentile(nTok, array(lit(0.5), lit(0.9)))
+      else approx_percentile(nTok.cast("double"), array(lit(0.5), lit(0.9)), lit(10000))
     docs.groupBy(strata.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(nTok.cast("long")).as("tokens"),
         sum(length(col(textCol)).cast("long")).as("chars"),
-        percentile(nTok, array(lit(0.5), lit(0.9))).as("_p"))
+        pcts.as("_p"))
       .select(strata.map(col) ++ Seq(
         col("n_docs"), col("tokens"), col("chars"),
         Portable.ratio(col("chars"), col("n_docs")).as("chars_per_doc"),
-        col("_p")(0).as("p50_tokens"), col("_p")(1).as("p90_tokens")): _*)
+        col("_p")(0).cast("double").as("p50_tokens"),
+        col("_p")(1).cast("double").as("p90_tokens")): _*)
   }
 
   /** Corpus-level repeated spans: every stride-1 `span`-token window that

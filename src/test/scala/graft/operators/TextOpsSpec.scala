@@ -174,6 +174,26 @@ class TextOpsSpec extends SparkSpec {
     assert(prof(("s2", "de")) == ((1L, 1L, 4L, 4.0, 1.0, 1.0)))
   }
 
+  test("corpusProfile approx path: bounded-state percentiles land in the exact rank window") {
+    val docs = (1 to 400).map(i => ("s", s"doc$i " + (1 to (i % 50 + 1)).map(j => s"w$j").mkString(" ")))
+      .toDF("source", "text")
+    val approx = TextOps.corpusProfile(docs, Seq("source"), "text", exactPercentiles = false)
+      .collect()(0)
+    val counts = docs.select(size(split(trim(col("text")), "\\s+")).cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    def rankWindow(p: Double, v: Double): Boolean = {
+      val target = p * counts.length
+      val lo = counts(math.max(0, (target - 2).toInt)) // eps at accuracy 10k << 1 rank here
+      val hi = counts(math.min(counts.length - 1, (target + 2).toInt))
+      v >= lo && v <= hi
+    }
+    assert(rankWindow(0.5, approx.getDouble(5)), s"p50 ${approx.getDouble(5)} outside rank window")
+    assert(rankWindow(0.9, approx.getDouble(6)), s"p90 ${approx.getDouble(6)} outside rank window")
+    // totals identical to the exact path (only the percentile sketch differs)
+    val exact = TextOps.corpusProfile(docs, Seq("source"), "text").collect()(0)
+    assert(approx.getLong(1) == exact.getLong(1) && approx.getLong(2) == exact.getLong(2))
+  }
+
   test("degenerate inputs: no query hits, no repeated spans, single-token docs") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "delta")).toDF("doc_id", "text")
     // BM25 with zero matching terms: empty result, not an error
