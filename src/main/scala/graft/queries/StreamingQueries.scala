@@ -162,6 +162,17 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), sum(Portable.cents(col("value"))).as("value_cents"))
   }
 
+  // Streaming twin of q64: curation (PII redaction) as a continuous
+  // stateless projection over a document stream — the curation family
+  // runs on streams with the SAME oracle-checked results as batch.
+  def q78StreamRedact(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    drain(graft.operators.TextOps.redactPii(
+      TextQueries.piiAugment(docs), "doc_id", "text"), "append")
+  }
+
   // Streaming twin of q06: hopping windows.
   def q38StreamHopping(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
@@ -197,12 +208,15 @@ object StreamingQueries {
     "q39_stream_interval_join" -> q39StreamIntervalJoin,
     "q49_stream_dedup" -> q49StreamDedup,
     "q38_stream_hopping" -> q38StreamHopping,
-    "q37_stream_session" -> q37StreamSession)
+    "q37_stream_session" -> q37StreamSession,
+    "q78_stream_redact" -> q78StreamRedact)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // the batch oracle verbatim: stream and browse must agree exactly
+    "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
     "q27_stream_tumbling" ->
       s"""SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, count(*) AS n, ${sumL(cents("value"))} AS value_cents

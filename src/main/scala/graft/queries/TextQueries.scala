@@ -78,18 +78,21 @@ object TextQueries {
     graft.operators.TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text",
       window = 40, overlap = 10)
 
-  // PII redaction over deterministically injected addresses/numbers (the
-  // corpus itself is synthetic and PII-free, so both engines append the
-  // same generated email + phone per doc, then redact and count them —
-  // proving the regex surface on text that actually contains PII).
-  def q64PiiRedact(s: SparkSession, d: String): DataFrame = {
-    val aug = Tables.documents(s, d).select(col("doc_id"),
+  // Deterministic PII injection shared by the batch (q64) and streaming
+  // (q78) redaction gates: the corpus is synthetic and PII-free, so both
+  // engines append the same generated email + phone per doc.
+  private[queries] def piiAugment(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       concat(col("text"), lit(" contact user"), col("doc_id"),
         lit("@mail.example.org or 555-"),
         lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
-    graft.operators.TextOps.redactPii(aug, "doc_id", "text")
-  }
+
+  // PII redaction over deterministically injected addresses/numbers —
+  // proving the regex surface on text that actually contains PII.
+  def q64PiiRedact(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.redactPii(
+      piiAugment(Tables.documents(s, d)), "doc_id", "text")
 
   // Sequence packing: contiguous-greedy 1024-token packs over doc_id
   // order via a DISTRIBUTED two-phase prefix sum (never a global-order
