@@ -66,7 +66,13 @@ object DumpPlans {
        TextQueries.q72Bm25(spark, d)),
       ("q74_boilerplate_coverage",
        "Boilerplate coverage: one exploded span table persisted (InMemoryRelation) feeding the common-span aggregation, the per-doc totals, and a LEFT SEMI join. No broadcast hint anywhere: at gate scale the optimizer broadcasts the small common-span side; at corpus scale (common spans ~ vocabulary) the same plan degrades to a shuffle semi join by size estimate, not by code change.",
-       TextQueries.q74BoilerplateCoverage(spark, d)))
+       TextQueries.q74BoilerplateCoverage(spark, d)),
+      ("q75_inverted_index",
+       "Inverted index: (term, doc) partial counts combine map-side, then the postings cap is applied BEFORE the collect — a per-term row_number Window whose term partitioning the final HashAggregate reuses, so the cap adds a Sort but NO extra shuffle (two Exchanges either way: (term, doc), then term). A hot term's aggregation buffer is bounded by the cap, not by its corpus frequency.",
+       TextQueries.q75InvertedIndex(spark, d)),
+      ("q77_curation_v2",
+       "Curation composition: the persisted span table and the bigram aggregation each evaluated once, both filters reduce to semi-join shapes on doc_id, the split is a pure md5 projection, and the final datasheet is one keyed aggregation — five operators, still a single coherent plan with no operator-boundary materialization except the deliberate span-table cache.",
+       TextQueries.q77CurationV2(spark, d)))
     val sb = new StringBuilder
     sb.append("# PLANS — annotated `.explain(\"formatted\")` for headline queries\n\n")
     sb.append("> Regenerate: `sbt \"runMain graft.tools.DumpPlans\"` (written by that main).\n")
