@@ -264,6 +264,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
     }
+    registerTable("fuzzy_join",
+      "fuzzy_join('left', 'right', 'lblock', 'rblock', 'ltext', 'rtext', maxDist) - " +
+        "blocked record linkage by edit distance", 7) {
+      exprs =>
+        val l = SparkSession.active.table(litStr(exprs(0), "left table"))
+        val r = SparkSession.active.table(litStr(exprs(1), "right table"))
+        expand(graft.operators.Relational.fuzzyJoin(l, r,
+          Seq(litStr(exprs(2), "left block key") -> litStr(exprs(3), "right block key")),
+          litStr(exprs(4), "left text"), litStr(exprs(5), "right text"),
+          litInt(exprs(6), "maxDist")))
+    }
     registerTable("inverted_index",
       "inverted_index('table', 'idCol', 'textCol', minDf, maxPostings) - term stats + capped postings", 5) {
       exprs =>

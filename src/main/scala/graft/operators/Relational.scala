@@ -255,4 +255,33 @@ object Relational {
       .filter(col("_side") === 1)
       .select(col("_l.*"), col("_asof"))
   }
+
+  /** Blocked fuzzy join (record linkage): all (left, right) pairs that
+    * share the blocking key(s) AND whose text columns are within
+    * `maxDist` Levenshtein edits, emitted with an `edit_dist` column —
+    * the candidate-pair stage of entity resolution / dirty-data matching.
+    *
+    * Blocking is MANDATORY: an unblocked fuzzy join is an all-pairs
+    * cartesian, the classic record-linkage scale killer. With blocks the
+    * candidate count tracks block occupancy (like the interval join's
+    * time buckets); a hot block is a skew problem with existing remedies
+    * ([[saltedEquiJoin]], AQE skew splitting). A cheap length-difference
+    * bound (|len(a) − len(b)| ≤ maxDist, a Levenshtein lower bound)
+    * prunes candidates before the O(len²) edit-distance kernel runs;
+    * both engines (Spark and the DuckDB oracle) implement standard
+    * Levenshtein, so the gate hash-checks every pair and distance. */
+  def fuzzyJoin(
+      left: DataFrame, right: DataFrame,
+      blockKeys: Seq[(String, String)],
+      leftText: String, rightText: String,
+      maxDist: Int): DataFrame = {
+    require(blockKeys.nonEmpty,
+      "blocking keys required — an unblocked fuzzy join is an all-pairs cartesian")
+    require(maxDist >= 0, "maxDist >= 0")
+    val cond = blockKeys.map { case (l, r) => left(l) === right(r) }.reduce(_ && _)
+    left.join(right, cond)
+      .filter(abs(length(left(leftText)) - length(right(rightText))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(left(leftText), right(rightText)))
+      .filter(col("edit_dist") <= maxDist)
+  }
 }

@@ -405,8 +405,26 @@ object RelationalQueries {
         col("_pp").getItem(0).as("p50"), col("_pp").getItem(1).as("p95"),
         col("approx_parts"), col("cms_md5"))
 
+  // Record linkage: a deterministically corrupted copy of the customer
+  // names (one character substituted, position driven by the key)
+  // re-linked to the clean table by nation-blocked fuzzy join — every
+  // candidate pair and edit distance hash-checked (DuckDB implements the
+  // same Levenshtein).
+  def q79FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    val pos = pmod(col("c_custkey"), lit(8)) + 10 // inside the digit run of "Customer#…"
+    val dirty = cust.select(
+      col("c_custkey").as("d_custkey"), col("c_nationkey").as("d_nationkey"),
+      concat(col("c_name").substr(lit(1), pos - 1), lit("x"),
+        col("c_name").substr(pos + 1, lit(99))).as("d_name"))
+    graft.operators.Relational.fuzzyJoin(cust, dirty,
+        Seq("c_nationkey" -> "d_nationkey"), "c_name", "d_name", maxDist = 1)
+      .select(col("c_custkey"), col("d_custkey"), col("edit_dist"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> q01ScanFilterProject,
+    "q79_fuzzy_join" -> q79FuzzyJoin,
     "q02_filter_predicates" -> q02FilterPredicates,
     "q03_agg_global" -> q03AggGlobal,
     "q04_agg_group" -> q04AggGroup,
@@ -448,6 +466,18 @@ object RelationalQueries {
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "q79_fuzzy_join" ->
+      """WITH dirty AS (
+           SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,
+             substring(c_name, 1, CAST(c_custkey % 8 + 10 AS INT) - 1) || 'x' ||
+             substring(c_name, CAST(c_custkey % 8 + 10 AS INT) + 1, 99) AS d_name
+           FROM customer
+         )
+         SELECT c.c_custkey, d.d_custkey,
+           CAST(levenshtein(c.c_name, d.d_name) AS INT) AS edit_dist
+         FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nationkey
+         WHERE abs(length(c.c_name) - length(d.d_name)) <= 1
+           AND levenshtein(c.c_name, d.d_name) <= 1""",
     "q01_scan_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
           ${cents("l_extendedprice")} AS price_cents

@@ -207,6 +207,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM corpus_profile('rep_docs_t', 'doc_id', 'text')")
       .collect()
     assert(prof.length == 3 && prof.map(_.getLong(1)).sum == 3L) // one doc per stratum
+    Seq((1L, "b", "alpha"), (2L, "b", "gamma")).toDF("id", "blk", "nm")
+      .createOrReplaceTempView("fz_l_t")
+    Seq((9L, "b", "alpho")).toDF("d_id", "d_blk", "d_nm")
+      .createOrReplaceTempView("fz_r_t")
+    val fz = spark.sql(
+      "SELECT id, d_id, edit_dist FROM fuzzy_join('fz_l_t', 'fz_r_t', 'blk', 'd_blk', 'nm', 'd_nm', 1)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fz == Set((1L, 9L, 1)))
   }
 
   test("ANN family TVFs: similarity search from plain SQL, identical to the Column API") {

@@ -208,4 +208,25 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
     assert(out == Seq(("e1", 1), ("e2", 2)))
   }
+
+  test("fuzzyJoin: blocked edit-distance pairs, length bound never drops a true match") {
+    import spark.implicits._
+    val clean = Seq((1L, "b1", "alpha"), (2L, "b1", "gamma"), (3L, "b2", "alpha"))
+      .toDF("id", "blk", "name")
+    val dirty = Seq((10L, "b1", "alpho"),   // 1 edit from alpha (same block)
+                    (20L, "b1", "gamma"),   // exact
+                    (30L, "b2", "alxha"),   // 1 edit from alpha (other block)
+                    (40L, "b1", "alphaxx")) // 2 inserts: length bound prunes it
+      .toDF("d_id", "d_blk", "d_name")
+    val got = Relational.fuzzyJoin(clean, dirty, Seq("blk" -> "d_blk"),
+        "name", "d_name", maxDist = 1)
+      .select("id", "d_id", "edit_dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // cross-block "alpha"~"alxha" must NOT match despite distance 1
+    assert(got == Set((1L, 10L, 1), (2L, 20L, 0), (3L, 30L, 1)))
+    val err = intercept[IllegalArgumentException] {
+      Relational.fuzzyJoin(clean, dirty, Seq.empty, "name", "d_name", 1)
+    }
+    assert(err.getMessage.contains("all-pairs cartesian"))
+  }
 }
