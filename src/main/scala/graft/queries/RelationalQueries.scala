@@ -411,14 +411,20 @@ object RelationalQueries {
   // candidate pair and edit distance hash-checked (DuckDB implements the
   // same Levenshtein).
   def q79FuzzyJoin(s: SparkSession, d: String): DataFrame = {
-    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    // composite blocking (nation × key-hash bucket) — the standard ER move
+    // when a single block's occupancy² gets expensive; the dirty copy
+    // keeps its key, so true pairs always share the bucket
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+      pmod(col("c_custkey"), lit(20)).as("c_blk"), col("c_name"))
     val pos = pmod(col("c_custkey"), lit(8)) + 10 // inside the digit run of "Customer#…"
     val dirty = cust.select(
       col("c_custkey").as("d_custkey"), col("c_nationkey").as("d_nationkey"),
+      col("c_blk").as("d_blk"),
       concat(col("c_name").substr(lit(1), pos - 1), lit("x"),
         col("c_name").substr(pos + 1, lit(99))).as("d_name"))
     graft.operators.Relational.fuzzyJoin(cust, dirty,
-        Seq("c_nationkey" -> "d_nationkey"), "c_name", "d_name", maxDist = 1)
+        Seq("c_nationkey" -> "d_nationkey", "c_blk" -> "d_blk"),
+        "c_name", "d_name", maxDist = 1)
       .select(col("c_custkey"), col("d_custkey"), col("edit_dist"))
   }
 
@@ -469,13 +475,15 @@ object RelationalQueries {
     "q79_fuzzy_join" ->
       """WITH dirty AS (
            SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,
+             c_custkey % 20 AS d_blk,
              substring(c_name, 1, CAST(c_custkey % 8 + 10 AS INT) - 1) || 'x' ||
              substring(c_name, CAST(c_custkey % 8 + 10 AS INT) + 1, 99) AS d_name
            FROM customer
          )
          SELECT c.c_custkey, d.d_custkey,
            CAST(levenshtein(c.c_name, d.d_name) AS INT) AS edit_dist
-         FROM customer c JOIN dirty d ON c.c_nationkey = d.d_nationkey
+         FROM customer c JOIN dirty d
+           ON c.c_nationkey = d.d_nationkey AND c.c_custkey % 20 = d.d_blk
          WHERE abs(length(c.c_name) - length(d.d_name)) <= 1
            AND levenshtein(c.c_name, d.d_name) <= 1""",
     "q01_scan_filter_project" ->

@@ -209,6 +209,30 @@ object ScaleProbe {
     time("text curation: corpus profile 10x (10x strata)")(
       TextOps.corpusProfile(profX(10), Seq("source", "lang"), "text").count())
 
+    // --- fuzzy join: candidates track block occupancy² — replicate with
+    // 10x BLOCKS (constant occupancy, the honest horizontal scale-up),
+    // and once with 10x rows in the SAME blocks (the skew regime the
+    // docstring warns about — occupancy² bites, salting is the remedy) --
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    def custX(k: Int, sameBlocks: Boolean): DataFrame =
+      (0 until k).map(i => cust.select(
+        (col("c_custkey") + i * 10000000L).as("c_custkey"),
+        (if (sameBlocks) col("c_nationkey") else col("c_nationkey") + i * 100).as("c_nationkey"),
+        col("c_name"))).reduce(_ unionByName _)
+    def fuzz(df: DataFrame): Long = {
+      val pos = pmod(col("c_custkey"), lit(8)) + 10
+      val dirty = df.select(col("c_custkey").as("d_custkey"),
+        col("c_nationkey").as("d_nationkey"),
+        concat(col("c_name").substr(lit(1), pos - 1), lit("x"),
+          col("c_name").substr(pos + 1, lit(99))).as("d_name"))
+      graft.operators.Relational.fuzzyJoin(df, dirty,
+        Seq("c_nationkey" -> "d_nationkey"), "c_name", "d_name", 1).count()
+    }
+    time("fuzzy join 1x (15k x 25 blocks)")(fuzz(custX(1, sameBlocks = false)))
+    time("fuzzy join 10x blocks (150k x 250 blocks)")(fuzz(custX(10, sameBlocks = false)))
+    time("fuzzy join 10x rows SAME blocks (skew regime)")(fuzz(custX(10, sameBlocks = true)))
+
     spark.stop()
   }
 }
