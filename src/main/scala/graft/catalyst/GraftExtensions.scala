@@ -264,6 +264,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
     }
+    registerTable("normalize_text",
+      "normalize_text('table', 'textCol') - lowercase, strip punctuation, collapse whitespace", 2) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.normalizeText(t, litStr(exprs(1), "text column")))
+    }
     registerTable("fuzzy_join",
       "fuzzy_join('left', 'right', 'lblock', 'rblock', 'ltext', 'rtext', maxDist) - " +
         "blocked record linkage by edit distance", 7) {

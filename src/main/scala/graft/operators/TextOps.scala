@@ -121,6 +121,18 @@ object TextOps {
     docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(ngramArr(col("_toks"), n)).as(alias))
 
+  /** Canonical text normalization before shingling/dedup — lowercase,
+    * non-alphanumerics to spaces, whitespace collapsed, trimmed — emitted
+    * as `norm_text` alongside the original. ASCII-level by design: the
+    * regex surface stays in Java∩RE2 so the DuckDB oracle replays it
+    * byte-identically; full Unicode NFC would need an ICU pass (Spark has
+    * no built-in) and sits outside the deterministic-oracle envelope.
+    * Pure projection — per-row, no shuffle, whole-stage codegen. */
+  def normalizeText(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("norm_text",
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+
   /** Gopher-style n-gram repetition statistics per document — the
     * repetition quality filter of a curation pipeline (drop docs whose
     * most frequent n-gram dominates, or whose n-gram stream is mostly

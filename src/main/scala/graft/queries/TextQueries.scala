@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{Portable, TextFunctions}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -168,6 +168,29 @@ object TextQueries {
         sum(TextFunctions.tokenCount(col("text")).cast("long")).as("tokens"))
   }
 
+  // Deterministic per-language quota sample: exactly min(20, |stratum|)
+  // docs per lang by content-hash order — the fixed-budget stratum
+  // sampler of a training mix, reproducible engine-over-engine
+  // (composition: top_k_per_group under an md5 total order).
+  def q80QuotaSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.topKPerGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq(col("lang")),
+        Seq(Portable.md5Long60(col("doc_id").cast("string")).asc, col("doc_id").asc),
+        k = 20)
+      .select("lang", "doc_id")
+
+  // Text normalization (the canonical pre-dedup stage), exercised on
+  // injected mixed-case/punctuation/extra-whitespace (q64 convention —
+  // the synthetic corpus is already clean).
+  def q81Normalize(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" THE QUICK!! Brown-Fox;  jumps 42 ")).as("text"))
+    graft.operators.TextOps.normalizeText(aug, "text")
+      .select(col("doc_id"), col("norm_text"),
+        TextFunctions.tokenCount(col("norm_text")).as("n_tokens"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_explode_tokens" -> q30Explode,
     "q31_lang_id" -> q31LangId,
@@ -185,7 +208,9 @@ object TextQueries {
     "q74_boilerplate_coverage" -> q74BoilerplateCoverage,
     "q75_inverted_index" -> q75InvertedIndex,
     "q76_corpus_profile" -> q76CorpusProfile,
-    "q77_curation_v2" -> q77CurationV2)
+    "q77_curation_v2" -> q77CurationV2,
+    "q80_quota_sample" -> q80QuotaSample,
+    "q81_normalize" -> q81Normalize)
 
   private val markersSql = TextFunctions.LangMarkers.zipWithIndex.map {
     case ((lang, ms), i) => s"('$lang', $i, [${ms.map(m => s"'$m'").mkString(",")}])"
@@ -194,6 +219,24 @@ object TextQueries {
   private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q80_quota_sample" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20""",
+    "q81_normalize" ->
+      """WITH n AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               lower(text || ' THE QUICK!! Brown-Fox;  jumps 42 '),
+               '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text,
+           CAST(len(string_split(norm_text, ' ')) AS INT) AS n_tokens
+         FROM n""",
     "q77_curation_v2" ->
       s"""WITH aug AS (SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN text || '$Boiler' ELSE text END AS text

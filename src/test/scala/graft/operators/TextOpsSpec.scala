@@ -194,6 +194,20 @@ class TextOpsSpec extends SparkSpec {
     assert(approx.getLong(1) == exact.getLong(1) && approx.getLong(2) == exact.getLong(2))
   }
 
+  test("normalizeText: case, punctuation and whitespace canonicalized; original kept") {
+    val docs = Seq(
+      (1L, "  The QUICK!! Brown-Fox;  jumps\t42 "),
+      (2L, "already clean text"),
+      (3L, "!!!")) // punctuation-only collapses to empty
+      .toDF("doc_id", "text")
+    val out = TextOps.normalizeText(docs, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out(1L)._2 == "the quick brown fox jumps 42")
+    assert(out(2L)._2 == "already clean text")
+    assert(out(3L)._2 == "")
+    assert(out(1L)._1.contains("QUICK"), "original column must be preserved")
+  }
+
   test("degenerate inputs: no query hits, no repeated spans, single-token docs") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "delta")).toDF("doc_id", "text")
     // BM25 with zero matching terms: empty result, not an error
