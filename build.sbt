@@ -1,5 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// UTF-8 sources regardless of platform default: unicode fixtures in
+// specs/queries (NFC gates) must never be re-interpreted by the compiler.
+ThisBuild / scalacOptions += "-encoding"
+ThisBuild / scalacOptions += "UTF-8"
 name := "kafkastreamspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

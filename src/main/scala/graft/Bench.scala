@@ -1,6 +1,36 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 object Bench {
+
+  /** Fixed CPU-bound calibration probe: 256M xxhash64 evaluations across
+    * 32 tasks, no I/O, no shuffle — its wall time depends only on how
+    * much CPU this box actually gives us, which is exactly the signal a
+    * contention sentinel needs (an external load inflates it in direct
+    * proportion while leaving nothing else to vary). Sized to ~0.33 s
+    * idle: long enough that scheduler jitter and residual JIT warmth
+    * are noise, short enough to not distort the bench itself. */
+  private def calibSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // pmod keeps the running sum far from long overflow (ANSI mode throws)
+    spark.range(0, 256L << 20, 1, 32)
+      .select(sum(pmod(xxhash64(col("id")), lit(1000000)))).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Idle-box reference for [[calibSec]], measured on this machine
+    * (local[32], warm JVM, spread of 6 idle samples 0.28-0.37 s — BASELINE.md r7). The r6 driver
+    * bench was load-polluted 5-18× on heavy queries and only an idle-box
+    * judge rerun could adjudicate it; with the sentinel the bench
+    * convicts itself instead. */
+  val CalibIdleSec = 0.33
+  /** Either calibration exceeding the idle reference by this factor
+    * flips `polluted` — the measurement channel, not the code, is then
+    * the prime suspect for any per-query regression in the same run. */
+  val PollutionFactor = 1.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,6 +48,10 @@ object Bench {
     // store coordinator, streaming listener bus, checkpoint FS init).
     try SparkEntry.queries.get("q38_stream_hopping").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // Contention sentinel, part 1: calibrate BEFORE the timed queries
+    // (one throwaway run first so the calibration plan itself is warm).
+    calibSec(spark)
+    val calibPre = calibSec(spark)
     // Optional comma-separated subset for local iteration (driver leaves unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Optional per-query repeat count: report the MEDIAN of n runs inside
@@ -27,21 +61,35 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s((s.length - 1) / 2)
     }
+    // A throwing query must not hide inside rc 0: its name lands in the
+    // `errors` field (it still reports its wall time — the time spent
+    // failing is real) and the judge sees the failure in the artifact.
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case _: Throwable => if (!errors.contains(name)) errors += name
+        }
         finally CacheScope.release() // inside the timer: release cost is part of the query
         (System.nanoTime() - t0) / 1e9
       }
       name -> median(times)
     }.toMap
+    // Contention sentinel, part 2: calibrate AFTER — a load that arrived
+    // mid-run shows up here even if the pre-run box was idle.
+    val calibPost = calibSec(spark)
+    val polluted = calibPre > CalibIdleSec * PollutionFactor ||
+      calibPost > CalibIdleSec * PollutionFactor
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","calib_pre":$calibPre,"calib_post":$calibPost,"calib_idle_ref":$CalibIdleSec""" +
+      s""","polluted":$polluted,"errors":$errJson}""")
     spark.stop()
   }
 }

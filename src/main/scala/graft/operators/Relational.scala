@@ -63,6 +63,35 @@ object Relational {
       .filter(col("_rn") <= k)
       .drop("_rn")
 
+  /** Deterministic per-stratum quota sample with BOUNDED aggregation
+    * state: the same min(k, |stratum|) rows per `stratumCol` that
+    * [[topKPerGroup]] under the md5 content-hash order selects (the q80
+    * semantics — reproducible engine-over-engine), but computed as a
+    * typed top-k AGGREGATION ([[graft.functions.TopKAgg]]) instead of a
+    * `row_number` window sort.
+    *
+    * The window path sorts every row of a stratum inside one partition —
+    * correct, but a billion-doc hot stratum becomes a single-task sort.
+    * Here each map task reduces its slice to ≤ k (hash, id) pairs before
+    * the shuffle (map-side partial combine), so per-stratum shuffled
+    * bytes are #map-tasks × k and no task ever sorts more than its own
+    * slice — the hot-stratum shape. `idCol` must be numeric (it rides
+    * the aggregation buffer as a long; the output column is cast back to
+    * its input type, so the two paths return identical frames). */
+  def quotaSampleByHash(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    df.select(col(stratumCol),
+        graft.functions.Portable.md5Long60(col(idCol).cast("string")).as("_u"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy(stratumCol)
+      .agg(topk(col("_u"), col("_id")).as("_top"))
+      .select(col(stratumCol), explode(col("_top")).as("_e"))
+      .select(col(stratumCol),
+        col("_e._2").cast(df.schema(idCol).dataType).as(idCol))
+  }
+
   /** Deterministic train/valid/test split: every row gets a stable label
     * from a content hash of `keyCol` — the split a training pipeline must
     * reproduce run-over-run and engine-over-engine (no `rand()`, no row
@@ -266,10 +295,20 @@ object Relational {
     * candidate count tracks block occupancy (like the interval join's
     * time buckets); a hot block is a skew problem with existing remedies
     * ([[saltedEquiJoin]], AQE skew splitting). A cheap length-difference
-    * bound (|len(a) − len(b)| ≤ maxDist, a Levenshtein lower bound)
-    * prunes candidates before the O(len²) edit-distance kernel runs;
-    * both engines (Spark and the DuckDB oracle) implement standard
-    * Levenshtein, so the gate hash-checks every pair and distance. */
+    * bound (|len(a) − len(b)| ≤ maxDist, a Levenshtein lower bound) rides
+    * INSIDE the join condition — structurally guaranteed to prune before
+    * the edit-distance kernel, not left to the optimizer's left-to-right
+    * conjunct courtesy — and the kernel itself is the THRESHOLDED
+    * `levenshtein(l, r, maxDist)`: the DP early-exits (banded
+    * O(maxDist·len) work) instead of filling the full O(len²) matrix on
+    * every candidate, returning −1 past the bound. Both engines (Spark
+    * and the DuckDB oracle) implement standard Levenshtein, so the gate
+    * hash-checks every pair and distance.
+    *
+    * Output is every left column, then every right column, then
+    * `edit_dist` — callers must ensure the two inputs share NO column
+    * names (rename before joining), or downstream select-by-name hits
+    * Spark's ambiguity error. */
   def fuzzyJoin(
       left: DataFrame, right: DataFrame,
       blockKeys: Seq[(String, String)],
@@ -278,10 +317,10 @@ object Relational {
     require(blockKeys.nonEmpty,
       "blocking keys required — an unblocked fuzzy join is an all-pairs cartesian")
     require(maxDist >= 0, "maxDist >= 0")
-    val cond = blockKeys.map { case (l, r) => left(l) === right(r) }.reduce(_ && _)
+    val cond = blockKeys.map { case (l, r) => left(l) === right(r) }.reduce(_ && _) &&
+      abs(length(left(leftText)) - length(right(rightText))) <= maxDist
     left.join(right, cond)
-      .filter(abs(length(left(leftText)) - length(right(rightText))) <= maxDist)
-      .withColumn("edit_dist", levenshtein(left(leftText), right(rightText)))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist", levenshtein(left(leftText), right(rightText), maxDist))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 }

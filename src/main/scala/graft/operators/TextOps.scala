@@ -123,15 +123,26 @@ object TextOps {
 
   /** Canonical text normalization before shingling/dedup — lowercase,
     * non-alphanumerics to spaces, whitespace collapsed, trimmed — emitted
-    * as `norm_text` alongside the original. ASCII-level by design: the
-    * regex surface stays in Java∩RE2 so the DuckDB oracle replays it
-    * byte-identically; full Unicode NFC would need an ICU pass (Spark has
-    * no built-in) and sits outside the deterministic-oracle envelope.
-    * Pure projection — per-row, no shuffle, whole-stage codegen. */
-  def normalizeText(docs: DataFrame, textCol: String): DataFrame =
+    * as `norm_text` alongside the original. Pure projection — per-row, no
+    * shuffle, whole-stage codegen (the NFC step is a codegen'd Catalyst
+    * expression, [[graft.catalyst.UnicodeNormalize]]).
+    *
+    * `unicode = false` (default): ASCII-level — `[^a-z0-9\s]` → space —
+    * for corpora already known clean. `unicode = true`: the multilingual
+    * mode — Unicode NFC composition first (JDK `java.text.Normalizer`,
+    * UAX #15; decomposed `e`+COMBINING ACUTE and precomposed `é` become
+    * the same bytes), then lowercase, then `[^\p{L}\p{N}\s]` → space so
+    * letters/digits of every script survive. Both modes stay in the
+    * Java∩RE2 regex surface and DuckDB ships `nfc_normalize()`, so BOTH
+    * are replayed byte-identically by the oracle (gates q81, q83). */
+  def normalizeText(docs: DataFrame, textCol: String,
+      unicode: Boolean = false): DataFrame = {
+    val (canon, strip) =
+      if (unicode) (graft.catalyst.UnicodeNormalize.nfc(col(textCol)), "[^\\p{L}\\p{N}\\s]")
+      else (col(textCol), "[^a-z0-9\\s]")
     docs.withColumn("norm_text",
-      trim(regexp_replace(
-        regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+      trim(regexp_replace(regexp_replace(lower(canon), strip, " "), "\\s+", " ")))
+  }
 
   /** Gopher-style n-gram repetition statistics per document — the
     * repetition quality filter of a curation pipeline (drop docs whose
@@ -184,15 +195,28 @@ object TextOps {
     * (corpus stats, tf, df), so it is persisted for the plan's lifetime
     * ([[graft.CacheScope]]-tracked) — one corpus scan, not three.
     *
+    * Matching is VERBATIM against whitespace tokens — no case folding or
+    * punctuation stripping — so documents and query terms must share a
+    * normalization (run both through [[normalizeText]] first, or
+    * pre-clean the corpus); 'Spark' or 'spark,' in a document does not
+    * match query term 'spark' by design.
+    *
     * The query-term prune is an `isin` literal list, i.e. O(|query|) per
     * token — right for human-scale queries (an IN set of tens to
     * hundreds of terms stays codegen'd). A batch-scoring workload with
-    * tens of thousands of "query" terms is a different op: explode
-    * tokens and broadcast-join a terms table instead. */
+    * tens of thousands of "query" terms is [[bm25ScoreBatch]]: explode
+    * tokens and broadcast-join the terms table instead. */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query terms required")
     require(k >= 1, "k >= 1")
+    if (query.size > IsinQueryTermCap)
+      // past the literal-list regime, dispatch to the batch arm: an IN
+      // list of thousands of terms stops being codegen-friendly while a
+      // broadcast hash join does not care
+      return bm25ScoreBatch(docs, idCol, textCol,
+        docs.sparkSession.createDataFrame(query.map(Tuple1(_))).toDF("_term"),
+        "_term", k, k1, b)
     val toks = TextFunctions.tokens(col(textCol))
     val base = CacheScope.track(
       docs.select(col(idCol), size(toks).cast("long").as("_dl"),
@@ -218,10 +242,64 @@ object TextOps {
       .limit(k)
   }
 
+  /** Above this many query terms, [[bm25Search]] switches from the `isin`
+    * literal prune to the broadcast-terms-table arm ([[bm25ScoreBatch]]):
+    * an IN list this long is no longer a cheap codegen'd membership test,
+    * while the term count is still far below broadcast limits. */
+  val IsinQueryTermCap = 256
+
+  /** BM25 batch-scoring arm: identical Okapi BM25 scores to
+    * [[bm25Search]] (same quantized `score_micro` export, same top-`k`
+    * contract, same verbatim-token matching caveat), but the query is a
+    * TABLE of terms instead of a literal list — the shape of
+    * decontamination-style keyword sweeps with tens of thousands of
+    * terms, where an `isin` literal would bloat the plan past codegen.
+    *
+    * Distributed shape: corpus statistics (N, avgdl) come from a narrow
+    * id+length projection (column-pruned scan, 1-row broadcast frame);
+    * the scoring pass explodes ALL tokens and broadcast-hash-joins the
+    * (deduplicated) terms table — non-matching tokens die in the join's
+    * build-side probe before any shuffle, so shuffled volume tracks
+    * matches, exactly like the isin prune. Two corpus scans total (the
+    * isin arm's persisted prune doesn't pay off here: persisting would
+    * have to cache full token arrays, dwarfing the second scan). Final
+    * top-k is the same partial sort-limit, never a global sort. */
+  def bm25ScoreBatch(docs: DataFrame, idCol: String, textCol: String,
+      terms: DataFrame, termCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val toks = TextFunctions.tokens(col(textCol))
+    val stats = docs.agg(count(lit(1)).as("_n"),
+      sum(size(toks).cast("long")).as("_sumdl"))
+    val tf = docs
+      .select(col(idCol), size(toks).cast("long").as("_dl"), explode(toks).as("term"))
+      .join(broadcast(terms.select(col(termCol).as("term")).distinct()), "term")
+      .groupBy(col(idCol), col("_dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
+    val idf = log(
+      ((col("_n") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("_dl").cast("double") / avgdl)))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_c", round(lit(1e6) * (idf * tfNorm)).cast("long"))
+      .groupBy(idCol)
+      .agg(sum(col("_c")).as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Inverted index over the corpus: one row per term with document
     * frequency, total term frequency, and a portable postings string
     * `"docId:tf,docId:tf,…"` ascending by doc id — the materialized
-    * search-index artifact behind [[bm25Search]]. `minDf` drops hapax
+    * search-index artifact behind [[bm25Search]]. The postings encoding
+    * is positional (`:` and `,` are structural), so `idCol` values must
+    * render without either character — true for any numeric id; string
+    * ids containing `:` or `,` would produce an unparseable postings
+    * string and must be cleaned or re-keyed first. `minDf` drops hapax
     * noise; `maxPostings` caps each postings list to its first
     * `maxPostings` doc ids (real indexes shard or cap hot terms — a
     * stopword's full postings list at corpus scale is every doc; `df` and

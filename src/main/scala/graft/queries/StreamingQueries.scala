@@ -173,6 +173,24 @@ object StreamingQueries {
       TextQueries.piiAugment(docs), "doc_id", "text"), "append")
   }
 
+  // Streaming twin of q69: eval-set decontamination over a DOCUMENT
+  // STREAM — the corpus arrives as a stream, the (model-sized) eval set
+  // stays a static broadcast posting list, exactly the batch operator's
+  // 100-TB shape. The shingle explode + broadcast stream-static join are
+  // stateless; only the (doc, eval) shared-count aggregation is stateful
+  // (complete mode over the bounded stream). Same oracle as q69 VERBATIM
+  // (the q78 convention: stream and browse must agree exactly).
+  def q82StreamDecontaminate(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val evalSet = Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
+    drain(graft.operators.Dedup.crossContamination(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      evalSet, "doc_id", "text",
+      n = 3, minShared = 3), "complete")
+  }
+
   // Streaming twin of q06: hopping windows.
   def q38StreamHopping(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
@@ -209,7 +227,8 @@ object StreamingQueries {
     "q49_stream_dedup" -> q49StreamDedup,
     "q38_stream_hopping" -> q38StreamHopping,
     "q37_stream_session" -> q37StreamSession,
-    "q78_stream_redact" -> q78StreamRedact)
+    "q78_stream_redact" -> q78StreamRedact,
+    "q82_stream_decontaminate" -> q82StreamDecontaminate)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -217,6 +236,7 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     // the batch oracle verbatim: stream and browse must agree exactly
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
+    "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q27_stream_tumbling" ->
       s"""SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, count(*) AS n, ${sumL(cents("value"))} AS value_cents

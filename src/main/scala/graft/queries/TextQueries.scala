@@ -180,6 +180,15 @@ object TextQueries {
         k = 20)
       .select("lang", "doc_id")
 
+  // The bounded-state sibling of q80: same per-lang quota sample (same
+  // md5 content-hash order, same oracle VERBATIM) computed as a typed
+  // top-k aggregation with map-side combine instead of a window sort —
+  // the hot-stratum shape where one stratum holds a billion docs.
+  def q84QuotaSampleAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.quotaSampleByHash(
+      Tables.documents(s, d).select(col("lang"), col("doc_id")),
+      "lang", "doc_id", k = 20)
+
   // Text normalization (the canonical pre-dedup stage), exercised on
   // injected mixed-case/punctuation/extra-whitespace (q64 convention —
   // the synthetic corpus is already clean).
@@ -191,7 +200,38 @@ object TextQueries {
         TextFunctions.tokenCount(col("norm_text")).as("n_tokens"))
   }
 
+  // Unicode (NFC) normalization — the multilingual mode, exercised on
+  // injected non-ASCII that NFC actually has to work on: precomposed
+  // CAFÉ/Straße next to DECOMPOSED Nai+◌̈ve and E+◌́le+◌̀ve (combining
+  // marks), plus an em dash that must strip to a space. Both engines
+  // compose (NFC), lowercase, strip non-letter/digit, collapse
+  // whitespace; the tail uses \u escapes so the decomposed forms can
+  // never be silently re-composed by a source-encoding pass.
+  private val UniTail =
+    " CAF\u00c9 Nai\u0308ve  Stra\u00dfe; E\u0301le\u0300ve \u2014 42 "
+  def q83NormalizeUnicode(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(UniTail)).as("text"))
+    graft.operators.TextOps.normalizeText(aug, "text", unicode = true)
+      .select(col("doc_id"), col("norm_text"),
+        TextFunctions.tokenCount(col("norm_text")).as("n_tokens"))
+  }
+
+  // BM25 batch-scoring arm (the broadcast-terms-table shape for
+  // 10k-term keyword sweeps) on the SAME 4-term query as q72 — both
+  // arms must produce identical scores, so q72's oracle replays this
+  // gate verbatim.
+  def q85Bm25Batch(s: SparkSession, d: String): DataFrame = {
+    val terms = s.createDataFrame(
+      Seq("spark", "hash", "merge", "window").map(Tuple1(_))).toDF("term")
+    graft.operators.TextOps.bm25ScoreBatch(Tables.documents(s, d), "doc_id", "text",
+      terms, "term", k = 10)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_normalize_unicode" -> q83NormalizeUnicode,
+    "q84_quota_sample_agg" -> q84QuotaSampleAgg,
+    "q85_bm25_batch" -> q85Bm25Batch,
     "q30_explode_tokens" -> q30Explode,
     "q31_lang_id" -> q31LangId,
     "q32_text_quality" -> q32Quality,
@@ -218,15 +258,58 @@ object TextQueries {
 
   private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
 
+  // Okapi BM25 over the fixed 4-term query — shared verbatim by the
+  // isin-arm gate (q72) and the broadcast-terms batch-arm gate (q85):
+  // both arms must produce identical scores by contract.
+  private val bm25Sql =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+       tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              WHERE tok IN ('spark', 'hash', 'merge', 'window')
+              GROUP BY doc_id, tok),
+       df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       c AS (
+         SELECT tf.doc_id,
+           CAST(round(1000000.0 * (
+             ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+             * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+                (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                  (CAST(dl.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+           )) AS BIGINT) AS c
+         FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       )
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
+         CAST(count(*) AS BIGINT) AS n_terms
+       FROM c GROUP BY doc_id
+       ORDER BY score_micro DESC, doc_id LIMIT 10"""
+
+  // Shared by the window-sort gate (q80) and the bounded-agg gate (q84):
+  // both paths must select the identical sample by contract.
+  private val quotaSampleSql =
+    """SELECT lang, doc_id FROM (
+         SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                      doc_id) AS rn
+         FROM documents)
+       WHERE rn <= 20"""
+
   val oracles: Map[String, String] = Map(
-    "q80_quota_sample" ->
-      """SELECT lang, doc_id FROM (
-           SELECT lang, doc_id,
-             row_number() OVER (PARTITION BY lang
-               ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
-                        doc_id) AS rn
+    "q85_bm25_batch" -> bm25Sql,
+    "q84_quota_sample_agg" -> quotaSampleSql,
+    "q83_normalize_unicode" ->
+      s"""WITH n AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               lower(nfc_normalize(text || '$UniTail')),
+               '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
            FROM documents)
-         WHERE rn <= 20""",
+         SELECT doc_id, norm_text,
+           CAST(len(string_split(norm_text, ' ')) AS INT) AS n_tokens
+         FROM n""",
+    "q80_quota_sample" -> quotaSampleSql,
     "q81_normalize" ->
       """WITH n AS (
            SELECT doc_id,

@@ -229,4 +229,26 @@ class RelationalSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("all-pairs cartesian"))
   }
+
+  test("quotaSampleByHash == window top-k on skewed strata; short strata kept whole") {
+    import graft.functions.Portable
+    // one hot stratum (10k rows), one normal (50), one shorter than k (3)
+    val skewed = spark.range(10000).select(lit("hot").as("stratum"), col("id"))
+      .unionByName(spark.range(20000, 20050).select(lit("mid").as("stratum"), col("id")))
+      .unionByName(spark.range(30000, 30003).select(lit("tiny").as("stratum"), col("id")))
+    val k = 20
+    val windowPath = Relational.topKPerGroup(skewed, Seq(col("stratum")),
+        Seq(Portable.md5Long60(col("id").cast("string")).asc, col("id").asc), k)
+      .select("stratum", "id")
+    val aggPath = Relational.quotaSampleByHash(skewed, "stratum", "id", k)
+    val w = windowPath.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val a = aggPath.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == w, "bounded-agg path must select the identical sample")
+    assert(a.count(_._1 == "hot") == k && a.count(_._1 == "mid") == k &&
+      a.count(_._1 == "tiny") == 3)
+    // schema parity: same names and types (nullability differs benignly —
+    // the agg path's id rides an exploded struct field, marked nullable)
+    assert(aggPath.schema.map(f => (f.name, f.dataType)) ==
+      windowPath.schema.map(f => (f.name, f.dataType)))
+  }
 }

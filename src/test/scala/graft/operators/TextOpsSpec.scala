@@ -142,6 +142,25 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("bm25ScoreBatch == bm25Search isin arm; oversized query dispatches to the batch arm") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val q = Seq("spark", "hash", "merge", "window")
+    val isinArm = TextOps.bm25Search(docs, "doc_id", "text", q, k = 10)
+    val batchArm = TextOps.bm25ScoreBatch(docs, "doc_id", "text",
+      q.map(Tuple1(_)).toDF("term"), "term", k = 10)
+    assert(isinArm.collect().toSeq == batchArm.collect().toSeq,
+      "the two arms must produce identical scores and ranking")
+    // past the cap, bm25Search must route to the batch arm: no persisted
+    // prune (the isin arm's InMemoryTableScan) in the plan, still correct
+    val big = q ++ (1 to TextOps.IsinQueryTermCap).map(i => s"zzterm$i")
+    val dispatched = TextOps.bm25Search(docs, "doc_id", "text", big, k = 10)
+    val p = dispatched.queryExecution.executedPlan.toString
+    assert(!p.contains("InMemoryTableScan"),
+      "oversized query should take the broadcast-terms arm, not the isin prune")
+    // the zz-terms match nothing, so scores equal the 4-term run
+    assert(dispatched.collect().toSeq == isinArm.collect().toSeq)
+  }
+
   test("invertedIndex: postings sorted by doc id, df/total_tf full-corpus, cap truncates") {
     val docs = Seq(
       (3L, "b a b"),   // b:2, a:1

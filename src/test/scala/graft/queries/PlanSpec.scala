@@ -120,6 +120,53 @@ class PlanSpec extends SparkSpec {
     assert(!p74.contains("CartesianProduct"))
   }
 
+  test("q79 fuzzy join: composite-block equi-join; length bound structurally inside the join; thresholded kernel") {
+    val p = plan(RelationalQueries.q79FuzzyJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), "fuzzy join degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "fuzzy join degenerated to all-pairs")
+    val keyLines = p.linesIterator.filter(_.contains("keys [")).mkString("\n")
+    assert(keyLines.contains("c_nationkey") && keyLines.contains("_blk"),
+      s"composite block keys must be the equi-join keys, got:\n$keyLines")
+    // the Levenshtein lower bound must be part of the JOIN itself (a
+    // structural guarantee), not a post-join filter the optimizer may or
+    // may not evaluate before the O(len²) kernel
+    val cond = p.linesIterator.filter(_.contains("Join condition")).mkString
+    assert(cond.contains("length"),
+      s"length-difference prune must ride the join condition, got: $cond")
+    // bounded kernel: the 3-arg thresholded levenshtein (DP early-exit)
+    assert(p.contains("levenshtein") && p.contains("_name"),
+      "thresholded levenshtein kernel expected in the plan")
+  }
+
+  test("q84 quota sample: bounded top-k aggregation — no per-stratum window sort") {
+    val p = plan(TextQueries.q84QuotaSampleAgg(spark, sf))
+    assert(!p.contains("Window"),
+      "window sort defeats the bounded-state path — that's q80's shape")
+    assert(p.contains("ObjectHashAggregate"),
+      "typed top-k aggregator should plan as an object hash aggregate")
+    assert(p.contains("partial_"),
+      "map-side partial combine required — per-stratum shuffle bytes must be #tasks x k")
+  }
+
+  test("q85 BM25 batch arm: terms join broadcasts; only BNLJ is the 1-row stats frame") {
+    // simple mode: each node appears once (the q72 pin's convention)
+    val p = TextQueries.q85Bm25Batch(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("BroadcastNestedLoopJoin").length == 2,
+      "exactly one BNLJ expected: the broadcast 1-row corpus-stats frame")
+    assert(p.contains("BroadcastHashJoin"), "terms/df joins must broadcast")
+    assert(!p.contains("SortMergeJoin"), "nothing in this plan should shuffle-join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be a partial sort-limit, never a global sort")
+  }
+
+  test("q83 unicode normalize: pure projection, zero Exchange before the sink") {
+    val p = plan(TextQueries.q83NormalizeUnicode(spark, sf))
+    assert(!p.contains("Exchange"), "per-row normalization must not shuffle")
+    assert(p.contains("unicode_normalize"), "NFC expression expected in the projection")
+  }
+
   test("q61 codec kernel: parallelism follows cores, not the input file's splits") {
     val df = MultimodalQueries.q61MultimodalDecode(spark, sf)
     val parts = df.rdd.getNumPartitions
