@@ -72,7 +72,25 @@ object DumpPlans {
        TextQueries.q75InvertedIndex(spark, d)),
       ("q77_curation_v2",
        "Curation composition: the persisted span table and the bigram aggregation each evaluated once, both filters reduce to semi-join shapes on doc_id, the split is a pure md5 projection, and the final datasheet is one keyed aggregation — five operators, still a single coherent plan with no operator-boundary materialization except the deliberate span-table cache.",
-       TextQueries.q77CurationV2(spark, d)))
+       TextQueries.q77CurationV2(spark, d)),
+      ("q79_fuzzy_join",
+       "Blocked fuzzy join: the composite block keys (nation, key-hash bucket) AND the Levenshtein length lower bound all ride the JOIN itself (SortMergeJoin/BHJ on the equi keys, length bound in the join condition — structural, not an optimizer courtesy); the edit-distance kernel is the THRESHOLDED levenshtein(l, r, maxDist) evaluated only on block-and-length survivors, and its DP early-exits at maxDist (r7: halved every ScaleProbe fuzzy row). No cartesian, no BNLJ.",
+       RelationalQueries.q79FuzzyJoin(spark, d)),
+      ("q80_quota_sample",
+       "Quota sampling (window path): one shuffle on the stratum, row_number under the md5 content-hash total order, rank filter. Correct everywhere, but the per-stratum sort is a single task — see q84 for the hot-stratum sibling.",
+       TextQueries.q80QuotaSample(spark, d)),
+      ("q84_quota_sample_agg",
+       "Quota sampling (bounded-agg path): the same sample as q80 computed by a typed top-k Aggregator — ObjectHashAggregate with a partial (map-side) phase whose state is <= k pairs per stratum, so per-stratum shuffle volume is #tasks x k and NO task sorts a whole stratum. No Window anywhere (asserted in PlanSpec).",
+       TextQueries.q84QuotaSampleAgg(spark, d)),
+      ("q81_normalize",
+       "Text normalization (ASCII mode): lower + two regexp_replace + trim — one Project, zero Exchange, single WholeStageCodegen span.",
+       TextQueries.q81Normalize(spark, d)),
+      ("q83_normalize_unicode",
+       "Text normalization (unicode mode): NFC composition via the codegen'd UnicodeNormalize expression (JDK Normalizer), then the same lower/strip/collapse pipeline with \\p{L}\\p{N} classes — still one Project, zero Exchange (asserted in PlanSpec); the NFC call sits INSIDE the WholeStageCodegen span.",
+       TextQueries.q83NormalizeUnicode(spark, d)),
+      ("q85_bm25_batch",
+       "BM25 batch arm (10k-term sweeps): corpus stats from a column-pruned id+length scan (1-row broadcast frame, the one legitimate BNLJ); the scoring pass explodes tokens and BroadcastHashJoins the deduplicated terms table, so non-matching tokens die at the probe — shuffled volume tracks matches, cost tracks corpus tokens, never query size. Final TakeOrderedAndProject partial top-k.",
+       TextQueries.q85Bm25Batch(spark, d)))
     val sb = new StringBuilder
     sb.append("# PLANS — annotated `.explain(\"formatted\")` for headline queries\n\n")
     sb.append("> Regenerate: `sbt \"runMain graft.tools.DumpPlans\"` (written by that main).\n")

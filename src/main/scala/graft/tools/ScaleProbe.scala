@@ -233,6 +233,30 @@ object ScaleProbe {
     time("fuzzy join 10x blocks (150k x 250 blocks)")(fuzz(custX(10, sameBlocks = false)))
     time("fuzzy join 10x rows SAME blocks (skew regime)")(fuzz(custX(10, sameBlocks = true)))
 
+    // --- BM25 batch arm: the 10k-term keyword-sweep regime the isin
+    // literal can't serve — scoring cost must track corpus tokens, not
+    // query size (terms ride one broadcast) -----------------------------
+    val sweep = (1 to 10000).map(i => s"term$i") ++ bmTerms
+    val sweepDf = spark.createDataFrame(sweep.map(Tuple1(_))).toDF("term")
+    time("bm25 batch arm 1x (10k-term sweep)")(
+      TextOps.bm25ScoreBatch(docsX(1), "doc_id", "text", sweepDf, "term", 10).count())
+    time("bm25 batch arm 10x (10k-term sweep)")(
+      TextOps.bm25ScoreBatch(docsX(10), "doc_id", "text", sweepDf, "term", 10).count())
+
+    // --- quota sampling at a deliberately hot stratum: ALL rows in one
+    // stratum. The window path sorts the whole stratum in one task; the
+    // bounded-agg path reduces each map slice to <= k pairs before the
+    // shuffle (same output — RelationalSpec proves set equality) --------
+    def hotStratum(k: Int): DataFrame =
+      docsX(k).select(lit("hot").as("stratum"), col("doc_id"))
+    def quotaWindow(df: DataFrame): Long =
+      Relational.topKPerGroup(df, Seq(col("stratum")),
+        Seq(graft.functions.Portable.md5Long60(col("doc_id").cast("string")).asc,
+          col("doc_id").asc), 20).count()
+    time("quota sample 10x hot stratum (window sort)")(quotaWindow(hotStratum(10)))
+    time("quota sample 10x hot stratum (bounded agg)")(
+      Relational.quotaSampleByHash(hotStratum(10), "stratum", "doc_id", 20).count())
+
     spark.stop()
   }
 }
