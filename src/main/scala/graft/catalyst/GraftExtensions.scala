@@ -281,6 +281,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(4), "left text"), litStr(exprs(5), "right text"),
           litInt(exprs(6), "maxDist")))
     }
+    registerTable("normalize_unicode",
+      "normalize_unicode('table', 'textCol') - NFC compose (UAX #15), lowercase, " +
+        "strip non-letter/digit of any script, collapse whitespace", 2) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.normalizeText(t,
+          litStr(exprs(1), "text column"), unicode = true))
+    }
+    registerTable("quota_sample",
+      "quota_sample('table', 'stratumCol', 'idCol', k) - deterministic per-stratum " +
+        "quota sample under the md5 content-hash order (bounded-state top-k agg)", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Relational.quotaSampleByHash(t,
+          litStr(exprs(1), "stratum column"), litStr(exprs(2), "id column"),
+          litInt(exprs(3), "k")))
+    }
+    registerTable("bm25_batch",
+      "bm25_batch('docs', 'idCol', 'textCol', 'termsTable', 'termCol', k) - " +
+        "BM25 top-k against a TABLE of query terms (the 10k-term sweep shape)", 6) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "docs table"))
+        val terms = SparkSession.active.table(litStr(exprs(3), "terms table"))
+        expand(graft.operators.TextOps.bm25ScoreBatch(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          terms, litStr(exprs(4), "term column"), litInt(exprs(5), "k")))
+    }
+    registerTable("url_blocklist",
+      "url_blocklist('table', 'idCol', 'textCol', 'domain1,domain2') - per-doc URL " +
+        "counts + keep verdict against a blocked-domain list (subdomains included)", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.urlBlocklistFilter(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litStr(exprs(3), "blocked domains").split(",").map(_.trim).toSeq))
+    }
     registerTable("inverted_index",
       "inverted_index('table', 'idCol', 'textCol', minDf, maxPostings) - term stats + capped postings", 5) {
       exprs =>

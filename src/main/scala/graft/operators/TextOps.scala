@@ -430,6 +430,37 @@ object TextOps {
         when(col("n_spans") > 0, Portable.ratio(col("n_common"), col("n_spans"))))
   }
 
+  // URL surface shared with the oracle: scheme + host (group 1), then any
+  // non-space path. Java∩RE2 syntax so DuckDB replays the same matches.
+  val UrlRe = "https?://([A-Za-z0-9.-]+)[^\\s]*"
+
+  /** Domain-blocklist filter: per document, the number of URLs, the
+    * number whose host is a blocked domain or any subdomain of one, and
+    * the keep/drop verdict — the source-quality curation stage every
+    * web-scale training pipeline runs (spam/adult/SEO domain lists).
+    *
+    * 100-TB shape: a pure per-row projection — hosts are extracted once
+    * into an attribute (never recomputed inside the membership lambda —
+    * the lambda-capture pitfall), and the blocklist compiles into the
+    * plan as a codegen'd suffix-match condition per blocked domain
+    * (domain lists are config-sized; a million-entry list would instead
+    * broadcast-join the exploded hosts — same output, one explode).
+    * Zero shuffle, whole-stage codegen, replayed exactly by the DuckDB
+    * oracle (gate q86). */
+  def urlBlocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "blocked domain list required")
+    val isBlocked = (h: Column) => blockedDomains.map(d =>
+      h === d || h.endsWith("." + d)).reduce(_ || _)
+    docs
+      .select(col(idCol),
+        regexp_extract_all(col(textCol), lit(UrlRe), lit(1)).as("_hosts"))
+      .select(col(idCol),
+        size(col("_hosts")).as("n_urls"),
+        size(filter(col("_hosts"), isBlocked)).as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0)
+  }
+
   /** Redact emails and phone numbers from a text column, counting each —
     * the PII-scrub stage of a curation pipeline. Emails are replaced
     * first (their local parts may contain digits/dashes that would

@@ -191,6 +191,23 @@ object StreamingQueries {
       n = 3, minShared = 3), "complete")
   }
 
+  // Streaming twin of q70: the deterministic weighted training mixture as
+  // a continuous STATELESS projection + per-row generator over a document
+  // stream (floor(w) copies + a salted-md5 fractional draw — no rand(),
+  // no state), append mode; batch oracle VERBATIM. With q78 (redaction)
+  // and q82 (decontamination) this completes browse/continuous parity
+  // across the stateless, broadcast-join and stateful-agg curation
+  // shapes.
+  def q87StreamMixture(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    drain(graft.operators.Relational.weightedMixture(
+        docs.select("doc_id", "lang"), "lang", "doc_id",
+        Seq("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25))
+      .select("doc_id", "lang", "copy_idx"), "append")
+  }
+
   // Streaming twin of q06: hopping windows.
   def q38StreamHopping(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
@@ -228,7 +245,8 @@ object StreamingQueries {
     "q38_stream_hopping" -> q38StreamHopping,
     "q37_stream_session" -> q37StreamSession,
     "q78_stream_redact" -> q78StreamRedact,
-    "q82_stream_decontaminate" -> q82StreamDecontaminate)
+    "q82_stream_decontaminate" -> q82StreamDecontaminate,
+    "q87_stream_mixture" -> q87StreamMixture)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -237,6 +255,7 @@ object StreamingQueries {
     // the batch oracle verbatim: stream and browse must agree exactly
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
+    "q87_stream_mixture" -> TextQueries.oracles("q70_weighted_mixture"),
     "q27_stream_tumbling" ->
       s"""SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, count(*) AS n, ${sumL(cents("value"))} AS value_cents

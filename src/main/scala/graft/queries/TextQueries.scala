@@ -228,8 +228,26 @@ object TextQueries {
       terms, "term", k = 10)
   }
 
+  // Domain-blocklist filtering — the synthetic corpus has no URLs, so
+  // both engines inject the same deterministic mix (q64 convention):
+  // every doc links one rotating site, every even doc adds a link under
+  // a blocked apex domain; site3.example.com is itself blocklisted, so
+  // docs with doc_id % 7 == 3 are caught by the exact-host arm too.
+  private val BlockedDomains = Seq("bad.example.org", "site3.example.com")
+  def q86UrlBlocklist(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://site"), pmod(col("doc_id"), lit(7)),
+        lit(".example.com/p/"), col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(" and http://blocked"), pmod(col("doc_id"), lit(3)),
+            lit(".bad.example.org/x"))).otherwise(lit(""))).as("text"))
+    graft.operators.TextOps.urlBlocklistFilter(aug, "doc_id", "text", BlockedDomains)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_normalize_unicode" -> q83NormalizeUnicode,
+    "q86_url_blocklist" -> q86UrlBlocklist,
     "q84_quota_sample_agg" -> q84QuotaSampleAgg,
     "q85_bm25_batch" -> q85Bm25Batch,
     "q30_explode_tokens" -> q30Explode,
@@ -297,6 +315,27 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q86_url_blocklist" ->
+      """WITH aug AS (
+           SELECT doc_id, text || ' see https://site' || (doc_id % 7) ||
+             '.example.com/p/' || doc_id ||
+             CASE WHEN doc_id % 2 = 0
+               THEN ' and http://blocked' || (doc_id % 3) || '.bad.example.org/x'
+               ELSE '' END AS text
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)[^\s]*', 1) AS hosts
+           FROM aug),
+         c AS (
+           SELECT doc_id,
+             CAST(len(hosts) AS INT) AS n_urls,
+             CAST(len(list_filter(hosts, x ->
+               x = 'bad.example.org' OR ends_with(x, '.bad.example.org') OR
+               x = 'site3.example.com' OR ends_with(x, '.site3.example.com')))
+               AS INT) AS n_blocked
+           FROM h)
+         SELECT doc_id, n_urls, n_blocked, n_blocked = 0 AS keep FROM c""",
     "q85_bm25_batch" -> bm25Sql,
     "q84_quota_sample_agg" -> quotaSampleSql,
     "q83_normalize_unicode" ->

@@ -217,6 +217,38 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fz == Set((1L, 9L, 1)))
   }
 
+  test("r7 TVFs: normalize_unicode, quota_sample, bm25_batch from plain SQL") {
+    import spark.implicits._
+    // decomposed e + COMBINING ACUTE must compose, lower, survive the strip
+    Seq((1L, "Café X!")).toDF("doc_id", "text")
+      .createOrReplaceTempView("uni_tvf_t")
+    val norm = spark.sql(
+      "SELECT norm_text FROM normalize_unicode('uni_tvf_t', 'text')")
+      .as[String].head()
+    assert(norm == "café x")
+    // quota_sample: 2 per stratum, equal to the Column-API agg path
+    val rows = (1L to 50L).map(i => (if (i % 2 == 0) "a" else "b", i))
+    rows.toDF("stratum", "id").createOrReplaceTempView("qs_tvf_t")
+    val viaSql = spark.sql("SELECT * FROM quota_sample('qs_tvf_t', 'stratum', 'id', 2)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaApi = graft.operators.Relational.quotaSampleByHash(
+        rows.toDF("stratum", "id"), "stratum", "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaSql == viaApi && viaSql.size == 4)
+    // bm25_batch: terms as a TABLE; identical result to the isin-arm TVF
+    Seq(Tuple1("spam"), Tuple1("win")).toDF("term")
+      .createOrReplaceTempView("bm_terms_t")
+    Seq((1L, "spam spam win"), (2L, "nothing shared"))
+      .toDF("doc_id", "text").createOrReplaceTempView("bm_docs_t")
+    val batch = spark.sql(
+      "SELECT * FROM bm25_batch('bm_docs_t', 'doc_id', 'text', 'bm_terms_t', 'term', 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val isin = spark.sql(
+      "SELECT * FROM bm25_search('bm_docs_t', 'doc_id', 'text', 'spam,win', 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch == isin && batch.map(_._1) == Seq(1L))
+  }
+
   test("ANN family TVFs: similarity search from plain SQL, identical to the Column API") {
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .createOrReplaceTempView("ann_corpus_t")

@@ -161,6 +161,23 @@ class TextOpsSpec extends SparkSpec {
     assert(dispatched.collect().toSeq == isinArm.collect().toSeq)
   }
 
+  test("urlBlocklistFilter: exact host, subdomain, lookalike and URL-free docs") {
+    val docs = Seq(
+      (1L, "see https://a.bad.com/x and http://ok.org/y"),   // subdomain of bad.com
+      (2L, "plain text no links at all"),
+      (3L, "https://bad.com/root http://deep.sub.bad.com/z"), // apex + deep subdomain
+      (4L, "https://notbad.com/x"),                           // lookalike must NOT match
+      (5L, "http://ok.org/a https://ok.org/b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.urlBlocklistFilter(docs, "doc_id", "text", Seq("bad.com"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((2, 1, false)))
+    assert(got(2L) == ((0, 0, true)))
+    assert(got(3L) == ((2, 2, false)))
+    assert(got(4L) == ((1, 0, true)), "suffix match must be dot-anchored")
+    assert(got(5L) == ((2, 0, true)))
+  }
+
   test("invertedIndex: postings sorted by doc id, df/total_tf full-corpus, cap truncates") {
     val docs = Seq(
       (3L, "b a b"),   // b:2, a:1

@@ -167,6 +167,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("unicode_normalize"), "NFC expression expected in the projection")
   }
 
+  test("q86 url blocklist: pure projection, zero Exchange, hosts extracted once") {
+    val p = plan(TextQueries.q86UrlBlocklist(spark, sf))
+    assert(!p.contains("Exchange"), "per-row filtering must not shuffle")
+    assert(p.split("regexp_extract_all").length == 2,
+      "hosts must be extracted exactly once into an attribute (lambda-capture pitfall)")
+  }
+
   test("q61 codec kernel: parallelism follows cores, not the input file's splits") {
     val df = MultimodalQueries.q61MultimodalDecode(spark, sf)
     val parts = df.rdd.getNumPartitions
