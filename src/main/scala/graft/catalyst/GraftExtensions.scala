@@ -317,6 +317,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litStr(exprs(3), "blocked domains").split(",").map(_.trim).toSeq))
     }
+    registerTable("dedup_paragraphs",
+      "dedup_paragraphs('table', 'idCol', 'textCol') - corpus-wide exact paragraph " +
+        "dedup: keep each paragraph at its first (doc, position) occurrence, " +
+        "reassemble docs from survivors", 3) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.dedupParagraphs(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column")))
+    }
     registerTable("inverted_index",
       "inverted_index('table', 'idCol', 'textCol', minDf, maxPostings) - term stats + capped postings", 5) {
       exprs =>

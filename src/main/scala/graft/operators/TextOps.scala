@@ -430,6 +430,52 @@ object TextOps {
         when(col("n_spans") > 0, Portable.ratio(col("n_common"), col("n_spans"))))
   }
 
+  /** Corpus-wide exact paragraph dedup — the sub-document granularity
+    * of exact dedup (the C4/Dolma-style pass that strips a paragraph
+    * repeated across pages while keeping its first occurrence): each
+    * document is split on `sep`, a paragraph is kept only at its FIRST
+    * corpus occurrence (min (doc, position) — deterministic), and each
+    * document is reassembled from its surviving paragraphs in order.
+    * Output: `(id, clean_text, n_paras, n_kept)`; a document whose every
+    * paragraph appeared earlier elsewhere comes back empty.
+    *
+    * Distributed shape: explode paragraphs once into a persisted
+    * ([[graft.CacheScope]]-tracked) table feeding both consumers; the
+    * first-owner pass is ONE keyed aggregation with map-side `min`
+    * partials — grouped on an md5 digest so the shuffle carries 16-byte
+    * keys, not paragraph text (the [[graft.operators.Relational
+    * .keepFirstBy]] trick at paragraph grain); survivors rejoin on the
+    * digest and each document reassembles with one more keyed
+    * aggregation (sorted struct array, bounded by the document's own
+    * paragraph count). Never document-pair-shaped; volume tracks corpus
+    * paragraphs. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\. ", joinSep: String = ". "): DataFrame = {
+    val paras = CacheScope.track(
+      docs.select(col(idCol),
+          posexplode(split(col(textCol), sep)).as(Seq("_pos", "_para")))
+        .filter(length(col("_para")) > 0)
+        .withColumn("_pk", md5(col("_para")))
+        .persist(StorageLevel.MEMORY_ONLY))
+    val firstOwner = paras.groupBy("_pk")
+      .agg(min(struct(col(idCol).as("_oid"), col("_pos").as("_opos"))).as("_o"))
+    val kept = paras.join(firstOwner, Seq("_pk"))
+      .filter(col(idCol) === col("_o._oid") && col("_pos") === col("_o._opos"))
+    val totals = paras.groupBy(idCol).agg(count(lit(1)).as("n_paras"))
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_para")))),
+        x => x("_para")), joinSep).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // URL surface shared with the oracle: scheme + host (group 1), then any
   // non-space path. Java∩RE2 syntax so DuckDB replays the same matches.
   val UrlRe = "https?://([A-Za-z0-9.-]+)[^\\s]*"

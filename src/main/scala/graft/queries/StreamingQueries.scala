@@ -208,6 +208,20 @@ object StreamingQueries {
       .select("doc_id", "lang", "copy_idx"), "append")
   }
 
+  // Streaming twin of q80/q84: the deterministic quota sample as a
+  // CONTINUOUS stateful aggregation — the typed bounded top-k Aggregator
+  // (`TopKAgg`) keeps O(k) state per stratum in the state store, so the
+  // "current sample per stratum" view of an unbounded stream never grows
+  // with it (complete mode; the bounded gate stream drains to exactly
+  // the batch sample — q80 oracle VERBATIM).
+  def q89StreamQuotaSample(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    drain(graft.operators.Relational.quotaSampleByHash(
+      docs.select("lang", "doc_id"), "lang", "doc_id", 20), "complete")
+  }
+
   // Streaming twin of q06: hopping windows.
   def q38StreamHopping(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
@@ -246,7 +260,8 @@ object StreamingQueries {
     "q37_stream_session" -> q37StreamSession,
     "q78_stream_redact" -> q78StreamRedact,
     "q82_stream_decontaminate" -> q82StreamDecontaminate,
-    "q87_stream_mixture" -> q87StreamMixture)
+    "q87_stream_mixture" -> q87StreamMixture,
+    "q89_stream_quota_sample" -> q89StreamQuotaSample)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -256,6 +271,7 @@ object StreamingQueries {
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q87_stream_mixture" -> TextQueries.oracles("q70_weighted_mixture"),
+    "q89_stream_quota_sample" -> TextQueries.oracles("q80_quota_sample"),
     "q27_stream_tumbling" ->
       s"""SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, count(*) AS n, ${sumL(cents("value"))} AS value_cents

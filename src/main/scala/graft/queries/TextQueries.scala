@@ -245,9 +245,23 @@ object TextQueries {
     graft.operators.TextOps.urlBlocklistFilter(aug, "doc_id", "text", BlockedDomains)
   }
 
+  // Paragraph-grain exact dedup — the corpus has single-paragraph docs,
+  // so both engines append the same two SHARED sentences per doc (5 and
+  // 7 rotating variants): each shared variant survives only in the first
+  // doc carrying it; every later doc keeps its unique head paragraph and
+  // loses the repeats. Every reassembled clean_text is hash-checked.
+  def q88ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(". shared sentence alpha variant "), pmod(col("doc_id"), lit(5)),
+        lit(". shared sentence beta variant "), pmod(col("doc_id"), lit(7))).as("text"))
+    graft.operators.TextOps.dedupParagraphs(aug, "doc_id", "text")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_normalize_unicode" -> q83NormalizeUnicode,
     "q86_url_blocklist" -> q86UrlBlocklist,
+    "q88_paragraph_dedup" -> q88ParagraphDedup,
     "q84_quota_sample_agg" -> q84QuotaSampleAgg,
     "q85_bm25_batch" -> q85Bm25Batch,
     "q30_explode_tokens" -> q30Explode,
@@ -315,6 +329,33 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q88_paragraph_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id, text || '. shared sentence alpha variant ' || (doc_id % 5) ||
+             '. shared sentence beta variant ' || (doc_id % 7) AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(text, '. ') AS ps FROM aug),
+         p AS (
+           SELECT doc_id, CAST(k.k AS INT) AS pos, ps[k.k] AS para
+           FROM t JOIN (SELECT unnest(generate_series(1,
+             (SELECT CAST(max(len(ps)) AS BIGINT) FROM t))) AS k) k
+             ON k.k <= len(ps)
+           WHERE length(ps[k.k]) > 0),
+         r AS (
+           SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           FROM p),
+         reb AS (
+           SELECT doc_id,
+             string_agg(CASE WHEN rn = 1 THEN para END, '. ' ORDER BY pos) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_paras,
+             CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept
+           FROM r GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           COALESCE(reb.n_paras, 0) AS n_paras,
+           COALESCE(reb.n_kept, 0) AS n_kept
+         FROM documents d LEFT JOIN reb USING (doc_id)""",
     "q86_url_blocklist" ->
       """WITH aug AS (
            SELECT doc_id, text || ' see https://site' || (doc_id % 7) ||

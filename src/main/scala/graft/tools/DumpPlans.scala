@@ -88,6 +88,12 @@ object DumpPlans {
       ("q83_normalize_unicode",
        "Text normalization (unicode mode): NFC composition via the codegen'd UnicodeNormalize expression (JDK Normalizer), then the same lower/strip/collapse pipeline with \\p{L}\\p{N} classes — still one Project, zero Exchange (asserted in PlanSpec); the NFC call sits INSIDE the WholeStageCodegen span.",
        TextQueries.q83NormalizeUnicode(spark, d)),
+      ("q86_url_blocklist",
+       "URL blocklist: hosts extracted ONCE (regexp_extract_all into an attribute — never recomputed inside the membership lambda), blocklist compiled to a codegen'd suffix-match — one Project, zero Exchange (asserted in PlanSpec).",
+       TextQueries.q86UrlBlocklist(spark, d)),
+      ("q88_paragraph_dedup",
+       "Paragraph dedup: one persisted paragraph explode (InMemoryRelation) feeds the min first-owner aggregation (md5 digest group key — 16-byte shuffle rows, map-side partial min) and the digest join; survivors reassemble per doc via a sorted-struct-array aggregation bounded by each doc's own paragraph count. No Window, no Expand, never doc-pair-shaped.",
+       TextQueries.q88ParagraphDedup(spark, d)),
       ("q85_bm25_batch",
        "BM25 batch arm (10k-term sweeps): corpus stats from a column-pruned id+length scan (1-row broadcast frame, the one legitimate BNLJ); the scoring pass explodes tokens and BroadcastHashJoins the deduplicated terms table, so non-matching tokens die at the probe — shuffled volume tracks matches, cost tracks corpus tokens, never query size. Final TakeOrderedAndProject partial top-k.",
        TextQueries.q85Bm25Batch(spark, d)))

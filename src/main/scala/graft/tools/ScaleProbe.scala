@@ -243,6 +243,17 @@ object ScaleProbe {
     time("bm25 batch arm 10x (10k-term sweep)")(
       TextOps.bm25ScoreBatch(docsX(10), "doc_id", "text", sweepDf, "term", 10).count())
 
+    // --- paragraph dedup: explode + two keyed aggs + digest join — must
+    // track corpus paragraphs linearly, never doc pairs ------------------
+    def paraX(k: Int): DataFrame = docsX(k).select(col("doc_id"),
+      concat(col("text"),
+        lit(". shared sentence alpha variant "), pmod(col("doc_id"), lit(5)),
+        lit(". shared sentence beta variant "), pmod(col("doc_id"), lit(7))).as("text"))
+    time("paragraph dedup 1x")(
+      TextOps.dedupParagraphs(paraX(1), "doc_id", "text").count())
+    time("paragraph dedup 10x")(
+      TextOps.dedupParagraphs(paraX(10), "doc_id", "text").count())
+
     // --- quota sampling at a deliberately hot stratum: ALL rows in one
     // stratum. The window path sorts the whole stratum in one task; the
     // bounded-agg path reduces each map slice to <= k pairs before the

@@ -161,6 +161,21 @@ class TextOpsSpec extends SparkSpec {
     assert(dispatched.collect().toSeq == isinArm.collect().toSeq)
   }
 
+  test("dedupParagraphs: first corpus occurrence survives, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "unique one. shared para. tail one"),
+      (2L, "shared para. unique two. shared para"), // cross-doc + in-doc repeat
+      (3L, "shared para"))                          // fully duplicated doc
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("unique one. shared para. tail one", 3L, 3L)))
+    assert(got(2L) == (("unique two", 3L, 1L)),
+      "both copies of the shared para must drop (doc 1 owns it)")
+    assert(got(3L) == (("", 1L, 0L)), "fully-duplicated doc comes back empty")
+  }
+
   test("urlBlocklistFilter: exact host, subdomain, lookalike and URL-free docs") {
     val docs = Seq(
       (1L, "see https://a.bad.com/x and http://ok.org/y"),   // subdomain of bad.com

@@ -174,6 +174,16 @@ class PlanSpec extends SparkSpec {
       "hosts must be extracted exactly once into an attribute (lambda-capture pitfall)")
   }
 
+  test("q88 paragraph dedup: keyed aggs over one persisted explode — no pairs, no Expand") {
+    val p = plan(TextQueries.q88ParagraphDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "paragraph dedup must never be document-pair-shaped")
+    assert(!p.contains("Expand"), "no countDistinct-style stream doubling")
+    assert(p.contains("InMemoryTableScan"),
+      "the exploded paragraph table must be persisted once for its two consumers")
+    assert(!p.contains("Window"), "first-owner selection is an agg, not a window sort")
+  }
+
   test("q61 codec kernel: parallelism follows cores, not the input file's splits") {
     val df = MultimodalQueries.q61MultimodalDecode(spark, sf)
     val parts = df.rdd.getNumPartitions
