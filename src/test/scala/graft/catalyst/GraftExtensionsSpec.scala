@@ -247,6 +247,20 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM bm25_search('bm_docs_t', 'doc_id', 'text', 'spam,win', 2)")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(batch == isin && batch.map(_._1) == Seq(1L))
+    // dedup_paragraphs: the later copy of a shared paragraph drops
+    Seq((1L, "unique a. shared p"), (2L, "shared p. unique b"))
+      .toDF("doc_id", "text").createOrReplaceTempView("pd_tvf_t")
+    val pd = spark.sql(
+      "SELECT * FROM dedup_paragraphs('pd_tvf_t', 'doc_id', 'text')")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pd == Map(1L -> "unique a. shared p", 2L -> "unique b"))
+    // url_blocklist TVF: subdomain caught, lookalike kept
+    Seq((1L, "x https://a.bad.com/z"), (2L, "y https://notbad.com/z"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ub_tvf_t")
+    val ub = spark.sql(
+      "SELECT * FROM url_blocklist('ub_tvf_t', 'doc_id', 'text', 'bad.com')")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(ub == Map(1L -> false, 2L -> true))
   }
 
   test("ANN family TVFs: similarity search from plain SQL, identical to the Column API") {
