@@ -153,6 +153,31 @@ class CurationPropertySpec extends SparkSpec {
     }, cases = 8)
   }
 
+  test("TopKAgg laws: permutation-invariant, merge-commutative, equals sorted-take-k") {
+    // pure aggregator laws — no Spark job needed; these are the properties
+    // map-side combine silently depends on (arbitrary slice orders and
+    // arbitrary merge trees must all yield the ground-truth top-k)
+    val pairGen = Gen.listOf(Gen.zip(Gen.choose(-50L, 50L), Gen.choose(0L, 9L)))
+    check(Prop.forAll(pairGen, Gen.choose(1, 6)) { (xs, k) =>
+      val agg = new graft.functions.TopKAgg(k)
+      val truth = xs.distinct.sorted.take(k) // lex order on (key, id)
+      def run(items: Seq[(Long, Long)]) = items.foldLeft(agg.zero)(agg.reduce)
+      val direct = agg.finish(run(xs)).toList
+      val shuffled = agg.finish(run(scala.util.Random.shuffle(xs))).toList
+      val (a, b) = xs.splitAt(xs.length / 2)
+      val merged = agg.finish(agg.merge(run(a), run(b))).toList
+      val mergedRev = agg.finish(agg.merge(run(b), run(a))).toList
+      // duplicates collapse under the insert's !lt rejection only when at
+      // capacity; below capacity dups persist — the engine path feeds
+      // distinct (hash, id) pairs, so compare on distinct inputs
+      val xsD = xs.distinct
+      val directD = agg.finish(run(xsD)).toList
+      directD == truth &&
+        agg.finish(run(scala.util.Random.shuffle(xsD))).toList == truth &&
+        merged == mergedRev && direct == shuffled
+    }, cases = 40)
+  }
+
   test("quantizeInt8 law: reconstruction error <= scale/2 for arbitrary vectors") {
     val vecGen = Gen.choose(2, 32).flatMap(d =>
       Gen.listOfN(d, Gen.choose(-1000, 1000).map(_ / 7.0f)))
