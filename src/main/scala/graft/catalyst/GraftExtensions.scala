@@ -317,6 +317,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litStr(exprs(3), "blocked domains").split(",").map(_.trim).toSeq))
     }
+    registerTable("incremental_dedup",
+      "incremental_dedup('increment', 'idCol', 'textCol', 'seenTable', 'fpCol') - " +
+        "keep increment rows new against the md5 fingerprint store and first " +
+        "within the increment; historical text is never rescanned", 5) {
+      exprs =>
+        val inc = SparkSession.active.table(litStr(exprs(0), "increment table"))
+        val seen = SparkSession.active.table(litStr(exprs(3), "fingerprint table"))
+        expand(graft.operators.Dedup.incrementalDedup(inc,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          seen, litStr(exprs(4), "fingerprint column")))
+    }
     registerTable("dedup_paragraphs",
       "dedup_paragraphs('table', 'idCol', 'textCol') - corpus-wide exact paragraph " +
         "dedup: keep each paragraph at its first (doc, position) occurrence, " +

@@ -299,6 +299,32 @@ object Dedup {
     * near-dup pairs, the probe side is fixed and small. Shingle sets are
     * distinct per doc (ShingleHashes), so the post-join row count per
     * (doc, eval) IS the distinct shared-shingle count. */
+  /** Incremental exact dedup against a persisted fingerprint store — the
+    * production shape of [[graft.operators.Relational.keepFirstBy]]: the
+    * historical corpus was deduped yesterday and exists only as its
+    * md5-fingerprint table (never rescanned, never re-shuffled as text);
+    * today's increment keeps exactly the rows that are (a) new against
+    * history and (b) first within the increment itself. Output:
+    * `(id, fp)` per kept row — union `fp` into the store for tomorrow.
+    *
+    * 100-TB shape: one md5 projection over the increment, a LEFT ANTI
+    * join against the store on the 32-byte digest (shuffles digests,
+    * not documents — at truly history-scale stores this is the honest
+    * shuffle; a small store broadcasts by size estimate), then the
+    * keep-first aggregation WITHIN the increment (map-side `min_by`).
+    * Nothing ever touches historical text. */
+  def incrementalDedup(
+      increment: DataFrame,
+      idCol: String,
+      textCol: String,
+      seenFps: DataFrame,
+      fpCol: String): DataFrame = {
+    val inc = increment.select(col(idCol), md5(col(textCol)).as("_fp"))
+      .join(seenFps.select(col(fpCol).as("_fp")), Seq("_fp"), "left_anti")
+    inc.groupBy("_fp").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("_fp").as("fp"))
+  }
+
   def crossContamination(
       corpus: DataFrame,
       corpusId: String,

@@ -109,7 +109,20 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  // Incremental exact dedup: docs with doc_id % 10 == 0 play "today's
+  // crawl increment"; the rest are yesterday's corpus, present ONLY as
+  // their md5 fingerprint store (the operator never touches historical
+  // text). Kept = new-against-history AND first-within-increment.
+  def q90IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val seen = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text")).as("fp")).distinct()
+    Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", seen, "fp")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_incremental_dedup" -> q90IncrementalDedup,
     "q40_dedup_exact" -> q40DedupExact,
     "q41_dedup_minhash" -> q41DedupMinhash,
     "q42_ngram_jaccard" -> q42NgramJaccard,
@@ -180,6 +193,12 @@ object DedupQueries {
     "q68_embed_neardup_auto" -> cosinePairsOracleSql,
     // distinct string-shingle intersection counts replay the hashed
     // operator exactly (same no-collision assumption as q42)
+    "q90_incremental_dedup" ->
+      """WITH hist AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0),
+          inc AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 = 0),
+          new AS (SELECT i.doc_id, i.fp FROM inc i ANTI JOIN hist h USING (fp))
+          SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
+          FROM new GROUP BY fp""",
     "q69_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
           c AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),

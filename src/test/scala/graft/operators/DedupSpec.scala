@@ -73,6 +73,31 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"eval posting must broadcast:\n$plan")
   }
 
+  test("incrementalDedup: new-vs-history anti join + first-within-increment, text never rescanned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val seen = Seq("yesterday doc one", "yesterday doc two").toDF("text")
+      .select(md5(col("text")).as("fp"))
+    val inc = Seq(
+      (10L, "today fresh alpha"),
+      (11L, "yesterday doc one"),   // historical dup -> dropped
+      (12L, "today fresh beta"),
+      (13L, "today fresh alpha"),   // within-increment dup -> 10 wins
+      (14L, "yesterday doc two"))   // historical dup -> dropped
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(inc, "doc_id", "text", seen, "fp")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L))
+    // store update is a pure union of kept fps — dedup of (history ∪ inc)
+    // via the store equals deduping the concatenated corpora directly
+    val full = Seq("yesterday doc one", "yesterday doc two").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .unionByName(inc)
+    val direct = Relational.keepFirstBy(full, Seq("text"), Seq(col("doc_id")))
+      .filter(col("doc_id") >= 10).collect().map(_.getLong(0)).toSet
+    assert(direct == kept, "incremental result must equal the from-scratch dedup")
+  }
+
   test("connectedComponents throws instead of returning non-converged labels") {
     val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
