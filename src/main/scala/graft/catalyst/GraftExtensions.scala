@@ -464,6 +464,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
           litInt(exprs(4), "k"), litInt(exprs(7), "shortlist"), cb))
     }
+    registerTable("ann_pca",
+      "ann_pca('corpus', 'queries', 'idCol', 'vecCol', k, kDims, shortlist) - " +
+        "PCA-reduced two-stage top-k (reduced-space shortlist -> exact rerank)", 7) {
+      exprs =>
+        val corpus = SparkSession.active.table(litStr(exprs(0), "corpus table"))
+        val model = graft.operators.Embeddings.pcaTrain(corpus,
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(5), "kDims"))
+        expand(graft.operators.Embeddings.pcaTopKRerank(corpus,
+          SparkSession.active.table(litStr(exprs(1), "queries table")),
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(4), "k"), litInt(exprs(6), "shortlist"), model))
+    }
     registerTable("embed_neardup",
       "embed_neardup('table', 'idCol', 'vecCol', minSim) - cosine near-duplicate pairs; " +
         "dispatches exact-tiled vs banded-LSH on (threshold, corpus size)", 4) {

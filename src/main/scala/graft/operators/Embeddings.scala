@@ -312,6 +312,92 @@ object Embeddings {
     * individual code without shipping the code arrays through the oracle
     * compare. By construction |v_i|/scale <= 127, so codes need no clamp.
     */
+  // ------------------------------------------------------------------
+  // PCA: dimensionality reduction as an ANN accelerator — project the
+  // corpus onto its top-kDims principal axes (the subspace carrying the
+  // most variance), shortlist in the reduced space (kDims/d of the scan
+  // arithmetic), then exact-rerank full vectors for the shortlist only.
+  // The third compression family next to PQ (codes) and IVF (lists);
+  // composable with both (reduce dims, THEN build the IVF-PQ index).
+  // ------------------------------------------------------------------
+
+  /** PCA model: the training mean and `kDims` orthonormal principal
+    * axes (each length d). Rides query plans as literals — a model
+    * fetch, ModelGuard-gated like the PQ codebooks. */
+  final case class PcaModel(mean: Array[Double], axes: Array[Array[Double]])
+
+  /** Train the top-`kDims` principal axes of the unit-normalized
+    * corpus. One distributed mean aggregation + Spark ML's PCA (a
+    * covariance aggregation and a d×d driver-side eigensolve — d is
+    * model-sized, the corpus never leaves the cluster). Projection is
+    * implemented HERE (mean-centered, codegen'd dot per axis) rather
+    * than through PCAModel.transform, which does not mean-center. */
+  def pcaTrain(emb: DataFrame, idCol: String, vecCol: String,
+      kDims: Int): PcaModel = {
+    require(kDims >= 1, "kDims >= 1")
+    val unit = emb.select(VectorExprs.unitVec(col(vecCol)).as("_v"))
+    val dim = unit.select(size(col("_v"))).head().getInt(0)
+    require(kDims <= dim, s"kDims=$kDims must be <= dim=$dim")
+    graft.catalyst.ModelGuard.check("PCA basis model",
+      (kDims + 1).toLong * dim, "kDims (principal axes)")
+    val mean = unit.select(posexplode(col("_v")).as(Seq("_i", "_x")))
+      .groupBy("_i").agg(avg(col("_x")).as("_m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val centered = unit.select(
+      org.apache.spark.ml.functions.array_to_vector(
+        zip_with(col("_v"), typedLit(mean.toSeq), (a, b) => a - b)).as("_cv"))
+    val pc = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("_cv").setOutputCol("_p").setK(kDims)
+      .fit(centered).pc // d×kDims, column-major
+    val axes = Array.tabulate(kDims)(j =>
+      Array.tabulate(dim)(i => pc(i, j)))
+    PcaModel(mean, axes)
+  }
+
+  /** Mean-centered vector, as the projection and error paths see it. */
+  private def centeredOf(vecCol: String, model: PcaModel): Column =
+    zip_with(VectorExprs.unitVec(col(vecCol)), typedLit(model.mean.toSeq),
+      (a, b) => a - b)
+
+  /** Project each vector onto the model's axes: `kDims` codegen'd dots
+    * against axis literals — pure projection, no shuffle. */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame =
+    emb.select(col(idCol),
+      array(model.axes.map(ax =>
+        VectorExprs.dotD(centeredOf(vecCol, model), typedLit(ax.toSeq))): _*).as("proj"))
+
+  /** Mean squared reconstruction error of the rank-`kDims` model. With
+    * orthonormal axes, ‖c − BBᵀc‖² = ‖c‖² − ‖Bᵀc‖² — two scalar dots,
+    * no reconstruction materialized. Monotone non-increasing in kDims
+    * (spec-pinned), 0 at kDims = d. */
+  def pcaReconstructionError(emb: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): Double = {
+    val c = centeredOf(vecCol, model)
+    val p = array(model.axes.map(ax =>
+      VectorExprs.dotD(c, typedLit(ax.toSeq))): _*)
+    emb.select((VectorExprs.dotD(c, c) - VectorExprs.dotD(p, p)).as("_e"))
+      .agg(avg(col("_e"))).head().getDouble(0)
+  }
+
+  /** Two-stage PCA search: shortlist by reduced-space dot (the scan does
+    * kDims/d of the arithmetic and reads the compact projection), then
+    * exact full-vector rerank for queries×shortlist rows only. Recall is
+    * governed by how much variance the axes capture (measured in the
+    * spec, the PQ convention). */
+  def pcaTopKRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int, model: PcaModel): DataFrame = {
+    require(shortlist >= k, "shortlist >= k")
+    val proj = pcaProject(corpus, idCol, vecCol, model)
+      .select(col(idCol).as("neighbor_id"), col("proj").as("_cv"))
+    val q = broadcast(pcaProject(queries, idCol, vecCol, model)
+      .select(col(idCol).as("query_id"), col("proj").as("_qv")))
+    val scored = proj.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(VectorExprs.dotD(col("_qv"), col("_cv")), 5))
+    rerankExact(Similarity.topKBySim(scored, shortlist),
+      corpus, queries, idCol, vecCol, k)
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     def codeOf(x: Column): Column = round(x / col("_scale")).cast("long")

@@ -73,7 +73,20 @@ object AnnQueries {
       k = 5, nprobe = 8, shortlist = 100, model)
   }
 
+  // PCA dimensionality reduction as the FOURTH ANN scale path (next to
+  // LSH buckets, IVF lists, PQ codes): shortlist in the top-16-axis
+  // subspace (16/64 of the scan arithmetic), exact-rerank the shortlist.
+  // Approximate -> rows-only check; orthonormality, monotone
+  // reconstruction error and the recall floor asserted in EmbeddingsSpec.
+  def q91AnnPca(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val model = graft.operators.Embeddings.pcaTrain(emb, "vec_id", "embedding", kDims = 16)
+    graft.operators.Embeddings.pcaTopKRerank(
+      emb, queriesSubset(s, d), "vec_id", "embedding", k = 5, shortlist = 100, model)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_ann_pca" -> q91AnnPca,
     "q50_ann_brute" -> q50AnnBrute,
     "q51_ann_lsh" -> q51AnnLsh,
     "q52_approx_distinct" -> q52ApproxDistinct,

@@ -137,4 +137,35 @@ class EmbeddingsSpec extends SparkSpec {
     assert(r100 >= r25, "deeper shortlist must not lose recall (stage 2 is exact on it)")
     assert(r100 >= 0.9, f"shortlist=100 on the gate corpus measured 0.96; floor 0.9 broken: $r100%.3f")
   }
+
+  test("PCA laws: orthonormal axes, monotone reconstruction error, zero at full rank") {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val m16 = Embeddings.pcaTrain(emb, "vec_id", "embedding", 16)
+    // orthonormality: axis dots are the identity within 1e-6
+    for (i <- m16.axes.indices; j <- i until m16.axes.length) {
+      val d = m16.axes(i).zip(m16.axes(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-6, s"axes($i)·axes($j) = $d, want $want")
+    }
+    def err(k: Int) = Embeddings.pcaReconstructionError(emb, "vec_id", "embedding",
+      Embeddings.pcaTrain(emb, "vec_id", "embedding", k))
+    val (e4, e16, eFull) = (err(4), err(16), err(dim))
+    info(f"PCA reconstruction mse: kDims=4 -> $e4%.5f, 16 -> $e16%.5f, $dim -> $eFull%.7f")
+    assert(e4 >= e16 && e16 >= eFull - 1e-9, "error must fall as axes are added")
+    assert(math.abs(eFull) < 1e-9, "full-rank projection reconstructs exactly")
+    assert(e4 >= 0 && e16 >= 0)
+  }
+
+  test("two-stage PCA search: recall >= 0.9 at shortlist 100, rises with dimensions") {
+    def recallAt(kDims: Int): Double = {
+      val model = Embeddings.pcaTrain(emb, "vec_id", "embedding", kDims)
+      val rr = pairs(Embeddings.pcaTopKRerank(
+        emb, queries, "vec_id", "embedding", 5, 100, model))
+      (rr & brute).size.toDouble / brute.size
+    }
+    val (r4, r16) = (recallAt(4), recallAt(16))
+    info(f"PCA rerank recall@5: kDims=4 -> $r4%.3f, kDims=16 -> $r16%.3f")
+    assert(r16 >= r4, "more retained variance must not lose recall")
+    assert(r16 >= 0.9, f"kDims=16 shortlist=100 recall floor broken: $r16%.3f")
+  }
 }
