@@ -94,6 +94,9 @@ object DumpPlans {
       ("q88_paragraph_dedup",
        "Paragraph dedup: one persisted paragraph explode (InMemoryRelation) feeds the min first-owner aggregation (md5 digest group key — 16-byte shuffle rows, map-side partial min) and the digest join; survivors reassemble per doc via a sorted-struct-array aggregation bounded by each doc's own paragraph count. No Window, no Expand, never doc-pair-shaped.",
        TextQueries.q88ParagraphDedup(spark, d)),
+      ("q90_incremental_dedup",
+       "Incremental dedup: the increment's md5 projection LEFT ANTI joins the fingerprint store on 32-byte digests (historical text never scanned), then one keyed min aggregation keeps the first copy within the increment. At a history-scale store this is a digest-only shuffle; a small store broadcasts by size estimate (as here).",
+       DedupQueries.q90IncrementalDedup(spark, d)),
       ("q85_bm25_batch",
        "BM25 batch arm (10k-term sweeps): corpus stats from a column-pruned id+length scan (1-row broadcast frame, the one legitimate BNLJ); the scoring pass explodes tokens and BroadcastHashJoins the deduplicated terms table, so non-matching tokens die at the probe — shuffled volume tracks matches, cost tracks corpus tokens, never query size. Final TakeOrderedAndProject partial top-k.",
        TextQueries.q85Bm25Batch(spark, d)))

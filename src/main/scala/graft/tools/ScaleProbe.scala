@@ -140,6 +140,12 @@ object ScaleProbe {
       Embeddings.pqTopKRerank(embX(1), queries1x, "vec_id", "embedding", 5, 100, cb1).count())
     time("pq two-stage search 10x")(
       Embeddings.pqTopKRerank(embX(10), queries1x, "vec_id", "embedding", 5, 100, cb10).count())
+    val pca1 = Embeddings.pcaTrain(embX(1), "vec_id", "embedding", 16)
+    val pca10 = Embeddings.pcaTrain(embX(10), "vec_id", "embedding", 16)
+    time("pca two-stage search 1x (kDims 16, shortlist 100)")(
+      Embeddings.pcaTopKRerank(embX(1), queries1x, "vec_id", "embedding", 5, 100, pca1).count())
+    time("pca two-stage search 10x")(
+      Embeddings.pcaTopKRerank(embX(10), queries1x, "vec_id", "embedding", 5, 100, pca10).count())
     val ivfpq10 = Embeddings.ivfPqTrain(embX(10), "vec_id", "embedding", nlist = 16, m = 8, k = 32)
     time("ivf-pq search 10x (nprobe 4/16, shortlist 100)")(
       Embeddings.ivfPqTopKRerank(embX(10), queries1x, "vec_id", "embedding", 5, 4, 100, ivfpq10).count())
