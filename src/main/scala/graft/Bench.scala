@@ -20,16 +20,26 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Idle-box reference for [[calibSec]], measured on this machine
-    * (local[32], warm JVM, spread of 6 idle samples 0.28-0.37 s — BASELINE.md r7). The r6 driver
-    * bench was load-polluted 5-18× on heavy queries and only an idle-box
-    * judge rerun could adjudicate it; with the sentinel the bench
-    * convicts itself instead. */
+  /** Idle-box reference for [[calibSec]] at local[32], measured on this
+    * machine (warm JVM, spread of 6 idle samples 0.28-0.37 s —
+    * BASELINE.md r7). The r6 driver bench was load-polluted 5-18× on
+    * heavy queries and only an idle-box judge rerun could adjudicate it;
+    * with the sentinel the bench convicts itself instead. */
   val CalibIdleSec = 0.33
-  /** Either calibration exceeding the idle reference by this factor
+  /** The fixed 32-task probe takes ⌈32/cpus⌉ waves, so the idle
+    * reference scales inversely with the configured core count — a
+    * SPARK_GRAFT_CPUS=16 run must not convict an idle box. */
+  def calibIdleRef(cpus: Int): Double = CalibIdleSec * 32.0 / cpus.max(1)
+  /** ANY calibration sample exceeding the idle reference by this factor
     * flips `polluted` — the measurement channel, not the code, is then
     * the prime suspect for any per-query regression in the same run. */
   val PollutionFactor = 1.5
+  /** A probe also runs every this-many queries: a transient load that
+    * arrives after the pre-probe and exits before the post-probe (the
+    * exact r6 failure window) still lands on a mid-run sample. ~6
+    * samples over the 91-query gate ≈ 2 s of overhead, outside the
+    * per-query timers. */
+  val CalibEvery = 15
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -48,10 +58,14 @@ object Bench {
     // store coordinator, streaming listener bus, checkpoint FS init).
     try SparkEntry.queries.get("q38_stream_hopping").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
-    // Contention sentinel, part 1: calibrate BEFORE the timed queries
-    // (one throwaway run first so the calibration plan itself is warm).
+    // Contention sentinel: one probe BEFORE the timed queries (after a
+    // throwaway run so the calibration plan itself is warm), one every
+    // CalibEvery queries — a transient load confined to the middle of
+    // the run still lands on a sample — and one AFTER. All samples are
+    // taken OUTSIDE the per-query timers.
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
     calibSec(spark)
-    val calibPre = calibSec(spark)
+    calibSamples += calibSec(spark)
     // Optional comma-separated subset for local iteration (driver leaves unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Optional per-query repeat count: report the MEDIAN of n runs inside
@@ -67,7 +81,9 @@ object Bench {
     val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+      if (i > 0 && i % CalibEvery == 0) calibSamples += calibSec(spark)
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -78,17 +94,17 @@ object Bench {
       }
       name -> median(times)
     }.toMap
-    // Contention sentinel, part 2: calibrate AFTER — a load that arrived
-    // mid-run shows up here even if the pre-run box was idle.
-    val calibPost = calibSec(spark)
-    val polluted = calibPre > CalibIdleSec * PollutionFactor ||
-      calibPost > CalibIdleSec * PollutionFactor
+    calibSamples += calibSec(spark)
+    val idleRef = calibIdleRef(cpus.toInt)
+    val polluted = calibSamples.exists(_ > idleRef * PollutionFactor)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibJson = calibSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","calib_pre":$calibPre,"calib_post":$calibPost,"calib_idle_ref":$CalibIdleSec""" +
+      s""","calib_pre":${calibSamples.head},"calib_post":${calibSamples.last}""" +
+      s""","calib_samples":$calibJson,"calib_idle_ref":$idleRef""" +
       s""","polluted":$polluted,"errors":$errJson}""")
     spark.stop()
   }

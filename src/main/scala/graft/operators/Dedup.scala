@@ -312,14 +312,19 @@ object Dedup {
     * not documents — at truly history-scale stores this is the honest
     * shuffle; a small store broadcasts by size estimate), then the
     * keep-first aggregation WITHIN the increment (map-side `min_by`).
-    * Nothing ever touches historical text. */
+    * Nothing ever touches historical text. Null text fingerprints as
+    * the empty string: `md5(null)` is null, and a null digest can never
+    * match the store (SQL null ≠ null in the anti join) — every later
+    * day's null-text rows would be "new" forever, breaking the
+    * incremental == from-scratch invariant and accreting null fps. */
   def incrementalDedup(
       increment: DataFrame,
       idCol: String,
       textCol: String,
       seenFps: DataFrame,
       fpCol: String): DataFrame = {
-    val inc = increment.select(col(idCol), md5(col(textCol)).as("_fp"))
+    val inc = increment
+      .select(col(idCol), md5(coalesce(col(textCol), lit(""))).as("_fp"))
       .join(seenFps.select(col(fpCol).as("_fp")), Seq("_fp"), "left_anti")
     inc.groupBy("_fp").agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("_fp").as("fp"))

@@ -343,12 +343,15 @@ object Embeddings {
     val mean = unit.select(posexplode(col("_v")).as(Seq("_i", "_x")))
       .groupBy("_i").agg(avg(col("_x")).as("_m"))
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
-    val centered = unit.select(
-      org.apache.spark.ml.functions.array_to_vector(
-        zip_with(col("_v"), typedLit(mean.toSeq), (a, b) => a - b)).as("_cv"))
+    // fit on the RAW unit vectors: PCA derives axes from the covariance
+    // matrix, which is mean-centered by construction (shift-invariant) —
+    // pre-centering here would be a redundant full-corpus projection.
+    // The mean matters only on the projection side, where [[centeredOf]]
+    // applies it (PCAModel.transform would not).
     val pc = new org.apache.spark.ml.feature.PCA()
       .setInputCol("_cv").setOutputCol("_p").setK(kDims)
-      .fit(centered).pc // d×kDims, column-major
+      .fit(unit.select(org.apache.spark.ml.functions.array_to_vector(col("_v")).as("_cv")))
+      .pc // d×kDims, column-major
     val axes = Array.tabulate(kDims)(j =>
       Array.tabulate(dim)(i => pc(i, j)))
     PcaModel(mean, axes)

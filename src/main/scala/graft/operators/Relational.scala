@@ -81,6 +81,14 @@ object Relational {
   def quotaSampleByHash(df: DataFrame, stratumCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
+    // integral ONLY: a fractional id would truncate in the long buffer,
+    // merging distinct rows and emitting ids that don't exist
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(df.schema(idCol).dataType),
+      s"idCol '$idCol' must be an integral type (rides the aggregation buffer as a long); " +
+        s"got ${df.schema(idCol).dataType.catalogString} — re-key or use topKPerGroup")
     val topk = udaf(new graft.functions.TopKAgg(k))
     df.select(col(stratumCol),
         graft.functions.Portable.md5Long60(col(idCol).cast("string")).as("_u"),

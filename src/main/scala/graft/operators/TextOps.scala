@@ -225,6 +225,16 @@ object TextOps {
     val stats = base.agg(count(lit(1)).as("_n"), sum("_dl").as("_sumdl"))
     val tf = base.select(col(idCol), col("_dl"), explode(col("_qt")).as("term"))
       .groupBy(col(idCol), col("_dl"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25ScoreTail(tf, stats, idCol, k, k1, b)
+  }
+
+  /** Shared scoring tail of both BM25 arms: per-term df broadcast, 1-row
+    * stats frame, quantized per-(doc,term) contributions, partial top-k.
+    * ONE implementation so the two-arms-identical contract (TextOpsSpec,
+    * the shared q72/q85 oracle) can never drift. `tf` must carry
+    * `(idCol, _dl, term, tf)`. */
+  private def bm25ScoreTail(tf: DataFrame, stats: DataFrame, idCol: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
     val idf = log(
@@ -275,21 +285,7 @@ object TextOps {
       .select(col(idCol), size(toks).cast("long").as("_dl"), explode(toks).as("term"))
       .join(broadcast(terms.select(col(termCol).as("term")).distinct()), "term")
       .groupBy(col(idCol), col("_dl"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val avgdl = col("_sumdl").cast("double") / col("_n").cast("double")
-    val idf = log(
-      ((col("_n") - col("df")).cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)) + lit(1.0))
-    val tfNorm = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("_dl").cast("double") / avgdl)))
-    tf.join(broadcast(dfT), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("_c", round(lit(1e6) * (idf * tfNorm)).cast("long"))
-      .groupBy(idCol)
-      .agg(sum(col("_c")).as("score_micro"), count(lit(1)).as("n_terms"))
-      .orderBy(col("score_micro").desc, col(idCol))
-      .limit(k)
+    bm25ScoreTail(tf, stats, idCol, k, k1, b)
   }
 
   /** Inverted index over the corpus: one row per term with document
@@ -476,9 +472,13 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
-  // URL surface shared with the oracle: scheme + host (group 1), then any
-  // non-space path. Java∩RE2 syntax so DuckDB replays the same matches.
-  val UrlRe = "https?://([A-Za-z0-9.-]+)[^\\s]*"
+  // URL surface shared with the oracle: scheme, optional userinfo
+  // (swallowed so `https://innocent.com@bad.example.org/` cannot spoof
+  // the host), host as group 1, then any non-space path. Applied to
+  // LOWERCASED text — DNS hostnames are case-insensitive, so
+  // `HTTPS://BAD.example.org` must match a blocklist entry. Java∩RE2
+  // syntax so DuckDB replays the same matches.
+  val UrlRe = "https?://(?:[^\\s/@]*@)?([a-z0-9.-]+)[^\\s]*"
 
   /** Domain-blocklist filter: per document, the number of URLs, the
     * number whose host is a blocked domain or any subdomain of one, and
@@ -496,11 +496,12 @@ object TextOps {
   def urlBlocklistFilter(docs: DataFrame, idCol: String, textCol: String,
       blockedDomains: Seq[String]): DataFrame = {
     require(blockedDomains.nonEmpty, "blocked domain list required")
-    val isBlocked = (h: Column) => blockedDomains.map(d =>
+    val blocked = blockedDomains.map(_.toLowerCase)
+    val isBlocked = (h: Column) => blocked.map(d =>
       h === d || h.endsWith("." + d)).reduce(_ || _)
     docs
       .select(col(idCol),
-        regexp_extract_all(col(textCol), lit(UrlRe), lit(1)).as("_hosts"))
+        regexp_extract_all(lower(col(textCol)), lit(UrlRe), lit(1)).as("_hosts"))
       .select(col(idCol),
         size(col("_hosts")).as("n_urls"),
         size(filter(col("_hosts"), isBlocked)).as("n_blocked"))

@@ -239,9 +239,19 @@ object TextQueries {
       concat(col("text"),
         lit(" see https://site"), pmod(col("doc_id"), lit(7)),
         lit(".example.com/p/"), col("doc_id"),
-        when(pmod(col("doc_id"), lit(2)) === 0,
-          concat(lit(" and http://blocked"), pmod(col("doc_id"), lit(3)),
-            lit(".bad.example.org/x"))).otherwise(lit(""))).as("text"))
+        // every even doc links a blocked apex — UPPERCASED every 4th doc
+        // (DNS is case-insensitive; the filter must still catch it)
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" and HTTP://BLOCKED"), pmod(col("doc_id"), lit(3)),
+            lit(".BAD.EXAMPLE.ORG/x")))
+          .when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" and http://blocked"), pmod(col("doc_id"), lit(3)),
+              lit(".bad.example.org/x"))).otherwise(lit("")),
+        // every 5th doc adds a userinfo-spoofed URL: the host after '@'
+        // is blocked and must be the one matched
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" plus https://innocent.com@deep"), pmod(col("doc_id"), lit(3)),
+            lit(".bad.example.org/y"))).otherwise(lit(""))).as("text"))
     graft.operators.TextOps.urlBlocklistFilter(aug, "doc_id", "text", BlockedDomains)
   }
 
@@ -360,13 +370,19 @@ object TextQueries {
       """WITH aug AS (
            SELECT doc_id, text || ' see https://site' || (doc_id % 7) ||
              '.example.com/p/' || doc_id ||
-             CASE WHEN doc_id % 2 = 0
+             CASE WHEN doc_id % 4 = 0
+               THEN ' and HTTP://BLOCKED' || (doc_id % 3) || '.BAD.EXAMPLE.ORG/x'
+               WHEN doc_id % 2 = 0
                THEN ' and http://blocked' || (doc_id % 3) || '.bad.example.org/x'
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' plus https://innocent.com@deep' || (doc_id % 3) || '.bad.example.org/y'
                ELSE '' END AS text
            FROM documents),
          h AS (
            SELECT doc_id,
-             regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)[^\s]*', 1) AS hosts
+             regexp_extract_all(lower(text),
+               'https?://(?:[^\s/@]*@)?([a-z0-9.-]+)[^\s]*', 1) AS hosts
            FROM aug),
          c AS (
            SELECT doc_id,

@@ -12,23 +12,23 @@ class UnicodeNormalizeSpec extends SparkSpec {
   import spark.implicits._
 
   // decomposed: e + COMBINING ACUTE (U+0301); precomposed: U+00E9
-  private val decomposed = "Café"
-  private val precomposed = "Café"
+  private val decomposed = "Cafe\u0301"
+  private val precomposed = "Caf\u00e9"
 
   test("NFC composes combining sequences to precomposed forms; ASCII unchanged") {
-    val got = Seq(decomposed, precomposed, "plain ascii 42", "Straße")
+    val got = Seq(decomposed, precomposed, "plain ascii 42", "Stra\u00dfe")
       .toDF("s")
       .select(UnicodeNormalize.nfc(col("s")).as("n"))
       .collect().map(_.getString(0))
     assert(got(0) == precomposed, "decomposed must compose")
     assert(got(1) == precomposed, "already-NFC input unchanged")
     assert(got(2) == "plain ascii 42")
-    assert(got(3) == "Straße", "NFC never touches sharp-s")
+    assert(got(3) == "Stra\u00dfe", "NFC never touches sharp-s")
   }
 
   test("NFKC additionally folds compatibility forms (ligature, fullwidth)") {
     // U+FB01 LATIN SMALL LIGATURE FI -> "fi"; U+FF21 FULLWIDTH A -> "A"
-    val got = Seq("ﬁle ＡBC", decomposed).toDF("s")
+    val got = Seq("\ufb01le \uff21BC", decomposed).toDF("s")
       .select(UnicodeNormalize.nfkc(col("s")).as("n"))
       .collect().map(_.getString(0))
     assert(got(0) == "file ABC")
@@ -49,10 +49,10 @@ class UnicodeNormalizeSpec extends SparkSpec {
 
   test("normalizeText unicode mode: NFC + casefold + unicode-aware strip; ascii mode strips marks") {
     // "Cafe<acute>  NAI<diaeresis>VE <em dash> 42!"
-    val docs = Seq((1L, decomposed + "  NAÏVE — 42!")).toDF("doc_id", "text")
+    val docs = Seq((1L, decomposed + "  NAI\u0308VE \u2014 42!")).toDF("doc_id", "text")
     val uni = graft.operators.TextOps.normalizeText(docs, "text", unicode = true)
       .select("norm_text").as[String].head()
-    assert(uni == "café naïve 42",
+    assert(uni == "caf\u00e9 na\u00efve 42",
       s"got '$uni': accents must survive composed, punctuation must strip")
     val ascii = graft.operators.TextOps.normalizeText(docs, "text")
       .select("norm_text").as[String].head()

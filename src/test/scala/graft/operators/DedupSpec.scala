@@ -88,6 +88,17 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.incrementalDedup(inc, "doc_id", "text", seen, "fp")
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L, 12L))
+    // null text fingerprints as '' (a null digest would never match the
+    // store — every later day's null rows would be "new" forever)
+    val incNulls = Seq((20L, null), (21L, null), (22L, ""))
+      .map { case (i, t) => (i, Option(t)) }.toDF("doc_id", "text")
+    val day1 = Dedup.incrementalDedup(incNulls, "doc_id", "text", seen, "fp")
+    assert(day1.collect().map(_.getLong(0)).toSet == Set(20L),
+      "one representative across null/empty text on day 1")
+    val seen2 = seen.unionByName(day1.select("fp"))
+    val day2 = Dedup.incrementalDedup(
+      Seq((30L, None: Option[String])).toDF("doc_id", "text"), "doc_id", "text", seen2, "fp")
+    assert(day2.count() == 0, "day-2 null text must match the stored fingerprint")
     // store update is a pure union of kept fps — dedup of (history ∪ inc)
     // via the store equals deduping the concatenated corpora directly
     val full = Seq("yesterday doc one", "yesterday doc two").zipWithIndex

@@ -176,21 +176,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) == (("", 1L, 0L)), "fully-duplicated doc comes back empty")
   }
 
-  test("urlBlocklistFilter: exact host, subdomain, lookalike and URL-free docs") {
+  test("urlBlocklistFilter: exact host, subdomain, lookalike, case and userinfo spoofs") {
     val docs = Seq(
       (1L, "see https://a.bad.com/x and http://ok.org/y"),   // subdomain of bad.com
       (2L, "plain text no links at all"),
       (3L, "https://bad.com/root http://deep.sub.bad.com/z"), // apex + deep subdomain
       (4L, "https://notbad.com/x"),                           // lookalike must NOT match
-      (5L, "http://ok.org/a https://ok.org/b"))
+      (5L, "http://ok.org/a https://ok.org/b"),
+      (6L, "HTTPS://BAD.COM/SHOUT"),                          // DNS is case-insensitive
+      (7L, "https://innocent.org@bad.com/x"))                 // userinfo can't spoof the host
       .toDF("doc_id", "text")
-    val got = TextOps.urlBlocklistFilter(docs, "doc_id", "text", Seq("bad.com"))
+    val got = TextOps.urlBlocklistFilter(docs, "doc_id", "text", Seq("Bad.COM"))
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
     assert(got(1L) == ((2, 1, false)))
     assert(got(2L) == ((0, 0, true)))
     assert(got(3L) == ((2, 2, false)))
     assert(got(4L) == ((1, 0, true)), "suffix match must be dot-anchored")
     assert(got(5L) == ((2, 0, true)))
+    assert(got(6L) == ((1, 1, false)), "uppercase URL must still be caught")
+    assert(got(7L) == ((1, 1, false)), "the host AFTER the userinfo is the real one")
   }
 
   test("invertedIndex: postings sorted by doc id, df/total_tf full-corpus, cap truncates") {
