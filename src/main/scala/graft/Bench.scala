@@ -37,9 +37,47 @@ object Bench {
   /** A probe also runs every this-many queries: a transient load that
     * arrives after the pre-probe and exits before the post-probe (the
     * exact r6 failure window) still lands on a mid-run sample. ~6
-    * samples over the 91-query gate ≈ 2 s of overhead, outside the
+    * samples over the 91-query gate ≈ 4 s of overhead, outside the
     * per-query timers. */
   val CalibEvery = 15
+
+  /** One sentinel sample = the MIN of two back-to-back probes: a GC or
+    * JIT spike right after a heavy query inflates one probe, a genuine
+    * external load inflates both — min-of-2 keeps the single-sample
+    * pollution rule safe on an idle box (an idle mid-run probe measured
+    * 0.465 s once, 1.4× the reference, purely from scheduler debris). */
+  private def calibSample(spark: SparkSession): Double =
+    math.min(calibSec(spark), calibSec(spark))
+
+  /** The PRIMARY pollution signal: the fraction of the whole box's CPU
+    * capacity consumed by processes OTHER than this JVM, read straight
+    * from `/proc/stat` (all-cpu busy jiffies) minus `/proc/self/stat`
+    * (our utime+stime). Probe timing under a fair scheduler is
+    * inherently marginal — a 24-spinner stress load inflates the probe
+    * only 1.25-1.5×, exactly the band where idle GC noise lives — while
+    * the external-CPU fraction separates cleanly: ≤1-2% on an idle box
+    * (kernel threads), ~43% under the same stress load, ~50%+ under the
+    * r6 concurrent-DuckDB failure mode. Returns (allBusy, selfBusy,
+    * total) jiffy counters; consumers difference consecutive readings. */
+  private def cpuStat(): Option[(Long, Long, Long)] =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = cpu(3) + cpu(4) // idle + iowait
+      val self = scala.io.Source.fromFile("/proc/self/stat").mkString.split(" ")
+      Some((cpu.sum - idle, self(13).toLong + self(14).toLong, cpu.sum))
+    } catch { case _: Throwable => None } // non-Linux: timing rule only
+
+  /** External-CPU share of one interval; None if /proc is unreadable. */
+  private def extShare(a: Option[(Long, Long, Long)],
+      b: Option[(Long, Long, Long)]): Option[Double] =
+    for ((b0, s0, t0) <- a; (b1, s1, t1) <- b if t1 > t0)
+      yield ((b1 - b0) - (s1 - s0)).toDouble / (t1 - t0)
+
+  /** Any interval where other processes held more than this share of
+    * the box flips `polluted`. Idle kernel-thread background is 1-2%;
+    * the r6 failure mode is tens of percent. */
+  val ExtCpuCeiling = 0.15
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,8 +102,10 @@ object Bench {
     // the run still lands on a sample — and one AFTER. All samples are
     // taken OUTSIDE the per-query timers.
     val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val cpuMarks = scala.collection.mutable.ArrayBuffer[Option[(Long, Long, Long)]]()
     calibSec(spark)
-    calibSamples += calibSec(spark)
+    calibSamples += calibSample(spark)
+    cpuMarks += cpuStat()
     // Optional comma-separated subset for local iteration (driver leaves unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Optional per-query repeat count: report the MEDIAN of n runs inside
@@ -83,7 +123,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
       .map { case ((name, fn), i) =>
-      if (i > 0 && i % CalibEvery == 0) calibSamples += calibSec(spark)
+      if (i > 0 && i % CalibEvery == 0) {
+        calibSamples += calibSample(spark)
+        cpuMarks += cpuStat()
+      }
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -94,17 +137,31 @@ object Bench {
       }
       name -> median(times)
     }.toMap
-    calibSamples += calibSec(spark)
+    calibSamples += calibSample(spark)
+    cpuMarks += cpuStat()
     val idleRef = calibIdleRef(cpus.toInt)
-    val polluted = calibSamples.exists(_ > idleRef * PollutionFactor)
+    // PRIMARY rule: any inter-mark interval where other processes held
+    // > ExtCpuCeiling of the box. Timing-probe rule is the fallback for
+    // environments without /proc (and stays in the artifact for eyes).
+    val extShares: Seq[Option[Double]] =
+      cpuMarks.toList.sliding(2).toList.collect {
+        case List(a, b) => extShare(a, b)
+      }
+    val extAvailable = extShares.nonEmpty && extShares.forall(_.isDefined)
+    val polluted =
+      if (extAvailable) extShares.flatten.exists(_ > ExtCpuCeiling)
+      else calibSamples.exists(_ > idleRef * PollutionFactor)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val calibJson = calibSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val extJson = extShares.map(_.map(v => f"$v%.3f").getOrElse("null"))
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","calib_pre":${calibSamples.head},"calib_post":${calibSamples.last}""" +
       s""","calib_samples":$calibJson,"calib_idle_ref":$idleRef""" +
+      s""","ext_cpu_shares":$extJson,"ext_cpu_ceiling":$ExtCpuCeiling""" +
       s""","polluted":$polluted,"errors":$errJson}""")
     spark.stop()
   }
