@@ -360,6 +360,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
     }
+    registerTable("source_overlap",
+      "source_overlap('table', 'groupCol', 'textCol', n) - exact pairwise " +
+        "n-gram-shingle Jaccard between sources (zero-overlap pairs omitted)", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Dedup.sourceOverlap(t,
+          litStr(exprs(1), "group column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "n")))
+    }
+    registerTable("source_overlap_est",
+      "source_overlap_est('table', 'groupCol', 'textCol', n, numPerms) - MinHash " +
+        "estimate of source_overlap; corpus reduces to numPerms longs per source", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Dedup.sourceOverlapMinhash(t,
+          litStr(exprs(1), "group column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "n"), litInt(exprs(4), "numPerms")))
+    }
+    registerTable("lm_score",
+      "lm_score('table', 'idCol', 'textCol', alphaMicro, keepMaxMicroPerToken) - " +
+        "self-trained add-α bigram LM perplexity filter (α in millionths, e.g. 100000 = 0.1)", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.ngramLmScore(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          alpha = litInt(exprs(3), "alphaMicro").toDouble / 1e6,
+          keepMaxMicroPerToken = litInt(exprs(4), "keepMaxMicroPerToken").toLong))
+    }
     registerTable("decontaminate",
       "decontaminate('corpus', 'idCol', 'textCol', 'evalTable', 'evalIdCol', 'evalTextCol', n, minShared)" +
         " - (doc, eval) pairs sharing >= minShared distinct word n-grams (train/test overlap sweep)", 8) {

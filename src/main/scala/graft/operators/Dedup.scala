@@ -330,6 +330,82 @@ object Dedup {
       .select(col(idCol), col("_fp").as("fp"))
   }
 
+  /** Pairwise corpus overlap between sources — the dataset-governance
+    * question "how much does source A share with source B?" answered as
+    * exact n-gram-shingle Jaccard per unordered source pair: distinct
+    * shingle-set sizes, intersection, union, and a micro-quantized
+    * Jaccard. Pairs with an empty intersection are omitted (an inner
+    * join on the shingle key — absent pair ⇒ overlap 0).
+    *
+    * Distributed shape: one scan explodes hashed shingles, deduped per
+    * (source, shingle) by a keyed distinct (map-side partial dedup —
+    * never a per-source collect); the table is persisted
+    * ([[graft.CacheScope]] contract) for its three consumers (sizes +
+    * both sides of the pair join). The self-join key is the shingle
+    * hash, whose per-key row count is bounded by the number of sources —
+    * candidate blowup is structurally impossible; the tiny per-source
+    * size table broadcasts. Docs shorter than `n` tokens contribute no
+    * shingles (and a source of only such docs, no rows). */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = graft.CacheScope.track(
+      docs.select(col(groupCol).as("_grp"),
+          explode(ShingleExprs.shingleHashes(
+            TextFunctions.tokens(col(textCol)), n)).as("_g"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = sh.groupBy(col("_grp")).agg(count(lit(1)).as("_sz"))
+    val inter = sh.select(col("_grp").as("source_a"), col("_g"))
+      .join(sh.select(col("_grp").as("source_b"), col("_g")), Seq("_g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("intersection"))
+    inter
+      .join(broadcast(sizes.select(col("_grp").as("source_a"), col("_sz").as("size_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("_grp").as("source_b"), col("_sz").as("size_b"))),
+        Seq("source_b"))
+      .withColumn("union_size", col("size_a") + col("size_b") - col("intersection"))
+      .withColumn("jaccard_micro",
+        round(lit(1e6) * col("intersection").cast("double") /
+          col("union_size").cast("double")).cast("long"))
+      .select(col("source_a"), col("source_b"), col("size_a"), col("size_b"),
+        col("intersection"), col("union_size"), col("jaccard_micro"))
+  }
+
+  /** MinHash-sketch estimate of [[sourceOverlap]] — the 100-TB path: the
+    * per-source signature is the coordinate-wise MIN of the per-document
+    * signatures (min over docs of min over doc shingles = min over the
+    * source's shingle UNION, the exact set [[sourceOverlap]] measures),
+    * so the whole corpus reduces map-side to numPerms longs per source
+    * and the shuffle carries sources×numPerms rows — no shingle-grain
+    * shuffle at any point, state bounded regardless of corpus size.
+    * `jaccard_est` = matching-coordinate fraction; expected error
+    * ~ sqrt(J(1−J)/numPerms). Every unordered source pair is emitted
+    * (unlike the exact operator, a zero-overlap pair appears with its
+    * estimate, almost surely 0). Docs below `n` tokens are filtered
+    * before sketching (their empty-set signature is the all-MaxValue
+    * sentinel, which would otherwise fake agreement between two
+    * shingle-less sources). */
+  def sourceOverlapMinhash(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int, numPerms: Int = 256, seed: Long = 42L): DataFrame = {
+    val sig = docs
+      .select(col(groupCol).as("_grp"),
+        ShingleExprs.shingleHashes(TextFunctions.tokens(col(textCol)), n).as("_sh"))
+      .filter(size(col("_sh")) >= 1)
+      .select(col("_grp"),
+        posexplode(ShingleExprs.minhashSig(col("_sh"), numPerms, seed))
+          .as(Seq("_perm", "_h")))
+      .groupBy(col("_grp"), col("_perm")).agg(min(col("_h")).as("_h"))
+    sig.select(col("_grp").as("source_a"), col("_perm"), col("_h").as("_ha"))
+      .join(sig.select(col("_grp").as("source_b"), col("_perm"), col("_h").as("_hb")),
+        Seq("_perm"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((sum(when(col("_ha") === col("_hb"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("jaccard_est"))
+  }
+
   def crossContamination(
       corpus: DataFrame,
       corpusId: String,

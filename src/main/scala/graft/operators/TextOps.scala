@@ -508,6 +508,70 @@ object TextOps {
       .withColumn("keep", col("n_blocked") === 0)
   }
 
+  /** Bigram language-model scoring — the CCNet-style perplexity filter
+    * of a curation pipeline (filter/bucket documents by how surprising
+    * they are under a language model; production pipelines use a
+    * pre-trained KenLM — here the LM is an add-α bigram model trained
+    * ON the corpus itself, so the whole train+score round trip is
+    * deterministic and oracle-replayable, and self-perplexity is the
+    * in-corpus outlier/repetition signal).
+    *
+    * Model: `P(w₁) = (c(w₁)+α)/(N+αV)`, `P(wᵢ|wᵢ₋₁) =
+    * (c(wᵢ₋₁wᵢ)+α)/(c(wᵢ₋₁)+αV)` over whitespace tokens, where `N` =
+    * total tokens, `V` = vocabulary size. Per document: `n_tokens`,
+    * `nll_micro` = Σ round(10⁶·−ln P) (per-token quantization makes the
+    * sum order-free and replayable — the q72 BM25 convention), and
+    * `keep` = `nll_micro ≤ keepMaxMicroPerToken·n_tokens` (the mean-NLL
+    * budget, compared in exact integer arithmetic — no division).
+    *
+    * Distributed shape: one corpus scan explodes (pos, cur, prev)
+    * events (prev rides the projected token array — no window, no
+    * self-join on position); the event table is persisted
+    * ([[CacheScope]]-tracked) because four consumers read it: the
+    * unigram aggregation, the bigram aggregation, and the two scoring
+    * branches. Both model tables are map-side-combined keyed aggs —
+    * state bounded by vocab (unigrams) and corpus-distinct bigrams, the
+    * same scale story as any term aggregation; scoring joins events to
+    * the bigram model on (prev,cur) — a plain shuffle hash join at
+    * model scale, broadcast when the model is small — and to the
+    * vocab-sized unigram table; the 1-row (N, V) stats frame
+    * broadcasts. Self-trained ⇒ every event hits its model row, so the
+    * joins are inner by construction. */
+  def ngramLmScore(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.1,
+      keepMaxMicroPerToken: Long = 10000000L): DataFrame = {
+    require(alpha > 0, "alpha > 0 (unsmoothed zero-probability events have no finite NLL)")
+    val ev = CacheScope.track(
+      docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+        .select(col(idCol), col("_toks"),
+          posexplode(col("_toks")).as(Seq("_p", "_cur")))
+        .select(col(idCol), col("_p"), col("_cur"),
+          when(col("_p") > 0, element_at(col("_toks"), col("_p"))).as("_prev"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val uni = ev.groupBy(col("_cur").as("_w")).agg(count(lit(1)).as("_cu"))
+    val stats = uni.agg(sum(col("_cu")).as("_n"), count(lit(1)).as("_v"))
+    val bi = ev.filter(col("_p") > 0)
+      .groupBy(col("_prev").as("_bp"), col("_cur").as("_bc"))
+      .agg(count(lit(1)).as("_cb"))
+    def nllMicro(c: Column, den: Column): Column =
+      round(lit(1e6) * -log((c.cast("double") + lit(alpha)) /
+        (den.cast("double") + lit(alpha) * col("_v").cast("double")))).cast("long")
+    val first = ev.filter(col("_p") === 0)
+      .join(uni, col("_cur") === col("_w"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), nllMicro(col("_cu"), col("_n")).as("_nll"))
+    val rest = ev.filter(col("_p") > 0)
+      .join(bi, col("_prev") === col("_bp") && col("_cur") === col("_bc"))
+      .join(uni, col("_prev") === col("_w"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), nllMicro(col("_cb"), col("_cu")).as("_nll"))
+    first.unionByName(rest)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_nll")).as("nll_micro"))
+      .withColumn("keep",
+        col("nll_micro") <= lit(keepMaxMicroPerToken) * col("n_tokens"))
+  }
+
   /** Redact emails and phone numbers from a text column, counting each —
     * the PII-scrub stage of a curation pipeline. Emails are replaced
     * first (their local parts may contain digits/dashes that would

@@ -121,7 +121,14 @@ object DedupQueries {
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", seen, "fp")
   }
 
+  // Pairwise source overlap (dataset governance): exact bigram-shingle
+  // Jaccard per source pair — 20 sources, 190 pairs, natural cross-source
+  // bigram overlap ~500 shingles per pair at the gate SF.
+  def q93SourceOverlap(s: SparkSession, d: String): DataFrame =
+    Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", n = 2)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_source_overlap" -> q93SourceOverlap,
     "q90_incremental_dedup" -> q90IncrementalDedup,
     "q40_dedup_exact" -> q40DedupExact,
     "q41_dedup_minhash" -> q41DedupMinhash,
@@ -160,6 +167,23 @@ object DedupQueries {
           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= $thr"""
 
   val oracles: Map[String, String] = Map(
+    "q93_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(trim(text), ' ') AS toks FROM documents),
+         g AS (SELECT DISTINCT source, array_to_string(toks[k.k + 1 : k.k + 2], ' ') AS sh
+               FROM t JOIN (SELECT unnest(generate_series(0,
+                 (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+                 ON k.k <= len(toks) - 2),
+         sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY source),
+         iv AS (SELECT a.source AS source_a, b.source AS source_b,
+                  CAST(count(*) AS BIGINT) AS intersection
+                FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+                GROUP BY 1, 2)
+         SELECT iv.source_a, iv.source_b, sa.sz AS size_a, sb.sz AS size_b,
+           iv.intersection, sa.sz + sb.sz - iv.intersection AS union_size,
+           CAST(round(1000000.0 * CAST(iv.intersection AS DOUBLE) /
+             CAST(sa.sz + sb.sz - iv.intersection AS DOUBLE)) AS BIGINT) AS jaccard_micro
+         FROM iv JOIN sz sa ON iv.source_a = sa.source
+           JOIN sz sb ON iv.source_b = sb.source""",
     "q40_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id
          FROM (SELECT doc_id, text FROM documents

@@ -268,7 +268,16 @@ object TextQueries {
     graft.operators.TextOps.dedupParagraphs(aug, "doc_id", "text")
   }
 
+  // Bigram-LM perplexity scoring (CCNet-style quality filter): add-α
+  // self-trained model, per-token quantized NLL, integer keep budget at
+  // 3.4 nats/token ≈ the corpus median (measured 3.40M micro-nats at
+  // both sf0.001 and sf0.01) so both keep classes stay populated.
+  def q92LmScore(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.ngramLmScore(Tables.documents(s, d), "doc_id", "text",
+      alpha = 0.1, keepMaxMicroPerToken = 3400000L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_lm_score" -> q92LmScore,
     "q83_normalize_unicode" -> q83NormalizeUnicode,
     "q86_url_blocklist" -> q86UrlBlocklist,
     "q88_paragraph_dedup" -> q88ParagraphDedup,
@@ -339,6 +348,35 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q92_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         ev AS (
+           SELECT doc_id, CAST(k.k AS BIGINT) AS p, toks[k.k + 1] AS cur,
+             CASE WHEN k.k > 0 THEN toks[k.k] END AS prev
+           FROM t JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+             ON k.k < len(toks)),
+         uni AS (SELECT cur AS w, CAST(count(*) AS BIGINT) AS cu FROM ev GROUP BY cur),
+         st AS (SELECT CAST(sum(cu) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uni),
+         bi AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+                FROM ev WHERE p > 0 GROUP BY prev, cur),
+         sc AS (
+           SELECT ev.doc_id,
+             CAST(round(1000000.0 * -ln((CAST(u.cu AS DOUBLE) + 0.1) /
+               (CAST(st.n AS DOUBLE) + 0.1 * CAST(st.v AS DOUBLE)))) AS BIGINT) AS nll
+           FROM ev JOIN uni u ON ev.cur = u.w CROSS JOIN st WHERE ev.p = 0
+           UNION ALL
+           SELECT ev.doc_id,
+             CAST(round(1000000.0 * -ln((CAST(bi.cb AS DOUBLE) + 0.1) /
+               (CAST(u.cu AS DOUBLE) + 0.1 * CAST(st.v AS DOUBLE)))) AS BIGINT) AS nll
+           FROM ev JOIN bi ON ev.prev = bi.prev AND ev.cur = bi.cur
+             JOIN uni u ON ev.prev = u.w CROSS JOIN st WHERE ev.p > 0),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(nll) AS BIGINT) AS nll_micro
+                 FROM sc GROUP BY doc_id)
+         SELECT doc_id, n_tokens, nll_micro,
+           nll_micro <= 3400000 * n_tokens AS keep
+         FROM agg""",
     "q88_paragraph_dedup" ->
       """WITH aug AS (
            SELECT doc_id, text || '. shared sentence alpha variant ' || (doc_id % 5) ||

@@ -261,6 +261,33 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM url_blocklist('ub_tvf_t', 'doc_id', 'text', 'bad.com')")
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(ub == Map(1L -> false, 2L -> true))
+    // lm_score: SQL TVF equals the Column API (α rides as millionths)
+    Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text").createOrReplaceTempView("lm_tvf_t")
+    val lmSql = spark.sql(
+      "SELECT * FROM lm_score('lm_tvf_t', 'doc_id', 'text', 500000, 2000000)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val lmApi = graft.operators.TextOps.ngramLmScore(
+        Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text"),
+        "doc_id", "text", alpha = 0.5, keepMaxMicroPerToken = 2000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    graft.CacheScope.release()
+    assert(lmSql == lmApi && lmSql.size == 3)
+  }
+
+  test("governance TVFs: source_overlap exact + estimate from plain SQL") {
+    import spark.implicits._
+    Seq(("A", (1 to 61).map(i => s"t$i").mkString(" ")),
+        ("B", (31 to 91).map(i => s"t$i").mkString(" ")))
+      .toDF("src", "text").createOrReplaceTempView("so_tvf_t")
+    val ex = spark.sql("SELECT * FROM source_overlap('so_tvf_t', 'src', 'text', 2)")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSeq
+    graft.CacheScope.release()
+    assert(ex == Seq(("A", "B", 30L)))
+    val est = spark.sql(
+      "SELECT * FROM source_overlap_est('so_tvf_t', 'src', 'text', 2, 512)")
+      .collect().map(_.getDouble(2))
+    assert(est.length == 1 && math.abs(est.head - 1.0 / 3) < 0.085)
   }
 
   test("ANN family TVFs: similarity search from plain SQL, identical to the Column API") {

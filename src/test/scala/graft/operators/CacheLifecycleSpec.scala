@@ -74,6 +74,19 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap releases its distinct shingle table") {
+    assertReleasedAfter(expectTracked = true) {
+      Dedup.sourceOverlap(Tables.documents(spark, sf).select("source", "text"),
+        "source", "text", n = 2).count()
+    }
+  }
+
+  test("ngramLmScore releases its event table") {
+    assertReleasedAfter(expectTracked = true) {
+      TextOps.ngramLmScore(docs, "doc_id", "text").count()
+    }
+  }
+
   test("bm25Search releases its pruned token projection") {
     assertReleasedAfter(expectTracked = true) {
       TextOps.bm25Search(docs, "doc_id", "text", Seq("spark", "table"), k = 5).count()

@@ -116,4 +116,48 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("sourceOverlap: exact counts on a planted token-chain corpus; minhash estimate inside 4σ") {
+    // A = bigrams t1t2..t60t61 (60), B = t31t32..t90t91 (60), shared 30
+    // (t31t32..t60t61) → J = 30/90 = 1/3. C is all-short docs (no shingles).
+    val docs = Seq(
+      ("A", (1 to 61).map(i => s"t$i").mkString(" ")),
+      ("B", (31 to 91).map(i => s"t$i").mkString(" ")),
+      ("C", "solo")).toDF("source", "text")
+    val exact = Dedup.sourceOverlap(docs, "source", "text", n = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    graft.CacheScope.release()
+    // C emits no shingles → appears in no pair; A-B exact by construction
+    assert(exact.keySet == Set(("A", "B")))
+    assert(exact(("A", "B")) == ((60L, 60L, 30L, 90L,
+      math.round(1e6 * 30.0 / 90.0))))
+    val est = Dedup.sourceOverlapMinhash(docs, "source", "text", n = 2,
+        numPerms = 512)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    // every unordered pair of SKETCHED sources appears; C filtered out
+    assert(est.keySet == Set(("A", "B")))
+    // std = sqrt(J(1-J)/512) ≈ 0.021 → 4σ ≈ 0.083
+    assert(math.abs(est(("A", "B")) - 1.0 / 3.0) < 0.085,
+      s"estimate ${est(("A", "B"))} too far from 1/3")
+  }
+
+  test("sourceOverlapMinhash matches sourceOverlap within 4σ on the gate corpus") {
+    val docs = graft.Tables.documents(spark, sf).select("source", "text")
+    val exact = Dedup.sourceOverlap(docs, "source", "text", n = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(6).toDouble / 1e6)).toMap
+    graft.CacheScope.release()
+    val est = Dedup.sourceOverlapMinhash(docs, "source", "text", n = 2,
+        numPerms = 256)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(est.size >= exact.size) // est also emits zero-overlap pairs
+    // per-pair binomial bound: 4·sqrt(J(1−J)/numPerms), floored at 0.02
+    exact.foreach { case (pair, j) =>
+      val bound = math.max(0.02, 4.0 * math.sqrt(j * (1 - j) / 256.0))
+      assert(math.abs(est(pair) - j) < bound,
+        s"$pair: est ${est(pair)} vs exact $j (bound $bound)")
+    }
+  }
 }

@@ -301,4 +301,33 @@ class TextOpsSpec extends SparkSpec {
       assert(cov(i.toLong) == ((6L, 0L, Some(0.0))), s"doc $i")
     }
   }
+
+  test("ngramLmScore: hand-computed add-α bigram NLL on a 3-doc corpus") {
+    // corpus: N=7 tokens, V={a,b,c}, uni a:3 b:3 c:1; bigrams (a,b):3 (b,a):1
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val a = 0.5
+    // the operator's exact expression shape: (c+α)/(den+α·V), one division
+    def m(c: Double, den: Double) =
+      math.round(1e6 * -math.log((c + a) / (den + a * 3.0)))
+    val pFirstA = m(3, 7); val pFirstC = m(1, 7) // den = N for first tokens
+    val pAB = m(3, 3); val pBA = m(1, 3)         // den = c(prev)
+    val expected = Map(
+      1L -> (4L, pFirstA + pAB + pBA + pAB),
+      2L -> (2L, pFirstA + pAB),
+      3L -> (1L, pFirstC))
+    // budget between doc 2's mean (lowest: common transitions) and doc 3's
+    // (highest: rare unigram) — both keep classes populated
+    val tau = (expected(2L)._2 / 2 + expected(3L)._2) / 2
+    val out = TextOps.ngramLmScore(docs, "doc_id", "text", alpha = a,
+      keepMaxMicroPerToken = tau)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    graft.CacheScope.release()
+    expected.foreach { case (id, (n, nll)) =>
+      assert(out(id)._1 == n, s"doc $id n_tokens")
+      assert(out(id)._2 == nll, s"doc $id nll_micro")
+      assert(out(id)._3 == (nll <= tau * n), s"doc $id keep")
+    }
+    assert(out(2L)._3 && !out(3L)._3, "budget must split the corpus")
+  }
 }
