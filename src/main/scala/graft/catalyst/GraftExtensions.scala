@@ -360,6 +360,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
     }
+    registerTable("bpe_train",
+      "bpe_train('table', 'textCol', numMerges) - learn a BPE merge table " +
+        "(rank, left, right, pair_count) from the corpus word frequencies", 3) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Bpe.bpeTrain(t,
+          litStr(exprs(1), "text column"), litInt(exprs(2), "numMerges")))
+    }
+    registerTable("bpe_encode",
+      "bpe_encode('table', 'idCol', 'textCol', 'mergesTable') - per-doc " +
+        "(n_words, n_subwords) under a trained BPE merge table", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        val m = SparkSession.active.table(litStr(exprs(3), "merges table"))
+        expand(graft.operators.Bpe.bpeEncode(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"), m))
+    }
     registerTable("source_overlap",
       "source_overlap('table', 'groupCol', 'textCol', n) - exact pairwise " +
         "n-gram-shingle Jaccard between sources (zero-overlap pairs omitted)", 4) {

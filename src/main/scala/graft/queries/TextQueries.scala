@@ -276,7 +276,18 @@ object TextQueries {
     graft.operators.TextOps.ngramLmScore(Tables.documents(s, d), "doc_id", "text",
       alpha = 0.1, keepMaxMicroPerToken = 3400000L)
 
+  // BPE tokenizer: train 20 merges on the corpus, then per-doc subword
+  // budget accounting. Deterministic end to end (count-desc/lex tie-break)
+  // but not SQL-replayable (iterative merges) → rows-only gate; the
+  // exactness oracle is BpeSpec's independent reference implementation.
+  def q94Bpe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.Bpe.bpeTrain(docs, "text", numMerges = 20)
+    graft.operators.Bpe.bpeEncode(docs, "doc_id", "text", merges)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_bpe" -> q94Bpe,
     "q92_lm_score" -> q92LmScore,
     "q83_normalize_unicode" -> q83NormalizeUnicode,
     "q86_url_blocklist" -> q86UrlBlocklist,

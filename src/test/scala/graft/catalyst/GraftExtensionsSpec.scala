@@ -275,6 +275,21 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lmSql == lmApi && lmSql.size == 3)
   }
 
+  test("BPE TVFs: bpe_train + bpe_encode compose in plain SQL") {
+    import spark.implicits._
+    Seq((1L, "low low lower"), (2L, "lowest low"))
+      .toDF("doc_id", "text").createOrReplaceTempView("bpe_tvf_t")
+    spark.sql("SELECT * FROM bpe_train('bpe_tvf_t', 'text', 5)")
+      .createOrReplaceTempView("bpe_merges_t")
+    assert(spark.table("bpe_merges_t").columns.toSeq ==
+      Seq("rank", "left", "right", "pair_count"))
+    val enc = spark.sql(
+      "SELECT * FROM bpe_encode('bpe_tvf_t', 'doc_id', 'text', 'bpe_merges_t')")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(enc(1L)._1 == 3L && enc(2L)._1 == 2L)
+    assert(enc.values.forall { case (nw, ns) => ns >= nw })
+  }
+
   test("governance TVFs: source_overlap exact + estimate from plain SQL") {
     import spark.implicits._
     Seq(("A", (1 to 61).map(i => s"t$i").mkString(" ")),
