@@ -360,6 +360,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
     }
+    registerTable("diversity_sample",
+      "diversity_sample('table', 'idCol', 'vecCol', nClusters, perCluster) - " +
+        "k-means cluster-balanced draw over an embedding column", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Embeddings.diversitySample(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "vector column"),
+          litInt(exprs(3), "nClusters"), litInt(exprs(4), "perCluster")))
+    }
     registerTable("bpe_train",
       "bpe_train('table', 'textCol', numMerges) - learn a BPE merge table " +
         "(rank, left, right, pair_count) from the corpus word frequencies", 3) {

@@ -419,4 +419,30 @@ object Embeddings {
             x => abs(x - codeOf(x).cast("double") * col("_scale")))))
           .as("max_err"))
   }
+
+  /** Semantic-diversity sampling — uniform coverage of the embedding
+    * space instead of frequency-weighted draws: k-means the corpus
+    * ([[coarseTrain]] — hash-seeded init + Lloyd rounds, deterministic),
+    * assign every row its cluster in one argmax pass, then keep
+    * `perCluster` rows per cluster under the content-hash total order
+    * ([[graft.operators.Relational.quotaSampleByHash]]). A 100-point
+    * cluster and a 10-point cluster contribute the SAME sample mass, so
+    * dominant modes of the corpus stop dominating the sample — the
+    * cluster-balanced curation draw for training-data mixtures.
+    *
+    * Output: `(cluster, idCol)`. Shapes: training is one model fetch
+    * per Lloyd round; assignment is a projection (centroid matrix rides
+    * as a literal); the quota draw is the single-shuffle bounded-state
+    * aggregation — nothing scales with corpus size except the one keyed
+    * agg. */
+  def diversitySample(emb: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, perCluster: Int, iters: Int = 2): DataFrame = {
+    require(nClusters >= 1 && perCluster >= 1, "nClusters, perCluster >= 1")
+    val c = emb.select(col(idCol).as("_id"), VectorExprs.unitVec(col(vecCol)).as("_v"))
+    val cent = coarseTrain(c, nClusters, iters)
+    val assigned = c
+      .withColumn("cluster", VectorExprs.nearestCentroidsL2(col("_v"), cent, 1).getItem(0))
+      .select(col("cluster"), col("_id").as(idCol))
+    Relational.quotaSampleByHash(assigned, "cluster", idCol, perCluster)
+  }
 }

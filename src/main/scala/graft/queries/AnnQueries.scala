@@ -85,7 +85,16 @@ object AnnQueries {
       emb, queriesSubset(s, d), "vec_id", "embedding", k = 5, shortlist = 100, model)
   }
 
+  // Semantic-diversity sample: 8 k-means clusters over the embedding
+  // space, 5 content-hash-ordered rows kept per cluster — deterministic
+  // but k-means is not SQL-replayable → rows-only gate; the balance and
+  // determinism laws live in EmbeddingsSpec.
+  def q95DiversitySample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Embeddings.diversitySample(
+      Tables.embeddings(s, d), "vec_id", "embedding", nClusters = 8, perCluster = 5)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_diversity_sample" -> q95DiversitySample,
     "q91_ann_pca" -> q91AnnPca,
     "q50_ann_brute" -> q50AnnBrute,
     "q51_ann_lsh" -> q51AnnLsh,

@@ -275,6 +275,18 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lmSql == lmApi && lmSql.size == 3)
   }
 
+  test("diversity_sample TVF equals the Column API draw") {
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("ds_tvf_t")
+    val viaSql = spark.sql(
+      "SELECT * FROM diversity_sample('ds_tvf_t', 'vec_id', 'embedding', 4, 3)")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val viaApi = graft.operators.Embeddings.diversitySample(
+        spark.table("ds_tvf_t"), "vec_id", "embedding", 4, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(viaSql == viaApi && viaSql.size == 12)
+  }
+
   test("BPE TVFs: bpe_train + bpe_encode compose in plain SQL") {
     import spark.implicits._
     Seq((1L, "low low lower"), (2L, "lowest low"))

@@ -168,4 +168,37 @@ class EmbeddingsSpec extends SparkSpec {
     assert(r16 >= r4, "more retained variance must not lose recall")
     assert(r16 >= 0.9, f"kDims=16 shortlist=100 recall floor broken: $r16%.3f")
   }
+
+  test("diversitySample: cluster-balanced draw from a deliberately skewed corpus") {
+    import spark.implicits._
+    // two tight, well-separated modes with 10:1 mass skew — a frequency
+    // draw would sample ~10:1; the diversity draw must be 5:5
+    def jitter(i: Long, dim: Int): Double = ((i * 31 + dim * 17) % 7) * 1e-3
+    val heavy = (1L to 100L).map(i => (i, Array(1.0 + jitter(i, 0), jitter(i, 1), 0.0)))
+    val light = (101L to 110L).map(i => (i, Array(jitter(i, 0), 1.0 + jitter(i, 1), 0.0)))
+    val emb = (heavy ++ light).toDF("vec_id", "embedding")
+    val sample = Embeddings.diversitySample(emb, "vec_id", "embedding",
+        nClusters = 2, perCluster = 5, iters = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sample.length == 10, s"expected 5 per cluster × 2: ${sample.toSeq}")
+    val byCluster = sample.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byCluster.values.forall(_.size == 5))
+    // clusters must separate the modes: no cluster mixes heavy and light ids
+    byCluster.values.foreach { ids =>
+      assert(ids.forall(_ <= 100L) || ids.forall(_ > 100L),
+        s"cluster mixes modes: $ids")
+    }
+    // deterministic across runs
+    val again = Embeddings.diversitySample(emb, "vec_id", "embedding",
+        nClusters = 2, perCluster = 5, iters = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sample.sorted.toSeq == again.sorted.toSeq)
+    // quota caps the heavy cluster at 50; the light cluster (10 rows)
+    // contributes everything it has
+    val tiny = Embeddings.diversitySample(emb, "vec_id", "embedding",
+        nClusters = 2, perCluster = 50, iters = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(tiny.values.toSeq.sorted == Seq(10, 50), s"got $tiny")
+  }
 }
