@@ -99,7 +99,21 @@ object DumpPlans {
        DedupQueries.q90IncrementalDedup(spark, d)),
       ("q85_bm25_batch",
        "BM25 batch arm (10k-term sweeps): corpus stats from a column-pruned id+length scan (1-row broadcast frame, the one legitimate BNLJ); the scoring pass explodes tokens and BroadcastHashJoins the deduplicated terms table, so non-matching tokens die at the probe — shuffled volume tracks matches, cost tracks corpus tokens, never query size. Final TakeOrderedAndProject partial top-k.",
-       TextQueries.q85Bm25Batch(spark, d)))
+       TextQueries.q85Bm25Batch(spark, d)),
+      ("q92_lm_score",
+       "Bigram-LM perplexity: ONE cached (pos,cur,prev) event explode (InMemoryRelation) feeds the unigram agg, the bigram agg, and both scoring branches; scoring joins hit the model tables on their keys (broadcast at this model size, plain shuffle hash joins at vocab scale) and the 1-row (N,V) stats frame broadcasts; final keyed agg per doc. No Window, no per-row UDF, model state bounded by vocab/bigram counts.",
+       TextQueries.q92LmScore(spark, d)),
+      ("q93_source_overlap",
+       "Source overlap: distinct (source, shingle-hash) aggregation (map-side partial dedup), then a self-equi-join ON THE SHINGLE HASH — per-key rows bounded by #sources, so candidate blowup is structurally impossible; the per-source size table broadcasts twice. Jaccard is a projection over exact longs.",
+       DedupQueries.q93SourceOverlap(spark, d)),
+      ("q95_diversity_sample",
+       "Diversity sample: centroid matrix rides as a literal in one argmax Project (no corpus x centroid explode), then the bounded-state quota draw — ObjectHashAggregate whose partial state is <= perCluster pairs per cluster, one stratum shuffle, no Window.",
+       AnnQueries.q95DiversitySample(spark, d)),
+      ("q94_bpe_encode",
+       "BPE encode (train is a driver LOOP, not one plan: numMerges rounds of vocab-sized pair aggs, localCheckpoint lineage truncation, a 1-row argmax collect per round). The encode plan here: greedy merge UDF runs once per DISTINCT word over the aggregated dictionary — never corpus rows; docs explode tokens and equi-join the dictionary (broadcast at this size); final per-doc keyed agg.",
+       { val docs = graft.Tables.documents(spark, d)
+         graft.operators.Bpe.bpeEncode(docs, "doc_id", "text",
+           graft.operators.Bpe.bpeTrain(docs, "text", numMerges = 20)) }))
     val sb = new StringBuilder
     sb.append("# PLANS — annotated `.explain(\"formatted\")` for headline queries\n\n")
     sb.append("> Regenerate: `sbt \"runMain graft.tools.DumpPlans\"` (written by that main).\n")

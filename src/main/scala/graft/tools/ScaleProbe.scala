@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Bpe, Dedup, Embeddings, Relational, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -273,6 +273,44 @@ object ScaleProbe {
     time("quota sample 10x hot stratum (window sort)")(quotaWindow(hotStratum(10)))
     time("quota sample 10x hot stratum (bounded agg)")(
       Relational.quotaSampleByHash(hotStratum(10), "stratum", "doc_id", 20).count())
+
+    // --- bigram-LM perplexity: event volume scales linearly; model joins
+    // stay keyed aggs + equi-joins, so wall should track input ~10x ------
+    time("lm score 1x")(
+      TextOps.ngramLmScore(docsX(1), "doc_id", "text").count())
+    time("lm score 10x")(
+      TextOps.ngramLmScore(docsX(10), "doc_id", "text").count())
+
+    // --- source overlap: 10x sources => ~100x PAIRS but the join stays
+    // keyed on the shingle hash (per-key rows = #sources) — the pair agg,
+    // not a candidate explosion, carries the growth. Minhash arm reduces
+    // to numPerms longs per source before any shuffle ---------------------
+    def docsSrc(k: Int): DataFrame = {
+      val base = graft.Tables.documents(spark, sfDir).select("source", "text")
+      (0 until k).map(i => base.select(
+        concat(col("source"), lit(s"_$i")).as("source"), col("text")))
+        .reduce(_ unionByName _)
+    }
+    time("source overlap exact 1x (20 sources)")(
+      Dedup.sourceOverlap(docsSrc(1), "source", "text", 2).count())
+    time("source overlap exact 10x (200 sources)")(
+      Dedup.sourceOverlap(docsSrc(10), "source", "text", 2).count())
+    time("source overlap minhash 10x (200 sources)")(
+      Dedup.sourceOverlapMinhash(docsSrc(10), "source", "text", 2).count())
+
+    // --- BPE train: corpus volume hits ONLY the first (word,freq) agg;
+    // rounds are vocab-bound, so 10x corpus should be far from 10x wall --
+    time("bpe train 1x (20 merges)")(
+      Bpe.bpeTrain(docsX(1), "text", 20).count())
+    time("bpe train 10x (20 merges; vocab-bound rounds)")(
+      Bpe.bpeTrain(docsX(10), "text", 20).count())
+
+    // --- diversity sample: assignment is a projection; the quota draw is
+    // the bounded-state agg — linear scan, single stratum shuffle --------
+    time("diversity sample 1x")(
+      Embeddings.diversitySample(embX(1), "vec_id", "embedding", 8, 5).count())
+    time("diversity sample 10x")(
+      Embeddings.diversitySample(embX(10), "vec_id", "embedding", 8, 5).count())
 
     spark.stop()
   }

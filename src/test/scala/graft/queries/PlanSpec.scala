@@ -190,4 +190,42 @@ class PlanSpec extends SparkSpec {
     assert(parts >= spark.sparkContext.defaultParallelism / 2,
       s"codec stage would run on $parts partition(s) — repartition lost")
   }
+
+  test("q92 LM score: one cached event explode, no Window, stats frame is the only BNLJ") {
+    val p = TextQueries.q92LmScore(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    assert(p.contains("InMemoryTableScan"),
+      "the (pos,cur,prev) event table must be persisted — four consumers")
+    assert(p.split("BroadcastNestedLoopJoin").length <= 3,
+      "only the two 1-row (N,V) stats-frame crosses may be BNLJs")
+    assert(!p.contains("SortMergeJoin"),
+      "model joins must hash-join (broadcast at gate scale)")
+  }
+
+  test("q93 source overlap: self-join keyed on the shingle hash — no cartesian, no window") {
+    val p = plan(DedupQueries.q93SourceOverlap(spark, sf))
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the pair stage must stay an equi-join on the shingle hash")
+    assert(!p.contains("Window"))
+    assert(p.contains("InMemoryTableScan"),
+      "the distinct (source, shingle) table must be persisted — three consumers")
+  }
+
+  test("q95 diversity sample: literal-centroid assignment + bounded agg — no explode, no window") {
+    // simple mode: each node appears once (the q85 pin's convention)
+    val p = AnnQueries.q95DiversitySample(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Window"),
+      "the quota draw must be the bounded-state aggregation, not a window sort")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      "per-cluster top-k state must reduce map-side")
+    assert(p.split("Generate").length == 2,
+      "exactly one Generate expected — the k-sized top-k unpack AFTER the agg; " +
+        "assignment itself must be an argmax projection, never a corpus x centroid explode")
+    assert(!p.contains("Exchange") || p.split("Exchange").length <= 3,
+      "one stratum shuffle expected")
+  }
 }
