@@ -360,6 +360,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
     }
+    registerTable("strip_spans",
+      "strip_spans('table', 'idCol', 'textCol', span, minDocs) - remove every " +
+        "token inside a corpus-common span (boilerplate removal), keep the rest", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.stripRepeatedSpans(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
+    }
     registerTable("diversity_sample",
       "diversity_sample('table', 'idCol', 'vecCol', nClusters, perCluster) - " +
         "k-means cluster-balanced draw over an embedding column", 5) {

@@ -392,6 +392,56 @@ object TextOps {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Remove corpus-common spans from every document — the ACTIONABLE
+    * sibling of [[repeatedSpans]]/[[boilerplateCoverage]]: instead of
+    * scoring documents by boilerplate, strip the boilerplate and keep
+    * the rest (the C4-style "remove the repeated line, keep the page"
+    * pass). A token is removed iff it lies inside ANY `span`-token
+    * window whose text appears in ≥ `minDocs` documents; survivors
+    * reassemble in position order. Output: `(id, clean_text, n_tokens,
+    * n_kept)` — a fully-boilerplate document keeps an empty string.
+    *
+    * Distributed shape: one positioned n-gram explode (persisted,
+    * [[CacheScope]]-tracked — the common-span aggregation and the
+    * coverage join both read it); common spans via the two-phase
+    * distinct-doc count (never an Expand); covered token positions from
+    * a span-length sequence explode, deduped by (doc, pos); survivors
+    * are a LEFT ANTI join at token grain and reassembly is the q88
+    * sorted-struct aggregation, bounded by each doc's own token count.
+    * Volume tracks corpus tokens × span — never doc pairs. */
+  def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      span: Int, minDocs: Int): DataFrame = {
+    require(span >= 1, "span >= 1")
+    require(minDocs >= 2, "minDocs >= 2")
+    val toked = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+    val grams = CacheScope.track(
+      toked.select(col(idCol),
+          posexplode(ngramArr(col("_toks"), span)).as(Seq("_gpos", "_gram")))
+        .persist(StorageLevel.MEMORY_ONLY))
+    val common = grams
+      .groupBy(col("_gram"), col(idCol)).agg(count(lit(1)).as("_occ"))
+      .groupBy(col("_gram")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_gram"))
+    val covered = grams.join(common, Seq("_gram"))
+      .select(col(idCol),
+        explode(sequence(col("_gpos"), col("_gpos") + lit(span - 1))).as("_pos"))
+      .distinct()
+    val toks = toked.select(col(idCol), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "_pos"), "left_anti")
+      .groupBy(col(idCol)).agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x("_tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toked.select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Per-document boilerplate coverage: the fraction of each document's
     * `span`-token windows that are corpus-common (appear in ≥ `minDocs`
     * docs, per [[repeatedSpans]] semantics) — the per-doc signal that

@@ -286,7 +286,15 @@ object TextQueries {
     graft.operators.Bpe.bpeEncode(docs, "doc_id", "text", merges)
   }
 
+  // Boilerplate REMOVAL (the actionable q73/q74 sibling): strip every
+  // token inside a corpus-common 5-token span, keep the rest — same
+  // injected-boilerplate convention as q73.
+  def q96StripSpans(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.stripRepeatedSpans(withBoiler(s, d), "doc_id", "text",
+      span = 5, minDocs = 10)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_strip_spans" -> q96StripSpans,
     "q94_bpe" -> q94Bpe,
     "q92_lm_score" -> q92LmScore,
     "q83_normalize_unicode" -> q83NormalizeUnicode,
@@ -359,6 +367,34 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q96_strip_spans" ->
+      s"""WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '$Boiler' ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM aug),
+         ks AS (SELECT unnest(generate_series(0,
+           (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k),
+         tok AS (SELECT doc_id, CAST(ks.k AS INT) AS pos, toks[ks.k + 1] AS tok
+                 FROM t JOIN ks ON ks.k < len(toks)),
+         g AS (SELECT doc_id, CAST(ks.k AS INT) AS gpos,
+                 array_to_string(toks[ks.k + 1 : ks.k + 5], ' ') AS gram
+               FROM t JOIN ks ON ks.k <= len(toks) - 5),
+         common AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 10),
+         cov AS (SELECT DISTINCT g.doc_id, g.gpos + o.o AS pos
+                 FROM g JOIN common USING (gram)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) o),
+         kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+                  FROM tok LEFT JOIN cov
+                    ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+                  WHERE cov.pos IS NULL),
+         reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(reb.n_kept, 0) AS n_kept
+         FROM t LEFT JOIN reb USING (doc_id)""",
     "q92_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
          ev AS (

@@ -100,6 +100,9 @@ object DumpPlans {
       ("q85_bm25_batch",
        "BM25 batch arm (10k-term sweeps): corpus stats from a column-pruned id+length scan (1-row broadcast frame, the one legitimate BNLJ); the scoring pass explodes tokens and BroadcastHashJoins the deduplicated terms table, so non-matching tokens die at the probe — shuffled volume tracks matches, cost tracks corpus tokens, never query size. Final TakeOrderedAndProject partial top-k.",
        TextQueries.q85Bm25Batch(spark, d)),
+      ("q96_strip_spans",
+       "Boilerplate removal: one persisted positioned n-gram explode feeds the two-phase common-span agg (no Expand) and the coverage join; covered positions explode a span-length sequence and dedup on (doc, pos); survivors = token-grain LEFT ANTI join; reassembly = sorted-struct agg bounded by each doc's token count. Never doc-pair-shaped, no Window.",
+       TextQueries.q96StripSpans(spark, d)),
       ("q92_lm_score",
        "Bigram-LM perplexity: ONE cached (pos,cur,prev) event explode (InMemoryRelation) feeds the unigram agg, the bigram agg, and both scoring branches; scoring joins hit the model tables on their keys (broadcast at this model size, plain shuffle hash joins at vocab scale) and the 1-row (N,V) stats frame broadcasts; final keyed agg per doc. No Window, no per-row UDF, model state bounded by vocab/bigram counts.",
        TextQueries.q92LmScore(spark, d)),

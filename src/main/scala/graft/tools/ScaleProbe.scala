@@ -274,6 +274,16 @@ object ScaleProbe {
     time("quota sample 10x hot stratum (bounded agg)")(
       Relational.quotaSampleByHash(hotStratum(10), "stratum", "doc_id", 20).count())
 
+    // --- boilerplate removal: token-grain coverage anti-join ------------
+    def boilered(k: Int): DataFrame = docsX(k).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" follow us for updates and subscribe to the newsletter")))
+        .otherwise(col("text")).as("text"))
+    time("strip spans 1x")(
+      TextOps.stripRepeatedSpans(boilered(1), "doc_id", "text", 5, 10).count())
+    time("strip spans 10x")(
+      TextOps.stripRepeatedSpans(boilered(10), "doc_id", "text", 5, 10).count())
+
     // --- bigram-LM perplexity: event volume scales linearly; model joins
     // stay keyed aggs + equi-joins, so wall should track input ~10x ------
     time("lm score 1x")(

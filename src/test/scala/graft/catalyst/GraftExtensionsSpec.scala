@@ -261,6 +261,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM url_blocklist('ub_tvf_t', 'doc_id', 'text', 'bad.com')")
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(ub == Map(1L -> false, 2L -> true))
+    // strip_spans: the shared tail drops, unique bodies survive
+    Seq((1L, "u1 a b c d e"), (2L, "u2 a b c d e"), (3L, "u3 only unique here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ss_tvf_t")
+    val ss = spark.sql(
+      "SELECT * FROM strip_spans('ss_tvf_t', 'doc_id', 'text', 5, 2)")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.CacheScope.release()
+    assert(ss == Map(1L -> "u1", 2L -> "u2", 3L -> "u3 only unique here"))
     // lm_score: SQL TVF equals the Column API (α rides as millionths)
     Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
       .toDF("doc_id", "text").createOrReplaceTempView("lm_tvf_t")

@@ -81,6 +81,12 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("stripRepeatedSpans releases its positioned n-gram table") {
+    assertReleasedAfter(expectTracked = true) {
+      TextOps.stripRepeatedSpans(docs, "doc_id", "text", span = 5, minDocs = 10).count()
+    }
+  }
+
   test("ngramLmScore releases its event table") {
     assertReleasedAfter(expectTracked = true) {
       TextOps.ngramLmScore(docs, "doc_id", "text").count()

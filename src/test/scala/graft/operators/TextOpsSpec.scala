@@ -302,6 +302,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("stripRepeatedSpans: boilerplate tokens removed, unique bodies untouched") {
+    val boiler = "follow us for updates and subscribe to the newsletter now"
+    val docs = (1 to 30).map { i =>
+      val body = (1 to 10).map(j => s"w${i}_$j").mkString(" ")
+      i.toLong -> (i match {
+        case _ if i <= 20 => s"$body $boiler" // 10 unique + 10 boiler tokens
+        case 21           => boiler           // fully boilerplate
+        case _            => body             // clean
+      })
+    }.toDF("doc_id", "text")
+    val out = TextOps.stripRepeatedSpans(docs, "doc_id", "text",
+        span = 5, minDocs = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.CacheScope.release()
+    (1 to 20).foreach { i =>
+      val (clean, n, k) = out(i.toLong)
+      assert(n == 20L && k == 10L, s"doc $i counts: $n/$k")
+      assert(clean == (1 to 10).map(j => s"w${i}_$j").mkString(" "),
+        s"doc $i must keep exactly its unique body")
+    }
+    // the all-boilerplate doc empties; its windows are the same common ones
+    assert(out(21L) == (("", 10L, 0L)))
+    (22 to 30).foreach { i =>
+      val (clean, n, k) = out(i.toLong)
+      assert(n == 10L && k == 10L && clean.nonEmpty, s"clean doc $i modified")
+    }
+  }
+
   test("ngramLmScore: hand-computed add-α bigram NLL on a 3-doc corpus") {
     // corpus: N=7 tokens, V={a,b,c}, uni a:3 b:3 c:1; bigrams (a,b):3 (b,a):1
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")

@@ -191,6 +191,17 @@ class PlanSpec extends SparkSpec {
       s"codec stage would run on $parts partition(s) — repartition lost")
   }
 
+  test("q96 strip spans: token-grain anti join over one persisted gram table — no pairs, no Window") {
+    val p = plan(TextQueries.q96StripSpans(spark, sf))
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "boilerplate removal must never be document-pair-shaped")
+    assert(p.contains("InMemoryTableScan"),
+      "the positioned n-gram explode must be persisted — two consumers")
+    assert(!p.contains("Window"), "reassembly is a sorted-struct agg, not a window sort")
+    assert(p.contains("LeftAnti"), "survivors come from a token-grain anti join")
+  }
+
   test("q92 LM score: one cached event explode, no Window, stats frame is the only BNLJ") {
     val p = TextQueries.q92LmScore(spark, sf).queryExecution
       .explainString(ExplainMode.fromString("simple"))
