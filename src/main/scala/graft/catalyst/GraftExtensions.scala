@@ -360,6 +360,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "span"), litInt(exprs(4), "minDocs")))
     }
+    registerTable("hybrid_search",
+      "hybrid_search('docs', 'idCol', 'textCol', 'term1,term2', 'emb', 'embIdCol', " +
+        "'vecCol', queryVecId, k, kEach) - BM25 + embedding-cosine reciprocal-rank fusion", 10) {
+      exprs =>
+        val docs = SparkSession.active.table(litStr(exprs(0), "docs table"))
+        val emb = SparkSession.active.table(litStr(exprs(4), "embeddings table"))
+        expand(graft.operators.Hybrid.hybridSearch(docs,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litStr(exprs(3), "query terms").split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+          emb, litStr(exprs(5), "embedding id column"), litStr(exprs(6), "vector column"),
+          litInt(exprs(7), "queryVecId").toLong,
+          litInt(exprs(8), "k"), litInt(exprs(9), "kEach")))
+    }
     registerTable("strip_spans",
       "strip_spans('table', 'idCol', 'textCol', span, minDocs) - remove every " +
         "token inside a corpus-common span (boilerplate removal), keep the rest", 5) {

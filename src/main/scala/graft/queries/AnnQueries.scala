@@ -93,7 +93,19 @@ object AnnQueries {
     graft.operators.Embeddings.diversitySample(
       Tables.embeddings(s, d), "vec_id", "embedding", nClusters = 8, perCluster = 5)
 
+  // Hybrid retrieval: BM25 (q72's 4-term query) + embedding cosine
+  // (query-by-example, vec 0) fused by reciprocal rank — both arms and
+  // the fusion are integer/rounded-deterministic, so the whole stack
+  // replays in DuckDB.
+  def q97HybridSearch(s: SparkSession, d: String): DataFrame =
+    graft.operators.Hybrid.hybridSearch(
+      Tables.documents(s, d), "doc_id", "text",
+      Seq("spark", "hash", "merge", "window"),
+      Tables.embeddings(s, d), "vec_id", "embedding", queryVecId = 0L,
+      k = 10, kEach = 20)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_hybrid_search" -> q97HybridSearch,
     "q95_diversity_sample" -> q95DiversitySample,
     "q91_ann_pca" -> q91AnnPca,
     "q50_ann_brute" -> q50AnnBrute,
@@ -106,6 +118,44 @@ object AnnQueries {
 
   // q51/q52 are approximate → rows-only checks (no oracle entries).
   val oracles: Map[String, String] = Map(
+    "q97_hybrid_search" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+         tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                WHERE tok IN ('spark', 'hash', 'merge', 'window')
+                GROUP BY doc_id, tok),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         c AS (
+           SELECT tf.doc_id,
+             CAST(round(1000000.0 * (
+               ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+                  (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                    (CAST(dl.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+             )) AS BIGINT) AS c
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         ),
+         lexall AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+                    FROM c GROUP BY doc_id),
+         lex AS (SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank_lex
+                 FROM lexall ORDER BY score_micro DESC, doc_id LIMIT 20),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         sem AS (SELECT vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY round(list_cosine_similarity(qv, v), 5) DESC, vec_id) AS INT) AS rank_sem
+                 FROM e CROSS JOIN q WHERE vec_id <> 0
+                 ORDER BY round(list_cosine_similarity(qv, v), 5) DESC, vec_id LIMIT 20),
+         fused AS (
+           SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex.rank_lex, sem.rank_sem,
+             COALESCE(CAST(round(1000000.0 / (60 + lex.rank_lex)) AS BIGINT), 0) +
+             COALESCE(CAST(round(1000000.0 / (60 + sem.rank_sem)) AS BIGINT), 0) AS rrf_micro
+           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         SELECT doc_id, rank_lex, rank_sem, rrf_micro FROM fused
+         ORDER BY rrf_micro DESC, doc_id LIMIT 10""",
     "q57_embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          sc AS (

@@ -283,6 +283,25 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lmSql == lmApi && lmSql.size == 3)
   }
 
+  test("hybrid_search TVF equals the Column API fusion") {
+    import spark.implicits._
+    Seq((1L, "alpha beta alpha"), (2L, "alpha only here"), (3L, "unrelated text"))
+      .toDF("doc_id", "text").createOrReplaceTempView("hy_docs_t")
+    Seq((0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)),
+        (2L, Array(0.0, 1.0)), (3L, Array(0.8, 0.2)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("hy_emb_t")
+    val viaSql = spark.sql(
+      "SELECT * FROM hybrid_search('hy_docs_t', 'doc_id', 'text', 'alpha,beta', " +
+        "'hy_emb_t', 'vec_id', 'embedding', 0, 3, 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val viaApi = graft.operators.Hybrid.hybridSearch(
+        spark.table("hy_docs_t"), "doc_id", "text", Seq("alpha", "beta"),
+        spark.table("hy_emb_t"), "vec_id", "embedding", 0L, k = 3, kEach = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    graft.CacheScope.release()
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("diversity_sample TVF equals the Column API draw") {
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .createOrReplaceTempView("ds_tvf_t")
