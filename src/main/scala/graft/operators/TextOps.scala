@@ -585,34 +585,64 @@ object TextOps {
     * the bigram model on (prev,cur) — a plain shuffle hash join at
     * model scale, broadcast when the model is small — and to the
     * vocab-sized unigram table; the 1-row (N, V) stats frame
-    * broadcasts. Self-trained ⇒ every event hits its model row, so the
-    * joins are inner by construction. */
+    * broadcasts. Model joins are LEFT with counts coalesced to 0, so an
+    * event the model never saw scores P = α/(c+αV) — the add-α law —
+    * rather than silently dropping (self-trained, every event matches
+    * and the left joins behave as inner). */
   def ngramLmScore(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.1,
       keepMaxMicroPerToken: Long = 10000000L): DataFrame = {
-    require(alpha > 0, "alpha > 0 (unsmoothed zero-probability events have no finite NLL)")
     val ev = CacheScope.track(
-      docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
-        .select(col(idCol), col("_toks"),
-          posexplode(col("_toks")).as(Seq("_p", "_cur")))
-        .select(col(idCol), col("_p"), col("_cur"),
-          when(col("_p") > 0, element_at(col("_toks"), col("_p"))).as("_prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val uni = ev.groupBy(col("_cur").as("_w")).agg(count(lit(1)).as("_cu"))
+      lmEvents(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK))
+    lmScoreTail(ev, ev, idCol, alpha, keepMaxMicroPerToken)
+  }
+
+  /** [[ngramLmScore]] with the model trained on a separate STATIC
+    * corpus: score `score` (batch or a STREAM — every stage on the
+    * score side is a stateless projection, stream-static left join, or
+    * the final per-doc aggregation) under the add-α bigram model of
+    * `train`. Unseen words/bigrams score `P = α/(c+αV)` via the
+    * coalesced left joins — the correct smoothed probability, so a
+    * frozen yesterday-model scores today's stream without vocabulary
+    * coupling. */
+  def ngramLmScoreWith(score: DataFrame, train: DataFrame,
+      idCol: String, textCol: String,
+      alpha: Double = 0.1,
+      keepMaxMicroPerToken: Long = 10000000L): DataFrame = {
+    val trainEv = CacheScope.track(
+      lmEvents(train, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK))
+    lmScoreTail(lmEvents(score, idCol, textCol), trainEv, idCol,
+      alpha, keepMaxMicroPerToken)
+  }
+
+  /** One row per (doc, position): current token plus its predecessor,
+    * both riding the projected token array — no window, no self-join. */
+  private def lmEvents(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(col("_toks")).as(Seq("_p", "_cur")))
+      .select(col(idCol), col("_p"), col("_cur"),
+        when(col("_p") > 0, element_at(col("_toks"), col("_p"))).as("_prev"))
+
+  private def lmScoreTail(scoreEv: DataFrame, trainEv: DataFrame,
+      idCol: String, alpha: Double, keepMaxMicroPerToken: Long): DataFrame = {
+    require(alpha > 0, "alpha > 0 (unsmoothed zero-probability events have no finite NLL)")
+    val uni = trainEv.groupBy(col("_cur").as("_w")).agg(count(lit(1)).as("_cu"))
     val stats = uni.agg(sum(col("_cu")).as("_n"), count(lit(1)).as("_v"))
-    val bi = ev.filter(col("_p") > 0)
+    val bi = trainEv.filter(col("_p") > 0)
       .groupBy(col("_prev").as("_bp"), col("_cur").as("_bc"))
       .agg(count(lit(1)).as("_cb"))
     def nllMicro(c: Column, den: Column): Column =
-      round(lit(1e6) * -log((c.cast("double") + lit(alpha)) /
-        (den.cast("double") + lit(alpha) * col("_v").cast("double")))).cast("long")
-    val first = ev.filter(col("_p") === 0)
-      .join(uni, col("_cur") === col("_w"))
+      round(lit(1e6) * -log((coalesce(c, lit(0L)).cast("double") + lit(alpha)) /
+        (coalesce(den, lit(0L)).cast("double") +
+          lit(alpha) * col("_v").cast("double")))).cast("long")
+    val first = scoreEv.filter(col("_p") === 0)
+      .join(uni, col("_cur") === col("_w"), "left")
       .crossJoin(broadcast(stats))
       .select(col(idCol), nllMicro(col("_cu"), col("_n")).as("_nll"))
-    val rest = ev.filter(col("_p") > 0)
-      .join(bi, col("_prev") === col("_bp") && col("_cur") === col("_bc"))
-      .join(uni, col("_prev") === col("_w"))
+    val rest = scoreEv.filter(col("_p") > 0)
+      .join(bi, col("_prev") === col("_bp") && col("_cur") === col("_bc"), "left")
+      .join(uni, col("_prev") === col("_w"), "left")
       .crossJoin(broadcast(stats))
       .select(col(idCol), nllMicro(col("_cb"), col("_cu")).as("_nll"))
     first.unionByName(rest)

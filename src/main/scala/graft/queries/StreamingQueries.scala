@@ -180,6 +180,22 @@ object StreamingQueries {
   // stateless; only the (doc, eval) shared-count aggregation is stateful
   // (complete mode over the bounded stream). Same oracle as q69 VERBATIM
   // (the q78 convention: stream and browse must agree exactly).
+  // Streaming twin of q92: perplexity scoring of a DOCUMENT STREAM under
+  // a FROZEN batch-trained bigram model — the production shape (train the
+  // LM on yesterday's corpus, score today's stream). Score side is all
+  // stateless projections + stream-static left joins against the model
+  // tables; only the per-doc NLL aggregation is stateful (complete mode
+  // over the bounded stream). Stream == batch exactly, so q92's oracle
+  // applies VERBATIM (the q78 convention).
+  def q98StreamLmScore(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    drain(graft.operators.TextOps.ngramLmScoreWith(
+      docs, Tables.documents(s, d), "doc_id", "text",
+      alpha = 0.1, keepMaxMicroPerToken = 3400000L), "complete")
+  }
+
   def q82StreamDecontaminate(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -261,7 +277,8 @@ object StreamingQueries {
     "q78_stream_redact" -> q78StreamRedact,
     "q82_stream_decontaminate" -> q82StreamDecontaminate,
     "q87_stream_mixture" -> q87StreamMixture,
-    "q89_stream_quota_sample" -> q89StreamQuotaSample)
+    "q89_stream_quota_sample" -> q89StreamQuotaSample,
+    "q98_stream_lm_score" -> q98StreamLmScore)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -270,6 +287,7 @@ object StreamingQueries {
     // the batch oracle verbatim: stream and browse must agree exactly
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
+    "q98_stream_lm_score" -> TextQueries.oracles("q92_lm_score"),
     "q87_stream_mixture" -> TextQueries.oracles("q70_weighted_mixture"),
     "q89_stream_quota_sample" -> TextQueries.oracles("q80_quota_sample"),
     "q27_stream_tumbling" ->

@@ -331,6 +331,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramLmScoreWith: frozen model scores unseen vocabulary at the add-α law") {
+    // train: N=4, V={a,b}, uni a:2 b:2, bi (a,b):2 (b,a):1
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "a z"), (11L, "z q")).toDF("doc_id", "text")
+    val a = 0.5
+    def m(c: Double, den: Double) =
+      math.round(1e6 * -math.log((c + a) / (den + a * 2.0)))
+    val out = TextOps.ngramLmScoreWith(score, train, "doc_id", "text",
+        alpha = a, keepMaxMicroPerToken = Long.MaxValue / 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.CacheScope.release()
+    // doc 10: seen first 'a' → m(2,4); unseen bigram (a,z), seen prev a → m(0,2)
+    assert(out(10L) == ((2L, m(2, 4) + m(0, 2))))
+    // doc 11: everything unseen → m(0,4) first, m(0,0) = ln V for the bigram
+    assert(out(11L) == ((2L, m(0, 4) + m(0, 0))))
+    assert(m(0, 0) == math.round(1e6 * math.log(2.0)), "P(unseen|unseen) = 1/V")
+  }
+
   test("ngramLmScore: hand-computed add-α bigram NLL on a 3-doc corpus") {
     // corpus: N=7 tokens, V={a,b,c}, uni a:3 b:3 c:1; bigrams (a,b):3 (b,a):1
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
