@@ -119,9 +119,12 @@ object Bpe {
           val (l, r, c) =
             (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
           merges += ((rank, l, r, c))
+          // LAZY checkpoint: the next round's pair-count job materializes
+          // it, so each round costs ONE distributed job, not two — the
+          // lineage still truncates at every round
           val next = words
             .withColumn("_syms", applyMergeUdf(col("_syms"), lit(l), lit(r)))
-            .localCheckpoint()
+            .localCheckpoint(false)
           words.unpersist()
           words = next
           rank += 1
