@@ -476,6 +476,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         expand(graft.operators.Relational.weightedMixture(t,
           litStr(exprs(1), "stratum column"), litStr(exprs(2), "key column"), weights))
     }
+    registerTable("token_budget",
+      "token_budget('table', 'stratumCol', 'idCol', 'tokensCol', 'en:6000,de:2000') - " +
+        "deterministic per-stratum token-budget draw (hash-order prefix incl. the crossing row)", 5) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        val budgets = colList(litStr(exprs(4), "budgets")).map { entry =>
+          entry.split(":") match {
+            case Array(name, b) if b.trim.nonEmpty && b.trim.forall(_.isDigit) =>
+              name.trim -> b.trim.toLong
+            case _ => throw new IllegalArgumentException(
+              s"token_budget entry '$entry' must be 'stratum:tokens' (e.g. 'en:6000')")
+          }
+        }
+        expand(graft.operators.Relational.tokenBudgetSample(t,
+          litStr(exprs(1), "stratum column"), litStr(exprs(2), "id column"),
+          litStr(exprs(3), "tokens column"), budgets))
+    }
     registerTable("seq_pack",
       "seq_pack('table', 'idCol', 'weightCol', budget) - contiguous token-budget pack ids", 4) {
       exprs =>

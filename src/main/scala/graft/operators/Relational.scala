@@ -100,6 +100,37 @@ object Relational {
         col("_e._2").cast(df.schema(idCol).dataType).as(idCol))
   }
 
+  /** Deterministic token-budget mixture draw — "assemble a training mix
+    * of B_s tokens from each stratum s": rows are consumed per stratum
+    * in the content-hash total order (the [[quotaSampleByHash]]
+    * convention — reproducible, engine-independent, no `rand()`) and a
+    * row is kept iff its stratum's budget was not yet exhausted BEFORE
+    * it — so the budget-crossing row is included and every budgeted
+    * stratum reaches at least its budget unless it runs out of rows.
+    * Strata absent from `budgets` are dropped entirely. Output:
+    * `(stratum, id, n_tokens, cum_before)`.
+    *
+    * Shape: one per-stratum running-sum window under the hash order —
+    * budgets are config-sized, and a running sum needs a total order, so
+    * each stratum sorts in one task (the q80 window-path caveat); for a
+    * billion-doc hot stratum, bound the window's input first (e.g.
+    * [[quotaSampleByHash]] with k sized to budget/min-doc-tokens, or
+    * [[graft.operators.TextOps.sequentialPack]]'s distributed prefix sum
+    * keyed by stratum) — the draw itself is unchanged. */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+      tokensCol: String, budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 1), "budgets: positive, non-empty")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(graft.functions.Portable.md5Long60(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(stratumCol), col(idCol), col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("_budget",
+        element_at(typedLit(budgets.toMap), col(stratumCol)))
+      .filter(col("_budget").isNotNull && col("cum_before") < col("_budget"))
+      .select(col(stratumCol), col(idCol), col("n_tokens"), col("cum_before"))
+  }
+
   /** Deterministic train/valid/test split: every row gets a stable label
     * from a content hash of `keyCol` — the split a training pipeline must
     * reproduce run-over-run and engine-over-engine (no `rand()`, no row

@@ -293,7 +293,18 @@ object TextQueries {
     graft.operators.TextOps.stripRepeatedSpans(withBoiler(s, d), "doc_id", "text",
       span = 5, minDocs = 10)
 
+  // Token-budget mixture: per-lang budgets spanning every regime at the
+  // gate SF (en/de/zh partial, fr exhausts its stratum, es unbudgeted →
+  // dropped). Keep rule: cum_before < budget under the md5 total order.
+  private val LangBudgets =
+    Seq("en" -> 6000L, "de" -> 2000L, "fr" -> 10000L, "zh" -> 1500L)
+  def q99TokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.tokenBudgetSample(
+      Tables.documents(s, d).withColumn("n_tokens", TextFunctions.tokenCount(col("text"))),
+      "lang", "doc_id", "n_tokens", LangBudgets)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_token_budget" -> q99TokenBudget,
     "q96_strip_spans" -> q96StripSpans,
     "q94_bpe" -> q94Bpe,
     "q92_lm_score" -> q92LmScore,
@@ -367,6 +378,22 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q99_token_budget" -> {
+      val cases = LangBudgets.map { case (l, b) =>
+        s"(lang = '$l' AND cum_before < $b)"
+      }.mkString(" OR ")
+      s"""WITH t AS (SELECT lang, doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT lang, doc_id, n_tokens,
+                 COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang
+                   ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                            doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                   AS cum_before
+               FROM t)
+         SELECT lang, doc_id, n_tokens, cum_before FROM c WHERE $cases"""
+    },
     "q96_strip_spans" ->
       s"""WITH aug AS (SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN text || '$Boiler' ELSE text END AS text

@@ -283,6 +283,23 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lmSql == lmApi && lmSql.size == 3)
   }
 
+  test("token_budget TVF equals the Column API draw; bad entry is a named error") {
+    import spark.implicits._
+    (1L to 10L).map(i => ("a", i, 10L)).toDF("stratum", "id", "n")
+      .createOrReplaceTempView("tb_tvf_t")
+    val viaSql = spark.sql(
+      "SELECT * FROM token_budget('tb_tvf_t', 'stratum', 'id', 'n', 'a:35')")
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    val viaApi = graft.operators.Relational.tokenBudgetSample(
+        spark.table("tb_tvf_t"), "stratum", "id", "n", Seq("a" -> 35L))
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(viaSql == viaApi && viaSql.size == 4)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM token_budget('tb_tvf_t','stratum','id','n','a:x')").collect()
+    }
+    assert(e.getMessage.contains("token_budget entry"))
+  }
+
   test("hybrid_search TVF equals the Column API fusion") {
     import spark.implicits._
     Seq((1L, "alpha beta alpha"), (2L, "alpha only here"), (3L, "unrelated text"))

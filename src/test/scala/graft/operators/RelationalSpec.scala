@@ -251,4 +251,36 @@ class RelationalSpec extends SparkSpec {
     assert(aggPath.schema.map(f => (f.name, f.dataType)) ==
       windowPath.schema.map(f => (f.name, f.dataType)))
   }
+
+  test("tokenBudgetSample: hash-order prefix per stratum, crossing row kept, unbudgeted dropped") {
+    import org.apache.spark.sql.functions.col
+    // a: 10 rows × 10 tokens, budget 35 → cum_before 0/10/20/30 keep = 4 rows
+    // b: budget far above total → whole stratum; c: no budget → dropped
+    val rows = (1L to 10L).map(i => ("a", i, 10L)) ++
+      (11L to 15L).map(i => ("b", i, 7L)) ++ (16L to 18L).map(i => ("c", i, 5L))
+    val df = rows.toDF("stratum", "id", "n")
+    val out = Relational.tokenBudgetSample(df, "stratum", "id", "n",
+        Seq("a" -> 35L, "b" -> 1000L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byStratum = out.groupBy(_._1)
+    assert(!byStratum.contains("c"), "unbudgeted stratum must be dropped")
+    assert(byStratum("b").length == 5, "budget above total keeps the whole stratum")
+    val a = byStratum("a")
+    assert(a.length == 4 && a.map(_._3).sum == 40L,
+      s"crossing row included: 4 rows, 40 >= 35 tokens; got $a")
+    assert(a.forall(_._4 < 35L), "keep rule is cum_before < budget")
+    // kept ids form the PREFIX of the stratum under the md5 total order
+    val hashOrder = df.filter(col("stratum") === "a")
+      .select(col("id"),
+        graft.functions.Portable.md5Long60(col("id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, h) => (h, id) }.map(_._1)
+    assert(a.map(_._2).toSet == hashOrder.take(4).toSet,
+      "kept rows must be the hash-order prefix")
+    // deterministic across runs
+    val again = Relational.tokenBudgetSample(df, "stratum", "id", "n",
+        Seq("a" -> 35L, "b" -> 1000L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
+  }
 }
