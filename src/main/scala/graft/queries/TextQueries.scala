@@ -303,7 +303,30 @@ object TextQueries {
       Tables.documents(s, d).withColumn("n_tokens", TextFunctions.tokenCount(col("text"))),
       "lang", "doc_id", "n_tokens", LangBudgets)
 
+  // Curation v3 — the continuation operators composed end to end: strip
+  // corpus-common boilerplate spans, self-train the bigram LM on the
+  // CLEANED corpus and drop high-perplexity docs, draw the per-lang
+  // token-budget mix from the survivors, publish the datasheet. Every
+  // stage is an engine operator and the whole chain replays as ONE
+  // DuckDB CTE — the q77 composition proof for the new family.
+  private val V3Budgets =
+    Seq("en" -> 3000L, "de" -> 1000L, "fr" -> 5000L, "zh" -> 800L)
+  def q100CurationV3(s: SparkSession, d: String): DataFrame = {
+    val stripped = graft.operators.TextOps.stripRepeatedSpans(
+        withBoiler(s, d), "doc_id", "text", span = 5, minDocs = 10)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val scored = graft.operators.TextOps.ngramLmScore(stripped, "doc_id", "text",
+      alpha = 0.1, keepMaxMicroPerToken = 3400000L)
+    val kept = scored.filter(col("keep"))
+      .join(Tables.documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+    graft.operators.Relational.tokenBudgetSample(kept, "lang", "doc_id",
+        "n_tokens", V3Budgets)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_curation_v3" -> q100CurationV3,
     "q99_token_budget" -> q99TokenBudget,
     "q96_strip_spans" -> q96StripSpans,
     "q94_bpe" -> q94Bpe,
@@ -378,6 +401,73 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q100_curation_v3" -> {
+      val cases = V3Budgets.map { case (l, b) =>
+        s"(lang = '$l' AND cum_before < $b)"
+      }.mkString(" OR ")
+      s"""WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || '$Boiler' ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM aug),
+         ks AS (SELECT unnest(generate_series(0,
+           (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k),
+         tok AS (SELECT doc_id, CAST(ks.k AS INT) AS pos, toks[ks.k + 1] AS tok
+                 FROM t JOIN ks ON ks.k < len(toks)),
+         g AS (SELECT doc_id, CAST(ks.k AS INT) AS gpos,
+                 array_to_string(toks[ks.k + 1 : ks.k + 5], ' ') AS gram
+               FROM t JOIN ks ON ks.k <= len(toks) - 5),
+         common AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 10),
+         cov AS (SELECT DISTINCT g.doc_id, g.gpos + o.o AS pos
+                 FROM g JOIN common USING (gram)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) o),
+         keptt AS (SELECT tok.doc_id, tok.pos, tok.tok
+                   FROM tok LEFT JOIN cov
+                     ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+                   WHERE cov.pos IS NULL),
+         reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                 FROM keptt GROUP BY doc_id),
+         clean AS (SELECT t.doc_id, COALESCE(reb.clean_text, '') AS text
+                   FROM t LEFT JOIN reb USING (doc_id)),
+         ct AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM clean),
+         cks AS (SELECT unnest(generate_series(0,
+           (SELECT CAST(max(len(toks)) AS BIGINT) FROM ct))) AS k),
+         ev AS (
+           SELECT doc_id, CAST(cks.k AS BIGINT) AS p, toks[cks.k + 1] AS cur,
+             CASE WHEN cks.k > 0 THEN toks[cks.k] END AS prev
+           FROM ct JOIN cks ON cks.k < len(toks)),
+         uni AS (SELECT cur AS w, CAST(count(*) AS BIGINT) AS cu FROM ev GROUP BY cur),
+         st AS (SELECT CAST(sum(cu) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uni),
+         bi AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+                FROM ev WHERE p > 0 GROUP BY prev, cur),
+         sc AS (
+           SELECT ev.doc_id,
+             CAST(round(1000000.0 * -ln((CAST(u.cu AS DOUBLE) + 0.1) /
+               (CAST(st.n AS DOUBLE) + 0.1 * CAST(st.v AS DOUBLE)))) AS BIGINT) AS nll
+           FROM ev JOIN uni u ON ev.cur = u.w CROSS JOIN st WHERE ev.p = 0
+           UNION ALL
+           SELECT ev.doc_id,
+             CAST(round(1000000.0 * -ln((CAST(bi.cb AS DOUBLE) + 0.1) /
+               (CAST(u.cu AS DOUBLE) + 0.1 * CAST(st.v AS DOUBLE)))) AS BIGINT) AS nll
+           FROM ev JOIN bi ON ev.prev = bi.prev AND ev.cur = bi.cur
+             JOIN uni u ON ev.prev = u.w CROSS JOIN st WHERE ev.p > 0),
+         lm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(nll) AS BIGINT) AS nll_micro
+                FROM sc GROUP BY doc_id),
+         keptd AS (SELECT d.lang, lm.doc_id, lm.n_tokens
+                   FROM lm JOIN documents d USING (doc_id)
+                   WHERE lm.nll_micro <= 3400000 * lm.n_tokens),
+         cum AS (SELECT lang, doc_id, n_tokens,
+                   COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                              doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                     AS cum_before
+                 FROM keptd)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens
+         FROM cum WHERE $cases GROUP BY lang"""
+    },
     "q99_token_budget" -> {
       val cases = LangBudgets.map { case (l, b) =>
         s"(lang = '$l' AND cum_before < $b)"
