@@ -348,6 +348,9 @@ object Dedup {
     * shingles (and a source of only such docs, no rows). */
   def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
       n: Int): DataFrame = {
+    // AND_DISK (not the shingled-table MEMORY_ONLY): this cache sits
+    // AFTER the distinct's shuffle, so an evicted block recomputes a
+    // whole exchange, not a cheap projection — spilling is the lesser cost
     val sh = graft.CacheScope.track(
       docs.select(col(groupCol).as("_grp"),
           explode(ShingleExprs.shingleHashes(

@@ -592,8 +592,11 @@ object TextOps {
   def ngramLmScore(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.1,
       keepMaxMicroPerToken: Long = 10000000L): DataFrame = {
+    // MEMORY_ONLY, not AND_DISK: the event table is corpus-token-scale,
+    // and an evicted block should RECOMPUTE (a cheap projection) rather
+    // than spill token rows to disk — the Dedup.shingled discipline
     val ev = CacheScope.track(
-      lmEvents(docs, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK))
+      lmEvents(docs, idCol, textCol).persist(StorageLevel.MEMORY_ONLY))
     lmScoreTail(ev, ev, idCol, alpha, keepMaxMicroPerToken)
   }
 
@@ -610,7 +613,7 @@ object TextOps {
       alpha: Double = 0.1,
       keepMaxMicroPerToken: Long = 10000000L): DataFrame = {
     val trainEv = CacheScope.track(
-      lmEvents(train, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK))
+      lmEvents(train, idCol, textCol).persist(StorageLevel.MEMORY_ONLY))
     lmScoreTail(lmEvents(score, idCol, textCol), trainEv, idCol,
       alpha, keepMaxMicroPerToken)
   }

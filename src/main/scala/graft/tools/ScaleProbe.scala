@@ -322,6 +322,23 @@ object ScaleProbe {
     time("diversity sample 10x")(
       Embeddings.diversitySample(embX(10), "vec_id", "embedding", 8, 5).count())
 
+    // --- hybrid retrieval: the dense arm's corpus scan carries the
+    // growth; fusion stays k-sized --------------------------------------
+    def hybrid(docsK: DataFrame, embK: DataFrame): Long =
+      graft.operators.Hybrid.hybridSearch(docsK, "doc_id", "text",
+        Seq("spark", "hash", "merge", "window"),
+        embK, "vec_id", "embedding", 0L, k = 10, kEach = 20).count()
+    time("hybrid search 1x")(hybrid(docsX(1), embX(1)))
+    time("hybrid search 10x")(hybrid(docsX(10), embX(10)))
+
+    // --- token budget on ONE hot stratum: the running sum needs a total
+    // order, so the stratum sorts in a single task — the honest cost of
+    // the window path (the operator doc names the hot-stratum remedies) --
+    time("token budget 10x hot stratum (window sort)")(
+      Relational.tokenBudgetSample(
+        hotStratum(10).withColumn("n", lit(100L)),
+        "stratum", "doc_id", "n", Seq("hot" -> 2500000L)).count())
+
     spark.stop()
   }
 }

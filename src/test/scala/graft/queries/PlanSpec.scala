@@ -202,6 +202,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "survivors come from a token-grain anti join")
   }
 
+  test("q97 hybrid search: no cartesian; only BNLJs are the 1-row stats and query frames") {
+    val p = AnnQueries.q97HybridSearch(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("BroadcastNestedLoopJoin").length <= 4,
+      "BNLJs must be 1-row frames only: BM25 stats + the broadcast dense query")
+  }
+
+  test("q94 BPE encode: dictionary equi-join, never corpus-shaped; train is loop-external") {
+    val merges = graft.operators.Bpe.bpeTrain(
+      graft.Tables.documents(spark, sf).limit(50), "text", numMerges = 3)
+    val p = plan(graft.operators.Bpe.bpeEncode(
+      graft.Tables.documents(spark, sf), "doc_id", "text", merges))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "doc tokens must EQUI-join the encoded dictionary")
+    assert(!p.contains("Window"))
+  }
+
   test("q92 LM score: one cached event explode, no Window, stats frame is the only BNLJ") {
     val p = TextQueries.q92LmScore(spark, sf).queryExecution
       .explainString(ExplainMode.fromString("simple"))
