@@ -26,10 +26,14 @@ object Bench {
     * heavy queries and only an idle-box judge rerun could adjudicate it;
     * with the sentinel the bench convicts itself instead. */
   val CalibIdleSec = 0.33
-  /** The fixed 32-task probe takes ⌈32/cpus⌉ waves, so the idle
-    * reference scales inversely with the configured core count — a
-    * SPARK_GRAFT_CPUS=16 run must not convict an idle box. */
-  def calibIdleRef(cpus: Int): Double = CalibIdleSec * 32.0 / cpus.max(1)
+  /** The fixed 32-task probe takes ⌈32/cpus⌉ task waves and one wave is
+    * the idle 0.33 s, so the reference scales by the wave count — NOT
+    * linearly in 32/cpus: at cpus=64 there is still one 32-task wave
+    * (0.33 s, not 0.165 — linear scaling would convict an idle box),
+    * and at cpus=24 the trailing 8 tasks are a full second wave
+    * (0.66 s, not 0.44). */
+  def calibIdleRef(cpus: Int): Double =
+    CalibIdleSec * math.ceil(32.0 / cpus.max(1))
   /** ANY calibration sample exceeding the idle reference by this factor
     * flips `polluted` — the measurement channel, not the code, is then
     * the prime suspect for any per-query regression in the same run. */

@@ -27,19 +27,52 @@ import org.apache.spark.sql.Dataset
 object CacheScope {
 
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val trackedCp = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
   /** Register an operator-internal persisted dataset for later release. */
   def track[T](ds: Dataset[T]): Dataset[T] = { tracked.add(ds); ds }
 
-  /** Unpersist (non-blocking) everything tracked since the last release. */
+  /** Register a `localCheckpoint`'d dataset (an operator OUTPUT whose
+    * blocks must survive until the caller has materialized it) for
+    * release with the next [[release]]. `Dataset.unpersist` cannot free
+    * these — see [[releaseLocalCheckpoint]]. */
+  def trackCheckpoint[T](ds: Dataset[T]): Dataset[T] = { trackedCp.add(ds); ds }
+
+  /** Free the RDD blocks behind a `localCheckpoint`'d dataset NOW.
+    *
+    * A local checkpoint persists at the RDD level; `Dataset.unpersist`
+    * consults only the SQL CacheManager, which never saw it — so calling
+    * `unpersist()` on a checkpointed dataset is a silent no-op and every
+    * round of an iterative loop would leak one materialized copy until
+    * driver GC + ContextCleaner get around to it. This walks the plan's
+    * `LogicalRDD` leaves and unpersists the checkpointed RDDs directly.
+    *
+    * SAFETY: a local checkpoint TRUNCATES lineage — dropped blocks can
+    * never be recomputed — so this must only run after every consumer of
+    * the checkpoint has executed. (Contrast with [[track]]'s persists,
+    * where early release degrades to recompute.) */
+  def releaseLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** Release everything tracked since the last release: unpersist
+    * (non-blocking) the persisted intermediates and free the blocks of
+    * tracked checkpoints. */
   def release(): Unit = {
     var ds = tracked.poll()
     while (ds != null) {
       ds.unpersist(false)
       ds = tracked.poll()
     }
+    var cp = trackedCp.poll()
+    while (cp != null) {
+      releaseLocalCheckpoint(cp)
+      cp = trackedCp.poll()
+    }
   }
 
   /** Number of currently-tracked (not yet released) persists. */
-  def pendingCount: Int = tracked.size()
+  def pendingCount: Int = tracked.size() + trackedCp.size()
 }

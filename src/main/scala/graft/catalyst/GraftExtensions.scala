@@ -315,7 +315,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val t = SparkSession.active.table(litStr(exprs(0), "table"))
         expand(graft.operators.TextOps.urlBlocklistFilter(t,
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
-          litStr(exprs(3), "blocked domains").split(",").map(_.trim).toSeq))
+          litStr(exprs(3), "blocked domains").split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq))
     }
     registerTable("incremental_dedup",
       "incremental_dedup('increment', 'idCol', 'textCol', 'seenTable', 'fpCol') - " +
@@ -370,7 +371,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litStr(exprs(3), "query terms").split(",").toSeq.map(_.trim).filter(_.nonEmpty),
           emb, litStr(exprs(5), "embedding id column"), litStr(exprs(6), "vector column"),
-          litInt(exprs(7), "queryVecId").toLong,
+          litLong(exprs(7), "queryVecId"),
           litInt(exprs(8), "k"), litInt(exprs(9), "kEach")))
     }
     registerTable("strip_spans",

@@ -100,6 +100,15 @@ object Bpe {
         col("_f"))
       .localCheckpoint()
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
+    // Rounds retire ONE BEHIND: the next round's checkpoint is lazy (it
+    // materializes during that round's pair-count job — one distributed
+    // job per round, not two), so the replaced round's blocks are the
+    // lazily-checkpointed child's only source — lineage is truncated, a
+    // dropped block can never be recomputed — and can only be freed
+    // AFTER the collect() that materializes the successor. (Freeing
+    // needs [[graft.CacheScope.releaseLocalCheckpoint]]: a checkpoint
+    // persists at the RDD level, where `Dataset.unpersist` is a no-op.)
+    var retired: DataFrame = null
     try {
       var rank = 0
       var exhausted = false
@@ -114,6 +123,11 @@ object Bpe {
           .orderBy(col("_c").desc, col("_l").asc, col("_r").asc)
           .limit(1)
           .collect() // exactly one model row per round, never corpus data
+        // that job materialized `words` — the round it replaced is now
+        // consumer-free and its checkpoint blocks can go
+        if (retired ne null) {
+          graft.CacheScope.releaseLocalCheckpoint(retired); retired = null
+        }
         if (best.isEmpty || best.head.getLong(2) < minPairCount) exhausted = true
         else {
           val (l, r, c) =
@@ -125,12 +139,15 @@ object Bpe {
           val next = words
             .withColumn("_syms", applyMergeUdf(col("_syms"), lit(l), lit(r)))
             .localCheckpoint(false)
-          words.unpersist()
+          retired = words
           words = next
           rank += 1
         }
       }
-    } finally words.unpersist()
+    } finally {
+      if (retired ne null) graft.CacheScope.releaseLocalCheckpoint(retired)
+      graft.CacheScope.releaseLocalCheckpoint(words)
+    }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }

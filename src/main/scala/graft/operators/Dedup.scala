@@ -230,7 +230,10 @@ object Dedup {
             .select(col("_id"), coalesce(col("_rrep"), col("_rep")).as("_rep"), col("_prev"))
             .localCheckpoint()
           val changed = next.filter(col("_rep") =!= col("_prev")).count() // scans checkpointed blocks only
-          current.unpersist()
+          // `next` is an EAGER checkpoint — already materialized — so the
+          // replaced round is consumer-free; free its RDD blocks for real
+          // (`Dataset.unpersist` never sees a checkpoint's RDD-level persist)
+          graft.CacheScope.releaseLocalCheckpoint(current)
           current = next
           converged = changed == 0
           round += 1
@@ -240,9 +243,13 @@ object Dedup {
         s"connectedComponents did not converge in $maxRounds rounds " +
           "(graph diameter exceeds the cap); raise maxRounds")
     } catch {
-      case t: Throwable => current.unpersist(); throw t
+      case t: Throwable =>
+        graft.CacheScope.releaseLocalCheckpoint(current); throw t
     } finally edges.unpersist()
-    current.select(col("_id").as("id"), col("_rep").as("rep"))
+    // the result rides the final round's checkpoint blocks — the caller
+    // must consume them before the next CacheScope.release()
+    graft.CacheScope.trackCheckpoint(
+      current.select(col("_id").as("id"), col("_rep").as("rep")))
   }
 
   /** SimHash near-dup pairs: all (idA < idB) pairs with
@@ -285,20 +292,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Eval-set decontamination: every (corpus doc, eval doc) pair sharing
-    * at least `minShared` distinct word n-gram shingles — the standard
-    * train/test-overlap sweep run before training (flagged corpus docs
-    * are dropped or their spans masked so benchmarks stay honest).
-    * Output: `(doc_id, eval_id, shared_ngrams)`, exact by construction.
-    *
-    * 100-TB shape: the eval set is model-sized next to the corpus, so
-    * its exploded (shingle, eval_id) posting list BROADCASTS — the
-    * corpus is scanned once, never shuffled; only rows that actually hit
-    * an eval shingle reach the (doc, eval) count aggregation (map-side
-    * combinable). No posting-list self-join, no df computation: unlike
-    * near-dup pairs, the probe side is fixed and small. Shingle sets are
-    * distinct per doc (ShingleHashes), so the post-join row count per
-    * (doc, eval) IS the distinct shared-shingle count. */
   /** Incremental exact dedup against a persisted fingerprint store — the
     * production shape of [[graft.operators.Relational.keepFirstBy]]: the
     * historical corpus was deduped yesterday and exists only as its
@@ -409,6 +402,20 @@ object Dedup {
         count(lit(1)).cast("double")).as("jaccard_est"))
   }
 
+  /** Eval-set decontamination: every (corpus doc, eval doc) pair sharing
+    * at least `minShared` distinct word n-gram shingles — the standard
+    * train/test-overlap sweep run before training (flagged corpus docs
+    * are dropped or their spans masked so benchmarks stay honest).
+    * Output: `(doc_id, eval_id, shared_ngrams)`, exact by construction.
+    *
+    * 100-TB shape: the eval set is model-sized next to the corpus, so
+    * its exploded (shingle, eval_id) posting list BROADCASTS — the
+    * corpus is scanned once, never shuffled; only rows that actually hit
+    * an eval shingle reach the (doc, eval) count aggregation (map-side
+    * combinable). No posting-list self-join, no df computation: unlike
+    * near-dup pairs, the probe side is fixed and small. Shingle sets are
+    * distinct per doc (ShingleHashes), so the post-join row count per
+    * (doc, eval) IS the distinct shared-shingle count. */
   def crossContamination(
       corpus: DataFrame,
       corpusId: String,

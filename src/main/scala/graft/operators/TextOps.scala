@@ -88,11 +88,14 @@ object TextOps {
       // first, so the double division is of an exact multiple (Spark's `/`
       // on longs is double division)
       val cumBefore = col("_off") + cumIn
-      w.join(offDf, Seq("_pid"))
+      // eager checkpoint: materialized before w is released below; its
+      // blocks are CacheScope-tracked so the harness frees them after
+      // consuming the result (Dataset.unpersist can't — RDD-level persist)
+      graft.CacheScope.trackCheckpoint(w.join(offDf, Seq("_pid"))
         .withColumn("pack_id",
           ((cumBefore - pmod(cumBefore, lit(budget))) / lit(budget)).cast("long"))
         .select(col(idCol), col("_w").as("weight"), col("pack_id"))
-        .localCheckpoint() // eager: materialized before w is released below
+        .localCheckpoint())
     } finally w.unpersist(false)
   }
 
@@ -524,11 +527,17 @@ object TextOps {
 
   // URL surface shared with the oracle: scheme, optional userinfo
   // (swallowed so `https://innocent.com@bad.example.org/` cannot spoof
-  // the host), host as group 1, then any non-space path. Applied to
-  // LOWERCASED text — DNS hostnames are case-insensitive, so
-  // `HTTPS://BAD.example.org` must match a blocklist entry. Java∩RE2
-  // syntax so DuckDB replays the same matches.
-  val UrlRe = "https?://(?:[^\\s/@]*@)?([a-z0-9.-]+)[^\\s]*"
+  // the host), host as group 1, then any non-space path. The host must
+  // END on an alphanumeric — `[a-z0-9.-]+` would greedily capture the
+  // sentence period in `https://bad.example.org. Then ...` as part of
+  // the host, and "bad.example.org." escapes both the exact and the
+  // `.domain` suffix match (a blocked domain passing the filter on any
+  // sentence-final URL). Applied to LOWERCASED text — DNS hostnames are
+  // case-insensitive, so `HTTPS://BAD.example.org` must match a
+  // blocklist entry. Java∩RE2 syntax so DuckDB replays the same
+  // matches; the q86 oracle interpolates THIS constant, so the two
+  // engines cannot drift.
+  val UrlRe = "https?://(?:[^\\s/@]*@)?([a-z0-9.-]*[a-z0-9])[^\\s]*"
 
   /** Domain-blocklist filter: per document, the number of URLs, the
     * number whose host is a blocked domain or any subdomain of one, and
@@ -546,6 +555,8 @@ object TextOps {
   def urlBlocklistFilter(docs: DataFrame, idCol: String, textCol: String,
       blockedDomains: Seq[String]): DataFrame = {
     require(blockedDomains.nonEmpty, "blocked domain list required")
+    require(blockedDomains.forall(_.trim.nonEmpty),
+      "empty blocklist entry — an empty domain would suffix-match every host")
     val blocked = blockedDomains.map(_.toLowerCase)
     val isBlocked = (h: Column) => blocked.map(d =>
       h === d || h.endsWith("." + d)).reduce(_ || _)

@@ -118,25 +118,11 @@ object AnnQueries {
 
   // q51/q52 are approximate → rows-only checks (no oracle entries).
   val oracles: Map[String, String] = Map(
+    // the lexical arm is the SAME Okapi CTE chain the BM25 gates pin
+    // (TextQueries.bm25CtesSql) — composed, not copied, so a scoring
+    // change cannot drift the hybrid gate from the arm it fuses
     "q97_hybrid_search" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
-         tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
-                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-                WHERE tok IN ('spark', 'hash', 'merge', 'window')
-                GROUP BY doc_id, tok),
-         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-         c AS (
-           SELECT tf.doc_id,
-             CAST(round(1000000.0 * (
-               ln((CAST(st.n - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-               * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
-                  (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
-                    (CAST(dl.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
-             )) AS BIGINT) AS c
-           FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-         ),
+      s"""WITH ${TextQueries.bm25CtesSql},
          lexall AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
                     FROM c GROUP BY doc_id),
          lex AS (SELECT doc_id,

@@ -99,8 +99,9 @@ object DedupQueries {
     // round by round inside connectedComponents) and the final anti-join —
     // without truncation the quality+dedup stages run twice. One
     // checkpoint, two consumers (a cluster job would persist to storage).
-    val exact = Relational.keepFirstBy(docs, Seq("text"), Seq(col("doc_id")), hashWideKeys = true)
-      .localCheckpoint()
+    val exact = graft.CacheScope.trackCheckpoint(
+      Relational.keepFirstBy(docs, Seq("text"), Seq(col("doc_id")), hashWideKeys = true)
+        .localCheckpoint())
     val pairs = Dedup.ngramJaccardPairs(exact, "doc_id", "text", n = 3, minJaccard = 0.4)
     val dups = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("rep")) // non-representative members

@@ -362,11 +362,14 @@ object TextQueries {
 
   private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
 
-  // Okapi BM25 over the fixed 4-term query — shared verbatim by the
-  // isin-arm gate (q72) and the broadcast-terms batch-arm gate (q85):
-  // both arms must produce identical scores by contract.
-  private val bm25Sql =
-    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+  // Okapi BM25 scoring CTE chain over the fixed 4-term query — ONE
+  // fragment shared by the isin-arm gate (q72), the broadcast-terms
+  // batch-arm gate (q85), and the lexical arm of the hybrid-retrieval
+  // gate (q97, in AnnQueries): all three must score identically by
+  // contract, so a quantization or tie-break change lands in every gate
+  // or in none (the quotaSampleSql sharing discipline).
+  private[queries] val bm25CtesSql =
+    """t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
        st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
        tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
@@ -383,7 +386,10 @@ object TextQueries {
                   (CAST(dl.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
            )) AS BIGINT) AS c
          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-       )
+       )"""
+
+  private val bm25Sql =
+    s"""WITH $bm25CtesSql
        SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro,
          CAST(count(*) AS BIGINT) AS n_terms
        FROM c GROUP BY doc_id
@@ -569,7 +575,7 @@ object TextQueries {
            COALESCE(reb.n_kept, 0) AS n_kept
          FROM documents d LEFT JOIN reb USING (doc_id)""",
     "q86_url_blocklist" ->
-      """WITH aug AS (
+      s"""WITH aug AS (
            SELECT doc_id, text || ' see https://site' || (doc_id % 7) ||
              '.example.com/p/' || doc_id ||
              CASE WHEN doc_id % 4 = 0
@@ -584,7 +590,7 @@ object TextQueries {
          h AS (
            SELECT doc_id,
              regexp_extract_all(lower(text),
-               'https?://(?:[^\s/@]*@)?([a-z0-9.-]+)[^\s]*', 1) AS hosts
+               '${graft.operators.TextOps.UrlRe}', 1) AS hosts
            FROM aug),
          c AS (
            SELECT doc_id,

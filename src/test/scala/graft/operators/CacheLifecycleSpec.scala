@@ -4,21 +4,22 @@ import graft.{CacheScope, SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 /** The CacheScope contract, asserted: every operator that persists an
-  * internal table registers it, and after the consuming action +
-  * `CacheScope.release()` NOTHING persisted remains (locally-checkpointed
-  * RDDs excepted — those are lineage-truncation barriers owned by the
-  * ContextCleaner, released when the result goes out of scope). Without
-  * this, repeated operator calls (bench repeats, scale-probe loops)
-  * accumulate cached tables for the session's lifetime.
+  * internal table registers it, every operator whose RESULT rides a
+  * local checkpoint registers that checkpoint, and after the consuming
+  * action + `CacheScope.release()` NOTHING persisted remains — including
+  * checkpoint blocks, which `Dataset.unpersist` alone can never free
+  * (they persist at the RDD level, invisible to the SQL CacheManager).
+  * Without this, repeated operator calls (bench repeats, scale-probe
+  * loops) accumulate cached tables and checkpoint blocks for the
+  * session's lifetime.
   */
 class CacheLifecycleSpec extends SparkSpec {
 
-  /** Persisted-RDD ids beyond `baseline`, excluding local checkpoints
-    * (`isCheckpointed` is true once an eager localCheckpoint materializes;
-    * a leaked persist is never checkpointed, so it stays visible here). */
+  /** Persisted-RDD ids beyond `baseline` — checkpointed or not: after a
+    * release, NOTHING the operator materialized may survive. */
   private def leaked(baseline: Set[Int]): Map[Int, String] =
     spark.sparkContext.getPersistentRDDs
-      .filter { case (id, r) => !baseline(id) && !r.isCheckpointed }
+      .filter { case (id, _) => !baseline(id) }
       .map { case (id, r) => id -> r.toString }
       .toMap
 
@@ -99,15 +100,50 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
-  test("sequentialPack is self-contained: pinned partitioning released before return") {
+  test("sequentialPack: pinned partitioning released before return, output checkpoint tracked") {
     CacheScope.release()
     val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val df = spark.range(5000).select(col("id"), (pmod(col("id"), lit(97)) + 1).as("w"))
     val packed = TextOps.sequentialPack(df, "id", "w", budget = 997L)
-    // eager by contract: the pinned range partitioning is already released,
-    // with NO CacheScope participation required of the caller
-    assert(CacheScope.pendingCount == 0, "sequentialPack must not defer its release")
-    assert(leaked(baseline).isEmpty, "sequentialPack left its pinned partitioning persisted")
+    // the pinned range partitioning is released eagerly inside the
+    // operator; what survives is exactly ONE tracked artifact — the
+    // output's eager checkpoint, which the caller consumes and then
+    // frees with the next release()
+    assert(CacheScope.pendingCount == 1,
+      "sequentialPack must track exactly its output checkpoint")
     assert(packed.count() == 5000)
+    CacheScope.release()
+    assert(leaked(baseline).isEmpty,
+      "the output checkpoint's RDD blocks must be freed by release()")
+    assert(CacheScope.pendingCount == 0)
+  }
+
+  test("releaseLocalCheckpoint frees blocks that Dataset.unpersist silently cannot") {
+    CacheScope.release()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val cp = spark.range(1000).toDF("id").localCheckpoint()
+    cp.unpersist(true) // the trap: consults only the CacheManager — no-op here
+    assert(leaked(baseline).nonEmpty,
+      "precondition lost: Dataset.unpersist freed a checkpoint — the helper is obsolete")
+    CacheScope.releaseLocalCheckpoint(cp)
+    assert(leaked(baseline).isEmpty,
+      "releaseLocalCheckpoint must unpersist the checkpointed RDD itself")
+  }
+
+  test("connectedComponents frees each retired round's checkpoint blocks in-loop") {
+    CacheScope.release()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // a 64-node path graph needs several pointer-jump rounds — if retired
+    // rounds leaked, more than the final round's blocks would survive
+    val edges = spark.range(63)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val cc = Dedup.connectedComponents(edges, "id_a", "id_b")
+    assert(cc.count() == 64)
+    val live = leaked(baseline)
+    assert(live.size <= 1,
+      s"only the result's own checkpoint may remain after the loop: $live")
+    CacheScope.release()
+    assert(leaked(baseline).isEmpty,
+      "the result checkpoint must be freed by the harness release()")
   }
 }

@@ -184,7 +184,9 @@ class TextOpsSpec extends SparkSpec {
       (4L, "https://notbad.com/x"),                           // lookalike must NOT match
       (5L, "http://ok.org/a https://ok.org/b"),
       (6L, "HTTPS://BAD.COM/SHOUT"),                          // DNS is case-insensitive
-      (7L, "https://innocent.org@bad.com/x"))                 // userinfo can't spoof the host
+      (7L, "https://innocent.org@bad.com/x"),                 // userinfo can't spoof the host
+      (8L, "go to https://bad.com. Next sentence here."),     // sentence-final URL
+      (9L, "https://bad.com.evil.org/x"))                     // prefix lookalike must NOT match
       .toDF("doc_id", "text")
     val got = TextOps.urlBlocklistFilter(docs, "doc_id", "text", Seq("Bad.COM"))
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
@@ -195,6 +197,12 @@ class TextOpsSpec extends SparkSpec {
     assert(got(5L) == ((2, 0, true)))
     assert(got(6L) == ((1, 1, false)), "uppercase URL must still be caught")
     assert(got(7L) == ((1, 1, false)), "the host AFTER the userinfo is the real one")
+    assert(got(8L) == ((1, 1, false)),
+      "the sentence period must not ride into the host — 'bad.com.' escaped the blocklist")
+    assert(got(9L) == ((1, 0, true)), "blocked domain as a host PREFIX is a different host")
+    intercept[IllegalArgumentException] {
+      TextOps.urlBlocklistFilter(docs, "doc_id", "text", Seq("bad.com", " "))
+    }
   }
 
   test("invertedIndex: postings sorted by doc id, df/total_tf full-corpus, cap truncates") {
