@@ -461,6 +461,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         expand(graft.operators.Relational.hashSplit(t, litStr(exprs(1), "key column"), cuts))
     }
+    registerTable("stratified_split",
+      "stratified_split('table', 'stratumCol', 'keyCol', 'train:900000,val:50000,test:50000') - " +
+        "exact per-stratum split counts (largest-remainder over ppm weights, md5 rank order)", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        val splits = colList(litStr(exprs(3), "splits")).map { entry =>
+          entry.split(":") match {
+            case Array(name, ppm) if ppm.trim.nonEmpty && ppm.trim.forall(_.isDigit) =>
+              name.trim -> ppm.trim.toLong
+            case _ => throw new IllegalArgumentException(
+              s"stratified_split entry '$entry' must be 'name:ppm' (e.g. 'train:900000')")
+          }
+        }
+        expand(graft.operators.Relational.stratifiedSplit(t,
+          litStr(exprs(1), "stratum column"), litStr(exprs(2), "key column"), splits))
+    }
+    registerTable("tfidf_keywords",
+      "tfidf_keywords('table', 'idCol', 'textCol', k) - top-k smoothed tf-idf " +
+        "terms per document (micro-quantized, term tie-break)", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.tfidfKeywords(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "k")))
+    }
+    registerTable("dsir_select",
+      "dsir_select('raw', 'target', 'idCol', 'textCol', buckets, k) - DSIR data " +
+        "selection: top-k raw docs by hashed-bigram log-likelihood ratio toward the target domain", 6) {
+      exprs =>
+        expand(graft.operators.TextOps.dsirScore(
+          SparkSession.active.table(litStr(exprs(0), "raw table")),
+          SparkSession.active.table(litStr(exprs(1), "target table")),
+          litStr(exprs(2), "id column"), litStr(exprs(3), "text column"),
+          litInt(exprs(4), "buckets"), lambda = 1.0, k = litInt(exprs(5), "k")))
+    }
     registerTable("weighted_mixture",
       "weighted_mixture('table', 'stratumCol', 'keyCol', 'a:2.5,b:1,c:0.25') - " +
         "deterministic training mix: stratum rows appear weight times in expectation, with copy_idx", 4) {

@@ -149,6 +149,72 @@ object Relational {
     df.withColumn("split", label)
   }
 
+  /** Exact-count stratified split: within every stratum, allocate rows to
+    * the named splits in EXACTLY the requested proportions (largest-
+    * remainder / Hamilton apportionment over parts-per-million weights),
+    * assigning rows in the deterministic md5 content-hash order — where
+    * [[hashSplit]] gives each row an independent Bernoulli label (split
+    * sizes only correct in expectation; a 200-row stratum at 1% val can
+    * easily get 0 val rows), this guarantees a 1000-row stratum at
+    * 900000/50000/50000 ppm yields exactly 900/50/50. The price of
+    * exactness is rank-coupling: adding rows to a stratum can relabel
+    * existing ones (hashSplit never does) — eval-set freezes should
+    * hashSplit or snapshot; quota-accurate corpus builds belong here.
+    *
+    * Integer arithmetic end to end (ppm weights, exact floor/remainder),
+    * so DuckDB replays the allocation bit-for-bit with no float drift.
+    *
+    * 100-TB shape: per-stratum counts are one keyed aggregation; the
+    * (strata × splits) allocation table is config-sized and BROADCASTS
+    * with its [lo, hi) rank intervals; rows take ONE row_number window
+    * per stratum in md5 order — the q80 quota-sampling shape (for a
+    * billion-row hot stratum the same md5-rank order admits the bounded
+    * two-phase variant: per-stratum rank thresholds from the broadcast
+    * allocation, then a filter — no single-task sort of the full
+    * stratum's payload, only of its (hash, key) pairs). */
+  def stratifiedSplit(df: DataFrame, stratumCol: String, keyCol: String,
+      splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0), "split ppm weights must be >= 0")
+    require(splits.map(_._2).sum == 1000000L,
+      s"split ppm weights must sum to 1000000, got ${splits.map(_._2).sum}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val M = lit(1000000L)
+    val sdf = splits.zipWithIndex.map { case ((nm, ppm), i) => (nm, ppm, i) }
+      .toDF("split", "_ppm", "_idx")
+    val cnt = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    // Hamilton apportionment per stratum, all integer: guaranteed floor
+    // quotas, then the shortfall goes to the largest remainders (split
+    // order breaks ties). Window functions over a config-sized frame.
+    val wAll = Window.partitionBy(col(stratumCol))
+    val wRem = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_rem").desc, col("_idx"))
+    val wCum = Window.partitionBy(col(stratumCol)).orderBy(col("_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val alloc = cnt.crossJoin(sdf)
+      .withColumn("_prod", col("_n") * col("_ppm"))
+      .withColumn("_floor",
+        ((col("_prod") - pmod(col("_prod"), M)) / M).cast("long"))
+      .withColumn("_rem", pmod(col("_prod"), M))
+      .withColumn("_short", col("_n") - sum(col("_floor")).over(wAll))
+      .withColumn("_rank", row_number().over(wRem))
+      .withColumn("_c",
+        col("_floor") + when(col("_rank") <= col("_short"), 1L).otherwise(0L))
+      .withColumn("_lo", coalesce(sum(col("_c")).over(wCum), lit(0L)))
+      .select(col(stratumCol), col("split"), col("_lo"),
+        (col("_lo") + col("_c")).as("_hi"))
+    val rn = row_number().over(Window.partitionBy(col(stratumCol)).orderBy(
+      graft.functions.Portable.md5Long60(
+        concat(col(keyCol).cast("string"), lit("#split"))),
+      col(keyCol)))
+    df.select(col(stratumCol), col(keyCol))
+      .withColumn("_rn", rn)
+      .join(broadcast(alloc), Seq(stratumCol))
+      .filter(col("_rn") > col("_lo") && col("_rn") <= col("_hi"))
+      .select(col(stratumCol), col(keyCol), col("split"))
+  }
+
   /** Deterministic weighted training mix: rows of stratum s appear
     * `weight(s)` times in expectation — floor(w) guaranteed copies plus
     * one more iff the row's stable unit draw < frac(w). w < 1

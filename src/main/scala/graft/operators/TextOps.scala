@@ -683,4 +683,113 @@ object TextOps {
         regexp_count(col("_raw"), lit(EmailRe)).as("n_emails"),
         regexp_count(col("_deEmailed"), lit(PhoneRe)).as("n_phones"),
         regexp_replace(col("_deEmailed"), PhoneRe, "[PHONE]").as("clean_text"))
+
+  /** Per-document TF-IDF keyword extraction: the top-`k` terms of every
+    * document under `tf · (ln((N+1)/(df+1)) + 1)` (the smoothed-idf
+    * convention, so a term in every document still scores > 0), micro-
+    * quantized, ties broken by term — the corpus-exploration operator
+    * behind "what is this document about" tagging and cluster labeling.
+    * Distinct from [[bm25Search]]: no query — every document reports its
+    * own highest-contrast terms. Output: `(id, term, tf, df,
+    * score_micro)`, ≤ k rows per document.
+    *
+    * 100-TB shape: term frequencies are one keyed aggregation on
+    * (doc, term) with map-side combine; document frequencies aggregate
+    * THE SAME tf table (persisted MEMORY_ONLY, [[graft.CacheScope]]-
+    * tracked — one tokenize pass, two consumers) by term; the (N) stats
+    * frame is 1 row. The df join shuffles on term — vocab can exceed
+    * broadcast size at corpus scale, so the honest equi-join, not a
+    * forced broadcast — and the final per-doc top-k is
+    * [[Relational.topKPerGroup]] partitioned by doc id: a doc's distinct
+    * terms are bounded by its length, so the window partition can never
+    * become a hot-key sort the way a corpus-wide stratum can. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val tf = CacheScope.track(docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_ONLY))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(lit(1e6) * col("tf") *
+          (log((col("_n") + 1.0) / (col("df") + 1.0)) + 1.0)).cast("long")
+          .as("score_micro"))
+    Relational.topKPerGroup(scored, Seq(col(idCol)),
+      Seq(col("score_micro").desc, col("term").asc), k)
+  }
+
+  /** Hashed word bigrams of a document, bucketed to `buckets` features —
+    * the DSIR feature map: `(id, _b)` one row per bigram OCCURRENCE
+    * (bag semantics, not set). The bucket hash is the portable md5
+    * 60-bit draw mod `buckets`, so the DuckDB oracle replays every
+    * feature exactly. */
+  private def bigramBuckets(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol), toks.as("_toks"))
+      .select(col(idCol), explode(zip_with(
+        slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+        slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("_g"))
+      .select(col(idCol),
+        pmod(Portable.md5Long60(col("_g")), lit(buckets.toLong)).as("_b"))
+  }
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by how much more likely its hashed-bigram bag is under the
+    * TARGET domain's unigram-over-buckets distribution than under the
+    * raw corpus's own — `log p_target(doc) − log p_raw(doc)` for two
+    * add-λ-smoothed bag-of-hashed-bigrams models — and keep the top `k`.
+    * The paper resamples with Gumbel noise; this takes the deterministic
+    * top-(score, id) so the DuckDB oracle replays the selection exactly
+    * (a seeded Gumbel is one salted-md5 draw away — the
+    * [[graft.operators.Relational.weightedMixture]] idiom). Output:
+    * `(id, n_grams, score_micro)` for the k selected documents,
+    * descending by score. Documents with fewer than two tokens have no
+    * features and are never selected (log-ratio 0 ≠ affinity).
+    *
+    * 100-TB shape: both corpora collapse to `buckets`-sized count
+    * vectors (two keyed aggregations with map-side combine — the feature
+    * hash is exactly what makes the model fixed-size no matter the
+    * corpus); the per-bucket log-likelihood-ratio table (`buckets` rows,
+    * micro-quantized integers) BROADCASTS to the scoring join, so the
+    * raw corpus is never shuffled — one gram scan feeds both the raw
+    * count vector and the per-doc scoring (persisted MEMORY_ONLY,
+    * [[graft.CacheScope]]-tracked, the shingle-table discipline), and
+    * the final top-k is a partial TakeOrdered, not a global sort. */
+  def dsirScore(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096, lambda: Double = 1.0,
+      k: Int = 100): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    require(lambda > 0, "lambda > 0 (unsmoothed zero-count buckets have log 0)")
+    require(k >= 1, "k >= 1")
+    val rawG = CacheScope.track(bigramBuckets(raw, idCol, textCol, buckets)
+      .persist(StorageLevel.MEMORY_ONLY))
+    val tgtC = bigramBuckets(target, idCol, textCol, buckets)
+      .groupBy("_b").agg(count(lit(1)).as("_ct"))
+    val rawC = rawG.groupBy("_b").agg(count(lit(1)).as("_cr"))
+    // totals as a 1-row frame (the BM25 stats-frame idiom); buckets the
+    // raw corpus never emits cannot be probed, so rawC is the base
+    val stats = rawC.agg(sum("_cr").as("_tr"))
+      .crossJoin(tgtC.agg(coalesce(sum("_ct"), lit(0L)).as("_tt")))
+    val lb = lit(lambda * buckets)
+    val llr = rawC.join(tgtC, Seq("_b"), "left")
+      .select(col("_b"), col("_cr"), coalesce(col("_ct"), lit(0L)).as("_ct"))
+      .crossJoin(broadcast(stats))
+      .select(col("_b"),
+        round(lit(1e6) * (
+          log((col("_ct") + lambda) / (col("_tt") + lb)) -
+          log((col("_cr") + lambda) / (col("_tr") + lb)))).cast("long")
+          .as("_llr_micro"))
+    rawG.join(broadcast(llr), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("_llr_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -276,6 +276,31 @@ object TextQueries {
     graft.operators.TextOps.ngramLmScore(Tables.documents(s, d), "doc_id", "text",
       alpha = 0.1, keepMaxMicroPerToken = 3400000L)
 
+  // DSIR importance selection (Xie et al. 2023): target domain = the
+  // src13 stratum, raw pool = the whole corpus; hashed-bigram LLR under
+  // add-1 smoothing over 4096 buckets; deterministic top-50 (the paper's
+  // Gumbel resample made replayable).
+  def q101DsirSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.TextOps.dsirScore(docs,
+      docs.filter(col("source") === "src13"), "doc_id", "text",
+      buckets = 4096, lambda = 1.0, k = 50)
+  }
+
+  // Per-doc TF-IDF keywords: top-5 terms per document, smoothed idf,
+  // micro-quantized, term tie-break.
+  def q102TfidfKeywords(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.tfidfKeywords(Tables.documents(s, d),
+      "doc_id", "text", k = 5)
+
+  // Exact stratified split: per-lang 90/5/5 via largest-remainder ppm
+  // apportionment in md5 rank order — counts exact per stratum, unlike
+  // q58's Bernoulli hash split.
+  def q103StratifiedSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.stratifiedSplit(Tables.documents(s, d),
+      "lang", "doc_id",
+      Seq(("train", 900000L), ("val", 50000L), ("test", 50000L)))
+
   // BPE tokenizer: train 20 merges on the corpus, then per-doc subword
   // budget accounting. Deterministic end to end (count-desc/lex tie-break)
   // but not SQL-replayable (iterative merges) → rows-only gate; the
@@ -329,6 +354,9 @@ object TextQueries {
     "q100_curation_v3" -> q100CurationV3,
     "q99_token_budget" -> q99TokenBudget,
     "q96_strip_spans" -> q96StripSpans,
+    "q101_dsir_select" -> q101DsirSelect,
+    "q102_tfidf_keywords" -> q102TfidfKeywords,
+    "q103_stratified_split" -> q103StratifiedSplit,
     "q94_bpe" -> q94Bpe,
     "q92_lm_score" -> q92LmScore,
     "q83_normalize_unicode" -> q83NormalizeUnicode,
@@ -602,6 +630,70 @@ object TextQueries {
            FROM h)
          SELECT doc_id, n_urls, n_blocked, n_blocked = 0 AS keep FROM c""",
     "q85_bm25_batch" -> bm25Sql,
+    "q101_dsir_select" ->
+      """WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id, source,
+                 ('0x' || substring(md5(toks[k.k] || ' ' || toks[k.k + 1]), 1, 15))::BIGINT
+                   % 4096 AS b
+               FROM t JOIN (SELECT unnest(generate_series(1,
+                 (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+                 ON k.k < len(toks)),
+         tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM g
+                WHERE source = 'src13' GROUP BY b),
+         rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM g GROUP BY b),
+         st AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS tr,
+                       (SELECT COALESCE(CAST(sum(ct) AS BIGINT), 0) FROM tc) AS tt),
+         llr AS (SELECT rc.b,
+                   CAST(round(1000000.0 * (
+                     ln((COALESCE(tc.ct, 0) + 1.0) / (st.tt + 1.0 * 4096)) -
+                     ln((rc.cr + 1.0) / (st.tr + 1.0 * 4096)))) AS BIGINT) AS lm
+                 FROM rc LEFT JOIN tc USING (b) CROSS JOIN st),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                       CAST(sum(lm) AS BIGINT) AS score_micro
+                FROM g JOIN llr USING (b) GROUP BY doc_id)
+         SELECT doc_id, n_grams, score_micro FROM sc
+         ORDER BY score_micro DESC, doc_id LIMIT 50""",
+    "q102_tfidf_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM t GROUP BY doc_id, term),
+         dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                  CAST(round(1000000.0 * tf.tf *
+                    (ln((n.n + 1.0) / (dfx.df + 1.0)) + 1.0)) AS BIGINT) AS score_micro
+                FROM tf JOIN dfx USING (term) CROSS JOIN n)
+         SELECT doc_id, term, tf, df, score_micro FROM sc
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY score_micro DESC, term) <= 5""",
+    "q103_stratified_split" ->
+      """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                      FROM documents GROUP BY lang),
+         sp AS (SELECT * FROM (VALUES ('train', 900000, 0), ('val', 50000, 1),
+                  ('test', 50000, 2)) AS v(split, ppm, idx)),
+         a AS (SELECT lang, n, split, idx,
+                 CAST((n * ppm - (n * ppm) % 1000000) / 1000000 AS BIGINT) AS fl,
+                 CAST((n * ppm) % 1000000 AS BIGINT) AS rem
+               FROM cnt CROSS JOIN sp),
+         b AS (SELECT lang, split, idx, fl, rem,
+                 n - CAST(sum(fl) OVER (PARTITION BY lang) AS BIGINT) AS short,
+                 row_number() OVER (PARTITION BY lang ORDER BY rem DESC, idx) AS rk
+               FROM a),
+         c AS (SELECT lang, split, idx,
+                 fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS c FROM b),
+         d AS (SELECT lang, split, c,
+                 CAST(COALESCE(sum(c) OVER (PARTITION BY lang ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lo
+               FROM c),
+         r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 15))::BIGINT,
+                   doc_id) AS rn
+               FROM documents)
+         SELECT r.lang, r.doc_id, d.split
+         FROM r JOIN d ON r.lang = d.lang AND r.rn > d.lo AND r.rn <= d.lo + d.c""",
     "q84_quota_sample_agg" -> quotaSampleSql,
     "q83_normalize_unicode" ->
       s"""WITH n AS (

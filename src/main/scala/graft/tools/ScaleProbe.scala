@@ -339,6 +339,33 @@ object ScaleProbe {
         hotStratum(10).withColumn("n", lit(100L)),
         "stratum", "doc_id", "n", Seq("hot" -> 2500000L)).count())
 
+    // --- DSIR selection: corpora collapse to 4096-bucket vectors; the
+    // LLR model broadcasts, so 10x corpus = 10x gram scan, nothing
+    // quadratic and no corpus shuffle ------------------------------------
+    def dsir(k: Int): Long = {
+      val raw = docsX(k)
+      TextOps.dsirScore(raw,
+        raw.filter(pmod(col("doc_id"), lit(20L)) === 0), "doc_id", "text",
+        buckets = 4096, lambda = 1.0, k = 100).count()
+    }
+    time("dsir select 1x")(dsir(1))
+    time("dsir select 10x")(dsir(10))
+
+    // --- tf-idf keywords: tf agg + vocab-keyed df join + per-doc window;
+    // doc partitions are length-bounded, so 10x docs = 10x rows through
+    // each stage --------------------------------------------------------
+    time("tfidf keywords 1x")(
+      TextOps.tfidfKeywords(docsX(1), "doc_id", "text", 5).count())
+    time("tfidf keywords 10x")(
+      TextOps.tfidfKeywords(docsX(10), "doc_id", "text", 5).count())
+
+    // --- stratified split on ONE hot stratum: like token budget, the
+    // exact per-stratum ranks sort the stratum's (hash, id) pairs in a
+    // single task — the payload never rides the sort ---------------------
+    time("stratified split 10x hot stratum")(
+      Relational.stratifiedSplit(hotStratum(10), "stratum", "doc_id",
+        Seq(("train", 900000L), ("val", 50000L), ("test", 50000L))).count())
+
     spark.stop()
   }
 }

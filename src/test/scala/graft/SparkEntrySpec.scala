@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 100 queries, unique names") {
-    assert(SparkEntry.queries.size == 100)
+  test("gate inventory: 103 queries, unique names") {
+    assert(SparkEntry.queries.size == 103)
   }
 }

@@ -481,6 +481,39 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(whole.select("rec.b").as[String].collect().sorted.toSeq == Seq("x", "y"))
   }
 
+  test("selection TVFs: stratified_split, tfidf_keywords, dsir_select from plain SQL") {
+    import spark.implicits._
+    // stratified_split: exact 6/1/0 on a 7-row stratum (largest remainder)
+    (1 to 7).map(i => ("s", i.toLong)).toDF("stratum", "id")
+      .createOrReplaceTempView("sp_tvf_t")
+    val sp = spark.sql("SELECT * FROM stratified_split('sp_tvf_t', 'stratum', 'id', " +
+        "'train:900000,val:50000,test:50000')")
+      .collect().map(r => r.getString(2))
+    assert(sp.count(_ == "train") == 6 && sp.count(_ == "val") == 1 &&
+      sp.count(_ == "test") == 0)
+    // tfidf_keywords: SQL TVF equals the Column API
+    val kwDocs = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+    kwDocs.toDF("doc_id", "text").createOrReplaceTempView("kw_tvf_t")
+    val kwSql = spark.sql(
+      "SELECT * FROM tfidf_keywords('kw_tvf_t', 'doc_id', 'text', 2)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+    val kwApi = graft.operators.TextOps.tfidfKeywords(
+        kwDocs.toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+    graft.CacheScope.release()
+    assert(kwSql == kwApi && kwSql.nonEmpty)
+    // dsir_select: the target-affine doc wins from plain SQL too
+    Seq((1L, "zebra quagga zebra"), (2L, "apple banana cherry"))
+      .toDF("doc_id", "text").createOrReplaceTempView("dsir_raw_t")
+    Seq((9L, "zebra quagga stripes")).toDF("doc_id", "text")
+      .createOrReplaceTempView("dsir_tgt_t")
+    val ds = spark.sql("SELECT * FROM dsir_select('dsir_raw_t', 'dsir_tgt_t', " +
+        "'doc_id', 'text', 64, 1)")
+      .collect().map(_.getLong(0))
+    graft.CacheScope.release()
+    assert(ds.toSeq == Seq(1L))
+  }
+
   test("bad literal args to SQL builders produce named errors") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b',' '), 1 + 2) AS x").collect()

@@ -100,6 +100,19 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("tfidfKeywords releases its term-frequency table") {
+    assertReleasedAfter(expectTracked = true) {
+      TextOps.tfidfKeywords(docs, "doc_id", "text", k = 3).count()
+    }
+  }
+
+  test("dsirScore releases its raw gram projection") {
+    assertReleasedAfter(expectTracked = true) {
+      TextOps.dsirScore(docs, docs.limit(50), "doc_id", "text",
+        buckets = 512, lambda = 1.0, k = 10).count()
+    }
+  }
+
   test("sequentialPack: pinned partitioning released before return, output checkpoint tracked") {
     CacheScope.release()
     val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet

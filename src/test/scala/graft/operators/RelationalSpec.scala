@@ -283,4 +283,42 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
   }
+
+  test("stratifiedSplit: exact largest-remainder counts, exhaustive, deterministic") {
+    val splits = Seq(("train", 900000L), ("val", 50000L), ("test", 50000L))
+    // strata sized to exercise every apportionment branch: 1000 divides
+    // evenly (900/50/50); 7 forces the remainder rule (floors 6/0/0,
+    // shortfall 1 → largest remainder 350000 ties val/test, split order
+    // gives it to val); 1 puts its only row in train (remainder .9)
+    val df = ((1 to 1000).map(i => ("big", i.toLong)) ++
+        (1 to 7).map(i => ("small", 2000L + i)) ++
+        Seq(("one", 3000L)))
+      .toDF("stratum", "id")
+    val out = Relational.stratifiedSplit(df, "stratum", "id", splits)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 1008, "every row labeled exactly once")
+    def n(s: String, sp: String) = out.count(x => x._1 == s && x._3 == sp)
+    assert(n("big", "train") == 900 && n("big", "val") == 50 && n("big", "test") == 50)
+    assert(n("small", "train") == 6 && n("small", "val") == 1 && n("small", "test") == 0,
+      "shortfall goes to the largest remainder, split order breaking the tie")
+    assert(n("one", "train") == 1 && n("one", "val") == 0 && n("one", "test") == 0)
+    // deterministic and partitioning-invariant
+    val again = Relational.stratifiedSplit(df.repartition(13), "stratum", "id", splits)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
+    // the assignment follows the md5 rank order: the first-ranked 900
+    // of 'big' are train, next 50 val, last 50 test
+    val rank = df.filter(col("stratum") === "big")
+      .select(col("id"), graft.functions.Portable.md5Long60(
+        concat(col("id").cast("string"), lit("#split"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, h) => (h, id) }.map(_._1)
+    val byId = out.filter(_._1 == "big").map(x => x._2 -> x._3).toMap
+    assert(rank.take(900).forall(byId(_) == "train") &&
+      rank.slice(900, 950).forall(byId(_) == "val") &&
+      rank.drop(950).forall(byId(_) == "test"))
+    intercept[IllegalArgumentException] {
+      Relational.stratifiedSplit(df, "stratum", "id", Seq(("train", 999999L)))
+    }
+  }
 }

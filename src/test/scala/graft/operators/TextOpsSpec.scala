@@ -385,4 +385,59 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(out(2L)._3 && !out(3L)._3, "budget must split the corpus")
   }
+
+  test("tfidfKeywords: hand-computed smoothed tf-idf, top-k per doc, term tie-break") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian"))
+      .toDF("doc_id", "text")
+    def micro(tf: Long, df: Long): Long =
+      math.round(1e6 * tf * (math.log(4.0 / (df + 1.0)) + 1.0)) // N = 3
+    val out = TextOps.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    graft.CacheScope.release()
+    val byDoc = out.groupBy(_._1)
+    // doc 1: apple tf=2 df=1 outranks banana tf=1 df=2
+    assert(byDoc(1L).sortBy(-_._5).map(_._2).toSeq == Seq("apple", "banana"))
+    assert(byDoc(1L).find(_._2 == "apple").get._5 == micro(2, 1))
+    assert(byDoc(1L).find(_._2 == "banana").get._5 == micro(1, 2))
+    // doc 2: rarer cherry outranks corpus-common banana
+    assert(byDoc(2L).sortBy(-_._5).map(_._2).toSeq == Seq("cherry", "banana"))
+    // doc 3: fewer terms than k — report what exists
+    assert(byDoc(3L).map(_._2).toSeq == Seq("durian"))
+    assert(out.forall { case (_, _, tf, df, _) => tf >= 1 && df >= 1 })
+  }
+
+  test("dsirScore: target-affine docs rank first; sub-bigram docs never selected") {
+    val target = Seq(
+      (100L, "zebra quagga zebra quagga"),
+      (101L, "zebra quagga stripes"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "zebra quagga zebra"),   // two target-heavy bigrams
+      (2L, "apple banana cherry"),  // bigrams the target never emits
+      (3L, "quagga stripes"),       // one target bigram
+      (4L, "solo"),                 // single token: no features
+      (5L, "apple banana"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dsirScore(raw, target, "doc_id", "text",
+      buckets = 64, lambda = 1.0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.CacheScope.release()
+    assert(out.length == 3, "k cap")
+    assert(out.head._1 == 1L, "the most target-affine doc must rank first")
+    assert(out.head._2 == 2L, "n_grams = tokens - 1")
+    assert(!out.map(_._1).contains(4L), "a featureless doc cannot be selected")
+    val scores = out.map(x => x._1 -> x._3).toMap
+    assert(scores(1L) > scores.getOrElse(2L, Long.MinValue),
+      "target bigrams must outscore never-seen bigrams")
+    // deterministic
+    val again = TextOps.dsirScore(raw.repartition(7), target, "doc_id", "text",
+      buckets = 64, lambda = 1.0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.CacheScope.release()
+    assert(out.toSeq == again.toSeq)
+  }
 }

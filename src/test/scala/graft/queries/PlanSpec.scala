@@ -258,4 +258,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange") || p.split("Exchange").length <= 3,
       "one stratum shuffle expected")
   }
+
+  test("q101 DSIR: LLR table broadcasts to the scoring join; gram table persisted once") {
+    val p = TextQueries.q101DsirSelect(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket-keyed scoring join must broadcast the model-sized LLR table")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in DSIR may shuffle-sort — the corpus is never joined to itself")
+    assert(p.contains("InMemoryTableScan"),
+      "the raw gram projection must be persisted — it feeds the raw counts AND the scoring")
+    assert(p.contains("TakeOrdered"),
+      "top-k selection must be a partial TakeOrdered, not a global sort")
+    // the only nested-loop joins are the two 1-row stats frames
+    assert(p.split("BroadcastNestedLoopJoin").length <= 3,
+      "BNLJs beyond the 1-row totals frames")
+  }
+
+  test("q102 tf-idf keywords: one persisted tf table feeds df and scoring; window only per-doc") {
+    val p = TextQueries.q102TfidfKeywords(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"),
+      "the (doc, term) tf table must be persisted — one tokenize pass, two consumers")
+    // the 1-row N frame is the only nested-loop join
+    assert(p.split("BroadcastNestedLoopJoin").length <= 2,
+      "BNLJs beyond the 1-row corpus-size frame")
+    assert(p.contains("Window"), "per-doc top-k rides the doc-partitioned window")
+  }
+
+  test("q103 stratified split: allocation broadcasts; one stratum window over the rows") {
+    val p = TextQueries.q103StratifiedSplit(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the config-sized [lo, hi) allocation table must broadcast to the rows")
+    assert(!p.contains("SortMergeJoin"),
+      "row-side data must never shuffle for the allocation join")
+    assert(p.split("Window").length <= 5,
+      "windows beyond the row-side rank + the three apportionment passes " +
+        "over the config-sized allocation frame")
+  }
 }
