@@ -615,6 +615,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "vector column"),
           litDouble(exprs(3), "minSim")))
     }
+    registerTable("incremental_neardup",
+      "incremental_neardup('increment', 'idCol', 'textCol', 'storeTable', 'histIdCol', " +
+        "'shinglesCol', n, minJaccardMicro) - increment docs whose n-gram Jaccard against " +
+        "the hashed-shingle store reaches the threshold (millionths); history text never rescanned", 8) {
+      exprs =>
+        expand(graft.operators.Dedup.incrementalNearDup(
+          SparkSession.active.table(litStr(exprs(0), "increment table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          SparkSession.active.table(litStr(exprs(3), "store table")),
+          litStr(exprs(4), "history id column"), litStr(exprs(5), "shingles column"),
+          litInt(exprs(6), "n"),
+          litInt(exprs(7), "minJaccardMicro").toDouble / 1e6))
+    }
+    registerTable("embed_decontaminate",
+      "embed_decontaminate('corpus', 'idCol', 'vecCol', 'refTable', 'refIdCol', 'refVecCol', minSim)" +
+        " - (corpus, ref) embedding pairs at cosine >= minSim: semantic (paraphrase-level) " +
+        "eval-contamination sweep; reference band rows + vectors broadcast", 7) {
+      exprs =>
+        expand(graft.operators.Similarity.crossNearDup(
+          SparkSession.active.table(litStr(exprs(0), "corpus table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "vector column"),
+          SparkSession.active.table(litStr(exprs(3), "reference table")),
+          litStr(exprs(4), "reference id column"), litStr(exprs(5), "reference vector column"),
+          litDouble(exprs(6), "minSim")))
+    }
     registerTable("ann_ivfpq",
       "ann_ivfpq('corpus', 'queries', 'idCol', 'vecCol', k, nlist, m, codebookK, nprobe, shortlist)" +
         " - IVF-PQ composed index top-k (residual codes of nprobe lists -> exact rerank)", 10) {

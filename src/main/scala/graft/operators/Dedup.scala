@@ -323,6 +323,45 @@ object Dedup {
       .select(col(idCol), col("_fp").as("fp"))
   }
 
+  /** Incremental NEAR-dup against a hashed-shingle store —
+    * [[incrementalDedup]]'s sibling for near duplicates: the historical
+    * corpus was shingled yesterday and exists only as
+    * `(id, sorted distinct 60-bit shingle-hash array)` rows; today's
+    * increment is flagged when its word n-gram Jaccard against ANY
+    * historical document reaches `minJaccard`. Output:
+    * `(inc_id, hist_id, jaccard)` — historical TEXT is never rescanned,
+    * never reshuffled; the store row for a kept increment doc (its own
+    * shingle array) is what tomorrow's store unions in.
+    *
+    * 100-TB shape: both sides explode to (shingle-hash, id) postings and
+    * meet in ONE equi-join on the hash (the crossContamination posting
+    * discipline, pointed at a store): intersection sizes fall out of the
+    * post-join (inc, hist) count aggregation — shingle sets are DISTINCT
+    * per doc, so the join-row count per pair IS the intersection — set
+    * sizes ride as per-doc lengths, and the Jaccard threshold prunes
+    * before output. Candidate volume = shared-shingle postings only; no
+    * pair enumeration, no store self-join. In production the store lives
+    * pre-bucketed by hash (the physical-layout surface), so only the
+    * increment shuffles. */
+  def incrementalNearDup(
+      increment: DataFrame, idCol: String, textCol: String,
+      store: DataFrame, histIdCol: String, shinglesCol: String,
+      n: Int, minJaccard: Double): DataFrame = {
+    require(n >= 1, "n >= 1")
+    require(minJaccard > 0 && minJaccard <= 1, "minJaccard in (0, 1]")
+    val inc = increment.select(col(idCol).as("_iid"),
+        ShingleExprs.shingleHashes(TextFunctions.tokens(col(textCol)), n).as("_s"))
+      .select(col("_iid"), size(col("_s")).as("_na"), explode(col("_s")).as("_g"))
+    val hist = store.select(col(histIdCol).as("_hid"),
+      size(col(shinglesCol)).as("_nb"), explode(col(shinglesCol)).as("_g"))
+    inc.join(hist, Seq("_g"))
+      .groupBy("_iid", "_hid", "_na", "_nb").agg(count(lit(1)).as("_inter"))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (col("_na") + col("_nb") - col("_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("_iid").as("inc_id"), col("_hid").as("hist_id"), col("jaccard"))
+  }
+
   /** Pairwise corpus overlap between sources — the dataset-governance
     * question "how much does source A share with source B?" answered as
     * exact n-gram-shingle Jaccard per unordered source pair: distinct

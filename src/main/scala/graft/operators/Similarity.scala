@@ -378,7 +378,11 @@ object Similarity {
     * table — split out so [[cosineNearDupCandidates]] can share one
     * persisted unit-vector projection between candidate generation and
     * both verify joins. */
-  private def bandCandidatesOfUnit(
+  /** Band rows of a normalized `(_id, _v)` frame: one `(_bk, _bv, _id)`
+    * row per (band index, band value) of the family — ids only, never
+    * vectors. Shared by the self-join candidates and the cross-corpus
+    * decontamination join. */
+  private def bandRows(
       unit: DataFrame,
       nBits: Int,
       bands: Int,
@@ -398,8 +402,15 @@ object Similarity {
         shiftrightunsigned(col(s"_sk$i"), b * bandBits).bitwiseAND(lit(mask))
       }
     }
-    val banded = sketched.select(col("_id"),
-      posexplode(array(bandCols: _*)).as(Seq("_bk", "_bv")))
+    sketched.select(col("_id"), posexplode(array(bandCols: _*)).as(Seq("_bk", "_bv")))
+  }
+
+  private def bandCandidatesOfUnit(
+      unit: DataFrame,
+      nBits: Int,
+      bands: Int,
+      sketchSeeds: Seq[Long]): DataFrame = {
+    val banded = bandRows(unit, nBits, bands, sketchSeeds)
     val a = banded.select(col("_bk"), col("_bv"), col("_id").as("id_a"))
     val b = banded.select(col("_bk"), col("_bv"), col("_id").as("id_b"))
     a.join(b, Seq("_bk", "_bv"))
@@ -466,6 +477,57 @@ object Similarity {
       .withColumn("sim", cosineOfUnits("_va", "_vb"))
       .filter(col("sim") >= minSim)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** Semantic (embedding-space) decontamination: every (corpus doc,
+    * reference doc) pair with cosine ≥ `minSim` — the embedding twin of
+    * [[graft.operators.Dedup.crossContamination]]'s n-gram sweep, the
+    * pass that catches PARAPHRASED eval contamination that no shingle
+    * overlap can see. Output: `(corpus_id, ref_id, sim)`.
+    *
+    * Same candidates + exact-verify contract as
+    * [[cosineNearDupCandidates]], applied ACROSS two frames: both sides
+    * sketch under ONE band family derived from (minSim, targetRecall,
+    * corpus size); candidates are the (band, value) equi-join of corpus
+    * band rows against REFERENCE band rows; an exact dot verifies every
+    * candidate (no false positives; misses bounded by the family's
+    * (1−p^w)^B, measured zero on the gate data — q104 checks the full
+    * output against a DuckDB exact cross-pairs oracle).
+    *
+    * 100-TB shape: the reference (an eval/benchmark set) is model-sized
+    * next to the corpus, so its band rows AND its unit vectors
+    * broadcast — the corpus is sketched and scanned once, never joined
+    * to itself, and only band-hit rows reach the verify join (the
+    * crossContamination posting-list discipline, in embedding space).
+    * Unlike the self-join family there is no N² anywhere: candidate
+    * count is bounded by corpus × (reference bucket occupancy). */
+  def crossNearDup(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      ref: DataFrame, refId: String, refVec: String,
+      minSim: Double, targetRecall: Double = 0.9999): DataFrame = {
+    val cU = graft.CacheScope.track(
+      corpus.select(col(corpusId).as("_id"), VectorExprs.unitVec(col(corpusVec)).as("_v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    val rU = graft.CacheScope.track(
+      ref.select(col(refId).as("_id"), VectorExprs.unitVec(col(refVec)).as("_v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    // sizing fetch (model/metadata collect contract) — the corpus side
+    // governs the family: it pays the sketch cost per row
+    val plan = deriveBands(minSim, targetRecall,
+      corpus.select(count(lit(1))).head().getLong(0))
+    val cand = bandRows(cU, plan.nBits, plan.bands, plan.sketchSeeds)
+      .select(col("_bk"), col("_bv"), col("_id").as("corpus_id"))
+      .join(broadcast(bandRows(rU, plan.nBits, plan.bands, plan.sketchSeeds)
+        .select(col("_bk"), col("_bv"), col("_id").as("ref_id"))),
+        Seq("_bk", "_bv"))
+      .select("corpus_id", "ref_id")
+      .dropDuplicates("corpus_id", "ref_id")
+    cand
+      .join(cU.select(col("_id").as("corpus_id"), col("_v").as("_vc")), Seq("corpus_id"))
+      .join(broadcast(rU.select(col("_id").as("ref_id"), col("_v").as("_vr"))), Seq("ref_id"))
+      .withColumn("sim", cosineOfUnits("_vc", "_vr"))
+      .filter(col("sim") >= minSim)
+      .select("corpus_id", "ref_id", "sim")
   }
 
   private[operators] def topKBySim(scored: DataFrame, k: Int): DataFrame =

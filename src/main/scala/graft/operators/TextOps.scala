@@ -745,13 +745,15 @@ object TextOps {
     * TARGET domain's unigram-over-buckets distribution than under the
     * raw corpus's own — `log p_target(doc) − log p_raw(doc)` for two
     * add-λ-smoothed bag-of-hashed-bigrams models — and keep the top `k`.
-    * The paper resamples with Gumbel noise; this takes the deterministic
-    * top-(score, id) so the DuckDB oracle replays the selection exactly
-    * (a seeded Gumbel is one salted-md5 draw away — the
-    * [[graft.operators.Relational.weightedMixture]] idiom). Output:
-    * `(id, n_grams, score_micro)` for the k selected documents,
-    * descending by score. Documents with fewer than two tokens have no
-    * features and are never selected (log-ratio 0 ≠ affinity).
+    * `gumbelTemp = 0` (default) takes the deterministic top-(score, id);
+    * `gumbelTemp = τ > 0` is the paper's Gumbel top-k resample (a draw
+    * of k docs without replacement ∝ exp(score/τ)), with the Gumbel
+    * noise derived from a salted-md5 unit draw — seeded, so BOTH modes
+    * replay exactly in the DuckDB oracle (gates q101/q105). Output:
+    * `(id, n_grams, score_micro[, key_micro])` for the k selected
+    * documents, descending by selection key. Documents with fewer than
+    * two tokens have no features and are never selected (log-ratio 0 ≠
+    * affinity).
     *
     * 100-TB shape: both corpora collapse to `buckets`-sized count
     * vectors (two keyed aggregations with map-side combine — the feature
@@ -764,10 +766,11 @@ object TextOps {
     * the final top-k is a partial TakeOrdered, not a global sort. */
   def dsirScore(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096, lambda: Double = 1.0,
-      k: Int = 100): DataFrame = {
+      k: Int = 100, gumbelTemp: Double = 0.0): DataFrame = {
     require(buckets >= 2, "buckets >= 2")
     require(lambda > 0, "lambda > 0 (unsmoothed zero-count buckets have log 0)")
     require(k >= 1, "k >= 1")
+    require(gumbelTemp >= 0, "gumbelTemp >= 0 (0 = deterministic top-k)")
     val rawG = CacheScope.track(bigramBuckets(raw, idCol, textCol, buckets)
       .persist(StorageLevel.MEMORY_ONLY))
     val tgtC = bigramBuckets(target, idCol, textCol, buckets)
@@ -786,10 +789,25 @@ object TextOps {
           log((col("_ct") + lambda) / (col("_tt") + lb)) -
           log((col("_cr") + lambda) / (col("_tr") + lb)))).cast("long")
           .as("_llr_micro"))
-    rawG.join(broadcast(llr), Seq("_b"))
+    val scored = rawG.join(broadcast(llr), Seq("_b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), sum(col("_llr_micro")).as("score_micro"))
-      .orderBy(col("score_micro").desc, col(idCol))
-      .limit(k)
+    if (gumbelTemp == 0.0)
+      scored.orderBy(col("score_micro").desc, col(idCol)).limit(k)
+    else {
+      // The paper's Gumbel top-k resample (top-k of score/τ + Gumbel ~
+      // sampling k docs WITHOUT replacement ∝ exp(score/τ)), with the
+      // Gumbel draw from the salted-md5 unit draw (the weightedMixture
+      // idiom) so any engine replays the sample: u = (h + 0.5)/2^60 ∈
+      // (0,1) — the half-offset keeps u off both endpoints where
+      // -ln(-ln u) diverges. key = score + τ·g in micro units.
+      val u = (Portable.md5Long60(concat(col(idCol).cast("string"), lit("#gumbel")))
+        .cast("double") + 0.5) / lit(math.pow(2, 60))
+      scored
+        .withColumn("key_micro", col("score_micro") +
+          round(lit(1e6 * gumbelTemp) * -log(-log(u))).cast("long"))
+        .orderBy(col("key_micro").desc, col(idCol))
+        .limit(k)
+    }
   }
 }

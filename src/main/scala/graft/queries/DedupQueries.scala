@@ -48,6 +48,23 @@ object DedupQueries {
   def q56EmbedNearDupCand(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupCandidates(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
 
+  // Semantic decontamination (q69's embedding twin): every 25th vector,
+  // deterministically perturbed (x[i] += 0.25·x[(i+1) mod d], then offset
+  // ids by 1e6), plays the benchmark set — each ref lands ~0.97 cosine
+  // from its source, so the 0.9 threshold finds exactly the planted
+  // contamination and nothing from the ≤0.48 background. Banded
+  // candidates + exact verify vs the exact cross-pairs DuckDB oracle.
+  def q104EmbedDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val vd = col("embedding").cast("array<double>")
+    val ref = e.filter(pmod(col("vec_id"), lit(25L)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(vd, (x, i) => x + lit(0.25) *
+          element_at(vd, (pmod(i + 1, size(vd)) + 1).cast("int"))).as("embedding"))
+    Similarity.crossNearDup(e, "vec_id", "embedding",
+      ref, "vec_id", "embedding", minSim = 0.9)
+  }
+
   // The dispatcher over q44/q56's operators: derives an LSH band family
   // from (threshold, target recall, corpus size) and picks exact-tiled vs
   // banded on the measured cost crossover (BASELINE.md probe: exact wins
@@ -122,6 +139,22 @@ object DedupQueries {
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", seen, "fp")
   }
 
+  // Incremental NEAR-dup (q90's sibling): doc_id % 10 == 0 plays today's
+  // increment; the rest exists ONLY as its hashed-shingle store (arrays
+  // of 60-bit shingle hashes — text never rescanned). Flag = 3-gram
+  // Jaccard >= 0.4 against any historical doc; the oracle recomputes the
+  // same pairs from raw history text.
+  def q106IncrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.catalyst.ShingleExprs
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, d)
+    val store = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        ShingleExprs.shingleHashes(TextFunctions.tokens(col("text")), 3).as("shingles"))
+    Dedup.incrementalNearDup(docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", store, "doc_id", "shingles", n = 3, minJaccard = 0.4)
+  }
+
   // Pairwise source overlap (dataset governance): exact bigram-shingle
   // Jaccard per source pair — 20 sources, 190 pairs, natural cross-source
   // bigram overlap ~500 shingles per pair at the gate SF.
@@ -140,6 +173,8 @@ object DedupQueries {
     "q46_curation_pipeline" -> q46CurationPipeline,
     "q55_embed_clusters" -> q55EmbedClusters,
     "q56_embed_neardup_cand" -> q56EmbedNearDupCand,
+    "q104_embed_decontaminate" -> q104EmbedDecontaminate,
+    "q106_incremental_neardup" -> q106IncrementalNearDup,
     "q68_embed_neardup_auto" -> q68EmbedNearDupAuto,
     "q69_decontaminate" -> q69Decontaminate)
 
@@ -214,6 +249,26 @@ object DedupQueries {
     // q56's candidates+verify path must reproduce the exact pair set —
     // same oracle as q44 by design.
     "q56_embed_neardup_cand" -> cosinePairsOracleSql,
+    "q106_incremental_neardup" ->
+      s"""WITH inc AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents
+                       WHERE doc_id % 10 = 0),
+         hist AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents
+                  WHERE doc_id % 10 <> 0)
+         SELECT inc.doc_id AS inc_id, hist.doc_id AS hist_id,
+           CAST(len(list_intersect(inc.s, hist.s)) AS DOUBLE) /
+           CAST(len(inc.s) + len(hist.s) - len(list_intersect(inc.s, hist.s)) AS DOUBLE) AS jaccard
+         FROM inc JOIN hist ON
+           CAST(len(list_intersect(inc.s, hist.s)) AS DOUBLE) /
+           CAST(len(inc.s) + len(hist.s) - len(list_intersect(inc.s, hist.s)) AS DOUBLE) >= 0.4""",
+    "q104_embed_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         r AS (SELECT vec_id + 1000000 AS ref_id,
+                 list_transform(generate_series(1, len(v)),
+                   i -> v[i] + 0.25 * v[(i % len(v)) + 1]) AS rv
+               FROM e WHERE vec_id % 25 = 0)
+         SELECT e.vec_id AS corpus_id, r.ref_id,
+           round(list_cosine_similarity(e.v, r.rv), 5) AS sim
+         FROM e JOIN r ON round(list_cosine_similarity(e.v, r.rv), 5) >= 0.9""",
     // the dispatcher must reproduce the same pair set whichever arm fires
     "q68_embed_neardup_auto" -> cosinePairsOracleSql,
     // distinct string-shingle intersection counts replay the hashed

@@ -207,6 +207,23 @@ object StreamingQueries {
       n = 3, minShared = 3), "complete")
   }
 
+  // Streaming twin of q106: today's increment arrives as a document
+  // STREAM; history stays the static hashed-shingle store. Stateless
+  // posting explode → stream-static equi-join on the shingle hash →
+  // stateful (inc, hist) count agg (complete mode); q106's batch oracle
+  // VERBATIM — the daily-crawl near-dup sweep as a continuous job.
+  def q107StreamIncrementalNearDup(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val store = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), graft.catalyst.ShingleExprs.shingleHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 3).as("shingles"))
+    drain(graft.operators.Dedup.incrementalNearDup(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      store, "doc_id", "shingles", n = 3, minJaccard = 0.4), "complete")
+  }
+
   // Streaming twin of q70: the deterministic weighted training mixture as
   // a continuous STATELESS projection + per-row generator over a document
   // stream (floor(w) copies + a salted-md5 fractional draw — no rand(),
@@ -276,6 +293,7 @@ object StreamingQueries {
     "q37_stream_session" -> q37StreamSession,
     "q78_stream_redact" -> q78StreamRedact,
     "q82_stream_decontaminate" -> q82StreamDecontaminate,
+    "q107_stream_incremental_neardup" -> q107StreamIncrementalNearDup,
     "q87_stream_mixture" -> q87StreamMixture,
     "q89_stream_quota_sample" -> q89StreamQuotaSample,
     "q98_stream_lm_score" -> q98StreamLmScore)
@@ -287,6 +305,7 @@ object StreamingQueries {
     // the batch oracle verbatim: stream and browse must agree exactly
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
+    "q107_stream_incremental_neardup" -> DedupQueries.oracles("q106_incremental_neardup"),
     "q98_stream_lm_score" -> TextQueries.oracles("q92_lm_score"),
     "q87_stream_mixture" -> TextQueries.oracles("q70_weighted_mixture"),
     "q89_stream_quota_sample" -> TextQueries.oracles("q80_quota_sample"),

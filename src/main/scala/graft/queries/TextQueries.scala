@@ -287,6 +287,17 @@ object TextQueries {
       buckets = 4096, lambda = 1.0, k = 50)
   }
 
+  // The paper-faithful DSIR arm: Gumbel top-k resampling at temperature
+  // 2.0 — k docs without replacement ∝ exp(score/τ), the seeded draw
+  // riding a salted md5 so DuckDB replays the SAMPLE, not just the
+  // scores. Same model as q101; different (stochastic) selection.
+  def q105DsirResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.operators.TextOps.dsirScore(docs,
+      docs.filter(col("source") === "src13"), "doc_id", "text",
+      buckets = 4096, lambda = 1.0, k = 50, gumbelTemp = 2.0)
+  }
+
   // Per-doc TF-IDF keywords: top-5 terms per document, smoothed idf,
   // micro-quantized, term tie-break.
   def q102TfidfKeywords(s: SparkSession, d: String): DataFrame =
@@ -355,6 +366,7 @@ object TextQueries {
     "q99_token_budget" -> q99TokenBudget,
     "q96_strip_spans" -> q96StripSpans,
     "q101_dsir_select" -> q101DsirSelect,
+    "q105_dsir_resample" -> q105DsirResample,
     "q102_tfidf_keywords" -> q102TfidfKeywords,
     "q103_stratified_split" -> q103StratifiedSplit,
     "q94_bpe" -> q94Bpe,
@@ -422,6 +434,32 @@ object TextQueries {
          CAST(count(*) AS BIGINT) AS n_terms
        FROM c GROUP BY doc_id
        ORDER BY score_micro DESC, doc_id LIMIT 10"""
+
+  // DSIR scoring CTE chain (hashed-bigram LLR per doc) — shared by the
+  // deterministic-top-k gate (q101) and the Gumbel-resample gate (q105):
+  // one model, two selection rules, drift-proof by construction.
+  private val dsirCtesSql =
+    """t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+            FROM documents),
+       g AS (SELECT doc_id, source,
+               ('0x' || substring(md5(toks[k.k] || ' ' || toks[k.k + 1]), 1, 15))::BIGINT
+                 % 4096 AS b
+             FROM t JOIN (SELECT unnest(generate_series(1,
+               (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+               ON k.k < len(toks)),
+       tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM g
+              WHERE source = 'src13' GROUP BY b),
+       rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM g GROUP BY b),
+       st AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS tr,
+                     (SELECT COALESCE(CAST(sum(ct) AS BIGINT), 0) FROM tc) AS tt),
+       llr AS (SELECT rc.b,
+                 CAST(round(1000000.0 * (
+                   ln((COALESCE(tc.ct, 0) + 1.0) / (st.tt + 1.0 * 4096)) -
+                   ln((rc.cr + 1.0) / (st.tr + 1.0 * 4096)))) AS BIGINT) AS lm
+               FROM rc LEFT JOIN tc USING (b) CROSS JOIN st),
+       sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(lm) AS BIGINT) AS score_micro
+              FROM g JOIN llr USING (b) GROUP BY doc_id)"""
 
   // Shared by the window-sort gate (q80) and the bounded-agg gate (q84):
   // both paths must select the identical sample by contract.
@@ -631,29 +669,18 @@ object TextQueries {
          SELECT doc_id, n_urls, n_blocked, n_blocked = 0 AS keep FROM c""",
     "q85_bm25_batch" -> bm25Sql,
     "q101_dsir_select" ->
-      """WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
-                    FROM documents),
-         g AS (SELECT doc_id, source,
-                 ('0x' || substring(md5(toks[k.k] || ' ' || toks[k.k + 1]), 1, 15))::BIGINT
-                   % 4096 AS b
-               FROM t JOIN (SELECT unnest(generate_series(1,
-                 (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
-                 ON k.k < len(toks)),
-         tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM g
-                WHERE source = 'src13' GROUP BY b),
-         rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM g GROUP BY b),
-         st AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS tr,
-                       (SELECT COALESCE(CAST(sum(ct) AS BIGINT), 0) FROM tc) AS tt),
-         llr AS (SELECT rc.b,
-                   CAST(round(1000000.0 * (
-                     ln((COALESCE(tc.ct, 0) + 1.0) / (st.tt + 1.0 * 4096)) -
-                     ln((rc.cr + 1.0) / (st.tr + 1.0 * 4096)))) AS BIGINT) AS lm
-                 FROM rc LEFT JOIN tc USING (b) CROSS JOIN st),
-         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-                       CAST(sum(lm) AS BIGINT) AS score_micro
-                FROM g JOIN llr USING (b) GROUP BY doc_id)
+      s"""WITH $dsirCtesSql
          SELECT doc_id, n_grams, score_micro FROM sc
          ORDER BY score_micro DESC, doc_id LIMIT 50""",
+    "q105_dsir_resample" ->
+      s"""WITH $dsirCtesSql,
+         sel AS (SELECT doc_id, n_grams, score_micro,
+                   score_micro + CAST(round(2000000.0 * -ln(-ln(
+                     (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#gumbel'), 1, 15))::BIGINT
+                       + 0.5) / 1152921504606846976.0))) AS BIGINT) AS key_micro
+                 FROM sc)
+         SELECT doc_id, n_grams, score_micro, key_micro FROM sel
+         ORDER BY key_micro DESC, doc_id LIMIT 50""",
     "q102_tfidf_keywords" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
                     FROM documents),

@@ -359,6 +359,30 @@ object ScaleProbe {
     time("tfidf keywords 10x")(
       TextOps.tfidfKeywords(docsX(10), "doc_id", "text", 5).count())
 
+    // --- incremental near-dup: postings equi-join against the shingle
+    // store — volume tracks shared-shingle postings, never pairs --------
+    def incNd(k: Int): Long = {
+      val dk = docsX(k)
+      val store = dk.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"),
+        graft.catalyst.ShingleExprs.shingleHashes(
+          graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+      Dedup.incrementalNearDup(dk.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", store, "doc_id", "sh", n = 3, minJaccard = 0.4).count()
+    }
+    time("incremental near-dup 1x")(incNd(1))
+    time("incremental near-dup 10x")(incNd(10))
+
+    // --- semantic decontamination: reference band rows + vectors
+    // broadcast; corpus sketched once — growth linear in corpus rows ----
+    def crossDecon(k: Int): Long = {
+      val r = embX(1).filter(pmod(col("vec_id"), lit(100L)) === 0)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      Similarity.crossNearDup(embX(k), "vec_id", "embedding",
+        r, "vec_id", "embedding", minSim = 0.9).count()
+    }
+    time("embed decontaminate 1x (5k corpus, 50 refs)")(crossDecon(1))
+    time("embed decontaminate 10x (50k corpus, same refs)")(crossDecon(10))
+
     // --- stratified split on ONE hot stratum: like token budget, the
     // exact per-stratum ranks sort the stratum's (hash, id) pairs in a
     // single task — the payload never rides the sort ---------------------

@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 103 queries, unique names") {
-    assert(SparkEntry.queries.size == 103)
+  test("gate inventory: 107 queries, unique names") {
+    assert(SparkEntry.queries.size == 107)
   }
 }

@@ -100,6 +100,14 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("crossNearDup releases both unit-vector projections") {
+    assertReleasedAfter(expectTracked = true) {
+      Similarity.crossNearDup(emb, "vec_id", "embedding",
+        emb.limit(20).select((col("vec_id") + 900000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", minSim = 0.95).count()
+    }
+  }
+
   test("tfidfKeywords releases its term-frequency table") {
     assertReleasedAfter(expectTracked = true) {
       TextOps.tfidfKeywords(docs, "doc_id", "text", k = 3).count()

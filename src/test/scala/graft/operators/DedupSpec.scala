@@ -160,4 +160,27 @@ class DedupSpec extends SparkSpec {
         s"$pair: est ${est(pair)} vs exact $j (bound $bound)")
     }
   }
+
+  test("incrementalNearDup == the cross-(increment, history) slice of the full pair set") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.CacheScope.release()
+    // the from-scratch truth restricted to pairs straddling the split,
+    // oriented (increment, history)
+    val expected = full.flatMap { case (a, b, j) =>
+      if (a % 10 == 0 && b % 10 != 0) Some((a, b, j))
+      else if (b % 10 == 0 && a % 10 != 0) Some((b, a, j))
+      else None
+    }.toSet
+    assert(expected.nonEmpty, "fixture must produce cross-split pairs")
+    val store = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), graft.catalyst.ShingleExprs.shingleHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+    val got = Dedup.incrementalNearDup(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", store, "doc_id", "sh", n = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      "incremental-vs-store must equal the from-scratch cross slice, jaccards included")
+  }
 }

@@ -198,4 +198,29 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("maxr") =!= col("n") || !col("mono"))
     assert(bad.count() == 0)
   }
+
+  test("crossNearDup: planted contamination found exactly; clean refs stay clean") {
+    val corpus = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // refs = exact copies of every 100th corpus vector (sim 1.0 planted
+    // contamination) plus one vector orthogonal-ish to everything (a
+    // genuinely clean benchmark row)
+    val copies = corpus.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    import spark.implicits._
+    val clean = Seq((999999L,
+      Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.crossNearDup(corpus, "vec_id", "embedding",
+        copies.unionByName(clean), "vec_id", "embedding", minSim = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.CacheScope.release()
+    val expected = corpus.filter(col("vec_id") % 100 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == expected,
+      "every planted copy's source must be flagged, nothing else")
+    assert(got.forall { case (c, r, s) => r == c + 500000L && s > 0.999 },
+      "each source must pair with ITS copy at sim ~1.0")
+    assert(!got.exists(_._2 == 999999L), "the clean ref must not be flagged")
+  }
 }

@@ -439,5 +439,19 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     graft.CacheScope.release()
     assert(out.toSeq == again.toSeq)
+    // Gumbel resample: seeded draw — deterministic across partitionings;
+    // at vanishing temperature the sample converges to the top-k set
+    // (noise in micro units rounds to ~0 next to the score gaps)
+    def sample(df: org.apache.spark.sql.DataFrame, temp: Double): Seq[Long] = {
+      val s = TextOps.dsirScore(df, target, "doc_id", "text",
+        buckets = 64, lambda = 1.0, k = 3, gumbelTemp = temp)
+        .collect().map(_.getLong(0)).toSeq
+      graft.CacheScope.release()
+      s
+    }
+    assert(sample(raw, 2.0) == sample(raw.repartition(5), 2.0),
+      "the seeded Gumbel draw must not depend on partitioning")
+    assert(sample(raw, 1e-9).toSet == out.map(_._1).toSet,
+      "tau -> 0 must recover the deterministic top-k")
   }
 }

@@ -259,6 +259,17 @@ class PlanSpec extends SparkSpec {
       "one stratum shuffle expected")
   }
 
+  test("q104 embed decontaminate: band-keyed equi join, reference broadcast — no cartesian") {
+    val p = DedupQueries.q104EmbedDecontaminate(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cross-corpus candidates degenerated to all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "the model-sized reference (band rows + vectors) must broadcast")
+    assert(p.contains("_bk"), "candidates must join on the band keys")
+  }
+
   test("q101 DSIR: LLR table broadcasts to the scoring join; gram table persisted once") {
     val p = TextQueries.q101DsirSelect(spark, sf).queryExecution
       .explainString(ExplainMode.fromString("simple"))
