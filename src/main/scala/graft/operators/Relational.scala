@@ -149,6 +149,63 @@ object Relational {
     df.withColumn("split", label)
   }
 
+  /** Deterministic shard assignment for a training-data export: shard =
+    * md5(key) mod `nShards` — content-addressed like [[hashSplit]], so a
+    * row's shard never moves when data is added, repartitioned, or the
+    * export re-run, and any engine (or the training loader itself) can
+    * recompute the mapping from the key alone. Pure projection, no
+    * shuffle. */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards >= 1")
+    df.withColumn("shard_id",
+      pmod(graft.functions.Portable.md5Long60(col(keyCol).cast("string")),
+        lit(nShards)).cast("int"))
+  }
+
+  /** Per-shard manifest for [[shardAssign]]'s mapping — the frame a
+    * training loader checks before consuming an export: row count, total
+    * payload bytes (`bytesCol` summed), an order-independent content sum
+    * (Σ md5(key) mod 2³⁰ — insensitive to row order, sensitive to any
+    * added/dropped/substituted key), and the key range per shard.
+    *
+    * One keyed aggregation on the synthesized shard id (map-side partial
+    * combine; ≤ nShards result rows) — no window, no second scan. All
+    * exported columns are exact integers (the [[graft.functions.Portable]]
+    * rule), so the manifest replays bit-for-bit in DuckDB. The content
+    * sum's addends are < 2³⁰, so overflow needs ≳2³⁴ rows in ONE shard —
+    * size `nShards` so a shard is a file, and that bound is unreachable. */
+  def shardManifest(df: DataFrame, keyCol: String, bytesCol: String,
+      nShards: Int): DataFrame =
+    shardAssign(df, keyCol, nShards)
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(bytesCol).cast("long")).as("total_bytes"),
+        sum(pmod(graft.functions.Portable.md5Long60(col(keyCol).cast("string")),
+          lit(1L << 30))).as("content_sum"),
+        min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key"))
+
+  /** Write the sharded export (hive-partitioned parquet, one directory
+    * per shard) and return the manifest computed FROM THE WRITTEN FILES —
+    * not from the input — so the returned manifest certifies what landed
+    * on disk; comparing it to `shardManifest(df, …)` is the caller's
+    * end-to-end write check ([[RelationalSpec]] does exactly that). */
+  def shardExport(df: DataFrame, keyCol: String, bytesCol: String,
+      nShards: Int, path: String): DataFrame = {
+    shardAssign(df, keyCol, nShards)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    val back = df.sparkSession.read.parquet(path)
+    back.groupBy(col("shard_id").cast("int").as("shard_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(bytesCol).cast("long")).as("total_bytes"),
+        sum(pmod(graft.functions.Portable.md5Long60(col(keyCol).cast("string")),
+          lit(1L << 30))).as("content_sum"),
+        min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key"))
+  }
+
   /** Exact-count stratified split: within every stratum, allocate rows to
     * the named splits in EXACTLY the requested proportions (largest-
     * remainder / Hamilton apportionment over parts-per-million weights),

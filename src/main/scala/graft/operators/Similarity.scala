@@ -201,6 +201,113 @@ object Similarity {
     topKBySim(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-`k` corpus rows whose cosine lands in `[loSim, hiSim)` — similar
+    * enough to be confusable, excluded from the near-dup band above
+    * `hiSim` (pair `hiSim` with the dedup threshold so a mined negative
+    * can never be a positive). The band test is applied to the ROUNDED
+    * similarity (the module's 5-decimal export), so the boundary is
+    * engine-stable and the gate replays in DuckDB with the same
+    * predicate.
+    *
+    * Same physical contract as [[bruteForceTopK]] (queries ≪ corpus,
+    * query side broadcast, corpus scanned once, shuffle only for the
+    * per-query top-k); the band filter runs BEFORE ranking, so rows
+    * outside it never reach the shuffle. For corpora where even one scan
+    * per mining run is too dear, feed this a shortlist from the ANN
+    * family (`pqTopKRerank` / `ivfTopK` with a generous k) — the band
+    * semantics compose unchanged.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      loSim: Double,
+      hiSim: Double): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(loSim < hiSim, s"empty band: loSim $loSim >= hiSim $hiSim")
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), VectorExprs.unitVec(col(vecCol)).as("_qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), VectorExprs.unitVec(col(vecCol)).as("_cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineOfUnits("_qv", "_cv"))
+      .filter(col("sim") >= loSim && col("sim") < hiSim)
+    topKBySim(scored, k)
+  }
+
+  /** Directed exact k-nearest-neighbor graph over ONE embedding table —
+    * every row is simultaneously query and corpus; the structure
+    * graph-based diversity pruning and retrieval-augmented curation
+    * consume (each doc linked to its `k` most similar peers).
+    *
+    * The self-join regime breaks [[bruteForceTopK]]'s contract (queries
+    * ≪ corpus no longer holds — nothing is broadcastable), so the shape
+    * changes twice: (1) pair generation is the same triangular block
+    * tiling as [[cosineNearDupPairs]] — each task holds two bounded
+    * blocks of unit vectors, every unordered pair is scored exactly once
+    * and exploded into both directions in the same pass; (2) the
+    * per-query top-k is a bounded-state typed AGGREGATION
+    * ([[graft.functions.TopKAgg]]) instead of a `row_number` window —
+    * each map task reduces its slice to ≤ k neighbors per query before
+    * the shuffle, so shuffled bytes are O(N·k·blocks), never the O(N²)
+    * scored-pair stream a window sort would pull into one partition per
+    * query. That difference is the whole ballgame at 100 TB: the N²
+    * pairs exist only transiently inside tasks.
+    *
+    * Similarity is exported as `sim_micro` = round(cosine·1e5) BIGINT
+    * (the [[graft.functions.Portable]] integer-export rule — it rides
+    * the aggregation buffer as an exact long; DuckDB replay:
+    * `CAST(round(list_cosine_similarity(a,b)*100000) AS BIGINT)`).
+    * Ranking order (sim_micro DESC, neighbor_id ASC) is a strict total
+    * order, so ranks are stable across engines and runs. `idCol` must be
+    * integral (it rides the TopKAgg buffer as a long).
+    */
+  def knnGraph(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      blocks: Int = 0): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val idType = emb.schema(idCol).dataType
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(idType),
+      s"idCol '$idCol' must be an integral type (rides the aggregation buffer as a long); " +
+        s"got ${idType.catalogString}")
+    val nBlocks = if (blocks >= 1) blocks else deriveBlocks(emb, vecCol)
+    val v = emb.select(col(idCol).cast("long").as("_id"),
+        VectorExprs.unitVec(col(vecCol)).as("_v"))
+      .withColumn("_blk", pmod(xxhash64(col("_id")), lit(nBlocks)).cast("int"))
+    val a = v.select(col("_id").as("id_a"), col("_v").as("_va"), col("_blk").as("_ti"))
+      .withColumn("_tj", explode(sequence(col("_ti"), lit(nBlocks - 1))))
+    val b = v.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_blk").as("_tj"))
+      .withColumn("_ti", explode(sequence(lit(0), col("_tj"))))
+    // Each unordered pair meets in exactly one tile (cosineNearDupPairs'
+    // invariant); negated sim_micro makes TopKAgg's smallest-k-lexicographic
+    // order equal (sim DESC, neighbor ASC). Both directions come from one
+    // explode over the scored pair — the dot product is never recomputed.
+    val directed = a.join(b, Seq("_ti", "_tj"))
+      .filter(col("_ti") =!= col("_tj") || col("id_a") < col("id_b"))
+      .withColumn("_negSim",
+        -round(VectorExprs.dotD(col("_va"), col("_vb")) * 100000).cast("long"))
+      .select(explode(array(
+        struct(col("id_a").as("q"), col("id_b").as("n"), col("_negSim").as("s")),
+        struct(col("id_b").as("q"), col("id_a").as("n"), col("_negSim").as("s")))).as("_e"))
+      .select(col("_e.q").as("_q"), col("_e.n").as("_n"), col("_e.s").as("_s"))
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    directed.groupBy(col("_q"))
+      .agg(topk(col("_s"), col("_n")).as("_top"))
+      .select(col("_q"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col("_q").cast(idType).as("query_id"),
+        col("_e._2").cast(idType).as("neighbor_id"),
+        (-col("_e._1")).as("sim_micro"),
+        (col("_r") + 1).cast("int").as("rank"))
+  }
+
   /** LSH-bucketed approximate top-k (the 100-TB scale path): corpus and
     * queries are sketched with `nBits` signed random hyperplanes
     * (deterministic, seeded; sketch sign is scale-invariant so unit vectors

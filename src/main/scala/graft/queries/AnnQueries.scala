@@ -104,7 +104,24 @@ object AnnQueries {
       Tables.embeddings(s, d), "vec_id", "embedding", queryVecId = 0L,
       k = 10, kEach = 20)
 
+  // Directed exact kNN graph (every vector is query AND corpus): tiled
+  // self-join + bounded-state TopKAgg per query — the self-join regime
+  // where neither side broadcasts. Exact and integer-exported
+  // (sim_micro) → full hash gate vs the DuckDB N² replay.
+  def q108KnnGraph(s: SparkSession, d: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+
+  // Hard-negative mining (contrastive training): per query, top-10
+  // corpus rows in the cosine band [0.10, 0.45) — confusable but below
+  // the q44 near-dup threshold, so a mined negative is never a positive.
+  def q109HardNegatives(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(
+      Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
+      k = 10, loSim = 0.10, hiSim = 0.45)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_knn_graph" -> q108KnnGraph,
+    "q109_hard_negatives" -> q109HardNegatives,
     "q97_hybrid_search" -> q97HybridSearch,
     "q95_diversity_sample" -> q95DiversitySample,
     "q91_ann_pca" -> q91AnnPca,
@@ -118,6 +135,30 @@ object AnnQueries {
 
   // q51/q52 are approximate → rows-only checks (no oracle entries).
   val oracles: Map[String, String] = Map(
+    "q108_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(round(list_cosine_similarity(a.v, b.v) * 100000) AS BIGINT) AS sim_micro
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id
+         )
+         SELECT query_id, neighbor_id, sim_micro,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS INT) AS rank
+         FROM scored
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) <= 3""",
+    "q109_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 5) AS sim
+           FROM q JOIN e ON e.vec_id <> q.query_id
+         )
+         SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         FROM scored
+         WHERE sim >= 0.10 AND sim < 0.45
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 10""",
     // the lexical arm is the SAME Okapi CTE chain the BM25 gates pin
     // (TextQueries.bm25CtesSql) — composed, not copied, so a scoring
     // change cannot drift the hybrid gate from the arm it fuses

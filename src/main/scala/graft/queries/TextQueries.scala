@@ -63,6 +63,14 @@ object TextQueries {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n"))
 
+  // Training-shard export manifest: content-addressed shard = md5(doc_id)
+  // mod 8, per-shard row count / payload bytes / order-independent
+  // content sum / key range — the frame a loader checks before consuming
+  // an export. One keyed aggregation, all-integer export.
+  def q110ShardManifest(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.shardManifest(
+      Tables.documents(s, d), "doc_id", "n_chars", nShards = 8)
+
   // Deterministic weighted training mix (en ×2.5, de ×1, fr ×0.25, zh/es
   // dropped): every emitted (doc, copy) row hash-checked — the mixture a
   // training run must reproduce engine-over-engine.
@@ -362,6 +370,7 @@ object TextQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_shard_manifest" -> q110ShardManifest,
     "q100_curation_v3" -> q100CurationV3,
     "q99_token_budget" -> q99TokenBudget,
     "q96_strip_spans" -> q96StripSpans,
@@ -473,6 +482,18 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q110_shard_manifest" ->
+      """WITH s AS (
+           SELECT doc_id, n_chars,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM documents
+         )
+         SELECT CAST(h % 8 AS INT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           CAST(sum(h % 1073741824) AS BIGINT) AS content_sum,
+           min(doc_id) AS min_key, max(doc_id) AS max_key
+         FROM s GROUP BY 1""",
     "q100_curation_v3" -> {
       val cases = V3Budgets.map { case (l, b) =>
         s"(lang = '$l' AND cum_before < $b)"
