@@ -321,4 +321,67 @@ class RelationalSpec extends SparkSpec {
       Relational.stratifiedSplit(df, "stratum", "id", Seq(("train", 999999L)))
     }
   }
+
+  test("shardAssign: content-addressed — stable under repartition and added rows, exhaustive") {
+    val docs = (1 to 400).map(i => (i.toLong, s"payload $i", i * 7L))
+      .toDF("id", "text", "bytes")
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      Relational.shardAssign(df, "id", 8).select("id", "shard_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a1 = assign(docs)
+    assert(a1.size == 400 && a1.values.forall(s => s >= 0 && s < 8))
+    // uniform-ish: no shard empty, no shard hoarding (md5 over 400 keys)
+    val byShard = a1.values.groupBy(identity).view.mapValues(_.size)
+    assert(byShard.size == 8 && byShard.values.forall(n => n > 20 && n < 80))
+    assert(assign(docs.repartition(11)) == a1, "shard id must be a pure key function")
+    val more = docs.unionByName(Seq((9999L, "new", 1L)).toDF("id", "text", "bytes"))
+    assert(assign(more).view.filterKeys(_ != 9999L).toMap == a1,
+      "adding rows must never move an existing row's shard")
+    intercept[IllegalArgumentException] { Relational.shardAssign(docs, "id", 0) }
+  }
+
+  test("shardManifest totals reconcile; content_sum flags a substituted key") {
+    val docs = (1 to 400).map(i => (i.toLong, s"payload $i", i * 7L))
+      .toDF("id", "text", "bytes")
+    val m = Relational.shardManifest(docs, "id", "bytes", 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(m.map(_._2).sum == 400L, "shard row counts must sum to the input")
+    assert(m.map(_._3).sum == (1 to 400).map(_ * 7L).sum, "byte totals must reconcile")
+    // substitute one key for another that lands in the same shard: row
+    // count and byte total can collide, the content sum must not
+    val assigns = Relational.shardAssign(docs, "id", 8).select("id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (victim, imposter) = {
+      val shard0 = assigns.collect { case (id, 0) => id }.toSeq.sorted
+      (shard0.head, shard0.last)
+    }
+    val swapped = docs.withColumn("id",
+      when(col("id") === victim, lit(imposter)).otherwise(col("id")))
+    val m2 = Relational.shardManifest(swapped, "id", "bytes", 8)
+      .collect().map(r => (r.getInt(0), r.getLong(3))).toMap
+    val m1 = m.map(r => (r._1, r._4)).toMap
+    assert(m1(0) != m2(0), "content sum must detect a same-shard key substitution")
+  }
+
+  test("shardExport: manifest computed from the written files equals the input manifest") {
+    val docs = (1 to 300).map(i => (i.toLong, s"payload $i", i * 3L))
+      .toDF("id", "text", "bytes")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-export").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long, Long, Long, Long)] =
+        df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val fromFiles = rows(Relational.shardExport(docs, "id", "bytes", 4, dir)
+        .select("shard_id", "n_rows", "total_bytes", "content_sum", "min_key", "max_key"))
+      val fromInput = rows(Relational.shardManifest(docs, "id", "bytes", 4)
+        .select("shard_id", "n_rows", "total_bytes", "content_sum", "min_key", "max_key"))
+      assert(fromFiles == fromInput,
+        "what landed on disk must certify identical to what was submitted")
+      // the export is hive-partitioned: one directory per shard
+      val shardDirs = new java.io.File(dir).listFiles.filter(_.getName.startsWith("shard_id="))
+      assert(shardDirs.length == 4, s"expected 4 shard directories, got ${shardDirs.length}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

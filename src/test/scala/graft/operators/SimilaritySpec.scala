@@ -199,6 +199,68 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  // Driver-side cosine oracle over a small slice: unit-normalize, score
+  // every ordered pair, round to sim_micro — independent of every Spark
+  // code path the operators under test use.
+  private def cosOracle(n: Int): Map[Long, Seq[(Long, Long)]] = {
+    val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") < n)
+      .collect().map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(r.fieldIndex("vec_id")) -> v.map(_ / norm)
+      }.toMap
+    vecs.map { case (q, qv) =>
+      q -> vecs.toSeq.collect { case (c, cv) if c != q =>
+        (c, math.round(qv.zip(cv).map { case (a, b) => a * b }.sum * 100000))
+      }.map { case (c, s) => (s, c) }.sortBy { case (s, c) => (-s, c) }
+        .map { case (s, c) => (c, s) }
+    }
+  }
+
+  test("knnGraph == driver-side brute force; invariant to the block count") {
+    val n = 120
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < n)
+    val expected = cosOracle(n).map { case (q, ns) => q -> ns.take(4) }
+    def got(blocks: Int): Map[Long, Seq[(Long, Long)]] =
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 4, blocks = blocks)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    val g1 = got(1)
+    assert(g1 == expected, "knnGraph must equal the exact top-k per query")
+    assert(got(5) == g1, "tiling is a physical knob — it must not change one edge")
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraph(emb.withColumn("vec_id", col("vec_id").cast("string")),
+        "vec_id", "embedding", k = 4)
+    }
+  }
+
+  test("hardNegatives: top-k WITHIN the band — never a near-dup, never below the floor") {
+    val n = 200
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < n)
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val (lo, hi) = (0.10, 0.45)
+    val got = Similarity.hardNegatives(emb, qs, "vec_id", "embedding",
+        k = 6, loSim = lo, hiSim = hi)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, c, s, _) => q != c && s >= lo && s < hi },
+      "every mined negative must sit strictly inside the band")
+    // band-THEN-rank: the result is the top-k of the banded candidates,
+    // which the driver-side oracle reproduces exactly (micro-sim grain)
+    val oracle = cosOracle(n)
+    val expected = qs.select("vec_id").collect().map(_.getLong(0)).map { q =>
+      q -> oracle(q).filter { case (_, s) =>
+        s >= math.round(lo * 100000) && s < math.round(hi * 100000) }.take(6)
+    }.toMap
+    val byQuery = got.groupBy(_._1).view.mapValues(
+      _.sortBy(_._4).map(x => (x._2, math.round(x._3 * 100000))).toSeq).toMap
+    assert(byQuery == expected)
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(emb, qs, "vec_id", "embedding", 5, 0.5, 0.5)
+    }
+  }
+
   test("crossNearDup: planted contamination found exactly; clean refs stay clean") {
     val corpus = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     // refs = exact copies of every 100th corpus vector (sim 1.0 planted

@@ -313,4 +313,46 @@ class PlanSpec extends SparkSpec {
       "windows beyond the row-side rank + the three apportionment passes " +
         "over the config-sized allocation frame")
   }
+
+  test("q108 kNN graph: tiled equi self-join + bounded-state agg — no cartesian, no window sort") {
+    val p = plan(AnnQueries.q108KnnGraph(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation degenerated to N²")
+    val keyLines = p.linesIterator.filter(_.contains("keys [")).mkString("\n")
+    assert(keyLines.contains("_ti") && keyLines.contains("_tj"),
+      s"join keys must be the tile pair, got:\n$keyLines")
+    assert(!p.contains("Window"),
+      "per-query top-k must be the bounded-state TopKAgg aggregation, not a " +
+        "row_number window pulling every scored pair of a query into one partition")
+  }
+
+  test("q109 hard negatives: query frame is the broadcast side; band filter precedes ranking") {
+    val df = AnnQueries.q109HardNegatives(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "the corpus must never shuffle for the query join")
+    // the non-equi (query != neighbor) join is a BNLJ by construction; its
+    // build side must be the broadcast query frame, never the corpus
+    val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(simple.split("BroadcastNestedLoopJoin").length <= 2,
+      "exactly one nested-loop join (broadcast queries x corpus scan) expected")
+    // the band predicate must sit under the window rank, not above it —
+    // rows outside the band never reach the top-k shuffle
+    val opt = df.queryExecution.optimizedPlan.toString
+    val filterIdx = opt.linesIterator.zipWithIndex
+      .collectFirst { case (l, i) if l.contains(">= 0.1") => i }.getOrElse(-1)
+    val windowIdx = opt.linesIterator.zipWithIndex
+      .collectFirst { case (l, i) if l.contains("row_number") => i }.getOrElse(-1)
+    assert(filterIdx > windowIdx && windowIdx >= 0,
+      s"band filter (line $filterIdx) must be BELOW the ranking window (line $windowIdx)")
+  }
+
+  test("q110 shard manifest: one keyed aggregation over a pure projection — one Exchange, no window") {
+    val p = TextQueries.q110ShardManifest(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") && !p.contains("Join"))
+    assert(p.split("Exchange").length <= 2,
+      "shard manifest is one map-side-combined keyed agg: exactly one shuffle")
+    assert(p.split("HashAggregate").length >= 3, "expected partial + final aggregate phases")
+  }
 }
