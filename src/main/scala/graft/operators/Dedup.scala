@@ -474,4 +474,40 @@ object Dedup {
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
   }
+
+  /** Train/eval split-leakage audit: the near-dup pairs that CROSS a
+    * content-hash split — the contamination a hash split cannot prevent
+    * by construction (exact duplicates share an md5 and land together;
+    * near-duplicates hash independently, so τ-similar pairs straddle the
+    * train/test boundary at roughly the 1 − Σ fᵢ² background rate) and
+    * the number a training run must audit before trusting its eval.
+    *
+    * Composes two audited primitives verbatim: the exact All-Pairs
+    * n-gram Jaccard pair set ([[ngramJaccardPairs]] — prefix + positional
+    * filtered, never N²) and the content-addressed split
+    * ([[Relational.hashSplit]]). The split attach is two equi-joins of
+    * the (small) pair set against the per-doc split projection — at
+    * 100 TB the pair side is the dedup output (orders of magnitude below
+    * corpus scale), so both joins shuffle pairs, not the corpus.
+    *
+    * Output: `id_a, id_b, jaccard, split_a, split_b` with
+    * `split_a != split_b` — empty is the desired audit result.
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cuts: Seq[(String, Int)],
+      n: Int,
+      minJaccard: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, minJaccard)
+    val splits = graft.operators.Relational
+      .hashSplit(docs.select(col(idCol), col(textCol)), textCol, cuts)
+      .select(col(idCol).as("_sid"), col("split"))
+    pairs
+      .join(splits.select(col("_sid").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(splits.select(col("_sid").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+  }
 }

@@ -237,6 +237,51 @@ object Similarity {
     topKBySim(scored, k)
   }
 
+  /** Contrastive training-pair export: for each anchor, its single best
+    * corpus match at-or-above `posMin` (the positive — the same
+    * threshold family as the near-dup dedup, so "positive" means
+    * "would have deduped together") plus the top-`nNeg` hard negatives
+    * in the `[negLo, negHi)` confusable band ([[hardNegatives]]
+    * verbatim). Anchors whose best match falls below `posMin` emit
+    * NOTHING — a contrastive example without a positive is noise, and
+    * dropping the anchor (not just its positive) keeps the export
+    * consumable as-is by an InfoNCE-style loader.
+    *
+    * Both arms share [[bruteForceTopK]]'s physical contract: anchors
+    * broadcast, the corpus scanned (twice — once per arm; feed an ANN
+    * shortlist for single-scan mining at extreme scale), shuffle only
+    * for per-anchor top-k. The negative arm's anchor set is the
+    * positive arm's survivors via a left-semi join on the (tiny)
+    * positive frame — never a recompute of the positive scores.
+    *
+    * Output: `anchor_id, pair_id, role ('pos'|'neg'), sim, rank`
+    * (rank 1 for the positive; 1..nNeg within the negatives).
+    */
+  def contrastivePairs(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      posMin: Double,
+      nNeg: Int,
+      negLo: Double,
+      negHi: Double): DataFrame = {
+    require(nNeg >= 1, "nNeg >= 1")
+    require(negHi <= posMin,
+      s"negative band must sit below the positive threshold: negHi $negHi > posMin $posMin")
+    val pos = bruteForceTopK(corpus, anchors, idCol, vecCol, k = 1)
+      .filter(col("sim") >= posMin)
+    val anchorsWithPos = anchors.join(
+      broadcast(pos.select(col("query_id"))),
+      col(idCol) === col("query_id"), "left_semi")
+    val neg = hardNegatives(corpus, anchorsWithPos, idCol, vecCol,
+      k = nNeg, loSim = negLo, hiSim = negHi)
+    pos.withColumn("role", lit("pos"))
+      .unionByName(neg.withColumn("role", lit("neg")))
+      .select(col("query_id").as("anchor_id"), col("neighbor_id").as("pair_id"),
+        col("role"), col("sim"), col("rank"))
+  }
+
   /** Directed exact k-nearest-neighbor graph over ONE embedding table —
     * every row is simultaneously query and corpus; the structure
     * graph-based diversity pruning and retrieval-augmented curation

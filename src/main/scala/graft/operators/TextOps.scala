@@ -810,4 +810,143 @@ object TextOps {
         .limit(k)
     }
   }
+
+  /** Multinomial Naive Bayes text classifier, trained and applied in one
+    * plan — the fastText-shaped "train a label/quality classifier on a
+    * labeled slice, score the rest of the corpus" stage of a curation
+    * pipeline (quality filtering à la GPT-3/LLaMA data prep, domain
+    * routing, language verification), with the model fully
+    * deterministic: add-α class-conditional token likelihoods + doc-count
+    * priors, all micro-quantized to longs BEFORE summation (the
+    * [[ngramLmScore]] convention) so scores replay bit-for-bit in any
+    * engine.
+    *
+    * Shape for 100 TB: the MODEL is aggregate-sized — class priors and
+    * token totals ride a broadcast K-row frame; the class-conditional
+    * count table joins the scoring events by (label, token) equi-key
+    * (vocab-scale, shuffles with the events — never collected to the
+    * driver). Scoring expands each token event × K classes (the honest
+    * multinomial-NB cost, map-side) and reduces by (doc, class) with
+    * partial aggregation; the final argmax is a bounded K-element
+    * lexicographic-min aggregation, not a window sort. Unseen tokens get
+    * the correct smoothed α/(n_c + αV) likelihood via the coalesced left
+    * join, so a frozen model scores unseen-vocabulary documents without
+    * retraining.
+    *
+    * Output: id, `label_pred`, `score_micro` (winning log-posterior in
+    * micro-nats), `margin_micro` (win minus runner-up — the calibration
+    * signal a thresholding quality filter consumes; null iff one class).
+    * Ties break to the lexicographically smallest label.
+    */
+  def nbTrainScore(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, labelCol: String, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "alpha > 0 (unsmoothed unseen tokens have log 0)")
+    val trainEv = train.select(col(labelCol).as("_lbl"),
+      explode(TextFunctions.tokens(col(textCol))).as("_t"))
+    val classTok = trainEv.groupBy("_lbl", "_t").agg(count(lit(1)).as("_cwt"))
+    val classTot = trainEv.groupBy("_lbl").agg(count(lit(1)).as("_nt"))
+    val priors = train.groupBy(col(labelCol).as("_lbl")).agg(count(lit(1)).as("_nd"))
+    val nDocs = priors.agg(sum("_nd").as("_ndocs"))
+    val vocab = classTok.select("_t").distinct().agg(count(lit(1)).as("_v"))
+    val classes = classTot.join(priors, Seq("_lbl"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("_lbl"), col("_nt"),
+        round(lit(1e6) * log(Portable.ratio(col("_nd"), col("_ndocs"))))
+          .cast("long").as("_prior_micro"))
+    val ev = score.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("_t"))
+    val perClass = ev
+      .crossJoin(broadcast(classes))
+      .join(classTok, Seq("_lbl", "_t"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("_lbl"), col("_prior_micro"),
+        round(lit(1e6) * log(
+          (coalesce(col("_cwt"), lit(0L)).cast("double") + lit(alpha)) /
+            (col("_nt").cast("double") + lit(alpha) * col("_v").cast("double"))))
+          .cast("long").as("_ll"))
+      .groupBy(col(idCol), col("_lbl"), col("_prior_micro"))
+      .agg(sum(col("_ll")).as("_sumll"))
+      .select(col(idCol), col("_lbl"),
+        (col("_prior_micro") + col("_sumll")).as("_post"))
+    // argmax(post desc, label asc) == lexicographic MIN of (-post, label):
+    // a bounded K-element aggregation, never a per-doc window sort
+    perClass.groupBy(col(idCol))
+      .agg(
+        min(struct((-col("_post")).as("_np"), col("_lbl").as("_l"))).as("_best"),
+        sort_array(collect_list(
+          struct((-col("_post")).as("_np"), col("_lbl").as("_l")))).as("_all"))
+      .select(col(idCol),
+        col("_best._l").as("label_pred"),
+        (-col("_best._np")).as("score_micro"),
+        (element_at(col("_all"), 2)("_np") - col("_best._np")).as("margin_micro"))
+  }
+
+  /** Per-group token-distribution drift from the corpus mixture: for
+    * every `groupCol` value, the add-α smoothed KL divergence
+    * D(P_group ‖ P_corpus) and total-variation distance ½Σ|p_g − p_c|
+    * over hashed-unigram buckets — the mixture diagnostic behind "which
+    * source moved away from the training mix" monitoring and re-weighting
+    * decisions (a new crawl snapshot whose drift jumps is the first
+    * thing a pipeline owner wants flagged).
+    *
+    * Shape for 100 TB: one token scan builds the sparse (group, bucket)
+    * counts (map-side combinable); everything after runs on
+    * AGGREGATE-sized frames — the dense evaluation grid is
+    * groups × observed-buckets (≤ `buckets`, a constant), built by
+    * cross-joining two already-aggregated frames, never by touching
+    * token rows again. The buckets NO corpus token hashes into share one
+    * closed-form contribution per group ((B−observed) identical smoothed
+    * terms), added analytically — the sum is over the full bucket space
+    * without materializing it.
+    *
+    * Every per-bucket contribution is nano-quantized to a long BEFORE
+    * summation (the [[ngramLmScore]] convention, at 1e9 grain because
+    * individual terms are O(1/buckets)): integer sums are
+    * order-independent, so the export replays bit-for-bit in any engine.
+    * Output: group, n_tokens, kl_nano, tv_nano.
+    */
+  def unigramDrift(docs: DataFrame, groupCol: String, textCol: String,
+      buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    require(buckets >= 2, "buckets >= 2")
+    require(alpha > 0, "alpha > 0 (unsmoothed empty buckets have log 0)")
+    val tb = docs.select(col(groupCol).as("_grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("_t"))
+      .select(col("_grp"),
+        pmod(Portable.md5Long60(col("_t")), lit(buckets.toLong)).as("_b"))
+    // one pass over token rows; gc is the only token-scale aggregation —
+    // corpus counts and group totals both derive from it
+    val gc = CacheScope.track(
+      tb.groupBy("_grp", "_b").agg(count(lit(1)).as("_cg"))
+        .persist(StorageLevel.MEMORY_ONLY))
+    val cc = gc.groupBy("_b").agg(sum("_cg").as("_cc"))
+    val gt = gc.groupBy("_grp").agg(sum("_cg").as("_ng"))
+    val stats = cc.agg(sum("_cc").as("_n"), count(lit(1)).as("_nobs"))
+    val aB = lit(alpha * buckets)
+    def pg(cg: Column) =
+      (coalesce(cg, lit(0L)).cast("double") + lit(alpha)) /
+        (col("_ng").cast("double") + aB)
+    val pc = (col("_cc").cast("double") + lit(alpha)) /
+      (col("_n").cast("double") + aB)
+    val observed = gt
+      .crossJoin(broadcast(cc)) // K groups × ≤`buckets` rows — aggregate-sized
+      .join(gc, Seq("_grp", "_b"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("_grp"), col("_ng"),
+        round(lit(1e9) * pg(col("_cg")) * (log(pg(col("_cg"))) - log(pc)))
+          .cast("long").as("_kl"),
+        round(lit(1e9) * lit(0.5) * abs(pg(col("_cg")) - pc))
+          .cast("long").as("_tv"))
+      .groupBy(col("_grp"), col("_ng"))
+      .agg(sum(col("_kl")).as("_klObs"), sum(col("_tv")).as("_tvObs"))
+    // buckets the whole corpus never emits: identical smoothed term for
+    // every one of them — one rounded value × the missing count, exact
+    val pg0 = lit(alpha) / (col("_ng").cast("double") + aB)
+    val pc0 = lit(alpha) / (col("_n").cast("double") + aB)
+    observed.crossJoin(broadcast(stats))
+      .select(col("_grp").as(groupCol), col("_ng").as("n_tokens"),
+        (col("_klObs") + (lit(buckets) - col("_nobs")) *
+          round(lit(1e9) * pg0 * (log(pg0) - log(pc0))).cast("long")).as("kl_nano"),
+        (col("_tvObs") + (lit(buckets) - col("_nobs")) *
+          round(lit(1e9) * lit(0.5) * abs(pg0 - pc0)).cast("long")).as("tv_nano"))
+  }
 }

@@ -119,9 +119,18 @@ object AnnQueries {
       Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
       k = 10, loSim = 0.10, hiSim = 0.45)
 
+  // Contrastive pair export: per anchor, the single best match >= 0.30
+  // (the positive) + top-4 hard negatives in [0.05, 0.30); anchors
+  // without a positive emit nothing (InfoNCE-consumable as-is).
+  def q114ContrastivePairs(s: SparkSession, d: String): DataFrame =
+    Similarity.contrastivePairs(
+      Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
+      posMin = 0.30, nNeg = 4, negLo = 0.05, negHi = 0.30)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_knn_graph" -> q108KnnGraph,
     "q109_hard_negatives" -> q109HardNegatives,
+    "q114_contrastive_pairs" -> q114ContrastivePairs,
     "q97_hybrid_search" -> q97HybridSearch,
     "q95_diversity_sample" -> q95DiversitySample,
     "q91_ann_pca" -> q91AnnPca,
@@ -135,6 +144,29 @@ object AnnQueries {
 
   // q51/q52 are approximate → rows-only checks (no oracle entries).
   val oracles: Map[String, String] = Map(
+    "q114_contrastive_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, e.v), 5) AS sim
+           FROM q JOIN e ON e.vec_id <> q.query_id),
+         pos AS (
+           SELECT query_id, neighbor_id, sim, CAST(1 AS INT) AS rank
+           FROM (SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+             FROM scored)
+           WHERE rn = 1 AND sim >= 0.30),
+         neg AS (
+           SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+           FROM scored
+           WHERE sim >= 0.05 AND sim < 0.30
+             AND query_id IN (SELECT query_id FROM pos)
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 4)
+         SELECT query_id AS anchor_id, neighbor_id AS pair_id, 'pos' AS role, sim, rank FROM pos
+         UNION ALL
+         SELECT query_id AS anchor_id, neighbor_id AS pair_id, 'neg' AS role, sim, rank FROM neg""",
     "q108_knn_graph" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          scored AS (

@@ -161,7 +161,16 @@ object DedupQueries {
   def q93SourceOverlap(s: SparkSession, d: String): DataFrame =
     Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", n = 2)
 
+  // Split-leakage audit: near-dup pairs (q42's exact pair set) that
+  // straddle the content-hash train/valid/test split (q58's cuts) —
+  // the contamination a hash split cannot prevent for NEAR-duplicates.
+  def q111SplitLeakage(s: SparkSession, d: String): DataFrame =
+    Dedup.splitLeakage(Tables.documents(s, d), "doc_id", "text",
+      cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100),
+      n = 3, minJaccard = 0.4)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_split_leakage" -> q111SplitLeakage,
     "q93_source_overlap" -> q93SourceOverlap,
     "q90_incremental_dedup" -> q90IncrementalDedup,
     "q40_dedup_exact" -> q40DedupExact,
@@ -193,16 +202,38 @@ object DedupQueries {
        FROM e a JOIN e b ON a.vec_id < b.vec_id
        WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45"""
 
+  /** CTE fragment yielding `jp(id_a, id_b, jaccard)` — shared by the
+    * pair gate (q42) and the split-leakage audit (q111) so a shingle or
+    * threshold change lands in both oracles or in neither. */
+  private def jaccardCtesSql(n: Int, thr: Double) =
+    s"""sh AS (SELECT doc_id, ${shinglesSql(n)} AS s FROM documents),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= $thr)"""
+
   private def jaccardPairsSql(n: Int, thr: Double) =
-    s"""WITH sh AS (SELECT doc_id, ${shinglesSql(n)} AS s FROM documents)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-          CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= $thr"""
+    s"""WITH ${jaccardCtesSql(n, thr)}
+        SELECT id_a, id_b, jaccard FROM jp"""
 
   val oracles: Map[String, String] = Map(
+    "q111_split_leakage" ->
+      s"""WITH ${jaccardCtesSql(3, 0.4)},
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT jp.id_a, jp.id_b, jp.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+         FROM jp
+         JOIN sp sa ON sa.doc_id = jp.id_a
+         JOIN sp sb ON sb.doc_id = jp.id_b
+         WHERE sa.split <> sb.split""",
     "q93_source_overlap" ->
       """WITH t AS (SELECT source, string_split(trim(text), ' ') AS toks FROM documents),
          g AS (SELECT DISTINCT source, array_to_string(toks[k.k + 1 : k.k + 2], ' ') AS sh

@@ -75,6 +75,21 @@ object StreamingQueries {
     df.sparkSession.table(name)
   }
 
+  // Streaming twin of q110: the training-shard export manifest as a
+  // CONTINUOUS stateful aggregation — shard assignment is a stateless
+  // content-hash projection, the per-shard counters (count / byte total /
+  // order-independent content sum / key range) are all incrementally
+  // mergeable aggregates, so the "current manifest" view of an unbounded
+  // export stream is O(nShards) state. Complete mode; the bounded gate
+  // stream drains to exactly the batch manifest (q110 oracle VERBATIM).
+  def q115StreamShardManifest(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    drain(graft.operators.Relational.shardManifest(
+      docs.select("doc_id", "n_chars"), "doc_id", "n_chars", nShards = 8), "complete")
+  }
+
   // Streaming twin of q05: tumbling 10-minute windows (complete mode —
   // every window in the bounded stream, same rows as the batch query).
   def q27StreamTumbling(s0: SparkSession, d: String): DataFrame = {
@@ -296,7 +311,8 @@ object StreamingQueries {
     "q107_stream_incremental_neardup" -> q107StreamIncrementalNearDup,
     "q87_stream_mixture" -> q87StreamMixture,
     "q89_stream_quota_sample" -> q89StreamQuotaSample,
-    "q98_stream_lm_score" -> q98StreamLmScore)
+    "q98_stream_lm_score" -> q98StreamLmScore,
+    "q115_stream_shard_manifest" -> q115StreamShardManifest)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -309,6 +325,7 @@ object StreamingQueries {
     "q98_stream_lm_score" -> TextQueries.oracles("q92_lm_score"),
     "q87_stream_mixture" -> TextQueries.oracles("q70_weighted_mixture"),
     "q89_stream_quota_sample" -> TextQueries.oracles("q80_quota_sample"),
+    "q115_stream_shard_manifest" -> TextQueries.oracles("q110_shard_manifest"),
     "q27_stream_tumbling" ->
       s"""SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, count(*) AS n, ${sumL(cents("value"))} AS value_cents

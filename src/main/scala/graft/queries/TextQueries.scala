@@ -71,6 +71,24 @@ object TextQueries {
     graft.operators.Relational.shardManifest(
       Tables.documents(s, d), "doc_id", "n_chars", nShards = 8)
 
+  // Per-source distribution drift from the corpus mixture: smoothed KL +
+  // total variation over 4096 hashed-unigram buckets, nano-quantized
+  // integer export (order-independent sums -> engine-exact replay).
+  def q112SourceDrift(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.unigramDrift(
+      Tables.documents(s, d), "source", "text", buckets = 4096, alpha = 1.0)
+
+  // Naive Bayes classifier trained on the content-hash train split
+  // (label = lang), scoring the held-out 20% — trained-model inference
+  // with micro-quantized log-posteriors and margins.
+  def q113NbClassify(s: SparkSession, d: String): DataFrame = {
+    val sp = graft.operators.Relational.hashSplit(
+      Tables.documents(s, d), "text", Seq("train" -> 80, "rest" -> 100))
+    graft.operators.TextOps.nbTrainScore(
+      sp.filter(col("split") === "train"), sp.filter(col("split") =!= "train"),
+      "doc_id", "text", "lang", alpha = 1.0)
+  }
+
   // Deterministic weighted training mix (en ×2.5, de ×1, fr ×0.25, zh/es
   // dropped): every emitted (doc, copy) row hash-checked — the mixture a
   // training run must reproduce engine-over-engine.
@@ -371,6 +389,8 @@ object TextQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q110_shard_manifest" -> q110ShardManifest,
+    "q112_source_drift" -> q112SourceDrift,
+    "q113_nb_classify" -> q113NbClassify,
     "q100_curation_v3" -> q100CurationV3,
     "q99_token_budget" -> q99TokenBudget,
     "q96_strip_spans" -> q96StripSpans,
@@ -482,6 +502,71 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q113_nb_classify" ->
+      """WITH sp AS (
+           SELECT doc_id, text, lang,
+             CASE WHEN ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'rest' END AS split
+           FROM documents),
+         tr AS (SELECT * FROM sp WHERE split = 'train'),
+         te AS (SELECT * FROM sp WHERE split <> 'train'),
+         tev AS (SELECT lang AS lbl, unnest(string_split(trim(text), ' ')) AS t FROM tr),
+         ct AS (SELECT lbl, t, CAST(count(*) AS BIGINT) AS cwt FROM tev GROUP BY 1, 2),
+         tot AS (SELECT lbl, CAST(count(*) AS BIGINT) AS nt FROM tev GROUP BY 1),
+         pr AS (SELECT lang AS lbl, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM tr),
+         vb AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tev),
+         cls AS (SELECT tot.lbl, tot.nt,
+                   CAST(round(1e6 * ln(pr.nd * 1.0 / nd.ndocs)) AS BIGINT) AS prior
+                 FROM tot JOIN pr USING (lbl) CROSS JOIN nd),
+         ev AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM te),
+         term AS (
+           SELECT ev.doc_id, cls.lbl, cls.prior,
+             CAST(round(1e6 * ln((COALESCE(ct.cwt, 0) + 1.0) /
+               (cls.nt + 1.0 * vb.v))) AS BIGINT) AS ll
+           FROM ev CROSS JOIN cls
+           LEFT JOIN ct ON ct.lbl = cls.lbl AND ct.t = ev.t
+           CROSS JOIN vb),
+         post AS (SELECT doc_id, lbl, prior + CAST(sum(ll) AS BIGINT) AS post
+                  FROM term GROUP BY 1, 2, prior),
+         r AS (SELECT doc_id, lbl, post,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY post DESC, lbl) AS rn,
+                 lead(post) OVER (PARTITION BY doc_id ORDER BY post DESC, lbl) AS post2
+               FROM post)
+         SELECT doc_id, lbl AS label_pred, post AS score_micro,
+           post - post2 AS margin_micro
+         FROM r WHERE rn = 1""",
+    "q112_source_drift" ->
+      """WITH t AS (SELECT source, string_split(trim(text), ' ') AS toks FROM documents),
+         tok AS (SELECT source,
+             ('0x' || substring(md5(toks[k.k]), 1, 15))::BIGINT % 4096 AS b
+           FROM t JOIN (SELECT unnest(generate_series(1,
+             (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+             ON k.k <= len(toks)),
+         gc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS cg FROM tok GROUP BY 1, 2),
+         cc AS (SELECT b, CAST(sum(cg) AS BIGINT) AS cc FROM gc GROUP BY 1),
+         gt AS (SELECT source, CAST(sum(cg) AS BIGINT) AS ng FROM gc GROUP BY 1),
+         st AS (SELECT (SELECT CAST(sum(cc) AS BIGINT) FROM cc) AS n,
+                       (SELECT CAST(count(*) AS BIGINT) FROM cc) AS nobs),
+         terms AS (
+           SELECT gt.source, gt.ng,
+             CAST(round(1e9 * ((COALESCE(gc.cg, 0) + 1.0) / (gt.ng + 4096.0)) *
+               (ln((COALESCE(gc.cg, 0) + 1.0) / (gt.ng + 4096.0)) -
+                ln((cc.cc + 1.0) / (st.n + 4096.0)))) AS BIGINT) AS kl,
+             CAST(round(1e9 * 0.5 * abs((COALESCE(gc.cg, 0) + 1.0) / (gt.ng + 4096.0) -
+               (cc.cc + 1.0) / (st.n + 4096.0))) AS BIGINT) AS tv
+           FROM gt CROSS JOIN cc
+           LEFT JOIN gc ON gc.source = gt.source AND gc.b = cc.b
+           CROSS JOIN st),
+         obs AS (SELECT source, ng, CAST(sum(kl) AS BIGINT) AS klobs,
+                        CAST(sum(tv) AS BIGINT) AS tvobs
+                 FROM terms GROUP BY 1, 2)
+         SELECT source, ng AS n_tokens,
+           klobs + (4096 - st.nobs) * CAST(round(1e9 * (1.0 / (ng + 4096.0)) *
+             (ln(1.0 / (ng + 4096.0)) - ln(1.0 / (st.n + 4096.0)))) AS BIGINT) AS kl_nano,
+           tvobs + (4096 - st.nobs) * CAST(round(1e9 * 0.5 *
+             abs(1.0 / (ng + 4096.0) - 1.0 / (st.n + 4096.0))) AS BIGINT) AS tv_nano
+         FROM obs CROSS JOIN st""",
     "q110_shard_manifest" ->
       """WITH s AS (
            SELECT doc_id, n_chars,

@@ -183,4 +183,23 @@ class DedupSpec extends SparkSpec {
     assert(got == expected,
       "incremental-vs-store must equal the from-scratch cross slice, jaccards included")
   }
+
+  test("splitLeakage == the split-crossing slice of the full near-dup pair set") {
+    val docs = graft.Tables.documents(spark, sf)
+    val cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100)
+    val leaks = Dedup.splitLeakage(docs, "doc_id", "text", cuts, n = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val split = graft.operators.Relational.hashSplit(docs, "text", cuts)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs.collect {
+      case (a, b) if split(a) != split(b) => (a, b, split(a), split(b))
+    }.toSet
+    assert(leaks.toSet == expected,
+      "leakage must be exactly the near-dup pairs whose sides land in different splits")
+    assert(leaks.nonEmpty, "the gate corpus is known to contain crossing pairs")
+    assert(leaks.forall { case (_, _, sa, sb) => sa != sb })
+  }
 }

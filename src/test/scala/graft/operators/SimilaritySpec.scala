@@ -261,6 +261,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("contrastivePairs: anchors without a positive vanish; arms equal their primitives") {
+    val emb = Tables.embeddings(spark, sf)
+    val anchors = emb.filter(col("vec_id") % 100 === 0)
+    val (posMin, nNeg, lo, hi) = (0.30, 4, 0.05, 0.30)
+    val out = Similarity.contrastivePairs(emb, anchors, "vec_id", "embedding",
+        posMin, nNeg, lo, hi)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getInt(4)))
+    val pos = out.filter(_._3 == "pos")
+    val neg = out.filter(_._3 == "neg")
+    // the positive arm IS bruteForceTopK(k=1) thresholded
+    val top1 = Similarity.bruteForceTopK(emb, anchors, "vec_id", "embedding", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pos.map(p => (p._1, p._2, p._4)).toSet ==
+      top1.filter(_._3 >= posMin).toSet)
+    // every anchor in the output has a positive; negatives only for those
+    assert(neg.map(_._1).toSet.subsetOf(pos.map(_._1).toSet),
+      "negatives must never be emitted for an anchor without a positive")
+    assert(neg.forall { case (_, _, _, s, _) => s >= lo && s < hi })
+    // a raised posMin drops anchors entirely, not just their positives
+    val strict = Similarity.contrastivePairs(emb, anchors, "vec_id", "embedding",
+        0.99, nNeg, lo, hi).collect()
+    assert(strict.isEmpty, "no anchor has a 0.99 positive in the gate corpus")
+    intercept[IllegalArgumentException] {
+      Similarity.contrastivePairs(emb, anchors, "vec_id", "embedding", 0.3, 4, 0.05, 0.5)
+    }
+  }
+
   test("crossNearDup: planted contamination found exactly; clean refs stay clean") {
     val corpus = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     // refs = exact copies of every 100th corpus vector (sim 1.0 planted

@@ -454,4 +454,60 @@ class TextOpsSpec extends SparkSpec {
     assert(sample(raw, 1e-9).toSet == out.map(_._1).toSet,
       "tau -> 0 must recover the deterministic top-k")
   }
+
+  test("unigramDrift: zero drift for a group that IS the corpus; drift orders by skew") {
+    import spark.implicits._
+    // one group == whole corpus -> p_g == p_c exactly -> KL = TV = 0
+    val uniform = (1 to 200).map(i => ("only", s"tok${i % 40} tok${(i * 7) % 40}"))
+      .toDF("grp", "text")
+    val zero = TextOps.unigramDrift(uniform, "grp", "text", buckets = 64)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    graft.CacheScope.release()
+    assert(zero.head == ((0L, 0L)), s"single-group drift must be exactly zero, got ${zero.head}")
+    // a group drawing from a disjoint vocabulary drifts further than one
+    // drawing from the shared vocabulary
+    val mixed = ((1 to 300).map(i => ("base", s"tok${i % 40}")) ++
+      (1 to 60).map(i => ("near", s"tok${i % 40}")) ++
+      (1 to 60).map(i => ("far", s"alien${i % 40}")))
+      .toDF("grp", "text")
+    val kl = TextOps.unigramDrift(mixed, "grp", "text", buckets = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    graft.CacheScope.release()
+    assert(kl("far") > kl("near"),
+      s"disjoint vocab must out-drift shared vocab: $kl")
+    assert(kl.values.forall(_ >= 0L),
+      s"smoothed KL against the containing mixture must be non-negative: $kl")
+    intercept[IllegalArgumentException] {
+      TextOps.unigramDrift(mixed, "grp", "text", buckets = 1)
+    }
+  }
+
+  test("nbTrainScore: disjoint-vocab classes recovered exactly; margins positive; smoothing exact") {
+    import spark.implicits._
+    val train = ((1 to 30).map(i => (i.toLong, s"apple fruit sweet apple t$i", "food")) ++
+      (1 to 30).map(i => (i.toLong + 100, s"engine piston torque diesel t$i", "cars")))
+      .toDF("id", "text", "label")
+    val score = Seq(
+      (900L, "apple sweet apple"), (901L, "torque diesel engine piston"),
+      (902L, "apple piston")) // mixed doc: 1 food token vs 1 cars token + priors tie
+      .toDF("id", "text")
+    val out = TextOps.nbTrainScore(train, score, "id", "text", "label")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(900L)._1 == "food" && out(901L)._1 == "cars")
+    assert(out(900L)._3 > 0 && out(901L)._3 > 0, "clear-cut docs must carry positive margins")
+    // hand-check the smoothed law on the mixed doc: per-class posts are
+    // computable exactly (equal priors, equal class totals by construction)
+    val nt = 30L * 5 // tokens per class
+    val v = train.select(explode(split(col("text"), " "))).distinct().count()
+    def llMicro(c: Long) = math.round(1e6 * math.log((c + 1.0) / (nt + v.toDouble)))
+    // doc 902: "apple"(food 60, cars 0) + "piston"(food 0, cars 30)
+    val prior = math.round(1e6 * math.log(0.5))
+    val postFood = prior + llMicro(60) + llMicro(0)
+    val postCars = prior + llMicro(0) + llMicro(30)
+    val expectedLbl = if (postCars > postFood) "cars" else "food"
+    assert(out(902L)._1 == expectedLbl && out(902L)._2 == math.max(postFood, postCars),
+      s"mixed doc must score exactly the smoothed law: got ${out(902L)}, " +
+        s"expected ($expectedLbl, ${math.max(postFood, postCars)})")
+    assert(out(902L)._3 == math.abs(postFood - postCars))
+  }
 }

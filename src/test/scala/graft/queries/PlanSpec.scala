@@ -314,6 +314,32 @@ class PlanSpec extends SparkSpec {
         "over the config-sized allocation frame")
   }
 
+  test("q112 drift: token rows aggregated once; the dense grid is built from aggregate frames") {
+    val df = TextQueries.q112SourceDrift(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    graft.CacheScope.release()
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
+    assert(p.contains("InMemoryTableScan"),
+      "the (group, bucket) count table must be persisted — one token scan, three consumers")
+    // the only nested-loop joins are the broadcast cross joins of
+    // aggregate-sized frames (groups × buckets grid + the 1-row stats)
+    assert(p.split("BroadcastNestedLoopJoin").length <= 4,
+      "nested-loop joins beyond the grid build + stats frames")
+  }
+
+  test("q113 NB classify: model frames broadcast; per-doc argmax is an agg, not a window") {
+    val p = TextQueries.q113NbClassify(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("Window"),
+      "the per-doc argmax must be the bounded K-element min-struct aggregation")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the K-row class frame must broadcast to the scoring events")
+    assert(!p.contains("SortMergeJoin") ||
+      p.split("SortMergeJoin").length <= 2,
+      "only the vocab-scale (label, token) count join may shuffle")
+  }
+
   test("q108 kNN graph: tiled equi self-join + bounded-state agg — no cartesian, no window sort") {
     val p = plan(AnnQueries.q108KnnGraph(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
