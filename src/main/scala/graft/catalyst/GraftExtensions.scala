@@ -654,6 +654,84 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(exprs(4), "k"), litInt(exprs(8), "nprobe"),
           litInt(exprs(9), "shortlist"), model))
     }
+    registerTable("knn_graph",
+      "knn_graph('table', 'idCol', 'vecCol', k) - directed exact k-nearest-" +
+        "neighbor graph over one embedding table (tiled self-join + bounded-state top-k)", 4) {
+      exprs =>
+        expand(graft.operators.Similarity.knnGraph(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "vector column"),
+          litInt(exprs(3), "k")))
+    }
+    registerTable("hard_negatives",
+      "hard_negatives('corpus', 'queries', 'idCol', 'vecCol', k, loSimMicro, hiSimMicro) - " +
+        "per query, top-k corpus rows in the cosine band [lo, hi) (millionths): " +
+        "contrastive-training negative mining", 7) {
+      exprs =>
+        expand(graft.operators.Similarity.hardNegatives(
+          SparkSession.active.table(litStr(exprs(0), "corpus table")),
+          SparkSession.active.table(litStr(exprs(1), "queries table")),
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(4), "k"),
+          litInt(exprs(5), "loSimMicro").toDouble / 1e6,
+          litInt(exprs(6), "hiSimMicro").toDouble / 1e6))
+    }
+    registerTable("contrastive_pairs",
+      "contrastive_pairs('corpus', 'anchors', 'idCol', 'vecCol', posMinMicro, nNeg, " +
+        "negLoMicro, negHiMicro) - per anchor one positive >= posMin plus top-nNeg " +
+        "band negatives; anchors without a positive emit nothing", 8) {
+      exprs =>
+        expand(graft.operators.Similarity.contrastivePairs(
+          SparkSession.active.table(litStr(exprs(0), "corpus table")),
+          SparkSession.active.table(litStr(exprs(1), "anchors table")),
+          litStr(exprs(2), "id column"), litStr(exprs(3), "vector column"),
+          litInt(exprs(4), "posMinMicro").toDouble / 1e6,
+          litInt(exprs(5), "nNeg"),
+          litInt(exprs(6), "negLoMicro").toDouble / 1e6,
+          litInt(exprs(7), "negHiMicro").toDouble / 1e6))
+    }
+    registerTable("split_leakage",
+      "split_leakage('table', 'idCol', 'textCol', trainPct, validPct, n, minJaccardMicro) - " +
+        "near-dup pairs (exact n-gram Jaccard) crossing the content-hash " +
+        "train/valid/test split: eval-contamination audit", 7) {
+      exprs =>
+        expand(graft.operators.Dedup.splitLeakage(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          Seq("train" -> litInt(exprs(3), "trainPct"),
+            "valid" -> litInt(exprs(4), "validPct"), "test" -> 100),
+          litInt(exprs(5), "n"),
+          litInt(exprs(6), "minJaccardMicro").toDouble / 1e6))
+    }
+    registerTable("source_drift",
+      "source_drift('table', 'groupCol', 'textCol', buckets) - per-group smoothed " +
+        "KL + total-variation drift from the corpus token mixture (nano-quantized)", 4) {
+      exprs =>
+        expand(graft.operators.TextOps.unigramDrift(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "group column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "buckets")))
+    }
+    registerTable("nb_classify",
+      "nb_classify('train', 'score', 'idCol', 'textCol', 'labelCol') - multinomial " +
+        "Naive Bayes trained on the labeled table, scoring the other (micro-nat " +
+        "log-posteriors + margins)", 5) {
+      exprs =>
+        expand(graft.operators.TextOps.nbTrainScore(
+          SparkSession.active.table(litStr(exprs(0), "train table")),
+          SparkSession.active.table(litStr(exprs(1), "score table")),
+          litStr(exprs(2), "id column"), litStr(exprs(3), "text column"),
+          litStr(exprs(4), "label column")))
+    }
+    registerTable("shard_manifest",
+      "shard_manifest('table', 'keyCol', 'bytesCol', nShards) - content-addressed " +
+        "per-shard manifest (rows, bytes, order-independent content sum, key range)", 4) {
+      exprs =>
+        expand(graft.operators.Relational.shardManifest(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "bytes column"),
+          litInt(exprs(3), "nShards")))
+    }
 
     ext.injectOptimizerRule(_ => UnitVecIdempotence)
     ext.injectOptimizerRule(_ => graft.formats.AvroProjectionPruning)

@@ -390,6 +390,55 @@ object ScaleProbe {
       Relational.stratifiedSplit(hotStratum(10), "stratum", "doc_id",
         Seq(("train", 900000L), ("val", 50000L), ("test", 50000L))).count())
 
+    // --- kNN graph: O(N²/blocks) pairs transiently inside tasks, but
+    // shuffled bytes are O(N·k·blocks) via the bounded-state TopKAgg —
+    // the ratio to watch is pairs-shaped (quadratic BY CONTRACT, like the
+    // exact near-dup), while memory and shuffle stay bounded -------------
+    time("knn graph 1x (2k vectors, k=5)")(
+      Similarity.knnGraph(embX(1), "vec_id", "embedding", k = 5).count())
+    time("knn graph 3x (6k vectors, k=5)")(
+      Similarity.knnGraph(embX(3), "vec_id", "embedding", k = 5).count())
+
+    // --- NB classifier: model aggregates + scoring events × K classes;
+    // 10x docs = 10x events through train and score, nothing quadratic --
+    def nb(k: Int): Long = {
+      val dk = Relational.hashSplit(
+        docsX(k).withColumn("lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(5L)))), "text",
+        Seq("train" -> 80, "rest" -> 100))
+      TextOps.nbTrainScore(dk.filter(col("split") === "train"),
+        dk.filter(col("split") =!= "train"), "doc_id", "text", "lang").count()
+    }
+    time("nb classify 1x")(nb(1))
+    time("nb classify 10x")(nb(10))
+
+    // --- source drift: token scan collapses to (group, bucket) counts;
+    // the grid is groups × 4096 regardless of corpus size — 10x docs =
+    // 10x scan, constant-size everything after ---------------------------
+    def drift(k: Int): Long = {
+      val dk = docsX(k).withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+      TextOps.unigramDrift(dk, "source", "text", buckets = 4096).count()
+    }
+    time("source drift 1x")(drift(1))
+    time("source drift 10x")(drift(10))
+
+    // --- split leakage: the All-Pairs jaccard engine + two pair-sized
+    // split joins; growth tracks the pair operator, the audit adds ~0 ----
+    time("split leakage 1x")(
+      Dedup.splitLeakage(docsX(1), "doc_id", "text",
+        Seq("train" -> 80, "valid" -> 90, "test" -> 100), n = 3, minJaccard = 0.4).count())
+    time("split leakage 10x")(
+      Dedup.splitLeakage(docsX(10), "doc_id", "text",
+        Seq("train" -> 80, "valid" -> 90, "test" -> 100), n = 3, minJaccard = 0.4).count())
+
+    // --- shard manifest: pure projection + one keyed agg to nShards rows
+    time("shard manifest 1x")(
+      Relational.shardManifest(docsX(1).withColumn("b", length(col("text"))),
+        "doc_id", "b", 64).count())
+    time("shard manifest 10x")(
+      Relational.shardManifest(docsX(10).withColumn("b", length(col("text"))),
+        "doc_id", "b", 64).count())
+
     spark.stop()
   }
 }

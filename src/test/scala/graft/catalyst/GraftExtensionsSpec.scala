@@ -514,6 +514,41 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds.toSeq == Seq(1L))
   }
 
+  test("audit/export TVFs: knn_graph, source_drift, nb_classify, shard_manifest from plain SQL") {
+    import spark.implicits._
+    // knn_graph: SQL TVF equals the Column API on a tiny table
+    val emb = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("knn_tvf_t")
+    val gSql = spark.sql("SELECT * FROM knn_graph('knn_tvf_t', 'vec_id', 'embedding', 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val gApi = graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(gSql == gApi && gSql.nonEmpty)
+    // source_drift: single group -> exactly zero drift
+    Seq(("only", "a b c"), ("only", "a b")).toDF("source", "text")
+      .createOrReplaceTempView("drift_tvf_t")
+    val dr = spark.sql("SELECT * FROM source_drift('drift_tvf_t', 'source', 'text', 64)")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    graft.CacheScope.release()
+    assert(dr.toSeq == Seq((0L, 0L)))
+    // nb_classify: disjoint vocab recovered from SQL
+    Seq((1L, "apple fruit", "food"), (2L, "piston torque", "cars"))
+      .toDF("id", "text", "label").createOrReplaceTempView("nb_train_t")
+    Seq((9L, "apple apple")).toDF("id", "text").createOrReplaceTempView("nb_score_t")
+    val nb = spark.sql(
+      "SELECT * FROM nb_classify('nb_train_t', 'nb_score_t', 'id', 'text', 'label')")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(nb.toSeq == Seq((9L, "food")))
+    // shard_manifest: totals reconcile from SQL
+    (1 to 40).map(i => (i.toLong, i * 2L)).toDF("id", "bytes")
+      .createOrReplaceTempView("shard_tvf_t")
+    val sm = spark.sql("SELECT * FROM shard_manifest('shard_tvf_t', 'id', 'bytes', 4)")
+      .collect()
+    assert(sm.map(_.getLong(1)).sum == 40L && sm.map(_.getLong(2)).sum == (1 to 40).map(_ * 2L).sum)
+  }
+
   test("bad literal args to SQL builders produce named errors") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b',' '), 1 + 2) AS x").collect()
