@@ -881,6 +881,85 @@ object TextOps {
         (element_at(col("_all"), 2)("_np") - col("_best._np")).as("margin_micro"))
   }
 
+  /** A frozen Naive Bayes model: K class rows (label, token total, prior)
+    * collected driver-side (model-sized, the BPE-merges/PQ-codebook
+    * convention), the train vocab size, and the class-conditional count
+    * table pivoted WIDE — one row per token, one count column per class.
+    * The wide layout is what makes [[nbScoreWith]] streamable: classes
+    * are plan-time literals, so scoring needs ONE stateful aggregation
+    * instead of a per-(doc, class) aggregation stacked under an argmax
+    * aggregation (two stacked stateful aggs — unsupported in Structured
+    * Streaming). */
+  final case class NbModel(
+      classes: Seq[(String, Long, Long)], // (label, nTokens, priorMicro)
+      vocab: Long,
+      wideCounts: DataFrame, // _t, _cwt_0 .. _cwt_{K-1}
+      alpha: Double)
+
+  /** Train the [[NbModel]] on a labeled static corpus. One token-scale
+    * aggregation; the pivot runs over the (label, token) count table
+    * (vocab-scale, stays distributed); only the K class rows and the
+    * vocab size are fetched to the driver. */
+  def nbTrain(train: DataFrame, textCol: String, labelCol: String,
+      alpha: Double = 1.0): NbModel = {
+    require(alpha > 0, "alpha > 0 (unsmoothed unseen tokens have log 0)")
+    val trainEv = train.select(col(labelCol).as("_lbl"),
+      explode(TextFunctions.tokens(col(textCol))).as("_t"))
+    val counts = CacheScope.track(
+      trainEv.groupBy("_lbl", "_t").agg(count(lit(1)).as("_cwt"))
+        .persist(StorageLevel.MEMORY_ONLY))
+    val nDocs = train.count()
+    val classRows = counts.groupBy("_lbl").agg(sum("_cwt").as("_nt"))
+      .join(train.groupBy(col(labelCol).as("_lbl")).agg(count(lit(1)).as("_nd")), Seq("_lbl"))
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1),
+          math.round(1e6 * math.log(r.getLong(2).toDouble / nDocs)))
+      }.sortBy(_._1).toSeq
+    val vocab = counts.select("_t").distinct().count()
+    val cwtCols = classRows.zipWithIndex.map { case ((lbl, _, _), i) =>
+      sum(when(col("_lbl") === lbl, col("_cwt"))).as(s"_cwt_$i")
+    }
+    val wide = counts.groupBy("_t").agg(cwtCols.head, cwtCols.tail: _*)
+    NbModel(classRows, vocab, wide, alpha)
+  }
+
+  /** Score a frame — batch or a STREAM — under a frozen [[NbModel]]:
+    * token explode (stateless) → stream-static left join against the
+    * wide count table → ONE per-doc aggregation summing K quantized
+    * class log-likelihood columns → argmax as a pure projection
+    * (`sort_array` over a K-literal struct array). Identical scores to
+    * [[nbTrainScore]] by construction (same quantization per token, same
+    * coalesced smoothing, same (post desc, label asc) tie-break) — the
+    * frozen-model twin for scoring today's crawl under yesterday's
+    * classifier. */
+  def nbScoreWith(score: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    require(model.classes.nonEmpty, "model must carry at least one class")
+    val ev = score.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("_t"))
+    val lls = model.classes.zipWithIndex.map { case ((_, nt, _), i) =>
+      round(lit(1e6) * log(
+        (coalesce(col(s"_cwt_$i"), lit(0L)).cast("double") + lit(model.alpha)) /
+          (lit(nt).cast("double") + lit(model.alpha) * lit(model.vocab).cast("double"))))
+        .cast("long").as(s"_ll_$i")
+    }
+    val summed = ev.join(model.wideCounts, Seq("_t"), "left")
+      .select(col(idCol) +: lls: _*)
+      .groupBy(col(idCol))
+      .agg(sum(col("_ll_0")).as("_s_0"),
+        model.classes.indices.drop(1).map(i => sum(col(s"_ll_$i")).as(s"_s_$i")): _*)
+    val posts = model.classes.zipWithIndex.map { case ((lbl, _, prior), i) =>
+      struct((-(col(s"_s_$i") + lit(prior))).as("_np"), lit(lbl).as("_l"))
+    }
+    summed
+      .withColumn("_sorted", sort_array(array(posts: _*)))
+      .select(col(idCol),
+        col("_sorted")(0)("_l").as("label_pred"),
+        (-col("_sorted")(0)("_np")).as("score_micro"),
+        (when(lit(model.classes.size > 1),
+          col("_sorted")(1)("_np") - col("_sorted")(0)("_np"))).as("margin_micro"))
+  }
+
   /** Per-group token-distribution drift from the corpus mixture: for
     * every `groupCol` value, the add-α smoothed KL divergence
     * D(P_group ‖ P_corpus) and total-variation distance ½Σ|p_g − p_c|

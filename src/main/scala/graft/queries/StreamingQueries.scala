@@ -90,6 +90,25 @@ object StreamingQueries {
       docs.select("doc_id", "n_chars"), "doc_id", "n_chars", nShards = 8), "complete")
   }
 
+  // Streaming twin of q113: the held-out 20% scored as a STREAM under
+  // the NB model frozen from the static 80% train split — yesterday's
+  // classifier scoring today's crawl. The wide-pivoted model makes the
+  // whole plan one stream-static join + ONE stateful aggregation + a
+  // projection argmax (two stacked stateful aggs would be unsupported);
+  // q113's batch oracle VERBATIM.
+  def q116StreamNbClassify(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val cuts = Seq("train" -> 80, "rest" -> 100)
+    val model = graft.operators.TextOps.nbTrain(
+      graft.operators.Relational.hashSplit(Tables.documents(s, d), "text", cuts)
+        .filter(col("split") === "train"), "text", "lang")
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val held = graft.operators.Relational.hashSplit(docs, "text", cuts)
+      .filter(col("split") =!= "train")
+    drain(graft.operators.TextOps.nbScoreWith(held, "doc_id", "text", model), "complete")
+  }
+
   // Streaming twin of q05: tumbling 10-minute windows (complete mode —
   // every window in the bounded stream, same rows as the batch query).
   def q27StreamTumbling(s0: SparkSession, d: String): DataFrame = {
@@ -312,7 +331,8 @@ object StreamingQueries {
     "q87_stream_mixture" -> q87StreamMixture,
     "q89_stream_quota_sample" -> q89StreamQuotaSample,
     "q98_stream_lm_score" -> q98StreamLmScore,
-    "q115_stream_shard_manifest" -> q115StreamShardManifest)
+    "q115_stream_shard_manifest" -> q115StreamShardManifest,
+    "q116_stream_nb_classify" -> q116StreamNbClassify)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -326,6 +346,7 @@ object StreamingQueries {
     "q87_stream_mixture" -> TextQueries.oracles("q70_weighted_mixture"),
     "q89_stream_quota_sample" -> TextQueries.oracles("q80_quota_sample"),
     "q115_stream_shard_manifest" -> TextQueries.oracles("q110_shard_manifest"),
+    "q116_stream_nb_classify" -> TextQueries.oracles("q113_nb_classify"),
     "q27_stream_tumbling" ->
       s"""SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
           event_type, count(*) AS n, ${sumL(cents("value"))} AS value_cents

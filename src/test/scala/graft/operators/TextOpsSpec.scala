@@ -510,4 +510,30 @@ class TextOpsSpec extends SparkSpec {
         s"expected ($expectedLbl, ${math.max(postFood, postCars)})")
     assert(out(902L)._3 == math.abs(postFood - postCars))
   }
+
+  test("nbScoreWith (frozen wide model) == nbTrainScore on the gate corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+    val sp = graft.operators.Relational.hashSplit(docs, "text",
+      Seq("train" -> 80, "rest" -> 100))
+    val train = sp.filter(col("split") === "train")
+    val held = sp.filter(col("split") =!= "train")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val joint = rows(TextOps.nbTrainScore(train, held, "doc_id", "text", "lang"))
+    val model = TextOps.nbTrain(train, "text", "lang")
+    val frozen = rows(TextOps.nbScoreWith(held, "doc_id", "text", model))
+    graft.CacheScope.release()
+    assert(frozen == joint,
+      "the frozen wide-pivot model must reproduce the joint-plan scores bit-for-bit")
+    // single-class degenerate: prediction trivial, margin null
+    import spark.implicits._
+    val one = TextOps.nbScoreWith(
+      Seq((5L, "alpha beta")).toDF("id", "text"), "id", "text",
+      TextOps.nbTrain(Seq((1L, "alpha beta", "only")).toDF("id", "text", "label"),
+        "text", "label"))
+      .collect()(0)
+    graft.CacheScope.release()
+    assert(one.getString(1) == "only" && one.isNullAt(3))
+  }
 }
