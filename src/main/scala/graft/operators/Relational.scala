@@ -67,7 +67,7 @@ object Relational {
     * state: the same min(k, |stratum|) rows per `stratumCol` that
     * [[topKPerGroup]] under the md5 content-hash order selects (the q80
     * semantics — reproducible engine-over-engine), but computed as a
-    * typed top-k AGGREGATION ([[graft.functions.TopKAgg]]) instead of a
+    * bounded top-k AGGREGATION ([[graft.catalyst.TopKPairsAgg]]) instead of a
     * `row_number` window sort.
     *
     * The window path sorts every row of a stratum inside one partition —
@@ -89,12 +89,11 @@ object Relational {
     require(integral.contains(df.schema(idCol).dataType),
       s"idCol '$idCol' must be an integral type (rides the aggregation buffer as a long); " +
         s"got ${df.schema(idCol).dataType.catalogString} — re-key or use topKPerGroup")
-    val topk = udaf(new graft.functions.TopKAgg(k))
     df.select(col(stratumCol),
         graft.functions.Portable.md5Long60(col(idCol).cast("string")).as("_u"),
         col(idCol).cast("long").as("_id"))
       .groupBy(stratumCol)
-      .agg(topk(col("_u"), col("_id")).as("_top"))
+      .agg(graft.catalyst.TopKPairs.topKPairs(col("_u"), col("_id"), k).as("_top"))
       .select(col(stratumCol), explode(col("_top")).as("_e"))
       .select(col(stratumCol),
         col("_e._2").cast(df.schema(idCol).dataType).as(idCol))

@@ -294,7 +294,7 @@ object Similarity {
     * blocks of unit vectors, every unordered pair is scored exactly once
     * and exploded into both directions in the same pass; (2) the
     * per-query top-k is a bounded-state typed AGGREGATION
-    * ([[graft.functions.TopKAgg]]) instead of a `row_number` window —
+    * ([[graft.catalyst.TopKPairsAgg]]) instead of a `row_number` window —
     * each map task reduces its slice to ≤ k neighbors per query before
     * the shuffle, so shuffled bytes are O(N·k·blocks), never the O(N²)
     * scored-pair stream a window sort would pull into one partition per
@@ -343,9 +343,8 @@ object Similarity {
         struct(col("id_a").as("q"), col("id_b").as("n"), col("_negSim").as("s")),
         struct(col("id_b").as("q"), col("id_a").as("n"), col("_negSim").as("s")))).as("_e"))
       .select(col("_e.q").as("_q"), col("_e.n").as("_n"), col("_e.s").as("_s"))
-    val topk = udaf(new graft.functions.TopKAgg(k))
     directed.groupBy(col("_q"))
-      .agg(topk(col("_s"), col("_n")).as("_top"))
+      .agg(graft.catalyst.TopKPairs.topKPairs(col("_s"), col("_n"), k).as("_top"))
       .select(col("_q"), posexplode(col("_top")).as(Seq("_r", "_e")))
       .select(col("_q").cast(idType).as("query_id"),
         col("_e._2").cast(idType).as("neighbor_id"),

@@ -178,6 +178,34 @@ class CurationPropertySpec extends SparkSpec {
     }, cases = 40)
   }
 
+  test("TopKPairsAgg laws: equals TopKAgg ground truth under any slice order, merge tree, and a serialize hop") {
+    // the imperative Catalyst twin must be EXTENSIONALLY equal to the
+    // typed Aggregator it replaces, including across its binary
+    // serialization boundary (the shuffle path)
+    val pairGen = Gen.listOf(Gen.zip(Gen.choose(-50L, 50L), Gen.choose(0L, 9L)))
+    check(Prop.forAll(pairGen, Gen.choose(1, 6)) { (xs, k) =>
+      val xsD = xs.distinct
+      val truth = xsD.sorted.take(k)
+      val proto = graft.catalyst.TopKPairsAgg(null, null, k)
+      def run(items: Seq[(Long, Long)]): graft.catalyst.TopKPairsBuffer = {
+        val b = new graft.catalyst.TopKPairsBuffer(k)
+        items.foreach { case (key, p) => b.insert(key, p) }
+        b
+      }
+      def out(b: graft.catalyst.TopKPairsBuffer): List[(Long, Long)] =
+        (0 until b.size).map(i => (b.keys(i), b.payloads(i))).toList
+      val direct = out(run(xsD))
+      val shuffled = out(run(scala.util.Random.shuffle(xsD)))
+      val (a, b2) = xsD.splitAt(xsD.length / 2)
+      val merged = out(proto.merge(run(a), run(b2)))
+      val mergedRev = out(proto.merge(run(b2), run(a)))
+      val roundTrip = out(proto.merge(run(a),
+        proto.deserialize(proto.serialize(run(b2)))))
+      direct == truth && shuffled == truth &&
+        merged == truth && mergedRev == truth && roundTrip == truth
+    }, cases = 40)
+  }
+
   test("quantizeInt8 law: reconstruction error <= scale/2 for arbitrary vectors") {
     val vecGen = Gen.choose(2, 32).flatMap(d =>
       Gen.listOfN(d, Gen.choose(-1000, 1000).map(_ / 7.0f)))
