@@ -723,6 +723,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(2), "id column"), litStr(exprs(3), "text column"),
           litStr(exprs(4), "label column")))
     }
+    registerTable("winnow_pairs",
+      "winnow_pairs('table', 'idCol', 'textCol', k, w, minShared) - document pairs " +
+        "sharing >= minShared winnowed (MOSS) fingerprints: lifted-passage / " +
+        "partial-overlap sweep", 6) {
+      exprs =>
+        expand(graft.operators.TextOps.winnowOverlapPairs(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "k"), litInt(exprs(4), "w"), litInt(exprs(5), "minShared")))
+    }
     registerTable("shard_manifest",
       "shard_manifest('table', 'keyCol', 'bytesCol', nShards) - content-addressed " +
         "per-shard manifest (rows, bytes, order-independent content sum, key range)", 4) {

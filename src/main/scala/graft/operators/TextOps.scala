@@ -313,7 +313,10 @@ object TextOps {
     * state is bounded by the cap, not by its corpus frequency — capping
     * only the output string would leave the real hazard in place.
     * Postings are plain strings so any engine (and the DuckDB oracle)
-    * can replay them byte-identically. */
+    * can replay them byte-identically. The `docId:tf,docId:tf` encoding
+    * string-casts ids UNescaped: ids must not contain ':' or ',' (numeric
+    * ids always qualify; for free-form string ids, hash or re-key first)
+    * or the postings string is unparseable. */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Int = 1, maxPostings: Int = Int.MaxValue): DataFrame = {
     require(minDf >= 1, "minDf >= 1")
@@ -809,6 +812,70 @@ object TextOps {
         .orderBy(col("key_micro").desc, col(idCol))
         .limit(k)
     }
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * SIGMOD 2003, the MOSS algorithm): hash every token `k`-gram, slide a
+    * window of `w` consecutive hashes, keep the MINIMUM of each window,
+    * dedup. The guarantee: any two documents sharing a token run of at
+    * least `w + k − 1` tokens share at least one fingerprint — so
+    * CONTAINED copies (a paragraph lifted into an otherwise-different
+    * page) are caught, which whole-document Jaccard structurally misses —
+    * while only ~2/(w+1) of positions are kept (the winnowing density
+    * bound), an order-of-magnitude smaller posting table than full
+    * shingling.
+    *
+    * Documents with fewer than `w` k-grams emit NO fingerprints (no full
+    * window exists) — by contract; overlap auditing targets substantial
+    * documents, and tiny ones are exact-dedup territory.
+    *
+    * Shape: tokenize once, positioned k-gram hashes (md5-based — any
+    * engine replays them), per-doc window MIN over the next `w` hashes
+    * (doc partitions are length-bounded, never hot), distinct. Output:
+    * (id, `fingerprint`).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(w >= 1, "w >= 1")
+    // gram count from the token count (never from a second ngram array),
+    // and the ngram transform consumed INSIDE the generator: a plain
+    // Project chain would collapse and inline the tokenizer into the
+    // per-element lambda — the measured 4-6× lambda-capture pitfall
+    // (COVERAGE.md scale notes; explodedNgrams' discipline)
+    val g = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), (size(col("_toks")) - (k - 1)).as("_ng"),
+        posexplode(ngramArr(col("_toks"), k)).as(Seq("_p", "_g")))
+      .select(col(idCol), col("_ng"), col("_p"),
+        Portable.md5Long60(col("_g")).as("_h"))
+    val windowMin = min(col("_h")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("_p")).rowsBetween(0, w - 1))
+    g.withColumn("_mh", windowMin)
+      .filter(col("_p") <= col("_ng") - w) // full w-hash windows only (0-based)
+      .select(col(idCol), col("_mh").as("fingerprint"))
+      .distinct()
+  }
+
+  /** Partial-overlap candidate pairs via [[winnowFingerprints]]: document
+    * pairs sharing at least `minShared` winnowed fingerprints — the
+    * plagiarism/lifted-passage sweep. One fingerprint-keyed equi
+    * self-join over the (small, winnowed) posting table; per-key rows =
+    * docs sharing that fingerprint, so candidate volume tracks real
+    * overlap (boilerplate-heavy keys are exactly the pairs the audit
+    * exists to surface). Output: (id_a, id_b, shared_fingerprints),
+    * id_a < id_b. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int): DataFrame = {
+    require(minShared >= 1, "minShared >= 1")
+    val f = CacheScope.track(winnowFingerprints(docs, idCol, textCol, k, w)
+      .persist(StorageLevel.MEMORY_ONLY))
+    f.select(col(idCol).as("id_a"), col("fingerprint"))
+      .join(f.select(col(idCol).as("id_b"), col("fingerprint")), Seq("fingerprint"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
   }
 
   /** Multinomial Naive Bayes text classifier, trained and applied in one

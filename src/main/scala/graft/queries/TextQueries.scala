@@ -78,6 +78,13 @@ object TextQueries {
     graft.operators.TextOps.unigramDrift(
       Tables.documents(s, d), "source", "text", buckets = 4096, alpha = 1.0)
 
+  // Winnowing (MOSS) partial-overlap sweep: doc pairs sharing >= 2
+  // winnowed fingerprints (trigram hashes, window 4) — catches lifted
+  // passages whole-doc Jaccard misses.
+  def q117WinnowPairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.winnowOverlapPairs(
+      Tables.documents(s, d), "doc_id", "text", k = 3, w = 4, minShared = 2)
+
   // Naive Bayes classifier trained on the content-hash train split
   // (label = lang), scoring the held-out 20% — trained-model inference
   // with micro-quantized log-posteriors and margins.
@@ -391,6 +398,7 @@ object TextQueries {
     "q110_shard_manifest" -> q110ShardManifest,
     "q112_source_drift" -> q112SourceDrift,
     "q113_nb_classify" -> q113NbClassify,
+    "q117_winnow_pairs" -> q117WinnowPairs,
     "q100_curation_v3" -> q100CurationV3,
     "q99_token_budget" -> q99TokenBudget,
     "q96_strip_spans" -> q96StripSpans,
@@ -502,6 +510,22 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q117_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, k.k AS pos, len(toks) - 2 AS ng,
+             ('0x' || substring(md5(array_to_string(toks[k.k : k.k + 2], ' ')), 1, 15))::BIGINT AS h
+           FROM t JOIN (SELECT unnest(generate_series(1,
+             (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+             ON k.k <= len(toks) - 2),
+         wm AS (SELECT doc_id, pos, ng,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+           FROM g),
+         f AS (SELECT DISTINCT doc_id, mh FROM wm WHERE pos <= ng - 3)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_fingerprints
+         FROM f a JOIN f b ON a.mh = b.mh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     "q113_nb_classify" ->
       """WITH sp AS (
            SELECT doc_id, text, lang,

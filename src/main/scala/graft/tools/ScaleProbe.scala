@@ -431,6 +431,15 @@ object ScaleProbe {
       Dedup.splitLeakage(docsX(10), "doc_id", "text",
         Seq("train" -> 80, "valid" -> 90, "test" -> 100), n = 3, minJaccard = 0.4).count())
 
+    // --- winnowing: posting volume is the ~2/(w+1) winnowed density of
+    // the gram stream; the pair join tracks real overlap, never N² ------
+    time("winnow pairs 1x")(
+      TextOps.winnowOverlapPairs(docsX(1), "doc_id", "text",
+        k = 3, w = 4, minShared = 2).count())
+    time("winnow pairs 10x")(
+      TextOps.winnowOverlapPairs(docsX(10), "doc_id", "text",
+        k = 3, w = 4, minShared = 2).count())
+
     // --- shard manifest: pure projection + one keyed agg to nShards rows
     time("shard manifest 1x")(
       Relational.shardManifest(docsX(1).withColumn("b", length(col("text"))),

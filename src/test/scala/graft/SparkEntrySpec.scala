@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 116 queries, unique names") {
-    assert(SparkEntry.queries.size == 116)
+  test("gate inventory: 117 queries, unique names") {
+    assert(SparkEntry.queries.size == 117)
   }
 }

@@ -547,6 +547,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sm = spark.sql("SELECT * FROM shard_manifest('shard_tvf_t', 'id', 'bytes', 4)")
       .collect()
     assert(sm.map(_.getLong(1)).sum == 40L && sm.map(_.getLong(2)).sum == (1 to 40).map(_ * 2L).sum)
+    // winnow_pairs: the planted lifted passage surfaces from SQL
+    Seq((1L, "alpha beta gamma the quick brown fox jumps high delta epsilon zeta"),
+        (2L, "one two three the quick brown fox jumps high four five six seven"))
+      .toDF("doc_id", "text").createOrReplaceTempView("winnow_tvf_t")
+    val wp = spark.sql(
+      "SELECT * FROM winnow_pairs('winnow_tvf_t', 'doc_id', 'text', 3, 4, 1)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.CacheScope.release()
+    assert(wp.toSeq == Seq((1L, 2L)))
   }
 
   test("bad literal args to SQL builders produce named errors") {

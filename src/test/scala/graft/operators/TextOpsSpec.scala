@@ -511,6 +511,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out(902L)._3 == math.abs(postFood - postCars))
   }
 
+  test("winnowing: lifted-passage guarantee, density bound, short docs silent") {
+    val (k, w) = (3, 4)
+    // doc 2 lifts a 6-token run (= w + k - 1) from doc 1 into otherwise
+    // disjoint text -> the winnowing guarantee promises >= 1 shared print
+    val passage = "the quick brown fox jumps high"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon zeta eta theta"),
+      (2L, s"one two three four $passage five six seven eight nine"),
+      (3L, "completely unrelated text with nothing shared at all here today"),
+      (4L, "too short")) // < w k-grams -> no fingerprints by contract
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!byDoc.contains(4L), "a doc with fewer than w k-grams must emit nothing")
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing a w+k-1 token run must share a fingerprint (the winnowing guarantee)")
+    assert((byDoc(3L) & (byDoc(1L) ++ byDoc(2L))).isEmpty,
+      "disjoint text must not collide at this scale")
+    // density: winnowing keeps ~2/(w+1) of positions, far below all grams
+    val nGrams1 = docs.filter(col("doc_id") === 1L)
+      .select(size(split(trim(col("text")), "\\s+"))).head().getInt(0) - k + 1
+    assert(byDoc(1L).size < nGrams1,
+      s"fingerprints (${byDoc(1L).size}) must be sparser than grams ($nGrams1)")
+    // the pair sweep surfaces exactly the planted pair at minShared = 1
+    val pairs = TextOps.winnowOverlapPairs(docs, "doc_id", "text", k, w, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.CacheScope.release()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("nbScoreWith (frozen wide model) == nbTrainScore on the gate corpus") {
     val docs = graft.Tables.documents(spark, sf)
     val sp = graft.operators.Relational.hashSplit(docs, "text",
