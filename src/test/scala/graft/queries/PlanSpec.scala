@@ -3,6 +3,7 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan regression guards: the scale properties that make these
   * queries viable at 100 TB are asserted, not assumed — if an edit turns a
@@ -338,6 +339,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") ||
       p.split("SortMergeJoin").length <= 2,
       "only the vocab-scale (label, token) count join may shuffle")
+  }
+
+  test("q116 frozen-NB stream shape: ONE aggregation; argmax is a projection, not a second agg") {
+    val cuts = Seq("train" -> 80, "rest" -> 100)
+    val docs = graft.Tables.documents(spark, sf)
+    val model = graft.operators.TextOps.nbTrain(
+      graft.operators.Relational.hashSplit(docs, "text", cuts)
+        .filter(col("split") === "train"), "text", "lang")
+    val held = graft.operators.Relational.hashSplit(docs, "text", cuts)
+      .filter(col("split") =!= "train")
+    val out = graft.operators.TextOps.nbScoreWith(held, "doc_id", "text", model)
+    val p116 = out.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the physical text truncates wide Project field lists, so the
+    // sort_array argmax is pinned on the optimized LOGICAL plan
+    val opt = out.queryExecution.optimizedPlan.toString
+    graft.CacheScope.release()
+    // everything ABOVE the scoring aggregation (the plan text before the
+    // first HashAggregate, root-first) must be pure projection: the
+    // argmax is a sort_array over K literal structs, never a second
+    // stateful aggregate or a window — the property that lets the same
+    // code run under Structured Streaming
+    val aboveAgg = p116.split("HashAggregate")(0)
+    assert(!aboveAgg.contains("Exchange") && !aboveAgg.contains("Window"),
+      "nothing stateful may sit above the scoring aggregation")
+    assert(opt.contains("sort_array") && !p116.contains("Window"),
+      "the argmax must be the sort_array projection, never a window")
+  }
+
+  test("q117 winnowing: doc-bounded window over generated grams; pair join keyed on the fingerprint") {
+    val df = TextQueries.q117WinnowPairs(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the overlap sweep must join on the fingerprint key, never all pairs")
+    assert(p.contains("InMemoryTableScan"),
+      "the winnowed posting table must be persisted — one build, two join sides")
+    // the tokenizer must NOT be inlined into the gram lambda (the
+    // lambda-capture pitfall): the generator input references the
+    // projected token attribute, not split(text)
+    val gen = p.linesIterator.filter(_.contains("Generate")).mkString("\n")
+    assert(!gen.contains("split("),
+      s"tokenizer leaked into the generator — re-tokenizes per gram:\n$gen")
   }
 
   test("q108 kNN graph: tiled equi self-join + bounded-state agg — no cartesian, no window sort") {
