@@ -78,6 +78,32 @@ object TextQueries {
     graft.operators.TextOps.unigramDrift(
       Tables.documents(s, d), "source", "text", buckets = 4096, alpha = 1.0)
 
+  // Curation v4 — the second continuation's operators composed end to
+  // end, every stage an engine operator: (1) NB classifier trained on
+  // the 80% content split verifies the recorded language label over the
+  // WHOLE corpus (frozen-model inference; docs whose predicted label
+  // disagrees are dropped — the label-verification filter); (2) winnowing
+  // dedup drops the later doc of every >= 2-shared-fingerprint overlap
+  // pair (greedy keep-first, deterministic); (3) the survivors ship as a
+  // content-addressed 8-shard export manifest — the frame a training
+  // loader certifies before consuming.
+  def q118CurationV4(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sp = graft.operators.Relational.hashSplit(docs, "text",
+      Seq("train" -> 80, "rest" -> 100))
+    val model = graft.operators.TextOps.nbTrain(
+      sp.filter(col("split") === "train"), "text", "lang")
+    val pred = graft.operators.TextOps.nbScoreWith(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("label_pred"))
+    val kept = docs.join(pred, Seq("doc_id"))
+      .filter(col("label_pred") === col("lang")).drop("label_pred")
+    val dupTails = graft.operators.TextOps.winnowOverlapPairs(
+        kept, "doc_id", "text", k = 3, w = 4, minShared = 2)
+      .select(col("id_b").as("doc_id")).distinct()
+    val survivors = kept.join(dupTails, Seq("doc_id"), "left_anti")
+    graft.operators.Relational.shardManifest(survivors, "doc_id", "n_chars", nShards = 8)
+  }
+
   // Winnowing (MOSS) partial-overlap sweep: doc pairs sharing >= 2
   // winnowed fingerprints (trigram hashes, window 4) — catches lifted
   // passages whole-doc Jaccard misses.
@@ -399,6 +425,7 @@ object TextQueries {
     "q112_source_drift" -> q112SourceDrift,
     "q113_nb_classify" -> q113NbClassify,
     "q117_winnow_pairs" -> q117WinnowPairs,
+    "q118_curation_v4" -> q118CurationV4,
     "q100_curation_v3" -> q100CurationV3,
     "q99_token_budget" -> q99TokenBudget,
     "q96_strip_spans" -> q96StripSpans,
@@ -510,6 +537,63 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q118_curation_v4" ->
+      """WITH sp AS (
+           SELECT doc_id, text, lang, n_chars,
+             CASE WHEN ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'rest' END AS split
+           FROM documents),
+         tr AS (SELECT * FROM sp WHERE split = 'train'),
+         tev AS (SELECT lang AS lbl, unnest(string_split(trim(text), ' ')) AS t FROM tr),
+         ct AS (SELECT lbl, t, CAST(count(*) AS BIGINT) AS cwt FROM tev GROUP BY 1, 2),
+         tot AS (SELECT lbl, CAST(count(*) AS BIGINT) AS nt FROM tev GROUP BY 1),
+         pr AS (SELECT lang AS lbl, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM tr),
+         vb AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tev),
+         cls AS (SELECT tot.lbl, tot.nt,
+                   CAST(round(1e6 * ln(pr.nd * 1.0 / nd.ndocs)) AS BIGINT) AS prior
+                 FROM tot JOIN pr USING (lbl) CROSS JOIN nd),
+         ev AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents),
+         term AS (
+           SELECT ev.doc_id, cls.lbl, cls.prior,
+             CAST(round(1e6 * ln((COALESCE(ct.cwt, 0) + 1.0) /
+               (cls.nt + 1.0 * vb.v))) AS BIGINT) AS ll
+           FROM ev CROSS JOIN cls
+           LEFT JOIN ct ON ct.lbl = cls.lbl AND ct.t = ev.t
+           CROSS JOIN vb),
+         post AS (SELECT doc_id, lbl, prior + CAST(sum(ll) AS BIGINT) AS post
+                  FROM term GROUP BY 1, 2, prior),
+         pred AS (SELECT doc_id, lbl AS label_pred FROM (
+             SELECT doc_id, lbl, row_number() OVER
+               (PARTITION BY doc_id ORDER BY post DESC, lbl) AS rn
+             FROM post) WHERE rn = 1),
+         kept AS (SELECT d.doc_id, d.text, d.n_chars FROM documents d
+                  JOIN pred p ON p.doc_id = d.doc_id AND p.label_pred = d.lang),
+         t2 AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM kept),
+         g2 AS (SELECT doc_id, k.k AS pos, len(toks) - 2 AS ng,
+             ('0x' || substring(md5(array_to_string(toks[k.k : k.k + 2], ' ')), 1, 15))::BIGINT AS h
+           FROM t2 JOIN (SELECT unnest(generate_series(1,
+             (SELECT CAST(max(len(toks)) AS BIGINT) FROM t2))) AS k) k
+             ON k.k <= len(toks) - 2),
+         wm2 AS (SELECT doc_id, pos, ng,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+           FROM g2),
+         f2 AS (SELECT DISTINCT doc_id, mh FROM wm2 WHERE pos <= ng - 3),
+         p2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM f2 a JOIN f2 b ON a.mh = b.mh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         surv AS (SELECT doc_id, n_chars FROM kept
+                  WHERE doc_id NOT IN (SELECT id_b FROM p2)),
+         s3 AS (SELECT doc_id, n_chars,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM surv)
+         SELECT CAST(h % 8 AS INT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+           CAST(sum(h % 1073741824) AS BIGINT) AS content_sum,
+           min(doc_id) AS min_key, max(doc_id) AS max_key
+         FROM s3 GROUP BY 1""",
     "q117_winnow_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
          g AS (SELECT doc_id, k.k AS pos, len(toks) - 2 AS ng,

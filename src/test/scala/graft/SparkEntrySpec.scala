@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 117 queries, unique names") {
-    assert(SparkEntry.queries.size == 117)
+  test("gate inventory: 118 queries, unique names") {
+    assert(SparkEntry.queries.size == 118)
   }
 }

@@ -367,6 +367,18 @@ class PlanSpec extends SparkSpec {
       "the argmax must be the sort_array projection, never a window")
   }
 
+  test("q118 curation v4: the composed pipeline inherits every component's shape — no cartesian, no BNLJ beyond the broadcast model frames") {
+    val df = TextQueries.q118CurationV4(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    graft.CacheScope.release()
+    assert(!p.contains("CartesianProduct"))
+    // the classifier's K-class expansion frames are the only
+    // nested-loop joins; the winnow pair join and the anti join are keyed
+    assert(p.split("BroadcastNestedLoopJoin").length <= 2,
+      "nested-loop joins beyond the class-expansion cross join")
+    assert(p.contains("LeftAnti"), "the dedup drop must be an anti join, not a filter-in")
+  }
+
   test("q117 winnowing: doc-bounded window over generated grams; pair join keyed on the fingerprint") {
     val df = TextQueries.q117WinnowPairs(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
