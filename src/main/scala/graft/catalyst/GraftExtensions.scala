@@ -733,6 +733,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "k"), litInt(exprs(4), "w"), litInt(exprs(5), "minShared")))
     }
+    registerTable("winnow_incremental",
+      "winnow_incremental('increment', 'idCol', 'textCol', 'storeTable', 'histIdCol', " +
+        "'fpCol', k, w, minShared) - increment docs sharing >= minShared winnowed " +
+        "fingerprints with the persisted store; history text never rescanned", 9) {
+      exprs =>
+        expand(graft.operators.TextOps.winnowIncremental(
+          SparkSession.active.table(litStr(exprs(0), "increment table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          SparkSession.active.table(litStr(exprs(3), "store table")),
+          litStr(exprs(4), "history id column"), litStr(exprs(5), "fingerprint column"),
+          litInt(exprs(6), "k"), litInt(exprs(7), "w"), litInt(exprs(8), "minShared")))
+    }
     registerTable("shard_manifest",
       "shard_manifest('table', 'keyCol', 'bytesCol', nShards) - content-addressed " +
         "per-shard manifest (rows, bytes, order-independent content sum, key range)", 4) {

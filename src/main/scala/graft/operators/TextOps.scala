@@ -878,6 +878,27 @@ object TextOps {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Incremental winnowing sweep — today's crawl against the persisted
+    * fingerprint store ([[winnowFingerprints]] rows written at ingest
+    * time): increment docs are winnowed fresh, then meet the store in
+    * ONE fingerprint-keyed equi-join; history TEXT is never rescanned
+    * (the q90/q106 incremental discipline — the store is the ~2/(w+1)
+    * winnowed density, far below shingle volume). Output:
+    * (id, hist_id, shared_fingerprints) at `minShared`+. In production
+    * the store is bucketed by fingerprint so only the increment
+    * shuffles. */
+  def winnowIncremental(increment: DataFrame, idCol: String, textCol: String,
+      store: DataFrame, storeIdCol: String, fpCol: String,
+      k: Int, w: Int, minShared: Int): DataFrame = {
+    require(minShared >= 1, "minShared >= 1")
+    winnowFingerprints(increment, idCol, textCol, k, w)
+      .join(store.select(col(storeIdCol).as("hist_id"),
+        col(fpCol).as("fingerprint")), Seq("fingerprint"))
+      .groupBy(col(idCol), col("hist_id"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Multinomial Naive Bayes text classifier, trained and applied in one
     * plan — the fastText-shaped "train a label/quality classifier on a
     * labeled slice, score the rest of the corpus" stage of a curation

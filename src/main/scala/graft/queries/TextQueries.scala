@@ -78,6 +78,19 @@ object TextQueries {
     graft.operators.TextOps.unigramDrift(
       Tables.documents(s, d), "source", "text", buckets = 4096, alpha = 1.0)
 
+  // Incremental winnow vs a fingerprint store: the %10 increment swept
+  // against history that exists ONLY as winnowed (id, fingerprint) rows
+  // — history text never rescanned (the q90/q106 discipline at the
+  // winnowed density).
+  def q119WinnowIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val store = graft.operators.TextOps.winnowFingerprints(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", k = 3, w = 4)
+    graft.operators.TextOps.winnowIncremental(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      store, "doc_id", "fingerprint", k = 3, w = 4, minShared = 2)
+  }
+
   // Curation v4 — the second continuation's operators composed end to
   // end, every stage an engine operator: (1) NB classifier trained on
   // the 80% content split verifies the recorded language label over the
@@ -426,6 +439,7 @@ object TextQueries {
     "q113_nb_classify" -> q113NbClassify,
     "q117_winnow_pairs" -> q117WinnowPairs,
     "q118_curation_v4" -> q118CurationV4,
+    "q119_winnow_incremental" -> q119WinnowIncremental,
     "q100_curation_v3" -> q100CurationV3,
     "q99_token_budget" -> q99TokenBudget,
     "q96_strip_spans" -> q96StripSpans,
@@ -537,6 +551,23 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q119_winnow_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, k.k AS pos, len(toks) - 2 AS ng,
+             ('0x' || substring(md5(array_to_string(toks[k.k : k.k + 2], ' ')), 1, 15))::BIGINT AS h
+           FROM t JOIN (SELECT unnest(generate_series(1,
+             (SELECT CAST(max(len(toks)) AS BIGINT) FROM t))) AS k) k
+             ON k.k <= len(toks) - 2),
+         wm AS (SELECT doc_id, pos, ng,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+           FROM g),
+         f AS (SELECT DISTINCT doc_id, mh FROM wm WHERE pos <= ng - 3)
+         SELECT a.doc_id, b.doc_id AS hist_id,
+           CAST(count(*) AS BIGINT) AS shared_fingerprints
+         FROM f a JOIN f b ON a.mh = b.mh
+         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
     "q118_curation_v4" ->
       """WITH sp AS (
            SELECT doc_id, text, lang, n_chars,

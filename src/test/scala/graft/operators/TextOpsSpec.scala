@@ -542,6 +542,30 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("winnowIncremental == the cross-(increment, history) slice; store text never needed") {
+    val docs = graft.Tables.documents(spark, sf)
+    val (k, w, ms) = (3, 4, 2)
+    val store = TextOps.winnowFingerprints(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", k, w)
+    val got = TextOps.winnowIncremental(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        store, "doc_id", "fingerprint", k, w, ms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: the full-corpus fingerprint table, cross-sliced
+    val all = TextOps.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.CacheScope.release()
+    val byDoc = all.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      (inc, incF) <- byDoc if inc % 10 == 0
+      (hist, histF) <- byDoc if hist % 10 != 0
+      shared = (incF & histF).size if shared >= ms
+    } yield (inc, hist, shared.toLong)).toSet
+    assert(got == expected,
+      "incremental-vs-store must equal the cross slice of the full fingerprint table")
+    assert(got.nonEmpty, "the gate corpus is known to contain cross-slice overlaps")
+  }
+
   test("nbScoreWith (frozen wide model) == nbTrainScore on the gate corpus") {
     val docs = graft.Tables.documents(spark, sf)
     val sp = graft.operators.Relational.hashSplit(docs, "text",
