@@ -149,8 +149,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // implementation. Works over streaming views too: streaming-ness of
     // the source plan is preserved, so `INSERT INTO … SELECT … FROM
     // latest_by_key(...)` runs continuously (SqlProcessorsSpec).
+    val tvfCatalog = scala.collection.mutable.ArrayBuffer[(String, String)]()
     def registerTable(name: String, usage: String, nArgs: Int)(
-        builder: Seq[Expression] => LogicalPlan): Unit =
+        builder: Seq[Expression] => LogicalPlan): Unit = {
+      tvfCatalog += ((name, usage))
       ext.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.catalyst.GraftExtensions", null, name, usage, ""),
@@ -160,6 +162,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"$name expects $nArgs argument(s), got ${exprs.length}; usage: $usage")
           builder(exprs)
         }))
+    }
     def expand(df: org.apache.spark.sql.DataFrame): LogicalPlan = df.queryExecution.analyzed
 
     registerTable("latest_by_key",
@@ -753,6 +756,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "key column"), litStr(exprs(2), "bytes column"),
           litInt(exprs(3), "nShards")))
+    }
+
+    // discoverability: the TVF catalog as a TVF (SHOW-FUNCTIONS-style;
+    // builds at CALL time, after every registration above has run)
+    registerTable("graft_functions",
+      "graft_functions() - every graft table-valued function with its usage", 0) { _ =>
+      val s = SparkSession.active
+      import s.implicits._
+      expand(tvfCatalog.sortBy(_._1).toSeq.toDF("function", "usage"))
     }
 
     ext.injectOptimizerRule(_ => UnitVecIdempotence)

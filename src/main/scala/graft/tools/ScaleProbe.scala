@@ -440,6 +440,38 @@ object ScaleProbe {
       TextOps.winnowOverlapPairs(docsX(10), "doc_id", "text",
         k = 3, w = 4, minShared = 2).count())
 
+    // --- incremental winnow: the store is winnowed density; the join is
+    // fingerprint-keyed — volume tracks shared fingerprints, not pairs --
+    def winInc(kx: Int): Long = {
+      val dk = docsX(kx)
+      val store = TextOps.winnowFingerprints(
+        dk.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 4)
+      TextOps.winnowIncremental(dk.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", store, "doc_id", "fingerprint", 3, 4, 2).count()
+    }
+    time("winnow incremental 1x")(winInc(1))
+    time("winnow incremental 10x")(winInc(10))
+
+    // --- curation v4 composition: classifier scoring + winnow dedup +
+    // manifest — every stage linear or output-bound; the probe watches
+    // the COMPOSITION for cross-stage blowups the per-op probes miss ----
+    def v4(kx: Int): Long = {
+      val dk = docsX(kx).withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5L))))
+        .withColumn("n_chars", length(col("text")))
+      val sp = Relational.hashSplit(dk, "text", Seq("train" -> 80, "rest" -> 100))
+      val model = TextOps.nbTrain(sp.filter(col("split") === "train"), "text", "lang")
+      val pred = TextOps.nbScoreWith(dk, "doc_id", "text", model)
+        .select(col("doc_id"), col("label_pred"))
+      val kept = dk.join(pred, Seq("doc_id"))
+        .filter(col("label_pred") === col("lang")).drop("label_pred")
+      val dupTails = TextOps.winnowOverlapPairs(kept, "doc_id", "text", 3, 4, 2)
+        .select(col("id_b").as("doc_id")).distinct()
+      Relational.shardManifest(kept.join(dupTails, Seq("doc_id"), "left_anti"),
+        "doc_id", "n_chars", 8).count()
+    }
+    time("curation v4 1x")(v4(1))
+    time("curation v4 10x")(v4(10))
+
     // --- shard manifest: pure projection + one keyed agg to nShards rows
     time("shard manifest 1x")(
       Relational.shardManifest(docsX(1).withColumn("b", length(col("text"))),

@@ -558,6 +558,17 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wp.toSeq == Seq((1L, 2L)))
   }
 
+  test("graft_functions() lists the whole TVF surface, including itself") {
+    val fns = spark.sql("SELECT function FROM graft_functions()")
+      .collect().map(_.getString(0)).toSet
+    assert(fns.contains("graft_functions") && fns.contains("latest_by_key") &&
+      fns.contains("knn_graph") && fns.contains("winnow_pairs"))
+    assert(fns.size >= 30, s"expected the full TVF surface, got ${fns.size}")
+    // every row carries a usage string that names its own function
+    val rows = spark.sql("SELECT function, usage FROM graft_functions()").collect()
+    assert(rows.forall(r => r.getString(1).startsWith(r.getString(0) + "(")))
+  }
+
   test("bad literal args to SQL builders produce named errors") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b',' '), 1 + 2) AS x").collect()
