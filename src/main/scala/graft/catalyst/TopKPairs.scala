@@ -61,6 +61,17 @@ case class TopKPairsAgg(
   require(k >= 1, "k >= 1")
 
   override def children: Seq[Expression] = Seq(keyExpr, payloadExpr)
+  // fail at ANALYSIS, not mid-task: the replaced udaf(TopKAgg) path cast
+  // inputs implicitly via its encoder, and a raw asInstanceOf on an
+  // Integer column would otherwise throw on the executors. (The
+  // [[TopKPairs.topKPairs]] helper casts for the caller; this guards
+  // direct Expression construction.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (keyExpr.dataType == LongType && payloadExpr.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_k_pairs expects (BIGINT, BIGINT) inputs, got " +
+        s"(${keyExpr.dataType.catalogString}, ${payloadExpr.dataType.catalogString}) — cast first")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     new StructType().add("_1", LongType, nullable = false)
@@ -124,6 +135,7 @@ object TopKPairs {
     * smallest (key, payload) pairs, ascending, as `array<struct<_1,_2>>`
     * — drop-in for `udaf(new TopKAgg(k))(key, payload)`. */
   def topKPairs(key: Column, payload: Column, k: Int): Column =
-    Cols.column(TopKPairsAgg(Cols.expression(key), Cols.expression(payload), k)
+    Cols.column(TopKPairsAgg(
+      Cols.expression(key.cast("long")), Cols.expression(payload.cast("long")), k)
       .toAggregateExpression())
 }

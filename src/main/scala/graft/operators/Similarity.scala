@@ -269,8 +269,13 @@ object Similarity {
     require(nNeg >= 1, "nNeg >= 1")
     require(negHi <= posMin,
       s"negative band must sit below the positive threshold: negHi $negHi > posMin $posMin")
-    val pos = bruteForceTopK(corpus, anchors, idCol, vecCol, k = 1)
-      .filter(col("sim") >= posMin)
+    // pinned: the anchor-sized positive frame feeds BOTH the semi-join
+    // and the union — unpersisted, the top-1 ranking over the full
+    // anchors×corpus pair stream would evaluate twice
+    val pos = graft.CacheScope.track(
+      bruteForceTopK(corpus, anchors, idCol, vecCol, k = 1)
+        .filter(col("sim") >= posMin)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     val anchorsWithPos = anchors.join(
       broadcast(pos.select(col("query_id"))),
       col(idCol) === col("query_id"), "left_semi")
@@ -307,7 +312,7 @@ object Similarity {
     * `CAST(round(list_cosine_similarity(a,b)*100000) AS BIGINT)`).
     * Ranking order (sim_micro DESC, neighbor_id ASC) is a strict total
     * order, so ranks are stable across engines and runs. `idCol` must be
-    * integral (it rides the TopKAgg buffer as a long).
+    * integral (it rides the TopKPairsAgg buffer as a long).
     */
   def knnGraph(
       emb: DataFrame,
@@ -332,7 +337,7 @@ object Similarity {
     val b = v.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_blk").as("_tj"))
       .withColumn("_ti", explode(sequence(lit(0), col("_tj"))))
     // Each unordered pair meets in exactly one tile (cosineNearDupPairs'
-    // invariant); negated sim_micro makes TopKAgg's smallest-k-lexicographic
+    // invariant); negated sim_micro makes TopKPairsAgg's smallest-k-lexicographic
     // order equal (sim DESC, neighbor ASC). Both directions come from one
     // explode over the scored pair — the dot product is never recomputed.
     val directed = a.join(b, Seq("_ti", "_tj"))

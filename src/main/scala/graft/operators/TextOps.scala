@@ -931,8 +931,12 @@ object TextOps {
     require(alpha > 0, "alpha > 0 (unsmoothed unseen tokens have log 0)")
     val trainEv = train.select(col(labelCol).as("_lbl"),
       explode(TextFunctions.tokens(col(textCol))).as("_t"))
-    val classTok = trainEv.groupBy("_lbl", "_t").agg(count(lit(1)).as("_cwt"))
-    val classTot = trainEv.groupBy("_lbl").agg(count(lit(1)).as("_nt"))
+    // ONE token-scale aggregation over the training text; totals and
+    // vocab derive from the persisted count table (the nbTrain pattern)
+    val classTok = CacheScope.track(
+      trainEv.groupBy("_lbl", "_t").agg(count(lit(1)).as("_cwt"))
+        .persist(StorageLevel.MEMORY_ONLY))
+    val classTot = classTok.groupBy("_lbl").agg(sum("_cwt").as("_nt"))
     val priors = train.groupBy(col(labelCol).as("_lbl")).agg(count(lit(1)).as("_nd"))
     val nDocs = priors.agg(sum("_nd").as("_ndocs"))
     val vocab = classTok.select("_t").distinct().agg(count(lit(1)).as("_v"))
@@ -966,7 +970,11 @@ object TextOps {
       .select(col(idCol),
         col("_best._l").as("label_pred"),
         (-col("_best._np")).as("score_micro"),
-        (element_at(col("_all"), 2)("_np") - col("_best._np")).as("margin_micro"))
+        // guarded: a single-class model has no runner-up — margin is null
+        // by contract, and an unguarded element_at(_, 2) would THROW
+        // under ANSI mode rather than return it
+        (when(size(col("_all")) > 1,
+          element_at(col("_all"), 2)("_np") - col("_best._np"))).as("margin_micro"))
   }
 
   /** A frozen Naive Bayes model: K class rows (label, token total, prior)
@@ -1000,8 +1008,13 @@ object TextOps {
     val classRows = counts.groupBy("_lbl").agg(sum("_cwt").as("_nt"))
       .join(train.groupBy(col(labelCol).as("_lbl")).agg(count(lit(1)).as("_nd")), Seq("_lbl"))
       .collect().map { r =>
+        // HALF_UP (away from zero), NOT math.round (half toward +inf):
+        // priors are negative and both Spark's round() and DuckDB round
+        // half-exact negatives AWAY from zero — the joint plan, the
+        // oracle, and this frozen model must quantize identically
         (r.getString(0), r.getLong(1),
-          math.round(1e6 * math.log(r.getLong(2).toDouble / nDocs)))
+          BigDecimal(1e6 * math.log(r.getLong(2).toDouble / nDocs))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
       }.sortBy(_._1).toSeq
     val vocab = counts.select("_t").distinct().count()
     val cwtCols = classRows.zipWithIndex.map { case ((lbl, _, _), i) =>

@@ -105,7 +105,7 @@ object AnnQueries {
       k = 10, kEach = 20)
 
   // Directed exact kNN graph (every vector is query AND corpus): tiled
-  // self-join + bounded-state TopKAgg per query — the self-join regime
+  // self-join + bounded-state TopKPairsAgg per query — the self-join regime
   // where neither side broadcasts. Exact and integer-exported
   // (sim_micro) → full hash gate vs the DuckDB N² replay.
   def q108KnnGraph(s: SparkSession, d: String): DataFrame =

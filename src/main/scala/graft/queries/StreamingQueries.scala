@@ -277,7 +277,7 @@ object StreamingQueries {
 
   // Streaming twin of q80/q84: the deterministic quota sample as a
   // CONTINUOUS stateful aggregation — the typed bounded top-k Aggregator
-  // (`TopKAgg`) keeps O(k) state per stratum in the state store, so the
+  // (`TopKPairsAgg`) keeps O(k) state per stratum in the state store, so the
   // "current sample per stratum" view of an unbounded stream never grows
   // with it (complete mode; the bounded gate stream drains to exactly
   // the batch sample — q80 oracle VERBATIM).

@@ -206,6 +206,26 @@ class CurationPropertySpec extends SparkSpec {
     }, cases = 40)
   }
 
+  test("topKPairs Column helper accepts non-long integrals (casts, never a mid-task ClassCastException)") {
+    val df = (1 to 30).map(i => (i % 3, i, i * 7)).toDF("g", "rank_int", "id_int")
+    val out = df.groupBy("g")
+      .agg(graft.catalyst.TopKPairs.topKPairs(col("rank_int"), col("id_int"), 2).as("t"))
+      .select(col("g"), explode(col("t")).as("e"))
+      .collect().map(r => (r.getInt(0), r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))
+    assert(out.length == 6 && out.forall { case (g, k, p) => p == k * 7 },
+      s"int inputs must flow through the long buffer intact: ${out.toSeq}")
+    // direct Expression construction with wrong types fails at ANALYSIS
+    val err = intercept[Exception] {
+      df.groupBy("g").agg(graft.catalyst.Cols.column(
+        graft.catalyst.TopKPairsAgg(
+          graft.catalyst.Cols.expression(col("rank_int")),
+          graft.catalyst.Cols.expression(col("id_int")), 2).toAggregateExpression()))
+        .collect()
+    }
+    assert(err.getMessage.contains("BIGINT") || err.getMessage.contains("DATATYPE"),
+      s"expected an analysis-time type error, got: ${err.getMessage.take(200)}")
+  }
+
   test("quantizeInt8 law: reconstruction error <= scale/2 for arbitrary vectors") {
     val vecGen = Gen.choose(2, 32).flatMap(d =>
       Gen.listOfN(d, Gen.choose(-1000, 1000).map(_ / 7.0f)))

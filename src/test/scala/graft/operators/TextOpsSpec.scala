@@ -581,14 +581,19 @@ class TextOpsSpec extends SparkSpec {
     graft.CacheScope.release()
     assert(frozen == joint,
       "the frozen wide-pivot model must reproduce the joint-plan scores bit-for-bit")
-    // single-class degenerate: prediction trivial, margin null
+    // single-class degenerate: prediction trivial, margin null — on BOTH
+    // paths (the joint plan's unguarded element_at(_, 2) THREW under ANSI
+    // mode before the guard; found in review)
     import spark.implicits._
-    val one = TextOps.nbScoreWith(
-      Seq((5L, "alpha beta")).toDF("id", "text"), "id", "text",
-      TextOps.nbTrain(Seq((1L, "alpha beta", "only")).toDF("id", "text", "label"),
-        "text", "label"))
+    val trainOne = Seq((1L, "alpha beta", "only")).toDF("id", "text", "label")
+    val scoreOne = Seq((5L, "alpha beta")).toDF("id", "text")
+    val one = TextOps.nbScoreWith(scoreOne, "id", "text",
+      TextOps.nbTrain(trainOne, "text", "label")).collect()(0)
+    val oneJoint = TextOps.nbTrainScore(trainOne, scoreOne, "id", "text", "label")
       .collect()(0)
     graft.CacheScope.release()
     assert(one.getString(1) == "only" && one.isNullAt(3))
+    assert(oneJoint.getString(1) == "only" && oneJoint.isNullAt(3),
+      "the joint plan must return the documented null margin, not an ANSI error")
   }
 }
