@@ -736,6 +736,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "k"), litInt(exprs(4), "w"), litInt(exprs(5), "minShared")))
     }
+    registerTable("dedup_keep_best",
+      "dedup_keep_best('table', 'idCol', 'textCol', 'qualityCol', n, minJaccardMicro) - " +
+        "one survivor per near-dup cluster: the (quality DESC, id ASC) best copy, " +
+        "tagged with cluster_rep", 6) {
+      exprs =>
+        expand(graft.operators.Dedup.dedupKeepBest(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litStr(exprs(3), "quality column"),
+          litInt(exprs(4), "n"),
+          litInt(exprs(5), "minJaccardMicro").toDouble / 1e6))
+    }
     registerTable("winnow_incremental",
       "winnow_incremental('increment', 'idCol', 'textCol', 'storeTable', 'histIdCol', " +
         "'fpCol', k, w, minShared) - increment docs sharing >= minShared winnowed " +

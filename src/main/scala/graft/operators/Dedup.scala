@@ -475,6 +475,40 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** Quality-aware near-dup retention: within every near-duplicate
+    * CLUSTER (connected component of the exact n-gram Jaccard pair
+    * graph), keep the row maximal under (`qualityCol` DESC, id ASC) —
+    * the curation-grade dedup rule. Every other dedup in this engine
+    * keeps first-seen/lowest-id; real pipelines keep the BEST copy (the
+    * longer extraction, the higher quality score, the cleaner crawl) and
+    * drop its near-duplicates, which requires the full component, not
+    * just the pair (A~B, B~C: keeping per-pair could keep A and C, two
+    * near-dups of each other once B is gone).
+    *
+    * Composes [[ngramJaccardPairs]] (All-Pairs prefix-filtered, never
+    * N²) and [[connectedComponents]] (pointer-jump, O(log diameter)
+    * rounds); the retention itself is one per-component min-struct
+    * aggregation + a semi join of the survivors — both pair-set-sized,
+    * never corpus-shaped. Rows in no pair survive unconditionally.
+    * Output: every input column + `cluster_rep` (the component's
+    * minimum id; a singleton's own id). `qualityCol` must be numeric.
+    */
+  def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, n: Int, minJaccard: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, minJaccard)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "_cid").withColumnRenamed("rep", "_rep")
+    val withComp = docs.join(comps, col(idCol) === col("_cid"), "left")
+      .withColumn("cluster_rep", coalesce(col("_rep"), col(idCol)))
+      .drop("_cid", "_rep")
+    // argmax(quality desc, id asc) == lexicographic min of (-quality, id)
+    val keep = withComp.groupBy(col("cluster_rep").as("_kr"))
+      .agg(min_by(col(idCol),
+        struct((-col(qualityCol)).as("_nq"), col(idCol).as("_i"))).as("_keep"))
+    withComp.join(keep,
+        col("cluster_rep") === col("_kr") && col(idCol) === col("_keep"), "left_semi")
+  }
+
   /** Train/eval split-leakage audit: the near-dup pairs that CROSS a
     * content-hash split — the contamination a hash split cannot prevent
     * by construction (exact duplicates share an md5 and land together;

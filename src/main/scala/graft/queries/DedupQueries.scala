@@ -169,7 +169,16 @@ object DedupQueries {
       cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100),
       n = 3, minJaccard = 0.4)
 
+  // Quality-aware dedup retention: per near-dup cluster keep the row
+  // with the most content (n_chars desc, id asc) — the curation rule
+  // (keep the BEST copy), vs the keep-lowest-id convention elsewhere.
+  def q120DedupKeepBest(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupKeepBest(Tables.documents(s, d), "doc_id", "text",
+        "n_chars", n = 3, minJaccard = 0.4)
+      .select("cluster_rep", "doc_id", "n_chars")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_dedup_keep_best" -> q120DedupKeepBest,
     "q111_split_leakage" -> q111SplitLeakage,
     "q93_source_overlap" -> q93SourceOverlap,
     "q90_incremental_dedup" -> q90IncrementalDedup,
@@ -220,6 +229,29 @@ object DedupQueries {
         SELECT id_a, id_b, jaccard FROM jp"""
 
   val oracles: Map[String, String] = Map(
+    "q120_dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.4
+          ),
+          edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          walk(id, rep) AS (
+            SELECT x, x FROM (SELECT DISTINCT x FROM edges) t
+            UNION
+            SELECT e.x, w.rep FROM edges e JOIN walk w ON w.id = e.y
+          ),
+          comp AS (SELECT id, min(rep) AS rep FROM walk GROUP BY id),
+          tagged AS (
+            SELECT COALESCE(c.rep, d.doc_id) AS cluster_rep, d.doc_id, d.n_chars
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+          SELECT cluster_rep, doc_id, n_chars FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY cluster_rep ORDER BY n_chars DESC, doc_id) AS rn
+            FROM tagged) WHERE rn = 1""",
     "q111_split_leakage" ->
       s"""WITH ${jaccardCtesSql(3, 0.4)},
          sp AS (

@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 119 queries, unique names") {
-    assert(SparkEntry.queries.size == 119)
+  test("gate inventory: 120 queries, unique names") {
+    assert(SparkEntry.queries.size == 120)
   }
 }

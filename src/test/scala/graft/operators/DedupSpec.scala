@@ -184,6 +184,31 @@ class DedupSpec extends SparkSpec {
       "incremental-vs-store must equal the from-scratch cross slice, jaccards included")
   }
 
+  test("dedupKeepBest: one survivor per transitive cluster — the best, not the first") {
+    import spark.implicits._
+    // A~B and B~C by construction (~0.5 overlap each) but A and C share
+    // little: a per-PAIR rule would keep both A and C; the component rule
+    // must keep exactly one of the chain — the highest-quality row (B)
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val common1 = (1 to 12).map(i => s"x$i")
+    val common2 = (1 to 12).map(i => s"y$i")
+    val docs = Seq(
+      (1L, mk(common1 ++ Seq("a1", "a2")), 10L),             // A
+      (2L, mk(common1 ++ common2), 99L),                     // B — best quality
+      (3L, mk(common2 ++ Seq("c1", "c2")), 20L),             // C
+      (4L, mk((1 to 14).map(i => s"z$i")), 50L),             // singleton
+      (5L, mk((1 to 14).map(i => s"z$i") :+ "tail"), 50L))   // near-dup of 4, tie quality
+      .toDF("doc_id", "text", "q")
+    val out = Dedup.dedupKeepBest(docs, "doc_id", "text", "q", n = 3, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    graft.CacheScope.release()
+    val survivors = out.map(_._1).toSet
+    assert(survivors == Set(2L, 4L),
+      s"expected the chain to collapse to B and the tie to break to the lower id, got $survivors")
+    // the chain's survivor is tagged with the component rep (min id = 1)
+    assert(out.find(_._1 == 2L).get._2 == 1L)
+  }
+
   test("splitLeakage == the split-crossing slice of the full near-dup pair set") {
     val docs = graft.Tables.documents(spark, sf)
     val cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100)
