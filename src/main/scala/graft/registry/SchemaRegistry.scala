@@ -106,6 +106,29 @@ class SchemaRegistry extends Serializable {
     if (versions(subject).isEmpty) true else isCompatible(subject, candidate)
   }
 
+  /** Field-level schema-drift report: WHAT changed between the subject's
+    * latest version and a candidate — the diagnostic behind a failed (or
+    * suspicious) compatibility gate. `checkCompatibility` answers yes/no;
+    * this names the fields: `added` / `removed` / `type_changed` /
+    * `default_changed`, with dotted paths into nested records (non-record
+    * type changes are reported at the path where the types diverge; a
+    * field that changed FROM a record TO a scalar is one `type_changed`,
+    * not a cascade of removals). An unregistered subject reports every
+    * candidate field `added`. */
+  def diff(subject: String, candidateJson: String): Seq[SchemaRegistry.FieldDiff] = {
+    val candidate = new Schema.Parser().parse(candidateJson)
+    synchronized(latest(subject)) match {
+      case None =>
+        if (candidate.getType == Schema.Type.RECORD)
+          candidate.getFields.asScala.map(f => SchemaRegistry.FieldDiff(
+            f.name, "added", None, Some(f.schema.toString))).toSeq
+        else Seq.empty
+      case Some(prior) =>
+        SchemaRegistry.diffSchemas(
+          new Schema.Parser().parse(prior.schemaJson), candidate, prefix = "")
+    }
+  }
+
   private def canRead(reader: Schema, writer: Schema): Boolean =
     SchemaCompatibility.checkReaderWriterCompatibility(reader, writer)
       .getType == SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE
@@ -168,6 +191,41 @@ class SchemaRegistry extends Serializable {
 }
 
 object SchemaRegistry {
+
+  /** One field-level drift finding: dotted `path`, `change` in
+    * {added, removed, type_changed, default_changed}, and the before /
+    * after schema (or default) rendering where applicable. */
+  final case class FieldDiff(path: String, change: String,
+      before: Option[String], after: Option[String])
+
+  private[registry] def diffSchemas(prior: Schema, cand: Schema,
+      prefix: String): Seq[FieldDiff] = {
+    if (prior.getType == Schema.Type.RECORD && cand.getType == Schema.Type.RECORD) {
+      val pf = prior.getFields.asScala.map(f => f.name -> f).toMap
+      val cf = cand.getFields.asScala.map(f => f.name -> f).toMap
+      def at(n: String) = if (prefix.isEmpty) n else s"$prefix.$n"
+      val added = (cf.keySet -- pf.keySet).toSeq.sorted.map(n =>
+        FieldDiff(at(n), "added", None, Some(cf(n).schema.toString)))
+      val removed = (pf.keySet -- cf.keySet).toSeq.sorted.map(n =>
+        FieldDiff(at(n), "removed", Some(pf(n).schema.toString), None))
+      val common = (pf.keySet & cf.keySet).toSeq.sorted.flatMap { n =>
+        val (a, b) = (pf(n), cf(n))
+        val typeDiffs = diffSchemas(a.schema, b.schema, at(n))
+        val defDiffs =
+          if (Option(a.defaultVal) != Option(b.defaultVal))
+            Seq(FieldDiff(at(n), "default_changed",
+              Option(a.defaultVal).map(_.toString), Option(b.defaultVal).map(_.toString)))
+          else Seq.empty
+        typeDiffs ++ defDiffs
+      }
+      added ++ removed ++ common
+    } else if (prior.toString != cand.toString) {
+      // non-record (or record-vs-scalar) divergence: one finding at this path
+      Seq(FieldDiff(if (prefix.isEmpty) "<root>" else prefix, "type_changed",
+        Some(prior.toString), Some(cand.toString)))
+    } else Seq.empty
+  }
+
   def load(path: String): SchemaRegistry = {
     val reg = new SchemaRegistry
     Files.readAllLines(Paths.get(path)).asScala.filter(_.nonEmpty).foreach { line =>

@@ -174,6 +174,36 @@ class AvroCodecSpec extends SparkSpec {
     assert(loaded.versions("user-value") == Seq(1))
   }
 
+  test("registry diff: field-level drift report — added/removed/type/default, nested paths") {
+    val reg = new SchemaRegistry
+    val prior = """{"type":"record","name":"r","fields":[
+      {"name":"id","type":"long"},
+      {"name":"gone","type":"string"},
+      {"name":"retyped","type":"int"},
+      {"name":"defaulted","type":"string","default":"a"},
+      {"name":"nest","type":{"type":"record","name":"n","fields":[
+        {"name":"keep","type":"long"},{"name":"inner_gone","type":"int"}]}}]}"""
+    val cand = """{"type":"record","name":"r","fields":[
+      {"name":"id","type":"long"},
+      {"name":"fresh","type":"double"},
+      {"name":"retyped","type":"string"},
+      {"name":"defaulted","type":"string","default":"b"},
+      {"name":"nest","type":{"type":"record","name":"n","fields":[
+        {"name":"keep","type":"long"},{"name":"inner_fresh","type":"string"}]}}]}"""
+    reg.register("drift-value", prior)
+    val d = reg.diff("drift-value", cand).map(f => f.path -> f.change).toSet
+    assert(d == Set(
+      "fresh" -> "added", "gone" -> "removed", "retyped" -> "type_changed",
+      "defaulted" -> "default_changed",
+      "nest.inner_fresh" -> "added", "nest.inner_gone" -> "removed"), s"got $d")
+    // identical candidate: no drift; unregistered subject: everything added
+    assert(reg.diff("drift-value", prior).isEmpty)
+    assert(reg.diff("never-registered", cand).forall(_.change == "added"))
+    // the before/after renderings carry the types for the retyped field
+    val rt = reg.diff("drift-value", cand).find(_.path == "retyped").get
+    assert(rt.before.get.contains("int") && rt.after.get.contains("string"))
+  }
+
   test("avro schema converter: struct -> avro -> struct round-trip") {
     val st = StructType(Seq(
       StructField("a", LongType, nullable = false),
