@@ -273,6 +273,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val t = SparkSession.active.table(litStr(exprs(0), "table"))
         expand(graft.operators.TextOps.normalizeText(t, litStr(exprs(1), "text column")))
     }
+    registerTable("html_to_text",
+      "html_to_text('table', 'textCol') - strip script/style/comments/tags, " +
+        "decode entities, collapse whitespace (crawl extraction)", 2) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.htmlToText(t, litStr(exprs(1), "text column")))
+    }
+    registerTable("split_sentences",
+      "split_sentences('table', 'idCol', 'textCol') - one row per " +
+        "terminator-delimited sentence with index and char count", 3) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.splitSentences(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column")))
+    }
+    registerTable("epoch_shuffle",
+      "epoch_shuffle('table', 'keyCol', epochs, nShards) - deterministic " +
+        "per-epoch (shard, pos) read addresses for a training loader", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.Relational.epochShuffle(t,
+          litStr(exprs(1), "key column"), litInt(exprs(2), "epochs"),
+          litInt(exprs(3), "nShards")))
+    }
     registerTable("fuzzy_join",
       "fuzzy_join('left', 'right', 'lblock', 'rblock', 'ltext', 'rtext', maxDist) - " +
         "blocked record linkage by edit distance", 7) {

@@ -300,6 +300,42 @@ object Relational {
         explode(sequence(lit(0), col("_copies") - 1)).as("copy_idx"): _*)
   }
 
+  /** Deterministic per-epoch training-data shuffle: every row of every
+    * epoch 0..`epochs`−1 gets a (shard_id, pos) read address — shard and
+    * within-shard rank are both epoch-salted md5 draws of `keyCol` — so a
+    * training loader reading shards in (shard, pos) order sees an
+    * independent reproducible permutation per epoch, with no `rand()`
+    * and no global sort anywhere. Appends `epoch`, `shard_id`, `pos`
+    * (0-based) to every input column.
+    *
+    * Re-sharding per epoch is the point: salting only the order would
+    * keep each row in one shard forever, so a loader that assigns shards
+    * to workers would show every worker the same subset every epoch.
+    * Determinism contract: a row's (epoch, shard_id) never changes as
+    * the corpus grows (pure content hash), and two surviving rows in the
+    * same epoch-shard never swap relative order — though `pos` itself
+    * shifts when rows are inserted between them (ranks are dense).
+    *
+    * 100-TB shape: the epoch explode is a per-row generator (in practice
+    * run one epoch per export — the explode is for auditing several at
+    * once); the one shuffle is the (epoch, shard) partition, and each
+    * window task sorts only its own shard — size `nShards` so a shard is
+    * a worker's file, exactly like [[shardAssign]]. DuckDB replays the
+    * whole addressing bit-for-bit (gate q123). */
+  def epochShuffle(df: DataFrame, keyCol: String, epochs: Int, nShards: Int): DataFrame = {
+    require(epochs >= 1, "epochs >= 1")
+    require(nShards >= 1, "nShards >= 1")
+    val salt = concat(col(keyCol).cast("string"), lit("#ep"), col("epoch"))
+    val ord = graft.functions.Portable.md5Long60(concat(salt, lit("#ord")))
+    df.withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("shard_id",
+        pmod(graft.functions.Portable.md5Long60(concat(salt, lit("#shard"))),
+          lit(nShards)).cast("int"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("epoch"), col("shard_id"))
+          .orderBy(ord, col(keyCol))) - 1).cast("long"))
+  }
+
   /** Skew-salted equi-join: spread a hot key across `saltBuckets` reducers
     * by salting the (large, skewed) left side deterministically from its
     * row content and replicating the (small) right side across all salt

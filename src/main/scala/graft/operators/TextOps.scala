@@ -147,6 +147,59 @@ object TextOps {
       trim(regexp_replace(regexp_replace(lower(canon), strip, " "), "\\s+", " ")))
   }
 
+  /** HTML-to-text extraction — the first stage of a web-crawl curation
+    * pipeline (the WET-file shape): drop `<script>`/`<style>` blocks with
+    * their content, drop comments, strip every remaining tag, decode the
+    * six ubiquitous character entities, collapse whitespace. Emitted as
+    * `plain_text` alongside the original.
+    *
+    * Semantics are regex-grade by design — the standard crawl-extraction
+    * tradeoff: a full HTML5 tree builder buys little for model-training
+    * text and costs a per-row parser that can't ride whole-stage codegen.
+    * Order is load-bearing and fixed: script/style content dies with its
+    * element FIRST (non-greedy case-insensitive block match — RE2 has no
+    * backreferences, so the two elements are separate patterns), then
+    * comments, then tags, and entity decode runs AFTER tag stripping (a
+    * decoded '<' can never resurrect as markup) with `&amp;` decoded LAST
+    * (so `&amp;lt;` yields the literal `&lt;`, not `<`). Pure projection —
+    * per-row, no shuffle, one WholeStageCodegen span; every pattern stays
+    * in the Java∩RE2 surface so the DuckDB oracle replays the gate
+    * byte-identically (q121). */
+  def htmlToText(docs: DataFrame, textCol: String): DataFrame = {
+    val noScript = regexp_replace(col(textCol),
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    docs.withColumn("plain_text", trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
+  /** Sentence segmentation: split `textCol` into terminator-delimited
+    * sentences ('.', '!', '?'; a run of terminators sticks to its
+    * sentence, a trailing un-terminated fragment is a sentence too) —
+    * one row per non-empty sentence with its 0-based `sent_idx` and
+    * character count. The grain between q88's paragraphs and q59's token
+    * chunks: sentence-grain dedup, sentence-boundary-respecting chunking,
+    * and per-sentence quality filters all start here.
+    *
+    * Shape: `regexp_extract_all` into an array attribute, trim + drop
+    * empties INSIDE the array (so indices are contiguous over kept
+    * sentences and empty segments never reach the generator), one
+    * posexplode — per-row generate, no shuffle. The pattern
+    * `[^.!?]+[.!?]*` is deliberately lookbehind-free: RE2 (DuckDB) has no
+    * lookbehind, so the usual split-on-`(?<=[.!?])\s+` idiom would strand
+    * the oracle (q122 replays this byte-identically). */
+  def splitSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val segs = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0))
+    val sents = filter(transform(segs, s => trim(s)), s => s =!= "")
+    docs.select(col(idCol), posexplode(sents).as(Seq("sent_idx", "sentence")))
+      .withColumn("sent_chars", length(col("sentence")))
+  }
+
   /** Gopher-style n-gram repetition statistics per document — the
     * repetition quality filter of a curation pipeline (drop docs whose
     * most frequent n-gram dominates, or whose n-gram stream is mostly

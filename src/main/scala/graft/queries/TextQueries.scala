@@ -71,6 +71,49 @@ object TextQueries {
     graft.operators.Relational.shardManifest(
       Tables.documents(s, d), "doc_id", "n_chars", nShards = 8)
 
+  // HTML-to-text extraction: the synthetic corpus is plain text, so both
+  // engines wrap every doc in the SAME deterministic HTML shell — script
+  // with embedded '<', UPPERCASE style, comment, entities incl. the
+  // double-escape '&amp;' — (q64 convention: prove the operator on data
+  // that has the phenomenon), then the engine strips it back out.
+  private def htmlAugment(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><STYLE type=\"text/css\">p { color: #fff; }</STYLE>"),
+      lit("<script>var id = "), col("doc_id"),
+      lit("; if (id < 2) { alert(\"x\"); }</script></head><body><!-- c "),
+      col("doc_id"),
+      lit(" --><h1>Title &amp; "), pmod(col("doc_id"), lit(5)),
+      lit("</h1><p>"), col("text"),
+      lit("</p><P>A &lt;tag&gt; &quot;q&quot;&nbsp;&#39;end&#39;</P></body></html>")
+    ).as("text"))
+
+  def q121HtmlExtract(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.htmlToText(htmlAugment(Tables.documents(s, d)), "text")
+      .select(col("doc_id"), col("plain_text"),
+        length(col("plain_text")).as("n_chars"))
+
+  // Sentence segmentation: the synthetic corpus has no punctuation, so
+  // both engines inject the same deterministic terminators (q64
+  // convention): a doc-numbered header sentence ending in '!', a period
+  // appended to every 'batch' token (sentence count then varies per
+  // doc), and an un-terminated tail fragment.
+  def q122SentenceSplit(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("Doc "), pmod(col("doc_id"), lit(9)), lit("! "),
+        regexp_replace(col("text"), "batch", "batch."),
+        lit(" tail end")).as("text"))
+    graft.operators.TextOps.splitSentences(aug, "doc_id", "text")
+  }
+
+  // Deterministic per-epoch shuffle: every (epoch, row) gets a content-
+  // addressed (shard, pos) read address — the reproducible epoch
+  // permutation a training loader replays; every address hash-checked.
+  def q123EpochShuffle(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.epochShuffle(
+      Tables.documents(s, d).select("doc_id"), "doc_id", epochs = 2, nShards = 4)
+      .select(col("epoch"), col("shard_id"), col("pos"), col("doc_id"))
+
   // Per-source distribution drift from the corpus mixture: smoothed KL +
   // total variation over 4096 hashed-unigram buckets, nano-quantized
   // integer export (order-independent sums -> engine-exact replay).
@@ -450,6 +493,9 @@ object TextQueries {
     "q94_bpe" -> q94Bpe,
     "q92_lm_score" -> q92LmScore,
     "q83_normalize_unicode" -> q83NormalizeUnicode,
+    "q121_html_extract" -> q121HtmlExtract,
+    "q122_sentence_split" -> q122SentenceSplit,
+    "q123_epoch_shuffle" -> q123EpochShuffle,
     "q86_url_blocklist" -> q86UrlBlocklist,
     "q88_paragraph_dedup" -> q88ParagraphDedup,
     "q84_quota_sample_agg" -> q84QuotaSampleAgg,
@@ -988,6 +1034,72 @@ object TextQueries {
          SELECT doc_id, norm_text,
            CAST(len(string_split(norm_text, ' ')) AS INT) AS n_tokens
          FROM n""",
+    "q121_html_extract" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id ||
+             '</title><STYLE type="text/css">p { color: #fff; }</STYLE>' ||
+             '<script>var id = ' || doc_id ||
+             '; if (id < 2) { alert("x"); }</script></head><body><!-- c ' ||
+             doc_id || ' --><h1>Title &amp; ' || (doc_id % 5) ||
+             '</h1><p>' || text ||
+             '</p><P>A &lt;tag&gt; &quot;q&quot;&nbsp;&#39;end&#39;</P></body></html>'
+             AS t
+           FROM documents
+         ), x AS (
+           SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                   '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '(?s)<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS plain_text
+           FROM aug
+         )
+         SELECT doc_id, plain_text,
+           CAST(length(plain_text) AS INT) AS n_chars
+         FROM x""",
+    "q122_sentence_split" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             'Doc ' || (doc_id % 9) || '! ' ||
+             regexp_replace(text, 'batch', 'batch.', 'g') || ' tail end' AS t
+           FROM documents
+         ), s AS (
+           SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
+               x -> x <> '') AS l
+           FROM aug
+         )
+         SELECT doc_id, CAST(k.k AS INT) AS sent_idx, l[k.k + 1] AS sentence,
+           CAST(length(l[k.k + 1]) AS INT) AS sent_chars
+         FROM s JOIN (SELECT unnest(generate_series(0,
+           (SELECT CAST(max(len(l)) AS BIGINT) FROM s))) AS k) k
+           ON k.k < len(l)""",
+    "q123_epoch_shuffle" ->
+      """WITH e AS (
+           SELECT doc_id, CAST(k.k AS INT) AS epoch
+           FROM documents
+           CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+         ), a AS (
+           SELECT doc_id, epoch,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#ep' ||
+               CAST(epoch AS VARCHAR) || '#shard'), 1, 15))::BIGINT % 4 AS INT)
+               AS shard_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#ep' ||
+               CAST(epoch AS VARCHAR) || '#ord'), 1, 15))::BIGINT AS u
+           FROM e
+         )
+         SELECT epoch, shard_id,
+           CAST(row_number() OVER (PARTITION BY epoch, shard_id
+             ORDER BY u, doc_id) - 1 AS BIGINT) AS pos,
+           doc_id
+         FROM a""",
     "q77_curation_v2" ->
       s"""WITH aug AS (SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN text || '$Boiler' ELSE text END AS text

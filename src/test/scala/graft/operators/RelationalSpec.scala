@@ -384,4 +384,34 @@ class RelationalSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("epochShuffle: dense addresses, per-epoch re-shard, growth-stable relative order") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("doc_id")
+    val out = Relational.epochShuffle(df, "doc_id", epochs = 2, nShards = 4)
+      .select("epoch", "shard_id", "pos", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 400)
+    // each epoch addresses the whole corpus exactly once
+    for (e <- 0 to 1)
+      assert(out.filter(_._1 == e).map(_._4).sorted.toSeq == (1L to 200L))
+    // pos is dense and 0-based within every (epoch, shard)
+    for (((_, _), g) <- out.groupBy(t => (t._1, t._2)))
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length))
+    // re-sharding per epoch is the point: the two epochs must not agree
+    val sh0 = out.filter(_._1 == 0).map(t => t._4 -> t._2).toMap
+    val sh1 = out.filter(_._1 == 1).map(t => t._4 -> t._2).toMap
+    assert((1L to 200L).exists(k => sh0(k) != sh1(k)))
+    // determinism contract under corpus growth: on the 100-row prefix
+    // corpus, shard ids are identical and surviving rows keep their
+    // relative order within every epoch-shard (pos shifts, order doesn't)
+    val small = Relational.epochShuffle((1L to 100L).toDF("doc_id"), "doc_id", 2, 4)
+      .select("epoch", "shard_id", "pos", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val bigOrder = out.filter(_._4 <= 100L).groupBy(t => (t._1, t._2))
+      .map { case (k, g) => k -> g.sortBy(_._3).map(_._4).toSeq }
+    val smallOrder = small.groupBy(t => (t._1, t._2))
+      .map { case (k, g) => k -> g.sortBy(_._3).map(_._4).toSeq }
+    assert(bigOrder == smallOrder)
+  }
 }

@@ -596,4 +596,43 @@ class TextOpsSpec extends SparkSpec {
     assert(oneJoint.getString(1) == "only" && oneJoint.isNullAt(3),
       "the joint plan must return the documented null margin, not an ANSI error")
   }
+
+  test("htmlToText: script/style die with content, tags strip, entities decode in safe order") {
+    val docs = Seq(
+      (1L, "<html><HEAD><title>T</title><STYLE>p{color:red}</STYLE>" +
+        "<script>if (a < b) { x(\"y\"); }</script></HEAD>" +
+        "<body><!-- secret --><p>Hello   <b>world</b></p></body></html>"),
+      (2L, "A &amp;lt;escaped&amp;gt; and &lt;real&gt; &quot;q&quot; &#39;s&#39;&nbsp;B &amp; C"),
+      (3L, "no markup at all"),
+      (4L, "<script src=\"x.js\">var a=1;</script>before<br/>after")
+    ).toDF("doc_id", "text")
+    val out = TextOps.htmlToText(docs, "text").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // script content (with its embedded '<'), style content, and the
+    // comment are all gone; title and body text survive
+    assert(out(1L) == "T Hello world")
+    // entity decode runs AFTER tag strip with &amp; LAST: the double
+    // escape yields the literal entity, never a resurrected tag
+    assert(out(2L) == "A &lt;escaped&gt; and <real> \"q\" 's' B & C")
+    assert(out(3L) == "no markup at all")
+    assert(out(4L) == "before after")
+  }
+
+  test("splitSentences: terminator runs stick, fragments kept, empties dropped, indices contiguous") {
+    val docs = Seq(
+      (1L, "One. Two!! Three?No spaces needed. tail frag"),
+      (2L, "   "),  // whitespace only: its single segment trims to empty
+      (3L, "!!!"),  // terminators only: no [^.!?] char, no match at all
+      (4L, "only one")
+    ).toDF("doc_id", "text")
+    val out = TextOps.splitSentences(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq ==
+      Seq("One.", "Two!!", "Three?", "No spaces needed.", "tail frag"))
+    assert(d1.map(_._2).toSeq == (0 until 5), "indices contiguous over KEPT sentences")
+    assert(d1.map(_._4).toSeq == d1.map(_._3.length).toSeq)
+    assert(!out.exists(r => r._1 == 2L || r._1 == 3L), "degenerate docs emit no rows")
+    assert(out.filter(_._1 == 4L).map(t => (t._2, t._3)).toSeq == Seq((0, "only one")))
+  }
 }

@@ -436,4 +436,21 @@ class PlanSpec extends SparkSpec {
       "shard manifest is one map-side-combined keyed agg: exactly one shuffle")
     assert(p.split("HashAggregate").length >= 3, "expected partial + final aggregate phases")
   }
+
+  test("q121/q122 extraction + segmentation: per-row project/generate, zero Exchange") {
+    for ((name, df) <- Seq(
+        "q121" -> TextQueries.q121HtmlExtract(spark, sf),
+        "q122" -> TextQueries.q122SentenceSplit(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n${p.take(800)}")
+    }
+  }
+
+  test("q123 epoch shuffle: exactly ONE Exchange — the (epoch, shard) window partition") {
+    val p = plan(TextQueries.q123EpochShuffle(spark, sf))
+    // formatted explain names each node twice (tree + detail): count details
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"expected exactly one Exchange:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
