@@ -288,6 +288,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         expand(graft.operators.TextOps.splitSentences(t,
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column")))
     }
+    registerTable("sentence_chunks",
+      "sentence_chunks('table', 'idCol', 'textCol', budget) - greedy " +
+        "whole-sentence chunks of ~budget tokens (never splits a sentence)", 4) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.sentenceChunks(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "budget").toLong))
+    }
     registerTable("epoch_shuffle",
       "epoch_shuffle('table', 'keyCol', epochs, nShards) - deterministic " +
         "per-epoch (shard, pos) read addresses for a training loader", 4) {

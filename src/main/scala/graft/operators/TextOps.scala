@@ -200,6 +200,44 @@ object TextOps {
       .withColumn("sent_chars", length(col("sentence")))
   }
 
+  /** Sentence-boundary-respecting chunking: greedy contiguous chunks of
+    * whole sentences, ~`budget` tokens each — the RAG/context-window
+    * chunker that never cuts mid-sentence (vs [[chunkTokens]]' fixed
+    * token windows). Chunk assignment is the [[sequentialPack]]
+    * convention: chunk = floor(tokens-before / budget) over the doc's
+    * sentences in order — deterministic and SQL-replayable; a sentence
+    * longer than `budget` overflows its own chunk (ids are stable, not
+    * necessarily dense) rather than being split. Output per (doc,
+    * chunk): re-joined text, sentence and token counts.
+    *
+    * Shape: [[splitSentences]]' per-row generate, one per-doc running-sum
+    * window (partition bounded by the doc's own sentence count — never a
+    * corpus-wide sort), and one keyed agg whose sorted-struct reassembly
+    * is bounded by each chunk's sentence count (the q88 idiom). */
+  def sentenceChunks(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("sent_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sents = splitSentences(docs, idCol, textCol)
+      // single-space split (not the \s+ tokenizer): sentence text is
+      // already trimmed, and the oracle's string_split must agree token
+      // for token
+      .withColumn("_nt", size(split(col("sentence"), " ")).cast("long"))
+      .withColumn("_cb", coalesce(sum(col("_nt")).over(w), lit(0L)))
+    sents
+      .withColumn("chunk_id",
+        ((col("_cb") - pmod(col("_cb"), lit(budget))) / lit(budget)).cast("long"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+          x => x.getField("sentence")), " ").as("chunk_text"),
+        count(lit(1)).as("n_sents"),
+        sum(col("_nt")).as("n_tokens"))
+  }
+
   /** Gopher-style n-gram repetition statistics per document — the
     * repetition quality filter of a curation pipeline (drop docs whose
     * most frequent n-gram dominates, or whose n-gram stream is mostly

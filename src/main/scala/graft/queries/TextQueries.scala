@@ -106,6 +106,17 @@ object TextQueries {
     graft.operators.TextOps.splitSentences(aug, "doc_id", "text")
   }
 
+  // Sentence-boundary-respecting chunking over the q122 corpus: 64-token
+  // greedy whole-sentence chunks — chunk text, sentence and token counts
+  // all hash-checked.
+  def q124SentenceChunks(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("Doc "), pmod(col("doc_id"), lit(9)), lit("! "),
+        regexp_replace(col("text"), "batch", "batch."),
+        lit(" tail end")).as("text"))
+    graft.operators.TextOps.sentenceChunks(aug, "doc_id", "text", budget = 64L)
+  }
+
   // Deterministic per-epoch shuffle: every (epoch, row) gets a content-
   // addressed (shard, pos) read address — the reproducible epoch
   // permutation a training loader replays; every address hash-checked.
@@ -496,6 +507,7 @@ object TextQueries {
     "q121_html_extract" -> q121HtmlExtract,
     "q122_sentence_split" -> q122SentenceSplit,
     "q123_epoch_shuffle" -> q123EpochShuffle,
+    "q124_sentence_chunks" -> q124SentenceChunks,
     "q86_url_blocklist" -> q86UrlBlocklist,
     "q88_paragraph_dedup" -> q88ParagraphDedup,
     "q84_quota_sample_agg" -> q84QuotaSampleAgg,
@@ -1081,6 +1093,35 @@ object TextQueries {
          FROM s JOIN (SELECT unnest(generate_series(0,
            (SELECT CAST(max(len(l)) AS BIGINT) FROM s))) AS k) k
            ON k.k < len(l)""",
+    "q124_sentence_chunks" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             'Doc ' || (doc_id % 9) || '! ' ||
+             regexp_replace(text, 'batch', 'batch.', 'g') || ' tail end' AS t
+           FROM documents
+         ), s AS (
+           SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
+               x -> x <> '') AS l
+           FROM aug
+         ), x AS (
+           SELECT doc_id, CAST(k.k AS INT) AS sent_idx, l[k.k + 1] AS sentence,
+             CAST(len(string_split(l[k.k + 1], ' ')) AS BIGINT) AS nt
+           FROM s JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(len(l)) AS BIGINT) FROM s))) AS k) k
+             ON k.k < len(l)
+         ), c AS (
+           SELECT doc_id, sent_idx, sentence, nt,
+             COALESCE(SUM(nt) OVER (PARTITION BY doc_id ORDER BY sent_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM x
+         )
+         SELECT doc_id, CAST(cb // 64 AS BIGINT) AS chunk_id,
+           string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text,
+           CAST(count(*) AS BIGINT) AS n_sents,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+         FROM c GROUP BY doc_id, cb // 64""",
     "q123_epoch_shuffle" ->
       """WITH e AS (
            SELECT doc_id, CAST(k.k AS INT) AS epoch

@@ -480,6 +480,33 @@ object ScaleProbe {
       Relational.shardManifest(docsX(10).withColumn("b", length(col("text"))),
         "doc_id", "b", 64).count())
 
+    // --- html extraction + sentence split: pure per-row transforms — the
+    // probe verifies they scale like the scan (flat ratio, no shuffle) ---
+    def htmlX(kx: Int): Long =
+      TextOps.htmlToText(docsX(kx).select(col("doc_id"),
+        concat(lit("<html><body><!-- c --><p>"), col("text"),
+          lit("</p><script>var a = 1;</script></body></html>")).as("text")),
+        "text").agg(sum(length(col("plain_text")))).count()
+    time("html extract 1x")(htmlX(1))
+    time("html extract 10x")(htmlX(10))
+    def sentX(kx: Int): Long =
+      TextOps.splitSentences(docsX(kx).select(col("doc_id"),
+        regexp_replace(col("text"), "batch", "batch.").as("text")),
+        "doc_id", "text").count()
+    time("sentence split 1x")(sentX(1))
+    time("sentence split 10x")(sentX(10))
+
+    // --- epoch shuffle: the one (epoch, shard) partition; shard count
+    // scales WITH the corpus (the operator contract: a shard is a worker
+    // file), so per-task sort stays constant — the ratio should track
+    // input, never a single hot sort ---------------------------------------
+    def epochX(kx: Int): Long =
+      Relational.epochShuffle(docsX(kx).select("doc_id"), "doc_id",
+        epochs = 2, nShards = 16 * kx).groupBy("epoch", "shard_id")
+        .agg(max("pos")).count()
+    time("epoch shuffle 1x (2 epochs, 16 shards)")(epochX(1))
+    time("epoch shuffle 10x (2 epochs, 160 shards)")(epochX(10))
+
     spark.stop()
   }
 }

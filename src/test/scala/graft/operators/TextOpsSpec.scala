@@ -635,4 +635,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == 2L || r._1 == 3L), "degenerate docs emit no rows")
     assert(out.filter(_._1 == 4L).map(t => (t._2, t._3)).toSeq == Seq((0, "only one")))
   }
+
+  test("sentenceChunks: whole sentences only, budget-floor assignment, full ordered coverage") {
+    // sentences of 3 tokens each; budget 7 => cum-before 0,3,6 | 9,12 | 15:
+    // chunks of 3, 2, and 1 sentences (floor(cb/7) = 0,0,0,1,1,2)
+    val docs = Seq(
+      (1L, "a1 a2 a3. b1 b2 b3! c1 c2 c3? d1 d2 d3. e1 e2 e3. f1 f2 f3"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10. short tail")  // 10-token sentence overflows its chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.sentenceChunks(docs, "doc_id", "text", budget = 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(t => (t._2, t._4, t._5)).toSeq == Seq((0L, 3L, 9L), (1L, 2L, 6L), (2L, 1L, 3L)))
+    assert(d1.head._3 == "a1 a2 a3. b1 b2 b3! c1 c2 c3?")
+    // reassembled chunks cover the doc in order with no sentence split
+    assert(d1.map(_._3).mkString(" ") ==
+      "a1 a2 a3. b1 b2 b3! c1 c2 c3? d1 d2 d3. e1 e2 e3. f1 f2 f3")
+    // the 10-token sentence keeps chunk 0 alone (overflow, not split);
+    // the tail starts at cb=10 -> chunk 1
+    val d2 = out.filter(_._1 == 2L).sortBy(_._2)
+    assert(d2.map(t => (t._2, t._3)).toSeq ==
+      Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10."), (1L, "short tail")))
+  }
 }

@@ -453,4 +453,13 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one Exchange:\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q124 sentence chunks: one doc-keyed Exchange reused by the chunk agg — no join") {
+    val p = plan(TextQueries.q124SentenceChunks(spark, sf))
+    // the window partitions by doc_id and the (doc, chunk) aggregation's
+    // clustering is satisfied by that same partitioning: ONE Exchange
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"expected exactly one Exchange:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "no join belongs in a per-doc chunker")
+  }
 }
