@@ -207,6 +207,18 @@ object StreamingQueries {
       TextQueries.piiAugment(docs), "doc_id", "text"), "append")
   }
 
+  // Streaming twin of q122: sentence segmentation of a DOCUMENT STREAM —
+  // a pure stateless generate (the extraction array posexplodes per
+  // micro-batch row, no state store at all), the extraction family's
+  // stream==batch proof. Same oracle as q122 VERBATIM (q78 convention).
+  def q125StreamSentenceSplit(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    drain(graft.operators.TextOps.splitSentences(
+      TextQueries.sentenceAugment(docs), "doc_id", "text"), "append")
+  }
+
   // Streaming twin of q69: eval-set decontamination over a DOCUMENT
   // STREAM — the corpus arrives as a stream, the (model-sized) eval set
   // stays a static broadcast posting list, exactly the batch operator's
@@ -326,6 +338,7 @@ object StreamingQueries {
     "q38_stream_hopping" -> q38StreamHopping,
     "q37_stream_session" -> q37StreamSession,
     "q78_stream_redact" -> q78StreamRedact,
+    "q125_stream_sentence_split" -> q125StreamSentenceSplit,
     "q82_stream_decontaminate" -> q82StreamDecontaminate,
     "q107_stream_incremental_neardup" -> q107StreamIncrementalNearDup,
     "q87_stream_mixture" -> q87StreamMixture,
@@ -340,6 +353,7 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     // the batch oracle verbatim: stream and browse must agree exactly
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
+    "q125_stream_sentence_split" -> TextQueries.oracles("q122_sentence_split"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q107_stream_incremental_neardup" -> DedupQueries.oracles("q106_incremental_neardup"),
     "q98_stream_lm_score" -> TextQueries.oracles("q92_lm_score"),

@@ -97,25 +97,24 @@ object TextQueries {
   // both engines inject the same deterministic terminators (q64
   // convention): a doc-numbered header sentence ending in '!', a period
   // appended to every 'batch' token (sentence count then varies per
-  // doc), and an un-terminated tail fragment.
-  def q122SentenceSplit(s: SparkSession, d: String): DataFrame = {
-    val aug = Tables.documents(s, d).select(col("doc_id"),
+  // doc), and an un-terminated tail fragment. The augmentation is shared
+  // with q124 and the streaming twin q125 (the piiAugment pattern).
+  private[queries] def sentenceAugment(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       concat(lit("Doc "), pmod(col("doc_id"), lit(9)), lit("! "),
         regexp_replace(col("text"), "batch", "batch."),
         lit(" tail end")).as("text"))
-    graft.operators.TextOps.splitSentences(aug, "doc_id", "text")
-  }
+
+  def q122SentenceSplit(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.splitSentences(
+      sentenceAugment(Tables.documents(s, d)), "doc_id", "text")
 
   // Sentence-boundary-respecting chunking over the q122 corpus: 64-token
   // greedy whole-sentence chunks — chunk text, sentence and token counts
   // all hash-checked.
-  def q124SentenceChunks(s: SparkSession, d: String): DataFrame = {
-    val aug = Tables.documents(s, d).select(col("doc_id"),
-      concat(lit("Doc "), pmod(col("doc_id"), lit(9)), lit("! "),
-        regexp_replace(col("text"), "batch", "batch."),
-        lit(" tail end")).as("text"))
-    graft.operators.TextOps.sentenceChunks(aug, "doc_id", "text", budget = 64L)
-  }
+  def q124SentenceChunks(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.sentenceChunks(
+      sentenceAugment(Tables.documents(s, d)), "doc_id", "text", budget = 64L)
 
   // Deterministic per-epoch shuffle: every (epoch, row) gets a content-
   // addressed (shard, pos) read address — the reproducible epoch
