@@ -297,6 +297,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "budget").toLong))
     }
+    registerTable("dedup_sentences",
+      "dedup_sentences('table', 'idCol', 'textCol') - corpus-wide exact " +
+        "sentence dedup: keep each sentence at its first (doc, idx) " +
+        "occurrence, reassemble docs from survivors", 3) {
+      exprs =>
+        val t = SparkSession.active.table(litStr(exprs(0), "table"))
+        expand(graft.operators.TextOps.dedupSentences(t,
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column")))
+    }
     registerTable("epoch_shuffle",
       "epoch_shuffle('table', 'keyCol', epochs, nShards) - deterministic " +
         "per-epoch (shard, pos) read addresses for a training loader", 4) {

@@ -619,6 +619,46 @@ object TextOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Corpus-wide exact sentence dedup — [[dedupParagraphs]] at true
+    * sentence grain: units come from [[splitSentences]] (terminator runs
+    * stick to their sentence, so "One." and "One!" are DIFFERENT units —
+    * a bare split-on-separator cannot represent that), a sentence
+    * survives only at its FIRST corpus occurrence (min (doc, idx),
+    * deterministic), and documents reassemble from survivors in order,
+    * space-joined — the C4-style cross-page boilerplate-sentence pass.
+    * Output: `(id, clean_text, n_sents, n_kept)`; a document whose every
+    * sentence appeared earlier elsewhere comes back empty.
+    *
+    * Same distributed shape as [[dedupParagraphs]]: one persisted
+    * ([[graft.CacheScope]]-tracked) sentence table feeds the md5-keyed
+    * first-owner aggregation (16-byte shuffle keys, map-side min
+    * partials) and the per-doc totals; reassembly is one more keyed
+    * aggregation bounded by each doc's own sentence count. Never
+    * doc-pair-shaped; volume tracks corpus sentences. */
+  def dedupSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = CacheScope.track(
+      splitSentences(docs, idCol, textCol)
+        .withColumn("_sk", md5(col("sentence")))
+        .persist(StorageLevel.MEMORY_ONLY))
+    val firstOwner = sents.groupBy("_sk")
+      .agg(min(struct(col(idCol).as("_oid"), col("sent_idx").as("_oidx"))).as("_o"))
+    val kept = sents.join(firstOwner, Seq("_sk"))
+      .filter(col(idCol) === col("_o._oid") && col("sent_idx") === col("_o._oidx"))
+    val totals = sents.groupBy(idCol).agg(count(lit(1)).as("n_sents"))
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+        x => x("sentence")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // URL surface shared with the oracle: scheme, optional userinfo
   // (swallowed so `https://innocent.com@bad.example.org/` cannot spoof
   // the host), host as group 1, then any non-space path. The host must

@@ -116,6 +116,15 @@ object TextQueries {
     graft.operators.TextOps.sentenceChunks(
       sentenceAugment(Tables.documents(s, d)), "doc_id", "text", budget = 64L)
 
+  // Sentence-grain exact dedup over the q122 corpus: the 'Doc N!' headers
+  // repeat across every doc sharing doc_id%9, the 'batch.'-terminated
+  // runs repeat wherever the random text repeats, and the 'tail end'
+  // fragment survives only in the first doc — every reassembled
+  // clean_text and count is hash-checked.
+  def q126SentenceDedup(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.dedupSentences(
+      sentenceAugment(Tables.documents(s, d)), "doc_id", "text")
+
   // Deterministic per-epoch shuffle: every (epoch, row) gets a content-
   // addressed (shard, pos) read address — the reproducible epoch
   // permutation a training loader replays; every address hash-checked.
@@ -507,6 +516,7 @@ object TextQueries {
     "q122_sentence_split" -> q122SentenceSplit,
     "q123_epoch_shuffle" -> q123EpochShuffle,
     "q124_sentence_chunks" -> q124SentenceChunks,
+    "q126_sentence_dedup" -> q126SentenceDedup,
     "q86_url_blocklist" -> q86UrlBlocklist,
     "q88_paragraph_dedup" -> q88ParagraphDedup,
     "q84_quota_sample_agg" -> q84QuotaSampleAgg,
@@ -1121,6 +1131,40 @@ object TextQueries {
            CAST(count(*) AS BIGINT) AS n_sents,
            CAST(sum(nt) AS BIGINT) AS n_tokens
          FROM c GROUP BY doc_id, cb // 64""",
+    "q126_sentence_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             'Doc ' || (doc_id % 9) || '! ' ||
+             regexp_replace(text, 'batch', 'batch.', 'g') || ' tail end' AS t
+           FROM documents
+         ), s AS (
+           SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
+               x -> x <> '') AS l
+           FROM aug
+         ), x AS (
+           SELECT doc_id, CAST(k.k AS INT) AS sent_idx, l[k.k + 1] AS sentence
+           FROM s JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(len(l)) AS BIGINT) FROM s))) AS k) k
+             ON k.k < len(l)
+         ), r AS (
+           SELECT doc_id, sent_idx, sentence,
+             row_number() OVER (PARTITION BY sentence
+               ORDER BY doc_id, sent_idx) AS rn
+           FROM x
+         ), reb AS (
+           SELECT doc_id,
+             string_agg(CASE WHEN rn = 1 THEN sentence END, ' '
+               ORDER BY sent_idx) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_sents,
+             CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept
+           FROM r GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           COALESCE(reb.n_sents, 0) AS n_sents,
+           COALESCE(reb.n_kept, 0) AS n_kept
+         FROM documents d LEFT JOIN reb USING (doc_id)""",
     "q123_epoch_shuffle" ->
       """WITH e AS (
            SELECT doc_id, CAST(k.k AS INT) AS epoch

@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 125 queries, unique names") {
-    assert(SparkEntry.queries.size == 125)
+  test("gate inventory: 126 queries, unique names") {
+    assert(SparkEntry.queries.size == 126)
   }
 }

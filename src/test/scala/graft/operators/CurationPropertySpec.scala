@@ -238,4 +238,51 @@ class CurationPropertySpec extends SparkSpec {
       }
     }, cases = 8)
   }
+
+  test("splitSentences law: segmentation is lossless modulo whitespace; indices dense") {
+    val sentGen: Gen[String] = for {
+      n <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(n, wordGen)
+      term <- Gen.oneOf(".", "!", "?", "!!", "?!", "")
+    } yield ws.mkString(" ") + term
+    val docGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, sentGen))
+    check(Prop.forAll(docGen) { sents =>
+      val text = sents.mkString(" ")
+      val rows = TextOps.splitSentences(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("sent_idx").collect()
+        .map(r => (r.getInt(1), r.getString(2)))
+      // losslessness: concatenating the sentences loses only whitespace
+      val lossless = rows.map(_._2).mkString.replaceAll("\\s", "") ==
+        text.replaceAll("\\s", "")
+      val dense = rows.map(_._1).toSeq == rows.indices.toSeq
+      val trimmed = rows.forall { case (_, s) => s == s.trim && s.nonEmpty }
+      lossless && dense && trimmed
+    })
+  }
+
+  test("sentenceChunks law: chunk concatenation == sentence concatenation; budget-floor boundaries") {
+    val docGen = for {
+      n <- Gen.choose(1, 10)
+      sents <- Gen.listOfN(n, Gen.choose(1, 9).flatMap(m =>
+        Gen.listOfN(m, wordGen).map(_.mkString(" ") + ".")))
+      budget <- Gen.choose(2, 20)
+    } yield (sents, budget)
+    check(Prop.forAll(docGen) { case (sents, budget) =>
+      val text = sents.mkString(" ")
+      val chunks = TextOps.sentenceChunks(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", budget.toLong)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getLong(4)))
+      // coverage in order, no sentence ever split across chunks
+      val coverage = chunks.map(_._2).mkString(" ") == text
+      // boundary law: a chunk's id is the floor of its first sentence's
+      // cumulative-token offset (replay the prefix sum driver-side)
+      val counts = sents.map(_.split(" ").length.toLong)
+      val starts = counts.scanLeft(0L)(_ + _).init
+      val expectIds = sents.indices.map(i => starts(i) / budget).distinct
+      val idsOk = chunks.map(_._1).toSeq == expectIds
+      coverage && idsOk
+    })
+  }
 }

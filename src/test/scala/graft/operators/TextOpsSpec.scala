@@ -657,4 +657,21 @@ class TextOpsSpec extends SparkSpec {
     assert(d2.map(t => (t._2, t._3)).toSeq ==
       Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10."), (1L, "short tail")))
   }
+
+  test("dedupSentences: first (doc, idx) owner wins across AND within docs; terminators distinguish") {
+    val docs = Seq(
+      (1L, "Alpha beta. Shared one! Gamma."),
+      (2L, "Shared one! Delta. Shared one! Epsilon."),  // cross-doc dup + within-doc dup
+      (3L, "Shared one. Zeta."),                        // '.' vs '!': DIFFERENT sentence, kept
+      (4L, "Alpha beta. Shared one! Gamma.")            // fully duplicate doc -> empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupSentences(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("Alpha beta. Shared one! Gamma.", 3L, 3L)))
+    // doc 2 loses BOTH copies of the doc-1-owned sentence
+    assert(out(2L) == (("Delta. Epsilon.", 4L, 2L)))
+    // the period variant is a distinct unit and survives
+    assert(out(3L) == (("Shared one. Zeta.", 2L, 2L)))
+    assert(out(4L) == (("", 3L, 0L)))
+  }
 }

@@ -462,4 +462,13 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one Exchange:\n${p.take(1200)}")
     assert(!p.contains("Join"), "no join belongs in a per-doc chunker")
   }
+
+  test("q126 sentence dedup: persisted sentence table, digest-keyed first-owner agg, never doc-pair-shaped") {
+    val p = plan(TextQueries.q126SentenceDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "sentence dedup degenerated to a doc-pair shape")
+    assert(!p.contains("Window"), "first-owner must be an aggregation, not a window sort")
+    assert(p.contains("InMemoryTableScan"),
+      "the exploded sentence table must be persisted for its consumers")
+  }
 }
