@@ -192,9 +192,24 @@ object TextOps {
     * posexplode — per-row generate, no shuffle. The pattern
     * `[^.!?]+[.!?]*` is deliberately lookbehind-free: RE2 (DuckDB) has no
     * lookbehind, so the usual split-on-`(?<=[.!?])\s+` idiom would strand
-    * the oracle (q122 replays this byte-identically). */
-  def splitSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val segs = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0))
+    * the oracle (q122 replays this byte-identically).
+    *
+    * `terminators` is the sentence-final character set — ASCII `.!?` by
+    * default; multilingual corpora pass the CJK set too (e.g.
+    * `".!?。！？…"` — RE2 and Java both match the literals inside a
+    * class, so the oracle still replays; `CjkTerminators` is the ready
+    * union). Regex metacharacters in the set are escaped. */
+  val CjkTerminators = ".!?。！？…"
+  def splitSentences(docs: DataFrame, idCol: String, textCol: String,
+      terminators: String = ".!?"): DataFrame = {
+    require(terminators.nonEmpty, "at least one sentence terminator")
+    // escape the three chars special INSIDE a class in both Java and RE2
+    val cls = terminators.flatMap {
+      case c @ ('\\' | ']' | '^' | '-') => "\\" + c
+      case c => c.toString
+    }
+    val segs = regexp_extract_all(col(textCol),
+      lit(s"[^$cls]+[$cls]*"), lit(0))
     val sents = filter(transform(segs, s => trim(s)), s => s =!= "")
     docs.select(col(idCol), posexplode(sents).as(Seq("sent_idx", "sentence")))
       .withColumn("sent_chars", length(col("sentence")))

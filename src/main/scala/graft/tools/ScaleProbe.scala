@@ -496,6 +496,16 @@ object ScaleProbe {
     time("sentence split 1x")(sentX(1))
     time("sentence split 10x")(sentX(10))
 
+    // --- sentence dedup: volume tracks corpus sentences through the
+    // digest-keyed first-owner agg; replicated copies share every
+    // sentence, so survivors stay ~constant while input grows 10× ------
+    def sentDedupX(kx: Int): Long =
+      TextOps.dedupSentences(docsX(kx).select(col("doc_id"),
+        regexp_replace(col("text"), "batch", "batch.").as("text")),
+        "doc_id", "text").agg(sum("n_kept")).count()
+    time("sentence dedup 1x")(sentDedupX(1))
+    time("sentence dedup 10x")(sentDedupX(10))
+
     // --- epoch shuffle: the one (epoch, shard) partition; shard count
     // scales WITH the corpus (the operator contract: a shard is a worker
     // file), so per-task sort stays constant — the ratio should track

@@ -674,4 +674,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == (("Shared one. Zeta.", 2L, 2L)))
     assert(out(4L) == (("", 3L, 0L)))
   }
+
+  test("splitSentences: CJK terminator set segments multilingual text; metachars escape safely") {
+    val docs = Seq(
+      (1L, "\u4e00\u53e5\u8bdd\u3002\u7b2c\u4e8c\u53e5\uff01Mixed latin. \u7b2c\u4e09\uff1f"),
+      (2L, "a-b]c^d. next")  // '-', ']', '^' as ORDINARY text chars
+    ).toDF("doc_id", "text")
+    val cjk = TextOps.splitSentences(docs, "doc_id", "text",
+      terminators = TextOps.CjkTerminators).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(cjk.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("\u4e00\u53e5\u8bdd\u3002", "\u7b2c\u4e8c\u53e5\uff01", "Mixed latin.", "\u7b2c\u4e09\uff1f"))
+    // a terminator set containing class metacharacters must not corrupt
+    // the pattern: ']', '^', '-' pass through as literals
+    val meta = TextOps.splitSentences(docs, "doc_id", "text",
+      terminators = ".]^-").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(meta.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("a-", "b]", "c^", "d.", "next"))
+  }
 }
