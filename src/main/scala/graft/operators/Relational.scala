@@ -311,6 +311,9 @@ object Relational {
     * Re-sharding per epoch is the point: salting only the order would
     * keep each row in one shard forever, so a loader that assigns shards
     * to workers would show every worker the same subset every epoch.
+    * `keyCol` must be UNIQUE (the [[topKPerGroup]] total-order rule):
+    * duplicate keys draw identical (shard, ord) addresses and their
+    * relative `pos` is then partition-luck, not a contract.
     * Determinism contract: a row's (epoch, shard_id) never changes as
     * the corpus grows (pure content hash), and two surviving rows in the
     * same epoch-shard never swap relative order — though `pos` itself

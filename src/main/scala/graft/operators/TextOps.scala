@@ -164,7 +164,10 @@ object TextOps {
     * (so `&amp;lt;` yields the literal `&lt;`, not `<`). Pure projection —
     * per-row, no shuffle, one WholeStageCodegen span; every pattern stays
     * in the Java∩RE2 surface so the DuckDB oracle replays the gate
-    * byte-identically (q121). */
+    * byte-identically (q121). Known regex-grade limit: an UNCLOSED
+    * `<script>`/`<style>` element loses only its open tag, so its body
+    * leaks into the text (a tree builder would drop it; crawl extractors
+    * routinely accept this on malformed markup). */
   def htmlToText(docs: DataFrame, textCol: String): DataFrame = {
     val noScript = regexp_replace(col(textCol),
       "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
