@@ -116,6 +116,35 @@ object TextQueries {
     graft.operators.TextOps.sentenceChunks(
       sentenceAugment(Tables.documents(s, d)), "doc_id", "text", budget = 64L)
 
+  // Curation v5 — the extraction-era composition, every stage an engine
+  // operator: (1) htmlToText strips the deterministic q121 HTML shell;
+  // (2) q122's terminators are injected into the EXTRACTED text;
+  // (3) dedupSentences drops every cross/within-doc repeated sentence
+  // (the 'Doc N!' headers collapse to 9 owners, 'tail end' to one);
+  // (4) survivors chunk into 64-token whole-sentence windows;
+  // (5) every chunk gets its 2-epoch × 8-shard read address. One plan,
+  // every (epoch, shard, pos, doc, chunk, tokens) row hash-checked.
+  def q127CurationV5(s: SparkSession, d: String): DataFrame = {
+    val plain = graft.operators.TextOps.htmlToText(
+      htmlAugment(Tables.documents(s, d)), "text")
+    val sentReady = plain.select(col("doc_id"),
+      concat(lit("Doc "), pmod(col("doc_id"), lit(9)), lit("! "),
+        regexp_replace(col("plain_text"), "batch", "batch."),
+        lit(" tail end")).as("text"))
+    val deduped = graft.operators.TextOps
+      .dedupSentences(sentReady, "doc_id", "text")
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val chunks = graft.operators.TextOps
+      .sentenceChunks(deduped, "doc_id", "text", budget = 64L)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        concat(col("doc_id"), lit("#"), col("chunk_id")).as("chunk_key"))
+    graft.operators.Relational.epochShuffle(chunks, "chunk_key",
+        epochs = 2, nShards = 8)
+      .select(col("epoch"), col("shard_id"), col("pos"),
+        col("doc_id"), col("chunk_id"), col("n_tokens"))
+  }
+
   // Sentence-grain exact dedup over the q122 corpus: the 'Doc N!' headers
   // repeat across every doc sharing doc_id%9, the 'batch.'-terminated
   // runs repeat wherever the random text repeats, and the 'tail end'
@@ -517,6 +546,7 @@ object TextQueries {
     "q123_epoch_shuffle" -> q123EpochShuffle,
     "q124_sentence_chunks" -> q124SentenceChunks,
     "q126_sentence_dedup" -> q126SentenceDedup,
+    "q127_curation_v5" -> q127CurationV5,
     "q86_url_blocklist" -> q86UrlBlocklist,
     "q88_paragraph_dedup" -> q88ParagraphDedup,
     "q84_quota_sample_agg" -> q84QuotaSampleAgg,
@@ -1131,6 +1161,83 @@ object TextQueries {
            CAST(count(*) AS BIGINT) AS n_sents,
            CAST(sum(nt) AS BIGINT) AS n_tokens
          FROM c GROUP BY doc_id, cb // 64""",
+    "q127_curation_v5" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id ||
+             '</title><STYLE type="text/css">p { color: #fff; }</STYLE>' ||
+             '<script>var id = ' || doc_id ||
+             '; if (id < 2) { alert("x"); }</script></head><body><!-- c ' ||
+             doc_id || ' --><h1>Title &amp; ' || (doc_id % 5) ||
+             '</h1><p>' || text ||
+             '</p><P>A &lt;tag&gt; &quot;q&quot;&nbsp;&#39;end&#39;</P></body></html>'
+             AS t
+           FROM documents
+         ), px AS (
+           SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                   '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '(?s)<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS plain_text
+           FROM aug
+         ), sr AS (
+           SELECT doc_id,
+             'Doc ' || (doc_id % 9) || '! ' ||
+             regexp_replace(plain_text, 'batch', 'batch.', 'g') || ' tail end' AS t
+           FROM px
+         ), s AS (
+           SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
+               x -> x <> '') AS l
+           FROM sr
+         ), x AS (
+           SELECT doc_id, CAST(k.k AS INT) AS sent_idx, l[k.k + 1] AS sentence
+           FROM s JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(len(l)) AS BIGINT) FROM s))) AS k) k
+             ON k.k < len(l)
+         ), r AS (
+           SELECT doc_id, sent_idx, sentence,
+             row_number() OVER (PARTITION BY sentence
+               ORDER BY doc_id, sent_idx) AS rn
+           FROM x
+         ), keep AS (
+           SELECT doc_id, sent_idx, sentence,
+             CAST(len(string_split(sentence, ' ')) AS BIGINT) AS nt
+           FROM r WHERE rn = 1
+         ), c AS (
+           SELECT doc_id, sent_idx, nt,
+             COALESCE(SUM(nt) OVER (PARTITION BY doc_id ORDER BY sent_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           FROM keep
+         ), ch AS (
+           SELECT doc_id, CAST(cb // 64 AS BIGINT) AS chunk_id,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+           FROM c GROUP BY doc_id, cb // 64
+         ), e AS (
+           SELECT doc_id, chunk_id, n_tokens,
+             CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR) AS ck,
+             CAST(k.k AS INT) AS epoch
+           FROM ch CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+         ), a AS (
+           SELECT doc_id, chunk_id, n_tokens, ck, epoch,
+             CAST(('0x' || substring(md5(ck || '#ep' || CAST(epoch AS VARCHAR)
+               || '#shard'), 1, 15))::BIGINT % 8 AS INT) AS shard_id,
+             ('0x' || substring(md5(ck || '#ep' || CAST(epoch AS VARCHAR)
+               || '#ord'), 1, 15))::BIGINT AS u
+           FROM e
+         )
+         SELECT epoch, shard_id,
+           CAST(row_number() OVER (PARTITION BY epoch, shard_id
+             ORDER BY u, ck) - 1 AS BIGINT) AS pos,
+           doc_id, chunk_id, n_tokens
+         FROM a""",
     "q126_sentence_dedup" ->
       """WITH aug AS (
            SELECT doc_id,

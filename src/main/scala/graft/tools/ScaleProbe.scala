@@ -517,6 +517,26 @@ object ScaleProbe {
     time("epoch shuffle 1x (2 epochs, 16 shards)")(epochX(1))
     time("epoch shuffle 10x (2 epochs, 160 shards)")(epochX(10))
 
+    // --- curation v5 composition: extraction + sentence dedup + chunking
+    // + epoch addressing — the probe watches the COMPOSITION ------------
+    def v5(kx: Int): Long = {
+      val plain = TextOps.htmlToText(docsX(kx).select(col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><!-- c --></body></html>")).as("text")), "text")
+      val deduped = TextOps.dedupSentences(plain.select(col("doc_id"),
+          regexp_replace(col("plain_text"), "batch", "batch.").as("text")),
+        "doc_id", "text")
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val chunks = TextOps.sentenceChunks(deduped, "doc_id", "text", 64L)
+        .select(col("doc_id"), col("chunk_id"),
+          concat(col("doc_id"), lit("#"), col("chunk_id")).as("ck"))
+      Relational.epochShuffle(chunks, "ck", 2, 16 * kx)
+        .groupBy("epoch", "shard_id").agg(max("pos")).count()
+    }
+    time("curation v5 1x")(v5(1))
+    time("curation v5 10x")(v5(10))
+
     spark.stop()
   }
 }

@@ -471,4 +471,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       "the exploded sentence table must be persisted for its consumers")
   }
+
+  test("q127 curation v5: the extraction-era composition inherits every component's shape") {
+    val p = plan(TextQueries.q127CurationV5(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a composition stage degenerated to a pair shape")
+    assert(p.contains("InMemoryTableScan"),
+      "the dedup stage's persisted sentence table must survive the composition")
+    // exactly two Windows end to end: the chunker's per-doc running sum and
+    // the epoch addresser's per-(epoch, shard) rank — dedup contributes none
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 2,
+      s"expected exactly two Windows:\n${p.take(1500)}")
+  }
 }
