@@ -328,6 +328,12 @@ object Relational {
   def epochShuffle(df: DataFrame, keyCol: String, epochs: Int, nShards: Int): DataFrame = {
     require(epochs >= 1, "epochs >= 1")
     require(nShards >= 1, "nShards >= 1")
+    // the contract says APPEND: silently overwriting a caller's epoch /
+    // shard_id / pos (e.g. a frame this operator already addressed once)
+    // would corrupt it without a trace — fail loudly instead
+    val clash = df.columns.toSet.intersect(Set("epoch", "shard_id", "pos"))
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — rename them first")
     val salt = concat(col(keyCol).cast("string"), lit("#ep"), col("epoch"))
     val ord = graft.functions.Portable.md5Long60(concat(salt, lit("#ord")))
     df.withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))

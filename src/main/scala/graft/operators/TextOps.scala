@@ -193,26 +193,42 @@ object TextOps {
     * empties INSIDE the array (so indices are contiguous over kept
     * sentences and empty segments never reach the generator), one
     * posexplode — per-row generate, no shuffle. The pattern
-    * `[^.!?]+[.!?]*` is deliberately lookbehind-free: RE2 (DuckDB) has no
-    * lookbehind, so the usual split-on-`(?<=[.!?])\s+` idiom would strand
-    * the oracle (q122 replays this byte-identically).
+    * `[^.!?]+[.!?]*|[.!?]+` is deliberately lookbehind-free: RE2
+    * (DuckDB) has no lookbehind, so the usual split-on-`(?<=[.!?])\s+`
+    * idiom would strand the oracle (q122 replays this byte-identically).
+    * The second branch makes segmentation LOSSLESS on every input: a
+    * terminator run with no preceding content (an ellipsis opening a
+    * text, or opening a reassembled fragment mid-pipeline) is its own
+    * sentence rather than silently vanishing — without it, re-splitting
+    * [[dedupSentences]]' reassembled output could drop a surviving
+    * leading '…' and desynchronize the q127 composition from its oracle
+    * (property-tested: concat of sentences == input modulo whitespace).
     *
     * `terminators` is the sentence-final character set — ASCII `.!?` by
     * default; multilingual corpora pass the CJK set too (e.g.
     * `".!?。！？…"` — RE2 and Java both match the literals inside a
     * class, so the oracle still replays; `CjkTerminators` is the ready
-    * union). Regex metacharacters in the set are escaped. */
+    * union). Characters special inside a class in EITHER engine are
+    * escaped (incl. `[` and `&`, literal in RE2 but nested-class /
+    * intersection syntax in Java). */
   val CjkTerminators = ".!?。！？…"
-  def splitSentences(docs: DataFrame, idCol: String, textCol: String,
-      terminators: String = ".!?"): DataFrame = {
+
+  /** The segmentation regex for a terminator set — ONE builder feeding
+    * both [[splitSentences]] and every sentence-family oracle (the
+    * bm25CtesSql sharing discipline: the two engines cannot drift). */
+  private[graft] def sentencePattern(terminators: String): String = {
     require(terminators.nonEmpty, "at least one sentence terminator")
-    // escape the three chars special INSIDE a class in both Java and RE2
     val cls = terminators.flatMap {
-      case c @ ('\\' | ']' | '^' | '-') => "\\" + c
+      case c @ ('\\' | ']' | '^' | '-' | '[' | '&') => "\\" + c
       case c => c.toString
     }
+    s"[^$cls]+[$cls]*|[$cls]+"
+  }
+
+  def splitSentences(docs: DataFrame, idCol: String, textCol: String,
+      terminators: String = ".!?"): DataFrame = {
     val segs = regexp_extract_all(col(textCol),
-      lit(s"[^$cls]+[$cls]*"), lit(0))
+      lit(sentencePattern(terminators)), lit(0))
     val sents = filter(transform(segs, s => trim(s)), s => s =!= "")
     docs.select(col(idCol), posexplode(sents).as(Seq("sent_idx", "sentence")))
       .withColumn("sent_chars", length(col("sentence")))
@@ -611,29 +627,43 @@ object TextOps {
     * paragraph count). Never document-pair-shaped; volume tracks corpus
     * paragraphs. */
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
-      sep: String = "\\. ", joinSep: String = ". "): DataFrame = {
-    val paras = CacheScope.track(
+      sep: String = "\\. ", joinSep: String = ". "): DataFrame =
+    firstOwnerDedup(docs, idCol,
       docs.select(col(idCol),
-          posexplode(split(col(textCol), sep)).as(Seq("_pos", "_para")))
-        .filter(length(col("_para")) > 0)
-        .withColumn("_pk", md5(col("_para")))
-        .persist(StorageLevel.MEMORY_ONLY))
-    val firstOwner = paras.groupBy("_pk")
+          posexplode(split(col(textCol), sep)).as(Seq("_pos", "_unit")))
+        .filter(length(col("_unit")) > 0),
+      joinSep, totalCol = "n_paras")
+
+  /** Shared core of [[dedupParagraphs]] and [[dedupSentences]]:
+    * first-owner dedup over an exploded `(id, _pos, _unit)` table — the
+    * only thing the two operators differ in is their unit splitter. One
+    * persisted ([[graft.CacheScope]]-tracked) unit table feeds the
+    * md5-keyed first-owner aggregation (16-byte shuffle keys, map-side
+    * min partials), the per-doc totals, and the survivor join;
+    * reassembly is one keyed sorted-struct aggregation bounded by each
+    * doc's own unit count. Never doc-pair-shaped; volume tracks corpus
+    * units. */
+  private def firstOwnerDedup(docs: DataFrame, idCol: String,
+      units: DataFrame, joinSep: String, totalCol: String): DataFrame = {
+    val u = CacheScope.track(units
+      .withColumn("_uk", md5(col("_unit")))
+      .persist(StorageLevel.MEMORY_ONLY))
+    val firstOwner = u.groupBy("_uk")
       .agg(min(struct(col(idCol).as("_oid"), col("_pos").as("_opos"))).as("_o"))
-    val kept = paras.join(firstOwner, Seq("_pk"))
+    val kept = u.join(firstOwner, Seq("_uk"))
       .filter(col(idCol) === col("_o._oid") && col("_pos") === col("_o._opos"))
-    val totals = paras.groupBy(idCol).agg(count(lit(1)).as("n_paras"))
+    val totals = u.groupBy(idCol).agg(count(lit(1)).as(totalCol))
     val rebuilt = kept.groupBy(idCol).agg(
       array_join(transform(
-        array_sort(collect_list(struct(col("_pos"), col("_para")))),
-        x => x("_para")), joinSep).as("clean_text"),
+        array_sort(collect_list(struct(col("_pos"), col("_unit")))),
+        x => x("_unit")), joinSep).as("clean_text"),
       count(lit(1)).as("n_kept"))
     docs.select(col(idCol))
       .join(totals, Seq(idCol), "left")
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col(totalCol), lit(0L)).as(totalCol),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
@@ -653,29 +683,11 @@ object TextOps {
     * partials) and the per-doc totals; reassembly is one more keyed
     * aggregation bounded by each doc's own sentence count. Never
     * doc-pair-shaped; volume tracks corpus sentences. */
-  def dedupSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sents = CacheScope.track(
+  def dedupSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    firstOwnerDedup(docs, idCol,
       splitSentences(docs, idCol, textCol)
-        .withColumn("_sk", md5(col("sentence")))
-        .persist(StorageLevel.MEMORY_ONLY))
-    val firstOwner = sents.groupBy("_sk")
-      .agg(min(struct(col(idCol).as("_oid"), col("sent_idx").as("_oidx"))).as("_o"))
-    val kept = sents.join(firstOwner, Seq("_sk"))
-      .filter(col(idCol) === col("_o._oid") && col("sent_idx") === col("_o._oidx"))
-    val totals = sents.groupBy(idCol).agg(count(lit(1)).as("n_sents"))
-    val rebuilt = kept.groupBy(idCol).agg(
-      array_join(transform(
-        array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
-        x => x("sentence")), " ").as("clean_text"),
-      count(lit(1)).as("n_kept"))
-    docs.select(col(idCol))
-      .join(totals, Seq(idCol), "left")
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-  }
+        .select(col(idCol), col("sent_idx").as("_pos"), col("sentence").as("_unit")),
+      joinSep = " ", totalCol = "n_sents")
 
   // URL surface shared with the oracle: scheme, optional userinfo
   // (swallowed so `https://innocent.com@bad.example.org/` cannot spoof

@@ -99,10 +99,11 @@ object TextQueries {
   // appended to every 'batch' token (sentence count then varies per
   // doc), and an un-terminated tail fragment. The augmentation is shared
   // with q124 and the streaming twin q125 (the piiAugment pattern).
-  private[queries] def sentenceAugment(docs: DataFrame): DataFrame =
+  private[queries] def sentenceAugment(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
       concat(lit("Doc "), pmod(col("doc_id"), lit(9)), lit("! "),
-        regexp_replace(col("text"), "batch", "batch."),
+        regexp_replace(col(textCol), "batch", "batch."),
         lit(" tail end")).as("text"))
 
   def q122SentenceSplit(s: SparkSession, d: String): DataFrame =
@@ -127,10 +128,7 @@ object TextQueries {
   def q127CurationV5(s: SparkSession, d: String): DataFrame = {
     val plain = graft.operators.TextOps.htmlToText(
       htmlAugment(Tables.documents(s, d)), "text")
-    val sentReady = plain.select(col("doc_id"),
-      concat(lit("Doc "), pmod(col("doc_id"), lit(9)), lit("! "),
-        regexp_replace(col("plain_text"), "batch", "batch."),
-        lit(" tail end")).as("text"))
+    val sentReady = sentenceAugment(plain, textCol = "plain_text")
     val deduped = graft.operators.TextOps
       .dedupSentences(sentReady, "doc_id", "text")
       .filter(col("n_kept") > 0)
@@ -576,6 +574,60 @@ object TextQueries {
   }.mkString(", ")
 
   private val stopSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(",")
+
+
+  // ---- sentence-family oracle fragments (the bm25CtesSql sharing
+  // discipline: each structure exists ONCE; q121/q122/q124/q126/q127
+  // interpolate these, so an augmentation or pattern change lands in
+  // every gate or in none). Plain vals (no interpolation) so single
+  // backslashes survive; composed via s"${...}" whose interpolated
+  // segments are NOT escape-processed. ----
+  // The q121/q127 deterministic HTML shell around `text`, emitted as t.
+  private val htmlShellSql =
+    """SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id ||
+             '</title><STYLE type="text/css">p { color: #fff; }</STYLE>' ||
+             '<script>var id = ' || doc_id ||
+             '; if (id < 2) { alert("x"); }</script></head><body><!-- c ' ||
+             doc_id || ' --><h1>Title &amp; ' || (doc_id % 5) ||
+             '</h1><p>' || text ||
+             '</p><P>A &lt;tag&gt; &quot;q&quot;&nbsp;&#39;end&#39;</P></body></html>'
+             AS t
+           FROM documents"""
+  // htmlToText replay over a rel exposing t, emitted as plain_text.
+  private val htmlExtractSql =
+    """trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                   '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                   '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '(?s)<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS plain_text"""
+  // q122-convention terminator injection over a named rel/column, as t.
+  private def sentAugSql(src: String, textCol: String): String =
+    s"""SELECT doc_id,
+             'Doc ' || (doc_id % 9) || '! ' ||
+             regexp_replace($textCol, 'batch', 'batch.', 'g') || ' tail end' AS t
+           FROM $src"""
+  // splitSentences replay over a rel exposing t: s (the kept-sentence
+  // list) and x (positional explode). The pattern is interpolated from
+  // THE operator's own builder — the engines cannot drift.
+  private def sentSplitCtesSql(src: String): String =
+    s"""s AS (
+           SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(t, '${graft.operators.TextOps.sentencePattern(".!?")}'),
+               x -> trim(x)), x -> x <> '') AS l
+           FROM $src
+         ), x AS (
+           SELECT doc_id, CAST(k.k AS INT) AS sent_idx, l[k.k + 1] AS sentence
+           FROM s JOIN (SELECT unnest(generate_series(0,
+             (SELECT CAST(max(len(l)) AS BIGINT) FROM s))) AS k) k
+             ON k.k < len(l)
+         )"""
 
   // Okapi BM25 scoring CTE chain over the fixed 4-term query — ONE
   // fragment shared by the isin-arm gate (q72), the broadcast-terms
@@ -1086,75 +1138,35 @@ object TextQueries {
            CAST(len(string_split(norm_text, ' ')) AS INT) AS n_tokens
          FROM n""",
     "q121_html_extract" ->
-      """WITH aug AS (
-           SELECT doc_id,
-             '<html><head><title>Doc ' || doc_id ||
-             '</title><STYLE type="text/css">p { color: #fff; }</STYLE>' ||
-             '<script>var id = ' || doc_id ||
-             '; if (id < 2) { alert("x"); }</script></head><body><!-- c ' ||
-             doc_id || ' --><h1>Title &amp; ' || (doc_id % 5) ||
-             '</h1><p>' || text ||
-             '</p><P>A &lt;tag&gt; &quot;q&quot;&nbsp;&#39;end&#39;</P></body></html>'
-             AS t
-           FROM documents
+      s"""WITH aug AS (
+           $htmlShellSql
          ), x AS (
            SELECT doc_id,
-             trim(regexp_replace(
-               replace(replace(replace(replace(replace(replace(
-                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-                   '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-                   '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
-                   '(?s)<!--.*?-->', ' ', 'g'),
-                   '(?s)<[^>]*>', ' ', 'g'),
-                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-               '\s+', ' ', 'g')) AS plain_text
+             $htmlExtractSql
            FROM aug
          )
          SELECT doc_id, plain_text,
            CAST(length(plain_text) AS INT) AS n_chars
          FROM x""",
     "q122_sentence_split" ->
-      """WITH aug AS (
-           SELECT doc_id,
-             'Doc ' || (doc_id % 9) || '! ' ||
-             regexp_replace(text, 'batch', 'batch.', 'g') || ' tail end' AS t
-           FROM documents
-         ), s AS (
-           SELECT doc_id,
-             list_filter(list_transform(
-               regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
-               x -> x <> '') AS l
-           FROM aug
-         )
-         SELECT doc_id, CAST(k.k AS INT) AS sent_idx, l[k.k + 1] AS sentence,
-           CAST(length(l[k.k + 1]) AS INT) AS sent_chars
-         FROM s JOIN (SELECT unnest(generate_series(0,
-           (SELECT CAST(max(len(l)) AS BIGINT) FROM s))) AS k) k
-           ON k.k < len(l)""",
+      s"""WITH aug AS (
+           ${sentAugSql("documents", "text")}
+         ), ${sentSplitCtesSql("aug")}
+         SELECT doc_id, sent_idx, sentence,
+           CAST(length(sentence) AS INT) AS sent_chars
+         FROM x""",
     "q124_sentence_chunks" ->
-      """WITH aug AS (
-           SELECT doc_id,
-             'Doc ' || (doc_id % 9) || '! ' ||
-             regexp_replace(text, 'batch', 'batch.', 'g') || ' tail end' AS t
-           FROM documents
-         ), s AS (
-           SELECT doc_id,
-             list_filter(list_transform(
-               regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
-               x -> x <> '') AS l
-           FROM aug
-         ), x AS (
-           SELECT doc_id, CAST(k.k AS INT) AS sent_idx, l[k.k + 1] AS sentence,
-             CAST(len(string_split(l[k.k + 1], ' ')) AS BIGINT) AS nt
-           FROM s JOIN (SELECT unnest(generate_series(0,
-             (SELECT CAST(max(len(l)) AS BIGINT) FROM s))) AS k) k
-             ON k.k < len(l)
+      s"""WITH aug AS (
+           ${sentAugSql("documents", "text")}
+         ), ${sentSplitCtesSql("aug")}, t AS (
+           SELECT doc_id, sent_idx, sentence,
+             CAST(len(string_split(sentence, ' ')) AS BIGINT) AS nt
+           FROM x
          ), c AS (
            SELECT doc_id, sent_idx, sentence, nt,
              COALESCE(SUM(nt) OVER (PARTITION BY doc_id ORDER BY sent_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-           FROM x
+           FROM t
          )
          SELECT doc_id, CAST(cb // 64 AS BIGINT) AS chunk_id,
            string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text,
@@ -1162,47 +1174,15 @@ object TextQueries {
            CAST(sum(nt) AS BIGINT) AS n_tokens
          FROM c GROUP BY doc_id, cb // 64""",
     "q127_curation_v5" ->
-      """WITH aug AS (
-           SELECT doc_id,
-             '<html><head><title>Doc ' || doc_id ||
-             '</title><STYLE type="text/css">p { color: #fff; }</STYLE>' ||
-             '<script>var id = ' || doc_id ||
-             '; if (id < 2) { alert("x"); }</script></head><body><!-- c ' ||
-             doc_id || ' --><h1>Title &amp; ' || (doc_id % 5) ||
-             '</h1><p>' || text ||
-             '</p><P>A &lt;tag&gt; &quot;q&quot;&nbsp;&#39;end&#39;</P></body></html>'
-             AS t
-           FROM documents
+      s"""WITH aug AS (
+           $htmlShellSql
          ), px AS (
            SELECT doc_id,
-             trim(regexp_replace(
-               replace(replace(replace(replace(replace(replace(
-                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-                   '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-                   '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
-                   '(?s)<!--.*?-->', ' ', 'g'),
-                   '(?s)<[^>]*>', ' ', 'g'),
-                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-               '\s+', ' ', 'g')) AS plain_text
+             $htmlExtractSql
            FROM aug
-         ), sr AS (
-           SELECT doc_id,
-             'Doc ' || (doc_id % 9) || '! ' ||
-             regexp_replace(plain_text, 'batch', 'batch.', 'g') || ' tail end' AS t
-           FROM px
-         ), s AS (
-           SELECT doc_id,
-             list_filter(list_transform(
-               regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
-               x -> x <> '') AS l
-           FROM sr
-         ), x AS (
-           SELECT doc_id, CAST(k.k AS INT) AS sent_idx, l[k.k + 1] AS sentence
-           FROM s JOIN (SELECT unnest(generate_series(0,
-             (SELECT CAST(max(len(l)) AS BIGINT) FROM s))) AS k) k
-             ON k.k < len(l)
-         ), r AS (
+         ), saug AS (
+           ${sentAugSql("px", "plain_text")}
+         ), ${sentSplitCtesSql("saug")}, r AS (
            SELECT doc_id, sent_idx, sentence,
              row_number() OVER (PARTITION BY sentence
                ORDER BY doc_id, sent_idx) AS rn
@@ -1239,23 +1219,9 @@ object TextQueries {
            doc_id, chunk_id, n_tokens
          FROM a""",
     "q126_sentence_dedup" ->
-      """WITH aug AS (
-           SELECT doc_id,
-             'Doc ' || (doc_id % 9) || '! ' ||
-             regexp_replace(text, 'batch', 'batch.', 'g') || ' tail end' AS t
-           FROM documents
-         ), s AS (
-           SELECT doc_id,
-             list_filter(list_transform(
-               regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)),
-               x -> x <> '') AS l
-           FROM aug
-         ), x AS (
-           SELECT doc_id, CAST(k.k AS INT) AS sent_idx, l[k.k + 1] AS sentence
-           FROM s JOIN (SELECT unnest(generate_series(0,
-             (SELECT CAST(max(len(l)) AS BIGINT) FROM s))) AS k) k
-             ON k.k < len(l)
-         ), r AS (
+      s"""WITH aug AS (
+           ${sentAugSql("documents", "text")}
+         ), ${sentSplitCtesSql("aug")}, r AS (
            SELECT doc_id, sent_idx, sentence,
              row_number() OVER (PARTITION BY sentence
                ORDER BY doc_id, sent_idx) AS rn

@@ -482,11 +482,15 @@ object ScaleProbe {
 
     // --- html extraction + sentence split: pure per-row transforms — the
     // probe verifies they scale like the scan (flat ratio, no shuffle) ---
+    // evaluate the aggregate VALUE (head), never .count() over it — a
+    // count prunes the sum, then plain_text, then the whole extraction
+    // (the classic select-expensive-then-count pruning trap: the probe
+    // would time an empty row-count scan and report a vacuous FLAT)
     def htmlX(kx: Int): Long =
       TextOps.htmlToText(docsX(kx).select(col("doc_id"),
         concat(lit("<html><body><!-- c --><p>"), col("text"),
           lit("</p><script>var a = 1;</script></body></html>")).as("text")),
-        "text").agg(sum(length(col("plain_text")))).count()
+        "text").agg(sum(length(col("plain_text")))).head().getLong(0)
     time("html extract 1x")(htmlX(1))
     time("html extract 10x")(htmlX(10))
     def sentX(kx: Int): Long =
@@ -502,7 +506,8 @@ object ScaleProbe {
     def sentDedupX(kx: Int): Long =
       TextOps.dedupSentences(docsX(kx).select(col("doc_id"),
         regexp_replace(col("text"), "batch", "batch.").as("text")),
-        "doc_id", "text").agg(sum("n_kept")).count()
+        "doc_id", "text")
+        .agg(sum(length(col("clean_text")) + col("n_kept"))).head().getLong(0)
     time("sentence dedup 1x")(sentDedupX(1))
     time("sentence dedup 10x")(sentDedupX(10))
 
@@ -513,7 +518,7 @@ object ScaleProbe {
     def epochX(kx: Int): Long =
       Relational.epochShuffle(docsX(kx).select("doc_id"), "doc_id",
         epochs = 2, nShards = 16 * kx).groupBy("epoch", "shard_id")
-        .agg(max("pos")).count()
+        .agg(max("pos").as("_m")).collect().map(_.getLong(2)).sum
     time("epoch shuffle 1x (2 epochs, 16 shards)")(epochX(1))
     time("epoch shuffle 10x (2 epochs, 160 shards)")(epochX(10))
 
@@ -532,7 +537,8 @@ object ScaleProbe {
         .select(col("doc_id"), col("chunk_id"),
           concat(col("doc_id"), lit("#"), col("chunk_id")).as("ck"))
       Relational.epochShuffle(chunks, "ck", 2, 16 * kx)
-        .groupBy("epoch", "shard_id").agg(max("pos")).count()
+        .groupBy("epoch", "shard_id").agg(max("pos").as("_m"))
+        .collect().map(_.getLong(2)).sum
     }
     time("curation v5 1x")(v5(1))
     time("curation v5 10x")(v5(10))

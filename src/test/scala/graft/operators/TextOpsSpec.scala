@@ -622,7 +622,7 @@ class TextOpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "One. Two!! Three?No spaces needed. tail frag"),
       (2L, "   "),  // whitespace only: its single segment trims to empty
-      (3L, "!!!"),  // terminators only: no [^.!?] char, no match at all
+      (3L, "!!!"),  // orphan terminator run: its OWN sentence (lossless rule)
       (4L, "only one")
     ).toDF("doc_id", "text")
     val out = TextOps.splitSentences(docs, "doc_id", "text").collect()
@@ -632,7 +632,10 @@ class TextOpsSpec extends SparkSpec {
       Seq("One.", "Two!!", "Three?", "No spaces needed.", "tail frag"))
     assert(d1.map(_._2).toSeq == (0 until 5), "indices contiguous over KEPT sentences")
     assert(d1.map(_._4).toSeq == d1.map(_._3.length).toSeq)
-    assert(!out.exists(r => r._1 == 2L || r._1 == 3L), "degenerate docs emit no rows")
+    assert(!out.exists(_._1 == 2L), "whitespace-only docs emit no rows")
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq == Seq((0, "!!!")),
+      "a terminator run with no content is a sentence — dropping it would " +
+        "make segmentation lossy and desynchronize re-splits of reassembled text")
     assert(out.filter(_._1 == 4L).map(t => (t._2, t._3)).toSeq == Seq((0, "only one")))
   }
 
