@@ -529,4 +529,120 @@ object Relational {
       .withColumn("edit_dist", levenshtein(left(leftText), right(rightText), maxDist))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
+
+  /** Snapshot diff (CDC between two materialized states): classify every
+    * key as `added` / `removed` / `changed` between an `old` and a `new`
+    * snapshot, comparing content via an md5 fingerprint of `compareCols`.
+    * Unchanged keys are dropped — at 100 TB the diff is the small output;
+    * emitting unchanged rows would make every diff a full-corpus copy.
+    *
+    * Output: key columns, `change`, `old_fp`, `new_fp` (md5 hex of the
+    * compared payload; null on the absent side). One full-outer
+    * sort-merge join — a single shuffle per side on the key, no window,
+    * no driver state. Fingerprints are md5 over a '|'-joined string cast
+    * of `compareCols` (null → literal " "), portable to any engine
+    * that has md5, so a downstream system can recompute and audit the
+    * diff without re-reading either snapshot.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(compareCols.nonEmpty, "at least one compare column")
+    def fp(df: DataFrame) = md5(concat_ws("|",
+      compareCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
+    val o = oldDf.select(keys.map(col) :+ fp(oldDf).as("old_fp"): _*)
+    val n = newDf.select(keys.map(col) :+ fp(newDf).as("new_fp"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change"), col("old_fp"), col("new_fp")): _*)
+  }
+
+  /** k-anonymity by bottom-up global recoding: every published
+    * quasi-identifier combination is shared by ≥ k rows, achieved by
+    * progressively generalizing (masking to "*") quasi columns from the
+    * LAST to the first for rows whose group is still below k.
+    *
+    * Level 0 keeps all `quasiCols`; level i masks the last i of them.
+    * A row publishes at the smallest level where the group formed by the
+    * rows STILL UNPUBLISHED at that level reaches k (leftover-only
+    * recounting — counting already-published rows would let a "k-sized"
+    * level-1 group publish with fewer than k actual members). Rows that
+    * never reach k even fully masked are suppressed (the fully-masked
+    * group itself had < k leftovers).
+    *
+    * Output: the masked quasi columns (string-cast) + `anon_level`.
+    * Each level is one keyed count + one broadcast-size join back (the
+    * level's group list is ≤ distinct-combination count, not row count);
+    * levels are bounded by quasiCols.size + 1, so the whole operator is a
+    * fixed, small number of aggregations — no iteration to convergence.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 1, "k >= 1")
+    val strCols = quasiCols.map(c => col(c).cast("string").as(c))
+    var leftover = df.select(strCols: _*)
+    var published: DataFrame = null
+    for (level <- 0 to quasiCols.size) {
+      val masked = quasiCols.zipWithIndex.map { case (c, i) =>
+        (if (i < quasiCols.size - level) coalesce(col(c), lit(" "))
+         else lit("*")).as(c)
+      }
+      // Each level's masked view feeds three consumers (the group count,
+      // the semi publish, the anti leftover) and the next level chains on
+      // the leftover -- uncached that recompute compounds ~3^levels over
+      // the base scan. Tracked cache per level; `pass` (the >=k group
+      // list, distinct-combination-sized) likewise, so the broadcast
+      // builds once per level.
+      val m = graft.CacheScope.track(leftover.select(masked: _*).cache())
+      val pass = graft.CacheScope.track(
+        m.groupBy(quasiCols.map(col): _*)
+          .agg(count(lit(1)).as("_n")).filter(col("_n") >= k)
+          .drop("_n").cache())
+      val lvl = m.join(pass.hint("broadcast"), quasiCols, "left_semi")
+        .withColumn("anon_level", lit(level))
+      published = if (published == null) lvl else published.unionByName(lvl)
+      // rows failing even the all-masked level are suppressed entirely
+      leftover = m.join(pass.hint("broadcast"), quasiCols, "left_anti")
+    }
+    published
+  }
+
+  /** Deterministic fill-in-the-middle transform (code/LLM training): split
+    * each document into (prefix, middle, suffix) at two content-addressed
+    * cut points and emit the PSM-ordered training string. Cuts derive from
+    * md5 of (id, text) — reproducible run-over-run, engine-independent,
+    * and unmoved by repartitioning, exactly like [[hashSplit]]. Pure
+    * projection: no shuffle, fully codegen (md5/conv/substring are all
+    * native expressions), so it rides inside whatever scan reads the
+    * corpus at 100 TB.
+    *
+    * Invariant (spec-pinned): prefix ++ middle ++ suffix == text.
+    * Documents shorter than `minChars` pass through unsplit (middle = "",
+    * fim_text = sentinel-free original) — flagged by `fim_applied`.
+    */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 16): DataFrame = {
+    val len = length(col(textCol))
+    def cut(salt: String) = pmod(
+      graft.functions.Portable.md5Long60(
+        concat_ws("|", col(idCol).cast("string"), lit(salt), col(textCol))),
+      len + lit(1))
+    val c1 = cut("fim-a")
+    val c2 = cut("fim-b")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val applied = len >= minChars
+    df.withColumn("prefix", when(applied, col(textCol).substr(lit(1), lo)).otherwise(col(textCol)))
+      .withColumn("middle", when(applied, col(textCol).substr(lo + 1, hi - lo)).otherwise(lit("")))
+      .withColumn("suffix", when(applied, col(textCol).substr(hi + 1, len - hi)).otherwise(lit("")))
+      .withColumn("fim_applied", applied.cast("int"))
+      .withColumn("fim_text",
+        when(applied, concat(lit("<|fim_pre|>"), col("prefix"),
+          lit("<|fim_suf|>"), col("suffix"), lit("<|fim_mid|>"), col("middle")))
+          .otherwise(col(textCol)))
+  }
 }

@@ -428,9 +428,64 @@ object RelationalQueries {
       .select(col("c_custkey"), col("d_custkey"), col("edit_dist"))
   }
 
+  // Analytic-window (OVER-clause) surface: per-customer order-history
+  // features — sequence number (row_number), days since the previous
+  // order (lag), running spend (rows-frame sum), and the customer's
+  // spend quartile (ntile under a second sort order). Both windows share
+  // one partitioning key, so the plan pays ONE shuffle and two in-memory
+  // sorts — at 100 TB the partition key (customer) bounds each sort to a
+  // customer's history, never a global order.
+  def q128WindowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val chrono = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = chrono.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spend = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(chrono).as("seq"),
+      datediff(col("o_orderdate").cast("date"),
+        lag(col("o_orderdate").cast("date"), 1).over(chrono)).as("gap_days"),
+      sum(Portable.cents(col("o_totalprice"))).over(run).as("run_cents"),
+      ntile(4).over(spend).as("spend_quartile"))
+  }
+
+  // Snapshot diff (CDC): the audit a pipeline runs between yesterday's
+  // and today's corpus export. The second snapshot is a deterministically
+  // evolved copy of `documents` (the q79 convention — construct the
+  // phenomenon, then prove the operator on it): doc_id % 7 == 0 deleted,
+  // doc_id % 5 == 0 revised, doc_id % 11 == 0 re-added under a shifted
+  // key — so all three change classes appear at every scale factor.
+  def q129SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.documents(s, d).select("doc_id", "text")
+    val kept = old.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" (rev 2)"))).otherwise(col("text")))
+    val added = old.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    Relational.snapshotDiff(old, kept.unionByName(added),
+      keys = Seq("doc_id"), compareCols = Seq("text"))
+  }
+
+  // k-anonymity by bottom-up generalization over customer
+  // quasi-identifiers (segment, account-balance band, nation bucket):
+  // every published combination covers >= 5 customers, rarer
+  // combinations progressively masked from the most specific column —
+  // parameters chosen so all generalization levels appear at sf0.01.
+  def q130KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_mktsegment"),
+      floor(col("c_acctbal") / 2000).cast("long").as("bal_band"),
+      pmod(col("c_nationkey"), lit(5)).as("nat_mod"))
+    Relational.kAnonymize(cust, Seq("c_mktsegment", "bal_band", "nat_mod"), k = 5)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_project" -> q01ScanFilterProject,
     "q79_fuzzy_join" -> q79FuzzyJoin,
+    "q128_window_analytics" -> q128WindowAnalytics,
+    "q129_snapshot_diff" -> q129SnapshotDiff,
+    "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
     "q03_agg_global" -> q03AggGlobal,
     "q04_agg_group" -> q04AggGroup,
@@ -471,7 +526,71 @@ object RelationalQueries {
     * mismatches were exactly the queries with uncast integer sums). */
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
 
+  /** q130 oracle: the leftover-recounting generalization ladder unrolled
+    * as one CTE chain per level (masking from the LAST quasi column, the
+    * operator's order). */
+  private val q130OracleSql: String = {
+    val cols = Seq("c_mktsegment", "bal_band", "nat_mod")
+    val k = 5
+    val base =
+      """SELECT coalesce(CAST(c_mktsegment AS VARCHAR), ' ') AS c_mktsegment,
+                coalesce(CAST(CAST(floor(c_acctbal/2000) AS BIGINT) AS VARCHAR), ' ') AS bal_band,
+                coalesce(CAST(c_nationkey % 5 AS VARCHAR), ' ') AS nat_mod
+         FROM customer"""
+    val part = cols.mkString(", ")
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += s"l0 AS ($base)"
+    for (level <- 0 to cols.size) {
+      if (level > 0) {
+        val sel = cols.zipWithIndex.map { case (c, i) =>
+          if (i < cols.size - level) c else s"'*' AS $c"
+        }.mkString(", ")
+        ctes += s"l$level AS (SELECT $sel FROM r${level - 1})"
+      }
+      ctes += s"""p$level AS (SELECT *, $level AS anon_level FROM l$level
+        QUALIFY count(*) OVER (PARTITION BY $part) >= $k)"""
+      if (level < cols.size)
+        ctes += s"""r$level AS (SELECT * FROM l$level
+          QUALIFY count(*) OVER (PARTITION BY $part) < $k)"""
+    }
+    val union = (0 to cols.size).map(l => s"SELECT * FROM p$l").mkString(" UNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n$union"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q128_window_analytics" ->
+      s"""SELECT o_orderkey, o_custkey,
+            row_number() OVER chrono AS seq,
+            date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER chrono,
+                      CAST(o_orderdate AS DATE)) AS gap_days,
+            CAST(sum(${cents("o_totalprice")}) OVER run AS BIGINT) AS run_cents,
+            ntile(4) OVER spend AS spend_quartile
+          FROM orders
+          WINDOW chrono AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 spend AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""",
+    "q129_snapshot_diff" ->
+      s"""WITH o AS (
+            SELECT doc_id, md5(concat_ws('|', coalesce(text, ' '))) AS old_fp
+            FROM documents),
+          kept AS (
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN text || ' (rev 2)' ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0),
+          added AS (
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+          n AS (
+            SELECT doc_id, md5(concat_ws('|', coalesce(text, ' '))) AS new_fp
+            FROM (SELECT * FROM kept UNION ALL SELECT * FROM added)),
+          j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                  CASE WHEN o.doc_id IS NULL THEN 'added'
+                       WHEN n.doc_id IS NULL THEN 'removed'
+                       WHEN old_fp <> new_fp THEN 'changed' END AS change,
+                  old_fp, new_fp
+                FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          SELECT * FROM j WHERE change IS NOT NULL""",
+    "q130_k_anonymity" -> q130OracleSql,
     "q79_fuzzy_join" ->
       """WITH dirty AS (
            SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,

@@ -522,7 +522,20 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
   }
 
+  // Fill-in-the-middle transform: content-addressed (md5-derived) cut
+  // points split each doc into prefix/middle/suffix, exported PSM-ordered
+  // for FIM training. The gate hashes the assembled training string and
+  // pins all three segment lengths; docs under 64 chars pass through
+  // unsplit (fim_applied = 0).
+  def q131Fim(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.fimTransform(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", minChars = 64)
+      .select(col("doc_id"), col("fim_applied"),
+        length(col("prefix")).as("n_pre"), length(col("middle")).as("n_mid"),
+        length(col("suffix")).as("n_suf"), md5(col("fim_text")).as("fim_md5"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_fim" -> q131Fim,
     "q110_shard_manifest" -> q110ShardManifest,
     "q112_source_drift" -> q112SourceDrift,
     "q113_nb_classify" -> q113NbClassify,
@@ -700,6 +713,30 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q131_fim" ->
+      """WITH c AS (
+           SELECT doc_id, text, length(text) AS len,
+             ('0x' || substring(md5(concat_ws('|', CAST(doc_id AS VARCHAR), 'fim-a', text)), 1, 15))::BIGINT
+               % (length(text) + 1) AS ca,
+             ('0x' || substring(md5(concat_ws('|', CAST(doc_id AS VARCHAR), 'fim-b', text)), 1, 15))::BIGINT
+               % (length(text) + 1) AS cb
+           FROM documents),
+         s AS (
+           SELECT doc_id, text, len, least(ca, cb) AS lo, greatest(ca, cb) AS hi,
+                  (len >= 64) AS app
+           FROM c),
+         p AS (
+           SELECT doc_id, app, text,
+             CASE WHEN app THEN substring(text, 1, CAST(lo AS INT)) ELSE text END AS prefix,
+             CASE WHEN app THEN substring(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT)) ELSE '' END AS middle,
+             CASE WHEN app THEN substring(text, CAST(hi + 1 AS INT), CAST(len - hi AS INT)) ELSE '' END AS suffix
+           FROM s)
+         SELECT doc_id, CAST(app AS INT) AS fim_applied,
+           length(prefix) AS n_pre, length(middle) AS n_mid, length(suffix) AS n_suf,
+           md5(CASE WHEN app
+               THEN '<|fim_pre|>' || prefix || '<|fim_suf|>' || suffix || '<|fim_mid|>' || middle
+               ELSE text END) AS fim_md5
+         FROM p""",
     "q119_winnow_incremental" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
          g AS (SELECT doc_id, k.k AS pos, len(toks) - 2 AS ng,

@@ -414,4 +414,60 @@ class RelationalSpec extends SparkSpec {
       .map { case (k, g) => k -> g.sortBy(_._3).map(_._4).toSeq }
     assert(bigOrder == smallOrder)
   }
+
+  test("snapshotDiff: classifies added/removed/changed; identical snapshots diff empty") {
+    val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "s", "v")
+    val neu = Seq((2L, "b", 20), (3L, "c", 99), (4L, "d", 40)).toDF("id", "s", "v")
+    val d = Relational.snapshotDiff(old, neu, Seq("id"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "removed", 3L -> "changed", 4L -> "added"),
+      s"got $d — unchanged key 2 must be dropped")
+    assert(Relational.snapshotDiff(old, old, Seq("id"), Seq("s", "v")).count() == 0)
+    // null payloads fingerprint deterministically (no null-propagated md5)
+    val withNull = Seq((1L, null.asInstanceOf[String], 1)).toDF("id", "s", "v")
+    val changedNull = Seq((1L, "x", 1)).toDF("id", "s", "v")
+    assert(Relational.snapshotDiff(withNull, withNull, Seq("id"), Seq("s", "v")).count() == 0)
+    assert(Relational.snapshotDiff(withNull, changedNull, Seq("id"), Seq("s", "v"))
+      .head().getString(1) == "changed")
+  }
+
+  test("kAnonymize: every published group >= k, leftover recounting, suppression") {
+    // 12×(A,1) pass level 0; 3×(A,2)+2×(A,3) only reach k=5 once the last
+    // column is masked; 4×(B,*) spread over distinct values must climb to
+    // the segment level; 2×(C,9) can never reach 5 even fully masked
+    // together with B? (B:4 + C:2 = 6 at level 2 -> both publish masked)
+    val rows =
+      Seq.fill(12)(("A", 1)) ++ Seq.fill(3)(("A", 2)) ++ Seq.fill(2)(("A", 3)) ++
+        Seq((("B"), 4), ("B", 5), ("B", 6), ("B", 7)) ++ Seq.fill(2)(("C", 9))
+    val df = rows.toDF("seg", "sub")
+    val out = Relational.kAnonymize(df, Seq("seg", "sub"), k = 5)
+    val got = out.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // invariant: every published (masked) combination has >= k members
+    got.groupBy(t => (t._1, t._2)).foreach { case (g, rs) =>
+      assert(rs.length >= 5, s"published group $g has ${rs.length} < k rows") }
+    assert(got.count(t => t == (("A", "1", 0))) == 12, "full-detail group keeps level 0")
+    assert(got.count(t => t == (("A", "*", 1))) == 5, "A leftovers publish at level 1")
+    // B(4) and C(2) only pass once seg is masked too: 6 rows at level 2
+    assert(got.count(t => t == (("*", "*", 2))) == 6)
+    assert(out.count() == rows.size, "nothing suppressed here: all reach k somewhere")
+    // impossible k suppresses everything
+    assert(Relational.kAnonymize(df, Seq("seg", "sub"), k = 100).count() == 0)
+    graft.CacheScope.release()
+  }
+
+  test("fimTransform: prefix++middle++suffix reassembles text; short docs pass through") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val out = Relational.fimTransform(docs, "doc_id", "text", minChars = 64)
+    assert(out.filter(concat(col("prefix"), col("middle"), col("suffix")) =!= col("text"))
+      .count() == 0, "PSM reassembly must equal the original text for every doc")
+    val short = out.filter(col("fim_applied") === 0)
+    assert(short.filter(col("middle") =!= "" || col("fim_text") =!= col("text")).count() == 0)
+    assert(out.filter(col("fim_applied") === 1)
+      .filter(!col("fim_text").startsWith("<|fim_pre|>")).count() == 0)
+    // content-addressed: identical under repartition
+    val a = out.select("doc_id", "fim_text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Relational.fimTransform(docs.repartition(13), "doc_id", "text", minChars = 64)
+      .select("doc_id", "fim_text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
 }
