@@ -33,12 +33,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      AnnQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all
+      AnnQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
+      GraphQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate/engine-side ops)
     * get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      AnnQueries.oracles ++ MultimodalQueries.oracles ++ StreamingQueries.oracles
+      AnnQueries.oracles ++ MultimodalQueries.oracles ++ StreamingQueries.oracles ++
+      GraphQueries.oracles
 }

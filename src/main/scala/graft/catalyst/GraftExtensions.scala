@@ -812,6 +812,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(exprs(3), "nShards")))
     }
 
+    registerTable("snapshot_diff",
+      "snapshot_diff('oldTable', 'newTable', 'keyCol', 'compareCol') - CDC between " +
+        "two snapshots: added/removed/changed keys with md5 content fingerprints", 4) {
+      exprs =>
+        expand(graft.operators.Relational.snapshotDiff(
+          SparkSession.active.table(litStr(exprs(0), "old table")),
+          SparkSession.active.table(litStr(exprs(1), "new table")),
+          Seq(litStr(exprs(2), "key column")), Seq(litStr(exprs(3), "compare column"))))
+    }
+    registerTable("k_anonymize",
+      "k_anonymize('table', 'col1,col2,...', k) - bottom-up global recoding: every " +
+        "published quasi-identifier combination covers >= k rows, rare groups " +
+        "masked column-by-column from the last, unfixable rows suppressed", 3) {
+      exprs =>
+        expand(graft.operators.Relational.kAnonymize(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "quasi columns").split(",").map(_.trim).toSeq,
+          litInt(exprs(2), "k")))
+    }
+    registerTable("fim",
+      "fim('table', 'idCol', 'textCol', minChars) - content-addressed " +
+        "fill-in-the-middle split (prefix/middle/suffix + PSM training string)", 4) {
+      exprs =>
+        expand(graft.operators.Relational.fimTransform(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "minChars")))
+    }
+    registerTable("pagerank",
+      "pagerank('edgeTable', 'srcCol', 'dstCol', iterations) - integer micro-unit " +
+        "PageRank (damping 0.85), fixed synchronous rounds, deterministic", 4) {
+      exprs =>
+        expand(graft.operators.Graph.pageRank(
+          SparkSession.active.table(litStr(exprs(0), "edge table")),
+          litStr(exprs(1), "source column"), litStr(exprs(2), "destination column"),
+          litInt(exprs(3), "iterations")))
+    }
+    registerTable("label_prop",
+      "label_prop('edgeTable', 'srcCol', 'dstCol', 'seedTable', 'seedIdCol', " +
+        "'seedLabelCol', rounds) - semi-supervised plurality-vote label spread, " +
+        "frozen seeds, min-label tie-break", 7) {
+      exprs =>
+        expand(graft.operators.Graph.labelPropagation(
+          SparkSession.active.table(litStr(exprs(0), "edge table")),
+          litStr(exprs(1), "source column"), litStr(exprs(2), "destination column"),
+          SparkSession.active.table(litStr(exprs(3), "seed table")),
+          litStr(exprs(4), "seed id column"), litStr(exprs(5), "seed label column"),
+          litInt(exprs(6), "rounds")))
+    }
+
     // discoverability: the TVF catalog as a TVF (SHOW-FUNCTIONS-style;
     // builds at CALL time, after every registration above has run)
     registerTable("graft_functions",

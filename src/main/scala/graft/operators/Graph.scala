@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge frames — the quality-propagation
+  * layer of a training-data pipeline: centrality scoring (PageRank) and
+  * semi-supervised label spread (label propagation) over the kNN /
+  * near-dup graphs the dedup+ANN family already produces.
+  *
+  * Both operators follow the engine's iterative contract (the
+  * [[Dedup.connectedComponents]] pattern): a FIXED number of synchronous
+  * rounds, one keyed aggregation per round, `localCheckpoint` per round to
+  * truncate lineage (on a cluster: reliable checkpointing), retired
+  * rounds' blocks freed in-loop. And both are *integer-exact*: ranks ride
+  * as micro-units with integral division and label votes break ties on
+  * (count DESC, label ASC) — a strict total order — so results are
+  * bit-identical across engines, partitionings, and runs; no
+  * order-dependent float summation ever surfaces (the
+  * [[graft.functions.Portable]] rule).
+  */
+object Graph {
+
+  /** PageRank with fixed `iterations` and integer micro-unit arithmetic.
+    *
+    * Every node starts at 1,000,000 micro-units. Per round, node v
+    * receives S(v) = Σ over in-edges (u,v) of `r(u) div outdeg(u)`
+    * (integral division), then
+    * `r'(v) = base + (dampingPct · S(v)) div 100` with
+    * `base = (1,000,000 · (100 − dampingPct)) div 100`.
+    * Integer sums are order-free, so the result is deterministic —
+    * unlike float PageRank, whose partition-order summation never
+    * hash-matches across engines. Rounding leaks a few micro-units per
+    * edge per round and dangling nodes (no out-edges) leak their whole
+    * rank share — both standard for the no-redistribution variant and
+    * identical in any engine replaying the same rule.
+    *
+    * Scale shape: edges join the degree table and the rank frame on the
+    * source key, then one keyed sum on the destination — two
+    * co-partitioned shuffles + one aggregation per round, each bounded by
+    * |E|; rank state is one row per node. No step ever materializes
+    * anything bigger than the edge list (the Pregel shape, expressed
+    * declaratively so AQE handles skewed hub nodes). Total work is
+    * `iterations × O(|E|)` — fixed rounds, no convergence test, no
+    * driver-side data.
+    *
+    * Output: `(node_id, rank_micro)`. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1, "iterations >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    val idType = edges.schema(srcCol).dataType
+    val base = (1000000L * (100 - dampingPct)) / 100
+    val e = edges.select(col(srcCol).cast("long").as("_s"), col(dstCol).cast("long").as("_d"))
+    // degree rides WITH each edge (one join, reused every round)
+    val withDeg = graft.CacheScope.track(
+      e.join(e.groupBy("_s").agg(count(lit(1)).as("_deg")), "_s").cache())
+    val nodes = graft.CacheScope.track(
+      e.select(col("_s").as("_id")).union(e.select(col("_d").as("_id")))
+        .distinct().cache())
+    var r = nodes.withColumn("_r", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val sums = withDeg
+        .join(r.withColumnRenamed("_id", "_s"), "_s")
+        .select(col("_d"), expr("_r div _deg").as("_c"))
+        .groupBy("_d").agg(sum(col("_c")).as("_S"))
+      val next = nodes
+        .join(sums.withColumnRenamed("_d", "_id"), Seq("_id"), "left")
+        .select(col("_id"),
+          (lit(base) + expr(s"($dampingPct * coalesce(_S, 0L)) div 100")).as("_r"))
+        .localCheckpoint()
+      graft.CacheScope.releaseLocalCheckpoint(r)
+      r = next
+    }
+    // the returned plan reads the final round's checkpoint blocks —
+    // register them so the harness's release() frees them post-materialize
+    graft.CacheScope.trackCheckpoint(r)
+    r.select(col("_id").cast(idType).as("node_id"), col("_r").as("rank_micro"))
+  }
+
+  /** Semi-supervised label propagation: spread `seeds`' labels over
+    * `edges` for a fixed number of synchronous rounds.
+    *
+    * Round semantics (mirrored verbatim by the SQL oracle):
+    *   - seeded nodes keep their seed label forever (clamped);
+    *   - every other node adopts the plurality label among its OUT-edge
+    *     neighbors' previous-round labels, ties broken by smallest label
+    *     — a strict total order, so every round is deterministic;
+    *   - a node whose neighbors are all unlabeled keeps its previous
+    *     label (initially null — "unreached").
+    *
+    * Scale shape per round: one join of the edge list against the label
+    * frame on the neighbor key, one (node, label) count aggregation, one
+    * deterministic arg-max (`max_by` over the (count, −label) struct —
+    * an aggregation, not a window sort), one left join back to the node
+    * set. All state is one row per node; fixed rounds bound total work at
+    * `rounds × O(|E|)`.
+    *
+    * Output: `(node_id, label, is_seed)`; `label` stays null for nodes no
+    * seed can reach within `rounds`. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedIdCol: String, seedLabelCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val idType = edges.schema(srcCol).dataType
+    val e = graft.CacheScope.track(
+      edges.select(col(srcCol).cast("long").as("_s"), col(dstCol).cast("long").as("_d")).cache())
+    val seed = graft.CacheScope.track(
+      seeds.select(col(seedIdCol).cast("long").as("_id"),
+        col(seedLabelCol).cast("int").as("_seed")).cache())
+    val nodes = graft.CacheScope.track(
+      e.select(col("_s").as("_id")).union(e.select(col("_d").as("_id")))
+        .distinct()
+        .join(seed, Seq("_id"), "left")
+        .cache())
+    var labels = nodes.withColumn("_lbl", col("_seed")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(labels.select(col("_id").as("_d"), col("_lbl").as("_nl")), "_d")
+        .filter(col("_nl").isNotNull)
+        .groupBy(col("_s"), col("_nl")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("_s"))
+        .agg(max_by(col("_nl"), struct(col("_c"), (-col("_nl")).as("_neg"))).as("_vote"))
+      // seed wins, else this round's plurality vote, else carry previous
+      val next = nodes.select(col("_id"), col("_seed"))
+        .join(votes.select(col("_s").as("_id"), col("_vote")), Seq("_id"), "left")
+        .join(labels.select(col("_id"), col("_lbl").as("_prev")), Seq("_id"), "left")
+        .select(col("_id"), col("_seed"),
+          coalesce(col("_seed"), col("_vote"), col("_prev")).as("_lbl"))
+        .localCheckpoint()
+      graft.CacheScope.releaseLocalCheckpoint(labels)
+      labels = next
+    }
+    graft.CacheScope.trackCheckpoint(labels)
+    labels.select(col("_id").cast(idType).as("node_id"),
+      col("_lbl").as("label"),
+      col("_seed").isNotNull.cast("int").as("is_seed"))
+  }
+}

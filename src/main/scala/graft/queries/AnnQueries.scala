@@ -142,6 +142,24 @@ object AnnQueries {
     "q66_ann_pq" -> q66AnnPq,
     "q67_ann_ivfpq" -> q67AnnIvfPq)
 
+  /** DuckDB CTE fragment yielding `knn(query_id, neighbor_id, sim_micro,
+    * rnk)` — the k=3 cosine kNN graph replay shared by the q108 gate and
+    * the graph-analytics oracles ([[GraphQueries]]), so a scoring or
+    * tie-break change lands in every consumer or in none. */
+  private[queries] val knnEdges3Cte: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       scored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(round(list_cosine_similarity(a.v, b.v) * 100000) AS BIGINT) AS sim_micro
+         FROM e a JOIN e b ON a.vec_id <> b.vec_id
+       ),
+       knn AS (
+         SELECT query_id, neighbor_id, sim_micro,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS rnk
+         FROM scored
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) <= 3
+       )"""
+
   // q51/q52 are approximate → rows-only checks (no oracle entries).
   val oracles: Map[String, String] = Map(
     "q114_contrastive_pairs" ->
@@ -168,16 +186,10 @@ object AnnQueries {
          UNION ALL
          SELECT query_id AS anchor_id, neighbor_id AS pair_id, 'neg' AS role, sim, rank FROM neg""",
     "q108_knn_graph" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         scored AS (
-           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             CAST(round(list_cosine_similarity(a.v, b.v) * 100000) AS BIGINT) AS sim_micro
-           FROM e a JOIN e b ON a.vec_id <> b.vec_id
-         )
+      s"""WITH $knnEdges3Cte
          SELECT query_id, neighbor_id, sim_micro,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS INT) AS rank
-         FROM scored
-         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) <= 3""",
+           CAST(rnk AS INT) AS rank
+         FROM knn""",
     "q109_hard_negatives" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),

@@ -558,6 +558,36 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wp.toSeq == Seq((1L, 2L)))
   }
 
+  test("graph/privacy/FIM TVFs: pagerank, label_prop, snapshot_diff, k_anonymize, fim from plain SQL") {
+    import spark.implicits._
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+      .createOrReplaceTempView("pr_tvf_t")
+    val pr = spark.sql("SELECT * FROM pagerank('pr_tvf_t', 's', 'd', 1)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.release()
+    assert(pr == Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1425000L))
+    Seq((10L, 11L), (10L, 12L)).toDF("s", "d").createOrReplaceTempView("lp_e_t")
+    Seq((11L, 2), (12L, 1)).toDF("id", "lbl").createOrReplaceTempView("lp_s_t")
+    val lp = spark.sql(
+      "SELECT * FROM label_prop('lp_e_t', 's', 'd', 'lp_s_t', 'id', 'lbl', 1)")
+      .filter($"node_id" === 10L).head()
+    graft.CacheScope.release()
+    assert(lp.getInt(1) == 1, "tie breaks to the smallest label via SQL too")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("sd_old_t")
+    Seq((2L, "c"), (3L, "d")).toDF("id", "v").createOrReplaceTempView("sd_new_t")
+    val sd = spark.sql("SELECT * FROM snapshot_diff('sd_old_t', 'sd_new_t', 'id', 'v')")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sd == Map(1L -> "removed", 2L -> "changed", 3L -> "added"))
+    (1 to 6).map(i => ("A", 1)).toDF("seg", "sub").createOrReplaceTempView("ka_tvf_t")
+    val ka = spark.sql("SELECT * FROM k_anonymize('ka_tvf_t', 'seg, sub', 5)").collect()
+    graft.CacheScope.release()
+    assert(ka.length == 6 && ka.forall(_.getInt(2) == 0))
+    Seq((1L, "x" * 100)).toDF("doc_id", "text").createOrReplaceTempView("fim_tvf_t")
+    val fim = spark.sql("SELECT * FROM fim('fim_tvf_t', 'doc_id', 'text', 16)").head()
+    assert(fim.getAs[String]("prefix") + fim.getAs[String]("middle") +
+      fim.getAs[String]("suffix") == "x" * 100)
+  }
+
   test("graft_functions() lists the whole TVF surface, including itself") {
     val fns = spark.sql("SELECT function FROM graft_functions()")
       .collect().map(_.getString(0)).toSet

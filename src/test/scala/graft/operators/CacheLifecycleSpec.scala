@@ -139,6 +139,21 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(CacheScope.pendingCount == 0)
   }
 
+  test("pageRank releases its edge/degree caches and the final-round checkpoint") {
+    assertReleasedAfter(expectTracked = true) {
+      val edges = emb.select(col("vec_id").as("s"), ((col("vec_id") * 7) % 100).cast("long").as("d"))
+      Graph.pageRank(edges, "s", "d", iterations = 3).count()
+    }
+  }
+
+  test("labelPropagation releases its caches and the final-round checkpoint") {
+    assertReleasedAfter(expectTracked = true) {
+      val edges = emb.select(col("vec_id").as("s"), ((col("vec_id") * 7) % 100).cast("long").as("d"))
+      val seeds = emb.filter(col("vec_id") % 10 === 0).select(col("vec_id"), col("label"))
+      Graph.labelPropagation(edges, "s", "d", seeds, "vec_id", "label", rounds = 3).count()
+    }
+  }
+
   test("releaseLocalCheckpoint frees blocks that Dataset.unpersist silently cannot") {
     CacheScope.release()
     val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hand-computed integer recurrence on a 3-node graph") {
+    // a -> b, a -> c, b -> c, c -> a  (deg: a=2, b=1, c=1)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    def run(iters: Int): Map[Long, Long] =
+      Graph.pageRank(edges, "s", "d", iterations = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 from r=1_000_000 each:
+    //   S(a)=r(c)/1 = 1_000_000          -> 150_000 + 850_000 = 1_000_000
+    //   S(b)=r(a) div 2 = 500_000        -> 150_000 + 425_000 = 575_000
+    //   S(c)=r(a) div 2 + r(b) = 1_500_000 -> 150_000 + 1_275_000 = 1_425_000
+    assert(run(1) == Map(1L -> 1000000L, 2L -> 575000L, 3L -> 1425000L))
+    // round 2 replays the same rule from round 1's values:
+    //   S(a)=1_425_000            -> 150_000 + (85*1_425_000) div 100 = 1_361_250
+    //   S(b)=1_000_000 div 2      -> 150_000 + 425_000 = 575_000
+    //   S(c)=500_000 + 575_000    -> 150_000 + (85*1_075_000) div 100 = 1_063_750
+    assert(run(2) == Map(1L -> 1361250L, 2L -> 575000L, 3L -> 1063750L))
+    graft.CacheScope.release()
+  }
+
+  test("pageRank: mass conserved up to integral-division leak; dangling node absorbs") {
+    // include a dangling node 4 (in-edges only): its rank leaks each round
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("s", "d")
+    val iters = 6
+    val out = Graph.pageRank(edges, "s", "d", iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    val total = out.values.sum
+    // never above the initial mass; leak bounded (loosely) by the dangling
+    // node's absorbed share plus per-edge rounding
+    assert(total <= 4L * 1000000L)
+    assert(out(4L) >= 150000L, "dangling node keeps at least the base share")
+    assert(out.values.forall(_ >= 150000L), "base share is a floor for every node")
+    graft.CacheScope.release()
+  }
+
+  test("pageRank: deterministic under repartitioning") {
+    val edges = (1 to 200).flatMap(i =>
+      Seq((i.toLong, ((i * 7) % 200 + 1).toLong), (i.toLong, ((i * 13) % 200 + 1).toLong)))
+      .toDF("s", "d")
+    val a = Graph.pageRank(edges, "s", "d", 5).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Graph.pageRank(edges.repartition(7), "s", "d", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+    graft.CacheScope.release()
+  }
+
+  test("labelPropagation: BFS-like spread, frozen seeds, min-label ties, unreached stays null") {
+    // path 1 -> 2 -> 3 -> 4 (edges point AT the next node's neighbor set:
+    // node v votes from its OUT-neighbors), seed at node 4; node 5 isolated
+    // receiver chain never reached by any labeled neighbor.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("s", "d")
+    val seeds = Seq((4L, 7)).toDF("id", "lbl")
+    def run(rounds: Int): Map[Long, (Option[Int], Int)] =
+      Graph.labelPropagation(edges, "s", "d", seeds, "id", "lbl", rounds)
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getInt(1))), r.getInt(2))).toMap
+    val r1 = run(1)
+    assert(r1(4L) == (Some(7), 1) && r1(3L) == (Some(7), 0), "one hop after round 1")
+    assert(r1(2L)._1.isEmpty && r1(1L)._1.isEmpty)
+    val r3 = run(3)
+    assert(r3(1L) == (Some(7), 0) && r3(2L) == (Some(7), 0) && r3(3L) == (Some(7), 0))
+    assert(r3(5L)._1.isEmpty && r3(6L)._1.isEmpty, "disconnected pair stays unlabeled")
+    // plurality with min-label tie-break: node 10 sees labels {1, 2} once each
+    val e2 = Seq((10L, 11L), (10L, 12L)).toDF("s", "d")
+    val s2 = Seq((11L, 2), (12L, 1)).toDF("id", "lbl")
+    val t = Graph.labelPropagation(e2, "s", "d", s2, "id", "lbl", 1)
+      .filter(col("node_id") === 10L).head()
+    assert(t.getInt(1) == 1, "tie must break to the smallest label")
+    // seed never flips even when outvoted
+    val e3 = Seq((20L, 21L), (20L, 22L), (20L, 23L)).toDF("s", "d")
+    val s3 = Seq((20L, 9), (21L, 1), (22L, 1), (23L, 1)).toDF("id", "lbl")
+    val f = Graph.labelPropagation(e3, "s", "d", s3, "id", "lbl", 4)
+      .filter(col("node_id") === 20L).head()
+    assert(f.getInt(1) == 9 && f.getInt(2) == 1)
+    graft.CacheScope.release()
+  }
+}
