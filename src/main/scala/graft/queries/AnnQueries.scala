@@ -153,7 +153,7 @@ object AnnQueries {
            CAST(round(list_cosine_similarity(a.v, b.v) * 100000) AS BIGINT) AS sim_micro
          FROM e a JOIN e b ON a.vec_id <> b.vec_id
        ),
-       knn AS (
+       knn AS MATERIALIZED (
          SELECT query_id, neighbor_id, sim_micro,
            row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS rnk
          FROM scored

@@ -50,10 +50,10 @@ object GraphQueries {
     sb ++= s"WITH ${AnnQueries.knnEdges3Cte},\n"
     sb ++= "deg AS (SELECT query_id AS s, count(*) AS deg FROM knn GROUP BY 1),\n"
     sb ++= "nodes AS (SELECT DISTINCT query_id AS id FROM knn UNION SELECT DISTINCT neighbor_id FROM knn),\n"
-    sb ++= "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes)"
+    sb ++= "r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes)"
     for (i <- 1 to iters) {
       sb ++= s""",
-        r$i AS (
+        r$i AS MATERIALIZED (
           SELECT n.id,
             CAST(150000 + (85 * coalesce(sums.S, 0)) // 100 AS BIGINT) AS r
           FROM nodes n LEFT JOIN (
@@ -76,11 +76,11 @@ object GraphQueries {
     sb ++= s"WITH ${AnnQueries.knnEdges3Cte},\n"
     sb ++= "nodes AS (SELECT DISTINCT query_id AS id FROM knn UNION SELECT DISTINCT neighbor_id FROM knn),\n"
     sb ++= "seeds AS (SELECT vec_id AS id, CAST(label AS INT) AS seed FROM embeddings WHERE vec_id % 10 = 0),\n"
-    sb ++= "ns AS (SELECT n.id, s.seed FROM nodes n LEFT JOIN seeds s ON n.id = s.id),\n"
-    sb ++= "l0 AS (SELECT id, seed, seed AS lbl FROM ns)"
+    sb ++= "ns AS MATERIALIZED (SELECT n.id, s.seed FROM nodes n LEFT JOIN seeds s ON n.id = s.id),\n"
+    sb ++= "l0 AS MATERIALIZED (SELECT id, seed, seed AS lbl FROM ns)"
     for (i <- 1 to rounds) {
       sb ++= s""",
-        l$i AS (
+        l$i AS MATERIALIZED (
           SELECT ns.id, ns.seed, coalesce(ns.seed, v.vote, p.lbl) AS lbl
           FROM ns
           LEFT JOIN (
