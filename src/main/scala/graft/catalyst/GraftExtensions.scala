@@ -840,6 +840,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "minChars")))
     }
+    registerTable("rouge",
+      "rouge('docsTable', 'idCol', 'textCol', 'pairsTable', 'aCol', 'bCol') - " +
+        "ROUGE-1/2 P/R/F (multiset-clipped, integer micro-units) per pair", 6) {
+      exprs =>
+        expand(graft.operators.TextOps.rougeScores(
+          SparkSession.active.table(litStr(exprs(0), "docs table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          SparkSession.active.table(litStr(exprs(3), "pairs table")),
+          litStr(exprs(4), "pair a column"), litStr(exprs(5), "pair b column")))
+    }
     registerTable("pagerank",
       "pagerank('edgeTable', 'srcCol', 'dstCol', iterations) - integer micro-unit " +
         "PageRank (damping 0.85), fixed synchronous rounds, deterministic", 4) {

@@ -1290,4 +1290,71 @@ object TextOps {
         (col("_tvObs") + (lit(buckets) - col("_nobs")) *
           round(lit(1e9) * lit(0.5) * abs(pg0 - pc0)).cast("long")).as("tv_nano"))
   }
+
+  /** ROUGE-N overlap scores for a given pair list — the n-gram
+    * precision/recall/F1 an eval harness computes between candidate and
+    * reference texts (summarization eval, near-dup audit, decontamination
+    * triage). For each `(aCol, bCol)` pair and each n in `ns`, emits
+    * `rouge{n}_p_micro / _r_micro / _f_micro` where
+    * precision = clipped matches / candidate grams, recall = clipped
+    * matches / reference grams, and "clipped" is the MULTISET
+    * intersection (per gram, min of the two occurrence counts — the
+    * ROUGE definition; a distinct-set intersection would overcount
+    * repeated grams). All three ride as integral micro-units computed
+    * with integer division only — `p = (1e6·m) div t` — so results are
+    * bit-identical in any engine.
+    *
+    * Scale shape: gram tables are built ONLY for docs that appear in the
+    * pair list (semi join first), tokenized once per doc and cached
+    * across the n values; per n the pair list joins the a-side gram
+    * table on id then the b-side on (id, gram) — work is
+    * Σ_pairs |grams(a)|, never corpus². Pairs with zero shared grams
+    * score 0 (left join + coalesce), they are not dropped.
+    */
+  def rougeScores(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns: non-empty, each >= 1")
+    val p = graft.CacheScope.track(
+      pairs.select(col(aCol).cast("long").as("id_a"), col(bCol).cast("long").as("id_b"))
+        .cache())
+    val members = p.select(col("id_a").as("_m")).union(p.select(col("id_b"))).distinct()
+    val toks = graft.CacheScope.track(
+      docs.join(members, col(idCol).cast("long") === col("_m"), "left_semi")
+        .select(col(idCol).cast("long").as("_id"),
+          graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+        .cache())
+    var out = p
+    for (n <- ns) {
+      val counts = graft.CacheScope.track(
+        toks.select(col("_id"), explode(ngramArr(col("_toks"), n)).as("_g"))
+          .groupBy("_id", "_g").agg(count(lit(1)).as("_c"))
+          .cache())
+      val totals = counts.groupBy("_id").agg(sum(col("_c")).as("_t"))
+      val matches = p
+        .join(counts.select(col("_id").as("id_a"), col("_g"), col("_c").as("_ca")), Seq("id_a"))
+        .join(counts.select(col("_id").as("id_b"), col("_g"), col("_c").as("_cb")),
+          Seq("id_b", "_g"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(least(col("_ca"), col("_cb"))).as("_m"))
+      val pr = out
+        .join(matches, Seq("id_a", "id_b"), "left")
+        .join(totals.select(col("_id").as("id_a"), col("_t").as("_ta")), Seq("id_a"), "left")
+        .join(totals.select(col("_id").as("id_b"), col("_t").as("_tb")), Seq("id_b"), "left")
+        .withColumn(s"rouge${n}_p_micro",
+          when(col("_ta") > 0, expr("(1000000 * coalesce(_m, 0L)) div _ta")).otherwise(0L))
+        .withColumn(s"rouge${n}_r_micro",
+          when(col("_tb") > 0, expr("(1000000 * coalesce(_m, 0L)) div _tb")).otherwise(0L))
+      out = pr
+        .withColumn(s"rouge${n}_f_micro",
+          when(col(s"rouge${n}_p_micro") + col(s"rouge${n}_r_micro") > 0,
+            expr(s"(2 * rouge${n}_p_micro * rouge${n}_r_micro) div " +
+              s"(rouge${n}_p_micro + rouge${n}_r_micro)")).otherwise(0L))
+        .drop("_m", "_ta", "_tb")
+    }
+    // joins move their keys to the front — pin the output order: pair ids
+    // first, then the metric columns in ns order
+    val metricCols = ns.flatMap(n => Seq(s"rouge${n}_p_micro", s"rouge${n}_r_micro", s"rouge${n}_f_micro"))
+    out.select(("id_a" +: "id_b" +: metricCols).map(col): _*)
+  }
 }

@@ -177,7 +177,47 @@ object DedupQueries {
         "n_chars", n = 3, minJaccard = 0.4)
       .select("cluster_rep", "doc_id", "n_chars")
 
+  // ROUGE-1/2 P/R/F between the members of every q42 near-dup pair — the
+  // eval-harness overlap metric computed corpus-side, multiset-clipped
+  // per the ROUGE definition, integer micro-units only.
+  def q134Rouge(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.4)
+    graft.operators.TextOps.rougeScores(docs, "doc_id", "text",
+      pairs, "id_a", "id_b", ns = Seq(1, 2))
+  }
+
+  // Curation v6 — the graph-era operators composed end to end: exact
+  // cosine near-dup pairs -> connected components -> PageRank centrality
+  // over the kNN graph -> keep the most CENTRAL member of every
+  // duplicate cluster (tie: smallest id). "Keep best" upgraded from the
+  // q120 scalar-quality rule to a graph prior: the survivor is the most
+  // prototypical document, not just the longest.
+  def q135CurationV6(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val clusters = Dedup.connectedComponents(
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45), "id_a", "id_b")
+    val pr = graft.operators.Graph.pageRank(
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id"),
+      "query_id", "neighbor_id", iterations = 12)
+    emb.select(col("vec_id"))
+      .join(clusters.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("cluster", coalesce(col("rep"), col("vec_id")))
+      .join(pr.withColumnRenamed("node_id", "vec_id"), Seq("vec_id"))
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(
+          struct(col("vec_id").as("kept_id"), col("rank_micro").as("kept_rank_micro")),
+          struct(col("rank_micro"), (-col("vec_id")).as("_n"))).as("_k"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster"), col("_k.kept_id").as("kept_id"),
+        col("_k.kept_rank_micro").as("kept_rank_micro"), col("cluster_size"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_rouge" -> q134Rouge,
+    "q135_curation_v6" -> q135CurationV6,
     "q120_dedup_keep_best" -> q120DedupKeepBest,
     "q111_split_leakage" -> q111SplitLeakage,
     "q93_source_overlap" -> q93SourceOverlap,
@@ -228,7 +268,86 @@ object DedupQueries {
     s"""WITH ${jaccardCtesSql(n, thr)}
         SELECT id_a, id_b, jaccard FROM jp"""
 
+  /** q134 oracle: multiset-clipped ROUGE-1/2 over the q42 pair set —
+    * same shingle fragment as the pair gate, gram tables materialized
+    * (each feeds totals + both match sides). */
+  private val q134OracleSql: String = {
+    def gramsSql(n: Int, name: String) =
+      s"""$name AS MATERIALIZED (
+           SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(t) - ${n - 1}, 0)),
+               i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+             FROM toks) GROUP BY doc_id, g)"""
+    def matchSql(n: Int) =
+      s"""m$n AS (SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+           FROM p JOIN g$n a ON a.doc_id = p.id_a
+           JOIN g$n b ON b.doc_id = p.id_b AND b.g = a.g
+           GROUP BY 1, 2)"""
+    def prSql(n: Int) =
+      s"""CASE WHEN coalesce(ta$n.t, 0) > 0
+            THEN (1000000 * coalesce(m$n.m, 0)) // ta$n.t ELSE 0 END AS p$n,
+          CASE WHEN coalesce(tb$n.t, 0) > 0
+            THEN (1000000 * coalesce(m$n.m, 0)) // tb$n.t ELSE 0 END AS r$n"""
+    s"""WITH ${jaccardCtesSql(3, 0.4)},
+        p AS MATERIALIZED (SELECT id_a, id_b FROM jp),
+        toks AS MATERIALIZED (
+          SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+          WHERE doc_id IN (SELECT id_a FROM p UNION SELECT id_b FROM p)),
+        ${gramsSql(1, "g1")}, ${gramsSql(2, "g2")},
+        t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM g1 GROUP BY 1),
+        t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM g2 GROUP BY 1),
+        ${matchSql(1)}, ${matchSql(2)},
+        pr AS (SELECT p.id_a, p.id_b, ${prSql(1)}, ${prSql(2)}
+          FROM p
+          LEFT JOIN m1 ON m1.id_a = p.id_a AND m1.id_b = p.id_b
+          LEFT JOIN t1 ta1 ON ta1.doc_id = p.id_a
+          LEFT JOIN t1 tb1 ON tb1.doc_id = p.id_b
+          LEFT JOIN m2 ON m2.id_a = p.id_a AND m2.id_b = p.id_b
+          LEFT JOIN t2 ta2 ON ta2.doc_id = p.id_a
+          LEFT JOIN t2 tb2 ON tb2.doc_id = p.id_b)
+        SELECT id_a, id_b,
+          p1 AS rouge1_p_micro, r1 AS rouge1_r_micro,
+          CASE WHEN p1 + r1 > 0 THEN (2 * p1 * r1) // (p1 + r1) ELSE 0 END AS rouge1_f_micro,
+          p2 AS rouge2_p_micro, r2 AS rouge2_r_micro,
+          CASE WHEN p2 + r2 > 0 THEN (2 * p2 * r2) // (p2 + r2) ELSE 0 END AS rouge2_f_micro
+        FROM pr"""
+  }
+
+  /** q135 oracle: the composition replayed — kNN + unrolled PageRank
+    * (shared fragments with q108/q132), cosine pairs + recursive-CTE
+    * components (shared shape with q55), then keep-most-central. */
+  private val q135OracleSql: String =
+    s"""WITH RECURSIVE ${AnnQueries.knnEdges3Cte},
+        ${GraphQueries.pageRankChainCtes},
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45),
+        edges2 AS (SELECT id_a AS x, id_b AS y FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+        walk(id, rep) AS (
+          SELECT x, x FROM (SELECT DISTINCT x FROM edges2) t
+          UNION
+          SELECT e2.x, w.rep FROM edges2 e2 JOIN walk w ON w.id = e2.y),
+        cc AS (SELECT id, min(rep) AS rep FROM walk GROUP BY id),
+        base AS MATERIALIZED (
+          SELECT em.vec_id, coalesce(cc.rep, em.vec_id) AS cluster, r.r AS rank_micro
+          FROM embeddings em
+          LEFT JOIN cc ON cc.id = em.vec_id
+          JOIN r12 r ON r.id = em.vec_id),
+        sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+               FROM base GROUP BY 1),
+        keep AS (SELECT cluster, vec_id AS kept_id, rank_micro AS kept_rank_micro
+                 FROM base
+                 QUALIFY row_number() OVER (PARTITION BY cluster
+                   ORDER BY rank_micro DESC, vec_id) = 1)
+        SELECT k.cluster, k.kept_id, k.kept_rank_micro, s.cluster_size
+        FROM keep k JOIN sz s USING (cluster)"""
+
   val oracles: Map[String, String] = Map(
+    "q134_rouge" -> q134OracleSql,
+    "q135_curation_v6" -> q135OracleSql,
     "q120_dedup_keep_best" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
           pairs AS (

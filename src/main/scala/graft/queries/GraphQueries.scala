@@ -41,15 +41,17 @@ object GraphQueries {
     "q132_pagerank" -> q132PageRank,
     "q133_label_prop" -> q133LabelProp)
 
-  /** q132 oracle: the integer PageRank recurrence unrolled — one CTE per
-    * round over the shared kNN edge replay. `//` is DuckDB integral
-    * division = Spark's `div` on the non-negative values used here. */
-  private val q132OracleSql: String = {
+  /** The integer PageRank recurrence unrolled as a CTE chain ending at
+    * `r12(id, r)` — shared by the q132 gate and the curation-v6
+    * composition (q135) so "what PageRank computes" is defined once.
+    * Assumes the kNN fragment ([[AnnQueries.knnEdges3Cte]]) precedes it.
+    * `//` is DuckDB integral division = Spark's `div` on the
+    * non-negative values used here. */
+  private[queries] val pageRankChainCtes: String = {
     val iters = 12
     val sb = new StringBuilder
-    sb ++= s"WITH ${AnnQueries.knnEdges3Cte},\n"
     sb ++= "deg AS (SELECT query_id AS s, count(*) AS deg FROM knn GROUP BY 1),\n"
-    sb ++= "nodes AS (SELECT DISTINCT query_id AS id FROM knn UNION SELECT DISTINCT neighbor_id FROM knn),\n"
+    sb ++= "nodes AS (SELECT DISTINCT id FROM (SELECT query_id AS id FROM knn UNION ALL SELECT neighbor_id FROM knn)),\n"
     sb ++= "r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes)"
     for (i <- 1 to iters) {
       sb ++= s""",
@@ -63,9 +65,13 @@ object GraphQueries {
             JOIN r${i - 1} p ON p.id = k.query_id
             GROUP BY k.neighbor_id) sums ON n.id = sums.id)"""
     }
-    sb ++= s"\nSELECT id AS node_id, r AS rank_micro FROM r$iters"
     sb.toString
   }
+
+  private val q132OracleSql: String =
+    s"""WITH ${AnnQueries.knnEdges3Cte},
+        $pageRankChainCtes
+        SELECT id AS node_id, r AS rank_micro FROM r12"""
 
   /** q133 oracle: the plurality-vote rounds unrolled; tie-break
     * (count DESC, label ASC) mirrors the engine's max_by over
@@ -74,7 +80,7 @@ object GraphQueries {
     val rounds = 8
     val sb = new StringBuilder
     sb ++= s"WITH ${AnnQueries.knnEdges3Cte},\n"
-    sb ++= "nodes AS (SELECT DISTINCT query_id AS id FROM knn UNION SELECT DISTINCT neighbor_id FROM knn),\n"
+    sb ++= "nodes AS (SELECT DISTINCT id FROM (SELECT query_id AS id FROM knn UNION ALL SELECT neighbor_id FROM knn)),\n"
     sb ++= "seeds AS (SELECT vec_id AS id, CAST(label AS INT) AS seed FROM embeddings WHERE vec_id % 10 = 0),\n"
     sb ++= "ns AS MATERIALIZED (SELECT n.id, s.seed FROM nodes n LEFT JOIN seeds s ON n.id = s.id),\n"
     sb ++= "l0 AS MATERIALIZED (SELECT id, seed, seed AS lbl FROM ns)"

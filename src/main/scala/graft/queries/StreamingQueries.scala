@@ -233,6 +233,19 @@ object StreamingQueries {
   // tables; only the per-doc NLL aggregation is stateful (complete mode
   // over the bounded stream). Stream == batch exactly, so q92's oracle
   // applies VERBATIM (the q78 convention).
+  // Streaming twin of q131: fill-in-the-middle transformation of a
+  // DOCUMENT STREAM — content-addressed cuts are pure per-row
+  // projections, so the whole transform is stateless and rides each
+  // micro-batch with no state store. Same oracle as q131 VERBATIM
+  // (the q78 convention: stream and batch must agree exactly).
+  def q136StreamFim(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    drain(TextQueries.fimExport(graft.operators.Relational.fimTransform(
+      docs.select("doc_id", "text"), "doc_id", "text", minChars = 64)), "append")
+  }
+
   def q98StreamLmScore(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -345,7 +358,8 @@ object StreamingQueries {
     "q89_stream_quota_sample" -> q89StreamQuotaSample,
     "q98_stream_lm_score" -> q98StreamLmScore,
     "q115_stream_shard_manifest" -> q115StreamShardManifest,
-    "q116_stream_nb_classify" -> q116StreamNbClassify)
+    "q116_stream_nb_classify" -> q116StreamNbClassify,
+    "q136_stream_fim" -> q136StreamFim)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -353,6 +367,7 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     // the batch oracle verbatim: stream and browse must agree exactly
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
+    "q136_stream_fim" -> TextQueries.oracles("q131_fim"),
     "q125_stream_sentence_split" -> TextQueries.oracles("q122_sentence_split"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q107_stream_incremental_neardup" -> DedupQueries.oracles("q106_incremental_neardup"),

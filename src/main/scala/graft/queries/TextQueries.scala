@@ -528,11 +528,15 @@ object TextQueries {
   // pins all three segment lengths; docs under 64 chars pass through
   // unsplit (fim_applied = 0).
   def q131Fim(s: SparkSession, d: String): DataFrame =
-    graft.operators.Relational.fimTransform(
-        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", minChars = 64)
-      .select(col("doc_id"), col("fim_applied"),
-        length(col("prefix")).as("n_pre"), length(col("middle")).as("n_mid"),
-        length(col("suffix")).as("n_suf"), md5(col("fim_text")).as("fim_md5"))
+    fimExport(graft.operators.Relational.fimTransform(
+      Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", minChars = 64))
+
+  /** The q131 gate projection (lengths + assembled-string md5) — shared
+    * with the streaming twin (q136) so both gates export identically. */
+  private[queries] def fimExport(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("fim_applied"),
+      length(col("prefix")).as("n_pre"), length(col("middle")).as("n_mid"),
+      length(col("suffix")).as("n_suf"), md5(col("fim_text")).as("fim_md5"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_fim" -> q131Fim,

@@ -586,6 +586,16 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fim = spark.sql("SELECT * FROM fim('fim_tvf_t', 'doc_id', 'text', 16)").head()
     assert(fim.getAs[String]("prefix") + fim.getAs[String]("middle") +
       fim.getAs[String]("suffix") == "x" * 100)
+    Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+      .createOrReplaceTempView("rg_docs_t")
+    Seq((1L, 2L)).toDF("id_a", "id_b").createOrReplaceTempView("rg_pairs_t")
+    val rg = spark.sql(
+      "SELECT * FROM rouge('rg_docs_t', 'doc_id', 'text', 'rg_pairs_t', 'id_a', 'id_b')")
+      .head()
+    graft.CacheScope.release()
+    // clipped unigrams: a:1+? cand {a:2,b:1} ref {a:1,b:1} -> m=2; p=2/3, r=2/2
+    assert(rg.getAs[Long]("rouge1_p_micro") == 666666L &&
+      rg.getAs[Long]("rouge1_r_micro") == 1000000L)
   }
 
   test("graft_functions() lists the whole TVF surface, including itself") {

@@ -696,4 +696,25 @@ class TextOpsSpec extends SparkSpec {
     assert(meta.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq ==
       Seq("a-", "b]", "c^", "d.", "next"))
   }
+
+  test("rougeScores: hand-computed clipped multiset counts, zero-overlap pairs kept at 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // unigram counts: the:2 cat sat on mat (6 total)
+      (2L, "the cat on the mat"),     // the:2 cat on mat (5 total)
+      (3L, "zebra")                   // 1 unigram, 0 bigrams
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = TextOps.rougeScores(docs, "doc_id", "text", pairs, "id_a", "id_b", Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("rouge1_p_micro"), r.getAs[Long]("rouge1_r_micro"),
+         r.getAs[Long]("rouge1_f_micro"), r.getAs[Long]("rouge2_p_micro"),
+         r.getAs[Long]("rouge2_r_micro"), r.getAs[Long]("rouge2_f_micro"))).toMap
+    graft.CacheScope.release()
+    // clipped unigrams (1,2): the:2 cat:1 on:1 mat:1 = 5 of cand 6 / ref 5
+    // clipped bigrams: "the cat","on the","the mat" = 3 of cand 5 / ref 4
+    assert(out((1L, 2L)) == (833333L, 1000000L, 909090L, 600000L, 750000L, 666666L))
+    // zero overlap: pair survives with all-zero scores (ref has no bigrams at all)
+    assert(out((1L, 3L)) == (0L, 0L, 0L, 0L, 0L, 0L))
+  }
 }
