@@ -540,7 +540,7 @@ object Relational {
     * compared payload; null on the absent side). One full-outer
     * sort-merge join — a single shuffle per side on the key, no window,
     * no driver state. Fingerprints are md5 over a '|'-joined string cast
-    * of `compareCols` (null → literal " "), portable to any engine
+    * of `compareCols` (null → literal " "), portable to any engine
     * that has md5, so a downstream system can recompute and audit the
     * diff without re-reading either snapshot.
     */
@@ -549,7 +549,7 @@ object Relational {
     require(keys.nonEmpty, "at least one key column")
     require(compareCols.nonEmpty, "at least one compare column")
     def fp(df: DataFrame) = md5(concat_ws("|",
-      compareCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
+      compareCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
     val o = oldDf.select(keys.map(col) :+ fp(oldDf).as("old_fp"): _*)
     val n = newDf.select(keys.map(col) :+ fp(newDf).as("new_fp"): _*)
     o.join(n, keys, "full_outer")
@@ -588,7 +588,7 @@ object Relational {
     var published: DataFrame = null
     for (level <- 0 to quasiCols.size) {
       val masked = quasiCols.zipWithIndex.map { case (c, i) =>
-        (if (i < quasiCols.size - level) coalesce(col(c), lit(" "))
+        (if (i < quasiCols.size - level) coalesce(col(c), lit(" "))
          else lit("*")).as(c)
       }
       // Each level's masked view feeds three consumers (the group count,
