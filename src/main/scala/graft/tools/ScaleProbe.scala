@@ -543,6 +543,68 @@ object ScaleProbe {
     time("curation v5 1x")(v5(1))
     time("curation v5 10x")(v5(10))
 
+    // --- graph analytics: synthetic k=3-regular digraph, constant degree
+    // (per-round work is O(|E|); honest scale-up = 10x nodes AND edges)
+    def graphEdges(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("s"),
+          explode(array(lit(7), lit(13), lit(31))).as("_m"))
+        .select(col("s"), ((col("s") * col("_m") + 1) % n).as("d"))
+    def prCount(n: Long): Long =
+      graft.operators.Graph.pageRank(graphEdges(n), "s", "d", iterations = 6)
+        .agg(sum(col("rank_micro"))).head().getLong(0) / 1000000L
+    time("pagerank 1x (200k nodes, 600k edges, 6 rounds)")(prCount(200000L))
+    time("pagerank 10x (2M nodes, 6M edges)")(prCount(2000000L))
+    def lpCount(n: Long): Long = {
+      val seeds = spark.range(0, n, 10).select(col("id"), (col("id") % 7).cast("int").as("lbl"))
+      graft.operators.Graph.labelPropagation(graphEdges(n), "s", "d",
+          seeds, "id", "lbl", rounds = 4)
+        .filter(col("label").isNotNull).count()
+    }
+    time("label prop 1x (200k nodes, 4 rounds)")(lpCount(200000L))
+    time("label prop 10x (2M nodes)")(lpCount(2000000L))
+
+    // --- rouge: adjacent-id pairs over salted copies — pair count and
+    // corpus both grow 10x (constant per-pair work)
+    def rougeX(k: Int): Long = {
+      val d = docsX(k)
+      val p = d.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      TextOps.rougeScores(d, "doc_id", "text", p, "id_a", "id_b", Seq(1, 2))
+        .agg(sum(col("rouge1_f_micro"))).head().getLong(0)
+    }
+    time("rouge pairs 1x")(rougeX(1))
+    time("rouge pairs 10x (10x docs and pairs)")(rougeX(10))
+
+    // --- k-anonymity: fixed combination space, 10x rows (level counts
+    // shift toward 0 as groups fill — the aggregation is the cost)
+    def kAnonX(n: Long): Long = {
+      val rows = spark.range(n).select(
+        (col("id") % 37).cast("string").as("a"),
+        (col("id") % 997).cast("string").as("b"),
+        (col("id") % 11).cast("string").as("c"))
+      Relational.kAnonymize(rows, Seq("a", "b", "c"), k = 5).count()
+    }
+    time("k-anonymize 1x (500k rows)")(kAnonX(500000L))
+    time("k-anonymize 10x (5M rows)")(kAnonX(5000000L))
+
+    // --- snapshot diff: 10x keys, constant change fraction
+    def diffX(n: Long): Long = {
+      val old = spark.range(n).select(col("id"), (col("id") % 1000).cast("string").as("v"))
+      val neu = spark.range(n / 100, n + n / 100)
+        .select(col("id"), ((col("id") + col("id") % 7) % 1000).cast("string").as("v"))
+      Relational.snapshotDiff(old, neu, Seq("id"), Seq("v")).count()
+    }
+    time("snapshot diff 1x (1M keys)")(diffX(1000000L))
+    time("snapshot diff 10x (10M keys)")(diffX(10000000L))
+
+    // --- fim: pure projection — scan-bound, no shuffle (evaluate the
+    // aggregate VALUE; .count() would let Catalyst prune the transform)
+    def fimX(k: Int): Long =
+      Relational.fimTransform(docsX(k), "doc_id", "text", minChars = 64)
+        .agg(sum(length(col("fim_text")))).head().getLong(0)
+    time("fim transform 1x")(fimX(1))
+    time("fim transform 10x")(fimX(10))
+
     spark.stop()
   }
 }

@@ -472,6 +472,39 @@ class PlanSpec extends SparkSpec {
       "the exploded sentence table must be persisted for its consumers")
   }
 
+  test("q128 window analytics: both windows ride ONE customer-keyed Exchange") {
+    val p = plan(RelationalQueries.q128WindowAnalytics(spark, sf))
+    // two Window nodes (chrono family + spend ntile) but the partitioning
+    // key is shared, so the plan pays a single shuffle and two sorts
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"expected exactly one Exchange:\n${p.take(1200)}")
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 2,
+      s"expected exactly two Window nodes:\n${p.take(1200)}")
+    assert(!p.contains("Join"))
+  }
+
+  test("q129 snapshot diff: one keyed join, fingerprints projected before the shuffle") {
+    val p = plan(RelationalQueries.q129SnapshotDiff(spark, sf))
+    assert(p.contains("FullOuter"), "diff must be a single full-outer keyed join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "no window sort belongs in a diff")
+  }
+
+  test("q131 FIM transform: pure codegen projection — zero Exchange, zero Join") {
+    val p = plan(TextQueries.q131Fim(spark, sf))
+    assert(!p.contains("Exchange"), s"FIM must not shuffle:\n${p.take(800)}")
+    assert(!p.contains("Join"))
+    assert(p.contains("[codegen id :"), "md5/substring cuts must stay in codegen")
+  }
+
+  test("q135 curation v6: composition stays equi-keyed — no cartesian, argmax is an agg") {
+    val p = plan(DedupQueries.q135CurationV6(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a composition stage degenerated to a pair shape")
+    assert(!p.contains("Window"),
+      "keep-most-central must be the max_by aggregation, not a window sort")
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
