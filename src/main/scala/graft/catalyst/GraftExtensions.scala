@@ -840,6 +840,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "minChars")))
     }
+    registerTable("span_corrupt",
+      "span_corrupt('table', 'idCol', 'textCol', maskPct, spanLen) - T5-style " +
+        "span corruption: sentinel-masked text + sentinel-prefixed targets, " +
+        "content-addressed mask draw", 5) {
+      exprs =>
+        expand(graft.operators.TextOps.spanCorrupt(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "maskPct"), litInt(exprs(4), "spanLen")))
+    }
+    registerTable("rebalance_mixture",
+      "rebalance_mixture('table', 'stratumCol', 'keyCol', 'tokensCol', " +
+        "'en:250000,de:250000,...') - replicate rows so each stratum's token mass " +
+        "lands on its ppm share of the kept total (weights derived from the data)", 5) {
+      exprs =>
+        val targets = colList(litStr(exprs(4), "targets")).map { entry =>
+          entry.split(":") match {
+            case Array(name, ppm) if ppm.trim.nonEmpty && ppm.trim.forall(_.isDigit) =>
+              name.trim -> ppm.trim.toLong / 1e6
+            case _ => throw new IllegalArgumentException(
+              s"rebalance_mixture entry '$entry' must be 'stratum:ppm' (e.g. 'en:250000')")
+          }
+        }
+        expand(graft.operators.Relational.rebalancedMixture(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "stratum column"), litStr(exprs(2), "key column"),
+          litStr(exprs(3), "tokens column"), targets))
+    }
     registerTable("rouge",
       "rouge('docsTable', 'idCol', 'textCol', 'pairsTable', 'aCol', 'bCol') - " +
         "ROUGE-1/2 P/R/F (multiset-clipped, integer micro-units) per pair", 6) {

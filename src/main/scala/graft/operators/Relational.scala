@@ -300,6 +300,49 @@ object Relational {
         explode(sequence(lit(0), col("_copies") - 1)).as("copy_idx"): _*)
   }
 
+  /** Rebalance a corpus to TARGET token shares per stratum: weights are
+    * DERIVED from the data — `w_s = share_s · totalTokens / tokens_s` —
+    * then each row replicates `floor(w)` times plus one more when its
+    * salted md5 fraction clears the fractional part, exactly the
+    * [[weightedMixture]] draw. The output token mass per stratum lands
+    * on `share_s` of the kept total in expectation, which is the
+    * "equalize my languages" / "upsample the rare domain" move every
+    * multilingual training mix needs. Strata absent from `targets` are
+    * dropped; shares are over the KEPT strata.
+    *
+    * Determinism: tokens/total are exact integer sums; each weight is
+    * literal·double two-op IEEE arithmetic (`share · total / tokens`,
+    * left-to-right — the [[graft.functions.Portable.ratio]] rule), and
+    * the draw is the content-hash fraction — reproducible run-over-run
+    * and replayable in DuckDB. Shape: one stats aggregation to
+    * stratum-count rows, broadcast back; the mixture itself is a pure
+    * projection + per-row generator, zero extra shuffle. */
+  def rebalancedMixture(df: DataFrame, stratumCol: String, keyCol: String,
+      tokensCol: String, targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0), "targets: positive shares")
+    val share = targets.tail.foldLeft(
+      when(col(stratumCol) === targets.head._1, lit(targets.head._2))) {
+      case (acc, (st, sh)) => acc.when(col(stratumCol) === st, lit(sh))
+    }
+    val stats = df
+      .filter(col(stratumCol).isin(targets.map(_._1): _*))
+      .groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol).cast("long")).as("_toks"))
+    val tot = stats.agg(sum(col("_toks")).as("_tot"))
+    val weights = stats.crossJoin(broadcast(tot))
+      .withColumn("_w", share * col("_tot") / col("_toks"))
+      .select(col(stratumCol), col("_w"))
+    val u = graft.functions.Portable
+      .md5Long60(concat(col(keyCol).cast("string"), lit("#mix")))
+      .cast("double") / lit(math.pow(2, 60))
+    df.join(broadcast(weights), Seq(stratumCol))
+      .withColumn("_copies",
+        (floor(col("_w")) + when(u < col("_w") - floor(col("_w")), 1).otherwise(0)).cast("int"))
+      .filter(col("_copies") >= 1)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0), col("_copies") - 1)).as("copy_idx"): _*)
+  }
+
   /** Deterministic per-epoch training-data shuffle: every row of every
     * epoch 0..`epochs`−1 gets a (shard_id, pos) read address — shard and
     * within-shard rank are both epoch-salted md5 draws of `keyCol` — so a

@@ -1291,6 +1291,54 @@ object TextOps {
           round(lit(1e9) * lit(0.5) * abs(pg0 - pc0)).cast("long")).as("tv_nano"))
   }
 
+  /** T5/UL2-style span corruption: mask ~`maskPct`% of each document's
+    * tokens in `spanLen`-token blocks, replace each maximal masked RUN
+    * with a numbered sentinel in the corrupted text, and emit the
+    * sentinel-prefixed spans as the target sequence — the
+    * denoising-objective transform, content-addressed like
+    * [[Relational.fimTransform]] so the same doc always corrupts the
+    * same way (md5 of (id, block, salt); no `rand()`, engine-portable).
+    *
+    * Output per doc: `corrupted`, `targets`, `n_masked`, `n_spans`.
+    * Adjacent masked blocks merge into one span (standard span-corruption
+    * semantics); sentinels number `<X0>`, `<X1>`, … in document order.
+    *
+    * Scale shape: tokenize once, posexplode, ONE doc-keyed Exchange
+    * feeding the run-detection window (lag + running span count, both
+    * bounded by a doc's own tokens), and the reassembly aggregation
+    * REUSES that partitioning — one shuffle end to end, reassembly via
+    * sorted-struct array_join exactly like sentence dedup's. */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      maskPct: Int = 15, spanLen: Int = 3, salt: String = "t5"): DataFrame = {
+    require(maskPct >= 0 && maskPct <= 100, "maskPct in [0,100]")
+    require(spanLen >= 1, "spanLen >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_idx"))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val tk = docs
+      .select(col(idCol), posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("_idx", "_tok")))
+      .withColumn("_blk", expr(s"_idx div $spanLen"))
+      .withColumn("_m", pmod(graft.functions.Portable.md5Long60(
+        concat(col(idCol).cast("string"), lit("|"), col("_blk").cast("string"),
+          lit("|"), lit(salt))), lit(100)) < maskPct)
+    val spans = tk
+      .withColumn("_st", (col("_m") && !coalesce(lag(col("_m"), 1).over(w), lit(false))).cast("int"))
+      .withColumn("_k", sum(col("_st")).over(run).cast("int") - 1)
+    val sentinel = concat(lit("<X"), col("_k").cast("string"), lit(">"))
+    def joinSorted(piece: org.apache.spark.sql.Column) =
+      array_join(transform(array_sort(collect_list(when(piece.isNotNull,
+        struct(col("_idx"), piece.as("_p"))))), e => e("_p")), " ")
+    spans.groupBy(col(idCol)).agg(
+      joinSorted(when(!col("_m"), col("_tok"))
+        .when(col("_st") === 1, sentinel)).as("corrupted"),
+      joinSorted(when(col("_m") && col("_st") === 1, concat(sentinel, lit(" "), col("_tok")))
+        .when(col("_m"), col("_tok"))).as("targets"),
+      sum(col("_m").cast("long")).as("n_masked"),
+      sum(col("_st").cast("long")).as("n_spans"))
+  }
+
   /** ROUGE-N overlap scores for a given pair list — the n-gram
     * precision/recall/F1 an eval harness computes between candidate and
     * reference texts (summarization eval, near-dup audit, decontamination

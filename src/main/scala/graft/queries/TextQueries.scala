@@ -538,8 +538,30 @@ object TextQueries {
       length(col("prefix")).as("n_pre"), length(col("middle")).as("n_mid"),
       length(col("suffix")).as("n_suf"), md5(col("fim_text")).as("fim_md5"))
 
+  // T5-style span corruption: content-addressed masked spans replaced by
+  // numbered sentinels, targets = sentinel-prefixed spans. The gate hashes
+  // both assembled sequences and pins mask/span counts per doc.
+  def q137SpanCorrupt(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.spanCorrupt(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        maskPct = 15, spanLen = 3)
+      .select(col("doc_id"), md5(col("corrupted")).as("corr_md5"),
+        md5(col("targets")).as("tgt_md5"), col("n_masked"), col("n_spans"))
+
+  // Rebalanced mixture: equalize the four languages' token (char) mass —
+  // weights DERIVED from the corpus (share * total / stratumTokens), the
+  // multilingual "equalize my languages" draw. Full row-level gate.
+  def q138RebalancedMixture(s: SparkSession, d: String): DataFrame =
+    graft.operators.Relational.rebalancedMixture(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", "n_chars",
+        Seq("en" -> 0.25, "de" -> 0.25, "fr" -> 0.25, "zh" -> 0.25))
+      .select(col("doc_id"), col("lang"), col("copy_idx"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_fim" -> q131Fim,
+    "q137_span_corrupt" -> q137SpanCorrupt,
+    "q138_rebalanced_mixture" -> q138RebalancedMixture,
     "q110_shard_manifest" -> q110ShardManifest,
     "q112_source_drift" -> q112SourceDrift,
     "q113_nb_classify" -> q113NbClassify,
@@ -717,6 +739,48 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q137_span_corrupt" ->
+      """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents),
+         tk AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(arr)),
+               i -> struct_pack(idx := i - 1, tok := arr[i]))) AS u
+           FROM base),
+         t2 AS (SELECT doc_id, u.idx AS idx, u.tok AS tok,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+               CAST(u.idx // 3 AS VARCHAR) || '|t5'), 1, 15))::BIGINT % 100 < 15) AS m
+           FROM tk),
+         t3 AS (SELECT *,
+             CASE WHEN m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY idx), FALSE)
+                  THEN 1 ELSE 0 END AS st
+           FROM t2),
+         t4 AS (SELECT *,
+             CAST(sum(st) OVER (PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) - 1 AS k
+           FROM t3)
+         SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN NOT m THEN tok
+                 WHEN st = 1 THEN '<X' || k || '>' END, ' ' ORDER BY idx), '')) AS corr_md5,
+           md5(coalesce(string_agg(CASE WHEN m AND st = 1 THEN '<X' || k || '> ' || tok
+                 WHEN m THEN tok END, ' ' ORDER BY idx), '')) AS tgt_md5,
+           CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(sum(st) AS BIGINT) AS n_spans
+         FROM t4 GROUP BY doc_id""",
+    "q138_rebalanced_mixture" ->
+      """WITH stats AS (
+           SELECT lang, CAST(sum(n_chars) AS BIGINT) AS toks FROM documents
+           WHERE lang IN ('en', 'de', 'fr', 'zh') GROUP BY 1),
+         tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t FROM stats),
+         w AS (SELECT lang, 0.25 * t / toks AS wt FROM stats, tot),
+         d AS (SELECT doc_id, documents.lang, wt,
+             ('0x' || substring(md5(doc_id::VARCHAR || '#mix'), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u
+           FROM documents JOIN w USING (lang)),
+         c AS (SELECT doc_id, lang,
+             CAST(floor(wt) + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS INT) AS copies
+           FROM d)
+         SELECT doc_id, lang, CAST(k.k AS INT) AS copy_idx
+         FROM c JOIN (SELECT unnest(generate_series(0,
+           (SELECT CAST(max(copies) AS BIGINT) FROM c))) AS k) k ON k.k < copies""",
     "q131_fim" ->
       """WITH c AS (
            SELECT doc_id, text, length(text) AS len,

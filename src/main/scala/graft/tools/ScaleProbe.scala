@@ -605,6 +605,24 @@ object ScaleProbe {
     time("fim transform 1x")(fimX(1))
     time("fim transform 10x")(fimX(10))
 
+    // --- span corruption: one doc-keyed window + reassembly agg ---------
+    def spanX(k: Int): Long =
+      TextOps.spanCorrupt(docsX(k), "doc_id", "text", maskPct = 15, spanLen = 3)
+        .agg(sum(length(col("corrupted"))) + sum(col("n_masked"))).head().getLong(0)
+    time("span corrupt 1x (5k docs)")(spanX(1))
+    time("span corrupt 10x (50k docs)")(spanX(10))
+
+    // --- rebalanced mixture: stats agg + broadcast weights + generator ---
+    def rebX(k: Int): Long = {
+      val d = docsX(k).join(
+        graft.Tables.documents(spark, sfDir).select(col("doc_id").as("_od"), col("lang"), col("n_chars")),
+        pmod(col("doc_id"), lit(10000000L)) === col("_od")).drop("_od")
+      Relational.rebalancedMixture(d, "lang", "doc_id", "n_chars",
+        Seq("en" -> 0.25, "de" -> 0.25, "fr" -> 0.25, "zh" -> 0.25)).count()
+    }
+    time("rebalanced mixture 1x (5k docs)")(rebX(1))
+    time("rebalanced mixture 10x (50k docs)")(rebX(10))
+
     spark.stop()
   }
 }

@@ -596,6 +596,24 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // clipped unigrams: a:1+? cand {a:2,b:1} ref {a:1,b:1} -> m=2; p=2/3, r=2/2
     assert(rg.getAs[Long]("rouge1_p_micro") == 666666L &&
       rg.getAs[Long]("rouge1_r_micro") == 1000000L)
+    // span_corrupt + rebalance_mixture from plain SQL equal the Column API
+    graft.Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id", "text").limit(50)
+      .createOrReplaceTempView("sc_tvf_t")
+    val scSql = spark.sql("SELECT * FROM span_corrupt('sc_tvf_t', 'doc_id', 'text', 15, 3)")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("corrupted")).toMap
+    val scApi = graft.operators.TextOps.spanCorrupt(
+        spark.table("sc_tvf_t"), "doc_id", "text", 15, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("corrupted")).toMap
+    assert(scSql == scApi && scSql.nonEmpty)
+    Seq((1L, "a", 100), (2L, "b", 300)).toDF("id", "st", "tk")
+      .createOrReplaceTempView("rb_tvf_t")
+    val rb = spark.sql(
+      "SELECT * FROM rebalance_mixture('rb_tvf_t', 'st', 'id', 'tk', 'a:500000,b:500000')")
+      .groupBy("st").agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("tk")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a gets weight 0.5*400/100=2.0 -> 2 copies x100 = 200; b 0.5*400/300=0.67
+    assert(rb("a") == 200L && rb.getOrElse("b", 0L) <= 300L)
   }
 
   test("graft_functions() lists the whole TVF surface, including itself") {

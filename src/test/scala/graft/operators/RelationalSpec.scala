@@ -415,6 +415,34 @@ class RelationalSpec extends SparkSpec {
     assert(bigOrder == smallOrder)
   }
 
+  test("rebalancedMixture: output token shares land on targets; off-target strata dropped") {
+    // three strata with very different masses: a=10x200, b=40x50, c=50x100
+    val rows = (1 to 100).map { i =>
+      val (st, tk) = if (i <= 10) ("a", 200) else if (i <= 50) ("b", 50) else ("c", 100)
+      (i.toLong, st, tk)
+    }
+    val df = rows.toDF("id", "stratum", "n_tok")
+    val out = Relational.rebalancedMixture(df, "stratum", "id", "n_tok",
+      Seq("a" -> 0.5, "b" -> 0.5))
+    val toks = out.groupBy("stratum").agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!toks.contains("c"), "stratum without a target share must be dropped")
+    // kept total = 2000 + 2000 = 4000; each target share 0.5 -> expect ~2000
+    // tokens per stratum post-rebalance (fractional draw: loose +-25%)
+    for (s <- Seq("a", "b"))
+      assert(toks(s) > 1500 && toks(s) < 2500, s"stratum $s mass ${toks(s)} far from 2000")
+    // determinism + copy structure: every kept id has copies 0..k-1 densely
+    val copies = out.select("id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    copies.values.foreach(cs => assert(cs == (0 until cs.length)))
+    val again = Relational.rebalancedMixture(df.repartition(7), "stratum", "id", "n_tok",
+      Seq("a" -> 0.5, "b" -> 0.5)).select("id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == out.select("id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+
   test("snapshotDiff: classifies added/removed/changed; identical snapshots diff empty") {
     val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "s", "v")
     val neu = Seq((2L, "b", 20), (3L, "c", 99), (4L, "d", 40)).toDF("id", "s", "v")

@@ -717,4 +717,45 @@ class TextOpsSpec extends SparkSpec {
     // zero overlap: pair survives with all-zero scores (ref has no bigrams at all)
     assert(out((1L, 3L)) == (0L, 0L, 0L, 0L, 0L, 0L))
   }
+
+  test("spanCorrupt: splicing targets back into corrupted reconstructs every doc") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").limit(200)
+    val out = TextOps.spanCorrupt(docs, "doc_id", "text", maskPct = 15, spanLen = 3)
+      .join(docs, Seq("doc_id"))
+      .collect()
+    assert(out.length == 200)
+    var totalTokens = 0L
+    var totalMasked = 0L
+    val sentinel = "<X(\\d+)>".r
+    out.foreach { r =>
+      val (corr, tgt, nMasked, nSpans) = (r.getAs[String]("corrupted"),
+        r.getAs[String]("targets"), r.getAs[Long]("n_masked"), r.getAs[Long]("n_spans"))
+      val orig = r.getAs[String]("text").trim.split("\\s+").toSeq
+      totalTokens += orig.length; totalMasked += nMasked
+      assert(nSpans <= nMasked)
+      // parse targets into span k -> tokens
+      val spans = scala.collection.mutable.Map[Int, Vector[String]]()
+      var cur = -1
+      tgt.split(" ").filter(_.nonEmpty).foreach {
+        case sentinel(k) => cur = k.toInt; spans(cur) = Vector()
+        case tok         => spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.keySet == (0 until nSpans.toInt).toSet, "sentinels numbered densely")
+      // splice spans back into the corrupted sequence
+      val rebuilt = corr.split(" ").filter(_.nonEmpty).toSeq.flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case tok         => Seq(tok)
+      }
+      assert(rebuilt == orig, s"doc ${r.getLong(0)}: splice != original")
+    }
+    // ~15% of tokens masked corpus-wide (block-hash draw; loose bounds)
+    val frac = totalMasked.toDouble / totalTokens
+    assert(frac > 0.08 && frac < 0.25, s"masked fraction $frac far from 0.15")
+    // content-addressed: identical under repartition
+    val a = TextOps.spanCorrupt(docs, "doc_id", "text").select("doc_id", "corrupted")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextOps.spanCorrupt(docs.repartition(13), "doc_id", "text")
+      .select("doc_id", "corrupted").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
 }
