@@ -840,6 +840,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           litInt(exprs(3), "minChars")))
     }
+    registerTable("dedup_aware_split",
+      "dedup_aware_split('table', 'idCol', 'textCol', n, minJaccardMicro, " +
+        "'train:80,valid:90,test:100') - split assigned from the near-dup " +
+        "CLUSTER representative's hash: near-duplicates never straddle splits", 6) {
+      exprs =>
+        val cuts = colList(litStr(exprs(5), "cuts")).map { entry =>
+          entry.split(":") match {
+            case Array(name, pct) if pct.trim.nonEmpty && pct.trim.forall(_.isDigit) =>
+              name.trim -> pct.trim.toInt
+            case _ => throw new IllegalArgumentException(
+              s"dedup_aware_split entry '$entry' must be 'name:cumulativePct'")
+          }
+        }
+        expand(graft.operators.Dedup.dedupAwareSplit(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "n"),
+          litInt(exprs(4), "minJaccardMicro").toDouble / 1e6, cuts))
+    }
     registerTable("span_corrupt",
       "span_corrupt('table', 'idCol', 'textCol', maskPct, spanLen) - T5-style " +
         "span corruption: sentinel-masked text + sentinel-prefixed targets, " +

@@ -252,6 +252,34 @@ object Dedup {
       current.select(col("_id").as("id"), col("_rep").as("rep")))
   }
 
+  /** Near-dup-aware train/valid/test split: assign every document's
+    * split from a content hash of its near-dup CLUSTER representative,
+    * not of the document itself — so two near-duplicates can never land
+    * in different splits (the leakage failure mode the q111 audit
+    * measures: a test doc whose near-twin sits in train). Pairs come
+    * from [[ngramJaccardPairs]], clusters from [[connectedComponents]],
+    * the split from [[Relational.hashSplit]]'s md5 bucket of the
+    * representative id; singleton docs are their own representative.
+    *
+    * Note the representative is the cluster's MIN id, so adding a new
+    * smaller-id member can re-key an existing cluster (and re-draw its
+    * split) — within a snapshot the guarantee is absolute, across
+    * snapshots it holds for clusters whose membership is stable.
+    *
+    * Output: every input column + `cluster_rep` + `split`. */
+  def dedupAwareSplit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, cuts: Seq[(String, Int)]): DataFrame = {
+    val cc = connectedComponents(
+      ngramJaccardPairs(docs, idCol, textCol, n, minJaccard), "id_a", "id_b")
+    val withRep = docs
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("rep"), col(idCol)))
+      .drop("rep")
+    Relational.hashSplit(
+        withRep.withColumn("_sk", col("cluster_rep").cast("string")), "_sk", cuts)
+      .drop("_sk")
+  }
+
   /** SimHash near-dup pairs: all (idA < idB) pairs with
     * hamming(simhash64(tokens A), simhash64(tokens B)) <= maxHamming.
     *

@@ -215,8 +215,18 @@ object DedupQueries {
         col("_k.kept_rank_micro").as("kept_rank_micro"), col("cluster_size"))
   }
 
+  // Leakage-free split: split drawn from the near-dup CLUSTER
+  // representative's hash — near-duplicates can never straddle splits
+  // (the corrective action for the q111 audit's findings).
+  def q139DedupAwareSplit(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupAwareSplit(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", n = 3, minJaccard = 0.4,
+        Seq("train" -> 80, "valid" -> 90, "test" -> 100))
+      .select("doc_id", "cluster_rep", "split")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_rouge" -> q134Rouge,
+    "q139_dedup_aware_split" -> q139DedupAwareSplit,
     "q135_curation_v6" -> q135CurationV6,
     "q120_dedup_keep_best" -> q120DedupKeepBest,
     "q111_split_leakage" -> q111SplitLeakage,
@@ -347,6 +357,32 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q134_rouge" -> q134OracleSql,
+    "q139_dedup_aware_split" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.4
+          ),
+          edges AS (SELECT id_a AS x, id_b AS y FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          walk(id, rep) AS (
+            SELECT x, x FROM (SELECT DISTINCT x FROM edges) t
+            UNION
+            SELECT e.x, w.rep FROM edges e JOIN walk w ON w.id = e.y
+          ),
+          cc AS (SELECT id, min(rep) AS rep FROM walk GROUP BY id),
+          r AS (SELECT d.doc_id, coalesce(cc.rep, d.doc_id) AS cluster_rep
+                FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+          b AS (SELECT doc_id, cluster_rep,
+                  ('0x' || substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+                FROM r)
+          SELECT doc_id, cluster_rep,
+            CASE WHEN bucket < 80 THEN 'train'
+                 WHEN bucket < 90 THEN 'valid'
+                 ELSE 'test' END AS split
+          FROM b""",
     "q135_curation_v6" -> q135OracleSql,
     "q120_dedup_keep_best" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),

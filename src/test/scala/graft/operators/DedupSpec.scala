@@ -227,4 +227,25 @@ class DedupSpec extends SparkSpec {
     assert(leaks.nonEmpty, "the gate corpus is known to contain crossing pairs")
     assert(leaks.forall { case (_, _, sa, sb) => sa != sb })
   }
+
+  test("dedupAwareSplit: zero near-dup pairs straddle splits; plain hashSplit provably leaks") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100)
+    val out = Dedup.dedupAwareSplit(docs, "doc_id", "text", n = 3, minJaccard = 0.4, cuts)
+    val split = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.CacheScope.release()
+    assert(pairs.nonEmpty && split.size == docs.count())
+    val straddling = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(straddling.isEmpty,
+      s"near-dup pairs split apart: ${straddling.take(5).toSeq}")
+    // the CONTROL: the doc-hash split does leak on the same corpus —
+    // without it the assertion above would be vacuous
+    val naive = graft.operators.Relational.hashSplit(docs, "text", cuts)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "gate corpus must contain pairs the naive split separates")
+  }
 }
