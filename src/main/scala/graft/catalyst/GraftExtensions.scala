@@ -326,6 +326,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(4), "left text"), litStr(exprs(5), "right text"),
           litInt(exprs(6), "maxDist")))
     }
+    registerTable("apply_changes",
+      "apply_changes('snapshot', 'changes', 'key', 'opCol', 'seqCol') - MERGE a " +
+        "CDC changelog into a snapshot: latest change per key wins, 'delete' " +
+        "removes, any other op upserts", 5) {
+      exprs =>
+        expand(graft.operators.Relational.applyChanges(
+          SparkSession.active.table(litStr(exprs(0), "snapshot table")),
+          SparkSession.active.table(litStr(exprs(1), "changes table")),
+          Seq(litStr(exprs(2), "key column")),
+          litStr(exprs(3), "op column"), litStr(exprs(4), "seq column")))
+    }
+    registerTable("sessionize",
+      "sessionize('table', 'keyCol', 'tsCol', 'gap', 'tiebreakCol') - label every " +
+        "event with its per-key session sequence (new session when the gap is " +
+        "exceeded; events exactly gap apart merge)", 5) {
+      exprs =>
+        expand(graft.operators.Events.sessionize(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litStr(exprs(3), "gap interval"),
+          Seq(org.apache.spark.sql.functions.col(litStr(exprs(4), "tiebreak column")))))
+    }
+    registerTable("funnel",
+      "funnel('table', 'keyCol', 'tsCol', 'typeCol', 'step1,step2,...', 'horizon') - " +
+        "per-key earliest completion time of each ordered step ('' horizon = " +
+        "unbounded); later steps strictly after earlier, horizon from step 1", 6) {
+      exprs =>
+        val h = litStr(exprs(5), "horizon interval ('' = none)")
+        expand(graft.operators.Events.funnelSteps(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litStr(exprs(3), "type column"),
+          colList(litStr(exprs(4), "steps")),
+          if (h.trim.isEmpty) None else Some(h)))
+    }
+    registerTable("retention_cohorts",
+      "retention_cohorts('table', 'keyCol', 'tsCol', periodDays) - cohort by " +
+        "first-activity period, distinct active keys per (cohort, offset)", 4) {
+      exprs =>
+        expand(graft.operators.Events.retentionCohorts(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litInt(exprs(3), "periodDays")))
+    }
+    registerTable("gap_fill",
+      "gap_fill('table', 'keyCol', 'tsCol', 'valueCol', 'step') - resample each " +
+        "key's series onto the step grid: observed slots aggregate exactly, gaps " +
+        "carry LOCF/NOCB and the exact integer-lerp interp_micro", 5) {
+      exprs =>
+        expand(graft.operators.Events.gapFill(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litStr(exprs(3), "value column"), litStr(exprs(4), "step interval")))
+    }
     registerTable("normalize_unicode",
       "normalize_unicode('table', 'textCol') - NFC compose (UAX #15), lowercase, " +
         "strip non-letter/digit of any script, collapse whitespace", 2) {

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Event-analytics operators over an append-only event log — the
+  * sessionization / funnel / retention / gap-fill family every
+  * product-analytics surface ships (the reference's continuous-SQL
+  * use cases over clickstream topics, SURVEY.md §4), each expressed so
+  * the event log is scanned once and per-key work is bounded by a key's
+  * own history, never the global log.
+  */
+object Events {
+
+  /** Gap-based sessionization: label every event with its session's
+    * 1-based sequence number per key — a new session starts when the gap
+    * since the key's previous event EXCEEDS `gap` (events exactly `gap`
+    * apart stay in one session, matching Spark/DuckDB session-window
+    * merge semantics, q07). Appends `session_seq`; all input columns
+    * pass through.
+    *
+    * `tiebreak` must make (tsCol, tiebreak) a strict total order per key
+    * (the [[Relational.topKPerGroup]] rule) or equal-timestamp rows sort
+    * arbitrarily. Equal timestamps always share a session (gap 0), so
+    * `session_seq` itself is deterministic either way — the tiebreak
+    * pins the ROW order the lag walks, keeping the plan's sort stable.
+    *
+    * Shape: ONE key-partitioned Exchange; the gap flag (lag) and the
+    * running session count ride the same window sort — per-task state is
+    * one key's history, the q128 one-shuffle-two-windows shape. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gap: String,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    val micros = Relational.intervalMicros(gap)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol) +: tiebreak: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isNew = when(prev.isNull || unix_micros(col(tsCol)) - prev > micros, 1)
+      .otherwise(0)
+    df.withColumn("_new", isNew)
+      .withColumn("session_seq", sum(col("_new")).over(run).cast("int"))
+      .drop("_new")
+  }
+
+  /** Ordered funnel: for each key, the earliest time it completes each
+    * successive step — step i counts only STRICTLY after step i−1's
+    * time, and (when `horizon` is set) no later than step 1's time +
+    * horizon (the conversion-window convention: the first step starts
+    * the clock). Output: key, `step_1_ts` … `step_k_ts` (null once the
+    * funnel stalls), `furthest_step` (0..k). Keys that never perform
+    * step 1 are absent — their furthest step is 0 by definition and
+    * emitting every key in the universe is a join away for the caller.
+    *
+    * Shape: each stage filters the log to ONE step type (predicate
+    * pushes to the scan), min-aggregates map-side to a per-key 1-row
+    * frame, and left-joins the accumulator on the key — `steps.size` is
+    * config-sized, so the chain is a fixed small number of keyed
+    * joins/aggs; no window over the full log, no per-key history array.
+    * A stalled step's null time nulls every later comparison, so later
+    * stages naturally stay null without special-casing. */
+  def funnelSteps(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      horizon: Option[String] = None): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val horizonMicros = horizon.map(Relational.intervalMicros)
+    val base = df.select(col(keyCol), col(tsCol).cast("timestamp").as("_t"),
+      col(typeCol).as("_ty"))
+    var acc = base.filter(col("_ty") === steps.head)
+      .groupBy(col(keyCol)).agg(min(col("_t")).as("step_1_ts"))
+    for (i <- 2 to steps.size) {
+      val cand = base.filter(col("_ty") === steps(i - 1))
+        .select(col(keyCol), col("_t").as("_ct"))
+      val inWindow = horizonMicros match {
+        case Some(h) => col("_ct") > col(s"step_${i - 1}_ts") &&
+          unix_micros(col("_ct")) <= unix_micros(col("step_1_ts")) + h
+        case None => col("_ct") > col(s"step_${i - 1}_ts")
+      }
+      val prevCols = (1 until i).map(j => s"step_${j}_ts")
+      acc = acc.join(cand, Seq(keyCol), "left")
+        .groupBy(col(keyCol) +: prevCols.map(col): _*)
+        .agg(min(when(inWindow, col("_ct"))).as(s"step_${i}_ts"))
+    }
+    val reached = (1 to steps.size)
+      .map(i => when(col(s"step_${i}_ts").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.withColumn("furthest_step", reached)
+  }
+
+  /** Cohort retention: bucket every key by its FIRST activity period
+    * (floor of days since `epochDay` divided by `periodDays` — fixed
+    * UTC periods, no calendar-week engine variance), then count, for
+    * each (cohort, period offset), the distinct keys active in that
+    * period. Offset 0 is the cohort itself, so `n_active` at offset 0 is
+    * the cohort size. Output: `cohort_period`, `period_offset`,
+    * `n_active` — the retention-curve matrix.
+    *
+    * Shape: one keyed agg for first-activity, one distinct
+    * (key, period) agg — both map-side partial over the same scan — a
+    * key-joined attach of the cohort (broadcastable when keys are few,
+    * keyed join at scale), and one final small agg; period arithmetic is
+    * pure integer projection. No window anywhere. */
+  def retentionCohorts(df: DataFrame, keyCol: String, tsCol: String,
+      periodDays: Int = 7, epochDay: String = "1970-01-01"): DataFrame = {
+    require(periodDays >= 1, "periodDays >= 1")
+    val period = floor(datediff(col(tsCol).cast("date"), lit(epochDay).cast("date"))
+      .cast("long") / periodDays).cast("long")
+    val active = df.select(col(keyCol), period.as("_p")).distinct()
+    val cohort = active.groupBy(col(keyCol)).agg(min(col("_p")).as("cohort_period"))
+    active.join(cohort, Seq(keyCol))
+      .groupBy(col("cohort_period"),
+        (col("_p") - col("cohort_period")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Regular-grid gap fill over a keyed time series: resample each key's
+    * series onto a fixed `step` grid from its first to its last
+    * observation, carrying observed values across gaps. Observations
+    * aggregate per grid slot via `valueAgg` over `valueCol` (slots with
+    * data are exact); empty slots fill with BOTH endpoints' context:
+    * `locf` (last observation carried forward), `nocb` (next observation
+    * carried backward), and `interp_micro` — the linear interpolation
+    * between the surrounding observed slots in integer MICRO-units of
+    * the value: `locf + (nocb − locf) · stepsSinceObs ÷ stepsBetween`
+    * computed with integer multiply/divide only, so the fill replays
+    * bit-for-bit in any engine (the [[graft.functions.Portable]] rule;
+    * a float lerp would drift). Output: key, `slot_ts`, `observed`
+    * (0/1), `locf`, `nocb`, `interp_micro`.
+    *
+    * Shape: per-key min/max is one keyed agg; the grid spine is a
+    * per-key `sequence` generator (rows ∝ output, never a cross join);
+    * observed slots attach by (key, slot) equi-join; the two carries are
+    * running `last/first(ignoreNulls)` windows over ONE key-partitioned
+    * sort shared by all four window expressions. Slot count per key is
+    * bounded by (span / step) — size `step` to the series' natural
+    * cadence exactly as a production resampler does. */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      step: String, valueAgg: Column => Column = sum): DataFrame = {
+    val micros = Relational.intervalMicros(step)
+    val slot = (floor(unix_micros(col(tsCol).cast("timestamp")) / micros) * micros)
+      .cast("long")
+    val obs = df.select(col(keyCol), slot.as("_slot"),
+        col(valueCol).cast("long").as("_v"))
+      .groupBy(col(keyCol), col("_slot"))
+      .agg(valueAgg(col("_v")).cast("long").as("_val"))
+    val spine = obs.groupBy(col(keyCol))
+      .agg(min(col("_slot")).as("_lo"), max(col("_slot")).as("_hi"))
+      .select(col(keyCol),
+        explode(sequence(col("_lo"), col("_hi"), lit(micros))).as("_slot"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_slot"))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // slot index of the nearest observed slot on each side: the lerp
+    // needs distances, and carrying the OBSERVED slot index (not just
+    // its value) keeps the arithmetic integral end to end
+    val idx = (col("_slot") / micros).cast("long")
+    spine.join(obs, Seq(keyCol, "_slot"), "left")
+      .withColumn("_i", idx)
+      .withColumn("observed", col("_val").isNotNull.cast("int"))
+      .withColumn("locf", last(col("_val"), ignoreNulls = true).over(back))
+      .withColumn("nocb", first(col("_val"), ignoreNulls = true).over(fwd))
+      .withColumn("_li", last(when(col("_val").isNotNull, col("_i")), ignoreNulls = true).over(back))
+      .withColumn("_ni", first(when(col("_val").isNotNull, col("_i")), ignoreNulls = true).over(fwd))
+      .withColumn("interp_micro", {
+        // exact integral floor-division (a - pmod(a, b)) / b — the
+        // stratifiedSplit idiom: the difference is an exact multiple of
+        // b, so the IEEE division is exact and engine-independent (a
+        // bare long `/` would go through double true-division; `div`
+        // truncates toward zero while other engines floor — this form
+        // floors everywhere)
+        val num = (col("nocb") - col("locf")) * 1000000L * (col("_i") - col("_li"))
+        val den = col("_ni") - col("_li")
+        val lerp = ((num - pmod(num, den)) / den).cast("long")
+        when(col("observed") === 1, col("_val") * 1000000L)
+          .when(col("locf").isNull, col("nocb") * 1000000L)
+          .when(col("nocb").isNull, col("locf") * 1000000L)
+          .otherwise(col("locf") * 1000000L + lerp)
+      })
+      .select(col(keyCol), timestamp_micros(col("_slot")).as("slot_ts"),
+        col("observed"), col("locf"), col("nocb"), col("interp_micro"))
+  }
+}

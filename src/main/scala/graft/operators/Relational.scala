@@ -604,6 +604,41 @@ object Relational {
       .select(keys.map(col) ++ Seq(col("change"), col("old_fp"), col("new_fp")): _*)
   }
 
+  /** Apply a CDC changelog to a snapshot (MERGE INTO semantics): per key
+    * the LATEST change under `seqCol` wins — an `upsert` replaces the
+    * row (or inserts a new key), a `delete` removes it, and keys the
+    * changelog never mentions pass through untouched. A later upsert
+    * resurrects a deleted key; a later delete wins over any earlier
+    * upsert — ordering is per-key, exactly a compacted changelog topic.
+    *
+    * `changes` must carry the snapshot's columns plus `opCol` (rows
+    * whose op is `"delete"` delete; ANY other value upserts — the
+    * Debezium convention where c/r/u all carry state and only `d`
+    * removes) and `seqCol` (a strict per-key total order: the log
+    * offset, an LSN; ties are a contract violation and resolve
+    * arbitrarily). Output has exactly the snapshot's columns.
+    *
+    * Shape: the changelog collapses to one net row per key via
+    * [[latestByKey]] (map-side partial `max_by`, one shuffle of the
+    * CHANGES — at 100 TB the changelog is the small side); the snapshot
+    * pays one anti join on the key (broadcastable when the net-change
+    * key set is small, by size estimate not by code) and the surviving
+    * upserts union in. The snapshot is never windowed, never grouped.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String, seqCol: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val snapCols = snapshot.columns.toSeq
+    val missing = (snapCols ++ Seq(opCol, seqCol)).filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes is missing column(s): ${missing.mkString(", ")}")
+    val net = latestByKey(changes, keys, Seq(col(seqCol)))
+    val survivors = snapshot.join(net.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = net.filter(col(opCol) =!= "delete")
+      .select(snapCols.map(col): _*)
+    survivors.unionByName(upserts)
+  }
+
   /** k-anonymity by bottom-up global recoding: every published
     * quasi-identifier combination is shared by ≥ k rows, achieved by
     * progressively generalizing (masking to "*") quasi columns from the

@@ -467,6 +467,70 @@ object RelationalQueries {
       keys = Seq("doc_id"), compareCols = Seq("text"))
   }
 
+  // CDC changelog apply (MERGE): a deterministically constructed change
+  // stream — revisions (seq 1), deletes (seq 2), inserts under shifted
+  // keys, and a late re-upsert (seq 3) that RESURRECTS a deleted key
+  // (doc_id % 35 hits both the revise and delete classes, so latest-wins
+  // ordering is exercised, not just set difference) — applied to the
+  // documents snapshot. Gate exports the merged state (id + text md5).
+  def q140ApplyChanges(s: SparkSession, d: String): DataFrame = {
+    val snap = Tables.documents(s, d).select("doc_id", "text")
+    val rev2 = snap.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", concat(col("text"), lit(" (rev 2)")))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+    val dels = snap.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("op", lit("delete")).withColumn("seq", lit(2L))
+    val ins = snap.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+    val rev3 = snap.filter(pmod(col("doc_id"), lit(35)) === 0)
+      .withColumn("text", concat(col("text"), lit(" (rev 3)")))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(3L))
+    Relational.applyChanges(snap,
+        rev2.unionByName(dels).unionByName(ins).unionByName(rev3),
+        Seq("doc_id"), "op", "seq")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+  }
+
+  // Gap-based sessionization: label every event with its per-user
+  // session sequence number (new session when the gap exceeds 30
+  // minutes; the row-labeling complement of q07's session-window AGG —
+  // attribution needs the label on the event, not the rollup).
+  def q142Sessionize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.sessionize(events(s, d), "user_id", "ts",
+        "30 minutes", Seq(col("event_id")))
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+
+  // Ordered conversion funnel view -> click -> purchase with a 7-day
+  // window from the first step: per user the earliest completion time
+  // of each successive step, later steps strictly after earlier ones.
+  def q143Funnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.funnelSteps(events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), Some("7 days"))
+      .select(col("user_id"),
+        TimeFunctions.canonical(col("step_1_ts")).as("step_1_ts"),
+        TimeFunctions.canonical(col("step_2_ts")).as("step_2_ts"),
+        TimeFunctions.canonical(col("step_3_ts")).as("step_3_ts"),
+        col("furthest_step"))
+
+  // Cohort retention matrix: users bucketed by first-activity week
+  // (fixed 7-day UTC periods), distinct active users per (cohort,
+  // week offset).
+  def q144Retention(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.retentionCohorts(events(s, d), "user_id", "ts",
+      periodDays = 7)
+
+  // Keyed time-series gap fill on a 6-hour grid: per-user spend (cents)
+  // resampled first-to-last observation, empty slots carrying LOCF /
+  // NOCB and the exact integer-lerp interpolation.
+  def q145GapFill(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.gapFill(
+        events(s, d).select(col("user_id"), col("ts"),
+          Portable.cents(col("value")).as("cents")),
+        "user_id", "ts", "cents", "6 hours")
+      .select(col("user_id"), TimeFunctions.canonical(col("slot_ts")).as("slot_ts"),
+        col("observed"), col("locf"), col("nocb"), col("interp_micro"))
+
   // k-anonymity by bottom-up generalization over customer
   // quasi-identifiers (segment, account-balance band, nation bucket):
   // every published combination covers >= 5 customers, rarer
@@ -485,6 +549,11 @@ object RelationalQueries {
     "q79_fuzzy_join" -> q79FuzzyJoin,
     "q128_window_analytics" -> q128WindowAnalytics,
     "q129_snapshot_diff" -> q129SnapshotDiff,
+    "q140_apply_changes" -> q140ApplyChanges,
+    "q142_sessionize" -> q142Sessionize,
+    "q143_funnel" -> q143Funnel,
+    "q144_retention" -> q144Retention,
+    "q145_gap_fill" -> q145GapFill,
     "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
     "q03_agg_global" -> q03AggGlobal,
@@ -557,6 +626,65 @@ object RelationalQueries {
     s"WITH ${ctes.mkString(",\n")}\n$union"
   }
 
+  /** q145 oracle: the same grid/carry/lerp arithmetic — slot = floor
+    * division of epoch micros, carries via IGNORE NULLS windows, lerp
+    * via the exact (num − pmod(num, den)) / den floor division. */
+  private val q145OracleSql: String = {
+    val step = 21600000000L // 6 hours in micros
+    s"""WITH obs AS (
+          SELECT user_id, (epoch_us(ts::TIMESTAMP) // $step) * $step AS slot,
+            CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val
+          FROM events GROUP BY 1, 2),
+        spine AS (
+          SELECT user_id, unnest(range(lo, hi + $step, $step)) AS slot
+          FROM (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+                FROM obs GROUP BY 1)),
+        j AS (SELECT s.user_id, s.slot, o.val, s.slot // $step AS i
+              FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.slot = o.slot),
+        w AS (SELECT user_id, slot, val, i,
+            CASE WHEN val IS NOT NULL THEN 1 ELSE 0 END AS observed,
+            last_value(val IGNORE NULLS) OVER back AS locf,
+            first_value(val IGNORE NULLS) OVER fwd AS nocb,
+            last_value(CASE WHEN val IS NOT NULL THEN i END IGNORE NULLS) OVER back AS li,
+            first_value(CASE WHEN val IS NOT NULL THEN i END IGNORE NULLS) OVER fwd AS ni
+          FROM j
+          WINDOW back AS (PARTITION BY user_id ORDER BY slot
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 fwd AS (PARTITION BY user_id ORDER BY slot
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id,
+          strftime(make_timestamp(slot), '%Y-%m-%d %H:%M:%S') AS slot_ts,
+          CAST(observed AS INT) AS observed, locf, nocb,
+          CASE WHEN observed = 1 THEN val * 1000000
+               WHEN locf IS NULL THEN nocb * 1000000
+               WHEN nocb IS NULL THEN locf * 1000000
+               ELSE locf * 1000000 + CAST((
+                 ((nocb - locf) * 1000000 * (i - li)) -
+                 ((((nocb - locf) * 1000000 * (i - li)) % (ni - li) + (ni - li)) % (ni - li))
+               ) / (ni - li) AS BIGINT) END AS interp_micro
+        FROM w"""
+  }
+
+  /** q140 oracle (shared VERBATIM with the streaming twin q141): the
+    * same deterministic changelog, net change = latest per key, merge =
+    * untouched snapshot rows + surviving upserts. */
+  private[queries] val q140OracleSql: String =
+    """WITH snap AS (SELECT doc_id, text FROM documents),
+       changes AS (
+         SELECT doc_id, text || ' (rev 2)' AS text, 'upsert' AS op, 1 AS seq
+         FROM snap WHERE doc_id % 5 = 0
+         UNION ALL SELECT doc_id, text, 'delete', 2 FROM snap WHERE doc_id % 7 = 0
+         UNION ALL SELECT doc_id + 1000000, text, 'upsert', 1 FROM snap WHERE doc_id % 11 = 0
+         UNION ALL SELECT doc_id, text || ' (rev 3)', 'upsert', 3 FROM snap WHERE doc_id % 35 = 0),
+       net AS (SELECT * FROM changes
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+       merged AS (
+         SELECT s.doc_id, s.text FROM snap s
+         WHERE NOT EXISTS (SELECT 1 FROM net n WHERE n.doc_id = s.doc_id)
+         UNION ALL
+         SELECT doc_id, text FROM net WHERE op <> 'delete')
+       SELECT doc_id, md5(text) AS text_md5 FROM merged"""
+
   val oracles: Map[String, String] = Map(
     "q128_window_analytics" ->
       s"""SELECT o_orderkey, o_custkey,
@@ -591,6 +719,48 @@ object RelationalQueries {
                 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
           SELECT * FROM j WHERE change IS NOT NULL""",
     "q130_k_anonymity" -> q130OracleSql,
+    "q140_apply_changes" -> q140OracleSql,
+    "q142_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t FROM events),
+         f AS (SELECT user_id, event_id, t,
+           CASE WHEN lag(t) OVER w IS NULL
+                  OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+         SELECT user_id, event_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+         FROM f""",
+    "q143_funnel" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS t, event_type FROM events),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, t1,
+             min(CASE WHEN e.t > t1
+                       AND epoch_us(e.t) <= epoch_us(t1) + 604800000000 THEN e.t END) AS t2
+           FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+           GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, t1, t2,
+             min(CASE WHEN e.t > t2
+                       AND epoch_us(e.t) <= epoch_us(t1) + 604800000000 THEN e.t END) AS t3
+           FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+           GROUP BY 1, 2, 3)
+         SELECT user_id,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') AS step_1_ts,
+           strftime(t2, '%Y-%m-%d %H:%M:%S') AS step_2_ts,
+           strftime(t3, '%Y-%m-%d %H:%M:%S') AS step_3_ts,
+           (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+            CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END +
+            CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS furthest_step
+         FROM s3""",
+    "q144_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS p
+           FROM events),
+         c AS (SELECT user_id, min(p) AS cohort_period FROM a GROUP BY 1)
+         SELECT CAST(cohort_period AS BIGINT) AS cohort_period,
+           CAST(a.p - cohort_period AS BIGINT) AS period_offset,
+           count(*) AS n_active
+         FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
+    "q145_gap_fill" -> q145OracleSql,
     "q79_fuzzy_join" ->
       """WITH dirty AS (
            SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,

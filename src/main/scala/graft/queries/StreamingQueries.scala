@@ -246,6 +246,38 @@ object StreamingQueries {
       docs.select("doc_id", "text"), "doc_id", "text", minChars = 64)), "append")
   }
 
+  // Streaming twin of q140: the CDC changelog arrives as a STREAM. The
+  // stateful part is exactly the net-change view — one latest-wins
+  // max_by aggregation per key (complete mode; O(keys touched) state,
+  // the compacted-changelog shape) — and the merge against the static
+  // snapshot is the read-side view over the drained state, running the
+  // SAME applyChanges operator (idempotent on an already-net changelog).
+  // q140's batch oracle VERBATIM (the q78 convention).
+  def q141StreamApplyChanges(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    def docs = s.readStream.schema(schema)
+      .parquet(asStreamDir(s"$d/documents.parquet")).select("doc_id", "text")
+    val rev2 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", concat(col("text"), lit(" (rev 2)")))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+    val dels = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("op", lit("delete")).withColumn("seq", lit(2L))
+    val ins = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+    val rev3 = docs.filter(pmod(col("doc_id"), lit(35)) === 0)
+      .withColumn("text", concat(col("text"), lit(" (rev 3)")))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(3L))
+    val net = drain(graft.operators.Relational.latestByKey(
+      rev2.unionByName(dels).unionByName(ins).unionByName(rev3),
+      Seq("doc_id"), Seq(col("seq"))), "complete")
+    graft.operators.Relational.applyChanges(
+        Tables.documents(s, d).select("doc_id", "text"), net,
+        Seq("doc_id"), "op", "seq")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+  }
+
   def q98StreamLmScore(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -359,7 +391,8 @@ object StreamingQueries {
     "q98_stream_lm_score" -> q98StreamLmScore,
     "q115_stream_shard_manifest" -> q115StreamShardManifest,
     "q116_stream_nb_classify" -> q116StreamNbClassify,
-    "q136_stream_fim" -> q136StreamFim)
+    "q136_stream_fim" -> q136StreamFim,
+    "q141_stream_apply_changes" -> q141StreamApplyChanges)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -368,6 +401,7 @@ object StreamingQueries {
     // the batch oracle verbatim: stream and browse must agree exactly
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
     "q136_stream_fim" -> TextQueries.oracles("q131_fim"),
+    "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q125_stream_sentence_split" -> TextQueries.oracles("q122_sentence_split"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q107_stream_incremental_neardup" -> DedupQueries.oracles("q106_incremental_neardup"),

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Bpe, Dedup, Embeddings, Relational, Similarity, TextOps}
+import graft.operators.{Bpe, Dedup, Embeddings, Events, Relational, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -622,6 +622,42 @@ object ScaleProbe {
     }
     time("rebalanced mixture 1x (5k docs)")(rebX(1))
     time("rebalanced mixture 10x (50k docs)")(rebX(10))
+
+    // --- event analytics family: per-key work bounded by a key's own
+    // history, so k× events over k× keys should scale near-linearly ----
+    def evFull(k: Int): DataFrame =
+      (0 until k).map(i => graft.queries.RelationalQueries.events(spark, sfDir)
+        .select((col("user_id") + i * 10000000L).as("user_id"),
+          (col("event_id") + i * 100000000L).as("event_id"),
+          col("ts"), col("event_type"), col("value"))).reduce(_ unionByName _)
+    def sessX(k: Int): Long =
+      Events.sessionize(evFull(k), "user_id", "ts", "30 minutes",
+        Seq(col("event_id"))).agg(max(col("session_seq"))).head().getInt(0).toLong
+    time("sessionize 1x (100k events)")(sessX(1))
+    time("sessionize 10x (1M events, 10x users)")(sessX(10))
+    def funX(k: Int): Long =
+      Events.funnelSteps(evFull(k), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), Some("7 days"))
+        .agg(sum(col("furthest_step"))).head().getLong(0)
+    time("funnel 1x (100k events)")(funX(1))
+    time("funnel 10x (1M events, 10x users)")(funX(10))
+    def gapX(k: Int): Long =
+      Events.gapFill(evFull(k).withColumn("cents",
+          graft.functions.Portable.cents(col("value"))),
+        "user_id", "ts", "cents", "6 hours")
+        .agg(sum(col("interp_micro"))).head().getLong(0)
+    time("gap fill 1x (100k events)")(gapX(1))
+    time("gap fill 10x (1M events, 10x users)")(gapX(10))
+
+    // --- dedup-aware split: All-Pairs jaccard + CC + hash projection ----
+    def dasX(k: Int): Long = {
+      val r = Dedup.dedupAwareSplit(docsX(k), "doc_id", "text", n = 3,
+        minJaccard = 0.8, cuts = Seq("train" -> 90, "valid" -> 95, "test" -> 100))
+        .groupBy("split").count().collect().map(_.getLong(1)).sum
+      graft.CacheScope.release(); r
+    }
+    time("dedup-aware split 1x (5k docs)")(dasX(1))
+    time("dedup-aware split 10x (50k docs)")(dasX(10))
 
     spark.stop()
   }

@@ -217,6 +217,42 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fz == Set((1L, 9L, 1)))
   }
 
+  test("apply_changes TVF: CDC merge from plain SQL equals the operator") {
+    import spark.implicits._
+    Seq((1L, "one"), (2L, "two")).toDF("id", "v")
+      .createOrReplaceTempView("ac_snap_t")
+    Seq((2L, "two'", "upsert", 1L), (1L, "x", "delete", 1L), (3L, "three", "upsert", 1L))
+      .toDF("id", "v", "op", "seq").createOrReplaceTempView("ac_chg_t")
+    val viaSql = spark.sql(
+      "SELECT * FROM apply_changes('ac_snap_t', 'ac_chg_t', 'id', 'op', 'seq')")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaSql == Map(2L -> "two'", 3L -> "three"))
+  }
+
+  test("event TVFs: sessionize, funnel, retention_cohorts, gap_fill from plain SQL") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, 10L, t("2024-01-01 00:00:00"), "a", 4L),
+        (1L, 11L, t("2024-01-01 02:00:00"), "b", 8L))
+      .toDF("user", "eid", "ts", "ty", "v").createOrReplaceTempView("ev_tvf_t")
+    val sess = spark.sql(
+      "SELECT eid, session_seq FROM sessionize('ev_tvf_t', 'user', 'ts', '30 minutes', 'eid')")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sess == Map(10L -> 1, 11L -> 2))
+    val fun = spark.sql(
+      "SELECT user, furthest_step FROM funnel('ev_tvf_t', 'user', 'ts', 'ty', 'a,b', '')")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fun == Map(1L -> 2))
+    val ret = spark.sql(
+      "SELECT period_offset, n_active FROM retention_cohorts('ev_tvf_t', 'user', 'ts', 7)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ret == Map(0L -> 1L))
+    val gf = spark.sql(
+      "SELECT observed, interp_micro FROM gap_fill('ev_tvf_t', 'user', 'ts', 'v', '1 hour') ORDER BY slot_ts")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(gf == Seq((1, 4000000L), (0, 6000000L), (1, 8000000L)))
+  }
+
   test("r7 TVFs: normalize_unicode, quota_sample, bm25_batch from plain SQL") {
     import spark.implicits._
     // decomposed e + COMBINING ACUTE must compose, lower, survive the strip

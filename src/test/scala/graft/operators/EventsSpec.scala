@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize: splits strictly past the gap, merges at exactly the gap, per-key numbering") {
+    val e = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (1L, 11L, ts("2024-01-01 00:30:00")), // exactly gap -> SAME session (q07 semantics)
+      (1L, 12L, ts("2024-01-01 01:00:01")), // 1s past gap -> new session
+      (1L, 13L, ts("2024-01-01 01:00:01")), // equal ts -> same session, any tie order
+      (2L, 20L, ts("2024-01-01 00:00:00"))  // other key numbers independently
+    ).toDF("user", "eid", "t")
+    val out = Events.sessionize(e, "user", "t", "30 minutes", Seq(col("eid")))
+      .select("eid", "session_seq")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(10L -> 1, 11L -> 1, 12L -> 2, 13L -> 2, 20L -> 1), s"got $out")
+  }
+
+  test("funnelSteps: order enforced, horizon cuts, stalls null out, furthest counts") {
+    val e = Seq(
+      // u1 completes a->b->c in order
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, "b", ts("2024-01-01 01:00:00")),
+      (1L, "c", ts("2024-01-01 02:00:00")),
+      // u2: b BEFORE a never counts; the later b does
+      (2L, "b", ts("2024-01-01 00:00:00")),
+      (2L, "a", ts("2024-01-01 01:00:00")),
+      (2L, "b", ts("2024-01-01 03:00:00")),
+      // u3: b lands past the 1-day horizon from a
+      (3L, "a", ts("2024-01-01 00:00:00")),
+      (3L, "b", ts("2024-01-02 00:00:01")),
+      // u4 never does a -> absent from the output
+      (4L, "c", ts("2024-01-01 00:00:00"))
+    ).toDF("user", "ty", "t")
+    val out = Events.funnelSteps(e, "user", "t", "ty", Seq("a", "b", "c"),
+      Some("1 day"))
+    assert(out.columns.toSeq ==
+      Seq("user", "step_1_ts", "step_2_ts", "step_3_ts", "furthest_step"))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3), r.getInt(4))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), "only step-1 performers appear")
+    assert(rows(1L)._4 == 3 && rows(1L)._3 == ts("2024-01-01 02:00:00"))
+    assert(rows(2L)._4 == 2 && rows(2L)._2 == ts("2024-01-01 03:00:00"),
+      "a step before step 1's time must not count")
+    assert(rows(3L)._4 == 1 && rows(3L)._2 == null, "past-horizon step must not count")
+    // without a horizon u3 converts on step 2
+    val noH = Events.funnelSteps(e, "user", "t", "ty", Seq("a", "b"), None)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(noH(3L) == 2)
+    intercept[IllegalArgumentException] {
+      Events.funnelSteps(e, "user", "t", "ty", Seq("a", "a"), None)
+    }
+  }
+
+  test("retentionCohorts: first-activity cohort, offset 0 is cohort size, known matrix") {
+    // period = 7 days from 1970-01-01; 2024-01-01 is day 19723 -> period 2817
+    val e = Seq(
+      (1L, ts("2024-01-01 12:00:00")), (1L, ts("2024-01-09 12:00:00")), // p, p+1
+      (2L, ts("2024-01-02 00:00:00")),                                  // p only
+      (3L, ts("2024-01-09 00:00:00")), (3L, ts("2024-01-09 23:00:00"))  // p+1 cohort, one period
+    ).toDF("user", "t")
+    val out = Events.retentionCohorts(e, "user", "t", periodDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p = 19723 / 7
+    assert(out == Map(
+      (p.toLong, 0L) -> 2L, (p.toLong, 1L) -> 1L, (p.toLong + 1, 0L) -> 1L), s"got $out")
+  }
+
+  test("gapFill: observed slots exact; LOCF/NOCB carries; integer lerp; head/tail fills") {
+    val h = 3600000000L // 1 hour in micros
+    val e = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10L),
+      (1L, ts("2024-01-01 00:50:00"), 5L),  // same slot as above -> sums to 15
+      (1L, ts("2024-01-01 03:30:00"), 45L)  // 2-slot gap at 01:00 and 02:00
+    ).toDF("user", "t", "v")
+    val out = Events.gapFill(e, "user", "t", "v", "1 hour")
+    val rows = out.orderBy("slot_ts").collect().map(r =>
+      (r.getTimestamp(1).toString, r.getInt(2), Option(r.get(3)), Option(r.get(4)),
+        r.getLong(5)))
+    assert(rows.length == 4, "spine must span first..last observed slot inclusive")
+    // slot 0: observed 15
+    assert(rows(0) == ("2024-01-01 00:00:00.0", 1, Some(15L), Some(15L), 15000000L))
+    // slots 1-2: lerp between 15 (i=..0) and 45 (i=..3): 25, 35
+    assert(rows(1) == ("2024-01-01 01:00:00.0", 0, Some(15L), Some(45L), 25000000L))
+    assert(rows(2) == ("2024-01-01 02:00:00.0", 0, Some(15L), Some(45L), 35000000L))
+    assert(rows(3) == ("2024-01-01 03:00:00.0", 1, Some(45L), Some(45L), 45000000L))
+    // head/tail: a key whose first/last slots are the only observations
+    val e2 = Seq((2L, ts("2024-01-01 00:00:00"), 7L)).toDF("user", "t", "v")
+    val one = Events.gapFill(e2, "user", "t", "v", "1 hour").collect()
+    assert(one.length == 1 && one.head.getLong(5) == 7000000L)
+  }
+}

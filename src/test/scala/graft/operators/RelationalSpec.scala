@@ -459,6 +459,40 @@ class RelationalSpec extends SparkSpec {
       .head().getString(1) == "changed")
   }
 
+  test("applyChanges: latest-wins merge — upsert/delete/insert/resurrect, untouched pass-through") {
+    val snap = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("id", "v")
+    val changes = Seq(
+      (2L, "two'", "upsert", 1L),   // update
+      (3L, "x", "delete", 1L),      // delete
+      (5L, "five", "upsert", 1L),   // insert of a new key
+      (4L, "y", "delete", 1L),      // deleted ...
+      (4L, "four'", "upsert", 2L),  // ... then resurrected by a later seq
+      (2L, "stale", "upsert", 0L)   // earlier seq must lose to seq 1
+    ).toDF("id", "v", "op", "seq")
+    val out = Relational.applyChanges(snap, changes, Seq("id"), "op", "seq")
+    assert(out.columns.toSeq == Seq("id", "v"), "output must be snapshot-shaped")
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "one", 2L -> "two'", 4L -> "four'", 5L -> "five"), s"got $m")
+    // a later delete wins over an earlier upsert
+    val delLater = Seq((1L, "z", "upsert", 1L), (1L, "z", "delete", 2L))
+      .toDF("id", "v", "op", "seq")
+    assert(Relational.applyChanges(snap, delLater, Seq("id"), "op", "seq")
+      .count() == 3)
+    // non-'delete' op strings all upsert (the Debezium c/r/u convention)
+    val cOp = Seq((6L, "six", "c", 1L)).toDF("id", "v", "op", "seq")
+    assert(Relational.applyChanges(snap, cOp, Seq("id"), "op", "seq").count() == 5)
+    // missing payload/op columns fail loudly
+    intercept[IllegalArgumentException] {
+      Relational.applyChanges(snap, changes.drop("op"), Seq("id"), "op", "seq")
+    }
+    // applying the NET changelog again is a no-op (idempotent read-side view)
+    val net = Relational.latestByKey(changes, Seq("id"), Seq(col("seq")))
+    val once = Relational.applyChanges(snap, changes, Seq("id"), "op", "seq")
+    val twice = Relational.applyChanges(once, net, Seq("id"), "op", "seq")
+    assert(twice.except(once).count() == 0 && once.except(twice).count() == 0)
+  }
+
   test("kAnonymize: every published group >= k, leftover recounting, suppression") {
     // 12×(A,1) pass level 0; 3×(A,2)+2×(A,3) only reach k=5 once the last
     // column is masked; 4×(B,*) spread over distinct values must climb to

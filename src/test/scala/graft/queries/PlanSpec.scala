@@ -505,6 +505,77 @@ class PlanSpec extends SparkSpec {
       "keep-most-central must be the max_by aggregation, not a window sort")
   }
 
+  test("q137 span corruption: ONE doc-keyed Exchange shared by both windows and the reassembly agg") {
+    val p = plan(TextQueries.q137SpanCorrupt(spark, sf))
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"expected exactly one Exchange — the run-detection windows and the reassembly " +
+        s"aggregation must share the doc partitioning:\n${p.take(1200)}")
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 2,
+      "expected the lag window + the running span count, nothing more")
+    assert(!p.contains("Join"), "no join belongs in a per-doc transform")
+  }
+
+  test("q138 rebalanced mixture: derived weights BROADCAST back — corpus side never sort-merges") {
+    val p = plan(TextQueries.q138RebalancedMixture(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "the stratum->weight frame must broadcast onto the corpus scan")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled to meet an aggregate-sized weight table")
+    // the lone BNLJ is the pinned 1-row total-tokens frame (the BM25 convention)
+    assert(p.split("\\(\\d+\\) BroadcastNestedLoopJoin").length - 1 <= 1 &&
+      !p.contains("CartesianProduct"),
+      s"unexpected pair-shaped join:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "the draw is a projection, not a window sort")
+  }
+
+  test("q139 dedup-aware split: keyed join against the cluster map — no pair shape, no window") {
+    val p = plan(DedupQueries.q139DedupAwareSplit(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "split assignment degenerated to a pair shape")
+    assert(!p.contains("Window"), "split labels are hash projections, not ranks")
+    assert(p.contains("LeftOuter"),
+      "cluster map must attach as a left join (singletons keep their own id)")
+  }
+
+  test("q140 CDC apply: changelog collapses by AGGREGATION, snapshot pays one anti join — no window") {
+    val p = plan(RelationalQueries.q140ApplyChanges(spark, sf))
+    assert(!p.contains("Window"),
+      "net change must be the max_by aggregation, not a row_number window")
+    assert(p.contains("LeftAnti"), "snapshot must anti-join the net key set")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q142 sessionize: ONE key Exchange shared by the gap flag and the running session count") {
+    val p = plan(RelationalQueries.q142Sessionize(spark, sf))
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"expected exactly one Exchange:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "no join belongs in sessionization")
+  }
+
+  test("q143 funnel: keyed joins/aggs only — no window over the event log, no pair shape") {
+    val p = plan(RelationalQueries.q143Funnel(spark, sf))
+    assert(!p.contains("Window"), "funnel stages are aggregations, not windows")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q144 retention: two keyed aggs + one key join — no window anywhere") {
+    val p = plan(RelationalQueries.q144Retention(spark, sf))
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q145 gap fill: spine is a per-key generator; carries share one window sort") {
+    val p = plan(RelationalQueries.q145GapFill(spark, sf))
+    assert(p.contains("Generate"), "the grid spine must be a sequence generator")
+    // Spark may split the four carry expressions across up to 3 Window
+    // nodes, but they must all ride ONE key-partitioned sort
+    assert(p.split("\\(\\d+\\) Window").length - 1 <= 3 &&
+      p.split("\\(\\d+\\) Sort").length - 1 == 1,
+      s"carry windows must share a single sort:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "spine attached as a pair shape instead of the (key, slot) equi-join")
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
