@@ -337,6 +337,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(litStr(exprs(2), "key column")),
           litStr(exprs(3), "op column"), litStr(exprs(4), "seq column")))
     }
+    registerTable("triangle_stats",
+      "triangle_stats('edgesTable', 'srcCol', 'dstCol') - per-node triangle " +
+        "count and local clustering coefficient (micro-units); directions and " +
+        "multi-edges collapse, degree-ordered orientation", 3) {
+      exprs =>
+        expand(graft.operators.Graph.triangleStats(
+          SparkSession.active.table(litStr(exprs(0), "edges table")),
+          litStr(exprs(1), "src column"), litStr(exprs(2), "dst column")))
+    }
     registerTable("sessionize",
       "sessionize('table', 'keyCol', 'tsCol', 'gap', 'tiebreakCol') - label every " +
         "event with its per-key session sequence (new session when the gap is " +

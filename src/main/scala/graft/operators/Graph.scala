@@ -136,4 +136,72 @@ object Graph {
       col("_lbl").as("label"),
       col("_seed").isNotNull.cast("int").as("is_seed"))
   }
+
+  /** Triangle count and local clustering coefficient per node — the
+    * graph-density audit of a kNN / near-dup graph (a node whose
+    * neighbors all know each other sits inside a tight semantic cluster;
+    * one whose neighbors never meet is a hub or noise).
+    *
+    * Degree-ordered orientation (the O(|E|^1.5) triangle-listing shape):
+    * every undirected edge orients from its lexicographically smaller
+    * (degree, id) endpoint, so wedges enumerate only from each
+    * triangle's LOWEST-degree corner — per-node wedge work is bounded by
+    * that node's OUT-degree squared, which the orientation caps at
+    * O(√|E|) even for a hub whose raw degree is millions (a plain id
+    * orientation would square the hub's degree; the difference at 100 TB
+    * is the job finishing or not). Each triangle is emitted exactly
+    * once; the closing-edge check is a semi join on the oriented edge
+    * list, since the same total order orients the closing edge (v, w)
+    * identically. Directions and multi-edges collapse first.
+    *
+    * `cc_micro` = 2·T ÷ (d·(d−1)) in integer MICRO-units via the exact
+    * (num − pmod) / den floor division (engine-portable; nodes with
+    * d < 2 score 0). Output: `(node_id, degree, triangles, cc_micro)` —
+    * one row per node of the undirected graph; the global triangle count
+    * is Σ triangles / 3.
+    *
+    * Shape: dedup + degree are keyed aggs; the wedge join and the
+    * closing semi join are equi-joins on node keys; the per-node count
+    * is one explode (×3) + keyed agg. Nothing materializes beyond
+    * O(wedges) transient candidates, bounded per task by oriented
+    * out-degree². */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val idType = edges.schema(srcCol).dataType
+    val und = graft.CacheScope.track(
+      edges.select(col(srcCol).cast("long").as("_a"), col(dstCol).cast("long").as("_b"))
+        .filter(col("_a") =!= col("_b"))
+        .select(least(col("_a"), col("_b")).as("_a"),
+          greatest(col("_a"), col("_b")).as("_b"))
+        .distinct().cache())
+    val deg = graft.CacheScope.track(
+      und.select(col("_a").as("_n")).union(und.select(col("_b").as("_n")))
+        .groupBy("_n").agg(count(lit(1)).as("degree")).cache())
+    val keyA = struct(col("_da"), col("_a"))
+    val keyB = struct(col("_db"), col("_b"))
+    val o = graft.CacheScope.track(und
+      .join(deg.select(col("_n").as("_a"), col("degree").as("_da")), "_a")
+      .join(deg.select(col("_n").as("_b"), col("degree").as("_db")), "_b")
+      .select(
+        when(keyA < keyB, col("_a")).otherwise(col("_b")).as("_u"),
+        when(keyA < keyB, col("_b")).otherwise(col("_a")).as("_v"),
+        when(keyA < keyB, col("_db")).otherwise(col("_da")).as("_dv"))
+      .cache())
+    val wedges = o.select(col("_u"), col("_v").as("_x"), col("_dv").as("_dx"))
+      .join(o.select(col("_u"), col("_v").as("_y"), col("_dv").as("_dy")), Seq("_u"))
+      .filter(struct(col("_dx"), col("_x")) < struct(col("_dy"), col("_y")))
+    val tri = wedges
+      .join(o.select(col("_u").as("_x"), col("_v").as("_y")), Seq("_x", "_y"), "left_semi")
+      .select(col("_u"), col("_x"), col("_y"))
+    val perNode = tri
+      .select(explode(array(col("_u"), col("_x"), col("_y"))).as("_n"))
+      .groupBy("_n").agg(count(lit(1)).as("triangles"))
+    val num = col("triangles") * 2000000L
+    val den = col("degree") * (col("degree") - 1)
+    deg.join(perNode, Seq("_n"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .select(col("_n").cast(idType).as("node_id"), col("degree"),
+        col("triangles"),
+        when(col("degree") < 2, lit(0L))
+          .otherwise(((num - pmod(num, den)) / den).cast("long")).as("cc_micro"))
+  }
 }

@@ -37,9 +37,17 @@ object GraphQueries {
       rounds = 8)
   }
 
+  // Graph-density audit: triangles + local clustering coefficient per
+  // node of the kNN graph (degree-ordered orientation — each triangle
+  // listed once from its lowest-degree corner).
+  def q146Triangles(s: SparkSession, d: String): DataFrame =
+    Graph.triangleStats(knnEdges(s, d).select("query_id", "neighbor_id"),
+      "query_id", "neighbor_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_pagerank" -> q132PageRank,
-    "q133_label_prop" -> q133LabelProp)
+    "q133_label_prop" -> q133LabelProp,
+    "q146_triangles" -> q146Triangles)
 
   /** The integer PageRank recurrence unrolled as a CTE chain ending at
     * `r12(id, r)` — shared by the q132 gate and the curation-v6
@@ -106,7 +114,37 @@ object GraphQueries {
     sb.toString
   }
 
+  /** q146 oracle: the same degree-ordered orientation replayed with row
+    * comparisons; `%` operands are non-negative so DuckDB's remainder
+    * equals Spark's pmod. */
+  private val q146OracleSql: String =
+    s"""WITH ${AnnQueries.knnEdges3Cte},
+        und AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                  greatest(query_id, neighbor_id) AS b
+                FROM knn WHERE query_id <> neighbor_id),
+        deg AS (SELECT n, count(*) AS degree FROM (
+                  SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        o AS MATERIALIZED (SELECT
+              CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.a ELSE u.b END AS u,
+              CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN u.b ELSE u.a END AS v,
+              CASE WHEN (da.degree, u.a) < (db.degree, u.b) THEN db.degree ELSE da.degree END AS dv
+            FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+        tri AS (SELECT w1.u, w1.v AS x, w2.v AS y
+                FROM o w1 JOIN o w2 ON w1.u = w2.u AND (w1.dv, w1.v) < (w2.dv, w2.v)
+                WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = w1.v AND c.v = w2.v)),
+        pn AS (SELECT n, count(*) AS triangles FROM (
+                 SELECT u AS n FROM tri UNION ALL SELECT x FROM tri
+                 UNION ALL SELECT y FROM tri) GROUP BY 1)
+        SELECT d.n AS node_id, d.degree,
+          CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+          CASE WHEN d.degree < 2 THEN 0
+               ELSE CAST((2000000*coalesce(pn.triangles, 0) -
+                 ((2000000*coalesce(pn.triangles, 0)) % (d.degree*(d.degree-1)))) /
+                 (d.degree*(d.degree-1)) AS BIGINT) END AS cc_micro
+        FROM deg d LEFT JOIN pn ON d.n = pn.n"""
+
   val oracles: Map[String, String] = Map(
     "q132_pagerank" -> q132OracleSql,
-    "q133_label_prop" -> q133OracleSql)
+    "q133_label_prop" -> q133OracleSql,
+    "q146_triangles" -> q146OracleSql)
 }

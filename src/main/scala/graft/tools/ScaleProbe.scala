@@ -649,6 +649,24 @@ object ScaleProbe {
     time("gap fill 1x (100k events)")(gapX(1))
     time("gap fill 10x (1M events, 10x users)")(gapX(10))
 
+    // --- triangles: ring of 8-cliques — k× cliques = k× triangles; the
+    // degree orientation keeps wedge work linear in clique count --------
+    def triX(k: Int): Long = {
+      val n = 2000 * k
+      val ids = spark.range(n)
+      val intra = ids.select((col("id") / 8).cast("long").as("_c"),
+          col("id").as("_a"))
+        .join(ids.select((col("id") / 8).cast("long").as("_c"), col("id").as("_b")), Seq("_c"))
+        .filter(col("_a") < col("_b")).select("_a", "_b")
+      val ring = ids.select(col("id").as("_a"), ((col("id") + 8) % n).as("_b"))
+      val r = graft.operators.Graph.triangleStats(
+        intra.unionByName(ring), "_a", "_b")
+        .agg(sum(col("triangles"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("triangles 1x (2k nodes, 250 8-cliques)")(triX(1))
+    time("triangles 10x (20k nodes)")(triX(10))
+
     // --- dedup-aware split: All-Pairs jaccard + CC + hash projection ----
     def dasX(k: Int): Long = {
       val r = Dedup.dedupAwareSplit(docsX(k), "doc_id", "text", n = 3,

@@ -229,6 +229,17 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == Map(2L -> "two'", 3L -> "three"))
   }
 
+  test("triangle_stats TVF: clique triangle from plain SQL") {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+      .createOrReplaceTempView("tri_tvf_t")
+    val out = spark.sql(
+      "SELECT node_id, triangles, cc_micro FROM triangle_stats('tri_tvf_t', 's', 'd')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 1000000L), (2L, 1L, 1000000L), (3L, 1L, 1000000L)))
+    graft.CacheScope.release()
+  }
+
   test("event TVFs: sessionize, funnel, retention_cohorts, gap_fill from plain SQL") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)

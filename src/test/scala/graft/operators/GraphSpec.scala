@@ -82,4 +82,32 @@ class GraphSpec extends SparkSpec {
     assert(f.getInt(1) == 9 && f.getInt(2) == 1)
     graft.CacheScope.release()
   }
+
+  test("triangleStats: 4-clique + pendant — counts, cc, direction/multi-edge collapse") {
+    // 4-clique on 1..4 (every node in C(3,2)=3 triangles, cc = 1) plus a
+    // pendant 5-1 (degree 1, no triangles); edges fed DIRECTED and
+    // DUPLICATED to prove the undirected collapse
+    val raw = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 3L), (5L, 1L), (1L, 5L))
+    val out = Graph.triangleStats(raw.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(5L) == ((1L, 0L, 0L)), s"pendant: ${out(5L)}")
+    for (n <- 1L to 4L if n != 1L)
+      assert(out(n) == ((3L, 3L, 1000000L)), s"clique node $n: ${out(n)}")
+    assert(out(1L) == ((4L, 3L, 500000L)), // degree 4 (incl pendant): 2*3/(4*3) = 0.5
+      s"clique+pendant node 1: ${out(1L)}")
+    // global count = sum/3 = 4 triangles in the clique
+    assert(out.values.map(_._2).sum == 12L)
+    graft.CacheScope.release()
+  }
+
+  test("triangleStats: triangle-free graphs score zero everywhere") {
+    // path 1-2-3-4 and star 10-{11,12,13}: no triangles, cc 0
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("s", "d")
+    val out = Graph.triangleStats(e, "s", "d").collect()
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    assert(out.length == 8)
+    graft.CacheScope.release()
+  }
 }

@@ -576,6 +576,15 @@ class PlanSpec extends SparkSpec {
       "spine attached as a pair shape instead of the (key, slot) equi-join")
   }
 
+  test("q146 triangles: wedge/closing joins stay equi-keyed — no pair shape, no window") {
+    val p = plan(GraphQueries.q146Triangles(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "triangle listing degenerated to an all-pairs shape")
+    assert(!p.contains("Window"), "counts are aggregations, not window sorts")
+    assert(p.contains("LeftSemi"), "the closing edge must check as a semi join")
+    graft.CacheScope.release()
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
