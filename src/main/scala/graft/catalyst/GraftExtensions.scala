@@ -337,6 +337,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(litStr(exprs(2), "key column")),
           litStr(exprs(3), "op column"), litStr(exprs(4), "seq column")))
     }
+    registerTable("rolling_agg",
+      "rolling_agg('table', 'keyCol', 'tsCol', 'valueCol', 'window') - trailing " +
+        "time-RANGE sum/count per event (equal timestamps are peers); valueCol " +
+        "must be integral", 5) {
+      exprs =>
+        expand(graft.operators.Events.rollingAgg(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litStr(exprs(3), "value column"), litStr(exprs(4), "window interval")))
+    }
+    registerTable("length_batches",
+      "length_batches('table', 'idCol', 'tokensCol', 'edge1,edge2,...', batchSize) - " +
+        "group rows into fixed-size batches of similar length (upper-exclusive " +
+        "bands; overflow band past the last edge); deterministic hash order", 5) {
+      exprs =>
+        val edges = colList(litStr(exprs(3), "bucket edges")).map { e =>
+          require(e.forall(_.isDigit), s"bucket edge '$e' must be a non-negative integer")
+          e.toLong
+        }
+        expand(graft.operators.TextOps.lengthBucketBatches(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "tokens column"),
+          edges, litInt(exprs(4), "batchSize")))
+    }
     registerTable("triangle_stats",
       "triangle_stats('edgesTable', 'srcCol', 'dstCol') - per-node triangle " +
         "count and local clustering coefficient (micro-units); directions and " +

@@ -113,6 +113,34 @@ object Events {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Trailing time-RANGE rolling aggregates: for every event, the sum and
+    * count of `valueCol` over the key's events in `[ts − window, ts]` —
+    * the moving-average / velocity / rate-limit feature every
+    * product-analytics and fraud surface computes. A RANGE frame (not
+    * ROWS): equal timestamps are peers and aggregate together, so the
+    * result is deterministic with no tiebreak contract (the q128 ROWS
+    * frame is the complement — positional history, total order
+    * required). Appends `roll_sum`, `roll_cnt`.
+    *
+    * Shape: ONE key-partitioned Exchange + one sort; the range frame
+    * advances two pointers over each key's sorted history (Spark's
+    * bounded-preceding RANGE implementation), so per-task state is the
+    * window's event span, never the whole history. `valueCol` must be
+    * integral (the [[graft.functions.Portable]] rule — sum it as cents /
+    * micro-units; an order-dependent float sum would never replay). */
+  def rollingAgg(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, window: String): DataFrame = {
+    val micros = Relational.intervalMicros(window)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol).cast("timestamp")))
+      .rangeBetween(-micros, 0)
+    // one projection, so both aggregates land in ONE Window node over a
+    // single sort (chained withColumns split into two Window+Sort pairs)
+    df.select(df.columns.map(col) :+
+      sum(col(valueCol).cast("long")).over(w).as("roll_sum") :+
+      count(lit(1)).over(w).as("roll_cnt"): _*)
+  }
+
   /** Regular-grid gap fill over a keyed time series: resample each key's
     * series onto a fixed `step` grid from its first to its last
     * observation, carrying observed values across gaps. Observations

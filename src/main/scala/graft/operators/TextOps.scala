@@ -1291,6 +1291,46 @@ object TextOps {
           round(lit(1e9) * lit(0.5) * abs(pg0 - pc0)).cast("long")).as("tv_nano"))
   }
 
+  /** Length-bucketed batch assignment: group rows into fixed-size
+    * training batches of SIMILAR sequence length, so per-batch padding
+    * waste is bounded by the bucket width instead of the corpus-wide
+    * length spread (the dynamic-batching trick every trainer applies
+    * before padding to the batch max). `bucketEdges` are ascending
+    * upper-exclusive boundaries: bucket i holds rows with
+    * `edges(i-1) <= tokens < edges(i)`; rows at or past the last edge
+    * fall in the overflow bucket `edges.size`. Within a bucket, rows
+    * order by the salted content hash of `idCol` (deterministic,
+    * engine-replayable, growth-churn limited — no `rand()`), and
+    * `batch_id` / `pos` are the rank split into `batchSize` groups; the
+    * tail batch of each bucket may be short. Output: input columns +
+    * `bucket`, `batch_id`, `pos` (both 0-based, per bucket).
+    *
+    * Shape: bucket assignment is a pure projection (config-sized
+    * `when`-ladder); the rank is ONE bucket-keyed window under the hash
+    * order. Buckets are the operator's parallelism unit — a
+    * billion-row bucket's single-task sort is the q80 window-path
+    * caveat, and the same remedy applies (pre-shard hot buckets by a
+    * hash prefix, or pack per [[Relational.epochShuffle]] shards). */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokensCol: String,
+      bucketEdges: Seq[Long], batchSize: Int): DataFrame = {
+    require(bucketEdges.nonEmpty && bucketEdges == bucketEdges.sorted &&
+      bucketEdges.distinct.size == bucketEdges.size,
+      "bucketEdges must be ascending and distinct")
+    require(batchSize >= 1, "batchSize >= 1")
+    val toks = col(tokensCol).cast("long")
+    val bucket = bucketEdges.zipWithIndex.foldRight(lit(bucketEdges.size)) {
+      case ((edge, i), rest) => when(toks < edge, i).otherwise(rest)
+    }
+    val ord = graft.functions.Portable.md5Long60(
+      concat(col(idCol).cast("string"), lit("#batch")))
+    val rank = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(ord, col(idCol))) - 1
+    df.withColumn("bucket", bucket)
+      .withColumn("batch_id", (rank - pmod(rank, lit(batchSize))) / batchSize)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .withColumn("pos", pmod(rank, lit(batchSize)))
+  }
+
   /** T5/UL2-style span corruption: mask ~`maskPct`% of each document's
     * tokens in `spanLen`-token blocks, replace each maximal masked RUN
     * with a numbered sentinel in the corrupted text, and emit the

@@ -531,6 +531,15 @@ object RelationalQueries {
       .select(col("user_id"), TimeFunctions.canonical(col("slot_ts")).as("slot_ts"),
         col("observed"), col("locf"), col("nocb"), col("interp_micro"))
 
+  // Trailing 24-hour rolling spend per user: RANGE-frame window (equal
+  // timestamps are peers — no tiebreak contract), integer cents.
+  def q147RollingAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.rollingAgg(
+        events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+          Portable.cents(col("value")).as("cents")),
+        "user_id", "ts", "cents", "1 day")
+      .select(col("user_id"), col("event_id"), col("roll_sum"), col("roll_cnt"))
+
   // k-anonymity by bottom-up generalization over customer
   // quasi-identifiers (segment, account-balance band, nation bucket):
   // every published combination covers >= 5 customers, rarer
@@ -554,6 +563,7 @@ object RelationalQueries {
     "q143_funnel" -> q143Funnel,
     "q144_retention" -> q144Retention,
     "q145_gap_fill" -> q145GapFill,
+    "q147_rolling_agg" -> q147RollingAgg,
     "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
     "q03_agg_global" -> q03AggGlobal,
@@ -761,6 +771,14 @@ object RelationalQueries {
            count(*) AS n_active
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
     "q145_gap_fill" -> q145OracleSql,
+    "q147_rolling_agg" ->
+      """SELECT user_id, event_id,
+           CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
+           count(*) OVER w AS roll_cnt
+         FROM (SELECT user_id, event_id, ts::TIMESTAMP AS t,
+                 CAST(round(value*100) AS BIGINT) AS cents FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY t
+           RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)""",
     "q79_fuzzy_join" ->
       """WITH dirty AS (
            SELECT c_custkey AS d_custkey, c_nationkey AS d_nationkey,

@@ -541,6 +541,14 @@ object TextQueries {
   // T5-style span corruption: content-addressed masked spans replaced by
   // numbered sentinels, targets = sentinel-prefixed spans. The gate hashes
   // both assembled sequences and pins mask/span counts per doc.
+  // Length-bucketed training batches: documents grouped into 16-row
+  // batches of similar length (char-count bands) so per-batch padding is
+  // bounded by the band width; deterministic hash order within a band.
+  def q148LengthBatches(s: SparkSession, d: String): DataFrame =
+    graft.operators.TextOps.lengthBucketBatches(
+      Tables.documents(s, d).select("doc_id", "n_chars"),
+      "doc_id", "n_chars", Seq(200L, 400L, 800L), batchSize = 16)
+
   def q137SpanCorrupt(s: SparkSession, d: String): DataFrame =
     graft.operators.TextOps.spanCorrupt(
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
@@ -561,6 +569,7 @@ object TextQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_fim" -> q131Fim,
     "q137_span_corrupt" -> q137SpanCorrupt,
+    "q148_length_batches" -> q148LengthBatches,
     "q138_rebalanced_mixture" -> q138RebalancedMixture,
     "q110_shard_manifest" -> q110ShardManifest,
     "q112_source_drift" -> q112SourceDrift,
@@ -739,6 +748,18 @@ object TextQueries {
        WHERE rn <= 20"""
 
   val oracles: Map[String, String] = Map(
+    "q148_length_batches" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+           CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+                WHEN n_chars < 800 THEN 2 ELSE 3 END AS bucket,
+           ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#batch'), 1, 15))::BIGINT AS h
+           FROM documents),
+         r AS (SELECT doc_id, n_chars, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS rnk
+           FROM b)
+         SELECT doc_id, n_chars, CAST(bucket AS INT) AS bucket,
+           CAST(rnk // 16 AS BIGINT) AS batch_id, CAST(rnk % 16 AS INT) AS pos
+         FROM r""",
     "q137_span_corrupt" ->
       """WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents),
          tk AS (SELECT doc_id,

@@ -649,6 +649,21 @@ object ScaleProbe {
     time("gap fill 1x (100k events)")(gapX(1))
     time("gap fill 10x (1M events, 10x users)")(gapX(10))
 
+    // --- rolling RANGE agg + length-bucketed batches -------------------
+    def rollX(k: Int): Long =
+      Events.rollingAgg(evFull(k).withColumn("cents",
+          graft.functions.Portable.cents(col("value"))),
+        "user_id", "ts", "cents", "1 day")
+        .agg(sum(col("roll_cnt"))).head().getLong(0)
+    time("rolling agg 1x (100k events)")(rollX(1))
+    time("rolling agg 10x (1M events, 10x users)")(rollX(10))
+    def lbX(k: Int): Long =
+      TextOps.lengthBucketBatches(docsX(k).withColumn("_n", length(col("text"))),
+        "doc_id", "_n", Seq(200L, 400L, 800L), 16)
+        .agg(max(col("batch_id"))).head().getLong(0)
+    time("length batches 1x (5k docs)")(lbX(1))
+    time("length batches 10x (50k docs)")(lbX(10))
+
     // --- triangles: ring of 8-cliques — k× cliques = k× triangles; the
     // degree orientation keeps wedge work linear in clique count --------
     def triX(k: Int): Long = {

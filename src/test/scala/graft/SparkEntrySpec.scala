@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 146 queries, unique names") {
-    assert(SparkEntry.queries.size == 146)
+  test("gate inventory: 148 queries, unique names") {
+    assert(SparkEntry.queries.size == 148)
   }
 }

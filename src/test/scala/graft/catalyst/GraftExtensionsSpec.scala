@@ -240,6 +240,23 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.release()
   }
 
+  test("rolling_agg and length_batches TVFs from plain SQL") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, t("2024-01-01 00:00:00"), 5L), (1L, t("2024-01-01 00:30:00"), 7L))
+      .toDF("user", "ts", "v").createOrReplaceTempView("ra_tvf_t")
+    val ra = spark.sql(
+      "SELECT roll_sum, roll_cnt FROM rolling_agg('ra_tvf_t', 'user', 'ts', 'v', '1 hour') ORDER BY ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ra == Seq((5L, 1L), (12L, 2L)))
+    (1L to 5L).map(i => (i, 100L * i)).toDF("id", "n_tok")
+      .createOrReplaceTempView("lb_tvf_t")
+    val lb = spark.sql(
+      "SELECT id, bucket FROM length_batches('lb_tvf_t', 'id', 'n_tok', '250,450', 2)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lb == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2))
+  }
+
   test("event TVFs: sessionize, funnel, retention_cohorts, gap_fill from plain SQL") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)

@@ -72,6 +72,23 @@ class EventsSpec extends SparkSpec {
       (p.toLong, 0L) -> 2L, (p.toLong, 1L) -> 1L, (p.toLong + 1, 0L) -> 1L), s"got $out")
   }
 
+  test("rollingAgg: inclusive trailing range, equal-ts peers aggregate, per-key isolation") {
+    val e = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), 5L),
+      (1L, 11L, ts("2024-01-02 00:00:00"), 7L),  // exactly 24h later: 10 still IN
+      (1L, 12L, ts("2024-01-02 00:00:01"), 2L),  // 10 now out
+      (1L, 13L, ts("2024-01-02 00:00:01"), 3L),  // equal ts: peer of 12 — both see both
+      (2L, 20L, ts("2024-01-02 00:00:00"), 100L) // other key isolated
+    ).toDF("user", "eid", "t", "v")
+    val out = Events.rollingAgg(e, "user", "t", "v", "1 day")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(out(10L) == ((5L, 1L)))
+    assert(out(11L) == ((12L, 2L)), "the exactly-window-old event is inclusive")
+    assert(out(12L) == ((12L, 3L)) && out(13L) == ((12L, 3L)),
+      "equal timestamps are RANGE peers: both rows aggregate both values")
+    assert(out(20L) == ((100L, 1L)))
+  }
+
   test("gapFill: observed slots exact; LOCF/NOCB carries; integer lerp; head/tail fills") {
     val h = 3600000000L // 1 hour in micros
     val e = Seq(

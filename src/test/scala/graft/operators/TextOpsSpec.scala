@@ -758,4 +758,35 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id", "corrupted").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a == b)
   }
+
+  test("lengthBucketBatches: boundary assignment, dense batches, repartition-stable") {
+    import spark.implicits._
+    val rows = (1L to 35L).map(i => (i, 250L)) ++ // 35 rows in bucket 1
+      Seq((100L, 199L), (101L, 200L), (102L, 799L), (103L, 800L), (104L, 5000L))
+    val df = rows.toDF("id", "n_tok")
+    val out = TextOps.lengthBucketBatches(df, "id", "n_tok",
+      Seq(200L, 400L, 800L), batchSize = 16)
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> ((r.getInt(2), r.getLong(3), r.getInt(4)))).toMap
+    // upper-exclusive edges; past-last-edge rows overflow to bucket 3
+    assert(byId(100L)._1 == 0 && byId(101L)._1 == 1 && byId(102L)._1 == 2 &&
+      byId(103L)._1 == 3 && byId(104L)._1 == 3)
+    // bucket 1 (35 + 1 rows): batches 0/1 full (16), batch 2 holds 4
+    val b1 = out.filter(col("bucket") === 1)
+      .groupBy("batch_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == Map(0L -> 16L, 1L -> 16L, 2L -> 4L), s"got $b1")
+    // pos is dense 0..15 within a full batch
+    val pos0 = out.filter(col("bucket") === 1 && col("batch_id") === 0)
+      .select("pos").collect().map(_.getInt(0)).sorted.toSeq
+    assert(pos0 == (0 to 15))
+    // deterministic under repartitioning
+    val again = TextOps.lengthBucketBatches(df.repartition(7), "id", "n_tok",
+      Seq(200L, 400L, 800L), batchSize = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(again == byId)
+    intercept[IllegalArgumentException] {
+      TextOps.lengthBucketBatches(df, "id", "n_tok", Seq(400L, 200L), 16)
+    }
+  }
 }

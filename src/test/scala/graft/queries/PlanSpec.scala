@@ -585,6 +585,21 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q147 rolling agg: ONE key Exchange, a single RANGE-frame Window, no join") {
+    val p = plan(RelationalQueries.q147RollingAgg(spark, sf))
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"expected exactly one Exchange:\n${p.take(1200)}")
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q148 length batches: bucket projection + ONE bucket-keyed window — no join") {
+    val p = plan(TextQueries.q148LengthBatches(spark, sf))
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"expected exactly one Exchange:\n${p.take(1200)}")
+    assert(!p.contains("Join"))
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
