@@ -540,6 +540,33 @@ object RelationalQueries {
         "user_id", "ts", "cents", "1 day")
       .select(col("user_id"), col("event_id"), col("roll_sum"), col("roll_cnt"))
 
+  // Events-family composition (the q46/q77/q127 convention — one
+  // composition gate per operator family): sessionization, the funnel,
+  // and the rolling 24-hour peak joined into one per-user analytics
+  // mart, every stage an engine operator. Funnel non-starters keep a
+  // row (left join + furthest 0) — the mart covers every active user.
+  def q149AnalyticsMart(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val sess = graft.operators.Events.sessionize(e, "user_id", "ts",
+        "30 minutes", Seq(col("event_id")))
+      .groupBy("user_id")
+      .agg(max(col("session_seq")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        sum(Portable.cents(col("value"))).as("value_cents"))
+    val fun = graft.operators.Events.funnelSteps(e, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), Some("7 days"))
+      .select(col("user_id"), col("furthest_step"))
+    val roll = graft.operators.Events.rollingAgg(
+        e.select(col("user_id"), col("ts"), Portable.cents(col("value")).as("cents")),
+        "user_id", "ts", "cents", "1 day")
+      .groupBy("user_id").agg(max(col("roll_sum")).as("peak_24h_cents"))
+    sess.join(fun, Seq("user_id"), "left")
+      .join(roll, Seq("user_id"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        col("value_cents"), coalesce(col("furthest_step"), lit(0)).as("furthest_step"),
+        col("peak_24h_cents"))
+  }
+
   // k-anonymity by bottom-up generalization over customer
   // quasi-identifiers (segment, account-balance band, nation bucket):
   // every published combination covers >= 5 customers, rarer
@@ -564,6 +591,7 @@ object RelationalQueries {
     "q144_retention" -> q144Retention,
     "q145_gap_fill" -> q145GapFill,
     "q147_rolling_agg" -> q147RollingAgg,
+    "q149_analytics_mart" -> q149AnalyticsMart,
     "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
     "q03_agg_global" -> q03AggGlobal,
@@ -771,6 +799,47 @@ object RelationalQueries {
            count(*) AS n_active
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
     "q145_gap_fill" -> q145OracleSql,
+    "q149_analytics_mart" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t, event_type,
+             CAST(round(value*100) AS BIGINT) AS cents FROM events),
+         f AS (SELECT user_id, event_id, t, cents,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         sessed AS (SELECT user_id, cents,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM f),
+         sess AS (SELECT user_id, CAST(max(session_seq) AS INT) AS n_sessions,
+             count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
+           FROM sessed GROUP BY 1),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, t1,
+             min(CASE WHEN e.t > t1
+                       AND epoch_us(e.t) <= epoch_us(t1) + 604800000000 THEN e.t END) AS t2
+           FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+           GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, t1, t2,
+             min(CASE WHEN e.t > t2
+                       AND epoch_us(e.t) <= epoch_us(t1) + 604800000000 THEN e.t END) AS t3
+           FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+           GROUP BY 1, 2, 3),
+         fun AS (SELECT user_id,
+             (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+              CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END +
+              CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS furthest_step
+           FROM s3),
+         roll AS (SELECT user_id,
+             CAST(max(rs) AS BIGINT) AS peak_24h_cents
+           FROM (SELECT user_id, sum(cents) OVER (PARTITION BY user_id ORDER BY t
+                   RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS rs
+                 FROM e)
+           GROUP BY 1)
+         SELECT sess.user_id, n_sessions, n_events, value_cents,
+           coalesce(furthest_step, 0) AS furthest_step, peak_24h_cents
+         FROM sess
+         LEFT JOIN fun ON sess.user_id = fun.user_id
+         JOIN roll ON sess.user_id = roll.user_id""",
     "q147_rolling_agg" ->
       """SELECT user_id, event_id,
            CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,

@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 148 queries, unique names") {
-    assert(SparkEntry.queries.size == 148)
+  test("gate inventory: 149 queries, unique names") {
+    assert(SparkEntry.queries.size == 149)
   }
 }

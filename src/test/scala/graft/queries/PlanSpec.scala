@@ -600,6 +600,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("q149 analytics mart: the events composition stays key-joined — no pair shape") {
+    val p = plan(RelationalQueries.q149AnalyticsMart(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a mart stage degenerated to a pair shape")
+    // the three per-user frames join on the user key only
+    val keyLines = p.linesIterator.filter(_.contains("keys [")).mkString("\n")
+    assert(keyLines.contains("user_id"), s"joins must be user-keyed:\n$keyLines")
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
