@@ -337,6 +337,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(litStr(exprs(2), "key column")),
           litStr(exprs(3), "op column"), litStr(exprs(4), "seq column")))
     }
+    registerTable("scd2",
+      "scd2('changes', 'keyCol', 'opCol', 'seqCol', 'tsCol') - type-2 SCD from a " +
+        "changelog: per-version validity intervals; deletes close the prior " +
+        "version and emit nothing", 5) {
+      exprs =>
+        expand(graft.operators.Relational.scd2(
+          SparkSession.active.table(litStr(exprs(0), "changes table")),
+          Seq(litStr(exprs(1), "key column")), litStr(exprs(2), "op column"),
+          litStr(exprs(3), "seq column"), litStr(exprs(4), "ts column")))
+    }
+    registerTable("range_join",
+      "range_join('left', 'valueCol', 'right', 'loCol', 'hiCol', bucketWidth) - " +
+        "bucketized numeric range join on lo <= value < hi (equi-join on width-W " +
+        "buckets, never a nested-loop join)", 6) {
+      exprs =>
+        expand(graft.operators.Relational.rangeJoin(
+          SparkSession.active.table(litStr(exprs(0), "left table")),
+          litStr(exprs(1), "value column"),
+          SparkSession.active.table(litStr(exprs(2), "right table")),
+          litStr(exprs(3), "lo column"), litStr(exprs(4), "hi column"),
+          litInt(exprs(5), "bucketWidth").toLong))
+    }
     registerTable("rolling_agg",
       "rolling_agg('table', 'keyCol', 'tsCol', 'valueCol', 'window') - trailing " +
         "time-RANGE sum/count per event (equal timestamps are peers); valueCol " +

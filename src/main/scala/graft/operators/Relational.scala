@@ -639,6 +639,69 @@ object Relational {
     survivors.unionByName(upserts)
   }
 
+  /** Materialize a type-2 slowly-changing dimension from a CDC
+    * changelog: one row per (key, version) with its validity interval —
+    * `valid_from` = the change's own `tsCol`, `valid_to` = the NEXT
+    * change's ts for that key (null while current), `is_current` = 1 on
+    * a key's last change when it is not a delete. Deletes emit no row
+    * but still CLOSE the previous version's interval (the standard
+    * warehouse treatment); [[applyChanges]] is the "latest state" view,
+    * this is the full history view — together with [[snapshotDiff]]
+    * they are the CDC write/read/history triptych.
+    *
+    * `seqCol` orders versions (strict per-key total order, the
+    * [[applyChanges]] contract); `tsCol` supplies the interval bounds
+    * and must be non-decreasing in `seqCol` per key or intervals invert
+    * (a changelog with honest event times satisfies this by
+    * construction).
+    *
+    * Shape: ONE key-partitioned window (lead over the seq order) + a
+    * filter — per-task state is a key's own version chain; no joins, no
+    * driver state. */
+  def scd2(changes: DataFrame, keys: Seq[String], opCol: String,
+      seqCol: String, tsCol: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol))
+    changes
+      .withColumn("valid_from", col(tsCol).cast("timestamp"))
+      .withColumn("valid_to", lead(col(tsCol).cast("timestamp"), 1).over(w))
+      .filter(col(opCol) =!= "delete")
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .drop(opCol, seqCol)
+  }
+
+  /** Bucketized numeric range join: all (left, right) pairs with
+    * `lo <= value < hi` (half-open — band boundaries never double-match)
+    * WITHOUT the BroadcastNestedLoopJoin Spark plans for a raw
+    * inequality join. Both sides map onto `bucketWidth`-wide buckets —
+    * the left row to `floor(value / W)`, the interval to every bucket it
+    * overlaps — and the join runs as an EQUI join on the bucket with the
+    * exact range predicate as a filter: the [[intervalJoin]] discipline
+    * generalized to numeric intervals of arbitrary length. Candidates
+    * track bucket occupancy, never |L|×|R|; each true pair meets exactly
+    * once (DISTINCT bucket lists per interval are unnecessary — an
+    * interval covers each bucket once by construction).
+    *
+    * Size `bucketWidth` near the median interval length: an interval
+    * explodes into `(hi − lo)/W + 1` bucket rows (too-small W inflates
+    * the right side), while a too-large W degrades pruning (more
+    * candidates per bucket). Inner join only; output is every left
+    * column then every right column — inputs must share no column names
+    * (the [[fuzzyJoin]] convention). */
+  def rangeJoin(left: DataFrame, valueCol: String,
+      right: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth >= 1")
+    val l = left.withColumn("_rbkt",
+      floor(col(valueCol).cast("double") / bucketWidth).cast("long"))
+    val r = right.withColumn("_rbkt", explode(sequence(
+      floor(col(loCol).cast("double") / bucketWidth).cast("long"),
+      floor(col(hiCol).cast("double") / bucketWidth).cast("long"))))
+    l.join(r, Seq("_rbkt"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("_rbkt")
+  }
+
   /** k-anonymity by bottom-up global recoding: every published
     * quasi-identifier combination is shared by ≥ k rows, achieved by
     * progressively generalizing (masking to "*") quasi columns from the

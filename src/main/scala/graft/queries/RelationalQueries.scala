@@ -567,6 +567,45 @@ object RelationalQueries {
         col("peak_24h_cents"))
   }
 
+  // Bucketized numeric range join: orders priced into overlapping value
+  // bands (half-open [lo, hi)) — the banding/tiering join Spark would
+  // otherwise plan as a BroadcastNestedLoopJoin. 120 bands of width
+  // 8000 stepped 5000 apart, so most orders match 1-2 bands.
+  def q150RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = s.range(120).select(col("id").cast("long").as("band_id"),
+      (col("id") * 5000L).as("band_lo"), (col("id") * 5000L + 8000L).as("band_hi"))
+    Relational.rangeJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        "o_totalprice", bands, "band_lo", "band_hi", bucketWidth = 5000L)
+      .select(col("o_orderkey"), col("band_id"))
+  }
+
+  // SCD-2 dimension build: the q140 changelog (with event times = base +
+  // seq days) materialized as per-version validity intervals; deletes
+  // close the prior version and emit nothing; resurrections open a new
+  // current version.
+  def q151Scd2(s: SparkSession, d: String): DataFrame = {
+    val snap = Tables.documents(s, d).select("doc_id", "text")
+    val rev2 = snap.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("text", concat(col("text"), lit(" (rev 2)")))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+    val dels = snap.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .withColumn("op", lit("delete")).withColumn("seq", lit(2L))
+    val ins = snap.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+    val rev3 = snap.filter(pmod(col("doc_id"), lit(35)) === 0)
+      .withColumn("text", concat(col("text"), lit(" (rev 3)")))
+      .withColumn("op", lit("upsert")).withColumn("seq", lit(3L))
+    val changes = rev2.unionByName(dels).unionByName(ins).unionByName(rev3)
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("seq") * 86400L))
+    Relational.scd2(changes, Seq("doc_id"), "op", "seq", "ts")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        TimeFunctions.canonical(col("valid_from")).as("valid_from"),
+        TimeFunctions.canonical(col("valid_to")).as("valid_to"),
+        col("is_current"))
+  }
+
   // k-anonymity by bottom-up generalization over customer
   // quasi-identifiers (segment, account-balance band, nation bucket):
   // every published combination covers >= 5 customers, rarer
@@ -592,6 +631,8 @@ object RelationalQueries {
     "q145_gap_fill" -> q145GapFill,
     "q147_rolling_agg" -> q147RollingAgg,
     "q149_analytics_mart" -> q149AnalyticsMart,
+    "q150_range_join" -> q150RangeJoin,
+    "q151_scd2" -> q151Scd2,
     "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
     "q03_agg_global" -> q03AggGlobal,
@@ -799,6 +840,32 @@ object RelationalQueries {
            count(*) AS n_active
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
     "q145_gap_fill" -> q145OracleSql,
+    "q150_range_join" ->
+      """WITH bands AS (
+           SELECT CAST(i AS BIGINT) AS band_id, CAST(i*5000 AS BIGINT) AS lo,
+             CAST(i*5000 + 8000 AS BIGINT) AS hi
+           FROM (SELECT unnest(range(0, 120)) AS i))
+         SELECT o_orderkey, band_id FROM orders JOIN bands
+           ON o_totalprice >= lo AND o_totalprice < hi""",
+    "q151_scd2" ->
+      """WITH snap AS (SELECT doc_id, text FROM documents),
+         changes AS (
+           SELECT doc_id, text || ' (rev 2)' AS text, 'upsert' AS op, 1 AS seq
+           FROM snap WHERE doc_id % 5 = 0
+           UNION ALL SELECT doc_id, text, 'delete', 2 FROM snap WHERE doc_id % 7 = 0
+           UNION ALL SELECT doc_id + 1000000, text, 'upsert', 1 FROM snap WHERE doc_id % 11 = 0
+           UNION ALL SELECT doc_id, text || ' (rev 3)', 'upsert', 3 FROM snap WHERE doc_id % 35 = 0),
+         stamped AS (SELECT *,
+             make_timestamp(CAST(1704067200 + seq * 86400 AS BIGINT) * 1000000) AS ts
+           FROM changes),
+         versioned AS (SELECT doc_id, text, op, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+           FROM stamped)
+         SELECT doc_id, md5(text) AS text_md5,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(valid_to IS NULL AS INT) AS is_current
+         FROM versioned WHERE op <> 'delete'""",
     "q149_analytics_mart" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t, event_type,
              CAST(round(value*100) AS BIGINT) AS cents FROM events),

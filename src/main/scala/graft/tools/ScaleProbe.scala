@@ -664,6 +664,22 @@ object ScaleProbe {
     time("length batches 1x (5k docs)")(lbX(1))
     time("length batches 10x (50k docs)")(lbX(10))
 
+    // --- numeric range join: synthetic values × overlapping bands ------
+    def rjX(k: Int): Long = {
+      val n = 500000L * k
+      val vals = spark.range(n).select(col("id").as("vid"),
+        (pmod(col("id") * 7919L, lit(600000L))).cast("double").as("v"))
+      // k× bands at 1/k the step AND width: matches-per-value stays ~1.6
+      // while both sides grow 10× — the honest scale-up
+      val step = 5000L / k.max(1)
+      val bands = spark.range(120 * k).select(col("id").as("band_id"),
+        (col("id") * step).cast("long").as("lo"),
+        (col("id") * step + step * 8L / 5L).cast("long").as("hi"))
+      Relational.rangeJoin(vals, "v", bands, "lo", "hi", 5000L).count()
+    }
+    time("range join 1x (500k values, 120 bands)")(rjX(1))
+    time("range join 10x (5M values, 1200 bands)")(rjX(10))
+
     // --- triangles: ring of 8-cliques — k× cliques = k× triangles; the
     // degree orientation keeps wedge work linear in clique count --------
     def triX(k: Int): Long = {

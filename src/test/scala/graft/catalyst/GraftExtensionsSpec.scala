@@ -240,6 +240,25 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.release()
   }
 
+  test("scd2 and range_join TVFs from plain SQL") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, "v1", "upsert", 1L, t("2024-01-01 00:00:00")),
+        (1L, "v2", "upsert", 2L, t("2024-01-02 00:00:00")))
+      .toDF("id", "v", "op", "seq", "ts").createOrReplaceTempView("scd_tvf_t")
+    val scd = spark.sql(
+      "SELECT v, is_current FROM scd2('scd_tvf_t', 'id', 'op', 'seq', 'ts')")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(scd == Map("v1" -> 0, "v2" -> 1))
+    Seq((1L, 7.0)).toDF("vid", "v").createOrReplaceTempView("rj_l_t")
+    Seq(("A", 0L, 10L), ("B", 8L, 20L)).toDF("band", "lo", "hi")
+      .createOrReplaceTempView("rj_r_t")
+    val rj = spark.sql(
+      "SELECT band FROM range_join('rj_l_t', 'v', 'rj_r_t', 'lo', 'hi', 5)")
+      .collect().map(_.getString(0)).toSet
+    assert(rj == Set("A"))
+  }
+
   test("rolling_agg and length_batches TVFs from plain SQL") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)

@@ -493,6 +493,42 @@ class RelationalSpec extends SparkSpec {
     assert(twice.except(once).count() == 0 && once.except(twice).count() == 0)
   }
 
+  test("scd2: version intervals chain, deletes close but emit nothing, resurrect re-opens") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, "v1", "upsert", 1L, t("2024-01-01 00:00:00")),
+      (1L, "v2", "upsert", 2L, t("2024-01-02 00:00:00")),
+      (1L, "x", "delete", 3L, t("2024-01-03 00:00:00")),
+      (1L, "v3", "upsert", 4L, t("2024-01-04 00:00:00")),
+      (2L, "y", "delete", 1L, t("2024-01-01 00:00:00")) // delete-only key: no rows
+    ).toDF("id", "v", "op", "seq", "ts")
+    val out = Relational.scd2(changes, Seq("id"), "op", "seq", "ts")
+    assert(out.columns.toSeq == Seq("id", "v", "ts", "valid_from", "valid_to", "is_current"))
+    val rows = out.collect().map(r =>
+      r.getString(1) -> ((r.getTimestamp(3), Option(r.getTimestamp(4)), r.getInt(5)))).toMap
+    assert(rows.keySet == Set("v1", "v2", "v3"))
+    assert(rows("v1") == ((t("2024-01-01 00:00:00"), Some(t("2024-01-02 00:00:00")), 0)))
+    assert(rows("v2") == ((t("2024-01-02 00:00:00"), Some(t("2024-01-03 00:00:00")), 0)),
+      "the delete must CLOSE v2's interval")
+    assert(rows("v3") == ((t("2024-01-04 00:00:00"), None, 1)),
+      "the post-delete upsert re-opens an open current version")
+  }
+
+  test("rangeJoin: half-open bounds, overlap multi-match, bucket width never changes results") {
+    val vals = Seq((10L, 0.0), (11L, 10.0), (12L, 25.0)).toDF("vid", "v")
+    val bands = Seq(("A", 0L, 10L), ("B", 5L, 30L), ("C", 25L, 26L))
+      .toDF("band", "lo", "hi")
+    def run(w: Long) = Relational.rangeJoin(vals, "v", bands, "lo", "hi", w)
+      .select("vid", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = Set((10L, "A"), (11L, "B"), (12L, "B"), (12L, "C"))
+    assert(run(7L) == expect, s"got ${run(7L)}")
+    // lo inclusive (0->A), hi exclusive (10 not in [0,10)), 25 in [25,26)
+    for (w <- Seq(1L, 100L)) assert(run(w) == expect, s"width $w changed results")
+    intercept[IllegalArgumentException] {
+      Relational.rangeJoin(vals, "v", bands, "lo", "hi", 0L)
+    }
+  }
+
   test("kAnonymize: every published group >= k, leftover recounting, suppression") {
     // 12×(A,1) pass level 0; 3×(A,2)+2×(A,3) only reach k=5 once the last
     // column is masked; 4×(B,*) spread over distinct values must climb to

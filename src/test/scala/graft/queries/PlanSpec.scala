@@ -609,6 +609,20 @@ class PlanSpec extends SparkSpec {
     assert(keyLines.contains("user_id"), s"joins must be user-keyed:\n$keyLines")
   }
 
+  test("q150 range join: EQUI join on the value bucket — never a nested-loop inequality join") {
+    val p = plan(RelationalQueries.q150RangeJoin(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the range join fell back to the nested-loop inequality plan")
+    val keyLines = p.linesIterator.filter(_.contains("keys [")).mkString("\n")
+    assert(keyLines.contains("_rbkt"), s"join keys must include the bucket:\n$keyLines")
+  }
+
+  test("q151 SCD-2: ONE key Exchange + one lead window — no joins") {
+    val p = plan(RelationalQueries.q151Scd2(spark, sf))
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 1)
+    assert(!p.contains("Join"), "a version chain needs no join")
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
