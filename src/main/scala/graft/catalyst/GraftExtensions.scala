@@ -337,6 +337,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(litStr(exprs(2), "key column")),
           litStr(exprs(3), "op column"), litStr(exprs(4), "seq column")))
     }
+    registerTable("calibration_curve",
+      "calibration_curve('scored', 'idCol', 'predCol', 'scoreCol', 'truth', " +
+        "'truthIdCol', 'truthLabelCol', nBins) - classifier reliability diagram: " +
+        "equal-width score bins with exact integer-micro accuracy", 8) {
+      exprs =>
+        expand(graft.operators.TextOps.calibrationCurve(
+          SparkSession.active.table(litStr(exprs(0), "scored table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "pred column"),
+          litStr(exprs(3), "score column"),
+          SparkSession.active.table(litStr(exprs(4), "truth table")),
+          litStr(exprs(5), "truth id column"), litStr(exprs(6), "truth label column"),
+          litInt(exprs(7), "nBins")))
+    }
+    registerTable("key_skew",
+      "key_skew('table', 'col1,col2', topK) - pre-shuffle skew diagnostic: top-k " +
+        "hottest keys + order-of-magnitude (decimal-digit) count histogram", 3) {
+      exprs =>
+        expand(graft.operators.Relational.keySkewProfile(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          colList(litStr(exprs(1), "key columns")), litInt(exprs(2), "topK")))
+    }
     registerTable("scd2",
       "scd2('changes', 'keyCol', 'opCol', 'seqCol', 'tsCol') - type-2 SCD from a " +
         "changelog: per-version validity intervals; deletes close the prior " +

@@ -702,6 +702,42 @@ object Relational {
       .drop("_rbkt")
   }
 
+  /** Key-skew profile — the diagnostic a pipeline runs BEFORE choosing a
+    * join/shuffle strategy (broadcast? salt? AQE skew hints?): the top-k
+    * hottest keys with their row counts, plus an order-of-magnitude
+    * histogram (keys bucketed by the DECIMAL DIGIT COUNT of their row
+    * count — exact integer arithmetic, unlike float log2 whose exact
+    * powers round unpredictably across engines). Output rows:
+    * `(kind, ord, key, n_keys, n_rows)` — `kind` `'hot'` (ord = rank,
+    * key = '|'-joined key string, n_keys = 1) or `'hist'` (ord = digit
+    * count, key null, n_keys = #keys in the bucket, n_rows = their row
+    * sum).
+    *
+    * Shape: one keyed count (map-side partial); the hot arm is
+    * `TakeOrderedAndProject` (partial top-k, never a global sort — the
+    * k-row rank window runs on k rows); the histogram is a second
+    * ≤ 20-bucket agg over the count table. */
+  def keySkewProfile(df: DataFrame, keys: Seq[String], topK: Int): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(topK >= 1, "topK >= 1")
+    val counts = graft.CacheScope.track(
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+        .select(concat_ws("|", keys.map(c => col(c).cast("string")): _*).as("_k"),
+          col("_n"))
+        .cache())
+    val top = counts.orderBy(col("_n").desc, col("_k")).limit(topK)
+    val hot = top.withColumn("ord", row_number().over(
+        Window.orderBy(col("_n").desc, col("_k"))))
+      .select(lit("hot").as("kind"), col("ord"), col("_k").as("key"),
+        lit(1L).as("n_keys"), col("_n").as("n_rows"))
+    val hist = counts
+      .groupBy(length(col("_n").cast("string")).as("ord"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("_n")).as("n_rows"))
+      .select(lit("hist").as("kind"), col("ord"),
+        lit(null).cast("string").as("key"), col("n_keys"), col("n_rows"))
+    hot.unionByName(hist)
+  }
+
   /** k-anonymity by bottom-up global recoding: every published
     * quasi-identifier combination is shared by ≥ k rows, achieved by
     * progressively generalizing (masking to "*") quasi columns from the

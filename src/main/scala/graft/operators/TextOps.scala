@@ -1331,6 +1331,48 @@ object TextOps {
       .withColumn("pos", pmod(rank, lit(batchSize)))
   }
 
+  /** Classifier calibration / reliability curve: join a scored frame
+    * against the true labels, bucket by score into `nBins` EQUAL-WIDTH
+    * bins over the observed [min, max] score range, and report per bin
+    * the count, correct count, and exact integer-micro accuracy — the
+    * reliability diagram that tells a curation pipeline whether a
+    * quality/language classifier's confidence is trustworthy enough to
+    * threshold on. Output: `(bin, n, n_correct, acc_micro, min_score,
+    * max_score)`.
+    *
+    * Equal-WIDTH (not equal-count) bins on purpose: exact quantile bins
+    * need a global sort (`ntile` over one partition — the scale
+    * killer); width bins are a two-row stats aggregate broadcast into a
+    * pure projection, and the bin rule
+    * `(s − lo)·nBins div (hi − lo + 1)` is exact integer arithmetic any
+    * engine replays (a degenerate one-value range collapses to bin 0).
+    * Empty bins are absent from the output (they have no rows to carry).
+    * `scoreCol` must be integral — micro-unit scores, the
+    * [[graft.functions.Portable]] rule. */
+  def calibrationCurve(scored: DataFrame, idCol: String, predCol: String,
+      scoreCol: String, truth: DataFrame, truthIdCol: String,
+      truthLabelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins >= 2")
+    val j = scored.select(col(idCol).as("_id"), col(predCol).as("_pred"),
+        col(scoreCol).cast("long").as("_s"))
+      .join(truth.select(col(truthIdCol).as("_id"),
+        col(truthLabelCol).as("_true")), Seq("_id"))
+      .withColumn("_ok", (col("_pred") === col("_true")).cast("long"))
+    val stats = j.agg(min(col("_s")).as("_lo"), max(col("_s")).as("_hi"))
+    val num = (col("_s") - col("_lo")) * nBins
+    val den = col("_hi") - col("_lo") + 1
+    val accNum = lit(1000000L) * col("n_correct")
+    j.crossJoin(broadcast(stats))
+      .withColumn("bin", when(col("_hi") === col("_lo"), lit(0))
+        .otherwise(((num - pmod(num, den)) / den).cast("int")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("_ok")).as("n_correct"),
+        min(col("_s")).as("min_score"), max(col("_s")).as("max_score"))
+      .select(col("bin"), col("n"), col("n_correct"),
+        ((accNum - pmod(accNum, col("n"))) / col("n")).cast("long").as("acc_micro"),
+        col("min_score"), col("max_score"))
+  }
+
   /** T5/UL2-style span corruption: mask ~`maskPct`% of each document's
     * tokens in `spanLen`-token blocks, replace each maximal masked RUN
     * with a numbered sentinel in the corrupted text, and emit the

@@ -606,6 +606,12 @@ object RelationalQueries {
         col("is_current"))
   }
 
+  // Key-skew profile over (user, event type): the top-10 hottest keys +
+  // the order-of-magnitude histogram — the pre-shuffle diagnostic for
+  // broadcast/salt/AQE decisions.
+  def q153KeySkew(s: SparkSession, d: String): DataFrame =
+    Relational.keySkewProfile(events(s, d), Seq("user_id", "event_type"), topK = 10)
+
   // k-anonymity by bottom-up generalization over customer
   // quasi-identifiers (segment, account-balance band, nation bucket):
   // every published combination covers >= 5 customers, rarer
@@ -633,6 +639,7 @@ object RelationalQueries {
     "q149_analytics_mart" -> q149AnalyticsMart,
     "q150_range_join" -> q150RangeJoin,
     "q151_scd2" -> q151Scd2,
+    "q153_key_skew" -> q153KeySkew,
     "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
     "q03_agg_global" -> q03AggGlobal,
@@ -840,6 +847,24 @@ object RelationalQueries {
            count(*) AS n_active
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
     "q145_gap_fill" -> q145OracleSql,
+    "q153_key_skew" ->
+      """WITH c AS (
+           SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS k,
+             count(*) AS n
+           FROM events GROUP BY user_id, event_type),
+         hot AS (
+           SELECT 'hot' AS kind,
+             CAST(row_number() OVER (ORDER BY n DESC, k) AS INT) AS ord,
+             k AS key, CAST(1 AS BIGINT) AS n_keys, n AS n_rows
+           FROM c
+           QUALIFY row_number() OVER (ORDER BY n DESC, k) <= 10),
+         hist AS (
+           SELECT 'hist' AS kind,
+             CAST(length(CAST(n AS VARCHAR)) AS INT) AS ord,
+             CAST(NULL AS VARCHAR) AS key, count(*) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows
+           FROM c GROUP BY 2)
+         SELECT * FROM hot UNION ALL SELECT * FROM hist""",
     "q150_range_join" ->
       """WITH bands AS (
            SELECT CAST(i AS BIGINT) AS band_id, CAST(i*5000 AS BIGINT) AS lo,

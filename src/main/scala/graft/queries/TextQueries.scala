@@ -541,6 +541,19 @@ object TextQueries {
   // T5-style span corruption: content-addressed masked spans replaced by
   // numbered sentinels, targets = sentinel-prefixed spans. The gate hashes
   // both assembled sequences and pins mask/span counts per doc.
+  // Classifier calibration: the q113 NB predictions bucketed into ten
+  // equal-width margin bins against the held-out true labels — the
+  // reliability diagram a curation pipeline checks before thresholding
+  // on classifier confidence.
+  def q152Calibration(s: SparkSession, d: String): DataFrame = {
+    val truth = graft.operators.Relational.hashSplit(Tables.documents(s, d),
+        "text", Seq("train" -> 80, "rest" -> 100))
+      .filter(col("split") =!= "train").select("doc_id", "lang")
+    graft.operators.TextOps.calibrationCurve(
+      q113NbClassify(s, d), "doc_id", "label_pred", "margin_micro",
+      truth, "doc_id", "lang", nBins = 10)
+  }
+
   // Length-bucketed training batches: documents grouped into 16-row
   // batches of similar length (char-count bands) so per-batch padding is
   // bounded by the band width; deterministic hash order within a band.
@@ -570,6 +583,7 @@ object TextQueries {
     "q131_fim" -> q131Fim,
     "q137_span_corrupt" -> q137SpanCorrupt,
     "q148_length_batches" -> q148LengthBatches,
+    "q152_calibration" -> q152Calibration,
     "q138_rebalanced_mixture" -> q138RebalancedMixture,
     "q110_shard_manifest" -> q110ShardManifest,
     "q112_source_drift" -> q112SourceDrift,
@@ -747,6 +761,43 @@ object TextQueries {
          FROM documents)
        WHERE rn <= 20"""
 
+  /** The full NB train+score chain (shared: the q113 gate and the
+    * q152 calibration oracle both replay it). */
+  private val q113OracleSql: String =
+      """WITH sp AS (
+           SELECT doc_id, text, lang,
+             CASE WHEN ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'rest' END AS split
+           FROM documents),
+         tr AS (SELECT * FROM sp WHERE split = 'train'),
+         te AS (SELECT * FROM sp WHERE split <> 'train'),
+         tev AS (SELECT lang AS lbl, unnest(string_split(trim(text), ' ')) AS t FROM tr),
+         ct AS (SELECT lbl, t, CAST(count(*) AS BIGINT) AS cwt FROM tev GROUP BY 1, 2),
+         tot AS (SELECT lbl, CAST(count(*) AS BIGINT) AS nt FROM tev GROUP BY 1),
+         pr AS (SELECT lang AS lbl, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM tr),
+         vb AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tev),
+         cls AS (SELECT tot.lbl, tot.nt,
+                   CAST(round(1e6 * ln(pr.nd * 1.0 / nd.ndocs)) AS BIGINT) AS prior
+                 FROM tot JOIN pr USING (lbl) CROSS JOIN nd),
+         ev AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM te),
+         term AS (
+           SELECT ev.doc_id, cls.lbl, cls.prior,
+             CAST(round(1e6 * ln((COALESCE(ct.cwt, 0) + 1.0) /
+               (cls.nt + 1.0 * vb.v))) AS BIGINT) AS ll
+           FROM ev CROSS JOIN cls
+           LEFT JOIN ct ON ct.lbl = cls.lbl AND ct.t = ev.t
+           CROSS JOIN vb),
+         post AS (SELECT doc_id, lbl, prior + CAST(sum(ll) AS BIGINT) AS post
+                  FROM term GROUP BY 1, 2, prior),
+         r AS (SELECT doc_id, lbl, post,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY post DESC, lbl) AS rn,
+                 lead(post) OVER (PARTITION BY doc_id ORDER BY post DESC, lbl) AS post2
+               FROM post)
+         SELECT doc_id, lbl AS label_pred, post AS score_micro,
+           post - post2 AS margin_micro
+         FROM r WHERE rn = 1"""
+
   val oracles: Map[String, String] = Map(
     "q148_length_batches" ->
       """WITH b AS (SELECT doc_id, n_chars,
@@ -916,40 +967,25 @@ object TextQueries {
            CAST(count(*) AS BIGINT) AS shared_fingerprints
          FROM f a JOIN f b ON a.mh = b.mh AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 2""",
-    "q113_nb_classify" ->
-      """WITH sp AS (
-           SELECT doc_id, text, lang,
-             CASE WHEN ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 80
-                  THEN 'train' ELSE 'rest' END AS split
-           FROM documents),
-         tr AS (SELECT * FROM sp WHERE split = 'train'),
-         te AS (SELECT * FROM sp WHERE split <> 'train'),
-         tev AS (SELECT lang AS lbl, unnest(string_split(trim(text), ' ')) AS t FROM tr),
-         ct AS (SELECT lbl, t, CAST(count(*) AS BIGINT) AS cwt FROM tev GROUP BY 1, 2),
-         tot AS (SELECT lbl, CAST(count(*) AS BIGINT) AS nt FROM tev GROUP BY 1),
-         pr AS (SELECT lang AS lbl, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
-         nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM tr),
-         vb AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tev),
-         cls AS (SELECT tot.lbl, tot.nt,
-                   CAST(round(1e6 * ln(pr.nd * 1.0 / nd.ndocs)) AS BIGINT) AS prior
-                 FROM tot JOIN pr USING (lbl) CROSS JOIN nd),
-         ev AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM te),
-         term AS (
-           SELECT ev.doc_id, cls.lbl, cls.prior,
-             CAST(round(1e6 * ln((COALESCE(ct.cwt, 0) + 1.0) /
-               (cls.nt + 1.0 * vb.v))) AS BIGINT) AS ll
-           FROM ev CROSS JOIN cls
-           LEFT JOIN ct ON ct.lbl = cls.lbl AND ct.t = ev.t
-           CROSS JOIN vb),
-         post AS (SELECT doc_id, lbl, prior + CAST(sum(ll) AS BIGINT) AS post
-                  FROM term GROUP BY 1, 2, prior),
-         r AS (SELECT doc_id, lbl, post,
-                 row_number() OVER (PARTITION BY doc_id ORDER BY post DESC, lbl) AS rn,
-                 lead(post) OVER (PARTITION BY doc_id ORDER BY post DESC, lbl) AS post2
-               FROM post)
-         SELECT doc_id, lbl AS label_pred, post AS score_micro,
-           post - post2 AS margin_micro
-         FROM r WHERE rn = 1""",
+    "q113_nb_classify" -> q113OracleSql,
+    "q152_calibration" ->
+      s"""WITH pred AS ($q113OracleSql),
+          truth AS (
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 >= 80),
+          j AS (SELECT p.doc_id, p.margin_micro AS s,
+                  CASE WHEN p.label_pred = t.lang THEN 1 ELSE 0 END AS ok
+                FROM pred p JOIN truth t ON p.doc_id = t.doc_id),
+          st AS (SELECT min(s) AS lo, max(s) AS hi FROM j),
+          b AS (SELECT CAST(CASE WHEN st.hi = st.lo THEN 0
+                  ELSE ((s - st.lo) * 10 - (((s - st.lo) * 10) % (st.hi - st.lo + 1)))
+                       / (st.hi - st.lo + 1) END AS INT) AS bin,
+                  s, ok
+                FROM j CROSS JOIN st)
+          SELECT bin, count(*) AS n, CAST(sum(ok) AS BIGINT) AS n_correct,
+            CAST((1000000 * sum(ok) - ((1000000 * sum(ok)) % count(*))) / count(*) AS BIGINT) AS acc_micro,
+            min(s) AS min_score, max(s) AS max_score
+          FROM b GROUP BY 1""",
     "q112_source_drift" ->
       """WITH t AS (SELECT source, string_split(trim(text), ' ') AS toks FROM documents),
          tok AS (SELECT source,

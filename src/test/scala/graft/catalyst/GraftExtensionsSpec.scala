@@ -240,6 +240,23 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.release()
   }
 
+  test("calibration_curve and key_skew TVFs from plain SQL") {
+    import spark.implicits._
+    Seq((1L, "a", 5L), (2L, "a", 5L)).toDF("id", "pred", "s")
+      .createOrReplaceTempView("cal_s_t")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "t").createOrReplaceTempView("cal_t_t")
+    val cal = spark.sql("SELECT bin, acc_micro FROM calibration_curve(" +
+      "'cal_s_t', 'id', 'pred', 's', 'cal_t_t', 'id', 't', 4)").head()
+    assert(cal.getInt(0) == 0 && cal.getLong(1) == 500000L)
+    (Seq.fill(10)("a") ++ Seq("b")).map(Tuple1(_)).toDF("k")
+      .createOrReplaceTempView("skew_tvf_t")
+    val hot = spark.sql(
+      "SELECT key, n_rows FROM key_skew('skew_tvf_t', 'k', 1) WHERE kind = 'hot'")
+      .head()
+    assert(hot.getString(0) == "a" && hot.getLong(1) == 10L)
+    graft.CacheScope.release()
+  }
+
   test("scd2 and range_join TVFs from plain SQL") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)

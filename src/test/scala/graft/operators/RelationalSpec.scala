@@ -529,6 +529,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("keySkewProfile: hot ranks by count then key; digit-count histogram reconciles") {
+    val rows = Seq.fill(100)(("a", 1)) ++ Seq.fill(10)(("b", 1)) ++ Seq(("c", 1))
+    val df = rows.toDF("k", "v")
+    val out = Relational.keySkewProfile(df, Seq("k"), topK = 2).collect()
+    val hot = out.filter(_.getString(0) == "hot")
+      .map(r => r.getInt(1) -> ((r.getString(2), r.getLong(4)))).toMap
+    assert(hot == Map(1 -> (("a", 100L)), 2 -> (("b", 10L))), s"got $hot")
+    val hist = out.filter(_.getString(0) == "hist")
+      .map(r => r.getInt(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // digits: 100 -> 3, 10 -> 2, 1 -> 1; one key per bucket here
+    assert(hist == Map(3 -> ((1L, 100L)), 2 -> ((1L, 10L)), 1 -> ((1L, 1L))), s"got $hist")
+    // totals reconcile with the input
+    assert(hist.values.map(_._2).sum == rows.size)
+    graft.CacheScope.release()
+  }
+
   test("kAnonymize: every published group >= k, leftover recounting, suppression") {
     // 12×(A,1) pass level 0; 3×(A,2)+2×(A,3) only reach k=5 once the last
     // column is masked; 4×(B,*) spread over distinct values must climb to

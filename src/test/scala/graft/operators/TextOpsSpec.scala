@@ -759,6 +759,38 @@ class TextOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("calibrationCurve: equal-width bins, exact floor accuracy, degenerate range") {
+    import spark.implicits._
+    // scores 0..9 -> with nBins=2 and range [0,9]: den=10, bin = s*2 div 10
+    val scored = (0L to 9L).map(i =>
+      (i, if (i < 5) "x" else "y", i)).toDF("id", "pred", "s")
+    // truth: ids 0-4 true 'x' except id 1; ids 5-9 true 'y' except 9
+    val truth = (0L to 9L).map(i =>
+      (i, if (i == 1) "z" else if (i == 9) "z" else if (i < 5) "x" else "y"))
+      .toDF("id", "t")
+    val out = TextOps.calibrationCurve(scored, "id", "pred", "s",
+        truth, "id", "t", nBins = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // bin 0 = scores 0-4 (4/5 correct -> 800000), bin 1 = 5-9 (4/5)
+    assert(out == Map(0 -> ((5L, 4L, 800000L, 0L, 4L)),
+      1 -> ((5L, 4L, 800000L, 5L, 9L))), s"got $out")
+    // exact floor: 2 of 3 correct -> 666666 (not 666667)
+    val three = TextOps.calibrationCurve(
+      Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 5L)).toDF("id", "pred", "s"),
+      "id", "pred", "s",
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "t"), "id", "t", nBins = 2)
+    assert(three.filter(col("bin") === 0).head().getLong(3) == 666666L)
+    // degenerate one-value score range -> everything in bin 0
+    val degen = TextOps.calibrationCurve(
+      Seq((1L, "a", 5L), (2L, "a", 5L)).toDF("id", "pred", "s"),
+      "id", "pred", "s",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "t"), "id", "t", nBins = 10)
+      .collect()
+    assert(degen.length == 1 && degen.head.getInt(0) == 0 &&
+      degen.head.getLong(3) == 500000L)
+  }
+
   test("lengthBucketBatches: boundary assignment, dense batches, repartition-stable") {
     import spark.implicits._
     val rows = (1L to 35L).map(i => (i, 250L)) ++ // 35 rows in bucket 1

@@ -623,6 +623,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "a version chain needs no join")
   }
 
+  test("q152 calibration: stats broadcast into a projection — no global-sort ntile") {
+    val p = plan(TextQueries.q152Calibration(spark, sf))
+    assert(!p.contains("ntile"), "equal-width bins must not use a global-sort quantile")
+    assert(!p.contains("CartesianProduct"))
+    graft.CacheScope.release()
+  }
+
+  test("q153 key skew: hot arm is a partial top-k, never a global sort of the key table") {
+    val p = plan(RelationalQueries.q153KeySkew(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k must compile to a partial TakeOrdered, not Sort+Limit over one partition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    graft.CacheScope.release()
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
