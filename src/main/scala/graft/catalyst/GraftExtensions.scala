@@ -337,6 +337,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(litStr(exprs(2), "key column")),
           litStr(exprs(3), "op column"), litStr(exprs(4), "seq column")))
     }
+    registerTable("anomalies",
+      "anomalies('table', 'keyCol', 'tsCol', 'valueCol', 'window', z2centi, minPrior) - " +
+        "exact integer z-score flags vs the strictly-earlier trailing window " +
+        "(z2centi = z-squared x 100; 900 = 3 sigma)", 7) {
+      exprs =>
+        expand(graft.operators.Events.anomalies(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litStr(exprs(3), "value column"), litStr(exprs(4), "window interval"),
+          litInt(exprs(5), "z2centi").toLong, litInt(exprs(6), "minPrior")))
+    }
     registerTable("calibration_curve",
       "calibration_curve('scored', 'idCol', 'predCol', 'scoreCol', 'truth', " +
         "'truthIdCol', 'truthLabelCol', nBins) - classifier reliability diagram: " +

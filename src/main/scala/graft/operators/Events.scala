@@ -141,6 +141,50 @@ object Events {
       count(lit(1)).over(w).as("roll_cnt"): _*)
   }
 
+  /** Exact z-score anomaly flags over a trailing window: an event is
+    * anomalous when its squared deviation from the mean of the key's
+    * STRICTLY-EARLIER events in `[ts − window, ts)` exceeds
+    * `z²` × their variance — self-exclusion on purpose (a spike must
+    * not mask itself by inflating its own baseline; equal-timestamp
+    * peers are likewise excluded as not-yet-known). The test is the
+    * cross-multiplied integer identity
+    * `100·(v·n − S)² > z2centi·(n·Q − S²)` (S = Σv, Q = Σv², n = prior
+    * count) — no float mean/stddev/sqrt anywhere, so the flag replays
+    * bit-for-bit in any engine. Products ride DECIMAL(38,0)
+    * (Spark's 128-bit decimal ≡ DuckDB's HUGEINT): v·n − S squared
+    * overflows i64 at ~3·10⁹, reachable with big values × long windows.
+    * `z2centi` is z² × 100 (e.g. 900 = 3σ, 200 ≈ 1.41σ); rows with
+    * fewer than `minPrior` earlier events are never flagged (a 1-point
+    * baseline has no variance to test against). Appends `n_prior`,
+    * `is_anomaly`. `valueCol` must be integral (cents/micro-units).
+    *
+    * Shape: identical to [[rollingAgg]] — ONE key Exchange, one sort,
+    * one Window node carrying all three running sums. */
+  def anomalies(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, window: String, z2centi: Long,
+      minPrior: Int = 2): DataFrame = {
+    require(z2centi >= 1, "z2centi >= 1 (z-squared x 100)")
+    require(minPrior >= 2, "minPrior >= 2 (variance needs two points)")
+    val micros = Relational.intervalMicros(window)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol).cast("timestamp")))
+      .rangeBetween(-micros, -1)
+    val v = col(valueCol).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val withSums = df.select(df.columns.map(col) :+
+      count(lit(1)).over(w).as("n_prior") :+
+      sum(v).over(w).as("_S") :+
+      sum(v * v).over(w).as("_Q"): _*)
+    val lhs = lit(100) * (dec(v) * dec(col("n_prior")) - dec(col("_S"))) *
+      (dec(v) * dec(col("n_prior")) - dec(col("_S")))
+    val rhs = lit(z2centi) * (dec(col("n_prior")) * dec(col("_Q")) -
+      dec(col("_S")) * dec(col("_S")))
+    withSums
+      .withColumn("is_anomaly",
+        (col("n_prior") >= minPrior && lhs > rhs).cast("int"))
+      .drop("_S", "_Q")
+  }
+
   /** Regular-grid gap fill over a keyed time series: resample each key's
     * series onto a fixed `step` grid from its first to its last
     * observation, carrying observed values across gaps. Observations

@@ -606,6 +606,17 @@ object RelationalQueries {
         col("is_current"))
   }
 
+  // Exact z-score anomaly flags: spend events vs the user's strictly
+  // earlier 24-hour baseline, z-squared threshold 2.0 (z2centi 200),
+  // 5-event minimum baseline — the integer cross-multiplied test, no
+  // float stddev anywhere.
+  def q154Anomalies(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.anomalies(
+        events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+          Portable.cents(col("value")).as("cents")),
+        "user_id", "ts", "cents", "1 day", z2centi = 200L, minPrior = 5)
+      .select(col("user_id"), col("event_id"), col("n_prior"), col("is_anomaly"))
+
   // Key-skew profile over (user, event type): the top-10 hottest keys +
   // the order-of-magnitude histogram — the pre-shuffle diagnostic for
   // broadcast/salt/AQE decisions.
@@ -640,6 +651,7 @@ object RelationalQueries {
     "q150_range_join" -> q150RangeJoin,
     "q151_scd2" -> q151Scd2,
     "q153_key_skew" -> q153KeySkew,
+    "q154_anomalies" -> q154Anomalies,
     "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
     "q03_agg_global" -> q03AggGlobal,
@@ -847,6 +859,24 @@ object RelationalQueries {
            count(*) AS n_active
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
     "q145_gap_fill" -> q145OracleSql,
+    "q154_anomalies" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t,
+             CAST(round(value*100) AS BIGINT) AS v FROM events),
+         s AS (SELECT user_id, event_id, v,
+             count(*) OVER w AS n_prior,
+             CAST(coalesce(sum(v) OVER w, 0) AS BIGINT) AS sv,
+             CAST(coalesce(sum(v*v) OVER w, 0) AS BIGINT) AS qv
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN INTERVAL 1 DAY PRECEDING
+                       AND INTERVAL 1 MICROSECOND PRECEDING))
+         SELECT user_id, event_id, n_prior,
+           CAST(n_prior >= 5 AND
+             100 * (CAST(v AS HUGEINT) * n_prior - sv)
+                 * (CAST(v AS HUGEINT) * n_prior - sv)
+             > 200 * (CAST(n_prior AS HUGEINT) * qv - CAST(sv AS HUGEINT) * sv)
+           AS INT) AS is_anomaly
+         FROM s""",
     "q153_key_skew" ->
       """WITH c AS (
            SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS k,

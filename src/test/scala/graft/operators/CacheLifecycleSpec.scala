@@ -166,6 +166,28 @@ class CacheLifecycleSpec extends SparkSpec {
       "releaseLocalCheckpoint must unpersist the checkpointed RDD itself")
   }
 
+  test("rougeScores releases its pair/token/count caches") {
+    assertReleasedAfter(expectTracked = true) {
+      import spark.implicits._
+      val pairs = Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+      TextOps.rougeScores(docs, "doc_id", "text", pairs, "id_a", "id_b").count()
+    }
+  }
+
+  test("triangleStats releases its edge/degree/orientation caches") {
+    assertReleasedAfter(expectTracked = true) {
+      Graph.triangleStats(
+        spark.range(60).select(col("id").as("a"), ((col("id") + 1) % 60).as("b")),
+        "a", "b").count()
+    }
+  }
+
+  test("keySkewProfile releases its key-count table") {
+    assertReleasedAfter(expectTracked = true) {
+      Relational.keySkewProfile(Tables.documents(spark, sf), Seq("lang"), topK = 3).count()
+    }
+  }
+
   test("connectedComponents frees each retired round's checkpoint blocks in-loop") {
     CacheScope.release()
     val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet

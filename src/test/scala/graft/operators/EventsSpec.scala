@@ -89,6 +89,30 @@ class EventsSpec extends SparkSpec {
     assert(out(20L) == ((100L, 1L)))
   }
 
+  test("anomalies: spike flags against its PRIOR baseline; minPrior gates; zero-variance edge") {
+    val base = (1 to 5).map(i => (1L, i.toLong, ts(f"2024-01-01 00:0$i:00"), 10L))
+    val e = (base ++ Seq(
+      (1L, 6L, ts("2024-01-01 00:06:00"), 100L), // spike vs constant baseline
+      (1L, 7L, ts("2024-01-01 00:07:00"), 10L)   // back to baseline value
+    )).toDF("user", "eid", "t", "v")
+    val out = Events.anomalies(e, "user", "t", "v", "1 hour",
+        z2centi = 200L, minPrior = 5)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getInt(5)))).toMap
+    // first five rows have < 5 prior events -> never flagged
+    for (i <- 1L to 5L) assert(out(i)._2 == 0, s"row $i must be below minPrior")
+    // zero-variance baseline: any deviation is infinite z -> flagged
+    assert(out(6L) == ((5L, 1)), "spike over a constant baseline must flag")
+    // row 7's baseline INCLUDES the spike (but not itself): v=10 vs
+    // mean 25, var 1125; z^2 = 225/1125 = 0.2 < 2 -> clean
+    assert(out(7L) == ((6L, 0)), s"got ${out(7L)}")
+    // equal value on a zero-variance baseline: 0 > 0 is false -> clean
+    val flat = (1 to 6).map(i => (2L, 10L + i, ts(f"2024-01-01 00:0$i:00"), 7L))
+      .toDF("user", "eid", "t", "v")
+    val f = Events.anomalies(flat, "user", "t", "v", "1 hour", 200L, 5)
+      .collect().map(r => r.getLong(1) -> r.getInt(5)).toMap
+    assert(f(16L) == 0)
+  }
+
   test("gapFill: observed slots exact; LOCF/NOCB carries; integer lerp; head/tail fills") {
     val h = 3600000000L // 1 hour in micros
     val e = Seq(

@@ -638,6 +638,15 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q154 anomalies: the rollingAgg shape — one Exchange, one Window, no join") {
+    val p = plan(RelationalQueries.q154Anomalies(spark, sf))
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"expected exactly one Exchange:\n${p.take(1200)}")
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 1,
+      "all three running sums must ride ONE Window node")
+    assert(!p.contains("Join"))
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
