@@ -337,6 +337,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(litStr(exprs(2), "key column")),
           litStr(exprs(3), "op column"), litStr(exprs(4), "seq column")))
     }
+    registerTable("expectations",
+      "expectations('table', 'name1:sqlExpr1;name2:sqlExpr2', 'uniqueKeyCols') - " +
+        "data-contract report: violation counts per rule in one pass + a " +
+        "duplicate-key row ('' = no uniqueness check)", 3) {
+      exprs =>
+        val rules = litStr(exprs(1), "rules ('name:expr;...')").split(";")
+          .map(_.trim).filter(_.nonEmpty).toSeq.map { entry =>
+            entry.split(":", 2) match {
+              case Array(name, sql) if sql.trim.nonEmpty =>
+                name.trim -> org.apache.spark.sql.functions.expr(sql.trim)
+              case _ => throw new IllegalArgumentException(
+                s"expectations entry '$entry' must be 'name:sqlExpr'")
+            }
+          }
+        val uk = litStr(exprs(2), "unique key columns ('' = none)")
+        expand(graft.operators.Relational.expectationReport(
+          SparkSession.active.table(litStr(exprs(0), "table")), rules,
+          if (uk.trim.isEmpty) Nil else colList(uk)))
+    }
     registerTable("anomalies",
       "anomalies('table', 'keyCol', 'tsCol', 'valueCol', 'window', z2centi, minPrior) - " +
         "exact integer z-score flags vs the strictly-earlier trailing window " +

@@ -738,6 +738,52 @@ object Relational {
     hot.unionByName(hist)
   }
 
+  /** Data-quality expectation report — the contract check a pipeline
+    * runs before promoting a table: each named rule is a row-level
+    * predicate (null checks, ranges, regex shape, referential bounds),
+    * and the report counts its violations over the whole frame in ONE
+    * pass; an optional `uniqueKeys` adds a `unique(...)` row counting
+    * duplicate-key rows (n_rows − distinct keys — not expressible as a
+    * row predicate). Output: `(rule, n_violations, n_rows, pass)` —
+    * `pass` = 1 iff zero violations.
+    *
+    * Shape: all rule counters are conditional sums in a single global
+    * aggregation (one map-side-combined pass over the scan — adding a
+    * rule adds a column, never a scan); the uniqueness row is one
+    * distinct-key aggregate. NULL predicate results count as violations
+    * (a rule that cannot evaluate did not pass — the conservative
+    * reading a contract needs). */
+  def expectationReport(df: DataFrame, rules: Seq[(String, Column)],
+      uniqueKeys: Seq[String] = Nil): DataFrame = {
+    require(rules.nonEmpty || uniqueKeys.nonEmpty, "at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    val spark = df.sparkSession
+    val aggs = count(lit(1)).as("_n") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // explode the rule counters out of the ONE 1-row aggregate (a select
+    // per rule would re-reference — and re-execute — the whole scan)
+    val ruleRows =
+      if (rules.isEmpty) Nil
+      else Seq(one.select(col("_n"), explode(array(
+          rules.zipWithIndex.map { case ((name, _), i) =>
+            struct(lit(name).as("rule"),
+              coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
+          }: _*)).as("_r"))
+        .select(col("_r.rule").as("rule"), col("_r.n_violations").as("n_violations"),
+          col("_n").as("n_rows")))
+    val uniqueRow =
+      if (uniqueKeys.isEmpty) Nil
+      else Seq(df.agg(count(lit(1)).as("_n"),
+          count_distinct(struct(uniqueKeys.map(col): _*)).as("_d"))
+        .select(lit(s"unique(${uniqueKeys.mkString(",")})").as("rule"),
+          (col("_n") - col("_d")).as("n_violations"), col("_n").as("n_rows")))
+    (ruleRows ++ uniqueRow).reduce(_ unionByName _)
+      .withColumn("pass", (col("n_violations") === 0).cast("int"))
+  }
+
   /** k-anonymity by bottom-up global recoding: every published
     * quasi-identifier combination is shared by ≥ k rows, achieved by
     * progressively generalizing (masking to "*") quasi columns from the

@@ -617,6 +617,17 @@ object RelationalQueries {
         "user_id", "ts", "cents", "1 day", z2centi = 200L, minPrior = 5)
       .select(col("user_id"), col("event_id"), col("n_prior"), col("is_anomaly"))
 
+  // Data-quality expectation report over documents: three passing rules
+  // (non-null text, n_chars consistency, key uniqueness), one failing
+  // (lang allowlist excludes 'es') — both verdict classes in the gate.
+  def q155Expectations(s: SparkSession, d: String): DataFrame =
+    Relational.expectationReport(Tables.documents(s, d), Seq(
+        "text_nonnull" -> col("text").isNotNull,
+        "n_chars_consistent" -> (length(col("text")) === col("n_chars")),
+        "lang_allowlisted" -> col("lang").isin("en", "de", "fr", "zh"),
+        "id_nonnegative" -> (col("doc_id") >= 0)),
+      uniqueKeys = Seq("doc_id"))
+
   // Key-skew profile over (user, event type): the top-10 hottest keys +
   // the order-of-magnitude histogram — the pre-shuffle diagnostic for
   // broadcast/salt/AQE decisions.
@@ -652,6 +663,7 @@ object RelationalQueries {
     "q151_scd2" -> q151Scd2,
     "q153_key_skew" -> q153KeySkew,
     "q154_anomalies" -> q154Anomalies,
+    "q155_expectations" -> q155Expectations,
     "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
     "q03_agg_global" -> q03AggGlobal,
@@ -859,6 +871,27 @@ object RelationalQueries {
            count(*) AS n_active
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
     "q145_gap_fill" -> q145OracleSql,
+    "q155_expectations" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM documents),
+         rules AS (
+           SELECT 'text_nonnull' AS rule,
+             CAST(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+           FROM documents
+           UNION ALL SELECT 'n_chars_consistent',
+             CAST(sum(CASE WHEN length(text) = n_chars THEN 0 ELSE 1 END) AS BIGINT)
+           FROM documents
+           UNION ALL SELECT 'lang_allowlisted',
+             CAST(sum(CASE WHEN lang IN ('en','de','fr','zh') THEN 0 ELSE 1 END) AS BIGINT)
+           FROM documents
+           UNION ALL SELECT 'id_nonnegative',
+             CAST(sum(CASE WHEN doc_id >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+           FROM documents
+           UNION ALL SELECT 'unique(doc_id)',
+             CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+           FROM documents)
+         SELECT rule, n_violations, n.n_rows,
+           CAST(n_violations = 0 AS INT) AS pass
+         FROM rules CROSS JOIN n""",
     "q154_anomalies" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t,
              CAST(round(value*100) AS BIGINT) AS v FROM events),

@@ -240,6 +240,16 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.release()
   }
 
+  test("expectations TVF: rules parsed from SQL expressions") {
+    import spark.implicits._
+    Seq((1L, 5), (2L, -1)).toDF("id", "v").createOrReplaceTempView("exp_tvf_t")
+    val out = spark.sql("SELECT rule, n_violations, pass FROM expectations(" +
+      "'exp_tvf_t', 'v_pos:v > 0;id_set:id IN (1,2)', 'id')")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map("v_pos" -> ((1L, 0)), "id_set" -> ((0L, 1)),
+      "unique(id)" -> ((0L, 1))))
+  }
+
   test("calibration_curve and key_skew TVFs from plain SQL") {
     import spark.implicits._
     Seq((1L, "a", 5L), (2L, "a", 5L)).toDF("id", "pred", "s")

@@ -545,6 +545,29 @@ class RelationalSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("expectationReport: counts, null-predicate = violation, uniqueness row, name clash") {
+    val df = Seq((1L, "a", 10), (2L, null.asInstanceOf[String], -5), (2L, "c", 3))
+      .toDF("id", "s", "v")
+    val out = Relational.expectationReport(df, Seq(
+        "s_nonnull" -> col("s").isNotNull,
+        "v_positive" -> (col("v") > 0),
+        // s > "" is NULL for the null row -> must count as a violation
+        "s_nonempty" -> (col("s") > "")),
+      uniqueKeys = Seq("id"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out("s_nonnull") == ((1L, 3L, 0)))
+    assert(out("v_positive") == ((1L, 3L, 0)))
+    assert(out("s_nonempty") == ((1L, 3L, 0)), "NULL predicate must count as violation")
+    assert(out("unique(id)") == ((1L, 3L, 0)), "one duplicated key = one violation row")
+    // all-green frame passes everywhere
+    val clean = Relational.expectationReport(
+      Seq((1L, "x")).toDF("id", "s"), Seq("ok" -> col("s").isNotNull), Seq("id"))
+    assert(clean.collect().forall(_.getInt(3) == 1))
+    intercept[IllegalArgumentException] {
+      Relational.expectationReport(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
   test("kAnonymize: every published group >= k, leftover recounting, suppression") {
     // 12×(A,1) pass level 0; 3×(A,2)+2×(A,3) only reach k=5 once the last
     // column is masked; 4×(B,*) spread over distinct values must climb to

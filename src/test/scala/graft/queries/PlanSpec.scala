@@ -647,6 +647,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("q155 expectations: all rule counters in ONE aggregation pass — adding rules never adds scans") {
+    val p = plan(RelationalQueries.q155Expectations(spark, sf))
+    // two scans total: the rule aggregate + the distinct-key aggregate
+    assert(p.split("\\(\\d+\\) Scan parquet").length - 1 <= 2,
+      s"rule counters must share one scan:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
