@@ -719,12 +719,20 @@ object Relational {
     * ≤ 20-bucket agg over the count table. */
   def keySkewProfile(df: DataFrame, keys: Seq[String], topK: Int): DataFrame = {
     require(keys.nonEmpty, "at least one key column")
-    require(topK >= 1, "topK >= 1")
-    val counts = graft.CacheScope.track(
+    skewProfileFromCounts(
       df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
         .select(concat_ws("|", keys.map(c => col(c).cast("string")): _*).as("_k"),
-          col("_n"))
-        .cache())
+          col("_n")),
+      topK)
+  }
+
+  /** The profile half of [[keySkewProfile]] over an ALREADY-AGGREGATED
+    * `(_k, _n)` key-count table — shared with the streaming twin, whose
+    * count table is the drained incremental aggregation (counts merge;
+    * top-k/histogram don't, so they shape the drained state). */
+  private[graft] def skewProfileFromCounts(countsIn: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    val counts = graft.CacheScope.track(countsIn.cache())
     val top = counts.orderBy(col("_n").desc, col("_k")).limit(topK)
     val hot = top.withColumn("ord", row_number().over(
         Window.orderBy(col("_n").desc, col("_k"))))
@@ -757,23 +765,12 @@ object Relational {
       uniqueKeys: Seq[String] = Nil): DataFrame = {
     require(rules.nonEmpty || uniqueKeys.nonEmpty, "at least one rule")
     require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
-    val spark = df.sparkSession
-    val aggs = count(lit(1)).as("_n") +:
-      rules.zipWithIndex.map { case ((_, pred), i) =>
-        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v$i")
-      }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    // explode the rule counters out of the ONE 1-row aggregate (a select
-    // per rule would re-reference — and re-execute — the whole scan)
     val ruleRows =
       if (rules.isEmpty) Nil
-      else Seq(one.select(col("_n"), explode(array(
-          rules.zipWithIndex.map { case ((name, _), i) =>
-            struct(lit(name).as("rule"),
-              coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
-          }: _*)).as("_r"))
-        .select(col("_r.rule").as("rule"), col("_r.n_violations").as("n_violations"),
-          col("_n").as("n_rows")))
+      else {
+        val aggs = ruleAggExprs(rules)
+        Seq(shapeRuleRows(df.agg(aggs.head, aggs.tail: _*), rules))
+      }
     val uniqueRow =
       if (uniqueKeys.isEmpty) Nil
       else Seq(df.agg(count(lit(1)).as("_n"),
@@ -783,6 +780,37 @@ object Relational {
     (ruleRows ++ uniqueRow).reduce(_ unionByName _)
       .withColumn("pass", (col("n_violations") === 0).cast("int"))
   }
+
+  /** The conditional-sum counters of [[expectationReport]] — every one
+    * incrementally mergeable, so the streaming twin runs them as a
+    * continuous aggregation. */
+  private[graft] def ruleAggExprs(rules: Seq[(String, Column)]): Seq[Column] =
+    count(lit(1)).as("_n") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_v$i")
+      }
+
+  /** Explode the rule counters out of the ONE 1-row aggregate (a select
+    * per rule would re-reference — and re-execute — the whole scan). */
+  private[graft] def shapeRuleRows(one: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame =
+    one.select(col("_n"), explode(array(
+        rules.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("rule"),
+            coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
+        }: _*)).as("_r"))
+      .select(col("_r.rule").as("rule"), col("_r.n_violations").as("n_violations"),
+        col("_n").as("n_rows"))
+
+  /** The [[expectationReport]] rule rows with `pass`, from an
+    * already-drained 1-row counter frame (the streaming twin's shape
+    * step; no uniqueness row — distinct aggregation is unsupported on
+    * streams, which is exactly why it is a separate row in the batch
+    * report). */
+  private[graft] def shapeRuleReport(one: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame =
+    shapeRuleRows(one, rules)
+      .withColumn("pass", (col("n_violations") === 0).cast("int"))
 
   /** k-anonymity by bottom-up global recoding: every published
     * quasi-identifier combination is shared by ≥ k rows, achieved by

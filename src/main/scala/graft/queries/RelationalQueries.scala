@@ -775,6 +775,34 @@ object RelationalQueries {
         FROM w"""
   }
 
+  /** The q155 rule-counter CTEs (`n`, `rules`) — shared between the
+    * batch oracle (which appends the uniqueness row) and the streaming
+    * twin q156 (rules only: distinct aggregation is unsupported on
+    * streams). */
+  private[queries] val q155RuleCtesSql: String =
+    """n AS (SELECT count(*) AS n_rows FROM documents),
+       rules AS (
+         SELECT 'text_nonnull' AS rule,
+           CAST(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+         FROM documents
+         UNION ALL SELECT 'n_chars_consistent',
+           CAST(sum(CASE WHEN length(text) = n_chars THEN 0 ELSE 1 END) AS BIGINT)
+         FROM documents
+         UNION ALL SELECT 'lang_allowlisted',
+           CAST(sum(CASE WHEN lang IN ('en','de','fr','zh') THEN 0 ELSE 1 END) AS BIGINT)
+         FROM documents
+         UNION ALL SELECT 'id_nonnegative',
+           CAST(sum(CASE WHEN doc_id >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+         FROM documents)"""
+
+  /** The streaming twin's oracle: q155's rule rows verbatim, no
+    * uniqueness row. */
+  private[queries] val q156OracleSql: String =
+    s"""WITH $q155RuleCtesSql
+        SELECT rule, n_violations, n.n_rows,
+          CAST(n_violations = 0 AS INT) AS pass
+        FROM rules CROSS JOIN n"""
+
   /** q140 oracle (shared VERBATIM with the streaming twin q141): the
     * same deterministic changelog, net change = latest per key, merge =
     * untouched snapshot rows + surviving upserts. */
@@ -872,26 +900,14 @@ object RelationalQueries {
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
     "q145_gap_fill" -> q145OracleSql,
     "q155_expectations" ->
-      """WITH n AS (SELECT count(*) AS n_rows FROM documents),
-         rules AS (
-           SELECT 'text_nonnull' AS rule,
-             CAST(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
-           FROM documents
-           UNION ALL SELECT 'n_chars_consistent',
-             CAST(sum(CASE WHEN length(text) = n_chars THEN 0 ELSE 1 END) AS BIGINT)
-           FROM documents
-           UNION ALL SELECT 'lang_allowlisted',
-             CAST(sum(CASE WHEN lang IN ('en','de','fr','zh') THEN 0 ELSE 1 END) AS BIGINT)
-           FROM documents
-           UNION ALL SELECT 'id_nonnegative',
-             CAST(sum(CASE WHEN doc_id >= 0 THEN 0 ELSE 1 END) AS BIGINT)
-           FROM documents
+      s"""WITH $q155RuleCtesSql,
+         allrules AS (SELECT * FROM rules
            UNION ALL SELECT 'unique(doc_id)',
              CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
            FROM documents)
          SELECT rule, n_violations, n.n_rows,
            CAST(n_violations = 0 AS INT) AS pass
-         FROM rules CROSS JOIN n""",
+         FROM allrules CROSS JOIN n""",
     "q154_anomalies" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t,
              CAST(round(value*100) AS BIGINT) AS v FROM events),

@@ -278,6 +278,42 @@ object StreamingQueries {
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
   }
 
+  // Streaming twin of q155 (rules only): every expectation counter is a
+  // conditional sum — incrementally mergeable — so the data contract
+  // runs as ONE continuous 1-row aggregation (complete mode), and the
+  // per-rule report shapes the drained state. The uniqueness row stays
+  // batch-only by design: distinct aggregation is unsupported on
+  // streams, which is exactly why it is a separate row in the batch
+  // report. Oracle = q155's rule rows VERBATIM (minus the unique row).
+  def q156StreamExpectations(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val rules = Seq(
+      "text_nonnull" -> col("text").isNotNull,
+      "n_chars_consistent" -> (length(col("text")) === col("n_chars")),
+      "lang_allowlisted" -> col("lang").isin("en", "de", "fr", "zh"),
+      "id_nonnegative" -> (col("doc_id") >= 0))
+    val aggs = graft.operators.Relational.ruleAggExprs(rules)
+    val one = drain(docs.agg(aggs.head, aggs.tail: _*), "complete")
+    graft.operators.Relational.shapeRuleReport(one, rules)
+  }
+
+  // Streaming twin of q153: the per-key count table is the stateful
+  // part (one incrementally-merged keyed count, complete mode); the
+  // top-k and digit-count histogram shape the drained counts — the
+  // continuously-maintained skew monitor a pipeline consults before
+  // each shuffle-strategy decision. q153's batch oracle VERBATIM.
+  def q157StreamKeySkew(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val ev = eventsStream(s, d)
+    val counts = drain(ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("_n"))
+      .select(concat_ws("|", col("user_id").cast("string"),
+        col("event_type").cast("string")).as("_k"), col("_n")), "complete")
+    graft.operators.Relational.skewProfileFromCounts(counts, topK = 10)
+  }
+
   def q98StreamLmScore(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -392,7 +428,9 @@ object StreamingQueries {
     "q115_stream_shard_manifest" -> q115StreamShardManifest,
     "q116_stream_nb_classify" -> q116StreamNbClassify,
     "q136_stream_fim" -> q136StreamFim,
-    "q141_stream_apply_changes" -> q141StreamApplyChanges)
+    "q141_stream_apply_changes" -> q141StreamApplyChanges,
+    "q156_stream_expectations" -> q156StreamExpectations,
+    "q157_stream_key_skew" -> q157StreamKeySkew)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -402,6 +440,8 @@ object StreamingQueries {
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
     "q136_stream_fim" -> TextQueries.oracles("q131_fim"),
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
+    "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
+    "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),
     "q125_stream_sentence_split" -> TextQueries.oracles("q122_sentence_split"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q107_stream_incremental_neardup" -> DedupQueries.oracles("q106_incremental_neardup"),

@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 155 queries, unique names") {
-    assert(SparkEntry.queries.size == 155)
+  test("gate inventory: 157 queries, unique names") {
+    assert(SparkEntry.queries.size == 157)
   }
 }
