@@ -337,6 +337,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(litStr(exprs(2), "key column")),
           litStr(exprs(3), "op column"), litStr(exprs(4), "seq column")))
     }
+    registerTable("cooccurrence",
+      "cooccurrence('table', 'groupCol', 'itemCol', minGroups) - unordered item " +
+        "pairs by number of groups containing both (co-presence; a < b)", 4) {
+      exprs =>
+        expand(graft.operators.Events.coOccurrence(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "group column"), litStr(exprs(2), "item column"),
+          litInt(exprs(3), "minGroups").toLong))
+    }
+    registerTable("transitions",
+      "transitions('table', 'keyCol', 'tsCol', 'typeCol', 'tiebreakCol') - " +
+        "first-order Markov transition counts over per-key event order", 5) {
+      exprs =>
+        expand(graft.operators.Events.transitionMatrix(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litStr(exprs(3), "type column"),
+          Seq(org.apache.spark.sql.functions.col(litStr(exprs(4), "tiebreak column")))))
+    }
     registerTable("expectations",
       "expectations('table', 'name1:sqlExpr1;name2:sqlExpr2', 'uniqueKeyCols') - " +
         "data-contract report: violation counts per rule in one pass + a " +

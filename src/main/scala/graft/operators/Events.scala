@@ -185,6 +185,53 @@ object Events {
       .drop("_S", "_Q")
   }
 
+  /** Item co-occurrence (market-basket pairs): for every unordered item
+    * pair, the number of groups (sessions, baskets, users) containing
+    * BOTH, kept at `minGroups` support — the association-mining
+    * primitive behind "users who did X also did Y". Items dedup within
+    * a group first (co-presence, not co-frequency), then pairs
+    * enumerate per group with `a < b`, so each pair counts a group
+    * once. Output: `(item_a, item_b, n_groups)`.
+    *
+    * Shape: one distinct (group, item) projection, then a group-keyed
+    * self-join — candidate volume is Σ items-per-group², bounded by
+    * group SIZE (a session holds tens of distinct items), never by item
+    * vocabulary or corpus size; the pair aggregation combines map-side.
+    * A pathological mega-group is the [[Relational.keySkewProfile]] /
+    * salting regime, not this operator's. */
+  def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
+      minGroups: Long = 1): DataFrame = {
+    require(minGroups >= 1, "minGroups >= 1")
+    val gi = graft.CacheScope.track(
+      df.select(col(groupCol).as("_g"), col(itemCol).as("_i")).distinct().cache())
+    gi.join(gi.select(col("_g"), col("_i").as("_j")), Seq("_g"))
+      .filter(col("_i") < col("_j"))
+      .groupBy(col("_i").as("item_a"), col("_j").as("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+      .filter(col("n_groups") >= minGroups)
+  }
+
+  /** Event-transition matrix (first-order Markov counts): for each key,
+    * walk its events in time order and count every consecutive
+    * `(from, to)` event-type transition — the navigation/behavior model
+    * behind next-step prediction and anomalous-flow detection. The
+    * order is `(tsCol, tiebreak)` per key (make it total, the
+    * [[Relational.topKPerGroup]] rule). Output:
+    * `(from_type, to_type, n_transitions)`.
+    *
+    * Shape: one key-partitioned lag window (per-task state = one key's
+    * history) + one map-side-combined pair aggregation — |types|² result
+    * rows regardless of corpus size. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, tiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol) +: tiebreak: _*)
+    df.select(col(keyCol), col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Regular-grid gap fill over a keyed time series: resample each key's
     * series onto a fixed `step` grid from its first to its last
     * observation, carrying observed values across gaps. Observations

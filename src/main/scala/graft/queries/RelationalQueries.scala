@@ -628,6 +628,24 @@ object RelationalQueries {
         "id_nonnegative" -> (col("doc_id") >= 0)),
       uniqueKeys = Seq("doc_id"))
 
+  // Market-basket co-occurrence: event types co-present within a user
+  // SESSION (the q142 sessionization defines the basket) — "users who
+  // viewed also purchased", support >= 3 sessions.
+  def q158CoOccurrence(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.operators.Events.sessionize(events(s, d), "user_id", "ts",
+      "30 minutes", Seq(col("event_id")))
+    graft.operators.Events.coOccurrence(
+      sess.withColumn("_sess",
+        concat_ws("#", col("user_id").cast("string"), col("session_seq").cast("string"))),
+      "_sess", "event_type", minGroups = 3)
+  }
+
+  // First-order Markov transition counts over per-user event streams:
+  // the |types|^2 navigation matrix.
+  def q159Transitions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.transitionMatrix(events(s, d), "user_id", "ts",
+      "event_type", Seq(col("event_id")))
+
   // Key-skew profile over (user, event type): the top-10 hottest keys +
   // the order-of-magnitude histogram — the pre-shuffle diagnostic for
   // broadcast/salt/AQE decisions.
@@ -664,6 +682,8 @@ object RelationalQueries {
     "q153_key_skew" -> q153KeySkew,
     "q154_anomalies" -> q154Anomalies,
     "q155_expectations" -> q155Expectations,
+    "q158_cooccurrence" -> q158CoOccurrence,
+    "q159_transitions" -> q159Transitions,
     "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
     "q03_agg_global" -> q03AggGlobal,
@@ -908,6 +928,28 @@ object RelationalQueries {
          SELECT rule, n_violations, n.n_rows,
            CAST(n_violations = 0 AS INT) AS pass
          FROM allrules CROSS JOIN n""",
+    "q158_cooccurrence" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t, event_type FROM events),
+         f AS (SELECT user_id, event_id, t, event_type,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         sessed AS (SELECT CAST(user_id AS VARCHAR) || '#' ||
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS g,
+             event_type AS i
+           FROM f),
+         gi AS (SELECT DISTINCT g, i FROM sessed)
+         SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_groups
+         FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
+    "q159_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t, event_type FROM events),
+         l AS (SELECT event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS from_type
+           FROM e)
+         SELECT from_type, to_type, count(*) AS n_transitions
+         FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2""",
     "q154_anomalies" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t,
              CAST(round(value*100) AS BIGINT) AS v FROM events),

@@ -113,6 +113,34 @@ class EventsSpec extends SparkSpec {
     assert(f(16L) == 0)
   }
 
+  test("coOccurrence: co-presence not co-frequency, per-group once, support filter") {
+    val e = Seq(
+      ("g1", "a"), ("g1", "a"), ("g1", "b"), // duplicate 'a' counts once
+      ("g2", "a"), ("g2", "b"), ("g2", "c"),
+      ("g3", "b"), ("g3", "c")
+    ).toDF("g", "i")
+    val all = Events.coOccurrence(e, "g", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(all == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 2L), s"got $all")
+    // support threshold drops the 1-group pair
+    val sup = Events.coOccurrence(e, "g", "i", minGroups = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sup == Set(("a", "b"), ("b", "c")))
+    graft.CacheScope.release()
+  }
+
+  test("transitionMatrix: consecutive pairs per key in time order, keys never chain") {
+    val e = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, 11L, ts("2024-01-01 00:01:00"), "b"),
+      (1L, 12L, ts("2024-01-01 00:02:00"), "a"),
+      (2L, 20L, ts("2024-01-01 00:00:30"), "c") // lone event: no transition
+    ).toDF("user", "eid", "t", "ty")
+    val m = Events.transitionMatrix(e, "user", "t", "ty", Seq(col("eid")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(("a", "b") -> 1L, ("b", "a") -> 1L), s"got $m")
+  }
+
   test("gapFill: observed slots exact; LOCF/NOCB carries; integer lerp; head/tail fills") {
     val h = 3600000000L // 1 hour in micros
     val e = Seq(

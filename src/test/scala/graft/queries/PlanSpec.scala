@@ -655,6 +655,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("q158 co-occurrence: group-keyed self-join over the distinct projection — no pair shape") {
+    val p = plan(RelationalQueries.q158CoOccurrence(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair enumeration must be a group-keyed equi self-join")
+    assert(p.contains("InMemoryTableScan"),
+      "the distinct (group, item) table must be persisted for both join sides")
+    graft.CacheScope.release()
+  }
+
+  test("q159 transitions: one key-partitioned lag window + one keyed agg, no join") {
+    val p = plan(RelationalQueries.q159Transitions(spark, sf))
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 1)
+    assert(!p.contains("Join"))
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
