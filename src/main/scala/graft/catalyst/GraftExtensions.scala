@@ -295,7 +295,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val t = SparkSession.active.table(litStr(exprs(0), "table"))
         expand(graft.operators.TextOps.sentenceChunks(t,
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
-          litInt(exprs(3), "budget").toLong))
+          litLong(exprs(3), "budget")))
     }
     registerTable("dedup_sentences",
       "dedup_sentences('table', 'idCol', 'textCol') - corpus-wide exact " +
@@ -344,7 +344,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         expand(graft.operators.Events.coOccurrence(
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "group column"), litStr(exprs(2), "item column"),
-          litInt(exprs(3), "minGroups").toLong))
+          litLong(exprs(3), "minGroups")))
     }
     registerTable("transitions",
       "transitions('table', 'keyCol', 'tsCol', 'typeCol', 'tiebreakCol') - " +
@@ -384,7 +384,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
           litStr(exprs(3), "value column"), litStr(exprs(4), "window interval"),
-          litInt(exprs(5), "z2centi").toLong, litInt(exprs(6), "minPrior")))
+          litLong(exprs(5), "z2centi"), litInt(exprs(6), "minPrior")))
     }
     registerTable("calibration_curve",
       "calibration_curve('scored', 'idCol', 'predCol', 'scoreCol', 'truth', " +
@@ -427,7 +427,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "value column"),
           SparkSession.active.table(litStr(exprs(2), "right table")),
           litStr(exprs(3), "lo column"), litStr(exprs(4), "hi column"),
-          litInt(exprs(5), "bucketWidth").toLong))
+          litLong(exprs(5), "bucketWidth")))
     }
     registerTable("rolling_agg",
       "rolling_agg('table', 'keyCol', 'tsCol', 'valueCol', 'window') - trailing " +
@@ -659,7 +659,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         expand(graft.operators.TextOps.ngramLmScore(t,
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           alpha = litInt(exprs(3), "alphaMicro").toDouble / 1e6,
-          keepMaxMicroPerToken = litInt(exprs(4), "keepMaxMicroPerToken").toLong))
+          keepMaxMicroPerToken = litLong(exprs(4), "keepMaxMicroPerToken")))
     }
     registerTable("decontaminate",
       "decontaminate('corpus', 'idCol', 'textCol', 'evalTable', 'evalIdCol', 'evalTextCol', n, minShared)" +

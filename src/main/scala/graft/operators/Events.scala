@@ -179,9 +179,18 @@ object Events {
       (dec(v) * dec(col("n_prior")) - dec(col("_S")))
     val rhs = lit(z2centi) * (dec(col("n_prior")) * dec(col("_Q")) -
       dec(col("_S")) * dec(col("_S")))
+    // For rows past minPrior the sums are non-null, so a NULL comparison
+    // can only mean decimal(38,0) overflow (Spark nulls it; DuckDB's
+    // HUGEINT reaches ~1.7e38 and would still compute) — fail loudly
+    // rather than emit a silent NULL flag the oracle disagrees with.
+    val cmp = lhs > rhs
     withSums
       .withColumn("is_anomaly",
-        (col("n_prior") >= minPrior && lhs > rhs).cast("int"))
+        when(col("n_prior") < minPrior, lit(0))
+          .when(cmp.isNotNull, cmp.cast("int"))
+          .otherwise(raise_error(lit(
+            "anomalies: decimal(38,0) overflow in the z-test products — " +
+              "rescale valueCol (coarser units) or shorten the window"))))
       .drop("_S", "_Q")
   }
 

@@ -1318,9 +1318,14 @@ object TextOps {
       "bucketEdges must be ascending and distinct")
     require(batchSize >= 1, "batchSize >= 1")
     val toks = col(tokensCol).cast("long")
-    val bucket = bucketEdges.zipWithIndex.foldRight(lit(bucketEdges.size)) {
-      case ((edge, i), rest) => when(toks < edge, i).otherwise(rest)
-    }
+    // a NULL token count would fall through every `toks < edge` branch
+    // into the overflow bucket — silently padding junk rows to the
+    // longest band; fail loudly instead (costs nothing on clean data)
+    val bucket = when(toks.isNull, raise_error(lit(
+        s"lengthBucketBatches: NULL $tokensCol — filter or impute before batching")))
+      .otherwise(bucketEdges.zipWithIndex.foldRight(lit(bucketEdges.size)) {
+        case ((edge, i), rest) => when(toks < edge, i).otherwise(rest)
+      })
     val ord = graft.functions.Portable.md5Long60(
       concat(col(idCol).cast("string"), lit("#batch")))
     val rank = row_number().over(org.apache.spark.sql.expressions.Window
@@ -1353,11 +1358,16 @@ object TextOps {
       scoreCol: String, truth: DataFrame, truthIdCol: String,
       truthLabelCol: String, nBins: Int = 10): DataFrame = {
     require(nBins >= 2, "nBins >= 2")
-    val j = scored.select(col(idCol).as("_id"), col(predCol).as("_pred"),
-        col(scoreCol).cast("long").as("_s"))
-      .join(truth.select(col(truthIdCol).as("_id"),
-        col(truthLabelCol).as("_true")), Seq("_id"))
-      .withColumn("_ok", (col("_pred") === col("_true")).cast("long"))
+    // the joined/scored frame feeds BOTH the min/max stats aggregate and
+    // the binning branch — cached, or the whole upstream scoring lineage
+    // (in q152: the full NB train+score chain) would execute twice
+    val j = graft.CacheScope.track(
+      scored.select(col(idCol).as("_id"), col(predCol).as("_pred"),
+          col(scoreCol).cast("long").as("_s"))
+        .join(truth.select(col(truthIdCol).as("_id"),
+          col(truthLabelCol).as("_true")), Seq("_id"))
+        .withColumn("_ok", (col("_pred") === col("_true")).cast("long"))
+        .cache())
     val stats = j.agg(min(col("_s")).as("_lo"), max(col("_s")).as("_hi"))
     val num = (col("_s") - col("_lo")) * nBins
     val den = col("_hi") - col("_lo") + 1

@@ -174,6 +174,22 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("calibrationCurve releases its scored-join cache") {
+    assertReleasedAfter(expectTracked = true) {
+      import spark.implicits._
+      val scored = Seq((1L, "a", 5L), (2L, "a", 7L)).toDF("id", "pred", "s")
+      val truth = Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+      TextOps.calibrationCurve(scored, "id", "pred", "s", truth, "id", "t", 2).count()
+    }
+  }
+
+  test("coOccurrence releases its distinct (group, item) cache") {
+    assertReleasedAfter(expectTracked = true) {
+      import spark.implicits._
+      Events.coOccurrence(Seq(("g", "a"), ("g", "b")).toDF("g", "i"), "g", "i").count()
+    }
+  }
+
   test("triangleStats releases its edge/degree/orientation caches") {
     assertReleasedAfter(expectTracked = true) {
       Graph.triangleStats(

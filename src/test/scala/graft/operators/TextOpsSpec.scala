@@ -820,5 +820,12 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextOps.lengthBucketBatches(df, "id", "n_tok", Seq(400L, 200L), 16)
     }
+    // NULL token counts must fail loudly, not slip into the overflow band
+    val withNull = Seq((1L, java.lang.Long.valueOf(100L)),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("id", "n_tok")
+    val ex = intercept[Exception] {
+      TextOps.lengthBucketBatches(withNull, "id", "n_tok", Seq(200L), 4).collect()
+    }
+    assert(ex.getMessage != null)
   }
 }
