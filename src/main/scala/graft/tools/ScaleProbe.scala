@@ -680,6 +680,30 @@ object ScaleProbe {
     time("range join 1x (500k values, 120 bands)")(rjX(1))
     time("range join 10x (5M values, 1200 bands)")(rjX(10))
 
+    // --- anomalies / co-occurrence / transitions -----------------------
+    def anomX(k: Int): Long =
+      Events.anomalies(evFull(k).withColumn("cents",
+          graft.functions.Portable.cents(col("value"))),
+        "user_id", "ts", "cents", "1 day", z2centi = 200L, minPrior = 5)
+        .agg(sum(col("is_anomaly"))).head().getLong(0)
+    time("anomalies 1x (100k events)")(anomX(1))
+    time("anomalies 10x (1M events, 10x users)")(anomX(10))
+    def coX(k: Int): Long = {
+      val sess = Events.sessionize(evFull(k), "user_id", "ts", "30 minutes",
+        Seq(col("event_id")))
+        .withColumn("_sess", concat_ws("#", col("user_id").cast("string"),
+          col("session_seq").cast("string")))
+      val r = Events.coOccurrence(sess, "_sess", "event_type", minGroups = 3).count()
+      graft.CacheScope.release(); r
+    }
+    time("co-occurrence 1x (100k events)")(coX(1))
+    time("co-occurrence 10x (1M events, 10x sessions)")(coX(10))
+    def trX(k: Int): Long =
+      Events.transitionMatrix(evFull(k), "user_id", "ts", "event_type",
+        Seq(col("event_id"))).agg(sum(col("n_transitions"))).head().getLong(0)
+    time("transitions 1x (100k events)")(trX(1))
+    time("transitions 10x (1M events, 10x users)")(trX(10))
+
     // --- triangles: ring of 8-cliques — k× cliques = k× triangles; the
     // degree orientation keeps wedge work linear in clique count --------
     def triX(k: Int): Long = {
