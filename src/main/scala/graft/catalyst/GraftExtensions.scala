@@ -211,6 +211,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(2), "left key"), litStr(exprs(3), "right key"),
           litStr(exprs(4), "left ts"), litStr(exprs(5), "right ts")))
     }
+    registerTable("asof_join_forward",
+      "asof_join_forward('left', 'right', 'leftKey', 'rightKey', 'leftTs', 'rightTs') " +
+        "- left columns + `_asof` struct of the EARLIEST right row at-or-after each left time", 6) {
+      exprs =>
+        val l = SparkSession.active.table(litStr(exprs(0), "left table"))
+        val r = SparkSession.active.table(litStr(exprs(1), "right table"))
+        expand(graft.operators.Relational.asofJoinForward(l, r,
+          litStr(exprs(2), "left key"), litStr(exprs(3), "right key"),
+          litStr(exprs(4), "left ts"), litStr(exprs(5), "right ts")))
+    }
     registerTable("neardup_pairs",
       "neardup_pairs('table', 'idCol', 'textCol', n, minJaccard) - exact n-gram Jaccard pairs", 5) {
       exprs =>

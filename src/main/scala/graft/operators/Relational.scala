@@ -534,6 +534,55 @@ object Relational {
       .select(col("_l.*"), col("_asof"))
   }
 
+  /** Forward as-of join: for each left row, attach the EARLIEST right
+    * row with `right.time >= left.time` for the same key — the mirror of
+    * [[asofJoinBackward]] ("what happened next": the next shipment after
+    * an order, the next version after a read). Same union + single key
+    * shuffle + running-window shape, O(|L|+|R|) at any scale; the match
+    * is inclusive at equal timestamps, `rightTiebreak` makes equal-time
+    * right rows deterministic (the match is then min(time, tiebreak)).
+    * Returns all left columns plus the matched right row as a nullable
+    * struct column `_asof`. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: Option[String] = None): DataFrame = {
+    val rightStruct = struct(right.columns.map(col): _*)
+    val tb = rightTiebreak.map(col(_)).getOrElse(lit(0L))
+    // left rows sort BEFORE right ties at equal time (side 0 < 1), so the
+    // first-following right row at the same timestamp still matches
+    val rightTyped = right.select(
+      col(rightKey).as("_k"),
+      col(rightTime).cast("timestamp").as("_t"),
+      lit(1).as("_side"),
+      tb.as("_tb"),
+      rightStruct.as("_r"))
+    val rightSchema = rightTyped.schema("_r").dataType
+    val tbSchema = rightTyped.schema("_tb").dataType
+    val leftTyped = left.select(
+      col(leftKey).as("_k"),
+      col(leftTime).cast("timestamp").as("_t"),
+      lit(0).as("_side"),
+      lit(null).cast(tbSchema).as("_tb"),
+      lit(null).cast(rightSchema).as("_r"),
+      struct(left.columns.map(col): _*).as("_l"))
+    val unioned = rightTyped
+      .withColumn("_l", lit(null).cast(leftTyped.schema("_l").dataType))
+      .unionByName(leftTyped)
+    val w = Window
+      .partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("_asof", first(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(col("_l.*"), col("_asof"))
+  }
+
   /** Blocked fuzzy join (record linkage): all (left, right) pairs that
     * share the blocking key(s) AND whose text columns are within
     * `maxDist` Levenshtein edits, emitted with an `edit_dist` column —

@@ -265,6 +265,19 @@ object RelationalQueries {
         sum(col("_asof.o_orderkey")).as("sum_matched_orderkey"))
   }
 
+  // Forward as-of: each event matched to the user's NEXT order at or
+  // after the event time — the "what happened next" attribution query
+  // (q23's mirror; same union + running-window shape).
+  def q160AsofForward(s: SparkSession, d: String): DataFrame =
+    Relational.asofJoinForward(events(s, d), Tables.orders(s, d),
+        "user_id", "o_custkey", "ts", "o_orderdate",
+        rightTiebreak = Some("o_orderkey"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("_asof.o_orderkey")).as("n_matched"),
+        sum(col("_asof.o_orderkey")).as("sum_matched_orderkey"))
+
   // C17: format conversion — binary/base64/hex round-trips.
   def q24FormatConv(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -707,6 +720,7 @@ object RelationalQueries {
     "q21_rollup" -> q21Rollup,
     "q22_quantiles" -> q22Quantiles,
     "q23_asof_join" -> q23AsofJoin,
+    "q160_asof_forward" -> q160AsofForward,
     "q24_format_conv" -> q24FormatConv,
     "q25_avro_roundtrip" -> q25AvroRoundtrip,
     "q26_nested_array" -> q26NestedArray,
@@ -1231,6 +1245,18 @@ object RelationalQueries {
     // with two same-date orders), so the oracle states the deterministic
     // definition directly: max by (orderdate, orderkey) — lexicographic
     // list comparison — among orders at-or-before the event.
+    "q160_asof_forward" ->
+      """WITH m AS (
+           SELECT e.event_id, e.event_type,
+             min_by(o.o_orderkey,
+               CAST(epoch(o.o_orderdate) AS BIGINT) * 4294967296 + o.o_orderkey) AS matched
+           FROM events e LEFT JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts::TIMESTAMP
+           GROUP BY e.event_id, e.event_type
+         )
+         SELECT event_type, count(*) AS n_events,
+           count(matched) AS n_matched, CAST(sum(matched) AS BIGINT) AS sum_matched_orderkey
+         FROM m GROUP BY event_type""",
     "q23_asof_join" ->
       """WITH m AS (
            SELECT e.event_id, e.event_type,

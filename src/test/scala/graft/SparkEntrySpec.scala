@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 159 queries, unique names") {
-    assert(SparkEntry.queries.size == 159)
+  test("gate inventory: 160 queries, unique names") {
+    assert(SparkEntry.queries.size == 160)
   }
 }

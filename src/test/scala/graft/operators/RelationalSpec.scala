@@ -194,6 +194,28 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq == Seq(("e1", 100), ("e2", 300), ("e3", -1)))
   }
 
+  test("asofJoinForward matches earliest right at-or-after left time, tiebreak earliest") {
+    val left = Seq(
+      (1L, "2020-01-01 10:00:00", "e1"),
+      (1L, "2020-01-01 11:00:00", "e2"), // equal-ts right row must match
+      (2L, "2020-01-01 23:30:00", "e3")) // after any right row for key 2
+      .toDF("k", "t", "ev")
+      .withColumn("t", to_timestamp(col("t")))
+    val right = Seq(
+      (1L, "2020-01-01 09:30:00", 100), // in the past: never matches forward
+      (1L, "2020-01-01 11:00:00", 200),
+      (1L, "2020-01-01 11:00:00", 150), // tie: smaller tiebreak wins
+      (2L, "2020-01-01 23:00:00", 900))
+      .toDF("k", "t", "val")
+      .withColumn("t", to_timestamp(col("t")))
+    val out = Relational.asofJoinForward(left, right, "k", "k", "t", "t",
+        rightTiebreak = Some("val"))
+      .select(col("ev"), col("_asof.val").as("val"))
+      .orderBy("ev")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(out.toSeq == Seq(("e1", 150), ("e2", 150), ("e3", -1)))
+  }
+
   test("asofJoinBackward keeps native key types — string keys stay per-key") {
     // the round-2 cast("long") nulled string keys into ONE window
     // partition: every left row got the globally-latest right row

@@ -670,6 +670,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("q160 forward as-of: union + ONE key shuffle + running window — no range join") {
+    val p = plan(RelationalQueries.q160AsofForward(spark, sf))
+    assert(p.contains("Union"), "forward as-of must be the union+window shape")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "forward as-of degenerated to a range-join explosion")
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
