@@ -347,6 +347,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(litStr(exprs(2), "key column")),
           litStr(exprs(3), "op column"), litStr(exprs(4), "seq column")))
     }
+    registerTable("concurrency_sweep",
+      "concurrency_sweep('table', 'startCol', 'endCol') - active-interval count " +
+        "at every change instant over half-open [start, end) intervals " +
+        "(distributed prefix sum, never a one-partition window)", 3) {
+      exprs =>
+        expand(graft.operators.Events.concurrencySweep(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "start column"), litStr(exprs(2), "end column")))
+    }
     registerTable("cooccurrence",
       "cooccurrence('table', 'groupCol', 'itemCol', minGroups) - unordered item " +
         "pairs by number of groups containing both (co-presence; a < b)", 4) {

@@ -241,6 +241,47 @@ object Events {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Interval concurrency sweep: for every distinct change instant, the
+    * number of half-open `[start, end)` intervals active at-or-after it —
+    * peak-concurrency / capacity-planning over sessions, calls, or job
+    * runs. Deltas (+1 at start, −1 at end) aggregate PER TIMESTAMP first,
+    * so coincident starts/ends net out and tie ordering never matters;
+    * `n_active` at t is Σ deltas with ts ≤ t (the post-state). An
+    * interval with start == end nets to zero and is invisible, exactly
+    * the half-open semantics. Output: `(ts, n_active)`.
+    *
+    * The running sum needs a GLOBAL time order — the classic
+    * one-partition window killer — so it runs as the distributed
+    * two-phase prefix sum (the [[TextOps.sequentialPack]] discipline):
+    * range-partition by time, cumsum per partition in parallel, shift
+    * each partition by the collected per-partition totals (a
+    * #partitions-row model fetch). The partitioned frame is pinned
+    * MEMORY_AND_DISK across its two consumers and self-releases; the
+    * result rides a tracked checkpoint. */
+  def concurrencySweep(df: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val deltas = df.select(col(startCol).cast("timestamp").as("_t"), lit(1L).as("_d"))
+      .unionByName(df.select(col(endCol).cast("timestamp").as("_t"), lit(-1L).as("_d")))
+      .groupBy("_t").agg(sum(col("_d")).as("_d"))
+    val w = deltas.repartitionByRange(col("_t")).sortWithinPartitions("_t")
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pidTotals = w.groupBy("_pid").agg(sum(col("_d")).as("_ps"))
+        .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
+      val offsets = pidTotals.map(_._1).zip(
+        pidTotals.map(_._2).scanLeft(0L)(_ + _).init)
+      val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
+      val cum = sum(col("_d")).over(
+        Window.partitionBy(col("_pid")).orderBy(col("_t")))
+      graft.CacheScope.trackCheckpoint(
+        w.join(offDf, Seq("_pid"))
+          .withColumn("n_active", (col("_off") + cum).cast("long"))
+          .select(col("_t").as("ts"), col("n_active"))
+          .localCheckpoint())
+    } finally w.unpersist(false)
+  }
+
   /** Regular-grid gap fill over a keyed time series: resample each key's
     * series onto a fixed `step` grid from its first to its last
     * observation, carrying observed values across gaps. Observations

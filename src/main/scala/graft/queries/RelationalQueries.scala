@@ -659,6 +659,19 @@ object RelationalQueries {
     graft.operators.Events.transitionMatrix(events(s, d), "user_id", "ts",
       "event_type", Seq(col("event_id")))
 
+  // Concurrency sweep over session intervals [first event, last event +
+  // gap): how many sessions are simultaneously active at every change
+  // instant — the capacity-planning view of the q142 sessionization.
+  def q161Concurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.operators.Events.sessionize(events(s, d), "user_id", "ts",
+        "30 minutes", Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("s_start"),
+        (max(col("ts")) + expr("INTERVAL 30 minutes")).as("s_end"))
+    graft.operators.Events.concurrencySweep(sess, "s_start", "s_end")
+      .select(TimeFunctions.canonical(col("ts")).as("ts"), col("n_active"))
+  }
+
   // Key-skew profile over (user, event type): the top-10 hottest keys +
   // the order-of-magnitude histogram — the pre-shuffle diagnostic for
   // broadcast/salt/AQE decisions.
@@ -695,6 +708,7 @@ object RelationalQueries {
     "q153_key_skew" -> q153KeySkew,
     "q154_anomalies" -> q154Anomalies,
     "q155_expectations" -> q155Expectations,
+    "q161_concurrency" -> q161Concurrency,
     "q158_cooccurrence" -> q158CoOccurrence,
     "q159_transitions" -> q159Transitions,
     "q130_k_anonymity" -> q130KAnonymity,
@@ -942,6 +956,26 @@ object RelationalQueries {
          SELECT rule, n_violations, n.n_rows,
            CAST(n_violations = 0 AS INT) AS pass
          FROM allrules CROSS JOIN n""",
+    "q161_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t FROM events),
+         f AS (SELECT user_id, event_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         sessed AS (SELECT user_id, t,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM f),
+         sess AS (SELECT user_id, session_seq, min(t) AS s,
+             max(t) + INTERVAL 30 MINUTE AS en
+           FROM sessed GROUP BY 1, 2),
+         d AS (SELECT t, CAST(sum(dd) AS BIGINT) AS dd FROM (
+             SELECT s AS t, 1 AS dd FROM sess
+             UNION ALL SELECT en, -1 FROM sess) GROUP BY 1)
+         SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(sum(dd) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_active
+         FROM d""",
     "q158_cooccurrence" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t, event_type FROM events),
          f AS (SELECT user_id, event_id, t, event_type,

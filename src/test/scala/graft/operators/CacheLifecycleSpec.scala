@@ -190,6 +190,20 @@ class CacheLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("concurrencySweep: pinned partitioning released, result checkpoint tracked") {
+    CacheScope.release()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    import spark.implicits._
+    val iv = Seq(("2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+      ("2024-01-01 00:30:00", "2024-01-01 02:00:00")).toDF("s", "e")
+    val out = Events.concurrencySweep(iv, "s", "e")
+    assert(out.count() == 4)
+    val live = spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+    assert(live.size <= 1, s"only the result checkpoint may remain: $live")
+    CacheScope.release()
+    assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline).isEmpty)
+  }
+
   test("triangleStats releases its edge/degree/orientation caches") {
     assertReleasedAfter(expectTracked = true) {
       Graph.triangleStats(

@@ -141,6 +141,28 @@ class EventsSpec extends SparkSpec {
     assert(m == Map(("a", "b") -> 1L, ("b", "a") -> 1L), s"got $m")
   }
 
+  test("concurrencySweep: overlaps sum, exact-touch nets, zero-length invisible, partition-invariant") {
+    val iv = Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")), // A [0,2)
+      (ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00")), // B [1,3) overlaps A
+      (ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00")), // C [3,4) touches B: nets
+      (ts("2024-01-01 05:00:00"), ts("2024-01-01 05:00:00"))  // zero-length: invisible
+    ).toDF("s", "e")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = Events.concurrencySweep(df, "s", "e")
+        .collect().map(x => x.getTimestamp(0).toString -> x.getLong(1)).toMap
+      graft.CacheScope.release(); r
+    }
+    val out = run(iv)
+    assert(out == Map(
+      "2024-01-01 00:00:00.0" -> 1L, "2024-01-01 01:00:00.0" -> 2L,
+      "2024-01-01 02:00:00.0" -> 1L,
+      "2024-01-01 03:00:00.0" -> 1L, // B ends and C starts at the same instant
+      "2024-01-01 04:00:00.0" -> 0L,
+      "2024-01-01 05:00:00.0" -> 0L), s"got $out")
+    assert(run(iv.repartition(5)) == out, "prefix-sum must be partition-invariant")
+  }
+
   test("gapFill: observed slots exact; LOCF/NOCB carries; integer lerp; head/tail fills") {
     val h = 3600000000L // 1 hour in micros
     val e = Seq(

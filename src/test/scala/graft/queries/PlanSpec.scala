@@ -677,6 +677,17 @@ class PlanSpec extends SparkSpec {
       "forward as-of degenerated to a range-join explosion")
   }
 
+  test("q161 concurrency: runs as jobs (distributed prefix sum), result rides a checkpoint") {
+    val df = RelationalQueries.q161Concurrency(spark, sf)
+    val p = plan(df)
+    // the global cumsum must NOT be a single all-rows window in the final
+    // plan: the operator materializes via range partitions + offsets, so
+    // the result is checkpoint-backed (ExistingRDD), not a Window chain
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected a checkpoint-backed result:\n${p.take(800)}")
+    graft.CacheScope.release()
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
