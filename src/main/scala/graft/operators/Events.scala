@@ -258,11 +258,19 @@ object Events {
     * #partitions-row model fetch). The partitioned frame is pinned
     * MEMORY_AND_DISK across its two consumers and self-releases; the
     * result rides a tracked checkpoint. */
-  def concurrencySweep(df: DataFrame, startCol: String, endCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val deltas = df.select(col(startCol).cast("timestamp").as("_t"), lit(1L).as("_d"))
-      .unionByName(df.select(col(endCol).cast("timestamp").as("_t"), lit(-1L).as("_d")))
-      .groupBy("_t").agg(sum(col("_d")).as("_d"))
+  def concurrencySweep(df: DataFrame, startCol: String, endCol: String): DataFrame =
+    concurrencyFromDeltas(
+      df.select(col(startCol).cast("timestamp").as("_t"), lit(1L).as("_d"))
+        .unionByName(df.select(col(endCol).cast("timestamp").as("_t"), lit(-1L).as("_d")))
+        .groupBy("_t").agg(sum(col("_d")).as("_d")))
+
+  /** The prefix-sum half of [[concurrencySweep]] over an
+    * ALREADY-AGGREGATED per-timestamp delta table `(_t, _d)` — shared
+    * with the streaming twin, whose delta table is the drained
+    * incremental aggregation (deltas merge; the global cumsum doesn't,
+    * so it shapes the drained state). */
+  private[graft] def concurrencyFromDeltas(deltas: DataFrame): DataFrame = {
+    val spark = deltas.sparkSession
     val w = deltas.repartitionByRange(col("_t")).sortWithinPartitions("_t")
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -314,6 +314,38 @@ object StreamingQueries {
     graft.operators.Relational.skewProfileFromCounts(counts, topK = 10)
   }
 
+  // Streaming twin of q161: the per-timestamp delta counts are the
+  // stateful part (sessions arrive as a bounded stream of intervals —
+  // here recomputed per batch from the event stream via the stateless
+  // q142 projection is impossible (sessionization needs the window), so
+  // the intervals are the STATIC side and the sweep's DELTA AGG runs
+  // continuously over them restreamed; the prefix-sum shapes the
+  // drained per-timestamp deltas. q161's batch oracle VERBATIM.
+  def q162StreamConcurrency(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    // materialize the session intervals once (batch — the q142 shape),
+    // restream them as the interval feed a capacity monitor would consume
+    val sess = graft.operators.Events.sessionize(
+        RelationalQueries.events(s, d), "user_id", "ts", "30 minutes",
+        Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("s_start"),
+        (max(col("ts")) + expr("INTERVAL 30 minutes")).as("s_end"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q162").toString
+    sess.write.mode("overwrite").parquet(dir)
+    val iv = s.readStream.schema(sess.schema).parquet(dir)
+    val deltas = drain(
+      iv.select(col("s_start").as("_t"), lit(1L).as("_d"))
+        .unionByName(iv.select(col("s_end").as("_t"), lit(-1L).as("_d")))
+        .groupBy("_t").agg(sum(col("_d")).as("_d")), "complete")
+    // shape the drained state with the operator's own prefix-sum half:
+    // feed it synthetic [t, t) zero-length... instead reuse the sweep on
+    // a delta-shaped frame by running the running sum directly
+    val out = graft.operators.Events.concurrencyFromDeltas(deltas)
+    out.select(graft.functions.TimeFunctions.canonical(col("ts")).as("ts"),
+      col("n_active"))
+  }
+
   def q98StreamLmScore(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -430,7 +462,8 @@ object StreamingQueries {
     "q136_stream_fim" -> q136StreamFim,
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
-    "q157_stream_key_skew" -> q157StreamKeySkew)
+    "q157_stream_key_skew" -> q157StreamKeySkew,
+    "q162_stream_concurrency" -> q162StreamConcurrency)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -442,6 +475,7 @@ object StreamingQueries {
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),
+    "q162_stream_concurrency" -> RelationalQueries.oracles("q161_concurrency"),
     "q125_stream_sentence_split" -> TextQueries.oracles("q122_sentence_split"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q107_stream_incremental_neardup" -> DedupQueries.oracles("q106_incremental_neardup"),

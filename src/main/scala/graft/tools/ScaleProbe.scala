@@ -704,6 +704,19 @@ object ScaleProbe {
     time("transitions 1x (100k events)")(trX(1))
     time("transitions 10x (1M events, 10x users)")(trX(10))
 
+    // --- concurrency sweep: distributed prefix sum over change points --
+    def swX(k: Int): Long = {
+      val n = 500000L * k
+      val iv = spark.range(n).select(
+        timestamp_seconds(col("id")).as("s"),
+        timestamp_seconds(col("id") + 1000L).as("e"))
+      val r = Events.concurrencySweep(iv, "s", "e")
+        .agg(max(col("n_active"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("concurrency sweep 1x (500k intervals)")(swX(1))
+    time("concurrency sweep 10x (5M intervals)")(swX(10))
+
     // --- triangles: ring of 8-cliques — k× cliques = k× triangles; the
     // degree orientation keeps wedge work linear in clique count --------
     def triX(k: Int): Long = {

@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 161 queries, unique names") {
-    assert(SparkEntry.queries.size == 161)
+  test("gate inventory: 162 queries, unique names") {
+    assert(SparkEntry.queries.size == 162)
   }
 }
