@@ -347,6 +347,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Seq(litStr(exprs(2), "key column")),
           litStr(exprs(3), "op column"), litStr(exprs(4), "seq column")))
     }
+    registerTable("period_over_period",
+      "period_over_period('table', 'keyCol', 'tsCol', 'valueCol', periodDays) - " +
+        "per-(key, fixed UTC period) totals with the adjacent previous period " +
+        "and exact ppm growth (gaps yield NULL prev)", 5) {
+      exprs =>
+        expand(graft.operators.Events.periodOverPeriod(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litStr(exprs(3), "value column"), litInt(exprs(4), "periodDays")))
+    }
+    registerTable("pareto_classes",
+      "pareto_classes('table', 'keyCol', 'valueCol', 'A:70,B:90,C:100') - ABC " +
+        "segmentation by descending cumulative share (distributed prefix sum, " +
+        "exact integer cuts)", 4) {
+      exprs =>
+        val cuts = colList(litStr(exprs(3), "cuts")).map { entry =>
+          entry.split(":") match {
+            case Array(name, pct) if pct.trim.nonEmpty && pct.trim.forall(_.isDigit) =>
+              name.trim -> pct.trim.toInt
+            case _ => throw new IllegalArgumentException(
+              s"pareto_classes entry '$entry' must be 'name:cumulativePct'")
+          }
+        }
+        expand(graft.operators.Relational.paretoClasses(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "value column"), cuts))
+    }
     registerTable("concurrency_sweep",
       "concurrency_sweep('table', 'startCol', 'endCol') - active-interval count " +
         "at every change instant over half-open [start, end) intervals " +

@@ -241,6 +241,45 @@ object Events {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Period-over-period metrics: per (key, fixed UTC period) value
+    * totals with the IMMEDIATELY-PRECEDING period's total attached and
+    * the exact growth in ppm — the WoW/MoM dashboard primitive. The
+    * previous period attaches by an equi self-join on (key, period − 1),
+    * NOT a lag window: a gap period then yields NULL prev (the BI
+    * convention — growth vs a 3-periods-ago number is not
+    * "period-over-period"), and no per-key window sort exists anywhere.
+    * `growth_ppm` = floor((cur − prev)·10⁶ / prev) via the exact
+    * (num − pmod)/den division; NULL when there is no previous period
+    * or its total is ≤ 0 (a sign-mixed denominator has no meaningful
+    * ratio). Output: key, `period`, `total`, `prev_total`, `delta`,
+    * `growth_ppm`. `valueCol` must be integral.
+    *
+    * Shape: one keyed agg (map-side combined) + one equi self-join of
+    * the period-grain table against itself — both sides period-grain,
+    * never row-grain. */
+  def periodOverPeriod(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, periodDays: Int, epochDay: String = "1970-01-01"): DataFrame = {
+    require(periodDays >= 1, "periodDays >= 1")
+    val period = floor(datediff(col(tsCol).cast("date"), lit(epochDay).cast("date"))
+      .cast("long") / periodDays).cast("long")
+    val totals = graft.CacheScope.track(
+      df.select(col(keyCol).as("_k"), period.as("period"),
+          col(valueCol).cast("long").as("_v"))
+        .groupBy(col("_k"), col("period"))
+        .agg(sum(col("_v")).as("total"))
+        .cache())
+    val prev = totals.select(col("_k"), (col("period") + 1).as("period"),
+      col("total").as("prev_total"))
+    val num = (col("total") - col("prev_total")) * 1000000L
+    val den = col("prev_total")
+    totals.join(prev, Seq("_k", "period"), "left")
+      .select(col("_k").as(keyCol), col("period"), col("total"),
+        col("prev_total"),
+        (col("total") - coalesce(col("prev_total"), lit(0L))).as("delta"),
+        when(col("prev_total") > 0,
+          ((num - pmod(num, den)) / den).cast("long")).as("growth_ppm"))
+  }
+
   /** Interval concurrency sweep: for every distinct change instant, the
     * number of half-open `[start, end)` intervals active at-or-after it —
     * peak-concurrency / capacity-planning over sessions, calls, or job

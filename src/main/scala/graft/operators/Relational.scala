@@ -795,6 +795,57 @@ object Relational {
     hot.unionByName(hist)
   }
 
+  /** Pareto / ABC classification: aggregate `valueCol` per key, rank
+    * keys by total descending, and label each with the first class whose
+    * cumulative-share-BEFORE-it is still under the class's cut — the
+    * "20% of customers drive 70% of revenue" segmentation. `cuts` are
+    * cumulative percent bounds ending at 100 (e.g. A→70, B→90, C→100);
+    * cumBefore < cut (the [[tokenBudgetSample]] convention) makes the
+    * first key always class A even if it alone exceeds the A share, and
+    * the comparison `cumBefore·100 < cut·total` is exact integer
+    * cross-multiplication — no float shares anywhere. Output: key,
+    * `total`, `cum_before`, `abc_class`.
+    *
+    * Shape: one keyed agg to key grain, then the global descending
+    * cumulative sum as the distributed two-phase prefix sum (range
+    * partitions in (total DESC, key) order, parallel per-partition
+    * cumsums, a #partitions-row offset collect) — never a one-partition
+    * global window; the grand total is a 1-row broadcast. */
+  def paretoClasses(df: DataFrame, keyCol: String, valueCol: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100, "cuts must end at 100")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be non-decreasing")
+    val spark = df.sparkSession
+    val totals = df.select(col(keyCol).as("_k"), col(valueCol).cast("long").as("_v"))
+      .groupBy("_k").agg(sum(col("_v")).as("total"))
+    val w = totals.repartitionByRange(col("total").desc, col("_k"))
+      .sortWithinPartitions(col("total").desc, col("_k"))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pidTotals = w.groupBy("_pid").agg(sum(col("total")).as("_ps"))
+        .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
+      val offsets = pidTotals.map(_._1).zip(
+        pidTotals.map(_._2).scanLeft(0L)(_ + _).init)
+      val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
+      // the grand total is the sum of the collected per-partition totals
+      // — a driver-side literal, no extra job over the base frame
+      val grand = pidTotals.map(_._2).sum
+      val cumIn = sum(col("total")).over(
+        Window.partitionBy(col("_pid"))
+          .orderBy(col("total").desc, col("_k"))) - col("total")
+      val label = cuts.init.foldRight(lit(cuts.last._1)) { case ((name, cut), rest) =>
+        when(col("cum_before") * 100 < lit(cut.toLong) * lit(grand), name).otherwise(rest)
+      }
+      graft.CacheScope.trackCheckpoint(
+        w.join(offDf, Seq("_pid"))
+          .withColumn("cum_before", col("_off") + cumIn)
+          .select(col("_k").as(keyCol), col("total"), col("cum_before"),
+            label.as("abc_class"))
+          .localCheckpoint())
+    } finally w.unpersist(false)
+  }
+
   /** Data-quality expectation report — the contract check a pipeline
     * runs before promoting a table: each named rule is a row-level
     * predicate (null checks, ranges, regex shape, referential bounds),

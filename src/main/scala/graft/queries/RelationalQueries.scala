@@ -672,6 +672,22 @@ object RelationalQueries {
       .select(TimeFunctions.canonical(col("ts")).as("ts"), col("n_active"))
   }
 
+  // Week-over-week growth per event type: fixed 7-day UTC periods,
+  // previous period by equi join (gaps yield NULL, the BI convention),
+  // exact ppm growth.
+  def q163PeriodOverPeriod(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.periodOverPeriod(
+      events(s, d).withColumn("cents", Portable.cents(col("value"))),
+      "event_type", "ts", "cents", periodDays = 7)
+
+  // Pareto / ABC revenue classification of customers (A < 70% cum share,
+  // B < 90%, C rest) — the global descending cumulative share via the
+  // distributed prefix sum, exact integer cross-multiplied cuts.
+  def q164Pareto(s: SparkSession, d: String): DataFrame =
+    Relational.paretoClasses(
+      Tables.orders(s, d).withColumn("cents", Portable.cents(col("o_totalprice"))),
+      "o_custkey", "cents", Seq("A" -> 70, "B" -> 90, "C" -> 100))
+
   // Key-skew profile over (user, event type): the top-10 hottest keys +
   // the order-of-magnitude histogram — the pre-shuffle diagnostic for
   // broadcast/salt/AQE decisions.
@@ -709,6 +725,8 @@ object RelationalQueries {
     "q154_anomalies" -> q154Anomalies,
     "q155_expectations" -> q155Expectations,
     "q161_concurrency" -> q161Concurrency,
+    "q163_period_over_period" -> q163PeriodOverPeriod,
+    "q164_pareto" -> q164Pareto,
     "q158_cooccurrence" -> q158CoOccurrence,
     "q159_transitions" -> q159Transitions,
     "q130_k_anonymity" -> q130KAnonymity,
@@ -956,6 +974,34 @@ object RelationalQueries {
          SELECT rule, n_violations, n.n_rows,
            CAST(n_violations = 0 AS INT) AS pass
          FROM allrules CROSS JOIN n""",
+    "q163_period_over_period" ->
+      """WITH t AS (SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS period,
+             CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total
+           FROM events GROUP BY 1, 2)
+         SELECT c.event_type, CAST(c.period AS BIGINT) AS period, c.total,
+           p.total AS prev_total,
+           CAST(c.total - coalesce(p.total, 0) AS BIGINT) AS delta,
+           CASE WHEN p.total > 0 THEN CAST((
+             (c.total - p.total) * 1000000 -
+             ((((c.total - p.total) * 1000000) % p.total + p.total) % p.total)
+           ) / p.total AS BIGINT) END AS growth_ppm
+         FROM t c LEFT JOIN t p
+           ON p.event_type = c.event_type AND p.period = c.period - 1""",
+    "q164_pareto" ->
+      """WITH t AS (SELECT o_custkey AS k,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total
+           FROM orders GROUP BY 1),
+         g AS (SELECT CAST(sum(total) AS BIGINT) AS grand FROM t),
+         c AS (SELECT k, total,
+             CAST(coalesce(sum(total) OVER (ORDER BY total DESC, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM t)
+         SELECT k AS o_custkey, total, cum_before,
+           CASE WHEN cum_before * 100 < 70 * grand THEN 'A'
+                WHEN cum_before * 100 < 90 * grand THEN 'B'
+                ELSE 'C' END AS abc_class
+         FROM c CROSS JOIN g""",
     "q161_concurrency" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t FROM events),
          f AS (SELECT user_id, event_id, t,

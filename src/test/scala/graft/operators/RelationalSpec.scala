@@ -590,6 +590,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("paretoClasses: descending cumulative classes, first key always A, partition-invariant") {
+    // totals: a=500, b=300, c=150, d=50 (grand 1000)
+    // cumBefore: a=0(A), b=500(A: 50%<70), c=800(B: 80%<90), d=950(C)
+    val rows = Seq((10L, 500L), (11L, 300L), (12L, 150L), (13L, 50L))
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = Relational.paretoClasses(df, "k", "v",
+          Seq("A" -> 70, "B" -> 90, "C" -> 100))
+        .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getString(3)))).toMap
+      graft.CacheScope.release(); r
+    }
+    val out = run(rows.toDF("k", "v"))
+    assert(out == Map(10L -> ((0L, "A")), 11L -> ((500L, "A")),
+      12L -> ((800L, "B")), 13L -> ((950L, "C"))), s"got $out")
+    assert(run(rows.toDF("k", "v").repartition(5)) == out)
+    // a single dominant key is still class A (cumBefore 0 < any cut)
+    val dom = run(Seq((1L, 990L), (2L, 10L)).toDF("k", "v"))
+    assert(dom(1L)._2 == "A" && dom(2L)._2 == "C")
+  }
+
   test("kAnonymize: every published group >= k, leftover recounting, suppression") {
     // 12×(A,1) pass level 0; 3×(A,2)+2×(A,3) only reach k=5 once the last
     // column is masked; 4×(B,*) spread over distinct values must climb to

@@ -688,6 +688,20 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q163 period-over-period: period-grain self-join — no window, no row-grain pair shape") {
+    val p = plan(RelationalQueries.q163PeriodOverPeriod(spark, sf))
+    assert(!p.contains("Window"), "the adjacent period attaches by equi join, not lag")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    graft.CacheScope.release()
+  }
+
+  test("q164 pareto: checkpoint-backed result (distributed prefix sum ran as jobs)") {
+    val p = plan(RelationalQueries.q164Pareto(spark, sf))
+    assert(p.contains("ExistingRDD"),
+      s"expected a checkpoint-backed result:\n${p.take(800)}")
+    graft.CacheScope.release()
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
