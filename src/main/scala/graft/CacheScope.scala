@@ -20,9 +20,10 @@ import org.apache.spark.sql.Dataset
   * and cheap), and releasing early is SAFE — a dropped cache degrades to
   * recompute, never to wrong answers (every tracked table is a
   * deterministic projection; the one case where recompute could change
-  * results, `TextOps.sequentialPack`'s sampled range partitioning, is
-  * self-contained: persist → eager materialize → unpersist inside the
-  * operator and never tracked here).
+  * results — `Relational.distributedPrefixSum`'s sampled range
+  * partitioning, shared by sequentialPack / concurrencySweep /
+  * paretoClasses — is self-contained: persist → eager materialize →
+  * unpersist inside the helper and never tracked here).
   */
 object CacheScope {
 

@@ -171,22 +171,28 @@ object Events {
       .rangeBetween(-micros, -1)
     val v = col(valueCol).cast("long")
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // count(v), not count(*): a NULL value contributes nothing to the
+    // sums, so counting its ROW would desynchronize n from S/Q and make
+    // the variance identity wrong for every later event in the window
     val withSums = df.select(df.columns.map(col) :+
-      count(lit(1)).over(w).as("n_prior") :+
+      count(v).over(w).as("n_prior") :+
       sum(v).over(w).as("_S") :+
       sum(v * v).over(w).as("_Q"): _*)
     val lhs = lit(100) * (dec(v) * dec(col("n_prior")) - dec(col("_S"))) *
       (dec(v) * dec(col("n_prior")) - dec(col("_S")))
     val rhs = lit(z2centi) * (dec(col("n_prior")) * dec(col("_Q")) -
       dec(col("_S")) * dec(col("_S")))
-    // For rows past minPrior the sums are non-null, so a NULL comparison
-    // can only mean decimal(38,0) overflow (Spark nulls it; DuckDB's
-    // HUGEINT reaches ~1.7e38 and would still compute) — fail loudly
-    // rather than emit a silent NULL flag the oracle disagrees with.
+    // With v non-null and n_prior (count of non-null values) past
+    // minPrior, the sums are non-null — a NULL comparison can then only
+    // mean decimal(38,0) overflow (Spark nulls it; DuckDB's HUGEINT
+    // reaches ~1.7e38 and would still compute) — fail loudly rather
+    // than emit a silent NULL flag the oracle disagrees with. A NULL
+    // value itself is unscorable: flag NULL, never a crash.
     val cmp = lhs > rhs
     withSums
       .withColumn("is_anomaly",
-        when(col("n_prior") < minPrior, lit(0))
+        when(v.isNull, lit(null).cast("int"))
+          .when(col("n_prior") < minPrior, lit(0))
           .when(cmp.isNotNull, cmp.cast("int"))
           .otherwise(raise_error(lit(
             "anomalies: decimal(38,0) overflow in the z-test products — " +
@@ -299,35 +305,24 @@ object Events {
     * result rides a tracked checkpoint. */
   def concurrencySweep(df: DataFrame, startCol: String, endCol: String): DataFrame =
     concurrencyFromDeltas(
-      df.select(col(startCol).cast("timestamp").as("_t"), lit(1L).as("_d"))
-        .unionByName(df.select(col(endCol).cast("timestamp").as("_t"), lit(-1L).as("_d")))
+      // ONE scan emits both deltas per interval (a self-union of the
+      // input would execute its whole upstream lineage twice — Spark
+      // does not CSE identical union subtrees)
+      df.select(explode(array(
+          struct(col(startCol).cast("timestamp").as("_t"), lit(1L).as("_d")),
+          struct(col(endCol).cast("timestamp").as("_t"), lit(-1L).as("_d")))).as("_e"))
+        .select(col("_e._t").as("_t"), col("_e._d").as("_d"))
         .groupBy("_t").agg(sum(col("_d")).as("_d")))
 
   /** The prefix-sum half of [[concurrencySweep]] over an
     * ALREADY-AGGREGATED per-timestamp delta table `(_t, _d)` — shared
     * with the streaming twin, whose delta table is the drained
     * incremental aggregation (deltas merge; the global cumsum doesn't,
-    * so it shapes the drained state). */
-  private[graft] def concurrencyFromDeltas(deltas: DataFrame): DataFrame = {
-    val spark = deltas.sparkSession
-    val w = deltas.repartitionByRange(col("_t")).sortWithinPartitions("_t")
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val pidTotals = w.groupBy("_pid").agg(sum(col("_d")).as("_ps"))
-        .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
-      val offsets = pidTotals.map(_._1).zip(
-        pidTotals.map(_._2).scanLeft(0L)(_ + _).init)
-      val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
-      val cum = sum(col("_d")).over(
-        Window.partitionBy(col("_pid")).orderBy(col("_t")))
-      graft.CacheScope.trackCheckpoint(
-        w.join(offDf, Seq("_pid"))
-          .withColumn("n_active", (col("_off") + cum).cast("long"))
-          .select(col("_t").as("ts"), col("n_active"))
-          .localCheckpoint())
-    } finally w.unpersist(false)
-  }
+    * so it shapes the drained state). Rides the shared
+    * [[Relational.distributedPrefixSum]]. */
+  private[graft] def concurrencyFromDeltas(deltas: DataFrame): DataFrame =
+    Relational.distributedPrefixSum(deltas, Seq(col("_t")), "_d")
+      .select(col("_t").as("ts"), col("_cum_incl").cast("long").as("n_active"))
 
   /** Regular-grid gap fill over a keyed time series: resample each key's
     * series onto a fixed `step` grid from its first to its last

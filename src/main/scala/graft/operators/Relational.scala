@@ -573,12 +573,24 @@ object Relational {
     val unioned = rightTyped
       .withColumn("_l", lit(null).cast(leftTyped.schema("_l").dataType))
       .unionByName(leftTyped)
+    // DESCENDING scan with a running last(): Spark executes an
+    // (unboundedPreceding, currentRow) frame incrementally — O(n) per
+    // key — where the "natural" first() over (currentRow,
+    // unboundedFollowing) re-aggregates the whole suffix per row, O(n²)
+    // on a hot key. In the descending order, right rows sort BEFORE
+    // left ties (side 1 > 0) so equal-timestamp matches stay inclusive,
+    // and larger tiebreaks come first so the running last() lands on
+    // the SMALLEST (time, tiebreak) — the earliest match.
     val w = Window
       .partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"), col("_tb"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("_t").desc, col("_side").desc, col("_tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("_asof", first(col("_r"), ignoreNulls = true).over(w))
+      // a NULL left time matches nothing (right.time >= NULL is never
+      // true) — it sorts NULLS LAST in the descending scan, where the
+      // running last() would hand it the globally-earliest right row
+      .withColumn("_asof",
+        when(col("_t").isNotNull, last(col("_r"), ignoreNulls = true).over(w)))
       .filter(col("_side") === 0)
       .select(col("_l.*"), col("_asof"))
   }
@@ -795,6 +807,44 @@ object Relational {
     hot.unionByName(hist)
   }
 
+  /** Distributed two-phase prefix sum — the shared engine behind every
+    * global running sum in this library ([[graft.operators.TextOps.sequentialPack]],
+    * [[graft.operators.Events.concurrencySweep]], [[paretoClasses]]): a
+    * global-order cumulative sum WITHOUT the one-partition global window
+    * Spark would otherwise plan. Range-partition by `order`, cumsum per
+    * partition in parallel windows, shift each partition by the total of
+    * all partitions before it (a #partitions-row collect — a model
+    * fetch). Returns the input columns plus `_cum_incl` (the INCLUSIVE
+    * prefix sum of `valueCol` in `order`), checkpoint-backed and
+    * CacheScope-tracked; callers derive the exclusive form as
+    * `_cum_incl − value`. The range-partitioned frame is pinned
+    * MEMORY_AND_DISK across its two consumers (`repartitionByRange`
+    * SAMPLES its boundaries per execution — an unpinned recompute could
+    * place boundary rows differently than the collected offsets) and
+    * self-releases. */
+  private[graft] def distributedPrefixSum(df: DataFrame, order: Seq[Column],
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val w = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pidTotals = w.groupBy("_pid").agg(sum(col(valueCol)).as("_ps"))
+        .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
+      val offsets = pidTotals.map(_._1).zip(
+        pidTotals.map(_._2).scanLeft(0L)(_ + _).init)
+      val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
+      val cumIn = sum(col(valueCol)).over(
+        Window.partitionBy(col("_pid")).orderBy(order: _*))
+      graft.CacheScope.trackCheckpoint(
+        w.join(offDf, Seq("_pid"))
+          .withColumn("_cum_incl", col("_off") + cumIn)
+          .drop("_pid", "_off")
+          .localCheckpoint())
+    } finally w.unpersist(false)
+  }
+
   /** Pareto / ABC classification: aggregate `valueCol` per key, rank
     * keys by total descending, and label each with the first class whose
     * cumulative-share-BEFORE-it is still under the class's cut — the
@@ -815,35 +865,20 @@ object Relational {
       cuts: Seq[(String, Int)]): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == 100, "cuts must end at 100")
     require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be non-decreasing")
-    val spark = df.sparkSession
     val totals = df.select(col(keyCol).as("_k"), col(valueCol).cast("long").as("_v"))
       .groupBy("_k").agg(sum(col("_v")).as("total"))
-    val w = totals.repartitionByRange(col("total").desc, col("_k"))
-      .sortWithinPartitions(col("total").desc, col("_k"))
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val pidTotals = w.groupBy("_pid").agg(sum(col("total")).as("_ps"))
-        .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
-      val offsets = pidTotals.map(_._1).zip(
-        pidTotals.map(_._2).scanLeft(0L)(_ + _).init)
-      val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
-      // the grand total is the sum of the collected per-partition totals
-      // — a driver-side literal, no extra job over the base frame
-      val grand = pidTotals.map(_._2).sum
-      val cumIn = sum(col("total")).over(
-        Window.partitionBy(col("_pid"))
-          .orderBy(col("total").desc, col("_k"))) - col("total")
-      val label = cuts.init.foldRight(lit(cuts.last._1)) { case ((name, cut), rest) =>
-        when(col("cum_before") * 100 < lit(cut.toLong) * lit(grand), name).otherwise(rest)
-      }
-      graft.CacheScope.trackCheckpoint(
-        w.join(offDf, Seq("_pid"))
-          .withColumn("cum_before", col("_off") + cumIn)
-          .select(col("_k").as(keyCol), col("total"), col("cum_before"),
-            label.as("abc_class"))
-          .localCheckpoint())
-    } finally w.unpersist(false)
+    val cum = distributedPrefixSum(totals,
+      Seq(col("total").desc, col("_k")), "total")
+    // the grand total is the last inclusive prefix — one cheap job over
+    // the checkpoint-backed result, no second pass over the base frame
+    val grandRow = cum.agg(max(col("_cum_incl"))).head()
+    val grand = if (grandRow.isNullAt(0)) 0L else grandRow.getLong(0)
+    val label = cuts.init.foldRight(lit(cuts.last._1)) { case ((name, cut), rest) =>
+      when(col("cum_before") * 100 < lit(cut.toLong) * lit(grand), name).otherwise(rest)
+    }
+    cum.withColumn("cum_before", col("_cum_incl") - col("total"))
+      .select(col("_k").as(keyCol), col("total"), col("cum_before"),
+        label.as("abc_class"))
   }
 
   /** Data-quality expectation report — the contract check a pipeline

@@ -54,49 +54,24 @@ object TextOps {
     * are a #partitions-row collect (a model fetch, like the IVF
     * centroids); everything row-scale stays distributed.
     *
-    * The partitioned frame is consumed by TWO jobs (totals collect, then
-    * the output), and `repartitionByRange` SAMPLES its boundaries per
-    * execution — re-evaluating it could place boundary-adjacent rows in a
-    * different partition than the one behind the collected offsets (wrong
-    * pack_ids; a partition empty in one job but not the other would lose
-    * rows to the offset join). So the frame is pinned: persisted
-    * MEMORY_AND_DISK (recompute-on-evict is exactly the failure mode, so
-    * spill — not the MEMORY_ONLY recompute level used elsewhere), the
-    * output eagerly materialized OFF that cache via localCheckpoint, then
-    * released — both jobs provably see one sampled partitioning, and the
-    * operator leaves nothing cached behind (on a cluster, checkpoint to
-    * reliable storage instead). */
+    * The cumulative sum rides the shared
+    * [[graft.operators.Relational.distributedPrefixSum]] (which owns the
+    * pinned-partitioning / checkpoint lifecycle — see its doc for why
+    * the range-partitioned frame must be persisted across its two
+    * consumer jobs). */
   def sequentialPack(df: DataFrame, idCol: String, weightCol: String,
       budget: Long): DataFrame = {
     require(budget >= 1, "budget >= 1")
-    val spark = df.sparkSession
-    val w = df.select(col(idCol), col(weightCol).cast("long").as("_w"))
-      .repartitionByRange(col(idCol))
-      .sortWithinPartitions(idCol)
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val pidTotals = w.groupBy("_pid").agg(sum("_w").as("_psum"))
-        .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
-      // offset of partition k = total weight of partitions before it
-      val offsets = pidTotals.map(_._1).zip(
-        pidTotals.map(_._2).scanLeft(0L)(_ + _).init)
-      val offDf = broadcast(spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off"))
-      val cumIn = sum(col("_w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_pid").orderBy(idCol)) - col("_w")
-      // exact integer floor-division for ANY budget: subtract the remainder
-      // first, so the double division is of an exact multiple (Spark's `/`
-      // on longs is double division)
-      val cumBefore = col("_off") + cumIn
-      // eager checkpoint: materialized before w is released below; its
-      // blocks are CacheScope-tracked so the harness frees them after
-      // consuming the result (Dataset.unpersist can't — RDD-level persist)
-      graft.CacheScope.trackCheckpoint(w.join(offDf, Seq("_pid"))
-        .withColumn("pack_id",
-          ((cumBefore - pmod(cumBefore, lit(budget))) / lit(budget)).cast("long"))
-        .select(col(idCol), col("_w").as("weight"), col("pack_id"))
-        .localCheckpoint())
-    } finally w.unpersist(false)
+    val cum = graft.operators.Relational.distributedPrefixSum(
+      df.select(col(idCol), col(weightCol).cast("long").as("_w")),
+      Seq(col(idCol)), "_w")
+    // exact integer floor-division for ANY budget: subtract the remainder
+    // first, so the double division is of an exact multiple (Spark's `/`
+    // on longs is double division)
+    val cumBefore = col("_cum_incl") - col("_w")
+    cum.withColumn("pack_id",
+        ((cumBefore - pmod(cumBefore, lit(budget))) / lit(budget)).cast("long"))
+      .select(col(idCol), col("_w").as("weight"), col("pack_id"))
   }
 
   // Conservative syntax shared by Java regex and RE2 (no lookaround, no

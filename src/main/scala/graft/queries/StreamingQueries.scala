@@ -331,19 +331,22 @@ object StreamingQueries {
       .groupBy(col("user_id"), col("session_seq"))
       .agg(min(col("ts")).as("s_start"),
         (max(col("ts")) + expr("INTERVAL 30 minutes")).as("s_end"))
-    val dir = java.nio.file.Files.createTempDirectory("graft-q162").toString
-    sess.write.mode("overwrite").parquet(dir)
+    // memoized per data dir (the asStreamDir discipline): repeated gate /
+    // bench invocations must not leave a fresh materialized copy each run
+    val dir = streamDirs.computeIfAbsent(s"q162:$d", { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-q162").toString
+      sess.write.mode("overwrite").parquet(p)
+      p
+    })
     val iv = s.readStream.schema(sess.schema).parquet(dir)
     val deltas = drain(
       iv.select(col("s_start").as("_t"), lit(1L).as("_d"))
         .unionByName(iv.select(col("s_end").as("_t"), lit(-1L).as("_d")))
         .groupBy("_t").agg(sum(col("_d")).as("_d")), "complete")
-    // shape the drained state with the operator's own prefix-sum half:
-    // feed it synthetic [t, t) zero-length... instead reuse the sweep on
-    // a delta-shaped frame by running the running sum directly
-    val out = graft.operators.Events.concurrencyFromDeltas(deltas)
-    out.select(graft.functions.TimeFunctions.canonical(col("ts")).as("ts"),
-      col("n_active"))
+    // the prefix sum shapes the drained per-timestamp delta state via
+    // the operator's own shared half
+    graft.operators.Events.concurrencyFromDeltas(deltas)
+      .select(TimeFunctions.canonical(col("ts")).as("ts"), col("n_active"))
   }
 
   def q98StreamLmScore(s0: SparkSession, d: String): DataFrame = {

@@ -704,6 +704,21 @@ object ScaleProbe {
     time("transitions 1x (100k events)")(trX(1))
     time("transitions 10x (1M events, 10x users)")(trX(10))
 
+    // --- forward as-of: ONE hot key — the incremental-frame regression
+    // guard (the first()-over-FOLLOWING form was O(n²) per key) --------
+    def asofFwdX(k: Int): Long = {
+      val n = 20000L * k
+      val l = spark.range(n).select(lit(1L).as("k"),
+        timestamp_seconds(col("id") * 2).as("lt"), col("id").as("lid"))
+      val r = spark.range(n).select(lit(1L).as("k"),
+        timestamp_seconds(col("id") * 2 + 1).as("rt"), col("id").as("rid"))
+      Relational.asofJoinForward(l, r, "k", "k", "lt", "rt",
+        rightTiebreak = Some("rid"))
+        .agg(sum(col("_asof.rid"))).head().getLong(0)
+    }
+    time("forward as-of, ONE hot key 1x (20k+20k rows)")(asofFwdX(1))
+    time("forward as-of, ONE hot key 10x (200k+200k rows)")(asofFwdX(10))
+
     // --- concurrency sweep: distributed prefix sum over change points --
     def swX(k: Int): Long = {
       val n = 500000L * k

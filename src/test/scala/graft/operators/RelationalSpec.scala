@@ -214,6 +214,13 @@ class RelationalSpec extends SparkSpec {
       .orderBy("ev")
       .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
     assert(out.toSeq == Seq(("e1", 150), ("e2", 150), ("e3", -1)))
+    // a NULL left time matches NOTHING (right.time >= NULL is never true
+    // in the SQL semantics the oracle computes)
+    val nullLeft = Seq((1L, null.asInstanceOf[String], "eN")).toDF("k", "t", "ev")
+      .withColumn("t", to_timestamp(col("t")))
+    val n = Relational.asofJoinForward(nullLeft, right, "k", "k", "t", "t")
+      .select(col("_asof")).head()
+    assert(n.isNullAt(0), "NULL left time must not match the earliest right row")
   }
 
   test("asofJoinBackward keeps native key types — string keys stay per-key") {
