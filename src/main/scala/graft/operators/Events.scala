@@ -274,6 +274,16 @@ object Events {
         .groupBy(col("_k"), col("period"))
         .agg(sum(col("_v")).as("total"))
         .cache())
+    periodOverPeriodFromTotals(totals, keyCol)
+  }
+
+  /** The adjacent-join/growth half of [[periodOverPeriod]] over an
+    * ALREADY-AGGREGATED `(_k, period, total)` table — shared with the
+    * streaming twin, whose totals are the drained incremental
+    * aggregation (totals merge; the adjacent join shapes the drained
+    * state). */
+  private[graft] def periodOverPeriodFromTotals(totals: DataFrame,
+      keyCol: String): DataFrame = {
     val prev = totals.select(col("_k"), (col("period") + 1).as("period"),
       col("total").as("prev_total"))
     val num = (col("total") - col("prev_total")) * 1000000L

@@ -349,6 +349,28 @@ object StreamingQueries {
       .select(TimeFunctions.canonical(col("ts")).as("ts"), col("n_active"))
   }
 
+  // Streaming twin of q163: the per-(key, period) totals are ONE
+  // incrementally-merged keyed aggregation (complete mode — the live
+  // WoW dashboard state); the adjacent-period self-join and exact ppm
+  // growth shape the drained totals through the operator's own
+  // period-grain half. q163's batch oracle VERBATIM.
+  def q165StreamPeriodOverPeriod(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val ev = eventsStream(s, d)
+    val period = floor(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+      .cast("long") / 7).cast("long")
+    val drained = drain(ev
+      .select(col("event_type").as("_k"), period.as("period"),
+        Portable.cents(col("value")).as("_v"))
+      .groupBy(col("_k"), col("period"))
+      .agg(sum(col("_v")).as("total")), "complete")
+    // re-root the drained memory-sink view: the adjacent-period SELF-join
+    // would otherwise see the same attribute ids on both sides (the
+    // analyzer does not dedup MemoryPlan-backed views) and fail analysis
+    val totals = s.createDataFrame(drained.collectAsList(), drained.schema)
+    graft.operators.Events.periodOverPeriodFromTotals(totals, "event_type")
+  }
+
   def q98StreamLmScore(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -466,7 +488,8 @@ object StreamingQueries {
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
-    "q162_stream_concurrency" -> q162StreamConcurrency)
+    "q162_stream_concurrency" -> q162StreamConcurrency,
+    "q165_stream_period_over_period" -> q165StreamPeriodOverPeriod)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -479,6 +502,7 @@ object StreamingQueries {
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),
     "q162_stream_concurrency" -> RelationalQueries.oracles("q161_concurrency"),
+    "q165_stream_period_over_period" -> RelationalQueries.oracles("q163_period_over_period"),
     "q125_stream_sentence_split" -> TextQueries.oracles("q122_sentence_split"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q107_stream_incremental_neardup" -> DedupQueries.oracles("q106_incremental_neardup"),

@@ -14,7 +14,7 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 164 queries, unique names") {
-    assert(SparkEntry.queries.size == 164)
+  test("gate inventory: 165 queries, unique names") {
+    assert(SparkEntry.queries.size == 165)
   }
 }
