@@ -120,7 +120,10 @@ object Events {
     * ROWS): equal timestamps are peers and aggregate together, so the
     * result is deterministic with no tiebreak contract (the q128 ROWS
     * frame is the complement — positional history, total order
-    * required). Appends `roll_sum`, `roll_cnt`.
+    * required). Appends `roll_sum`, `roll_cnt` — BOTH over `valueCol`:
+    * a NULL value contributes to neither, so `roll_sum / roll_cnt` is
+    * always the mean of the summed values (the [[anomalies]] count(v)
+    * convention; counting ROWS would desynchronize sum and count).
     *
     * Shape: ONE key-partitioned Exchange + one sort; the range frame
     * advances two pointers over each key's sorted history (Spark's
@@ -138,7 +141,7 @@ object Events {
     // single sort (chained withColumns split into two Window+Sort pairs)
     df.select(df.columns.map(col) :+
       sum(col(valueCol).cast("long")).over(w).as("roll_sum") :+
-      count(lit(1)).over(w).as("roll_cnt"): _*)
+      count(col(valueCol).cast("long")).over(w).as("roll_cnt"): _*)
   }
 
   /** Exact z-score anomaly flags over a trailing window: an event is
@@ -286,14 +289,27 @@ object Events {
       keyCol: String): DataFrame = {
     val prev = totals.select(col("_k"), (col("period") + 1).as("period"),
       col("total").as("prev_total"))
-    val num = (col("total") - col("prev_total")) * 1000000L
-    val den = col("prev_total")
+    // ppm numerator rides DECIMAL(38,0) (the anomalies convention):
+    // delta × 1e6 wraps i64 silently at |delta| ~9.2e12 — reachable in
+    // micro-units at the 100-TB envelope. The floor-division difference
+    // is an exact multiple of den, so the decimal division is exact;
+    // a quotient past i64 (delta/prev ratio > ~9.2e12) fails loudly
+    // rather than emitting a silent NULL the oracle disagrees with.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val num = dec(col("total") - col("prev_total")) * dec(lit(1000000L))
+    val den = dec(col("prev_total"))
+    val ppm = (num - pmod(num, den)) / den
     totals.join(prev, Seq("_k", "period"), "left")
       .select(col("_k").as(keyCol), col("period"), col("total"),
         col("prev_total"),
         (col("total") - coalesce(col("prev_total"), lit(0L))).as("delta"),
         when(col("prev_total") > 0,
-          ((num - pmod(num, den)) / den).cast("long")).as("growth_ppm"))
+          when(ppm.between(dec(lit(Long.MinValue)), dec(lit(Long.MaxValue))),
+            ppm.cast("long"))
+            .otherwise(raise_error(lit(
+              "periodOverPeriod: growth_ppm exceeds i64 — rescale " +
+                "valueCol (coarser units) or widen periodDays")))
+        ).as("growth_ppm"))
   }
 
   /** Interval concurrency sweep: for every distinct change instant, the
@@ -313,16 +329,26 @@ object Events {
     * #partitions-row model fetch). The partitioned frame is pinned
     * MEMORY_AND_DISK across its two consumers and self-releases; the
     * result rides a tracked checkpoint. */
-  def concurrencySweep(df: DataFrame, startCol: String, endCol: String): DataFrame =
+  def concurrencySweep(df: DataFrame, startCol: String, endCol: String): DataFrame = {
+    // NULL-hardening (the lengthBucketBatches convention): a NULL
+    // start/end would become a null-ts delta that sorts first in the
+    // ascending prefix sum and silently offsets EVERY later n_active —
+    // fail loudly instead of corrupting the whole sweep.
+    def guarded(c: String) =
+      when(col(c).isNull, raise_error(lit(
+        s"concurrencySweep: NULL $c — repair or filter open/NULL " +
+          "intervals upstream")).cast("timestamp"))
+        .otherwise(col(c).cast("timestamp"))
     concurrencyFromDeltas(
       // ONE scan emits both deltas per interval (a self-union of the
       // input would execute its whole upstream lineage twice — Spark
       // does not CSE identical union subtrees)
       df.select(explode(array(
-          struct(col(startCol).cast("timestamp").as("_t"), lit(1L).as("_d")),
-          struct(col(endCol).cast("timestamp").as("_t"), lit(-1L).as("_d")))).as("_e"))
+          struct(guarded(startCol).as("_t"), lit(1L).as("_d")),
+          struct(guarded(endCol).as("_t"), lit(-1L).as("_d")))).as("_e"))
         .select(col("_e._t").as("_t"), col("_e._d").as("_d"))
         .groupBy("_t").agg(sum(col("_d")).as("_d")))
+  }
 
   /** The prefix-sum half of [[concurrencySweep]] over an
     * ALREADY-AGGREGATED per-timestamp delta table `(_t, _d)` — shared
@@ -385,17 +411,30 @@ object Events {
       .withColumn("interp_micro", {
         // exact integral floor-division (a - pmod(a, b)) / b — the
         // stratifiedSplit idiom: the difference is an exact multiple of
-        // b, so the IEEE division is exact and engine-independent (a
-        // bare long `/` would go through double true-division; `div`
+        // b, so the division is exact and engine-independent (`div`
         // truncates toward zero while other engines floor — this form
-        // floors everywhere)
-        val num = (col("nocb") - col("locf")) * 1000000L * (col("_i") - col("_li"))
-        val den = col("_ni") - col("_li")
-        val lerp = ((num - pmod(num, den)) / den).cast("long")
-        when(col("observed") === 1, col("_val") * 1000000L)
-          .when(col("locf").isNull, col("nocb") * 1000000L)
-          .when(col("nocb").isNull, col("locf") * 1000000L)
-          .otherwise(col("locf") * 1000000L + lerp)
+        // floors everywhere). The numerator rides DECIMAL(38,0) (the
+        // anomalies convention): (nocb − locf) × 1e6 × gap wraps i64
+        // silently at product ~9.2e18 — reachable with micro-unit
+        // values across a long gap; a result past i64 fails loudly.
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        val num = dec(col("nocb") - col("locf")) * dec(lit(1000000L)) *
+          dec(col("_i") - col("_li"))
+        val den = dec(col("_ni") - col("_li"))
+        val lerp = (num - pmod(num, den)) / den
+        val out = when(col("observed") === 1, dec(col("_val")) * dec(lit(1000000L)))
+          .when(col("locf").isNull, dec(col("nocb")) * dec(lit(1000000L)))
+          .when(col("nocb").isNull, dec(col("locf")) * dec(lit(1000000L)))
+          .otherwise(dec(col("locf")) * dec(lit(1000000L)) + lerp)
+        // with no observed value on either side there is nothing to
+        // carry — NULL, never a crash; past that point a NULL `out` can
+        // only mean overflow (decimal wrap or a result past i64)
+        when(col("locf").isNull && col("nocb").isNull, lit(null).cast("long"))
+          .when(out.between(dec(lit(Long.MinValue)), dec(lit(Long.MaxValue))),
+            out.cast("long"))
+          .otherwise(raise_error(lit(
+            "gapFill: interp_micro exceeds i64 — rescale valueCol " +
+              "(coarser units) or coarsen step")))
       })
       .select(col(keyCol), timestamp_micros(col("_slot")).as("slot_ts"),
         col("observed"), col("locf"), col("nocb"), col("interp_micro"))

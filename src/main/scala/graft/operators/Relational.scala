@@ -695,7 +695,10 @@ object Relational {
       s"changes is missing column(s): ${missing.mkString(", ")}")
     val net = latestByKey(changes, keys, Seq(col(seqCol)))
     val survivors = snapshot.join(net.select(keys.map(col): _*), keys, "left_anti")
-    val upserts = net.filter(col(opCol) =!= "delete")
+    // NULL op upserts (ANY non-delete value carries state — the
+    // documented Debezium convention): a bare =!= would evaluate NULL
+    // and silently DELETE the key
+    val upserts = net.filter(!coalesce(col(opCol) === "delete", lit(false)))
       .select(snapCols.map(col): _*)
     survivors.unionByName(upserts)
   }
@@ -726,7 +729,8 @@ object Relational {
     changes
       .withColumn("valid_from", col(tsCol).cast("timestamp"))
       .withColumn("valid_to", lead(col(tsCol).cast("timestamp"), 1).over(w))
-      .filter(col(opCol) =!= "delete")
+      // NULL op is a version, not a delete — the applyChanges convention
+      .filter(!coalesce(col(opCol) === "delete", lit(false)))
       .withColumn("is_current", col("valid_to").isNull.cast("int"))
       .drop(opCol, seqCol)
   }
@@ -753,11 +757,26 @@ object Relational {
       right: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth >= 1")
+    // bucket ids use EXACT integer floor division for integral columns
+    // (the (a − pmod(a, b)) / b idiom): a double round-trip loses
+    // precision past 2^53 and can assign a row or interval edge to the
+    // wrong bucket — and since the exact predicate only FILTERS, a
+    // mis-bucketed true pair would be silently lost. Fractional columns
+    // keep the double floor (their domain is the double lattice anyway).
+    def bkt(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val a = c.cast("long")
+          ((a - pmod(a, lit(bucketWidth))) / bucketWidth).cast("long")
+        case _ => floor(c.cast("double") / bucketWidth).cast("long")
+      }
+    }
     val l = left.withColumn("_rbkt",
-      floor(col(valueCol).cast("double") / bucketWidth).cast("long"))
+      bkt(col(valueCol), left.schema(valueCol).dataType))
     val r = right.withColumn("_rbkt", explode(sequence(
-      floor(col(loCol).cast("double") / bucketWidth).cast("long"),
-      floor(col(hiCol).cast("double") / bucketWidth).cast("long"))))
+      bkt(col(loCol), right.schema(loCol).dataType),
+      bkt(col(hiCol), right.schema(hiCol).dataType))))
     l.join(r, Seq("_rbkt"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("_rbkt")
@@ -873,8 +892,14 @@ object Relational {
     // the checkpoint-backed result, no second pass over the base frame
     val grandRow = cum.agg(max(col("_cum_incl"))).head()
     val grand = if (grandRow.isNullAt(0)) 0L else grandRow.getLong(0)
+    // the cross-multiplication rides DECIMAL(38,0) (the anomalies
+    // convention): cum_before × 100 wraps i64 silently at ~9.2e16 —
+    // reachable in cents at the 100-TB envelope — and a wrapped compare
+    // would emit wrong ABC classes with no error
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val label = cuts.init.foldRight(lit(cuts.last._1)) { case ((name, cut), rest) =>
-      when(col("cum_before") * 100 < lit(cut.toLong) * lit(grand), name).otherwise(rest)
+      when(dec(col("cum_before")) * dec(lit(100L)) <
+        dec(lit(cut.toLong)) * dec(lit(grand)), name).otherwise(rest)
     }
     cum.withColumn("cum_before", col("_cum_incl") - col("total"))
       .select(col("_k").as(keyCol), col("total"), col("cum_before"),

@@ -1150,7 +1150,7 @@ object RelationalQueries {
     "q147_rolling_agg" ->
       """SELECT user_id, event_id,
            CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
-           count(*) OVER w AS roll_cnt
+           count(cents) OVER w AS roll_cnt
          FROM (SELECT user_id, event_id, ts::TIMESTAMP AS t,
                  CAST(round(value*100) AS BIGINT) AS cents FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY t

@@ -211,4 +211,74 @@ class EventsSpec extends SparkSpec {
     val one = Events.gapFill(e2, "user", "t", "v", "1 hour").collect()
     assert(one.length == 1 && one.head.getLong(5) == 7000000L)
   }
+
+  test("rollingAgg: NULL values join neither roll_sum nor roll_cnt (sum/cnt stay in sync)") {
+    val e = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), Some(5L)),
+      (1L, 11L, ts("2024-01-01 01:00:00"), None: Option[Long]), // NULL: invisible to both
+      (1L, 12L, ts("2024-01-01 02:00:00"), Some(7L))
+    ).toDF("user", "eid", "t", "v")
+    val out = Events.rollingAgg(e, "user", "t", "v", "1 day")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(out(10L) == ((5L, 1L)))
+    assert(out(11L) == ((5L, 1L)), "a NULL value must not bump roll_cnt")
+    assert(out(12L) == ((12L, 2L)), "sum/cnt must agree so sum/cnt is the true mean")
+  }
+
+  test("concurrencySweep: NULL start/end fails loudly instead of skewing the prefix sum") {
+    val iv = Seq(
+      (Some(ts("2024-01-01 00:00:00")), Some(ts("2024-01-01 01:00:00"))),
+      (Some(ts("2024-01-01 02:00:00")), None: Option[java.sql.Timestamp])
+    ).toDF("s", "e")
+    val ex = intercept[Exception] {
+      Events.concurrencySweep(iv, "s", "e").collect()
+    }
+    assert(ex.getMessage.contains("concurrencySweep") ||
+      Option(ex.getCause).exists(_.getMessage.contains("concurrencySweep")),
+      s"got $ex")
+    graft.CacheScope.release()
+  }
+
+  test("periodOverPeriod: ppm numerator rides decimal(38,0) — i64-wrapping delta stays exact") {
+    // delta = 1e13: delta * 1e6 = 1e19 wraps i64; decimal keeps it exact
+    val big = Events.periodOverPeriodFromTotals(
+      Seq((1L, 100L, 2L), (1L, 101L, 10000000000002L))
+        .toDF("_k", "period", "total"), "k")
+      .filter(col("period") === 101L).collect()
+    assert(big.head.getLong(5) == 5000000000000000000L, s"got ${big.head}")
+    // a quotient past i64 fails loudly, never a wrapped/NULL ppm
+    val ex = intercept[Exception] {
+      Events.periodOverPeriodFromTotals(
+        Seq((1L, 100L, 1L), (1L, 101L, 10000000000001L))
+          .toDF("_k", "period", "total"), "k").collect()
+    }
+    assert(ex.getMessage.contains("growth_ppm") ||
+      Option(ex.getCause).exists(_.getMessage.contains("growth_ppm")), s"got $ex")
+  }
+
+  test("gapFill: lerp numerator rides decimal(38,0); overflow raises; all-NULL key stays NULL") {
+    // 0 -> 5e12 across a 3-slot gap: numerator at i=2 is 1e19 (wraps
+    // i64) — the decimal path floors it exactly
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0L),
+      (1L, ts("2024-01-01 03:00:00"), 5000000000000L)
+    ).toDF("user", "t", "v")
+    val rows = Events.gapFill(e, "user", "t", "v", "1 hour")
+      .orderBy("slot_ts").collect().map(_.getLong(5))
+    assert(rows.sameElements(Array(0L, 1666666666666666666L,
+      3333333333333333333L, 5000000000000000000L)), s"got ${rows.toSeq}")
+    // an interp past i64 fails loudly (observed 1e13 × 1e6 = 1e19 > i64)
+    val ex = intercept[Exception] {
+      Events.gapFill(Seq((1L, ts("2024-01-01 00:00:00"), 10000000000000L))
+        .toDF("user", "t", "v"), "user", "t", "v", "1 hour").collect()
+    }
+    assert(ex.getMessage.contains("interp_micro") ||
+      Option(ex.getCause).exists(_.getMessage.contains("interp_micro")), s"got $ex")
+    // a key whose every value is NULL carries nothing: NULL, never a crash
+    val nul = Events.gapFill(
+      Seq((2L, ts("2024-01-01 00:00:00"), None: Option[Long]),
+        (2L, ts("2024-01-01 01:00:00"), None: Option[Long]))
+        .toDF("user", "t", "v"), "user", "t", "v", "1 hour").collect()
+    assert(nul.forall(_.isNullAt(5)), "no observed value on either side -> NULL interp")
+  }
 }

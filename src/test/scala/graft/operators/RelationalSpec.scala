@@ -616,6 +616,42 @@ class RelationalSpec extends SparkSpec {
     assert(dom(1L)._2 == "A" && dom(2L)._2 == "C")
   }
 
+  test("paretoClasses: cross-multiplication rides decimal(38,0) — i64-wrapping totals classify right") {
+    // totals 3e18/2.5e18/2e18 (grand 7.5e18): cum_before × 100 reaches
+    // 5.5e20, far past i64 — a wrapped compare would misclassify
+    val rows = Seq((1L, 3000000000000000000L), (2L, 2500000000000000000L),
+      (3L, 2000000000000000000L))
+    val out = Relational.paretoClasses(rows.toDF("k", "v"), "k", "v",
+        Seq("A" -> 70, "B" -> 90, "C" -> 100))
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    graft.CacheScope.release()
+    // cuts: 70% of grand = 5.25e18; cum_before 0 / 3e18 / 5.5e18
+    assert(out == Map(1L -> "A", 2L -> "A", 3L -> "B"), s"got $out")
+  }
+
+  test("rangeJoin: exact integer buckets at 2^60 magnitude (no double round-trip)") {
+    val base = 1152921504606846976L // 2^60: doubles here step by 256
+    val vals = (0L to 5L).map(i => (i, base + i)).toDF("vid", "v")
+    val bands = Seq(("X", base + 1L, base + 4L)).toDF("band", "lo", "hi")
+    val out = Relational.rangeJoin(vals, "v", bands, "lo", "hi", 3L)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L), s"half-open [lo, hi) at 2^60: got $out")
+  }
+
+  test("applyChanges/scd2: NULL op upserts (Debezium convention), never a silent delete") {
+    val snap = Seq((1L, "old1"), (2L, "old2")).toDF("id", "text")
+    val changes = Seq(
+      (1L, "new1", None: Option[String], 1L), // NULL op: carries state -> upsert
+      (2L, "gone", Some("delete"), 1L)
+    ).toDF("id", "text", "op", "seq")
+    val out = Relational.applyChanges(snap, changes, Seq("id"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "new1"), s"NULL op must upsert, delete must delete: got $out")
+    val hist = Relational.scd2(changes, Seq("id"), "op", "seq", "seq")
+      .collect().map(_.getLong(0)).toSet
+    assert(hist == Set(1L), "scd2 must keep the NULL-op version and drop the delete")
+  }
+
   test("kAnonymize: every published group >= k, leftover recounting, suppression") {
     // 12×(A,1) pass level 0; 3×(A,2)+2×(A,3) only reach k=5 once the last
     // column is masked; 4×(B,*) spread over distinct values must climb to
