@@ -418,6 +418,42 @@ object RelationalQueries {
         col("_pp").getItem(0).as("p50"), col("_pp").getItem(1).as("p95"),
         col("approx_parts"), col("cms_md5"))
 
+  // Sketch audit for q54 (round-8 driver-green companion): the EXACT
+  // aggregates the sketches approximate, hash-gated against DuckDB —
+  // exact interpolated percentiles over integer cents and the exact
+  // distinct count — plus the sketch outputs re-stated as integer
+  // accuracy flags: the approx percentile (rank error ≤ n/1000) must
+  // land inside the exact [p45,p55] / [p90,p99] value band, the HLL
+  // count within 15% (3× its 5% rsd). The sketch VALUES stay out of the
+  // hash (engine-specific by design); their accuracy contract is not.
+  def q54aSketchExact(s: SparkSession, d: String): DataFrame = {
+    val cents = Portable.cents(col("l_extendedprice"))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(cents, array(lit(0.45), lit(0.5), lit(0.55),
+          lit(0.9), lit(0.95), lit(0.99))).as("_ex"),
+        approx_percentile(cents, array(lit(0.5), lit(0.95)), lit(1000)).as("_ap"),
+        count_distinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey")).as("_adp"))
+      .select(col("l_returnflag"),
+        // p50 over integer cents interpolates at most a half step —
+        // IEEE-exact, exported raw; p95's fractional interpolation is
+        // rounded at 1e-3 (both engines compute a + (b−a)·frac in
+        // doubles; the round absorbs last-ulp divergence)
+        col("_ex").getItem(1).as("p50_cents"),
+        round(col("_ex").getItem(4), 3).as("p95_cents"),
+        col("n_parts"),
+        (col("_ap").getItem(0) >= col("_ex").getItem(0) &&
+          col("_ap").getItem(0) <= col("_ex").getItem(2))
+          .cast("int").as("p50_in_band"),
+        (col("_ap").getItem(1) >= col("_ex").getItem(3) &&
+          col("_ap").getItem(1) <= col("_ex").getItem(5))
+          .cast("int").as("p95_in_band"),
+        (abs(col("_adp") - col("n_parts")) * 100 <= col("n_parts") * 15)
+          .cast("int").as("parts_within_15pct"))
+  }
+
   // Record linkage: a deterministically corrupted copy of the customer
   // names (one character substituted, position driven by the key)
   // re-linked to the clean table by nation-blocked fuzzy join — every
@@ -760,7 +796,8 @@ object RelationalQueries {
     "q36_interval_join" -> q36IntervalJoin,
     "q47_schemaless_json" -> q47SchemalessJson,
     "q48_salted_join" -> q48SaltedJoin,
-    "q54_sketches" -> q54Sketches)
+    "q54_sketches" -> q54Sketches,
+    "q54a_sketch_exact" -> q54aSketchExact)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
 
@@ -1388,7 +1425,18 @@ object RelationalQueries {
           ${sumL(cents("l_extendedprice"))} AS price_cents
           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           GROUP BY s_nationkey""",
-    // q54 is approximate → rows-only; q35's formula is replicated exactly:
+    // q54 stays approximate → rows-only; q54a is its driver-green audit:
+    // exact percentiles/distincts hash-gated, sketch accuracy as flags.
+    "q54a_sketch_exact" ->
+      s"""SELECT l_returnflag,
+         quantile_cont(${cents("l_extendedprice")}, 0.5) AS p50_cents,
+         round(quantile_cont(${cents("l_extendedprice")}, 0.95), 3) AS p95_cents,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(1 AS INT) AS p50_in_band,
+         CAST(1 AS INT) AS p95_in_band,
+         CAST(1 AS INT) AS parts_within_15pct
+         FROM lineitem GROUP BY l_returnflag""",
+    // q35's formula is replicated exactly:
     // integer sums, then the same fixed sequence of double divisions.
     "q35_typed_moments" ->
       """WITH s AS (

@@ -483,6 +483,28 @@ object TextQueries {
     graft.operators.Bpe.bpeEncode(docs, "doc_id", "text", merges)
   }
 
+  // BPE audit (round-8 driver-green companion to q94): subword
+  // concatenation must reproduce every vocabulary word exactly — merges
+  // only regroup symbols, so ANY drop/duplication/reorder bug in
+  // applyMerge/encodeWord corrupts `decoded` and the hash goes red. The
+  // vocabulary itself is exact SQL (the q30 tokenization), so the whole
+  // word-grain output is oracle-checkable even though the learned merge
+  // table is not.
+  def q94aBpeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.Bpe.bpeTrain(docs, "text", numMerges = 20)
+    val joined = concat_ws("", col("subwords"))
+    graft.operators.Bpe.bpeEncodeWords(docs, "text", merges)
+      .select(col("word"),
+        // the trailing symbol always carries the 4-char end-of-word
+        // marker — strip it to recover the raw word
+        joined.substr(lit(1), length(joined) - lit(graft.operators.Bpe.EndMark.length))
+          .as("decoded"),
+        (col("n_subwords") >= 1 &&
+          col("n_subwords") <= length(col("word")) + 1)
+          .cast("int").as("n_subwords_ok"))
+  }
+
   // Boilerplate REMOVAL (the actionable q73/q74 sibling): strip every
   // token inside a corpus-common 5-token span, keep the rest — same
   // injected-boilerplate convention as q73.
@@ -599,6 +621,7 @@ object TextQueries {
     "q102_tfidf_keywords" -> q102TfidfKeywords,
     "q103_stratified_split" -> q103StratifiedSplit,
     "q94_bpe" -> q94Bpe,
+    "q94a_bpe_roundtrip" -> q94aBpeRoundtrip,
     "q92_lm_score" -> q92LmScore,
     "q83_normalize_unicode" -> q83NormalizeUnicode,
     "q121_html_extract" -> q121HtmlExtract,
@@ -1646,6 +1669,14 @@ object TextQueries {
          FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
          WHERE length(token) > 3
          GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+    // the BPE merge table is not SQL-replayable, but the round-trip
+    // identity is: decode(encode(word)) == word over the exact vocabulary
+    "q94a_bpe_roundtrip" ->
+      """WITH w AS (
+           SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+')) AS word
+           FROM documents)
+         SELECT word, word AS decoded, CAST(1 AS INT) AS n_subwords_ok
+         FROM w WHERE length(word) > 0""",
     "q31_lang_id" ->
       s"""WITH langs AS (
             SELECT * FROM (VALUES $markersSql) AS t(cand, rank, markers)

@@ -14,7 +14,14 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 165 queries, unique names") {
-    assert(SparkEntry.queries.size == 165)
+  test("gate inventory: 174 queries, unique names") {
+    assert(SparkEntry.queries.size == 174)
+  }
+
+  test("audit family: every round-8 audit gate carries a full oracle") {
+    val audits = SparkEntry.queries.keySet.filter(_.matches("q\\d+a_.*"))
+    assert(audits.size == 9, s"expected 9 audit gates, got $audits")
+    val missing = audits -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"audit gates must never be rows-only: $missing")
   }
 }
