@@ -21,6 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Partition count for an iterative join loop: sized to the EDGE
+    * volume once at plan time (target ~2M edge rows ≈ 50 MB per task),
+    * capped at the session's shuffle parallelism, floored at 1 — then
+    * PINNED for every round (explicit counts are exempt from AQE
+    * coalescing, so the cached edge frame and every round's checkpoint
+    * keep exactly this partitioning and the per-round join re-shuffles
+    * neither side). A fixed `spark.sql.shuffle.partitions` would do the
+    * opposite at both extremes: a 6k-edge gate graph would pay 32-task
+    * scheduling overhead per tiny stage, and a cluster run would
+    * under-partition. The one count() here is a scan the first round
+    * would pay anyway. */
+  private def iterPartitions(df: DataFrame, nRows: Long): Int = {
+    val sessionP = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(sessionP, ((nRows + 1999999L) / 2000000L).toInt))
+  }
+
   /** PageRank with fixed `iterations` and integer micro-unit arithmetic.
     *
     * Every node starts at 1,000,000 micro-units. Per round, node v
@@ -35,14 +51,18 @@ object Graph {
     * rank share — both standard for the no-redistribution variant and
     * identical in any engine replaying the same rule.
     *
-    * Scale shape: edges join the degree table and the rank frame on the
-    * source key, then one keyed sum on the destination — two
-    * co-partitioned shuffles + one aggregation per round, each bounded by
-    * |E|; rank state is one row per node. No step ever materializes
-    * anything bigger than the edge list (the Pregel shape, expressed
-    * declaratively so AQE handles skewed hub nodes). Total work is
-    * `iterations × O(|E|)` — fixed rounds, no convergence test, no
-    * driver-side data.
+    * Scale shape: the |E|-row frames are hash-partitioned and SORTED on
+    * the per-round join key ONCE, then cached — each round's sort-merge
+    * join re-shuffles and re-sorts only the V-row rank side against
+    * them (a round-robin AQE checkpoint reports UnknownPartitioning, so
+    * the V-row side cannot statically reuse its partitioning — but V ≪
+    * E, and |E| rows never move or sort again after round 0). The other
+    * per-round Exchange is the destination-key aggregation — the
+    * transpose, information-theoretically necessary. Rank state is one
+    * row per node; no step materializes anything bigger than the edge
+    * list (the Pregel shape, expressed declaratively so AQE handles
+    * skewed hub nodes). Total work is `iterations × O(|E|)` — fixed
+    * rounds, no convergence test, no driver-side data.
     *
     * Output: `(node_id, rank_micro)`. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -51,13 +71,21 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
     val idType = edges.schema(srcCol).dataType
     val base = (1000000L * (100 - dampingPct)) / 100
-    val e = edges.select(col(srcCol).cast("long").as("_s"), col(dstCol).cast("long").as("_d"))
-    // degree rides WITH each edge (one join, reused every round)
+    val e = graft.CacheScope.track(
+      edges.select(col(srcCol).cast("long").as("_s"), col(dstCol).cast("long").as("_d"))
+        .cache())
+    val p = iterPartitions(e, e.count())
+    // degree rides WITH each edge (one join, reused every round);
+    // partitioned AND sorted on the per-round join key, so the round's
+    // sort-merge join neither re-shuffles nor re-sorts the |E|-row side
+    // (the cached ordering satisfies the SMJ requirement — only the
+    // V-row rank side pays a per-round sort)
     val withDeg = graft.CacheScope.track(
-      e.join(e.groupBy("_s").agg(count(lit(1)).as("_deg")), "_s").cache())
+      e.join(e.groupBy("_s").agg(count(lit(1)).as("_deg")), "_s")
+        .repartition(p, col("_s")).sortWithinPartitions("_s").cache())
     val nodes = graft.CacheScope.track(
       e.select(col("_s").as("_id")).union(e.select(col("_d").as("_id")))
-        .distinct().cache())
+        .distinct().repartition(p, col("_id")).sortWithinPartitions("_id").cache())
     var r = nodes.withColumn("_r", lit(1000000L)).localCheckpoint()
     for (_ <- 1 to iterations) {
       val sums = withDeg
@@ -103,8 +131,15 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds >= 1")
     val idType = edges.schema(srcCol).dataType
+    // same co-partitioned-iteration discipline as [[pageRank]]: edges
+    // pinned on the per-round join key (_d), nodes on the state key —
+    // each round's edge×label join then re-shuffles neither side
+    val e0 = graft.CacheScope.track(
+      edges.select(col(srcCol).cast("long").as("_s"), col(dstCol).cast("long").as("_d"))
+        .cache())
+    val p = iterPartitions(e0, e0.count())
     val e = graft.CacheScope.track(
-      edges.select(col(srcCol).cast("long").as("_s"), col(dstCol).cast("long").as("_d")).cache())
+      e0.repartition(p, col("_d")).sortWithinPartitions("_d").cache())
     val seed = graft.CacheScope.track(
       seeds.select(col(seedIdCol).cast("long").as("_id"),
         col(seedLabelCol).cast("int").as("_seed")).cache())
@@ -112,7 +147,7 @@ object Graph {
       e.select(col("_s").as("_id")).union(e.select(col("_d").as("_id")))
         .distinct()
         .join(seed, Seq("_id"), "left")
-        .cache())
+        .repartition(p, col("_id")).sortWithinPartitions("_id").cache())
     var labels = nodes.withColumn("_lbl", col("_seed")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val votes = e

@@ -110,4 +110,49 @@ class GraphSpec extends SparkSpec {
     assert(out.length == 8)
     graft.CacheScope.release()
   }
+
+  test("iteration round plan: cached edge frame joins with zero Exchange and zero Sort on its side") {
+    // the co-partitioned-iteration pin (round 8): the |E|-row frame is
+    // repartitioned+sorted once and cached; a round's sort-merge join
+    // must then touch it as-is. With AQE/broadcast disabled the static
+    // round plan has EXACTLY 2 Exchanges (the V-row state side + the
+    // destination-key transpose) and 1 Sort (state side) — an edge-side
+    // regression shows up as a 3rd Exchange or 2nd Sort.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("_s", "_d")
+      val withDeg = e.join(e.groupBy("_s").agg(count(lit(1)).as("_deg")), "_s")
+        .repartition(2, col("_s")).sortWithinPartitions("_s").cache()
+      withDeg.count()
+      // the state frame enters a round as a checkpoint leaf, exactly as
+      // in the loop (its build plan must not pollute the round's counts)
+      val r = e.select(col("_s").as("_id")).union(e.select(col("_d").as("_id")))
+        .distinct().repartition(2, col("_id")).withColumn("_r", lit(1000000L))
+        .localCheckpoint()
+      val round = withDeg.join(r.withColumnRenamed("_id", "_s"), "_s")
+        .select(col("_d"), expr("_r div _deg").as("_c"))
+        .groupBy("_d").agg(sum(col("_c")).as("_S"))
+      val exec = round.queryExecution.executedPlan
+      // node-level counts: InMemoryTableScan is a LEAF here, so the
+      // cache's own build plan (printed via innerChildren) never counts
+      val nEx = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      val nSort = exec.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.size
+      assert(nEx <= 2, s"edge side must not re-shuffle per round ($nEx Exchanges):\n$exec")
+      assert(nSort <= 1, s"edge side must not re-sort per round ($nSort Sorts):\n$exec")
+      // and the join must read the cached edge frame DIRECTLY
+      assert(exec.toString.matches("(?s).*SortMergeJoin[^\\n]*\\n\\s*:- InMemoryTableScan.*"),
+        s"the round join's left child must be the cached edge scan:\n$exec")
+      withDeg.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
