@@ -162,11 +162,23 @@ object Bench {
     val extJson = extShares.map(_.map(v => f"$v%.3f").getOrElse("null"))
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","calib_pre":${calibSamples.head},"calib_post":${calibSamples.last}""" +
       s""","calib_samples":$calibJson,"calib_idle_ref":$idleRef""" +
       s""","ext_cpu_shares":$extJson,"ext_cpu_ceiling":$ExtCpuCeiling""" +
-      s""","polluted":$polluted,"errors":$errJson}""")
+      s""","polluted":$polluted,"errors":$errJson}"""
+    println(json)
+    // Machine-readable handoff (round 8): the same JSON at a stable path,
+    // so the driver's BENCH_r*.json can carry a parsed payload instead of
+    // an sbt stdout blob. Override with SPARK_GRAFT_BENCH_OUT; best-effort
+    // (an unwritable path must not fail the bench itself).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
