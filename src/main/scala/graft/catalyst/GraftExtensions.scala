@@ -532,6 +532,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           colList(litStr(exprs(4), "steps")),
           if (h.trim.isEmpty) None else Some(h)))
     }
+    registerTable("funnel_all",
+      "funnel_all('table', 'keyCol', 'tsCol', 'typeCol', 'step1,step2,...', 'horizon') - " +
+        "funnel over the WHOLE key universe (BI convention): never-started " +
+        "keys appear with null step times and furthest_step 0", 6) {
+      exprs =>
+        val h = litStr(exprs(5), "horizon interval ('' = none)")
+        expand(graft.operators.Events.funnelSteps(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litStr(exprs(3), "type column"),
+          colList(litStr(exprs(4), "steps")),
+          if (h.trim.isEmpty) None else Some(h),
+          emitAllKeys = true))
+    }
     registerTable("retention_cohorts",
       "retention_cohorts('table', 'keyCol', 'tsCol', periodDays) - cohort by " +
         "first-activity period, distinct active keys per (cohort, offset)", 4) {

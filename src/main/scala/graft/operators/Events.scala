@@ -48,8 +48,11 @@ object Events {
     * horizon (the conversion-window convention: the first step starts
     * the clock). Output: key, `step_1_ts` … `step_k_ts` (null once the
     * funnel stalls), `furthest_step` (0..k). Keys that never perform
-    * step 1 are absent — their furthest step is 0 by definition and
-    * emitting every key in the universe is a join away for the caller.
+    * step 1 are absent by default — their furthest step is 0 by
+    * definition; `emitAllKeys = true` emits the whole key universe
+    * (every distinct key of `df`) with null step times and
+    * `furthest_step` 0 for the never-started keys — the BI funnel
+    * convention, without the caller hand-writing the universe join.
     *
     * Shape: each stage filters the log to ONE step type (predicate
     * pushes to the scan), min-aggregates map-side to a per-key 1-row
@@ -60,7 +63,8 @@ object Events {
     * stages naturally stay null without special-casing. */
   def funnelSteps(df: DataFrame, keyCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
-      horizon: Option[String] = None): DataFrame = {
+      horizon: Option[String] = None,
+      emitAllKeys: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val horizonMicros = horizon.map(Relational.intervalMicros)
@@ -84,7 +88,15 @@ object Events {
     val reached = (1 to steps.size)
       .map(i => when(col(s"step_${i}_ts").isNotNull, 1).otherwise(0))
       .reduce(_ + _)
-    acc.withColumn("furthest_step", reached)
+    val started = acc.withColumn("furthest_step", reached)
+    if (!emitAllKeys) started
+    else
+      // one distinct-key agg over the same scan + a keyed left join —
+      // the starter frame is one row per step-1 key, so the join's
+      // small side is output-sized, never log-sized
+      df.select(col(keyCol)).distinct()
+        .join(started, Seq(keyCol), "left")
+        .withColumn("furthest_step", coalesce(col("furthest_step"), lit(0)))
   }
 
   /** Cohort retention: bucket every key by its FIRST activity period

@@ -562,6 +562,20 @@ object RelationalQueries {
         TimeFunctions.canonical(col("step_3_ts")).as("step_3_ts"),
         col("furthest_step"))
 
+  // Funnel over the WHOLE key universe (the BI convention): every
+  // distinct user appears, never-started users with furthest_step 0 and
+  // null step times — q143's sibling via emitAllKeys, so SQL consumers
+  // get the zeros-included shape without hand-writing the universe join.
+  def q166FunnelUniverse(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.funnelSteps(events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), Some("7 days"),
+        emitAllKeys = true)
+      .select(col("user_id"),
+        TimeFunctions.canonical(col("step_1_ts")).as("step_1_ts"),
+        TimeFunctions.canonical(col("step_2_ts")).as("step_2_ts"),
+        TimeFunctions.canonical(col("step_3_ts")).as("step_3_ts"),
+        col("furthest_step"))
+
   // Cohort retention matrix: users bucketed by first-activity week
   // (fixed 7-day UTC periods), distinct active users per (cohort,
   // week offset).
@@ -751,6 +765,7 @@ object RelationalQueries {
     "q140_apply_changes" -> q140ApplyChanges,
     "q142_sessionize" -> q142Sessionize,
     "q143_funnel" -> q143Funnel,
+    "q166_funnel_universe" -> q166FunnelUniverse,
     "q144_retention" -> q144Retention,
     "q145_gap_fill" -> q145GapFill,
     "q147_rolling_agg" -> q147RollingAgg,
@@ -992,6 +1007,28 @@ object RelationalQueries {
             CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END +
             CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS furthest_step
          FROM s3""",
+    "q166_funnel_universe" ->
+      """WITH e AS (SELECT user_id, ts::TIMESTAMP AS t, event_type FROM events),
+         s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, t1,
+             min(CASE WHEN e.t > t1
+                       AND epoch_us(e.t) <= epoch_us(t1) + 604800000000 THEN e.t END) AS t2
+           FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+           GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, t1, t2,
+             min(CASE WHEN e.t > t2
+                       AND epoch_us(e.t) <= epoch_us(t1) + 604800000000 THEN e.t END) AS t3
+           FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+           GROUP BY 1, 2, 3),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id,
+           strftime(t1, '%Y-%m-%d %H:%M:%S') AS step_1_ts,
+           strftime(t2, '%Y-%m-%d %H:%M:%S') AS step_2_ts,
+           strftime(t3, '%Y-%m-%d %H:%M:%S') AS step_3_ts,
+           coalesce(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+                    CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END +
+                    CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END, 0) AS furthest_step
+         FROM u LEFT JOIN s3 ON u.user_id = s3.user_id""",
     "q144_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS p

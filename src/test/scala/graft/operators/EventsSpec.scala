@@ -212,6 +212,23 @@ class EventsSpec extends SparkSpec {
     assert(one.length == 1 && one.head.getLong(5) == 7000000L)
   }
 
+  test("funnelSteps emitAllKeys: never-started keys appear with furthest_step 0") {
+    val e = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, "b", ts("2024-01-01 01:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00")) // never does step 'a'
+    ).toDF("user", "ty", "t")
+    val out = Events.funnelSteps(e, "user", "t", "ty", Seq("a", "b"),
+        emitAllKeys = true)
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), r.getInt(3)))).toMap
+    assert(out.keySet == Set(1L, 2L), "the whole key universe must appear")
+    assert(out(1L)._2 == 2 && out(1L)._1.nonEmpty)
+    assert(out(2L) == ((None, 0)), "a never-started key carries nulls + 0")
+    // default shape unchanged: key 2 absent
+    assert(Events.funnelSteps(e, "user", "t", "ty", Seq("a", "b"))
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("rollingAgg: NULL values join neither roll_sum nor roll_cnt (sum/cnt stay in sync)") {
     val e = Seq(
       (1L, 10L, ts("2024-01-01 00:00:00"), Some(5L)),
