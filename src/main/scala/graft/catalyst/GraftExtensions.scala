@@ -385,12 +385,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     registerTable("cooccurrence",
       "cooccurrence('table', 'groupCol', 'itemCol', minGroups) - unordered item " +
-        "pairs by number of groups containing both (co-presence; a < b)", 4) {
+        "pairs by number of groups containing both (co-presence; a < b). A " +
+        "mega-group costs items^2 pairs: profile with key_skew_profile first, " +
+        "or use cooccurrence_capped to refuse oversized groups loudly", 4) {
       exprs =>
         expand(graft.operators.Events.coOccurrence(
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "group column"), litStr(exprs(2), "item column"),
           litLong(exprs(3), "minGroups")))
+    }
+    registerTable("cooccurrence_capped",
+      "cooccurrence_capped('table', 'groupCol', 'itemCol', minGroups, maxItems) - " +
+        "cooccurrence that FAILS (naming the group) when any group holds more " +
+        "than maxItems distinct items — the guard for pipelines that would " +
+        "rather refuse a mega-group's items^2 blowup than pay it; see " +
+        "key_skew_profile", 5) {
+      exprs =>
+        expand(graft.operators.Events.coOccurrence(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "group column"), litStr(exprs(2), "item column"),
+          litLong(exprs(3), "minGroups"), litLong(exprs(4), "maxItems")))
     }
     registerTable("transitions",
       "transitions('table', 'keyCol', 'tsCol', 'typeCol', 'tiebreakCol') - " +

@@ -227,13 +227,36 @@ object Events {
     * self-join — candidate volume is Σ items-per-group², bounded by
     * group SIZE (a session holds tens of distinct items), never by item
     * vocabulary or corpus size; the pair aggregation combines map-side.
-    * A pathological mega-group is the [[Relational.keySkewProfile]] /
-    * salting regime, not this operator's. */
+    *
+    * Mega-groups: a group with n distinct items contributes n² candidate
+    * rows, all under ONE join key. AQE's skew-join splitting spreads a
+    * planted 10k-item basket's 10⁸ pairs across tasks (probed —
+    * BASELINE.md r8 ScaleProbe), so a rare outlier completes rather than
+    * OOMing one executor; but the n² WORK is inherent to the semantics,
+    * so a caller who would rather refuse than pay it passes
+    * `maxItemsPerGroup` — any larger group fails loudly with a pointer
+    * to [[Relational.keySkewProfile]] (profile first, then cap, filter,
+    * or accept). 0 = unbounded (the association-mining default). */
   def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
-      minGroups: Long = 1): DataFrame = {
+      minGroups: Long = 1, maxItemsPerGroup: Long = 0): DataFrame = {
     require(minGroups >= 1, "minGroups >= 1")
-    val gi = graft.CacheScope.track(
-      df.select(col(groupCol).as("_g"), col(itemCol).as("_i")).distinct().cache())
+    require(maxItemsPerGroup >= 0, "maxItemsPerGroup >= 0 (0 = unbounded)")
+    val gi0 = df.select(col(groupCol).as("_g"), col(itemCol).as("_i")).distinct()
+    val gi = graft.CacheScope.track((
+      if (maxItemsPerGroup == 0) gi0
+      else {
+        // one keyed count over the frame being cached anyway; the guard
+        // rides each row so the failure names the offending group
+        val sizes = gi0.groupBy("_g").agg(count(lit(1)).as("_gn"))
+        gi0.join(sizes, "_g")
+          .select(col("_g"),
+            when(col("_gn") <= maxItemsPerGroup, col("_i"))
+              .otherwise(raise_error(concat(
+                lit("coOccurrence: group "), col("_g").cast("string"),
+                lit(s" has more than $maxItemsPerGroup distinct items — " +
+                  "run key_skew_profile over the group column, then cap, " +
+                  "filter, or raise maxItemsPerGroup")))).as("_i"))
+      }).cache())
     gi.join(gi.select(col("_g"), col("_i").as("_j")), Seq("_g"))
       .filter(col("_i") < col("_j"))
       .groupBy(col("_i").as("item_a"), col("_j").as("item_b"))

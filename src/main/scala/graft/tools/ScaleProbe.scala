@@ -698,6 +698,24 @@ object ScaleProbe {
     }
     time("co-occurrence 1x (100k events)")(coX(1))
     time("co-occurrence 10x (1M events, 10x sessions)")(coX(10))
+    // mega-group hazard row (VERDICT r7 #5): ONE planted 10k-item basket
+    // (10^8 candidate pairs under a single join key) among 100k normal
+    // events — completes because AQE skew splitting spreads the hot
+    // key's pair enumeration across tasks; the capped variant is the
+    // refuse-instead path (EventsSpec).
+    def coMegaX(k: Int): Long = {
+      val items = 10000 * k
+      val mega = spark.range(items).select(lit("MEGA").as("_sess"),
+        concat(lit("item_"), col("id")).as("event_type"))
+      val normal = evFull(1).select(
+        concat_ws("#", col("user_id").cast("string"),
+          col("event_id").cast("string")).as("_sess"),
+        col("event_type"))
+      val r = Events.coOccurrence(normal.unionByName(mega), "_sess", "event_type",
+        minGroups = 1).count()
+      graft.CacheScope.release(); r
+    }
+    time("co-occurrence MEGA-GROUP (10k-item basket)")(coMegaX(1))
     def trX(k: Int): Long =
       Events.transitionMatrix(evFull(k), "user_id", "ts", "event_type",
         Seq(col("event_id"))).agg(sum(col("n_transitions"))).head().getLong(0)

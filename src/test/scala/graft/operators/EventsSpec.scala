@@ -129,6 +129,29 @@ class EventsSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("coOccurrence maxItemsPerGroup: planted mega-group fails loudly, bounded groups unchanged") {
+    // a 500-item basket among normal 2-3 item groups
+    val mega = (1 to 500).map(i => ("MEGA", s"item_$i"))
+    val e = (Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b")) ++ mega)
+      .toDF("g", "i")
+    val ex = intercept[Exception] {
+      Events.coOccurrence(e, "g", "i", minGroups = 1, maxItemsPerGroup = 100).collect()
+    }
+    graft.CacheScope.release()
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("MEGA") && msg.contains("key_skew_profile"),
+      s"the failure must name the group and point at the profile: $ex")
+    // under the cap the guard is invisible: same result as unbounded
+    val ok = Events.coOccurrence(e, "g", "i", minGroups = 2, maxItemsPerGroup = 500)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    graft.CacheScope.release()
+    assert(ok == Set(("a", "b")))
+    // and the unbounded default still absorbs the mega-group
+    val n = Events.coOccurrence(e, "g", "i").count()
+    graft.CacheScope.release()
+    assert(n == 500L * 499 / 2 + 1, "mega-group pairs + the (a,b) pair")
+  }
+
   test("transitionMatrix: consecutive pairs per key in time order, keys never chain") {
     val e = Seq(
       (1L, 10L, ts("2024-01-01 00:00:00"), "a"),
