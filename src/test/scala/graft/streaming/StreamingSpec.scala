@@ -164,4 +164,64 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("dedup").count() == 2)
     } finally q.stop()
   }
+
+  test("complete-mode crash recovery: concurrency deltas resume from checkpoint under both state providers") {
+    // The q162 shape end to end: interval file feed -> incrementally
+    // merged per-timestamp delta aggregation (complete mode) -> the
+    // shared distributed prefix sum. The query is STOPPED with data
+    // still arriving, restarted from its checkpoint, and the drained
+    // state must match the batch operator over the full feed verbatim —
+    // under the default (HDFS-backed) provider AND RocksDB.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    for ((provider, tag) <- Seq(None -> "hdfs", Some(rocks) -> "rocksdb")) {
+      val prev = spark.conf.getOption(providerKey)
+      provider.foreach(spark.conf.set(providerKey, _))
+      try {
+        val dir = Files.createTempDirectory(s"ccr-in-$tag").toString
+        val ckpt = Files.createTempDirectory(s"ccr-ck-$tag").toString
+        val name = s"ccr_$tag"
+        val batch1 = Seq(
+          (ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+          (ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00"))).toDF("s", "e")
+        val batch2 = Seq(
+          // overlaps the pre-crash state AND nets against it at 03:00
+          (ts("2024-01-01 01:30:00"), ts("2024-01-01 03:00:00")),
+          (ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00"))).toDF("s", "e")
+        batch1.coalesce(1).write.mode("append").parquet(dir)
+        def start() = {
+          val iv = spark.readStream.schema(batch1.schema).parquet(dir)
+          iv.select(col("s").as("_t"), lit(1L).as("_d"))
+            .unionByName(iv.select(col("e").as("_t"), lit(-1L).as("_d")))
+            .groupBy("_t").agg(sum(col("_d")).as("_d"))
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt).outputMode("complete").start()
+        }
+        val q1 = start()
+        try q1.processAllAvailable() finally q1.stop() // the "crash"
+        batch2.coalesce(1).write.mode("append").parquet(dir) // arrives while down
+        val q2 = start()
+        val drained =
+          try { q2.processAllAvailable(); spark.table(name).collect() }
+          finally q2.stop()
+        val got = graft.operators.Events.concurrencyFromDeltas(
+            drained.map(r => (r.getTimestamp(0), r.getLong(1))).toSeq.toDF("_t", "_d"))
+          .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+        graft.CacheScope.release()
+        val want = graft.operators.Events.concurrencySweep(
+            batch1.unionByName(batch2), "s", "e")
+          .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+        graft.CacheScope.release()
+        assert(got == want,
+          s"[$tag] restarted state must equal the batch sweep: got $got want $want")
+        assert(got("2024-01-01 03:00:00.0") == 1L,
+          s"[$tag] the 03:00 instant nets pre-crash ends against post-crash starts")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
+  }
 }
