@@ -127,7 +127,11 @@ object AnnQueries {
   // deterministic, so a green run certifies the measured recall, not a
   // lucky draw.
   def q51aLshRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = q50AnnBrute(s, d).select("query_id", "neighbor_id")
+    // the truth set is quadratic by contract (it IS the brute-force
+    // baseline) — cache it so the two LSH arms and the count share one
+    // computation instead of three
+    val exact = graft.CacheScope.track(
+      q50AnnBrute(s, d).select("query_id", "neighbor_id").cache())
     def hits(bands: Int): Long =
       Similarity.lshTopK(
         Tables.embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
