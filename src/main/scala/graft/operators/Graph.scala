@@ -86,6 +86,11 @@ object Graph {
     val nodes = graft.CacheScope.track(
       e.select(col("_s").as("_id")).union(e.select(col("_d").as("_id")))
         .distinct().repartition(p, col("_id")).sortWithinPartitions("_id").cache())
+    // materialize the two loop-lived frames from the cached edges, then
+    // free the raw edge cache — it would otherwise sit as |E| dead rows
+    // through every round
+    withDeg.count(); nodes.count()
+    e.unpersist(false)
     var r = nodes.withColumn("_r", lit(1000000L)).localCheckpoint()
     for (_ <- 1 to iterations) {
       val sums = withDeg
@@ -148,6 +153,10 @@ object Graph {
         .distinct()
         .join(seed, Seq("_id"), "left")
         .repartition(p, col("_id")).sortWithinPartitions("_id").cache())
+    // the pageRank discipline: materialize the loop-lived frames, free
+    // the raw pre-repartition edge cache before the rounds begin
+    e.count(); nodes.count()
+    e0.unpersist(false)
     var labels = nodes.withColumn("_lbl", col("_seed")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val votes = e
