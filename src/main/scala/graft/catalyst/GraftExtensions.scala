@@ -211,6 +211,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(2), "left key"), litStr(exprs(3), "right key"),
           litStr(exprs(4), "left ts"), litStr(exprs(5), "right ts")))
     }
+    registerTable("asof_join_tolerance",
+      "asof_join_tolerance('left', 'right', 'leftKey', 'rightKey', 'leftTs', 'rightTs', " +
+        "'tolerance') - asof_join whose match nulls out when older than " +
+        "leftTs - tolerance (pandas merge_asof semantics)", 7) {
+      exprs =>
+        val l = SparkSession.active.table(litStr(exprs(0), "left table"))
+        val r = SparkSession.active.table(litStr(exprs(1), "right table"))
+        expand(graft.operators.Relational.asofJoinBackward(l, r,
+          litStr(exprs(2), "left key"), litStr(exprs(3), "right key"),
+          litStr(exprs(4), "left ts"), litStr(exprs(5), "right ts"),
+          tolerance = Some(litStr(exprs(6), "tolerance interval"))))
+    }
     registerTable("asof_join_forward",
       "asof_join_forward('left', 'right', 'leftKey', 'rightKey', 'leftTs', 'rightTs') " +
         "- left columns + `_asof` struct of the EARLIEST right row at-or-after each left time", 6) {
@@ -393,6 +405,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "group column"), litStr(exprs(2), "item column"),
           litLong(exprs(3), "minGroups")))
+    }
+    registerTable("association_rules",
+      "association_rules('table', 'groupCol', 'itemCol', minGroups) - directed " +
+        "(antecedent -> consequent) rules with exact integer confidence_ppm and " +
+        "lift_ppm over group/item co-presence; same mega-group caveat as " +
+        "cooccurrence", 4) {
+      exprs =>
+        expand(graft.operators.Events.associationRules(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "group column"), litStr(exprs(2), "item column"),
+          litLong(exprs(3), "minGroups")))
+    }
+    registerTable("cusum",
+      "cusum('table', 'keyCol', 'tsCol', 'valueCol', target, slack, threshold, " +
+        "'tiebreakCol') - one-sided CUSUM upward-drift statistic and is_change " +
+        "flag per key in time order (Page's test, exact integer units)", 8) {
+      exprs =>
+        expand(graft.operators.Events.cusumChangepoints(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litStr(exprs(3), "value column"),
+          litLong(exprs(4), "target"), litLong(exprs(5), "slack"),
+          litLong(exprs(6), "threshold"),
+          Seq(org.apache.spark.sql.functions.col(litStr(exprs(7), "tiebreak column")))))
     }
     registerTable("cooccurrence_capped",
       "cooccurrence_capped('table', 'groupCol', 'itemCol', minGroups, maxItems) - " +

@@ -264,6 +264,106 @@ object Events {
       .filter(col("n_groups") >= minGroups)
   }
 
+  /** Association rules over group/item co-presence — [[coOccurrence]]
+    * extended to the DIRECTED rule surface: for every ordered pair
+    * (antecedent → consequent) with joint support ≥ `minGroups`, the
+    * exact integer confidence and lift in ppm:
+    * `confidence_ppm = ⌊n_both·10⁶ / n_ante⌋` (P(cons|ante)) and
+    * `lift_ppm = ⌊n_both·N·10⁶ / (n_ante·n_cons)⌋` (how far above
+    * independence) — both via exact floor division, products riding
+    * DECIMAL(38,0) (the [[anomalies]] convention: n_both·N·10⁶ wraps
+    * i64 at corpus scale), a lift past i64 ppm failing loudly. Output:
+    * `(antecedent, consequent, n_both, n_ante, n_cons, confidence_ppm,
+    * lift_ppm)` — both directions of each pair (confidence is
+    * asymmetric).
+    *
+    * Shape: the [[coOccurrence]] group-keyed self-join (candidates
+    * bounded by group size², never vocabulary) + one per-item group
+    * count + the 1-row total as a collected scalar; rules join item
+    * counts on the item key (broadcastable — vocabulary-sized). */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+      minGroups: Long = 1): DataFrame = {
+    require(minGroups >= 1, "minGroups >= 1")
+    val gi = graft.CacheScope.track(
+      df.select(col(groupCol).as("_g"), col(itemCol).as("_i")).distinct().cache())
+    // total distinct groups: a 1-row scalar fetch, not row data
+    val nGroups = gi.select(col("_g")).distinct().count()
+    val itemN = gi.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))
+    val pairs = gi.join(gi.select(col("_g"), col("_i").as("_j")), Seq("_g"))
+      .filter(col("_i") =!= col("_j"))
+      .groupBy(col("_i"), col("_j"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minGroups)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def floorDiv(num: Column, den: Column): Column =
+      (num - pmod(num, den)) / den
+    val conf = floorDiv(dec(col("n_both")) * dec(lit(1000000L)), dec(col("n_ante")))
+    val lift = floorDiv(dec(col("n_both")) * dec(lit(nGroups)) * dec(lit(1000000L)),
+      dec(col("n_ante")) * dec(col("n_cons")))
+    pairs
+      .join(itemN.select(col("_i"), col("_ni").as("n_ante")), Seq("_i"))
+      .join(itemN.select(col("_i").as("_j"), col("_ni").as("n_cons")), Seq("_j"))
+      .select(col("_i").as("antecedent"), col("_j").as("consequent"),
+        col("n_both"), col("n_ante"), col("n_cons"),
+        // confidence ≤ 10⁶ by construction; lift can exceed i64 ppm
+        // only degenerately — fail loudly, never wrap (ADVICE r7 rule)
+        conf.cast("long").as("confidence_ppm"),
+        when(lift.between(dec(lit(Long.MinValue)), dec(lit(Long.MaxValue))),
+          lift.cast("long"))
+          .otherwise(raise_error(lit(
+            "associationRules: lift_ppm exceeds i64 — raise minGroups " +
+              "or prune singleton items"))).as("lift_ppm"))
+  }
+
+  /** One-sided CUSUM changepoint flags: per key in time order, the
+    * cumulative-sum statistic
+    * `S_i = max(0, S_{i−1} + (v_i − target − slack))` with `is_change`
+    * = 1 once `S_i > threshold` — the classic upward-drift detector
+    * (Page's test), in exact integer units (`valueCol` as cents /
+    * micro-units; caller supplies `target` and `slack` in the same
+    * units — estimate them upstream with [[Relational.keySkewProfile]]-
+    * style profiling or a trailing [[rollingAgg]] mean).
+    *
+    * The nonlinear recurrence runs DISTRIBUTED via the prefix-min
+    * identity `S_i = C_i − min(0, min_{j≤i} C_j)` (C = running sum of
+    * deviations): two running aggregates over ONE key-partitioned sort —
+    * no sequential per-key scan, no UDF state. Sums ride DECIMAL(38,0)
+    * (i64-safe at any history length); an S past i64 fails loudly. A
+    * NULL value contributes nothing to C (the [[rollingAgg]]
+    * convention) and its own flag is NULL. Appends `cusum`,
+    * `is_change`. Ties in `tsCol` are ordered by `tiebreak` — make it
+    * total, or equal-time rows are partition-order-dependent. */
+  def cusumChangepoints(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, target: Long, slack: Long, threshold: Long,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
+    require(threshold >= 1, "threshold >= 1")
+    require(slack >= 0, "slack >= 0")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).cast("timestamp") +: tiebreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = (col(valueCol).cast("long") - lit(target) - lit(slack))
+      .cast("decimal(38,0)")
+    // coalesce: a key whose history so far is all-NULL has an empty sum
+    // (Spark: NULL) — the statistic there is 0, not a poisoned NULL
+    val withC = df.select(df.columns.map(col) :+
+      coalesce(sum(dev).over(w), lit(0).cast("decimal(38,0)")).as("_C"): _*)
+    // the running MIN of C needs C materialized first (windows do not
+    // nest) — same partitioning and ordering, so both Window nodes share
+    // one Exchange + sort
+    val s = col("_C") - least(min(col("_C")).over(w), lit(0).cast("decimal(38,0)"))
+    withC
+      .withColumn("_S", s)
+      .select(df.columns.map(col) :+
+        when(col("_S").between(lit(Long.MinValue).cast("decimal(38,0)"),
+            lit(Long.MaxValue).cast("decimal(38,0)")), col("_S").cast("long"))
+          .otherwise(raise_error(lit(
+            "cusumChangepoints: statistic exceeds i64 — rescale valueCol " +
+              "(coarser units)"))).as("cusum") :+
+        when(col(valueCol).isNull, lit(null).cast("int"))
+          .otherwise((col("_S") > lit(threshold).cast("decimal(38,0)")).cast("int"))
+          .as("is_change"): _*)
+  }
+
   /** Event-transition matrix (first-order Markov counts): for each key,
     * walk its events in time order and count every consecutive
     * `(from, to)` event-type transition — the navigation/behavior model

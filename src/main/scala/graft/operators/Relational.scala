@@ -487,6 +487,13 @@ object Relational {
     * Without it, equal-time right rows are matched arbitrarily (exactly
     * as SQL ASOF joins leave unspecified) — fine for unique times only.
     *
+    * `tolerance` bounds the lookback (pandas `merge_asof` tolerance):
+    * a match older than `left.time − tolerance` is nulled out. Since the
+    * backward match is already the LATEST right at-or-before the left
+    * time, a too-old best match means every candidate is too old — so
+    * the bound is a pure post-filter on the matched struct, costing one
+    * projection, never a second join or window.
+    *
     * Returns all left columns plus the matched right row as a nullable
     * struct column `_asof`.
     */
@@ -497,7 +504,8 @@ object Relational {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      rightTiebreak: Option[String] = None): DataFrame = {
+      rightTiebreak: Option[String] = None,
+      tolerance: Option[String] = None): DataFrame = {
     val rightStruct = struct(right.columns.map(col): _*)
     // Keys and tiebreak keep their NATIVE types: casting to long (the
     // round-2 shape) nulled out non-numeric keys, collapsing every key
@@ -528,9 +536,18 @@ object Relational {
       .partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolMicros = tolerance.map(intervalMicros)
+    val bounded = tolMicros match {
+      case None => col("_asof")
+      case Some(m) => when(
+        unix_micros(col("_asof").getField(rightTime).cast("timestamp")) >=
+          unix_micros(col("_t")) - m,
+        col("_asof"))
+    }
     unioned
       .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+      .withColumn("_asof", bounded)
       .select(col("_l.*"), col("_asof"))
   }
 

@@ -703,6 +703,46 @@ object RelationalQueries {
       "_sess", "event_type", minGroups = 3)
   }
 
+  // Association rules over the q158 session fixture: directed
+  // (antecedent -> consequent) confidence and lift in exact integer ppm.
+  def q167AssociationRules(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.operators.Events.sessionize(events(s, d), "user_id", "ts",
+      "30 minutes", Seq(col("event_id")))
+    graft.operators.Events.associationRules(
+      sess.withColumn("_sess",
+        concat_ws("#", col("user_id").cast("string"), col("session_seq").cast("string"))),
+      "_sess", "event_type", minGroups = 3)
+  }
+
+  // As-of join with a lookback tolerance (pandas merge_asof semantics):
+  // q23's enrichment, but a stale latest order no longer counts as
+  // context. The 8400-day bound sits at the fixture's median
+  // event-to-order gap (events 2024, orders 1995-2001), so the gate
+  // exercises BOTH arms: ~half the events keep their match, half null.
+  def q168AsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val o = Tables.orders(s, d)
+    Relational.asofJoinBackward(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        rightTiebreak = Some("o_orderkey"), tolerance = Some("8400 days"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("_asof.o_orderkey")).as("n_matched"),
+        sum(col("_asof.o_orderkey")).as("sum_matched_orderkey"))
+  }
+
+  // One-sided CUSUM upward-drift flags over per-user event values
+  // (cents): Page's test in exact integer units via the distributed
+  // prefix-min identity.
+  def q169Cusum(s: SparkSession, d: String): DataFrame =
+    graft.operators.Events.cusumChangepoints(
+      events(s, d).withColumn("cents", Portable.cents(col("value")))
+        .select("user_id", "event_id", "ts", "cents"),
+      "user_id", "ts", "cents",
+      target = 5000L, slack = 1000L, threshold = 20000L,
+      tiebreak = Seq(col("event_id")))
+      .select(col("user_id"), col("event_id"), col("cusum"), col("is_change"))
+
   // First-order Markov transition counts over per-user event streams:
   // the |types|^2 navigation matrix.
   def q159Transitions(s: SparkSession, d: String): DataFrame =
@@ -779,6 +819,9 @@ object RelationalQueries {
     "q163_period_over_period" -> q163PeriodOverPeriod,
     "q164_pareto" -> q164Pareto,
     "q158_cooccurrence" -> q158CoOccurrence,
+    "q167_association_rules" -> q167AssociationRules,
+    "q168_asof_tolerance" -> q168AsofTolerance,
+    "q169_cusum" -> q169Cusum,
     "q159_transitions" -> q159Transitions,
     "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
@@ -1096,6 +1139,59 @@ object RelationalQueries {
            CAST(sum(dd) OVER (ORDER BY t
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_active
          FROM d""",
+    "q167_association_rules" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t, event_type FROM events),
+         f AS (SELECT user_id, event_id, t, event_type,
+             CASE WHEN lag(t) OVER w IS NULL
+                    OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         sessed AS (SELECT CAST(user_id AS VARCHAR) || '#' ||
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS g,
+             event_type AS i
+           FROM f),
+         gi AS (SELECT DISTINCT g, i FROM sessed),
+         tot AS (SELECT count(DISTINCT g) AS N FROM gi),
+         ic AS (SELECT i, count(*) AS ni FROM gi GROUP BY 1),
+         p AS (SELECT a.i AS antecedent, b.i AS consequent, count(*) AS n_both
+           FROM gi a JOIN gi b ON a.g = b.g AND a.i <> b.i
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT antecedent, consequent, n_both,
+           ia.ni AS n_ante, ib.ni AS n_cons,
+           CAST(n_both * 1000000 // ia.ni AS BIGINT) AS confidence_ppm,
+           CAST(CAST(n_both AS HUGEINT) * N * 1000000
+             // (CAST(ia.ni AS HUGEINT) * ib.ni) AS BIGINT) AS lift_ppm
+         FROM p JOIN ic ia ON ia.i = antecedent
+                JOIN ic ib ON ib.i = consequent
+                CROSS JOIN tot""",
+    "q168_asof_tolerance" ->
+      """WITH m AS (
+           SELECT e.event_id, e.event_type,
+             max_by(o.o_orderkey,
+               CAST(epoch(o.o_orderdate) AS BIGINT) * 4294967296 + o.o_orderkey) AS matched
+           FROM events e LEFT JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts::TIMESTAMP
+              AND o.o_orderdate >= e.ts::TIMESTAMP - INTERVAL 8400 DAY
+           GROUP BY e.event_id, e.event_type
+         )
+         SELECT event_type, count(*) AS n_events,
+           count(matched) AS n_matched, CAST(sum(matched) AS BIGINT) AS sum_matched_orderkey
+         FROM m GROUP BY event_type""",
+    "q169_cusum" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t,
+             CAST(round(value*100) AS BIGINT) AS cents FROM events),
+         c AS (SELECT user_id, event_id, t, cents,
+             coalesce(CAST(sum(cents - 6000) OVER w AS HUGEINT), 0) AS C
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         s AS (SELECT user_id, event_id, cents,
+             C - least(min(C) OVER w2, 0) AS S
+           FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, CAST(S AS BIGINT) AS cusum,
+           CASE WHEN cents IS NULL THEN NULL
+                WHEN S > 20000 THEN 1 ELSE 0 END AS is_change
+         FROM s""",
     "q158_cooccurrence" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t, event_type FROM events),
          f AS (SELECT user_id, event_id, t, event_type,

@@ -721,6 +721,25 @@ object ScaleProbe {
         Seq(col("event_id"))).agg(sum(col("n_transitions"))).head().getLong(0)
     time("transitions 1x (100k events)")(trX(1))
     time("transitions 10x (1M events, 10x users)")(trX(10))
+    def arX(k: Int): Long = {
+      val sess = Events.sessionize(evFull(k), "user_id", "ts", "30 minutes",
+        Seq(col("event_id")))
+        .withColumn("_sess", concat_ws("#", col("user_id").cast("string"),
+          col("session_seq").cast("string")))
+      val r = Events.associationRules(sess, "_sess", "event_type", minGroups = 3)
+        .agg(sum(col("lift_ppm"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("association rules 1x (100k events)")(arX(1))
+    time("association rules 10x (1M events, 10x sessions)")(arX(10))
+    def cusumX(k: Int): Long =
+      Events.cusumChangepoints(evFull(k).withColumn("cents",
+          graft.functions.Portable.cents(col("value"))),
+        "user_id", "ts", "cents", target = 5000L, slack = 1000L,
+        threshold = 20000L, tiebreak = Seq(col("event_id")))
+        .agg(sum(col("is_change"))).head().getLong(0)
+    time("cusum 1x (100k events)")(cusumX(1))
+    time("cusum 10x (1M events, 10x users)")(cusumX(10))
 
     // --- forward as-of: ONE hot key — the incremental-frame regression
     // guard (the first()-over-FOLLOWING form was O(n²) per key) --------

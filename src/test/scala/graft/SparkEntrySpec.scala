@@ -14,8 +14,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 175 queries, unique names") {
-    assert(SparkEntry.queries.size == 175)
+  test("gate inventory: 178 queries, unique names") {
+    assert(SparkEntry.queries.size == 178)
   }
 
   test("audit family: every round-8 audit gate carries a full oracle") {

@@ -152,6 +152,47 @@ class EventsSpec extends SparkSpec {
     assert(n == 500L * 499 / 2 + 1, "mega-group pairs + the (a,b) pair")
   }
 
+  test("associationRules: exact integer confidence/lift, both directions, support filter") {
+    // N=4 groups; n(a)=3, n(b)=3, n(c)=1; (a,b) co-present twice, (b,c) once
+    val e = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"),
+      ("g3", "a"), ("g4", "b"), ("g4", "c")).toDF("g", "i")
+    val out = Events.associationRules(e, "g", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    graft.CacheScope.release()
+    assert(out(("a", "b")) == ((2L, 3L, 3L, 666666L, 888888L)),
+      s"conf = floor(2e6/3), lift = floor(2*4e6/9): got ${out(("a", "b"))}")
+    assert(out(("b", "a")) == ((2L, 3L, 3L, 666666L, 888888L)), "lift symmetric, conf per direction")
+    assert(out(("b", "c")) == ((1L, 3L, 1L, 333333L, 1333333L)))
+    assert(out(("c", "b")) == ((1L, 1L, 3L, 1000000L, 1333333L)),
+      "confidence is asymmetric: c->b is certain")
+    // support filter drops the 1-group pairs, keeps both (a,b) directions
+    val sup = Events.associationRules(e, "g", "i", minGroups = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    graft.CacheScope.release()
+    assert(sup == Set(("a", "b"), ("b", "a")))
+  }
+
+  test("cusumChangepoints: Page's test via the prefix-min identity — reset after dips, NULL rows carry") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), Some(20L)), // dev +10 -> S 10, flag
+      (1L, 2L, ts("2024-01-01 01:00:00"), Some(0L)),  // dev -10 -> S resets to 0
+      (1L, 3L, ts("2024-01-01 02:00:00"), Some(20L)), // dev +10 -> S 10 again
+      (1L, 4L, ts("2024-01-01 03:00:00"), None: Option[Long]), // NULL: S carries, flag NULL
+      (1L, 5L, ts("2024-01-01 04:00:00"), Some(11L)), // dev +1 -> S 11
+      (2L, 6L, ts("2024-01-01 00:00:00"), Some(12L))  // other key isolated: S 2
+    ).toDF("k", "eid", "t", "v")
+    val out = Events.cusumChangepoints(e, "k", "t", "v",
+        target = 10L, slack = 0L, threshold = 5L, tiebreak = Seq(col("eid")))
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), Option(r.get(5))))).toMap
+    assert(out(1L) == ((10L, Some(1))))
+    assert(out(2L) == ((0L, Some(0))), "a dip must RESET the statistic (max-with-0), not go negative")
+    assert(out(3L) == ((10L, Some(1))))
+    assert(out(4L) == ((10L, None)), "NULL value: statistic carries, its own flag is NULL")
+    assert(out(5L) == ((11L, Some(1))))
+    assert(out(6L) == ((2L, Some(0))), "threshold is strict: needs S > threshold")
+  }
+
   test("transitionMatrix: consecutive pairs per key in time order, keys never chain") {
     val e = Seq(
       (1L, 10L, ts("2024-01-01 00:00:00"), "a"),

@@ -192,6 +192,20 @@ class RelationalSpec extends SparkSpec {
       .orderBy("ev")
       .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
     assert(out.toSeq == Seq(("e1", 100), ("e2", 300), ("e3", -1)))
+    // tolerance (merge_asof semantics): a best match OLDER than
+    // left.time − tolerance nulls out; a match exactly AT the bound
+    // stays (inclusive)
+    def withTol(tol: String) =
+      Relational.asofJoinBackward(left, right, "k", "k", "t", "t",
+          tolerance = Some(tol))
+        .select(col("ev"), col("_asof.val").as("val"))
+        .orderBy("ev")
+        .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    // e1's match is 30 min old, e2's is exact: 30-min bound keeps both
+    assert(withTol("30 minutes").toSeq == Seq(("e1", 100), ("e2", 300), ("e3", -1)),
+      "a match exactly at the tolerance bound is inclusive")
+    assert(withTol("29 minutes").toSeq == Seq(("e1", -1), ("e2", 300), ("e3", -1)),
+      "a match older than the bound must null out")
   }
 
   test("asofJoinForward matches earliest right at-or-after left time, tiebreak earliest") {

@@ -593,6 +593,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("q169 cusum: ONE key Exchange shared by both running windows (prefix-sum + prefix-min), no join") {
+    val p = plan(RelationalQueries.q169Cusum(spark, sf))
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"the two nested running aggregates must share one key shuffle:\n${p.take(1200)}")
+    assert(!p.contains("Join"), "CUSUM is windows-only — no join anywhere")
+  }
+
+  test("q167 association rules: group/item equi-joins only — no cartesian, no BNLJ") {
+    val p = plan(RelationalQueries.q167AssociationRules(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rule mining must stay equi-keyed:\n${p.take(1200)}")
+  }
+
+  test("q168 asof tolerance: the bound is a projection — same single-shuffle shape as q23") {
+    val p23 = plan(RelationalQueries.q23AsofJoin(spark, sf))
+    val p = plan(RelationalQueries.q168AsofTolerance(spark, sf))
+    def ex(s: String) = s.split("\\(\\d+\\) Exchange").length - 1
+    assert(ex(p) == ex(p23),
+      s"tolerance must not add a shuffle: q168=${ex(p)} vs q23=${ex(p23)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q148 length batches: bucket projection + ONE bucket-keyed window — no join") {
     val p = plan(TextQueries.q148LengthBatches(spark, sf))
     assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
