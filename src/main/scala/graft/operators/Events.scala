@@ -286,6 +286,15 @@ object Events {
     require(minGroups >= 1, "minGroups >= 1")
     val gi = graft.CacheScope.track(
       df.select(col(groupCol).as("_g"), col(itemCol).as("_i")).distinct().cache())
+    rulesFromGroupItems(gi, minGroups)
+  }
+
+  /** The rule-shaping half of [[associationRules]] over an ALREADY-
+    * DISTINCT `(_g, _i)` co-presence table — shared with the streaming
+    * twin, whose table is the drained incremental aggregation
+    * (co-presence counts merge; the ppm arithmetic shapes the drained
+    * state). */
+  private[graft] def rulesFromGroupItems(gi: DataFrame, minGroups: Long): DataFrame = {
     // total distinct groups: a 1-row scalar fetch, not row data
     val nGroups = gi.select(col("_g")).distinct().count()
     val itemN = gi.groupBy(col("_i")).agg(count(lit(1)).as("_ni"))

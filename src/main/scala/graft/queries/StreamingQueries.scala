@@ -371,6 +371,35 @@ object StreamingQueries {
     graft.operators.Events.periodOverPeriodFromTotals(totals, "event_type")
   }
 
+  // Streaming twin of q167: the (group, item) co-presence table is ONE
+  // incrementally-merged distinct aggregation (complete mode — a live
+  // market-basket dashboard's state); confidence/lift shape the drained
+  // state through the operator's own rule half. q167's batch oracle
+  // VERBATIM.
+  def q170StreamAssociationRules(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val sessed = graft.operators.Events.sessionize(
+        RelationalQueries.events(s, d), "user_id", "ts", "30 minutes",
+        Seq(col("event_id")))
+      .select(concat_ws("#", col("user_id").cast("string"),
+        col("session_seq").cast("string")).as("_g"),
+        col("event_type").as("_i"))
+    val dir = streamDirs.computeIfAbsent(s"q170:$d", { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-q170").toString
+      sessed.write.mode("overwrite").parquet(p)
+      p
+    })
+    val gi = s.readStream.schema(sessed.schema).parquet(dir)
+    val drained = drain(gi.groupBy(col("_g"), col("_i"))
+      .agg(count(lit(1)).as("_n")), "complete")
+    // re-root the drained memory-sink view WITHOUT a driver collect (it
+    // is row-scale, unlike q165's period-grain totals): the checkpoint
+    // gives the rule half's self-join fresh attribute ids
+    val rerooted = graft.CacheScope.trackCheckpoint(
+      drained.select(col("_g"), col("_i")).localCheckpoint())
+    graft.operators.Events.rulesFromGroupItems(rerooted, minGroups = 3)
+  }
+
   def q98StreamLmScore(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -489,7 +518,8 @@ object StreamingQueries {
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
     "q162_stream_concurrency" -> q162StreamConcurrency,
-    "q165_stream_period_over_period" -> q165StreamPeriodOverPeriod)
+    "q165_stream_period_over_period" -> q165StreamPeriodOverPeriod,
+    "q170_stream_association_rules" -> q170StreamAssociationRules)
 
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
@@ -503,6 +533,7 @@ object StreamingQueries {
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),
     "q162_stream_concurrency" -> RelationalQueries.oracles("q161_concurrency"),
     "q165_stream_period_over_period" -> RelationalQueries.oracles("q163_period_over_period"),
+    "q170_stream_association_rules" -> RelationalQueries.oracles("q167_association_rules"),
     "q125_stream_sentence_split" -> TextQueries.oracles("q122_sentence_split"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q107_stream_incremental_neardup" -> DedupQueries.oracles("q106_incremental_neardup"),

@@ -14,8 +14,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 178 queries, unique names") {
-    assert(SparkEntry.queries.size == 178)
+  test("gate inventory: 179 queries, unique names") {
+    assert(SparkEntry.queries.size == 179)
   }
 
   test("audit family: every round-8 audit gate carries a full oracle") {
