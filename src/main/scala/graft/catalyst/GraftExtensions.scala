@@ -615,6 +615,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
           litStr(exprs(3), "value column"), litStr(exprs(4), "step interval")))
     }
+    registerTable("gap_fill_capped",
+      "gap_fill_capped('table', 'keyCol', 'tsCol', 'valueCol', 'step', maxSlots) - " +
+        "gap_fill that FAILS (naming the key) when any key spans more than " +
+        "maxSlots grid slots — the guard for span-runaway series; coarsen step " +
+        "or split the series instead of landing a multi-hundred-k-row task", 6) {
+      exprs =>
+        expand(graft.operators.Events.gapFill(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "ts column"),
+          litStr(exprs(3), "value column"), litStr(exprs(4), "step interval"),
+          maxSlotsPerKey = litLong(exprs(5), "maxSlots")))
+    }
     registerTable("normalize_unicode",
       "normalize_unicode('table', 'textCol') - NFC compose (UAX #15), lowercase, " +
         "strip non-letter/digit of any script, collapse whitespace", 2) {

@@ -526,7 +526,9 @@ object Events {
     * bounded by (span / step) — size `step` to the series' natural
     * cadence exactly as a production resampler does. */
   def gapFill(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
-      step: String, valueAgg: Column => Column = sum): DataFrame = {
+      step: String, valueAgg: Column => Column = sum,
+      maxSlotsPerKey: Long = 0): DataFrame = {
+    require(maxSlotsPerKey >= 0, "maxSlotsPerKey >= 0 (0 = unbounded)")
     val micros = Relational.intervalMicros(step)
     val slot = (floor(unix_micros(col(tsCol).cast("timestamp")) / micros) * micros)
       .cast("long")
@@ -534,10 +536,25 @@ object Events {
         col(valueCol).cast("long").as("_v"))
       .groupBy(col(keyCol), col("_slot"))
       .agg(valueAgg(col("_v")).cast("long").as("_val"))
+    // per-key state is SPAN-proportional ((hi−lo)/step grid slots per
+    // key — the family's one span-proportional operator): a key with a
+    // years-long span at fine step lands one multi-hundred-k-row task.
+    // `maxSlotsPerKey` is the refuse-loudly guard (the coOccurrence
+    // convention): any wider key fails naming itself — coarsen `step`,
+    // split the series, or raise the cap. 0 = unbounded.
+    val nSlots = (col("_hi") - col("_lo")) / micros + 1
+    val hiGuarded =
+      if (maxSlotsPerKey == 0) col("_hi")
+      else when(nSlots <= maxSlotsPerKey, col("_hi"))
+        .otherwise(raise_error(concat(
+          lit("gapFill: key "), col(keyCol).cast("string"),
+          lit(s" spans more than $maxSlotsPerKey grid slots at step " +
+            s"'$step' — coarsen step, split the series, or raise " +
+            "maxSlotsPerKey"))))
     val spine = obs.groupBy(col(keyCol))
       .agg(min(col("_slot")).as("_lo"), max(col("_slot")).as("_hi"))
       .select(col(keyCol),
-        explode(sequence(col("_lo"), col("_hi"), lit(micros))).as("_slot"))
+        explode(sequence(col("_lo"), hiGuarded, lit(micros))).as("_slot"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("_slot"))
     val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)

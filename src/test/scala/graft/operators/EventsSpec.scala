@@ -152,6 +152,24 @@ class EventsSpec extends SparkSpec {
     assert(n == 500L * 499 / 2 + 1, "mega-group pairs + the (a,b) pair")
   }
 
+  test("gapFill maxSlotsPerKey: a span-runaway key fails loudly naming itself; bounded keys unchanged") {
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 05:00:00"), 2L),   // 6 hourly slots
+      (2L, ts("2024-01-01 00:00:00"), 3L),
+      (2L, ts("2024-03-01 00:00:00"), 4L)    // ~1.4k hourly slots
+    ).toDF("user", "t", "v")
+    val ex = intercept[Exception] {
+      Events.gapFill(e, "user", "t", "v", "1 hour", maxSlotsPerKey = 100).collect()
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("gapFill") && msg.contains("2"), s"must name the key: $ex")
+    // under the cap the guard is invisible
+    val ok = Events.gapFill(e.filter(col("user") === 1L), "user", "t", "v",
+      "1 hour", maxSlotsPerKey = 100)
+    assert(ok.count() == 6)
+  }
+
   test("associationRules: exact integer confidence/lift, both directions, support filter") {
     // N=4 groups; n(a)=3, n(b)=3, n(c)=1; (a,b) co-present twice, (b,c) once
     val e = Seq(("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"),
