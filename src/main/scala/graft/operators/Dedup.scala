@@ -185,12 +185,20 @@ object Dedup {
     // symmetrize via explode, NOT a self-union: a union evaluates the
     // whole upstream pair plan twice (for q45/q46/q55 that plan is the
     // full candidate+verify join), explode doubles rows in one pass
-    val edges = pairs
+    val e0 = pairs
       .select(explode(array(
         struct(col(aCol).as("_x"), col(bCol).as("_y")),
         struct(col(bCol).as("_x"), col(aCol).as("_y")))).as("_e"))
       .select(col("_e._x").as("_x"), col("_e._y").as("_y"))
       .distinct()
+      .cache()
+    // the Graph-family co-partitioned-iteration discipline: pin the
+    // symmetric edge list on the per-round join key (_y) with an
+    // edge-volume-derived partition count, SORTED, so each round's
+    // propagate join re-shuffles and re-sorts only the V-row label side
+    val edges = e0
+      .repartition(Graph.iterPartitions(e0, e0.count()), col("_y"))
+      .sortWithinPartitions("_y")
       .cache()
     // Each round references the previous labels twice (carry + propagate),
     // so without lineage truncation the logical plan doubles per round —
@@ -200,6 +208,9 @@ object Dedup {
     var current = edges.select(col("_x").as("_id")).distinct()
       .withColumn("_rep", col("_id"))
       .localCheckpoint()
+    // current's checkpoint just materialized `edges` — the raw
+    // pre-partition copy is now dead weight for every remaining round
+    e0.unpersist(false)
     val repType = current.schema("_rep").dataType
     var converged = false
     var round = 0
@@ -245,7 +256,7 @@ object Dedup {
     } catch {
       case t: Throwable =>
         graft.CacheScope.releaseLocalCheckpoint(current); throw t
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); e0.unpersist() }
     // the result rides the final round's checkpoint blocks — the caller
     // must consume them before the next CacheScope.release()
     graft.CacheScope.trackCheckpoint(

@@ -32,7 +32,7 @@ object Graph {
     * scheduling overhead per tiny stage, and a cluster run would
     * under-partition. The one count() here is a scan the first round
     * would pay anyway. */
-  private def iterPartitions(df: DataFrame, nRows: Long): Int = {
+  private[operators] def iterPartitions(df: DataFrame, nRows: Long): Int = {
     val sessionP = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     math.max(1, math.min(sessionP, ((nRows + 1999999L) / 2000000L).toInt))
   }
