@@ -290,4 +290,53 @@ class CurationPropertySpec extends SparkSpec {
       coverage && idsOk
     })
   }
+
+  test("cusum law: distributed prefix-min identity == the sequential max(0, S+d) recurrence") {
+    val seriesGen = for {
+      n <- Gen.choose(1, 60)
+      vals <- Gen.listOfN(n, Gen.choose(-50L, 120L))
+      target <- Gen.choose(0L, 40L)
+      slack <- Gen.choose(0L, 10L)
+      thr <- Gen.choose(1L, 80L)
+    } yield (vals, target, slack, thr)
+    check(Prop.forAll(seriesGen) { case (vals, target, slack, thr) =>
+      val rows = vals.zipWithIndex.map { case (v, i) =>
+        (1L, i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L), v) }
+      val got = Events.cusumChangepoints(rows.toDF("k", "eid", "t", "v"),
+          "k", "t", "v", target, slack, thr, tiebreak = Seq(col("eid")))
+        .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getInt(5)))).toMap
+      // sequential reference: the textbook recurrence
+      var sRef = 0L
+      val want = vals.zipWithIndex.map { case (v, i) =>
+        sRef = math.max(0L, sRef + (v - target - slack))
+        i.toLong -> ((sRef, if (sRef > thr) 1 else 0))
+      }.toMap
+      got == want
+    }, cases = 8)
+  }
+
+  test("associationRules law: counts and ppm metrics match a brute-force reference on random baskets") {
+    val basketsGen = for {
+      nGroups <- Gen.choose(2, 12)
+      items <- Gen.listOfN(nGroups, Gen.choose(1, 5).flatMap(k =>
+        Gen.pick(k, Seq("a", "b", "c", "d", "e"))))
+    } yield items.map(_.toSet)
+    check(Prop.forAll(basketsGen) { baskets =>
+      val rows = baskets.zipWithIndex.flatMap { case (is, g) => is.map(i => (s"g$g", i)) }
+      val got = Events.associationRules(rows.toDF("g", "i"), "g", "i")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      graft.CacheScope.release()
+      val n = baskets.size.toLong
+      val itemN = baskets.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = (for {
+        a <- itemN.keys; b <- itemN.keys if a != b
+        both = baskets.count(s => s.contains(a) && s.contains(b)).toLong
+        if both >= 1
+      } yield (a, b) -> ((both, itemN(a), itemN(b),
+        both * 1000000L / itemN(a),
+        both * n * 1000000L / (itemN(a) * itemN(b))))).toMap
+      got == want
+    }, cases = 8)
+  }
 }
