@@ -732,6 +732,30 @@ object ScaleProbe {
     }
     time("association rules 1x (100k events)")(arX(1))
     time("association rules 10x (1M events, 10x sessions)")(arX(10))
+    // iterative-graph operators on SYNTHETIC graphs far past the gate's
+    // 6k-edge kNN graph: validates that iterPartitions picks multi-task
+    // partitioning and rounds stay O(|E|) when the edge list is
+    // millions of rows (the co-partitioned round-8 design at real size)
+    def synthEdges(k: Int): DataFrame = {
+      val nodes = 200000L * k
+      spark.range(nodes * 5).select(
+        pmod(xxhash64(col("id")), lit(nodes)).as("s"),
+        pmod(xxhash64(col("id") + 7), lit(nodes)).as("d"))
+    }
+    def prSynthX(k: Int): Long = {
+      val r = graft.operators.Graph.pageRank(synthEdges(k), "s", "d", iterations = 5)
+        .agg(sum(col("rank_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("pagerank synthetic 1x (1M edges, 5 rounds)")(prSynthX(1))
+    time("pagerank synthetic 10x (10M edges, 5 rounds)")(prSynthX(10))
+    def ccSynthX(k: Int): Long = {
+      val r = graft.operators.Dedup.connectedComponents(synthEdges(k), "s", "d")
+        .groupBy(col("rep")).count().count()
+      graft.CacheScope.release(); r
+    }
+    time("connected components synthetic 1x (1M edges)")(ccSynthX(1))
+    time("connected components synthetic 10x (10M edges)")(ccSynthX(10))
     def cusumX(k: Int): Long =
       Events.cusumChangepoints(evFull(k).withColumn("cents",
           graft.functions.Portable.cents(col("value"))),
