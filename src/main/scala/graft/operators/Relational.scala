@@ -552,7 +552,10 @@ object Relational {
   }
 
   /** Forward as-of join: for each left row, attach the EARLIEST right
-    * row with `right.time >= left.time` for the same key — the mirror of
+    * row with `right.time >= left.time` for the same key (optionally
+    * bounded: `horizon` nulls out a match later than
+    * `left.time + horizon` — the forward mirror of
+    * [[asofJoinBackward]]'s tolerance) — the mirror of
     * [[asofJoinBackward]] ("what happened next": the next shipment after
     * an order, the next version after a read). Same union + single key
     * shuffle + running-window shape, O(|L|+|R|) at any scale; the match
@@ -567,7 +570,8 @@ object Relational {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      rightTiebreak: Option[String] = None): DataFrame = {
+      rightTiebreak: Option[String] = None,
+      horizon: Option[String] = None): DataFrame = {
     val rightStruct = struct(right.columns.map(col): _*)
     val tb = rightTiebreak.map(col(_)).getOrElse(lit(0L))
     // left rows sort BEFORE right ties at equal time (side 0 < 1), so the
@@ -609,6 +613,16 @@ object Relational {
       .withColumn("_asof",
         when(col("_t").isNotNull, last(col("_r"), ignoreNulls = true).over(w)))
       .filter(col("_side") === 0)
+      // `horizon` bounds the lookAHEAD (the forward mirror of the
+      // backward tolerance): the earliest match past left.time + horizon
+      // means every candidate is past it — a pure post-projection
+      .withColumn("_asof", horizon.map(Relational.intervalMicros) match {
+        case None => col("_asof")
+        case Some(m) => when(
+          unix_micros(col("_asof").getField(rightTime).cast("timestamp")) <=
+            unix_micros(col("_t")) + m,
+          col("_asof"))
+      })
       .select(col("_l.*"), col("_asof"))
   }
 

@@ -278,6 +278,25 @@ object RelationalQueries {
         count(col("_asof.o_orderkey")).as("n_matched"),
         sum(col("_asof.o_orderkey")).as("sum_matched_orderkey"))
 
+  // Forward as-of with a horizon (the q168 mirror): each event matched
+  // to the user's NEXT purchase at-or-after its time, but only within
+  // 1 day — the time-to-conversion attribution shape. Self-join against
+  // the purchase sub-stream, so (unlike q160's cross-table arm, whose
+  // fixture has no forward matches) BOTH arms carry real rows.
+  def q171NextEventHorizon(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"))
+    Relational.asofJoinForward(e, purchases, "user_id", "p_user", "ts", "p_ts",
+        rightTiebreak = Some("p_event_id"), horizon = Some("1 day"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("_asof.p_event_id")).as("n_matched"),
+        sum(col("_asof.p_event_id")).as("sum_matched_event_id"))
+  }
+
   // C17: format conversion — binary/base64/hex round-trips.
   def q24FormatConv(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -822,6 +841,7 @@ object RelationalQueries {
     "q167_association_rules" -> q167AssociationRules,
     "q168_asof_tolerance" -> q168AsofTolerance,
     "q169_cusum" -> q169Cusum,
+    "q171_next_event_horizon" -> q171NextEventHorizon,
     "q159_transitions" -> q159Transitions,
     "q130_k_anonymity" -> q130KAnonymity,
     "q02_filter_predicates" -> q02FilterPredicates,
@@ -1164,6 +1184,21 @@ object RelationalQueries {
          FROM p JOIN ic ia ON ia.i = antecedent
                 JOIN ic ib ON ib.i = consequent
                 CROSS JOIN tot""",
+    "q171_next_event_horizon" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS t, event_type FROM events),
+         p AS (SELECT user_id, event_id AS pid, ts::TIMESTAMP AS pt
+               FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT e.event_id, e.event_type,
+             min_by(p.pid, CAST(epoch_us(p.pt) AS HUGEINT) * 4294967296 + p.pid) AS matched
+           FROM e LEFT JOIN p
+             ON p.user_id = e.user_id AND p.pt >= e.t
+              AND epoch_us(p.pt) <= epoch_us(e.t) + 86400000000
+           GROUP BY e.event_id, e.event_type
+         )
+         SELECT event_type, count(*) AS n_events,
+           count(matched) AS n_matched, CAST(sum(matched) AS BIGINT) AS sum_matched_event_id
+         FROM m GROUP BY event_type""",
     "q168_asof_tolerance" ->
       """WITH m AS (
            SELECT e.event_id, e.event_type,

@@ -14,8 +14,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 179 queries, unique names") {
-    assert(SparkEntry.queries.size == 179)
+  test("gate inventory: 180 queries, unique names") {
+    assert(SparkEntry.queries.size == 180)
   }
 
   test("audit family: every round-8 audit gate carries a full oracle") {

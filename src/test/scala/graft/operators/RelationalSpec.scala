@@ -228,6 +228,18 @@ class RelationalSpec extends SparkSpec {
       .orderBy("ev")
       .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
     assert(out.toSeq == Seq(("e1", 150), ("e2", 150), ("e3", -1)))
+    // horizon (the forward mirror of the backward tolerance): e1's
+    // earliest match is 60 min ahead — kept at exactly 60, nulled at 59
+    def withHorizon(h: String) =
+      Relational.asofJoinForward(left, right, "k", "k", "t", "t",
+          rightTiebreak = Some("val"), horizon = Some(h))
+        .select(col("ev"), col("_asof.val").as("val"))
+        .orderBy("ev")
+        .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+    assert(withHorizon("60 minutes").toSeq == Seq(("e1", 150), ("e2", 150), ("e3", -1)),
+      "a match exactly at the horizon bound is inclusive")
+    assert(withHorizon("59 minutes").toSeq == Seq(("e1", -1), ("e2", 150), ("e3", -1)),
+      "a match past the horizon must null out")
     // a NULL left time matches NOTHING (right.time >= NULL is never true
     // in the SQL semantics the oracle computes)
     val nullLeft = Seq((1L, null.asInstanceOf[String], "eN")).toDF("k", "t", "ev")
