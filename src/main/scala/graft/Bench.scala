@@ -176,7 +176,9 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal only: an OOM/interrupt must propagate, not vanish into
+      // a "could not write" line with the bench reporting success
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()

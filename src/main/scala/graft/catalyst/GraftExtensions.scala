@@ -389,11 +389,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerTable("concurrency_sweep",
       "concurrency_sweep('table', 'startCol', 'endCol') - active-interval count " +
         "at every change instant over half-open [start, end) intervals " +
-        "(distributed prefix sum, never a one-partition window)", 3) {
+        "(distributed prefix sum, never a one-partition window). NULL " +
+        "start/end fails loudly; still-open intervals (NULL end) either " +
+        "pre-filter or use concurrency_sweep_open to clamp to a horizon", 3) {
       exprs =>
         expand(graft.operators.Events.concurrencySweep(
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "start column"), litStr(exprs(2), "end column")))
+    }
+    registerTable("concurrency_sweep_open",
+      "concurrency_sweep_open('table', 'startCol', 'endCol', 'horizonTs') - " +
+        "concurrency_sweep with still-open intervals (NULL end) clamped to " +
+        "the horizon timestamp (open intervals count as active through the " +
+        "horizon); NULL start still fails loudly", 4) {
+      exprs =>
+        expand(graft.operators.Events.concurrencySweep(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "start column"), litStr(exprs(2), "end column"),
+          openEndAt = Some(org.apache.spark.sql.functions.to_timestamp(
+            org.apache.spark.sql.functions.lit(
+              litStr(exprs(3), "horizon timestamp"))))))
     }
     registerTable("cooccurrence",
       "cooccurrence('table', 'groupCol', 'itemCol', minGroups) - unordered item " +

@@ -473,23 +473,34 @@ object Events {
     * #partitions-row model fetch). The partitioned frame is pinned
     * MEMORY_AND_DISK across its two consumers and self-releases; the
     * result rides a tracked checkpoint. */
-  def concurrencySweep(df: DataFrame, startCol: String, endCol: String): DataFrame = {
+  def concurrencySweep(df: DataFrame, startCol: String, endCol: String,
+      openEndAt: Option[Column] = None): DataFrame = {
     // NULL-hardening (the lengthBucketBatches convention): a NULL
     // start/end would become a null-ts delta that sorts first in the
     // ascending prefix sum and silently offsets EVERY later n_active —
-    // fail loudly instead of corrupting the whole sweep.
+    // fail loudly instead of corrupting the whole sweep. A NULL *end*
+    // commonly means a still-open interval, so `openEndAt` (the sweep
+    // horizon) optionally clamps those to a close instant instead of
+    // failing — the standard "open intervals count as active through the
+    // horizon" reading. NULL starts always fail: an interval with no
+    // start has no defined +1 instant under any convention.
     def guarded(c: String) =
       when(col(c).isNull, raise_error(lit(
         s"concurrencySweep: NULL $c — repair or filter open/NULL " +
-          "intervals upstream")).cast("timestamp"))
+          "intervals upstream, or pass openEndAt to clamp open ends"))
+        .cast("timestamp"))
         .otherwise(col(c).cast("timestamp"))
+    def guardedEnd = openEndAt match {
+      case Some(h) => coalesce(col(endCol).cast("timestamp"), h.cast("timestamp"))
+      case None => guarded(endCol)
+    }
     concurrencyFromDeltas(
       // ONE scan emits both deltas per interval (a self-union of the
       // input would execute its whole upstream lineage twice — Spark
       // does not CSE identical union subtrees)
       df.select(explode(array(
           struct(guarded(startCol).as("_t"), lit(1L).as("_d")),
-          struct(guarded(endCol).as("_t"), lit(-1L).as("_d")))).as("_e"))
+          struct(guardedEnd.as("_t"), lit(-1L).as("_d")))).as("_e"))
         .select(col("_e._t").as("_t"), col("_e._d").as("_d"))
         .groupBy("_t").agg(sum(col("_d")).as("_d")))
   }
@@ -542,7 +553,15 @@ object Events {
     // `maxSlotsPerKey` is the refuse-loudly guard (the coOccurrence
     // convention): any wider key fails naming itself — coarsen `step`,
     // split the series, or raise the cap. 0 = unbounded.
-    val nSlots = (col("_hi") - col("_lo")) / micros + 1
+    // the guard's slot count uses the decimal(38,0) floor-division idiom
+    // too: long/long is double true-division, so a span near i64 micros
+    // would make the count approximate (guard-only impact, but keep every
+    // division site on the same exact lattice)
+    val nSlots = {
+      val span = (col("_hi") - col("_lo")).cast("decimal(38,0)")
+      val m = lit(micros).cast("decimal(38,0)")
+      ((span - pmod(span, m)) / m).cast("long") + 1
+    }
     val hiGuarded =
       if (maxSlotsPerKey == 0) col("_hi")
       else when(nSlots <= maxSlotsPerKey, col("_hi"))

@@ -798,8 +798,14 @@ object Relational {
       import org.apache.spark.sql.types._
       dt match {
         case ByteType | ShortType | IntegerType | LongType =>
-          val a = c.cast("long")
-          ((a - pmod(a, lit(bucketWidth))) / bucketWidth).cast("long")
+          // the division itself must also stay off the double lattice:
+          // long/long in Spark is double true-division, so past 2^53 the
+          // quotient of an exactly-divisible numerator can still round to
+          // a neighboring bucket id — ride decimal(38,0) like every other
+          // floor-division site (the gapFill idiom)
+          val a = c.cast("decimal(38,0)")
+          val w = lit(bucketWidth).cast("decimal(38,0)")
+          ((a - pmod(a, w)) / w).cast("long")
         case _ => floor(c.cast("double") / bucketWidth).cast("long")
       }
     }

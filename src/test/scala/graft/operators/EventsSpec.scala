@@ -338,6 +338,31 @@ class EventsSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("concurrencySweep: openEndAt clamps NULL ends to the horizon; NULL start still fails") {
+    val iv = Seq(
+      (Some(ts("2024-01-01 00:00:00")), Some(ts("2024-01-01 01:00:00"))),
+      (Some(ts("2024-01-01 02:00:00")), None: Option[java.sql.Timestamp]) // still open
+    ).toDF("s", "e")
+    val horizon = lit("2024-01-01 03:00:00").cast("timestamp")
+    val out = Events.concurrencySweep(iv, "s", "e", openEndAt = Some(horizon))
+      .collect().map(x => x.getTimestamp(0).toString -> x.getLong(1)).toMap
+    graft.CacheScope.release()
+    assert(out == Map(
+      "2024-01-01 00:00:00.0" -> 1L, "2024-01-01 01:00:00.0" -> 0L,
+      "2024-01-01 02:00:00.0" -> 1L, // the open interval is active through the horizon
+      "2024-01-01 03:00:00.0" -> 0L), s"got $out")
+    val nullStart = Seq(
+      (None: Option[java.sql.Timestamp], Some(ts("2024-01-01 01:00:00"))))
+      .toDF("s", "e")
+    val ex = intercept[Exception] {
+      Events.concurrencySweep(nullStart, "s", "e", openEndAt = Some(horizon)).collect()
+    }
+    assert(ex.getMessage.contains("concurrencySweep") ||
+      Option(ex.getCause).exists(_.getMessage.contains("concurrencySweep")),
+      s"got $ex")
+    graft.CacheScope.release()
+  }
+
   test("periodOverPeriod: ppm numerator rides decimal(38,0) — i64-wrapping delta stays exact") {
     // delta = 1e13: delta * 1e6 = 1e19 wraps i64; decimal keeps it exact
     val big = Events.periodOverPeriodFromTotals(

@@ -664,6 +664,18 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 3L), s"half-open [lo, hi) at 2^60: got $out")
   }
 
+  test("rangeJoin: bucket ids stay exact past 2^53 quotients (decimal floor division)") {
+    // quotient ≈ 3.07e18 / 3 ≈ 1.02e18 >> 2^53: a double true-division of
+    // the exactly-divisible numerator rounds the QUOTIENT itself, so this
+    // magnitude exercises the decimal(38,0) division path end to end
+    val base = Long.MaxValue - 1024L
+    val vals = (0L to 5L).map(i => (i, base + i)).toDF("vid", "v")
+    val bands = Seq(("X", base + 1L, base + 4L)).toDF("band", "lo", "hi")
+    val out = Relational.rangeJoin(vals, "v", bands, "lo", "hi", 3L)
+      .select("vid").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L), s"half-open [lo, hi) near i64 max: got $out")
+  }
+
   test("applyChanges/scd2: NULL op upserts (Debezium convention), never a silent delete") {
     val snap = Seq((1L, "old1"), (2L, "old2")).toDF("id", "text")
     val changes = Seq(

@@ -77,7 +77,9 @@ for table, shifts in SHIFTS.items():
             for name in t.column_names:
                 c = t.column(name)
                 if name in shifts and k > 0:
-                    c = pc.add(c, pa.scalar(k * shifts[name], type=c.type))
+                    # checked add: an overflowing shifted key must raise,
+                    # not wrap silently and collide replicated copies
+                    c = pc.add_checked(c, pa.scalar(k * shifts[name], type=c.type))
                 cols.append(c)
             parts.append(pa.table(cols, schema=t.schema))
         out = pa.concat_tables(parts)
