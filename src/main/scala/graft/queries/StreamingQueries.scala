@@ -238,6 +238,20 @@ object StreamingQueries {
   // projections, so the whole transform is stateless and rides each
   // micro-batch with no state store. Same oracle as q131 VERBATIM
   // (the q78 convention: stream and batch must agree exactly).
+  // Streaming twin of q172: the Gopher document-quality rules over a
+  // DOCUMENT STREAM — the whole rule set is one stateless per-row
+  // projection (arrays + integer cross-multiplications, no state store),
+  // so a crawl frontier can be quality-gated in flight at scan speed.
+  // Same oracle as q172 VERBATIM (the q78 convention).
+  def q176StreamGopher(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    drain(graft.operators.WebCuration.gopherRules(
+      WebQueries.webAugment(docs), "doc_id", "text",
+      minWords = 40, maxBulletPct = 40), "append")
+  }
+
   def q136StreamFim(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -514,6 +528,7 @@ object StreamingQueries {
     "q115_stream_shard_manifest" -> q115StreamShardManifest,
     "q116_stream_nb_classify" -> q116StreamNbClassify,
     "q136_stream_fim" -> q136StreamFim,
+    "q176_stream_gopher" -> q176StreamGopher,
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
@@ -528,6 +543,7 @@ object StreamingQueries {
     // the batch oracle verbatim: stream and browse must agree exactly
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
     "q136_stream_fim" -> TextQueries.oracles("q131_fim"),
+    "q176_stream_gopher" -> WebQueries.oracles("q172_gopher_rules"),
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),

@@ -692,7 +692,7 @@ object TextQueries {
                  '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
                '\s+', ' ', 'g')) AS plain_text"""
   // q122-convention terminator injection over a named rel/column, as t.
-  private def sentAugSql(src: String, textCol: String): String =
+  private[queries] def sentAugSql(src: String, textCol: String): String =
     s"""SELECT doc_id,
              'Doc ' || (doc_id % 9) || '! ' ||
              regexp_replace($textCol, 'batch', 'batch.', 'g') || ' tail end' AS t
@@ -700,7 +700,7 @@ object TextQueries {
   // splitSentences replay over a rel exposing t: s (the kept-sentence
   // list) and x (positional explode). The pattern is interpolated from
   // THE operator's own builder — the engines cannot drift.
-  private def sentSplitCtesSql(src: String): String =
+  private[queries] def sentSplitCtesSql(src: String): String =
     s"""s AS (
            SELECT doc_id,
              list_filter(list_transform(

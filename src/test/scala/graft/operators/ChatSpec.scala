@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ChatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def render(turns: Seq[(Long, Long, String, String)]) =
+    Chat.renderConversations(
+      turns.toDF("conv", "ord", "role", "content"), "conv", "ord", "role", "content")
+      .collect().map(r => r.getAs[Long]("conv") -> r).toMap
+
+  test("renderConversations: template order follows ordCol, not input order") {
+    val out = render(Seq(
+      (1L, 2L, "assistant", "fine"), (1L, 1L, "user", "hi")))
+    assert(out(1L).getAs[String]("rendered") ==
+      "<|user|>hi<|end|><|assistant|>fine<|end|>")
+    assert(out(1L).getAs[Long]("n_turns") == 2L)
+    assert(out(1L).getAs[Int]("valid") == 1)
+  }
+
+  test("renderConversations: every violation class flags, and only its flag") {
+    val out = render(Seq(
+      // conv 2: duplicate consecutive role
+      (2L, 1L, "user", "a"), (2L, 2L, "user", "b"), (2L, 3L, "assistant", "c"),
+      // conv 3: assistant-first
+      (3L, 1L, "assistant", "a"), (3L, 2L, "user", "b"), (3L, 3L, "assistant", "c"),
+      // conv 4: off-whitelist role
+      (4L, 1L, "user", "a"), (4L, 2L, "tool", "b"), (4L, 3L, "assistant", "c"),
+      // conv 5: user-final
+      (5L, 1L, "user", "a"), (5L, 2L, "assistant", "b"), (5L, 3L, "user", "c"),
+      // conv 6: whitespace-only content
+      (6L, 1L, "user", "  "), (6L, 2L, "assistant", "b")))
+    def flags(c: Long) = Seq("v_roles", "v_starts", "v_alternates", "v_ends",
+      "v_nonempty").map(f => f -> out(c).getAs[Int](f)).toMap
+    assert(flags(2L) == Map("v_roles" -> 1, "v_starts" -> 1,
+      "v_alternates" -> 0, "v_ends" -> 1, "v_nonempty" -> 1))
+    assert(flags(3L) == Map("v_roles" -> 1, "v_starts" -> 0,
+      "v_alternates" -> 1, "v_ends" -> 1, "v_nonempty" -> 1))
+    assert(flags(4L) == Map("v_roles" -> 0, "v_starts" -> 1,
+      "v_alternates" -> 1, "v_ends" -> 1, "v_nonempty" -> 1))
+    assert(flags(5L) == Map("v_roles" -> 1, "v_starts" -> 1,
+      "v_alternates" -> 1, "v_ends" -> 0, "v_nonempty" -> 1))
+    assert(flags(6L) == Map("v_roles" -> 1, "v_starts" -> 1,
+      "v_alternates" -> 1, "v_ends" -> 1, "v_nonempty" -> 0))
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(out(_).getAs[Int]("valid") == 0))
+  }
+
+  test("renderConversations: system opener is a valid start; single-turn user conv is not valid") {
+    val out = render(Seq(
+      (7L, 1L, "system", "be brief"), (7L, 2L, "user", "q"),
+      (7L, 3L, "assistant", "a"),
+      (8L, 1L, "user", "hello?")))
+    assert(out(7L).getAs[Int]("valid") == 1)
+    assert(out(8L).getAs[Int]("v_ends") == 0 && out(8L).getAs[Int]("valid") == 0)
+  }
+
+  test("renderConversations: conv 3 alternation note — assistant-first still alternates") {
+    val out = render(Seq(
+      (9L, 1L, "assistant", "a"), (9L, 2L, "user", "b"), (9L, 3L, "assistant", "c")))
+    assert(out(9L).getAs[Int]("v_alternates") == 1)
+    assert(out(9L).getAs[Int]("v_starts") == 0)
+  }
+}
