@@ -1235,6 +1235,71 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(exprs(6), "rounds")))
     }
 
+    registerTable("gopher_rules",
+      "gopher_rules('table', 'idCol', 'textCol') - Gopher (Rae et al. 2021 A1.1) " +
+        "document-quality counters + 0/1 rule flags + pass, integer-exact; " +
+        "stateless per-row projection (streams verbatim)", 3) {
+      exprs =>
+        expand(graft.operators.WebCuration.gopherRules(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column")))
+    }
+    registerTable("c4_clean",
+      "c4_clean('table', 'idCol', 'textCol', minLineWords, minKeptLines) - C4 " +
+        "(Raffel et al. 2020 §2.2) line-level cleaning: prose lines kept, " +
+        "javascript/short/unpunctuated lines dropped, lorem-ipsum/brace docs dropped", 5) {
+      exprs =>
+        expand(graft.operators.WebCuration.c4Clean(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litInt(exprs(3), "minLineWords"), litInt(exprs(4), "minKeptLines")))
+    }
+    registerTable("perplexity_buckets",
+      "perplexity_buckets('table', 'idCol', 'textCol', 'byCol') - CCNet " +
+        "(Wenzek et al. 2020) head/middle/tail terciles per byCol by add-α " +
+        "bigram per-token NLL; value cutoffs from the score histogram, never " +
+        "a per-group corpus rank", 4) {
+      exprs =>
+        expand(graft.operators.WebCuration.perplexityBuckets(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          litStr(exprs(3), "bucket-by column")))
+    }
+    registerTable("chat_render",
+      "chat_render('table', 'convCol', 'ordCol', 'roleCol', 'contentCol') - " +
+        "render turn records into one <|role|>content<|end|> training string " +
+        "per conversation + SFT structural flags (role whitelist, opening " +
+        "role, alternation, assistant-final, non-empty)", 5) {
+      exprs =>
+        expand(graft.operators.Chat.renderConversations(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "conversation column"), litStr(exprs(2), "order column"),
+          litStr(exprs(3), "role column"), litStr(exprs(4), "content column")))
+    }
+
+    registerTable("preference_pairs",
+      "preference_pairs('table', 'promptCol', 'candCol', 'scoreCol', minMargin) - " +
+        "DPO pairs: per prompt the top-scored candidate vs the bottom-scored, " +
+        "kept when margin >= minMargin; ties resolve to the lowest candidate id; " +
+        "ONE keyed max_by/min_by agg, never a per-prompt rank window", 5) {
+      exprs =>
+        expand(graft.operators.Chat.preferencePairs(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "prompt column"), litStr(exprs(2), "candidate column"),
+          litStr(exprs(3), "score column"), litLong(exprs(4), "minMargin")))
+    }
+    registerTable("loss_mask_spans",
+      "loss_mask_spans('table', 'convCol', 'ordCol', 'roleCol', 'contentCol') - " +
+        "0-based [start, end) character intervals of chat_render's rendered " +
+        "string covering each assistant turn's content — the spans an SFT " +
+        "trainer unmasks for the loss", 5) {
+      exprs =>
+        expand(graft.operators.Chat.lossMaskSpans(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "conversation column"), litStr(exprs(2), "order column"),
+          litStr(exprs(3), "role column"), litStr(exprs(4), "content column")))
+    }
+
     // discoverability: the TVF catalog as a TVF (SHOW-FUNCTIONS-style;
     // builds at CALL time, after every registration above has run)
     registerTable("graft_functions",

@@ -67,4 +67,66 @@ object Chat {
           col("v_alternates") === 1 && col("v_ends") === 1 &&
           col("v_nonempty") === 1).cast("int"))
   }
+
+  /** Preference pairs for DPO/RLHF reward data: per prompt, the
+    * highest-scored candidate becomes `chosen` and the lowest-scored
+    * `rejected`, kept only when the score margin is at least
+    * `minMargin` (a too-close pair teaches nothing). Ties are
+    * deterministic: equal-score candidates resolve to the LOWEST
+    * candidate id on both sides (so a prompt whose candidates all tie
+    * yields chosen == rejected and is dropped by any positive margin).
+    * Output: `promptCol`, `chosen_id`, `rejected_id`, `chosen_score`,
+    * `rejected_score`, `margin`.
+    *
+    * Shape: ONE keyed aggregation — `max_by`/`min_by` over the
+    * (score, tie-break) struct, map-side combinable; never a per-prompt
+    * rank window over the candidate table. */
+  def preferencePairs(cands: DataFrame, promptCol: String, candCol: String,
+      scoreCol: String, minMargin: Long = 1L): DataFrame = {
+    require(minMargin >= 0, "minMargin >= 0")
+    // tie-break struct: (score asc, id desc) so max picks (top score,
+    // lowest id) and min picks (bottom score, lowest id) — both sides
+    // prefer the earliest candidate deterministically
+    val up = struct(col(scoreCol).cast("long"), (-col(candCol)).cast("long"))
+    val dn = struct(col(scoreCol).cast("long"), col(candCol).cast("long"))
+    cands.groupBy(col(promptCol))
+      .agg(
+        max_by(col(candCol), up).as("chosen_id"),
+        min_by(col(candCol), dn).as("rejected_id"),
+        max(col(scoreCol).cast("long")).as("chosen_score"),
+        min(col(scoreCol).cast("long")).as("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("margin") >= minMargin)
+  }
+
+  /** Loss-mask spans for SFT training: the 0-based character intervals
+    * of [[renderConversations]]'s `rendered` string that cover the
+    * CONTENT of every `maskRole` turn — the spans a trainer unmasks for
+    * the loss (everything else is prompt/scaffolding). One row per
+    * masked turn: `convCol`, `ordCol`, `span_start` (inclusive),
+    * `span_end` (exclusive); `substring(rendered, span_start+1,
+    * span_end-span_start) == content` by construction (property-tested
+    * against the renderer).
+    *
+    * Shape: one key Exchange — a running-sum window over each
+    * conversation's own turns accumulates the rendered-piece lengths;
+    * pure integer arithmetic after that. */
+  def lossMaskSpans(turns: DataFrame, convCol: String, ordCol: String,
+      roleCol: String, contentCol: String,
+      maskRole: String = "assistant"): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    // piece = "<|" + role + "|>" + content + "<|end|>"
+    val pieceLen = (length(col(roleCol)) + lit(4) +
+      length(col(contentCol)) + lit(7)).cast("long")
+    val headLen = (length(col(roleCol)) + lit(4)).cast("long")
+    turns.select(col(convCol), col(ordCol), col(roleCol), col(contentCol),
+        coalesce(sum(pieceLen).over(w), lit(0L)).as("_before"),
+        headLen.as("_head"))
+      .filter(col(roleCol) === maskRole)
+      .select(col(convCol), col(ordCol),
+        (col("_before") + col("_head")).as("span_start"),
+        (col("_before") + col("_head") + length(col(contentCol)))
+          .cast("long").as("span_end"))
+  }
 }

@@ -23,7 +23,7 @@ object WebQueries {
 
   /** The deterministic multi-line web-page shell around `text` —
     * byte-identical to [[webAugmentSql]]. */
-  private[queries] def webAugment(docs: DataFrame): DataFrame = {
+  private[graft] def webAugment(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     def ifMod(m: Int, s: String): Column =
       when(pmod(id, lit(m)) === 0, s).otherwise("")
@@ -145,12 +145,32 @@ object WebQueries {
       .filter(col("bucket") =!= "tail")
   }
 
+  // DPO preference pairs: prompts = docs, candidates = the q122 sentence
+  // stream, score = sentence length (deterministic, tie-rich — the
+  // tie-break law is live at gate SF).
+  def q178PreferencePairs(s: SparkSession, d: String): DataFrame = {
+    val sents = graft.operators.TextOps.splitSentences(
+      TextQueries.sentenceAugment(Tables.documents(s, d)), "doc_id", "text")
+    graft.operators.Chat.preferencePairs(
+      sents.select(col("doc_id"), col("sent_idx"),
+        length(col("sentence")).as("score")),
+      "doc_id", "sent_idx", "score", minMargin = 1L)
+  }
+
+  // SFT loss-mask spans over the q175 conversations: the assistant-
+  // content character intervals of the rendered training string.
+  def q179LossMask(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chat.lossMaskSpans(
+      chatTurns(s, d), "doc_id", "sent_idx", "role", "content")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_gopher_rules" -> q172GopherRules,
     "q173_c4_clean" -> q173C4Clean,
     "q174_perplexity_buckets" -> q174PerplexityBuckets,
     "q175_chat_render" -> q175ChatRender,
-    "q177_curation_v7" -> q177CurationV7)
+    "q177_curation_v7" -> q177CurationV7,
+    "q178_preference_pairs" -> q178PreferencePairs,
+    "q179_loss_mask" -> q179LossMask)
 
   private val gopherStopSql =
     graft.operators.WebCuration.GopherStopwords.map(s => s"'$s'").mkString(", ")
@@ -217,6 +237,28 @@ object WebQueries {
             FROM cf
           )"""
 
+  /** The q175 chat-turn fixture as DuckDB CTEs (aug → sentence split →
+    * role/content assignment) — ONE fragment shared by the render gate
+    * (q175) and the loss-mask gate (q179): the fixture cannot drift
+    * between gates. Exposes `turns` (doc_id, sent_idx, role, content). */
+  private def chatTurnsCtesSql: String =
+    s"""aug AS (
+           ${TextQueries.sentAugSql("documents", "text")}
+         ), ${TextQueries.sentSplitCtesSql("aug")}, turns AS (
+           SELECT doc_id, sent_idx,
+             CASE
+               WHEN doc_id % 23 = 0 AND sent_idx = 1 THEN 'tool'
+               WHEN doc_id % 5 = 0 AND sent_idx = 0 THEN 'system'
+               WHEN doc_id % 10 = 3 AND sent_idx <= 1 THEN 'user'
+               WHEN doc_id % 2 = 0 THEN
+                 CASE WHEN sent_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
+               ELSE CASE WHEN sent_idx % 2 = 0 THEN 'assistant' ELSE 'user' END
+             END AS role,
+             CASE WHEN doc_id % 29 = 0 AND sent_idx = 1 THEN ''
+               ELSE sentence END AS content
+           FROM x
+         )"""
+
   val oracles: Map[String, String] = Map(
     "q172_gopher_rules" ->
       s"""WITH aug AS (SELECT doc_id, $webAugmentSql AS text FROM documents),
@@ -244,22 +286,7 @@ object WebQueries {
             CAST(doc_ok AND len(kept) >= 3 AS INT) AS doc_kept
           FROM k""",
     "q175_chat_render" ->
-      s"""WITH aug AS (
-           ${TextQueries.sentAugSql("documents", "text")}
-         ), ${TextQueries.sentSplitCtesSql("aug")}, turns AS (
-           SELECT doc_id, sent_idx,
-             CASE
-               WHEN doc_id % 23 = 0 AND sent_idx = 1 THEN 'tool'
-               WHEN doc_id % 5 = 0 AND sent_idx = 0 THEN 'system'
-               WHEN doc_id % 10 = 3 AND sent_idx <= 1 THEN 'user'
-               WHEN doc_id % 2 = 0 THEN
-                 CASE WHEN sent_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
-               ELSE CASE WHEN sent_idx % 2 = 0 THEN 'assistant' ELSE 'user' END
-             END AS role,
-             CASE WHEN doc_id % 29 = 0 AND sent_idx = 1 THEN ''
-               ELSE sentence END AS content
-           FROM x
-         ), lagd AS (
+      s"""WITH $chatTurnsCtesSql, lagd AS (
            SELECT doc_id, sent_idx, role, content,
              CASE WHEN role = lag(role) OVER
                (PARTITION BY doc_id ORDER BY sent_idx) THEN 1 ELSE 0 END AS dup
@@ -345,6 +372,44 @@ object WebQueries {
          WHERE CASE WHEN p.ppt_micro <= cc.c1 THEN 'head'
                 WHEN p.ppt_micro <= cc.c2 THEN 'middle'
                 ELSE 'tail' END <> 'tail'""",
+    "q178_preference_pairs" ->
+      s"""WITH aug AS (
+           ${TextQueries.sentAugSql("documents", "text")}
+         ), ${TextQueries.sentSplitCtesSql("aug")}, c AS (
+           SELECT doc_id, sent_idx, CAST(length(sentence) AS BIGINT) AS score
+           FROM x
+         ), ch AS (
+           SELECT doc_id, sent_idx AS chosen_id, score AS chosen_score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, sent_idx) AS rn
+           FROM c
+         ), rj AS (
+           SELECT doc_id, sent_idx AS rejected_id, score AS rejected_score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score ASC, sent_idx) AS rn
+           FROM c
+         )
+         SELECT ch.doc_id, chosen_id, rejected_id, chosen_score,
+           rejected_score, chosen_score - rejected_score AS margin
+         FROM ch JOIN rj ON ch.doc_id = rj.doc_id
+         WHERE ch.rn = 1 AND rj.rn = 1
+           AND chosen_score - rejected_score >= 1""",
+    "q179_loss_mask" ->
+      s"""WITH $chatTurnsCtesSql, p AS (
+           SELECT doc_id, sent_idx, role, content,
+             CAST(length(role) + 4 + length(content) + 7 AS BIGINT) AS piece,
+             CAST(length(role) + 4 AS BIGINT) AS head
+           FROM turns
+         ), w AS (
+           SELECT doc_id, sent_idx, role, content, head,
+             COALESCE(SUM(piece) OVER (PARTITION BY doc_id ORDER BY sent_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+           FROM p
+         )
+         SELECT doc_id, sent_idx,
+           CAST(bef + head AS BIGINT) AS span_start,
+           CAST(bef + head + length(content) AS BIGINT) AS span_end
+         FROM w WHERE role = 'assistant'""",
     "q174_perplexity_buckets" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
          ev AS (

@@ -821,6 +821,77 @@ object ScaleProbe {
     time("dedup-aware split 1x (5k docs)")(dasX(1))
     time("dedup-aware split 10x (50k docs)")(dasX(10))
 
+    // --- web-curation filters: stateless projections must scale like the
+    // scan (flat ratio). Probes aggregate the computed VALUES (pass
+    // flags, clean-text bytes) — a bare count() would let Catalyst prune
+    // the whole rule projection (the select-then-count trap) -------------
+    def webDocsX(k: Int): DataFrame =
+      graft.queries.WebQueries.webAugment(docsX(k))
+    def gopherX(k: Int): Long = {
+      val r = graft.operators.WebCuration.gopherRules(
+          webDocsX(k), "doc_id", "text", minWords = 40, maxBulletPct = 40)
+        .agg(sum(col("pass")) + sum(col("word_chars"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("gopher rules 1x (5k docs)")(gopherX(1))
+    time("gopher rules 10x (50k docs)")(gopherX(10))
+    def c4X(k: Int): Long = {
+      val r = graft.operators.WebCuration.c4Clean(webDocsX(k), "doc_id", "text")
+        .agg(sum(length(col("clean_text"))) + sum(col("n_kept"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("c4 clean 1x (5k docs)")(c4X(1))
+    time("c4 clean 10x (50k docs)")(c4X(10))
+
+    // --- perplexity buckets: LM scoring joins + histogram cutoffs; the
+    // salted doc copies shift every language's score distribution but the
+    // shape is model-joins + one histogram window — near-linear ----------
+    def pplX(k: Int): Long = {
+      val langd = docsX(k).withColumn("lang",
+        concat(lit("l"), pmod(col("doc_id"), lit(5))))
+      val r = graft.operators.WebCuration.perplexityBuckets(
+          langd, "doc_id", "text", "lang")
+        .agg(sum(col("ppt_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("perplexity buckets 1x (5k docs)")(pplX(1))
+    time("perplexity buckets 10x (50k docs)")(pplX(10))
+
+    // --- chat render: one conversation Exchange; per-conv state bounded
+    // by its own turn count ---------------------------------------------
+    def chatX(k: Int): Long = {
+      val turns = graft.operators.TextOps.splitSentences(
+          docsX(k).select(col("doc_id"),
+            regexp_replace(col("text"), " batch", ". batch").as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("sent_idx"),
+          when(pmod(col("sent_idx"), lit(2)) === 0, "user")
+            .otherwise("assistant").as("role"),
+          col("sentence").as("content"))
+      val r = graft.operators.Chat.renderConversations(
+          turns, "doc_id", "sent_idx", "role", "content")
+        .agg(sum(length(col("rendered"))) + sum(col("valid"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("chat render 1x (5k convs)")(chatX(1))
+    time("chat render 10x (50k convs)")(chatX(10))
+
+    // --- preference pairs: one keyed agg over candidates ----------------
+    def prefX(k: Int): Long = {
+      val cands = graft.operators.TextOps.splitSentences(
+          docsX(k).select(col("doc_id"),
+            regexp_replace(col("text"), " batch", ". batch").as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("sent_idx"),
+          length(col("sentence")).as("score"))
+      val r = graft.operators.Chat.preferencePairs(
+          cands, "doc_id", "sent_idx", "score")
+        .agg(sum(col("margin"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("preference pairs 1x (5k prompts)")(prefX(1))
+    time("preference pairs 10x (50k prompts)")(prefX(10))
+
     spark.stop()
   }
 }

@@ -14,8 +14,17 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 180 queries, unique names") {
-    assert(SparkEntry.queries.size == 180)
+  test("gate inventory: 188 queries, unique names") {
+    assert(SparkEntry.queries.size == 188)
+  }
+
+  test("round-9 web-curation family: all eight gates oracle-backed") {
+    val r9 = Set("q172_gopher_rules", "q173_c4_clean", "q174_perplexity_buckets",
+      "q175_chat_render", "q176_stream_gopher", "q177_curation_v7",
+      "q178_preference_pairs", "q179_loss_mask")
+    assert(r9.subsetOf(SparkEntry.queries.keySet))
+    assert(r9.subsetOf(SparkEntry.oracleSql.keySet),
+      "the web-curation family must never be rows-only")
   }
 
   test("audit family: every round-8 audit gate carries a full oracle") {

@@ -737,6 +737,55 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getString(1).startsWith(r.getString(0) + "(")))
   }
 
+  test("web-curation + chat TVFs equal their Column APIs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat here fine.\n- bullet\nwait now..."),
+      (2L, "enable javascript now.\nlorem ipsum text"),
+      (3L, "a good prose line stays right here.\nanother fine line is kept too.\nthird keeper line sits here fine."))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("wc_tvf_t")
+    val gSql = spark.sql("SELECT * FROM gopher_rules('wc_tvf_t', 'doc_id', 'text')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(r.length - 1))).toSet
+    val gApi = graft.operators.WebCuration.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(r.length - 1))).toSet
+    assert(gSql == gApi && gSql.size == 3)
+    val cSql = spark.sql("SELECT * FROM c4_clean('wc_tvf_t', 'doc_id', 'text', 5, 3)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(4))).toSet
+    val cApi = graft.operators.WebCuration.c4Clean(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(4))).toSet
+    assert(cSql == cApi && cSql.map(_._1).size == 3)
+    docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .createOrReplaceTempView("pb_tvf_t")
+    val pSql = spark.sql(
+      "SELECT * FROM perplexity_buckets('pb_tvf_t', 'doc_id', 'text', 'lang')")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bucket"))).toSet
+    val pApi = graft.operators.WebCuration.perplexityBuckets(
+        spark.table("pb_tvf_t"), "doc_id", "text", "lang")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bucket"))).toSet
+    graft.CacheScope.release()
+    assert(pSql == pApi && pSql.size == 3)
+    Seq((1L, 1L, "user", "hi"), (1L, 2L, "assistant", "yo"))
+      .toDF("conv", "ord", "role", "content").createOrReplaceTempView("cr_tvf_t")
+    val crSql = spark.sql(
+      "SELECT * FROM chat_render('cr_tvf_t', 'conv', 'ord', 'role', 'content')")
+      .collect().map(r => (r.getAs[Long]("conv"), r.getAs[String]("rendered"),
+        r.getAs[Int]("valid"))).toSet
+    assert(crSql == Set((1L, "<|user|>hi<|end|><|assistant|>yo<|end|>", 1)))
+    val lmSpans = spark.sql(
+      "SELECT * FROM loss_mask_spans('cr_tvf_t', 'conv', 'ord', 'role', 'content')")
+      .collect().map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSet
+    // rendered = <|user|>hi<|end|><|assistant|>yo<|end|> ; 'yo' at [30, 32)
+    assert(lmSpans == Set((30L, 32L)), lmSpans)
+    Seq((1L, 1L, 5L), (1L, 2L, 9L), (2L, 3L, 4L), (2L, 4L, 4L))
+      .toDF("prompt", "cand", "score").createOrReplaceTempView("pp_tvf_t")
+    val pp = spark.sql(
+      "SELECT * FROM preference_pairs('pp_tvf_t', 'prompt', 'cand', 'score', 1)")
+      .collect().map(r => (r.getAs[Long]("prompt"), r.getAs[Long]("chosen_id"),
+        r.getAs[Long]("rejected_id"))).toSet
+    assert(pp == Set((1L, 2L, 1L)), pp)
+  }
+
   test("bad literal args to SQL builders produce named errors") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes(split('a b',' '), 1 + 2) AS x").collect()

@@ -55,6 +55,42 @@ class ChatSpec extends SparkSpec {
     assert(out(8L).getAs[Int]("v_ends") == 0 && out(8L).getAs[Int]("valid") == 0)
   }
 
+  test("preferencePairs: extremes, margin filter, deterministic low-id tie-break") {
+    val cands = Seq(
+      // prompt 1: clear extremes
+      (1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 2L),
+      // prompt 2: margin 0 (all tie) -> dropped at minMargin 1
+      (2L, 20L, 4L), (2L, 21L, 4L),
+      // prompt 3: chosen ties (9,9) -> lowest id 30; rejected ties (1,1) -> lowest id 32
+      (3L, 31L, 9L), (3L, 30L, 9L), (3L, 33L, 1L), (3L, 32L, 1L)
+    ).toDF("prompt", "cand", "score")
+    val out = Chat.preferencePairs(cands, "prompt", "cand", "score")
+      .collect().map(r => r.getAs[Long]("prompt") ->
+        ((r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("margin")))).toMap
+    assert(out(1L) == ((11L, 12L, 7L)), out)
+    assert(!out.contains(2L), "zero-margin prompt must be dropped")
+    assert(out(3L) == ((30L, 32L, 8L)), out)
+  }
+
+  test("lossMaskSpans: spans cut the rendered string exactly at assistant content") {
+    val turns = Seq(
+      (1L, 1L, "user", "hi there"), (1L, 2L, "assistant", "hello!"),
+      (1L, 3L, "user", "more?"), (1L, 4L, "assistant", "yes"))
+      .toDF("conv", "ord", "role", "content")
+    val rendered = Chat.renderConversations(turns, "conv", "ord", "role", "content")
+      .collect().head.getAs[String]("rendered")
+    val spans = Chat.lossMaskSpans(turns, "conv", "ord", "role", "content")
+      .collect().map(r => (r.getAs[Long]("ord"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+    assert(spans.length == 2)
+    for ((ord, s, e) <- spans) {
+      val content = rendered.substring(s.toInt, e.toInt)
+      assert(content == (if (ord == 2L) "hello!" else "yes"),
+        s"span [$s,$e) of '$rendered' gave '$content'")
+    }
+  }
+
   test("renderConversations: conv 3 alternation note — assistant-first still alternates") {
     val out = render(Seq(
       (9L, 1L, "assistant", "a"), (9L, 2L, "user", "b"), (9L, 3L, "assistant", "c")))

@@ -724,6 +724,51 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q172/q173 gopher + c4: stateless scan-speed projections — zero Exchange, no join, no window") {
+    for ((name, df) <- Seq(
+        "q172" -> WebQueries.q172GopherRules(spark, sf),
+        "q173" -> WebQueries.q173C4Clean(spark, sf))) {
+      val p = plan(df)
+      assert(p.split("\\(\\d+\\) Exchange").length - 1 == 0,
+        s"$name must be a pure per-row projection:\n${p.take(1200)}")
+      assert(!p.contains("Join") && !p.contains("Window"), name)
+    }
+  }
+
+  test("q174 perplexity buckets: cutoffs broadcast back; the only windows order the score HISTOGRAM") {
+    val p = plan(WebQueries.q174PerplexityBuckets(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the languages-sized cutoff frame must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+    // two window nodes (running cum + per-lang total), both over the
+    // per-(lang, score) histogram aggregate — never the doc-grain frame
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 2,
+      s"expected the two histogram windows only:\n${p.take(1500)}")
+    graft.CacheScope.release()
+  }
+
+  test("q175 chat render: the lag window and the keyed agg share ONE conversation Exchange") {
+    val p = plan(WebQueries.q175ChatRender(spark, sf))
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"window + agg must share the conversation partitioning:\n${p.take(1200)}")
+    assert(!p.contains("Join"))
+  }
+
+  test("q178 preference pairs: ONE keyed max_by/min_by agg — never a per-prompt rank window") {
+    val p = plan(WebQueries.q178PreferencePairs(spark, sf))
+    assert(!p.contains("Window"),
+      s"extremes must aggregate, not rank:\n${p.take(1200)}")
+    assert(!p.contains("Join"))
+  }
+
+  test("q179 loss mask: ONE conversation Exchange + one running-sum window, no join") {
+    val p = plan(WebQueries.q179LossMask(spark, sf))
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"expected one conversation shuffle:\n${p.take(1200)}")
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 1)
+    assert(!p.contains("Join"))
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
