@@ -182,6 +182,14 @@ object WebCuration {
       val den = dec(col("n_tokens"))
       ((num - pmod(num, den)) / den).cast("long")
     }
+    // perDoc feeds BOTH the histogram branch and the final bucket join,
+    // so the INPUT frame evaluates twice (the LM event table is already
+    // cached inside ngramLmScore). Deliberately NOT cached here: over a
+    // raw scan the double evaluation is cheaper than materializing the
+    // cache (measured 1.2 vs 2.2 s on the standalone gate); a caller
+    // whose input is an expensive derived chain caches THAT frame
+    // instead (the q177 composition does — caller-side caching puts the
+    // decision where the cost lives).
     val perDoc = scored.select(col(idCol), col(byCol), col("n_tokens"),
       col("nll_micro"), ppt.as("ppt_micro"))
     // histogram → cumulative counts → per-language cutoffs. The window

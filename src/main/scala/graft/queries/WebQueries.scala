@@ -138,8 +138,15 @@ object WebQueries {
     val passed = graft.operators.WebCuration.gopherRules(
         cleaned, "doc_id", "text", minWords = 10)
       .filter(col("pass") === 1).select("doc_id")
-    val survivors = cleaned.join(passed, Seq("doc_id"))
-      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    // the filter chain is every downstream consumer's upstream (LM event
+    // build + the byCol join + both perDoc branches re-evaluate their
+    // input): cache the survivor frame ONCE at the caller — the operator
+    // itself stays cache-free so the standalone gate (q174, raw scan
+    // input) never pays materialization it doesn't need
+    val survivors = graft.CacheScope.track(
+      cleaned.join(passed, Seq("doc_id"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     graft.operators.WebCuration.perplexityBuckets(
         survivors, "doc_id", "text", "lang")
       .filter(col("bucket") =!= "tail")
