@@ -1213,6 +1213,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(3), "pairs table")),
           litStr(exprs(4), "pair a column"), litStr(exprs(5), "pair b column")))
     }
+    registerTable("bleu",
+      "bleu('docsTable', 'idCol', 'textCol', 'pairsTable', 'aCol', 'bCol') - " +
+        "BLEU-2 per pair (candidate = aCol, reference = bCol): clipped n-gram " +
+        "precisions, brevity penalty, geometric mean — integer micro-units", 6) {
+      exprs =>
+        expand(graft.operators.TextOps.bleuScores(
+          SparkSession.active.table(litStr(exprs(0), "docs table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          SparkSession.active.table(litStr(exprs(3), "pairs table")),
+          litStr(exprs(4), "pair a column"), litStr(exprs(5), "pair b column")))
+    }
     registerTable("pagerank",
       "pagerank('edgeTable', 'srcCol', 'dstCol', iterations) - integer micro-unit " +
         "PageRank (damping 0.85), fixed synchronous rounds, deterministic", 4) {

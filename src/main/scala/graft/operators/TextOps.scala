@@ -1472,4 +1472,70 @@ object TextOps {
     val metricCols = ns.flatMap(n => Seq(s"rouge${n}_p_micro", s"rouge${n}_r_micro", s"rouge${n}_f_micro"))
     out.select(("id_a" +: "id_b" +: metricCols).map(col): _*)
   }
+
+  /** BLEU-2 (Papineni et al. 2002) between candidate `aCol` and
+    * reference `bCol` of every pair — [[rougeScores]]' sibling for the
+    * generation-eval direction: modified (multiset-clipped) n-gram
+    * precisions for n = 1, 2, the brevity penalty
+    * `BP = min(1, exp(1 − r/c))` on unigram lengths, and the geometric
+    * mean `BLEU = BP · √(p₁·p₂)` — zero (unsmoothed) when either
+    * precision is zero. Precisions export as exact integer floor
+    * divisions (the ROUGE convention); BP and BLEU are transcendental,
+    * so they micro-quantize through `round(1e6·…)` — the q92 LM-score
+    * convention, identical IEEE-double arithmetic in both engines.
+    * Output: `id_a`, `id_b`, `bleu1_p_micro`, `bleu2_p_micro`,
+    * `bp_micro`, `bleu2_micro`.
+    *
+    * Shape = rougeScores': pair list cached, member docs semi-joined,
+    * per-n gram COUNT tables (never gram pair explosions), clipped
+    * matches by (doc, gram) equi-joins — cost bounded by the pair list
+    * and gram-table sizes, no corpus pair shape anywhere. */
+  def bleuScores(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p = graft.CacheScope.track(
+      pairs.select(col(aCol).cast("long").as("id_a"), col(bCol).cast("long").as("id_b"))
+        .cache())
+    val members = p.select(col("id_a").as("_m")).union(p.select(col("id_b"))).distinct()
+    val toks = graft.CacheScope.track(
+      docs.join(members, col(idCol).cast("long") === col("_m"), "left_semi")
+        .select(col(idCol).cast("long").as("_id"),
+          graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+        .cache())
+    var out = p
+    for (n <- Seq(1, 2)) {
+      val counts = graft.CacheScope.track(
+        toks.select(col("_id"), explode(ngramArr(col("_toks"), n)).as("_g"))
+          .groupBy("_id", "_g").agg(count(lit(1)).as("_c"))
+          .cache())
+      val totals = counts.groupBy("_id").agg(sum(col("_c")).as("_t"))
+      val matches = p
+        .join(counts.select(col("_id").as("id_a"), col("_g"), col("_c").as("_ca")), Seq("id_a"))
+        .join(counts.select(col("_id").as("id_b"), col("_g"), col("_c").as("_cb")),
+          Seq("id_b", "_g"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(least(col("_ca"), col("_cb"))).as(s"_m$n"))
+      out = out
+        .join(matches, Seq("id_a", "id_b"), "left")
+        .join(totals.select(col("_id").as("id_a"), col("_t").as(s"_ta$n")), Seq("id_a"), "left")
+        .join(totals.select(col("_id").as("id_b"), col("_t").as(s"_tb$n")), Seq("id_b"), "left")
+    }
+    val m1 = coalesce(col("_m1"), lit(0L))
+    val m2 = coalesce(col("_m2"), lit(0L))
+    val ta1 = coalesce(col("_ta1"), lit(0L))
+    val ta2 = coalesce(col("_ta2"), lit(0L))
+    val tb1 = coalesce(col("_tb1"), lit(0L))
+    val bp = when(ta1 >= tb1, lit(1.0))
+      .otherwise(exp(lit(1.0) - tb1.cast("double") / ta1.cast("double")))
+    out.select(col("id_a"), col("id_b"),
+        when(ta1 > 0, expr("(1000000 * coalesce(_m1, 0L)) div coalesce(_ta1, 0L)"))
+          .otherwise(0L).as("bleu1_p_micro"),
+        when(ta2 > 0, expr("(1000000 * coalesce(_m2, 0L)) div coalesce(_ta2, 0L)"))
+          .otherwise(0L).as("bleu2_p_micro"),
+        round(lit(1e6) * bp).cast("long").as("bp_micro"),
+        when(m1 > 0 && m2 > 0 && ta1 > 0 && ta2 > 0,
+          round(lit(1e6) * bp * sqrt(
+            (m1.cast("double") / ta1.cast("double")) *
+              (m2.cast("double") / ta2.cast("double")))).cast("long"))
+          .otherwise(0L).as("bleu2_micro"))
+  }
 }

@@ -187,6 +187,16 @@ object DedupQueries {
       pairs, "id_a", "id_b", ns = Seq(1, 2))
   }
 
+  // BLEU-2 over the same q42 near-dup pair set as q134 — candidate = id_a,
+  // reference = id_b: the generation-eval mirror of ROUGE (clipped
+  // precisions + brevity penalty + geometric mean), integer micro-units.
+  def q181Bleu(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.4)
+    graft.operators.TextOps.bleuScores(docs, "doc_id", "text",
+      pairs, "id_a", "id_b")
+  }
+
   // Curation v6 — the graph-era operators composed end to end: exact
   // cosine near-dup pairs -> connected components -> PageRank centrality
   // over the kNN graph -> keep the most CENTRAL member of every
@@ -226,6 +236,7 @@ object DedupQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_rouge" -> q134Rouge,
+    "q181_bleu" -> q181Bleu,
     "q139_dedup_aware_split" -> q139DedupAwareSplit,
     "q135_curation_v6" -> q135CurationV6,
     "q120_dedup_keep_best" -> q120DedupKeepBest,
@@ -324,6 +335,56 @@ object DedupQueries {
         FROM pr"""
   }
 
+  /** q181 oracle: BLEU-2 over the q134 gram tables — clipped precisions
+    * on the CANDIDATE totals, brevity penalty on unigram lengths,
+    * geometric mean micro-quantized (the q92 round-transcendental
+    * convention). */
+  private val q181OracleSql: String = {
+    def gramsSql(n: Int, name: String) =
+      s"""$name AS MATERIALIZED (
+           SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(t) - ${n - 1}, 0)),
+               i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+             FROM toks) GROUP BY doc_id, g)"""
+    def matchSql(n: Int) =
+      s"""m$n AS (SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+           FROM p JOIN g$n a ON a.doc_id = p.id_a
+           JOIN g$n b ON b.doc_id = p.id_b AND b.g = a.g
+           GROUP BY 1, 2)"""
+    s"""WITH ${jaccardCtesSql(3, 0.4)},
+        p AS MATERIALIZED (SELECT id_a, id_b FROM jp),
+        toks AS MATERIALIZED (
+          SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+          WHERE doc_id IN (SELECT id_a FROM p UNION SELECT id_b FROM p)),
+        ${gramsSql(1, "g1")}, ${gramsSql(2, "g2")},
+        t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM g1 GROUP BY 1),
+        t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM g2 GROUP BY 1),
+        ${matchSql(1)}, ${matchSql(2)},
+        pr AS (SELECT p.id_a, p.id_b,
+            coalesce(m1.m, 0) AS m1, coalesce(m2.m, 0) AS m2,
+            coalesce(ta1.t, 0) AS ta1, coalesce(ta2.t, 0) AS ta2,
+            coalesce(tb1.t, 0) AS tb1
+          FROM p
+          LEFT JOIN m1 ON m1.id_a = p.id_a AND m1.id_b = p.id_b
+          LEFT JOIN m2 ON m2.id_a = p.id_a AND m2.id_b = p.id_b
+          LEFT JOIN t1 ta1 ON ta1.doc_id = p.id_a
+          LEFT JOIN t2 ta2 ON ta2.doc_id = p.id_a
+          LEFT JOIN t1 tb1 ON tb1.doc_id = p.id_b),
+        bpc AS (SELECT *, CASE WHEN ta1 >= tb1 THEN 1.0
+            ELSE exp(1.0 - CAST(tb1 AS DOUBLE) / CAST(ta1 AS DOUBLE)) END AS bp
+          FROM pr)
+        SELECT id_a, id_b,
+          CASE WHEN ta1 > 0 THEN (1000000 * m1) // ta1 ELSE 0 END AS bleu1_p_micro,
+          CASE WHEN ta2 > 0 THEN (1000000 * m2) // ta2 ELSE 0 END AS bleu2_p_micro,
+          CAST(round(1000000.0 * bp) AS BIGINT) AS bp_micro,
+          CASE WHEN m1 > 0 AND m2 > 0 AND ta1 > 0 AND ta2 > 0
+            THEN CAST(round(1000000.0 * bp * sqrt(
+              (CAST(m1 AS DOUBLE) / ta1) * (CAST(m2 AS DOUBLE) / ta2))) AS BIGINT)
+            ELSE 0 END AS bleu2_micro
+        FROM bpc"""
+  }
+
   /** q135 oracle: the composition replayed — kNN + unrolled PageRank
     * (shared fragments with q108/q132), cosine pairs + recursive-CTE
     * components (shared shape with q55), then keep-most-central. */
@@ -357,6 +418,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q134_rouge" -> q134OracleSql,
+    "q181_bleu" -> q181OracleSql,
     "q139_dedup_aware_split" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
           pairs AS (

@@ -252,6 +252,23 @@ object StreamingQueries {
       minWords = 40, maxBulletPct = 40), "append")
   }
 
+  // Streaming twin of q178: DPO preference pairs over a STREAMED
+  // candidate feed — sentence explode and scoring are stateless
+  // projections; the per-prompt extremes are ONE incrementally-merged
+  // max_by/min_by aggregation (complete mode, O(prompts) state, two
+  // struct registers per prompt); the margin filter shapes the drained
+  // state. Same oracle as q178 VERBATIM (the q78 convention).
+  def q180StreamPreferencePairs(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val cands = graft.operators.TextOps.splitSentences(
+        TextQueries.sentenceAugment(docs), "doc_id", "text")
+      .select(col("doc_id"), col("sent_idx"), length(col("sentence")).as("score"))
+    drain(graft.operators.Chat.preferencePairs(
+      cands, "doc_id", "sent_idx", "score", minMargin = 1L), "complete")
+  }
+
   def q136StreamFim(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -529,6 +546,7 @@ object StreamingQueries {
     "q116_stream_nb_classify" -> q116StreamNbClassify,
     "q136_stream_fim" -> q136StreamFim,
     "q176_stream_gopher" -> q176StreamGopher,
+    "q180_stream_preference_pairs" -> q180StreamPreferencePairs,
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
@@ -544,6 +562,7 @@ object StreamingQueries {
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
     "q136_stream_fim" -> TextQueries.oracles("q131_fim"),
     "q176_stream_gopher" -> WebQueries.oracles("q172_gopher_rules"),
+    "q180_stream_preference_pairs" -> WebQueries.oracles("q178_preference_pairs"),
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),

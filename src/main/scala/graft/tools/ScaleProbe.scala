@@ -575,6 +575,18 @@ object ScaleProbe {
     time("rouge pairs 1x")(rougeX(1))
     time("rouge pairs 10x (10x docs and pairs)")(rougeX(10))
 
+    // --- bleu: same pair/gram machinery as rouge (clipped precisions +
+    // brevity penalty + geometric mean) — same scaling law expected
+    def bleuX(k: Int): Long = {
+      val d = docsX(k)
+      val p = d.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      TextOps.bleuScores(d, "doc_id", "text", p, "id_a", "id_b")
+        .agg(sum(col("bleu2_micro"))).head().getLong(0)
+    }
+    time("bleu pairs 1x")(bleuX(1))
+    time("bleu pairs 10x (10x docs and pairs)")(bleuX(10))
+
     // --- k-anonymity: fixed combination space, 10x rows (level counts
     // shift toward 0 as groups fill — the aggregation is the cost)
     def kAnonX(n: Long): Long = {

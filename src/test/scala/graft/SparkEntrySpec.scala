@@ -14,14 +14,15 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 188 queries, unique names") {
-    assert(SparkEntry.queries.size == 188)
+  test("gate inventory: 190 queries, unique names") {
+    assert(SparkEntry.queries.size == 190)
   }
 
-  test("round-9 web-curation family: all eight gates oracle-backed") {
+  test("round-9 web-curation family: all ten gates oracle-backed") {
     val r9 = Set("q172_gopher_rules", "q173_c4_clean", "q174_perplexity_buckets",
       "q175_chat_render", "q176_stream_gopher", "q177_curation_v7",
-      "q178_preference_pairs", "q179_loss_mask")
+      "q178_preference_pairs", "q179_loss_mask",
+      "q180_stream_preference_pairs", "q181_bleu")
     assert(r9.subsetOf(SparkEntry.queries.keySet))
     assert(r9.subsetOf(SparkEntry.oracleSql.keySet),
       "the web-curation family must never be rows-only")

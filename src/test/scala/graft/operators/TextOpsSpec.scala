@@ -718,6 +718,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out((1L, 3L)) == (0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("bleuScores: hand-computed clipped precisions, brevity penalty, geometric mean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat the cat"),  // candidate: the:2 cat:2; bigrams: "the cat":2 "cat the":1
+      (2L, "the cat"),          // reference: the:1 cat:1; "the cat":1
+      (3L, "dog"),              // short candidate for the BP arm
+      (4L, "a dog ran far"),    // longer reference
+      (5L, "zebra quagga")      // zero overlap
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val out = TextOps.bleuScores(docs, "doc_id", "text", pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("bleu1_p_micro"), r.getAs[Long]("bleu2_p_micro"),
+          r.getAs[Long]("bp_micro"), r.getAs[Long]("bleu2_micro")))).toMap
+    graft.CacheScope.release()
+    // (1,2): clipped m1 = min(2,1)+min(2,1) = 2 of 4; m2 = 1 of 3;
+    // c=4 >= r=2 so BP=1; bleu = sqrt(0.5 * 1/3) = 0.408248...
+    assert(out((1L, 2L)) == ((500000L, 333333L, 1000000L,
+      math.round(1e6 * math.sqrt(0.5 / 3.0)))), out)
+    // (3,4): candidate 1 token ('dog', which the reference contains):
+    // p1 = 1/1 but the candidate has NO bigrams (ta2 = 0) -> bleu 0;
+    // BP = exp(1 - 4/1) = e^-3 reported on its own
+    assert(out((3L, 4L)) == ((1000000L, 0L,
+      math.round(1e6 * math.exp(1.0 - 4.0)), 0L)), out)
+    // (1,5): zero overlap, candidate longer -> BP 1, everything else 0
+    assert(out((1L, 5L)) == ((0L, 0L, 1000000L, 0L)), out)
+  }
+
   test("spanCorrupt: splicing targets back into corrupted reconstructs every doc") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").limit(200)
     val out = TextOps.spanCorrupt(docs, "doc_id", "text", maskPct = 15, spanLen = 3)

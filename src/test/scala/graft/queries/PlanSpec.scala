@@ -769,6 +769,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("q181 bleu: gram-keyed equi joins only (the rouge machinery) — no cartesian/BNLJ") {
+    val p = plan(DedupQueries.q181Bleu(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair scoring degenerated to a pair-cross shape")
+    graft.CacheScope.release()
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
