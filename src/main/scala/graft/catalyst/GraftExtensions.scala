@@ -126,6 +126,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerComposed("quality_score", "quality_score(text) - 4-heuristic quality score in [0,1]")(TextFunctions.qualityScore)
     registerComposed("lang_id", "lang_id(text) - n-gram/stopword language guess")(TextFunctions.langId)
     registerComposed("doc_fingerprint", "doc_fingerprint(text) - rolling polynomial hash")(TextFunctions.fingerprint)
+    register("token_f1_micro",
+      "token_f1_micro(a, b) - per-row token-level F1 (micro-units): unigram " +
+        "multiset overlap of the two strings, (2e6*m) div (|a|+|b|)", 2, 2) { exprs =>
+      org.apache.spark.sql.GraftBridge.expressionEager(
+        TextFunctions.tokenF1Micro(Cols.column(exprs(0)), Cols.column(exprs(1))))
+    }
     register("haversine_m",
       "haversine_m(lat1, lon1, lat2, lon2) - great-circle distance in meters", 4, 4) { exprs =>
       org.apache.spark.sql.GraftBridge.expressionEager(
@@ -1223,6 +1229,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
           SparkSession.active.table(litStr(exprs(3), "pairs table")),
           litStr(exprs(4), "pair a column"), litStr(exprs(5), "pair b column")))
+    }
+    registerTable("chrf",
+      "chrf('docsTable', 'idCol', 'textCol', 'pairsTable', 'aCol', 'bCol') - " +
+        "chrF (char n-grams 1..3, beta=2) per pair: averaged clipped " +
+        "precision/recall, F-beta — integer micro-units", 6) {
+      exprs =>
+        expand(graft.operators.TextOps.chrfScores(
+          SparkSession.active.table(litStr(exprs(0), "docs table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          SparkSession.active.table(litStr(exprs(3), "pairs table")),
+          litStr(exprs(4), "pair a column"), litStr(exprs(5), "pair b column")))
+    }
+    registerTable("token_f1",
+      "token_f1('docsTable', 'idCol', 'textCol', 'pairsTable', 'aCol', 'bCol') - " +
+        "token-level F1 + exact match per pair (SQuAD answer scoring) — " +
+        "exact integer micro-units; per-row scalar twin: token_f1_micro(a, b)", 6) {
+      exprs =>
+        expand(graft.operators.TextOps.tokenF1Scores(
+          SparkSession.active.table(litStr(exprs(0), "docs table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "text column"),
+          SparkSession.active.table(litStr(exprs(3), "pairs table")),
+          litStr(exprs(4), "pair a column"), litStr(exprs(5), "pair b column")))
+    }
+    registerTable("bradley_terry",
+      "bradley_terry('compsTable', 'winnerCol', 'loserCol', rounds) - " +
+        "Bradley-Terry strength ratings from pairwise outcomes (Hunter MM, " +
+        "fixed synchronous rounds, integer micro-units, mean-1e6 gauge)", 4) {
+      exprs =>
+        expand(graft.operators.Rank.bradleyTerry(
+          SparkSession.active.table(litStr(exprs(0), "comparisons table")),
+          litStr(exprs(1), "winner column"), litStr(exprs(2), "loser column"),
+          litInt(exprs(3), "rounds")))
+    }
+    registerTable("unimax",
+      "unimax('table', 'sourceCol', 'tokensCol', budgetTokens, maxEpochs) - " +
+        "UniMax epoch-capped token-budget allocation across sources " +
+        "(capped ascending prefix + equal shares, exact integers)", 5) {
+      exprs =>
+        expand(graft.operators.Relational.unimaxAllocation(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "source column"), litStr(exprs(2), "tokens column"),
+          litLong(exprs(3), "budgetTokens"), litInt(exprs(4), "maxEpochs")))
     }
     registerTable("pagerank",
       "pagerank('edgeTable', 'srcCol', 'dstCol', iterations) - integer micro-unit " +

@@ -90,4 +90,31 @@ object TextFunctions {
       (acc, t) =>
         (acc * 131 + conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 1000003) % 2147483647L)
   }
+
+  /** Per-row token-level F1 (micro-units) between two strings — the
+    * SQuAD answer-scoring scalar (Rajpurkar et al. 2016), for tables
+    * that carry prediction and gold in the SAME row (eval frames,
+    * streaming scorers; the relational pair form is
+    * [[graft.operators.TextOps.tokenF1Scores]]). Unigram multiset
+    * overlap `m = Σ_t min(count_a(t), count_b(t))` over `a`'s DISTINCT
+    * tokens, then `F1 = (2·10⁶·m) div (|a| + |b|)` — exact integer, 0
+    * when both are empty.
+    *
+    * Stays a per-row projection (array higher-order functions — no
+    * join, no shuffle, streams stateless); cost is
+    * O(distinct_a · (|a| + |b|)) per row, the per-row analogue of a
+    * gram-table join, fine at answer/sentence length. */
+  def tokenF1Micro(a: Column, b: Column): Column = {
+    val ta = tokens(a)
+    val tb = tokens(b)
+    val m = aggregate(
+      array_distinct(ta),
+      lit(0L),
+      (acc, t) => acc + least(
+        size(filter(ta, x => x === t)).cast("long"),
+        size(filter(tb, x => x === t)).cast("long")))
+    val num = m * 2000000L
+    val den = (size(ta) + size(tb)).cast("long")
+    when(den > 0, (num - pmod(num, den)) / den).otherwise(lit(0)).cast("long")
+  }
 }

@@ -343,6 +343,75 @@ object Relational {
         explode(sequence(lit(0), col("_copies") - 1)).as("copy_idx"): _*)
   }
 
+  /** UniMax token-budget allocation (Chung et al. 2023, "UniMax: fairer
+    * and more effective language sampling for large-scale multilingual
+    * pretraining"): split `budgetTokens` across sources as uniformly as
+    * possible, capping every source at `maxEpochs` passes over its own
+    * `n_s` tokens. The paper's sequential water-filling — visit sources
+    * by ascending size; give each `min(maxEpochs·n_s, remaining/k)` —
+    * has a closed form because caps ascend with size: the capped set is
+    * a PREFIX of the ascending order, and every uncapped source gets the
+    * same equal share. A source `i` (1-based ascending by
+    * `(n_s, source)`, the deterministic total order) is capped iff
+    * `maxEpochs·n_i · (k−i+1) ≤ budget − Σ_{j<i} maxEpochs·n_j` — the
+    * condition is downward-closed, so one cumulative-sum window over the
+    * SOURCES frame (model-sized: one row per source, never corpus rows)
+    * decides everything. Uncapped shares use integer floor division; the
+    * ≤ k−1 leftover tokens stay unallocated (documented — a training
+    * loader rounds to batches far coarser than this).
+    *
+    * All arithmetic is exact integers, so the oracle match is identity.
+    * Output per source: `total_tokens`, `allocated_tokens`, `capped`,
+    * and `epochs_micro` = 10⁶·allocated/total (floor) — the effective
+    * epoch count the mixture implies.
+    *
+    * Shape: ONE keyed aggregation to source grain (corpus volume rides
+    * the map-side combine), then windows over the sources frame itself —
+    * single-partition by construction and intentionally so: its row
+    * count is the source vocabulary, the same model-sized frame every
+    * mixture operator broadcasts. */
+  def unimaxAllocation(df: DataFrame, sourceCol: String, tokensCol: String,
+      budgetTokens: Long, maxEpochs: Int): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens >= 0")
+    require(maxEpochs >= 1, "maxEpochs >= 1")
+    import org.apache.spark.sql.expressions.Window
+    // the sources frame feeds BOTH the cutoff aggregate and the final
+    // projection — cache it (model-sized) so the corpus-grain aggregation
+    // underneath runs exactly once
+    val src = graft.CacheScope.track(
+      df.groupBy(col(sourceCol).as("source"))
+        .agg(sum(col(tokensCol).cast("long")).as("total_tokens"))
+        .cache())
+    val asc = Window.orderBy(col("total_tokens"), col("source"))
+    val ranked = src.select(col("source"), col("total_tokens"),
+      (col("total_tokens") * maxEpochs).as("_cap"),
+      row_number().over(asc).as("_i"),
+      count(lit(1)).over(Window.partitionBy()).as("_k"),
+      coalesce(sum(col("total_tokens") * maxEpochs)
+        .over(asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_capsum"))
+    val capped = ranked.withColumn("_capped",
+      col("_cap") * (col("_k") - col("_i") + 1) <= lit(budgetTokens) - col("_capsum"))
+    // t = size of the capped prefix; cumcap = Σ caps over it — 1-row agg
+    // broadcast back (the cutoffs pattern)
+    val cut = capped.agg(
+      sum(when(col("_capped"), 1L).otherwise(0L)).as("_t"),
+      coalesce(sum(when(col("_capped"), col("_cap"))), lit(0L)).as("_cumcap"),
+      max(col("_k")).as("_kk"))
+    // share < cap for every uncapped source by the prefix argument
+    // (the first uncapped index already failed cap·(k−t) ≤ remainder),
+    // so no min() is needed — allocated is cap XOR share exactly
+    val share = when(col("_kk") > col("_t"),
+      expr(s"($budgetTokens - _cumcap) div (_kk - _t)")).otherwise(0L)
+    capped.crossJoin(broadcast(cut))
+      .withColumn("allocated_tokens",
+        when(col("_capped"), col("_cap")).otherwise(share))
+      .select(col("source"), col("total_tokens"), col("allocated_tokens"),
+        col("_capped").cast("int").as("capped"),
+        when(col("total_tokens") > 0,
+          expr("(1000000 * allocated_tokens) div total_tokens"))
+          .otherwise(0L).as("epochs_micro"))
+  }
+
   /** Deterministic per-epoch training-data shuffle: every row of every
     * epoch 0..`epochs`−1 gets a (shard_id, pos) read address — shard and
     * within-shard rank are both epoch-salted md5 draws of `keyCol` — so a

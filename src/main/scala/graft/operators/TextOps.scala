@@ -1538,4 +1538,135 @@ object TextOps {
               (m2.cast("double") / ta2.cast("double")))).cast("long"))
           .otherwise(0L).as("bleu2_micro"))
   }
+
+  /** Character n-gram array of a (whitespace-stripped) string — the
+    * chrF gram unit. Dynamic positions via `Column.substr`, so the
+    * whole extraction stays one codegen'd projection. */
+  private def charGramArr(s: Column, n: Int): Column =
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** chrF (Popović 2015, "chrF: character n-gram F-score for automatic
+    * MT evaluation") between candidate `aCol` and reference `bCol` of
+    * every pair — the tokenization-free sibling of [[bleuScores]] /
+    * [[rougeScores]]: character n-grams (whitespace removed first, the
+    * paper's convention) for n = 1..`maxN`, per-order clipped precision
+    * `P_n = m_n / ta_n` and recall `R_n = m_n / tb_n` (0 when the
+    * denominator is 0), arithmetic means `P = ΣP_n / maxN`,
+    * `R = ΣR_n / maxN` over ALL orders, and
+    * `chrF_β = (1+β²)·P·R / (β²·P + R)` with β = `betaPct`/100 (the
+    * paper's β = 2 weights recall twice) — 0 when the denominator is 0.
+    * The means and F are transcendental-free but rational, so they ride
+    * IEEE doubles in a FIXED operation order and micro-quantize through
+    * `round(1e6·…)` (the [[bleuScores]] convention — the oracle replays
+    * the identical expression tree). Output: `id_a`, `id_b`,
+    * `chrf_p_micro`, `chrf_r_micro`, `chrf_micro`.
+    *
+    * Shape = [[rougeScores]]': pair list cached, member docs
+    * semi-joined, per-n gram COUNT tables (character-gram cardinality is
+    * bounded by alphabet^n, far below token-gram vocabularies), clipped
+    * matches by (doc, gram) equi-joins — never a pair-cross shape. */
+  def chrfScores(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxN: Int = 3, betaPct: Int = 200): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN in [1,8]")
+    require(betaPct >= 0, "betaPct >= 0")
+    val p = graft.CacheScope.track(
+      pairs.select(col(aCol).cast("long").as("id_a"), col(bCol).cast("long").as("id_b"))
+        .cache())
+    val members = p.select(col("id_a").as("_m")).union(p.select(col("id_b"))).distinct()
+    val chars = graft.CacheScope.track(
+      docs.join(members, col(idCol).cast("long") === col("_m"), "left_semi")
+        .select(col(idCol).cast("long").as("_id"),
+          regexp_replace(col(textCol), "\\s+", "").as("_chars"))
+        .cache())
+    var out = p
+    for (n <- 1 to maxN) {
+      val counts = graft.CacheScope.track(
+        chars.select(col("_id"), explode(charGramArr(col("_chars"), n)).as("_g"))
+          .groupBy("_id", "_g").agg(count(lit(1)).as("_c"))
+          .cache())
+      val totals = counts.groupBy("_id").agg(sum(col("_c")).as("_t"))
+      val matches = p
+        .join(counts.select(col("_id").as("id_a"), col("_g"), col("_c").as("_ca")), Seq("id_a"))
+        .join(counts.select(col("_id").as("id_b"), col("_g"), col("_c").as("_cb")),
+          Seq("id_b", "_g"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(least(col("_ca"), col("_cb"))).as(s"_m$n"))
+      out = out
+        .join(matches, Seq("id_a", "id_b"), "left")
+        .join(totals.select(col("_id").as("id_a"), col("_t").as(s"_ta$n")), Seq("id_a"), "left")
+        .join(totals.select(col("_id").as("id_b"), col("_t").as(s"_tb$n")), Seq("id_b"), "left")
+    }
+    // fixed-order double arithmetic, mirrored term-for-term by the oracle
+    def frac(m: Column, t: Column): Column =
+      when(coalesce(t, lit(0L)) > 0,
+        coalesce(m, lit(0L)).cast("double") / t.cast("double")).otherwise(lit(0.0))
+    val pAvg = (1 to maxN).map(n => frac(col(s"_m$n"), col(s"_ta$n")))
+      .reduce(_ + _) / lit(maxN.toDouble)
+    val rAvg = (1 to maxN).map(n => frac(col(s"_m$n"), col(s"_tb$n")))
+      .reduce(_ + _) / lit(maxN.toDouble)
+    val b2 = lit(betaPct.toDouble / 100.0 * (betaPct.toDouble / 100.0))
+    val f = when(b2 * pAvg + rAvg > 0,
+      (lit(1.0) + b2) * pAvg * rAvg / (b2 * pAvg + rAvg)).otherwise(lit(0.0))
+    out.select(col("id_a"), col("id_b"),
+      round(lit(1e6) * pAvg).cast("long").as("chrf_p_micro"),
+      round(lit(1e6) * rAvg).cast("long").as("chrf_r_micro"),
+      round(lit(1e6) * f).cast("long").as("chrf_micro"))
+  }
+
+  /** Token-level F1 + exact match between candidate `aCol` and
+    * reference `bCol` of every pair — the SQuAD answer-scoring pair
+    * (Rajpurkar et al. 2016): unigram multiset overlap
+    * `m = Σ min(count_a, count_b)`, precision `m/ta`, recall `m/tb`,
+    * `F1 = 2m/(ta+tb)`, and `exact` = the whitespace-normalized token
+    * sequences are identical. Every metric is an EXACT integer floor
+    * division (micro-units) — no doubles anywhere, so the oracle match
+    * is arithmetic identity, not IEEE replay. Output: `id_a`, `id_b`,
+    * `f1_p_micro`, `f1_r_micro`, `f1_micro`, `exact`.
+    *
+    * Shape = [[rougeScores]]' n = 1 arm plus one extra pair-list-sized
+    * join per side for the normalized-sequence equality — cost bounded
+    * by the pair list and the unigram table, never a pair-cross. */
+  def tokenF1Scores(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p = graft.CacheScope.track(
+      pairs.select(col(aCol).cast("long").as("id_a"), col(bCol).cast("long").as("id_b"))
+        .cache())
+    val members = p.select(col("id_a").as("_m")).union(p.select(col("id_b"))).distinct()
+    val toks = graft.CacheScope.track(
+      docs.join(members, col(idCol).cast("long") === col("_m"), "left_semi")
+        .select(col(idCol).cast("long").as("_id"),
+          TextFunctions.tokens(col(textCol)).as("_toks"))
+        .cache())
+    val counts = graft.CacheScope.track(
+      toks.select(col("_id"), explode(col("_toks")).as("_g"))
+        .groupBy("_id", "_g").agg(count(lit(1)).as("_c"))
+        .cache())
+    val totals = counts.groupBy("_id").agg(sum(col("_c")).as("_t"))
+    val matches = p
+      .join(counts.select(col("_id").as("id_a"), col("_g"), col("_c").as("_ca")), Seq("id_a"))
+      .join(counts.select(col("_id").as("id_b"), col("_g"), col("_c").as("_cb")),
+        Seq("id_b", "_g"))
+      .groupBy("id_a", "id_b").agg(sum(least(col("_ca"), col("_cb"))).as("_m"))
+    val norm = toks.select(col("_id"), array_join(col("_toks"), " ").as("_s"))
+    val j = p
+      .join(matches, Seq("id_a", "id_b"), "left")
+      .join(totals.select(col("_id").as("id_a"), col("_t").as("_ta")), Seq("id_a"), "left")
+      .join(totals.select(col("_id").as("id_b"), col("_t").as("_tb")), Seq("id_b"), "left")
+      .join(norm.select(col("_id").as("id_a"), col("_s").as("_sa")), Seq("id_a"))
+      .join(norm.select(col("_id").as("id_b"), col("_s").as("_sb")), Seq("id_b"))
+    val ta = coalesce(col("_ta"), lit(0L))
+    val tb = coalesce(col("_tb"), lit(0L))
+    j.select(col("id_a"), col("id_b"),
+      when(ta > 0, expr("(1000000 * coalesce(_m, 0L)) div _ta")).otherwise(0L)
+        .as("f1_p_micro"),
+      when(tb > 0, expr("(1000000 * coalesce(_m, 0L)) div _tb")).otherwise(0L)
+        .as("f1_r_micro"),
+      when(ta + tb > 0,
+        expr("(2000000 * coalesce(_m, 0L)) div (coalesce(_ta, 0L) + coalesce(_tb, 0L))"))
+        .otherwise(0L).as("f1_micro"),
+      (col("_sa") === col("_sb")).cast("int").as("exact"))
+  }
 }

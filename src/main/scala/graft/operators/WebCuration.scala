@@ -120,35 +120,42 @@ object WebCuration {
     * anywhere, and at least `minKeptLines` lines survive. Output per
     * input document: `clean_text` (kept lines re-joined with `\n`; empty
     * when the doc is dropped), `n_lines`, `n_kept`, `doc_kept` — the
-    * stats row a curation report needs even for dropped docs.
+    * stats row a curation report needs even for dropped docs — plus any
+    * `keepCols` passed through unchanged (e.g. the ORIGINAL text, so a
+    * downstream scorer can compare before/after in the same row).
     *
     * Shape: line array materialized once, per-line predicates as array
     * lambdas over that attribute, re-join via `array_join` — a pure
     * per-row projection (no explode/regroup round-trip: the line grain
     * never leaves the row), no shuffle, stream-safe. */
   def c4Clean(docs: DataFrame, idCol: String, textCol: String,
-      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+      minLineWords: Int = 5, minKeptLines: Int = 3,
+      keepCols: Seq[String] = Nil): DataFrame = {
     require(minLineWords >= 1, "minLineWords >= 1")
     require(minKeptLines >= 0, "minKeptLines >= 0")
-    val base = docs.select(col(idCol), col(textCol),
+    // keepCols ride through unchanged (idCol/textCol dedup'd — textCol is
+    // carried anyway and re-emitted only when asked for)
+    val extra = keepCols.filterNot(Set(idCol, textCol)).map(col)
+    val base = docs.select(col(idCol) +: col(textCol) +:
       filter(transform(split(col(textCol), "\n"), l => trim(l)),
-        l => l =!= "").as("_lines"))
+        l => l =!= "").as("_lines") +: extra: _*)
     def lineKeep(l: org.apache.spark.sql.Column) =
       l.rlike("[.!?\"]$") &&
         size(split(l, "\\s+")) >= minLineWords &&
         !lower(l).contains("javascript")
-    val kept = base.select(col(idCol),
-      col("_lines"),
-      filter(col("_lines"), lineKeep _).as("_kept"),
+    val kept = base.select(col(idCol) +: col(textCol) +:
+      col("_lines") +:
+      filter(col("_lines"), lineKeep _).as("_kept") +:
       (!lower(col(textCol)).contains("lorem ipsum") &&
-        !col(textCol).contains("{")).as("_doc_ok"))
-    kept.select(col(idCol),
+        !col(textCol).contains("{")).as("_doc_ok") +: extra: _*)
+    val passthrough = keepCols.filterNot(_ == idCol).map(col)
+    kept.select(col(idCol) +:
       when(col("_doc_ok") && size(col("_kept")) >= minKeptLines,
-        array_join(col("_kept"), "\n")).otherwise(lit("")).as("clean_text"),
-      size(col("_lines")).cast("long").as("n_lines"),
-      size(col("_kept")).cast("long").as("n_kept"),
+        array_join(col("_kept"), "\n")).otherwise(lit("")).as("clean_text") +:
+      size(col("_lines")).cast("long").as("n_lines") +:
+      size(col("_kept")).cast("long").as("n_kept") +:
       (col("_doc_ok") && size(col("_kept")) >= minKeptLines)
-        .cast("int").as("doc_kept"))
+        .cast("int").as("doc_kept") +: passthrough: _*)
   }
 
   /** CCNet perplexity bucketing (Wenzek et al. 2020): per `byCol`

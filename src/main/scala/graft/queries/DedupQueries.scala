@@ -197,6 +197,25 @@ object DedupQueries {
       pairs, "id_a", "id_b")
   }
 
+  // chrF over the q134/q181 pair set — the tokenization-free eval
+  // metric (character n-grams, n = 1..3, beta = 2): candidate = id_a,
+  // reference = id_b.
+  def q182Chrf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.4)
+    graft.operators.TextOps.chrfScores(docs, "doc_id", "text",
+      pairs, "id_a", "id_b", maxN = 3)
+  }
+
+  // Token-level F1 + exact match (SQuAD answer scoring) over the same
+  // pair set — every metric an exact integer, no doubles anywhere.
+  def q183TokenF1(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.4)
+    graft.operators.TextOps.tokenF1Scores(docs, "doc_id", "text",
+      pairs, "id_a", "id_b")
+  }
+
   // Curation v6 — the graph-era operators composed end to end: exact
   // cosine near-dup pairs -> connected components -> PageRank centrality
   // over the kNN graph -> keep the most CENTRAL member of every
@@ -237,6 +256,8 @@ object DedupQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_rouge" -> q134Rouge,
     "q181_bleu" -> q181Bleu,
+    "q182_chrf" -> q182Chrf,
+    "q183_token_f1" -> q183TokenF1,
     "q139_dedup_aware_split" -> q139DedupAwareSplit,
     "q135_curation_v6" -> q135CurationV6,
     "q120_dedup_keep_best" -> q120DedupKeepBest,
@@ -385,6 +406,102 @@ object DedupQueries {
         FROM bpc"""
   }
 
+  /** q182 oracle: chrF over character-gram count tables — per-order
+    * clipped precision/recall, arithmetic means over n = 1..3, F-beta
+    * (beta = 2) in FIXED-order double arithmetic micro-quantized (the
+    * q181 IEEE-replay convention). */
+  private val q182OracleSql: String = {
+    def charGramsSql(n: Int, name: String) =
+      s"""$name AS MATERIALIZED (
+           SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(length(s) - ${n - 1}, 0)),
+               i -> substr(s, i, $n))) AS g
+             FROM chars) GROUP BY doc_id, g)"""
+    def matchSql(n: Int) =
+      s"""cm$n AS (SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+           FROM p JOIN cg$n a ON a.doc_id = p.id_a
+           JOIN cg$n b ON b.doc_id = p.id_b AND b.g = a.g
+           GROUP BY 1, 2)"""
+    val fracs = (1 to 3).map { n =>
+      s"""CASE WHEN coalesce(ta$n, 0) > 0
+            THEN CAST(coalesce(m$n, 0) AS DOUBLE) / CAST(ta$n AS DOUBLE)
+            ELSE 0.0 END AS p$n,
+          CASE WHEN coalesce(tb$n, 0) > 0
+            THEN CAST(coalesce(m$n, 0) AS DOUBLE) / CAST(tb$n AS DOUBLE)
+            ELSE 0.0 END AS r$n"""
+    }.mkString(",\n          ")
+    s"""WITH ${jaccardCtesSql(3, 0.4)},
+        p AS MATERIALIZED (SELECT id_a, id_b FROM jp),
+        chars AS MATERIALIZED (
+          SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS s FROM documents
+          WHERE doc_id IN (SELECT id_a FROM p UNION SELECT id_b FROM p)),
+        ${charGramsSql(1, "cg1")}, ${charGramsSql(2, "cg2")}, ${charGramsSql(3, "cg3")},
+        ct1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM cg1 GROUP BY 1),
+        ct2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM cg2 GROUP BY 1),
+        ct3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM cg3 GROUP BY 1),
+        ${matchSql(1)}, ${matchSql(2)}, ${matchSql(3)},
+        pr AS (SELECT p.id_a, p.id_b,
+            cm1.m AS m1, cm2.m AS m2, cm3.m AS m3,
+            ta1.t AS ta1, ta2.t AS ta2, ta3.t AS ta3,
+            tb1.t AS tb1, tb2.t AS tb2, tb3.t AS tb3
+          FROM p
+          LEFT JOIN cm1 ON cm1.id_a = p.id_a AND cm1.id_b = p.id_b
+          LEFT JOIN cm2 ON cm2.id_a = p.id_a AND cm2.id_b = p.id_b
+          LEFT JOIN cm3 ON cm3.id_a = p.id_a AND cm3.id_b = p.id_b
+          LEFT JOIN ct1 ta1 ON ta1.doc_id = p.id_a
+          LEFT JOIN ct2 ta2 ON ta2.doc_id = p.id_a
+          LEFT JOIN ct3 ta3 ON ta3.doc_id = p.id_a
+          LEFT JOIN ct1 tb1 ON tb1.doc_id = p.id_b
+          LEFT JOIN ct2 tb2 ON tb2.doc_id = p.id_b
+          LEFT JOIN ct3 tb3 ON tb3.doc_id = p.id_b),
+        fr AS (SELECT id_a, id_b, $fracs FROM pr),
+        avgs AS (SELECT id_a, id_b,
+            (p1 + p2 + p3) / 3.0 AS pa, (r1 + r2 + r3) / 3.0 AS ra
+          FROM fr)
+        SELECT id_a, id_b,
+          CAST(round(1000000.0 * pa) AS BIGINT) AS chrf_p_micro,
+          CAST(round(1000000.0 * ra) AS BIGINT) AS chrf_r_micro,
+          CASE WHEN 4.0 * pa + ra > 0
+            THEN CAST(round(1000000.0 * (5.0 * pa * ra / (4.0 * pa + ra))) AS BIGINT)
+            ELSE 0 END AS chrf_micro
+        FROM avgs"""
+  }
+
+  /** q183 oracle: unigram clipped overlap + the normalized-sequence
+    * equality — every exported metric an exact integer floor division,
+    * so the hash match is arithmetic identity. */
+  private val q183OracleSql: String =
+    s"""WITH ${jaccardCtesSql(3, 0.4)},
+        p AS MATERIALIZED (SELECT id_a, id_b FROM jp),
+        toks AS MATERIALIZED (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+          WHERE doc_id IN (SELECT id_a FROM p UNION SELECT id_b FROM p)),
+        u AS MATERIALIZED (
+          SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY doc_id, g),
+        ut AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM u GROUP BY 1),
+        um AS (SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+          FROM p JOIN u a ON a.doc_id = p.id_a
+          JOIN u b ON b.doc_id = p.id_b AND b.g = a.g
+          GROUP BY 1, 2),
+        norm AS (SELECT doc_id, array_to_string(t, ' ') AS s FROM toks),
+        pr AS (SELECT p.id_a, p.id_b,
+            coalesce(um.m, 0) AS m, coalesce(ta.t, 0) AS ta, coalesce(tb.t, 0) AS tb,
+            na.s AS sa, nb.s AS sb
+          FROM p
+          LEFT JOIN um ON um.id_a = p.id_a AND um.id_b = p.id_b
+          LEFT JOIN ut ta ON ta.doc_id = p.id_a
+          LEFT JOIN ut tb ON tb.doc_id = p.id_b
+          JOIN norm na ON na.doc_id = p.id_a
+          JOIN norm nb ON nb.doc_id = p.id_b)
+        SELECT id_a, id_b,
+          CASE WHEN ta > 0 THEN (1000000 * m) // ta ELSE 0 END AS f1_p_micro,
+          CASE WHEN tb > 0 THEN (1000000 * m) // tb ELSE 0 END AS f1_r_micro,
+          CASE WHEN ta + tb > 0 THEN (2000000 * m) // (ta + tb) ELSE 0 END AS f1_micro,
+          CAST(sa = sb AS INT) AS exact
+        FROM pr"""
+
   /** q135 oracle: the composition replayed — kNN + unrolled PageRank
     * (shared fragments with q108/q132), cosine pairs + recursive-CTE
     * components (shared shape with q55), then keep-most-central. */
@@ -419,6 +536,8 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q134_rouge" -> q134OracleSql,
     "q181_bleu" -> q181OracleSql,
+    "q182_chrf" -> q182OracleSql,
+    "q183_token_f1" -> q183OracleSql,
     "q139_dedup_aware_split" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
           pairs AS (

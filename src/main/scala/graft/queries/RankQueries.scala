@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Rank, Relational}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Ranking / mixture-allocation query pack — the RLHF-leaderboard and
+  * data-mixing tail of the LLM pipeline surface:
+  *
+  *   - q184: Bradley-Terry strength ratings from pairwise outcomes
+  *     (here: within-order quantity duels between parts — the
+  *     basket-preference shape), fixed MM rounds, integer micro-units,
+  *     replayed in DuckDB as an unrolled CTE chain (the q132 pattern).
+  *   - q185: UniMax epoch-capped token-budget allocation across the
+  *     corpus sources, budget = half the corpus (derived in-query, so
+  *     every scale factor exercises a mixed capped/uncapped profile).
+  *   - q187: composition — the q178 DPO preference pairs feed a
+  *     Bradley-Terry leaderboard over sentence positions (chosen beats
+  *     rejected), chaining the chat era into the ranking era.
+  */
+object RankQueries {
+
+  /** Within-order duels: for every order, each line's part "beats" every
+    * other line's part bought in strictly smaller quantity (same-part
+    * duels excluded). Group-keyed self-join — candidates bounded by
+    * order size squared (the q158 co-occurrence shape), never
+    * vocabulary- or corpus-crossed. */
+  private def partDuels(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("_o"), col("l_partkey"), col("l_quantity"))
+    li.select(col("_o"), col("l_partkey").as("_pw"), col("l_quantity").as("_qw"))
+      .join(li.select(col("_o"), col("l_partkey").as("_pl"), col("l_quantity").as("_ql")),
+        Seq("_o"))
+      .filter(col("_qw") > col("_ql") && col("_pw") =!= col("_pl"))
+      .select(col("_pw").as("winner"), col("_pl").as("loser"))
+  }
+
+  def q184BradleyTerry(s: SparkSession, d: String): DataFrame =
+    Rank.bradleyTerry(partDuels(s, d), "winner", "loser", rounds = 6)
+
+  // UniMax allocation across LANGUAGES — the paper's own scenario: a
+  // training budget LARGER than the corpus (2.5×, derived in-query via a
+  // 1-row aggregate collect — driver-side scalar, the operator itself
+  // never sees corpus rows past its one aggregation) with a 3-epoch cap.
+  // At every SF's language mix the four small languages hit their
+  // 3-epoch cap and `en` takes the equal-share remainder — both arms of
+  // the water-filling live in the gate.
+  def q185Unimax(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    val budget = docs.agg(sum(toks).as("t")).head().getLong(0) * 5 / 2
+    Relational.unimaxAllocation(docs.select(col("lang"), toks.as("_t")),
+      "lang", "_t", budget, maxEpochs = 3)
+  }
+
+  // Composition: DPO preference pairs (q178) -> Bradley-Terry
+  // leaderboard over sentence POSITIONS (the chosen sent_idx beats the
+  // rejected one, one duel per prompt).
+  def q187PreferenceLeaderboard(s: SparkSession, d: String): DataFrame =
+    Rank.bradleyTerry(
+      WebQueries.q178PreferencePairs(s, d)
+        .select(col("chosen_id").as("winner"), col("rejected_id").as("loser")),
+      "winner", "loser", rounds = 4)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_bradley_terry" -> q184BradleyTerry,
+    "q185_unimax" -> q185Unimax,
+    "q187_preference_leaderboard" -> q187PreferenceLeaderboard)
+
+  /** The integer Bradley-Terry MM recurrence unrolled as CTEs over a
+    * `comps(w, l)` relation — shared by q184 and the q187 composition
+    * (the pageRankChainCtes discipline: "what BT computes" is defined
+    * once). HUGEINT products mirror the engine's decimal(38,0); `//` on
+    * the non-negative values equals the engine's pmod floor division.
+    * Ends at `g$rounds(item, g)` + `items(item, comps)` + `wins`. */
+  private def btRoundsSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""cc AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+            CAST(count(*) AS BIGINT) AS n FROM comps GROUP BY 1, 2),
+        dir AS (SELECT i AS item, j AS opp, n FROM cc
+                UNION ALL SELECT j, i, n FROM cc),
+        wins AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+                 FROM comps GROUP BY 1),
+        items AS MATERIALIZED (SELECT item, CAST(sum(n) AS BIGINT) AS comps
+                 FROM dir GROUP BY 1),
+        g0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS g FROM items)"""
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+        d$k AS (SELECT d.item,
+            sum((CAST(d.n AS HUGEINT) * 1000000000000) // (gi.g + gj.g)) AS D
+          FROM dir d
+          JOIN g${k - 1} gi ON gi.item = d.item
+          JOIN g${k - 1} gj ON gj.item = d.opp
+          GROUP BY 1),
+        p$k AS (SELECT i.item,
+            CASE WHEN dd.D > 0
+              THEN (CAST(coalesce(w.wins, 0) AS HUGEINT) * 1000000000000) // dd.D
+              ELSE 0 END AS gp
+          FROM items i
+          JOIN d$k dd ON dd.item = i.item
+          LEFT JOIN wins w ON w.item = i.item),
+        t$k AS (SELECT sum(gp) AS T, count(*) AS N FROM p$k),
+        g$k AS MATERIALIZED (SELECT p.item,
+            CASE WHEN t.T > 0
+              THEN CAST((p.gp * t.N * 1000000) // t.T AS BIGINT)
+              ELSE 0 END AS g
+          FROM p$k p, t$k t)"""
+    }
+    sb.toString
+  }
+
+  private def btFinalSql(rounds: Int): String =
+    s"""SELECT i.item AS item_id, g.g AS rating_micro,
+          CAST(coalesce(w.wins, 0) AS BIGINT) AS wins, i.comps AS comparisons
+        FROM items i
+        JOIN g$rounds g ON g.item = i.item
+        LEFT JOIN wins w ON w.item = i.item"""
+
+  private val q184OracleSql: String =
+    s"""WITH comps AS (
+          SELECT a.l_partkey AS w, b.l_partkey AS l
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_quantity > b.l_quantity
+           AND a.l_partkey <> b.l_partkey),
+        ${btRoundsSql(6)}
+        ${btFinalSql(6)}"""
+
+  private val q185OracleSql: String =
+    s"""WITH src AS (
+          SELECT lang AS source,
+            CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+              AS total_tokens
+          FROM documents GROUP BY 1),
+        b AS (SELECT (CAST(sum(total_tokens) AS BIGINT) * 5) // 2 AS budget FROM src),
+        r AS (SELECT s.source, s.total_tokens, s.total_tokens * 3 AS cap,
+            row_number() OVER (ORDER BY s.total_tokens, s.source) AS i,
+            (SELECT count(*) FROM src) AS k,
+            coalesce(sum(s.total_tokens * 3) OVER (
+              ORDER BY s.total_tokens, s.source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS capsum
+          FROM src s),
+        c AS (SELECT r.*,
+            (cap * (k - i + 1) <= (SELECT budget FROM b) - capsum) AS capped
+          FROM r),
+        cut AS (SELECT
+            CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS t,
+            CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS cumcap,
+            max(k) AS kk
+          FROM c),
+        alloc AS (SELECT c.source, c.total_tokens,
+            CASE WHEN c.capped THEN c.cap
+                 WHEN cut.kk > cut.t
+                   THEN ((SELECT budget FROM b) - cut.cumcap) // (cut.kk - cut.t)
+                 ELSE 0 END AS allocated_tokens,
+            CAST(c.capped AS INT) AS capped
+          FROM c, cut)
+        SELECT source, total_tokens, allocated_tokens, capped,
+          CASE WHEN total_tokens > 0
+            THEN (1000000 * allocated_tokens) // total_tokens
+            ELSE 0 END AS epochs_micro
+        FROM alloc"""
+
+  private val q187OracleSql: String =
+    s"""WITH pref AS (${WebQueries.oracles("q178_preference_pairs")}),
+        comps AS (SELECT chosen_id AS w, rejected_id AS l FROM pref),
+        ${btRoundsSql(4)}
+        ${btFinalSql(4)}"""
+
+  val oracles: Map[String, String] = Map(
+    "q184_bradley_terry" -> q184OracleSql,
+    "q185_unimax" -> q185OracleSql,
+    "q187_preference_leaderboard" -> q187OracleSql)
+}

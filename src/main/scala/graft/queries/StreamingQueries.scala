@@ -269,6 +269,23 @@ object StreamingQueries {
       cands, "doc_id", "sent_idx", "score", minMargin = 1L), "complete")
   }
 
+  // Streaming cleaning-drift scorer: the C4 line cleaner runs over a
+  // DOCUMENT STREAM with the original text riding along (c4Clean
+  // keepCols), and the per-row token-F1 scalar scores clean-vs-original
+  // in the same projection — retention of a cleaning stage measured in
+  // flight, zero state, scan speed. Own oracle (the scalar replayed
+  // relationally: unnest both sides, clipped unigram overlap).
+  def q186StreamRetentionF1(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val cleaned = graft.operators.WebCuration.c4Clean(
+      WebQueries.webAugment(docs), "doc_id", "text", keepCols = Seq("text"))
+    drain(cleaned.select(col("doc_id"), col("n_lines"), col("n_kept"), col("doc_kept"),
+      graft.functions.TextFunctions.tokenF1Micro(col("clean_text"), col("text"))
+        .as("retention_f1_micro")), "append")
+  }
+
   def q136StreamFim(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -547,6 +564,7 @@ object StreamingQueries {
     "q136_stream_fim" -> q136StreamFim,
     "q176_stream_gopher" -> q176StreamGopher,
     "q180_stream_preference_pairs" -> q180StreamPreferencePairs,
+    "q186_stream_retention_f1" -> q186StreamRetentionF1,
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
@@ -557,12 +575,53 @@ object StreamingQueries {
   private val cents = (x: String) => s"CAST(round($x*100) AS BIGINT)"
   private val sumL = (x: String) => s"CAST(sum($x) AS BIGINT)"
 
+  /** q186 oracle: the web shell + C4 CTE fragments (shared with q173 —
+    * the cleaner cannot drift between gates), then the token-F1 scalar
+    * replayed RELATIONALLY: unnest both token streams, clipped unigram
+    * overlap per doc, exact integer floor division. An inner token join
+    * equals the scalar's distinct-token min-sum (tokens absent from one
+    * side contribute min(·,0) = 0). */
+  private val q186OracleSql: String =
+    s"""WITH aug AS (SELECT doc_id, ${WebQueries.webAugmentSql} AS text FROM documents),
+        ${WebQueries.c4CtesSql("aug")},
+        cl AS MATERIALIZED (
+          SELECT k.doc_id,
+            CASE WHEN k.doc_ok AND len(k.kept) >= 3
+              THEN array_to_string(k.kept, chr(10)) ELSE '' END AS clean_text,
+            CAST(len(k.lines) AS BIGINT) AS n_lines,
+            CAST(len(k.kept) AS BIGINT) AS n_kept,
+            CAST(k.doc_ok AND len(k.kept) >= 3 AS INT) AS doc_kept,
+            a.text
+          FROM k JOIN aug a ON a.doc_id = k.doc_id),
+        tt AS MATERIALIZED (
+          SELECT doc_id,
+            string_split_regex(trim(clean_text), '\\s+') AS ta,
+            string_split_regex(trim(text), '\\s+') AS tb
+          FROM cl),
+        ca AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, unnest(ta) AS g FROM tt) GROUP BY doc_id, g),
+        cb AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, unnest(tb) AS g FROM tt) GROUP BY doc_id, g),
+        m AS (SELECT ca.doc_id, CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS m
+          FROM ca JOIN cb ON ca.doc_id = cb.doc_id AND ca.g = cb.g
+          GROUP BY 1),
+        l AS (SELECT doc_id, CAST(len(ta) AS BIGINT) AS la,
+            CAST(len(tb) AS BIGINT) AS lb FROM tt)
+        SELECT cl.doc_id, cl.n_lines, cl.n_kept, cl.doc_kept,
+          CASE WHEN l.la + l.lb > 0
+            THEN (2000000 * coalesce(m.m, 0)) // (l.la + l.lb)
+            ELSE 0 END AS retention_f1_micro
+        FROM cl
+        JOIN l ON l.doc_id = cl.doc_id
+        LEFT JOIN m ON m.doc_id = cl.doc_id"""
+
   val oracles: Map[String, String] = Map(
     // the batch oracle verbatim: stream and browse must agree exactly
     "q78_stream_redact" -> TextQueries.oracles("q64_pii_redact"),
     "q136_stream_fim" -> TextQueries.oracles("q131_fim"),
     "q176_stream_gopher" -> WebQueries.oracles("q172_gopher_rules"),
     "q180_stream_preference_pairs" -> WebQueries.oracles("q178_preference_pairs"),
+    "q186_stream_retention_f1" -> q186OracleSql,
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),

@@ -228,7 +228,7 @@ object WebQueries {
 
   /** The C4 keep CTEs over a rel exposing (doc_id, text): exposes `k`
     * with (doc_id, lines, kept, doc_ok) — shared by q173 and q177. */
-  private def c4CtesSql(src: String): String =
+  private[queries] def c4CtesSql(src: String): String =
     s"""cf AS (
             SELECT doc_id, text,
               list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),

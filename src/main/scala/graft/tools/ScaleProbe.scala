@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Bpe, Dedup, Embeddings, Events, Relational, Similarity, TextOps}
+import graft.operators.{Bpe, Dedup, Embeddings, Events, Rank, Relational, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -586,6 +586,43 @@ object ScaleProbe {
     }
     time("bleu pairs 1x")(bleuX(1))
     time("bleu pairs 10x (10x docs and pairs)")(bleuX(10))
+
+    // --- chrf: character-gram count tables (3 orders) — same pair/gram
+    // shape as rouge/bleu, gram cardinality bounded by alphabet^n
+    def chrfX(k: Int): Long = {
+      val d = docsX(k)
+      val p = d.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      TextOps.chrfScores(d, "doc_id", "text", p, "id_a", "id_b")
+        .agg(sum(col("chrf_micro"))).head().getLong(0)
+    }
+    time("chrf pairs 1x")(chrfX(1))
+    time("chrf pairs 10x (10x docs and pairs)")(chrfX(10))
+
+    // --- token F1: the n=1 arm plus the normalized-equality joins
+    def tokF1X(k: Int): Long = {
+      val d = docsX(k)
+      val p = d.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      TextOps.tokenF1Scores(d, "doc_id", "text", p, "id_a", "id_b")
+        .agg(sum(col("f1_micro"))).head().getLong(0)
+    }
+    time("token-f1 pairs 1x")(tokF1X(1))
+    time("token-f1 pairs 10x (10x docs and pairs)")(tokF1X(10))
+
+    // --- bradley-terry: synthetic duel log over a fixed 10k-item pool —
+    // comparisons grow 10x, the per-round pair frame is bounded by
+    // DISTINCT (i,j) pairs, rounds fixed at 6
+    def btX(n: Long): Long = {
+      val comps = spark.range(n).select(
+        (col("id") % 9973L).as("w"),
+        ((col("id") * 31L + 7L) % 9973L).as("l"))
+        .filter(col("w") =!= col("l"))
+      Rank.bradleyTerry(comps, "w", "l", rounds = 6)
+        .agg(sum(col("rating_micro"))).head().getLong(0)
+    }
+    time("bradley-terry 1x (500k duels, 10k items, 6 rounds)")(btX(500000L))
+    time("bradley-terry 10x (5M duels)")(btX(5000000L))
 
     // --- k-anonymity: fixed combination space, 10x rows (level counts
     // shift toward 0 as groups fill — the aggregation is the cost)

@@ -14,8 +14,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 190 queries, unique names") {
-    assert(SparkEntry.queries.size == 190)
+  test("gate inventory: 196 queries, unique names") {
+    assert(SparkEntry.queries.size == 196)
   }
 
   test("round-9 web-curation family: all ten gates oracle-backed") {
@@ -26,6 +26,14 @@ class SparkEntrySpec extends SparkSpec {
     assert(r9.subsetOf(SparkEntry.queries.keySet))
     assert(r9.subsetOf(SparkEntry.oracleSql.keySet),
       "the web-curation family must never be rows-only")
+  }
+
+  test("round-9 eval/ranking family: all six gates oracle-backed") {
+    val fam = Set("q182_chrf", "q183_token_f1", "q184_bradley_terry",
+      "q185_unimax", "q186_stream_retention_f1", "q187_preference_leaderboard")
+    assert(fam.subsetOf(SparkEntry.queries.keySet))
+    assert(fam.subsetOf(SparkEntry.oracleSql.keySet),
+      "the eval/ranking family must never be rows-only")
   }
 
   test("audit family: every round-8 audit gate carries a full oracle") {

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bradleyTerry: two-item hand case hits the exact MM fixed point") {
+    // A(1) beats B(2) 3 times, B beats A once -> MLE odds 3:1; with the
+    // mean-1e6 gauge that is exactly (1_500_000, 500_000), and the
+    // integer recurrence reaches it in ONE round and stays:
+    //   t = 4e12 div 2e6 = 2e6 = D for both
+    //   g'A = 3e12 div 2e6 = 1_500_000 ; g'B = 1e12 div 2e6 = 500_000
+    //   T = 2e6, N = 2 -> normalization is the identity here
+    val comps = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)).toDF("w", "l")
+    for (rounds <- Seq(1, 4)) {
+      val out = Rank.bradleyTerry(comps, "w", "l", rounds)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(out(1L) == ((1500000L, 3L, 4L)), s"rounds=$rounds: ${out(1L)}")
+      assert(out(2L) == ((500000L, 1L, 4L)), s"rounds=$rounds: ${out(2L)}")
+      graft.CacheScope.release()
+    }
+  }
+
+  test("bradleyTerry: transitive chain orders items; zero-win item rates 0; gauge holds") {
+    // A beats B twice, B beats C twice, A beats C once
+    val comps = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L), (1L, 3L)).toDF("w", "l")
+    val out = Rank.bradleyTerry(comps, "w", "l", rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.release()
+    assert(out(1L) > out(2L) && out(2L) > out(3L), out)
+    assert(out(3L) == 0L, "never-winning item is the W=0 MM fixed point")
+    // normalization gauge: mean 1e6 up to per-item truncation
+    val total = out.values.sum
+    assert(total <= 3000000L && total > 3000000L - 10L, s"gauge drifted: $total")
+  }
+
+  test("bradleyTerry: deterministic across runs and input row order") {
+    val comps = graft.Tables.lineitem(spark, sf)
+      .limit(500)
+      .select(col("l_partkey").cast("long").as("w"),
+        ((col("l_partkey") + col("l_suppkey")) % 200).cast("long").as("l"))
+      .filter(col("w") =!= col("l"))
+    val a = Rank.bradleyTerry(comps, "w", "l", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    graft.CacheScope.release()
+    val b = Rank.bradleyTerry(comps.orderBy(rand(42)), "w", "l", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    graft.CacheScope.release()
+    assert(a.sameElements(b), "row order must not change ratings")
+  }
+
+  test("bradleyTerry round plan: broadcast gamma joins leave the pair frame unshuffled") {
+    // the iterative-contract pin (the GraphSpec round-plan discipline):
+    // dir is repartitioned+sorted by _item once and cached; with the
+    // V-row gamma frame broadcast into both joins (what AQE decides at
+    // runtime against the checkpoint leaf — replicated here statically
+    // via a stats-bearing local gamma), a round's denominator
+    // aggregation reuses dir's partitioning: ZERO ShuffleExchange, both
+    // joins BroadcastHashJoin.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dir = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 2L), (3L, 2L, 2L))
+        .toDF("_item", "_opp", "_n")
+        .repartition(2, col("_item")).sortWithinPartitions("_item").cache()
+      dir.count()
+      val g = Seq((1L, 1000000L), (2L, 1000000L), (3L, 1000000L)).toDF("_item", "_g")
+      val round = dir
+        .join(g.select(col("_item"), col("_g").as("_gi")), Seq("_item"))
+        .join(g.select(col("_item").as("_opp"), col("_g").as("_gj")), Seq("_opp"))
+        .select(col("_item"), (col("_gi") + col("_gj")).as("_t"))
+        .groupBy("_item").agg(sum(col("_t")).as("_D"))
+      val exec = round.queryExecution.executedPlan
+      val nEx = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      val nBhj = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.size
+      assert(nEx == 0, s"round must reuse dir's partitioning, got $nEx Exchanges:\n$exec")
+      assert(nBhj == 2, s"gamma must broadcast into both joins, got $nBhj:\n$exec")
+      dir.unpersist()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("unimaxAllocation: hand-computed capped prefix + equal shares") {
+    val rows = Seq(("s1", 100L), ("s2", 1000L), ("s3", 10000L))
+      .flatMap { case (s, n) => Seq((s, n / 2), (s, n - n / 2)) } // two rows per source
+      .toDF("source", "tokens")
+    val out = Relational.unimaxAllocation(rows, "source", "tokens",
+        budgetTokens = 6000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+    // s1: cap 400, capped (400*3 <= 6000); s2/s3 uncapped,
+    // share = (6000-400) div 2 = 2800 each
+    assert(out("s1") == ((100L, 400L, 1, 4000000L)), out)
+    assert(out("s2") == ((1000L, 2800L, 0, 2800000L)), out)
+    assert(out("s3") == ((10000L, 2800L, 0, 280000L)), out)
+  }
+
+  test("unimaxAllocation: laws — budget never exceeded, caps respected, uncapped equal") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), graft.functions.TextFunctions.tokenCount(col("text")).as("t"))
+    for (budget <- Seq(0L, 1000L, 50000L, 100000000L)) {
+      val rows = Relational.unimaxAllocation(docs, "source", "t", budget, maxEpochs = 3)
+        .collect()
+      assert(rows.map(_.getLong(2)).sum <= budget, s"budget=$budget over-allocated")
+      rows.foreach { r =>
+        assert(r.getLong(2) <= 3 * r.getLong(1), s"budget=$budget cap broken: $r")
+      }
+      val uncapped = rows.filter(_.getInt(3) == 0).map(_.getLong(2)).distinct
+      assert(uncapped.length <= 1, s"budget=$budget uncapped shares differ")
+    }
+  }
+}

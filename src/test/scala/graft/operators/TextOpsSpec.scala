@@ -746,6 +746,79 @@ class TextOpsSpec extends SparkSpec {
     assert(out((1L, 5L)) == ((0L, 0L, 1000000L, 0L)), out)
   }
 
+  test("chrfScores: hand-computed per-order means and F-beta") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc ab"),   // chars "abcab": 1g a:2 b:2 c:1 (5); 2g ab:2 bc:1 ca:1 (4)
+      (2L, "abc"),      // chars "abc":   1g a,b,c (3); 2g ab, bc (2)
+      (3L, "xy"),       // no overlap with 1
+      (4L, "a")         // single char: NO 2-grams
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 2L)).toDF("id_a", "id_b")
+    val out = TextOps.chrfScores(docs, "doc_id", "text", pairs, "id_a", "id_b", maxN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("chrf_p_micro"), r.getAs[Long]("chrf_r_micro"),
+          r.getAs[Long]("chrf_micro")))).toMap
+    graft.CacheScope.release()
+    // (1,2): m1=3 ta1=5 tb1=3; m2=2 ta2=4 tb2=2
+    //   P=(3/5+2/4)/2=0.55  R=(1+1)/2=1.0  F2=5*0.55*1/(4*0.55+1)=0.859375
+    assert(out((1L, 2L)) == ((550000L, 1000000L, 859375L)), out)
+    // (1,3): zero overlap everywhere
+    assert(out((1L, 3L)) == ((0L, 0L, 0L)), out)
+    // (4,2): candidate "a": m1=1 ta1=1; no 2-grams on the candidate side
+    //   P=(1/1+0)/2=0.5  R=(1/3+0)/2=1/6  F2=5*0.5*(1/6)/(4*0.5+1/6)
+    val p = 0.5; val r = (1.0 / 3.0 + 0.0) / 2.0
+    val f = 5.0 * p * r / (4.0 * p + r)
+    assert(out((4L, 2L)) == ((500000L, math.round(1e6 * r), math.round(1e6 * f))), out)
+  }
+
+  test("tokenF1Scores: exact integer P/R/F1 and normalized exact-match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat"),
+      (3L, "the  cat sat "),  // whitespace-normalizes equal to doc 1
+      (4L, "dog")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = TextOps.tokenF1Scores(docs, "doc_id", "text", pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("f1_p_micro"), r.getAs[Long]("f1_r_micro"),
+          r.getAs[Long]("f1_micro"), r.getAs[Int]("exact")))).toMap
+    graft.CacheScope.release()
+    // (1,2): m=2 ta=3 tb=2 -> p=666666 r=1e6 f1=4e6 div 5=800000
+    assert(out((1L, 2L)) == ((666666L, 1000000L, 800000L, 0)), out)
+    assert(out((1L, 3L)) == ((1000000L, 1000000L, 1000000L, 1)),
+      "whitespace runs must not break exact match")
+    assert(out((1L, 4L)) == ((0L, 0L, 0L, 0)), out)
+  }
+
+  test("tokenF1Micro scalar agrees with the relational pair operator") {
+    import spark.implicits._
+    // hand values first
+    // NOTE split(trim('')) is [''] in BOTH engines — two empty strings
+    // are the SAME one-empty-token sequence, so their F1 is 1.0
+    val hand = Seq(("the cat sat", "the cat"), ("", ""), ("a", "b"))
+      .toDF("a", "b")
+      .select(graft.functions.TextFunctions.tokenF1Micro(col("a"), col("b")).as("f"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hand == Seq(800000L, 1000000L, 0L), hand)
+    // law: scalar(a_text, b_text) == pair-operator f1 on adjacent-id pairs
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").limit(300)
+    val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+    val rel = TextOps.tokenF1Scores(docs, "doc_id", "text", pairs, "id_a", "id_b")
+      .select(col("id_a"), col("f1_micro"))
+    val sc = docs.select(col("doc_id").as("id_a"), col("text").as("_ta"))
+      .join(docs.select((col("doc_id") - 1).as("id_a"), col("text").as("_tb")), Seq("id_a"))
+      .select(col("id_a"),
+        graft.functions.TextFunctions.tokenF1Micro(col("_ta"), col("_tb")).as("f1_scalar"))
+    val joined = rel.join(sc, Seq("id_a"))
+      .filter(col("f1_micro") =!= col("f1_scalar")).count()
+    graft.CacheScope.release()
+    assert(joined == 0L, "scalar and relational token-F1 disagree")
+  }
+
   test("spanCorrupt: splicing targets back into corrupted reconstructs every doc") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").limit(200)
     val out = TextOps.spanCorrupt(docs, "doc_id", "text", maskPct = 15, spanLen = 3)

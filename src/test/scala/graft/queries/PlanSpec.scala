@@ -776,6 +776,43 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q182 chrf / q183 token-f1: gram-keyed equi joins only — no cartesian/BNLJ") {
+    for (df <- Seq(DedupQueries.q182Chrf(spark, sf), DedupQueries.q183TokenF1(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "pair scoring degenerated to a pair-cross shape")
+      graft.CacheScope.release()
+    }
+  }
+
+  test("q184/q187 bradley-terry: final plan reads the checkpointed ratings — no cartesian") {
+    // the per-round shape is pinned in RankSpec (zero-Exchange broadcast
+    // rounds); here: the returned plan joins the cached items frame with
+    // the final checkpoint leaf and nothing quadratic survives
+    for (df <- Seq(RankQueries.q184BradleyTerry(spark, sf),
+        RankQueries.q187PreferenceLeaderboard(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), "pair-cross shape in the ratings plan")
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        "ratings must ride the final round's checkpoint")
+      graft.CacheScope.release()
+    }
+  }
+
+  test("q185 unimax: corpus aggregates once; windows ride the model-sized sources frame") {
+    val p = plan(RankQueries.q185Unimax(spark, sf))
+    // one corpus-grain scan inside the operator (the budget scalar is a
+    // separate driver-side 1-row action in the gate); the only join is
+    // the 1-row cutoff broadcast
+    assert(!p.contains("CartesianProduct"), "unexpected pair shape")
+    // the sources frame is cached, so the corpus-grain scan+aggregate
+    // executes once however many consumers read it (the plan text still
+    // PRINTS the cache's build scan under every InMemoryTableScan ref)
+    assert(p.contains("InMemoryTableScan"),
+      "cutoff and projection must both read the CACHED sources frame")
+    graft.CacheScope.release()
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
