@@ -1262,6 +1262,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "winner column"), litStr(exprs(2), "loser column"),
           litInt(exprs(3), "rounds")))
     }
+    registerTable("bradley_terry_weighted",
+      "bradley_terry_weighted('compsTable', 'winnerCol', 'loserCol', 'weightCol', rounds) - " +
+        "Bradley-Terry over a PRE-AGGREGATED duel log (each row counts weightCol " +
+        "duels) — equivalent to the exploded log; feeds drained streaming state", 5) {
+      exprs =>
+        expand(graft.operators.Rank.bradleyTerry(
+          SparkSession.active.table(litStr(exprs(0), "comparisons table")),
+          litStr(exprs(1), "winner column"), litStr(exprs(2), "loser column"),
+          litInt(exprs(4), "rounds"), litStr(exprs(3), "weight column")))
+    }
     registerTable("unimax",
       "unimax('table', 'sourceCol', 'tokensCol', budgetTokens, maxEpochs) - " +
         "UniMax epoch-capped token-budget allocation across sources " +

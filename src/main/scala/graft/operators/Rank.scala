@@ -49,21 +49,30 @@ object Rank {
     * inside the plan.
     *
     * Output: `(item_id, rating_micro, wins, comparisons)` — wins/
-    * comparisons are the exact integer tallies the rating explains. */
+    * comparisons are the exact integer tallies the rating explains.
+    *
+    * `weightCol` (optional): each input row counts as that many
+    * identical duels instead of 1 — the PRE-AGGREGATED duel-log form
+    * (e.g. a streaming pair-count state drained in complete mode feeds
+    * ratings without re-exploding to row grain); exactly equivalent to
+    * the exploded log (spec-tested law). */
   def bradleyTerry(comps: DataFrame, winnerCol: String, loserCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, weightCol: String = null): DataFrame = {
     require(rounds >= 1, "rounds >= 1")
     val idType = comps.schema(winnerCol).dataType
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = Option(weightCol).map(col(_).cast("long")).getOrElse(lit(1L))
     val c = graft.CacheScope.track(
-      comps.select(col(winnerCol).cast("long").as("_w"), col(loserCol).cast("long").as("_l"))
+      comps.select(col(winnerCol).cast("long").as("_w"), col(loserCol).cast("long").as("_l"),
+          w.as("_k"))
         .cache())
     // canonical undirected pair counts, then both directions — the
     // |pairs|-row loop frame, partitioned AND sorted on the per-round
     // aggregation key so no round re-shuffles it
     val pairs = c.select(least(col("_w"), col("_l")).as("_i"),
-        greatest(col("_w"), col("_l")).as("_j"))
-      .groupBy("_i", "_j").agg(count(lit(1)).as("_n"))
+        greatest(col("_w"), col("_l")).as("_j"), col("_k"))
+      .groupBy("_i", "_j").agg(sum(col("_k")).as("_n"))
+      .filter(col("_n") > 0)
     val p = Graph.iterPartitions(c, c.count())
     val dir = graft.CacheScope.track(
       pairs.select(col("_i").as("_item"), col("_j").as("_opp"), col("_n"))
@@ -71,7 +80,7 @@ object Rank {
         .repartition(p, col("_item")).sortWithinPartitions("_item").cache())
     val items = graft.CacheScope.track(
       dir.groupBy("_item").agg(sum(col("_n")).as("_comps"))
-        .join(c.groupBy("_w").agg(count(lit(1)).as("_wins"))
+        .join(c.groupBy("_w").agg(sum(col("_k")).as("_wins"))
             .withColumnRenamed("_w", "_item"),
           Seq("_item"), "left")
         .select(col("_item"), coalesce(col("_wins"), lit(0L)).as("_wins"),

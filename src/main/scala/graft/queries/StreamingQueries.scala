@@ -286,6 +286,31 @@ object StreamingQueries {
         .as("retention_f1_micro")), "append")
   }
 
+  // Streaming twin of q184: the DUEL LOG is the streaming state — each
+  // streamed line item joins the static table on its order key
+  // (stream-static, append) to emit quantity duels, and the canonical
+  // (winner, loser) pair COUNTS accumulate as one incrementally-merged
+  // aggregation (complete mode, O(distinct pairs) state — the same
+  // bound the batch operator's loop frame lives on). Ratings compute on
+  // the drained pair-count state through bradleyTerry's weighted form —
+  // exactly equivalent to the exploded log, so q184's oracle applies
+  // VERBATIM (the q78 convention).
+  def q188StreamBradleyTerry(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.lineitem(s, d).schema
+    val li = s.readStream.schema(schema).parquet(asStreamDir(s"$d/lineitem.parquet"))
+    val stat = Tables.lineitem(s, d)
+    val duels = li
+      .select(col("l_orderkey").as("_o"), col("l_partkey").as("_pw"),
+        col("l_quantity").as("_qw"))
+      .join(stat.select(col("l_orderkey").as("_o"), col("l_partkey").as("_pl"),
+        col("l_quantity").as("_ql")), Seq("_o"))
+      .filter(col("_qw") > col("_ql") && col("_pw") =!= col("_pl"))
+    val log = drain(duels.groupBy(col("_pw").as("w"), col("_pl").as("l"))
+      .agg(count(lit(1)).as("n")), "complete")
+    graft.operators.Rank.bradleyTerry(log, "w", "l", rounds = 6, weightCol = "n")
+  }
+
   def q136StreamFim(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -565,6 +590,7 @@ object StreamingQueries {
     "q176_stream_gopher" -> q176StreamGopher,
     "q180_stream_preference_pairs" -> q180StreamPreferencePairs,
     "q186_stream_retention_f1" -> q186StreamRetentionF1,
+    "q188_stream_bradley_terry" -> q188StreamBradleyTerry,
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
@@ -622,6 +648,7 @@ object StreamingQueries {
     "q176_stream_gopher" -> WebQueries.oracles("q172_gopher_rules"),
     "q180_stream_preference_pairs" -> WebQueries.oracles("q178_preference_pairs"),
     "q186_stream_retention_f1" -> q186OracleSql,
+    "q188_stream_bradley_terry" -> RankQueries.oracles("q184_bradley_terry"),
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),

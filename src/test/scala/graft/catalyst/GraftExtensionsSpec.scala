@@ -240,6 +240,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheScope.release()
   }
 
+  test("token_f1_micro scalar + bradley_terry TVFs from plain SQL") {
+    import spark.implicits._
+    val f1 = spark.sql("SELECT token_f1_micro('the cat sat', 'the cat') AS f")
+      .head().getLong(0)
+    assert(f1 == 800000L)
+    Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L)).toDF("w", "l")
+      .createOrReplaceTempView("bt_tvf_t")
+    val bt = spark.sql(
+      "SELECT item_id, rating_micro FROM bradley_terry('bt_tvf_t', 'w', 'l', 2)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bt == Map(1L -> 1500000L, 2L -> 500000L), bt)
+    graft.CacheScope.release()
+    Seq((1L, 2L, 3L), (2L, 1L, 1L)).toDF("w", "l", "n")
+      .createOrReplaceTempView("btw_tvf_t")
+    val btw = spark.sql("SELECT item_id, rating_micro FROM " +
+      "bradley_terry_weighted('btw_tvf_t', 'w', 'l', 'n', 2)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(btw == bt, "weighted TVF must equal the exploded log")
+    graft.CacheScope.release()
+  }
+
   test("expectations TVF: rules parsed from SQL expressions") {
     import spark.implicits._
     Seq((1L, 5), (2L, -1)).toDF("id", "v").createOrReplaceTempView("exp_tvf_t")

@@ -51,6 +51,20 @@ class RankSpec extends SparkSpec {
     assert(a.sameElements(b), "row order must not change ratings")
   }
 
+  test("bradleyTerry: weighted pre-aggregated log equals the exploded duel log") {
+    val comps = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L),
+      (1L, 3L), (3L, 1L)).toDF("w", "l")
+    val exploded = Rank.bradleyTerry(comps, "w", "l", rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    graft.CacheScope.release()
+    val agg = comps.groupBy("w", "l").agg(count(lit(1)).as("n"))
+    val weighted = Rank.bradleyTerry(agg, "w", "l", rounds = 5, weightCol = "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    graft.CacheScope.release()
+    assert(exploded.sameElements(weighted),
+      s"weighted form diverged: ${exploded.toSeq} vs ${weighted.toSeq}")
+  }
+
   test("bradleyTerry round plan: broadcast gamma joins leave the pair frame unshuffled") {
     // the iterative-contract pin (the GraphSpec round-plan discipline):
     // dir is repartitioned+sorted by _item once and cached; with the
