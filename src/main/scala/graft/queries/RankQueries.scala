@@ -63,10 +63,32 @@ object RankQueries {
         .select(col("chosen_id").as("winner"), col("rejected_id").as("loser")),
       "winner", "loser", rounds = 4)
 
+  // Composition: UniMax allocation DRIVES the corpus draw — 1-epoch cap
+  // and a 75%-of-corpus budget, so small languages keep ALL their
+  // documents (capped at one epoch) and `en` is downsampled to the
+  // equal-share remainder under the deterministic md5 draw order
+  // (`tokenBudgetSample`) — the full data-mixing act in one gate. The
+  // per-language budgets ride a languages-sized collect (model-sized,
+  // same as the budget scalar).
+  def q189UnimaxDraw(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    val budget = docs.agg(sum(toks).as("t")).head().getLong(0) * 3 / 4
+    val alloc = Relational.unimaxAllocation(docs.select(col("lang"), toks.as("_t")),
+      "lang", "_t", budget, maxEpochs = 1)
+    val budgets = alloc.select(col("source"), col("allocated_tokens")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).filter(_._2 > 0).toSeq.sortBy(_._1)
+    Relational.tokenBudgetSample(
+      docs.withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount(col("text"))),
+      "lang", "doc_id", "n_tokens", budgets)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_bradley_terry" -> q184BradleyTerry,
     "q185_unimax" -> q185Unimax,
-    "q187_preference_leaderboard" -> q187PreferenceLeaderboard)
+    "q187_preference_leaderboard" -> q187PreferenceLeaderboard,
+    "q189_unimax_draw" -> q189UnimaxDraw)
 
   /** The integer Bradley-Terry MM recurrence unrolled as CTEs over a
     * `comps(w, l)` relation — shared by q184 and the q187 composition
@@ -127,17 +149,22 @@ object RankQueries {
         ${btRoundsSql(6)}
         ${btFinalSql(6)}"""
 
-  private val q185OracleSql: String =
-    s"""WITH src AS (
+  /** The UniMax water-filling closed form as CTEs over the documents
+    * languages, ending at `alloc(source, total_tokens, allocated_tokens,
+    * capped)` — shared by the standalone gate (q185) and the budgeted
+    * draw composition (q189) so "what UniMax allocates" is defined once.
+    * Budget = corpus tokens · num // den. */
+  private def unimaxCtesSql(num: Int, den: Int, maxEpochs: Int): String =
+    s"""src AS (
           SELECT lang AS source,
             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
               AS total_tokens
           FROM documents GROUP BY 1),
-        b AS (SELECT (CAST(sum(total_tokens) AS BIGINT) * 5) // 2 AS budget FROM src),
-        r AS (SELECT s.source, s.total_tokens, s.total_tokens * 3 AS cap,
+        b AS (SELECT (CAST(sum(total_tokens) AS BIGINT) * $num) // $den AS budget FROM src),
+        r AS (SELECT s.source, s.total_tokens, s.total_tokens * $maxEpochs AS cap,
             row_number() OVER (ORDER BY s.total_tokens, s.source) AS i,
             (SELECT count(*) FROM src) AS k,
-            coalesce(sum(s.total_tokens * 3) OVER (
+            coalesce(sum(s.total_tokens * $maxEpochs) OVER (
               ORDER BY s.total_tokens, s.source
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS capsum
           FROM src s),
@@ -155,12 +182,35 @@ object RankQueries {
                    THEN ((SELECT budget FROM b) - cut.cumcap) // (cut.kk - cut.t)
                  ELSE 0 END AS allocated_tokens,
             CAST(c.capped AS INT) AS capped
-          FROM c, cut)
+          FROM c, cut)"""
+
+  private val q185OracleSql: String =
+    s"""WITH ${unimaxCtesSql(5, 2, 3)}
         SELECT source, total_tokens, allocated_tokens, capped,
           CASE WHEN total_tokens > 0
             THEN (1000000 * allocated_tokens) // total_tokens
             ELSE 0 END AS epochs_micro
         FROM alloc"""
+
+  /** q189 oracle: the UniMax alloc CTEs (1-epoch cap, 75% budget) drive
+    * the q99 md5-ordered budget-draw replay — keep rule
+    * `cum_before < allocated_tokens` under the per-language hash total
+    * order. */
+  private val q189OracleSql: String =
+    s"""WITH ${unimaxCtesSql(3, 4, 1)},
+        t AS (SELECT lang, doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        cw AS (SELECT lang, doc_id, n_tokens,
+            COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY lang
+              ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                       doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+              AS cum_before
+          FROM t)
+        SELECT cw.lang, cw.doc_id, cw.n_tokens, cw.cum_before
+        FROM cw JOIN alloc a ON a.source = cw.lang
+        WHERE a.allocated_tokens > 0 AND cw.cum_before < a.allocated_tokens"""
 
   private val q187OracleSql: String =
     s"""WITH pref AS (${WebQueries.oracles("q178_preference_pairs")}),
@@ -171,5 +221,6 @@ object RankQueries {
   val oracles: Map[String, String] = Map(
     "q184_bradley_terry" -> q184OracleSql,
     "q185_unimax" -> q185OracleSql,
-    "q187_preference_leaderboard" -> q187OracleSql)
+    "q187_preference_leaderboard" -> q187OracleSql,
+    "q189_unimax_draw" -> q189OracleSql)
 }

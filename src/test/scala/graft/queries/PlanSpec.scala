@@ -799,6 +799,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q189 unimax draw: the q99 window shape with collected budgets — no join at corpus grain") {
+    val p = plan(RankQueries.q189UnimaxDraw(spark, sf))
+    // budgets arrive as a LITERAL map (languages-sized collect), so the
+    // draw is exactly the q99 plan: one per-language window, no join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "budget lookup must be the literal map, not a join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the corpus-grain draw must not join at all")
+    graft.CacheScope.release()
+  }
+
   test("q185 unimax: corpus aggregates once; windows ride the model-sized sources frame") {
     val p = plan(RankQueries.q185Unimax(spark, sf))
     // one corpus-grain scan inside the operator (the budget scalar is a
