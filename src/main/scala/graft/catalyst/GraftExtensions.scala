@@ -1272,6 +1272,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "winner column"), litStr(exprs(2), "loser column"),
           litInt(exprs(4), "rounds"), litStr(exprs(3), "weight column")))
     }
+    registerTable("pass_at_k",
+      "pass_at_k('samplesTable', 'problemCol', 'passCol', k) - the HumanEval " +
+        "unbiased estimator 1 - C(n-c,k)/C(n,k) per problem (product form, " +
+        "micro-units; NULL when n < k)", 4) {
+      exprs =>
+        expand(graft.operators.Rank.passAtK(
+          SparkSession.active.table(litStr(exprs(0), "samples table")),
+          litStr(exprs(1), "problem column"), litStr(exprs(2), "pass column"),
+          Seq(litInt(exprs(3), "k"))))
+    }
     registerTable("unimax",
       "unimax('table', 'sourceCol', 'tokensCol', budgetTokens, maxEpochs) - " +
         "UniMax epoch-capped token-budget allocation across sources " +

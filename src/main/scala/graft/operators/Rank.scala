@@ -73,7 +73,15 @@ object Rank {
         greatest(col("_w"), col("_l")).as("_j"), col("_k"))
       .groupBy("_i", "_j").agg(sum(col("_k")).as("_n"))
       .filter(col("_n") > 0)
-    val p = Graph.iterPartitions(c, c.count())
+    // loop-frame sizing: a BT round does two broadcast joins plus
+    // decimal(38,0) term arithmetic per dir row — roughly 8× denser than
+    // PageRank's long division, so target ~250k duel rows per task
+    // (Graph.iterPartitions' 2M-row constant left a 1.8M-duel gate on
+    // ONE core: measured 6 s/round single-task vs sub-second at p = 8)
+    val p = {
+      val sessionP = c.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      math.max(1, math.min(sessionP, ((c.count() + 249999L) / 250000L).toInt))
+    }
     val dir = graft.CacheScope.track(
       pairs.select(col("_i").as("_item"), col("_j").as("_opp"), col("_n"))
         .union(pairs.select(col("_j").as("_item"), col("_i").as("_opp"), col("_n")))
@@ -86,23 +94,51 @@ object Rank {
         .select(col("_item"), coalesce(col("_wins"), lit(0L)).as("_wins"),
           col("_comps"))
         .repartition(p, col("_item")).sortWithinPartitions("_item").cache())
-    dir.count(); items.count()
+    dir.count()
+    val nItems = items.count()
     c.unpersist(false)
+    // γ enters each round as a localCheckpoint leaf, whose size statistic
+    // is the planner default (huge) — without help the round's two joins
+    // plan as sort-merge and re-shuffle the |dir| intermediate TWICE per
+    // round (measured: the whole round pipeline 6 s vs sub-second
+    // broadcast). Hint broadcast while the item set is model-sized
+    // (≤ 2M rows ≈ 32 MB); past that, let AQE keep the shuffle plan —
+    // γ genuinely no longer fits an executor broadcast.
+    val hint: DataFrame => DataFrame =
+      if (nItems <= 2000000L) broadcast(_) else identity
+    // the per-dir-row term is the hot inner loop (|dir| rows × rounds):
+    // when n·10¹² fits a long (n ≤ 9·10⁶ duels on ONE canonical pair),
+    // integral `div` on longs — codegen'd, no BigDecimal — computes the
+    // IDENTICAL floor (both operands non-negative); only past that bound
+    // does the term need the decimal ride. One tiny agg over the cached
+    // dir frame decides the dispatch.
+    // greatest(·, 1): a duel between two zero-rated items (reachable only
+    // under extreme skew — a winning item's rating can floor to 0 when it
+    // carries ≳2·10⁶ duels) must not divide by zero; the huge resulting
+    // term keeps both ratings at the 0 fixed point, and every
+    // non-degenerate case is untouched (γ_i + γ_j ≥ 1 already)
     // floor division on decimal(38,0) operands (non-negative here) — the
     // engine-wide idiom; a long multiply would overflow past wins ~ 9e6
     def fdiv(a: Column, b: Column): Column = (a - pmod(a, b)).divide(b)
     val scale = dec(lit(1000000000000L)) // 10^12
+    val maxN = dir.agg(max(col("_n"))).head().getLong(0)
+    val tTerm =
+      if (maxN <= 9000000L) expr("_n * 1000000000000 div greatest(_gi + _gj, 1)")
+      else fdiv(dec(col("_n")) * scale,
+        dec(greatest(col("_gi") + col("_gj"), lit(1L)))).cast("decimal(38,0)")
     var g = items.select(col("_item"), lit(1000000L).as("_g")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val denom = dir
-        .join(g.select(col("_item"), col("_g").as("_gi")), Seq("_item"))
-        .join(g.select(col("_item").as("_opp"), col("_g").as("_gj")), Seq("_opp"))
-        .select(col("_item"),
-          fdiv(dec(col("_n")) * scale, dec(col("_gi") + col("_gj")))
-            .cast("decimal(38,0)").as("_t"))
+        .join(hint(g.select(col("_item"), col("_g").as("_gi"))), Seq("_item"))
+        .join(hint(g.select(col("_item").as("_opp"), col("_g").as("_gj"))), Seq("_opp"))
+        .select(col("_item"), tTerm.as("_t"))
         // decimal sums: a long sum would wrap silently past 2^63 at
         // cluster comparison volumes (Spark doesn't overflow-check sum)
-        .groupBy("_item").agg(sum(col("_t")).as("_D"))
+        .groupBy("_item").agg(sum(dec(col("_t"))).as("_D"))
+      // materialize the UNNORMALIZED ratings once per round: gp feeds
+      // BOTH the normalization total and the final projection — without
+      // this checkpoint the |dir|-row denominator pipeline above would
+      // execute twice per round (measured, ~2× round cost)
       val gp = items
         .join(denom, Seq("_item"))
         .select(col("_item"),
@@ -112,6 +148,7 @@ object Rank {
           when(col("_D") > 0,
             fdiv(dec(col("_wins")) * scale, dec(col("_D"))).cast("long"))
             .otherwise(0L).as("_gp"))
+        .localCheckpoint()
       val tot = gp.agg(
         sum(dec(col("_gp"))).as("_T"), count(lit(1)).as("_N"))
       val next = gp.crossJoin(broadcast(tot))
@@ -121,6 +158,7 @@ object Rank {
               dec(col("_T"))).cast("long"))
             .otherwise(0L).as("_g"))
         .localCheckpoint()
+      graft.CacheScope.releaseLocalCheckpoint(gp)
       graft.CacheScope.releaseLocalCheckpoint(g)
       g = next
     }
@@ -129,5 +167,40 @@ object Rank {
       .select(col("_item").cast(idType).as("item_id"),
         col("_g").as("rating_micro"), col("_wins").as("wins"),
         col("_comps").as("comparisons"))
+  }
+
+  /** pass@k — the unbiased estimator from Chen et al. 2021 ("Evaluating
+    * Large Language Models Trained on Code", HumanEval):
+    * `pass@k = 1 − C(n−c, k)/C(n, k)` per problem, where `n` is the
+    * number of samples drawn and `c` how many passed. Computed in the
+    * reference implementation's numerically-stable product form
+    * `1 − Π_{i=0..k−1} (n−c−i)/(n−i)` — a zero term (n−c < k) collapses
+    * the product, so the "can't pick k failures" case yields exactly 1
+    * with no special-casing. Each k's product is k fixed-order IEEE
+    * double terms micro-quantized through `round(1e6·…)` (the q92
+    * convention — the oracle replays the identical chain); rows with
+    * `n < k` report NULL for that k (the estimator is undefined there —
+    * callers filter or raise `n`; the HumanEval harness asserts n ≥ k).
+    *
+    * Shape: ONE keyed aggregation to problem grain (n = count,
+    * c = conditional sum — map-side combined, corpus volume never
+    * touched again), then a pure projection per k. Output:
+    * `(problem_id, n, c, pass<k>_micro …)`. */
+  def passAtK(samples: DataFrame, problemCol: String, passCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks: non-empty, each >= 1")
+    require(ks.distinct == ks, "ks must be distinct")
+    val agg = samples.groupBy(col(problemCol).as("problem_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(passCol).cast("boolean"), 1L).otherwise(0L)).as("c"))
+    val passCols = ks.map { k =>
+      val prod = (0 until k).map { i =>
+        (col("n") - col("c") - lit(i)).cast("double") /
+          (col("n") - lit(i)).cast("double")
+      }.reduce(_ * _)
+      when(col("n") >= k, round(lit(1e6) * (lit(1.0) - prod)).cast("long"))
+        .as(s"pass${k}_micro")
+    }
+    agg.select(col("problem_id") +: col("n") +: col("c") +: passCols: _*)
   }
 }

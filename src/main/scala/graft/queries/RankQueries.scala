@@ -84,11 +84,23 @@ object RankQueries {
       "lang", "doc_id", "n_tokens", budgets)
   }
 
+  // pass@k over the events table — problems = users, samples = their
+  // events, "passed" = a deterministic 25% predicate on the event id;
+  // n per user is event-volume-sized, so the n >= 10 floor holds at
+  // every SF. k = 1 (= c/n exactly) and k = 10.
+  def q190PassAtK(s: SparkSession, d: String): DataFrame =
+    Rank.passAtK(
+      RelationalQueries.events(s, d)
+        .select(col("user_id"), (pmod(col("event_id"), lit(4)) === 0).as("pass")),
+      "user_id", "pass", Seq(1, 10))
+      .filter(col("n") >= 10)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_bradley_terry" -> q184BradleyTerry,
     "q185_unimax" -> q185Unimax,
     "q187_preference_leaderboard" -> q187PreferenceLeaderboard,
-    "q189_unimax_draw" -> q189UnimaxDraw)
+    "q189_unimax_draw" -> q189UnimaxDraw,
+    "q190_pass_at_k" -> q190PassAtK)
 
   /** The integer Bradley-Terry MM recurrence unrolled as CTEs over a
     * `comps(w, l)` relation — shared by q184 and the q187 composition
@@ -110,7 +122,7 @@ object RankQueries {
     for (k <- 1 to rounds) {
       sb ++= s""",
         d$k AS (SELECT d.item,
-            sum((CAST(d.n AS HUGEINT) * 1000000000000) // (gi.g + gj.g)) AS D
+            sum((CAST(d.n AS HUGEINT) * 1000000000000) // greatest(gi.g + gj.g, 1)) AS D
           FROM dir d
           JOIN g${k - 1} gi ON gi.item = d.item
           JOIN g${k - 1} gj ON gj.item = d.opp
@@ -218,9 +230,27 @@ object RankQueries {
         ${btRoundsSql(4)}
         ${btFinalSql(4)}"""
 
+  /** q190 oracle: the same fixed-order product chain per k — each term
+    * `CAST(n−c−i AS DOUBLE) / CAST(n−i AS DOUBLE)`, left-to-right, then
+    * `round(1e6·(1 − Π))` — IEEE-identical to the engine's expression. */
+  private val q190OracleSql: String = {
+    def chain(k: Int) = (0 until k)
+      .map(i => s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+      .mkString(" * ")
+    s"""WITH a AS (
+          SELECT user_id AS problem_id, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+          FROM events GROUP BY 1)
+        SELECT problem_id, n, c,
+          CAST(round(1000000.0 * (1.0 - ${chain(1)})) AS BIGINT) AS pass1_micro,
+          CAST(round(1000000.0 * (1.0 - ${chain(10)})) AS BIGINT) AS pass10_micro
+        FROM a WHERE n >= 10"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q184_bradley_terry" -> q184OracleSql,
     "q185_unimax" -> q185OracleSql,
     "q187_preference_leaderboard" -> q187OracleSql,
-    "q189_unimax_draw" -> q189OracleSql)
+    "q189_unimax_draw" -> q189OracleSql,
+    "q190_pass_at_k" -> q190OracleSql)
 }

@@ -99,6 +99,27 @@ class RankSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("passAtK: hand-computed estimator, natural edges, NULL below n") {
+    // problem 1: n=4, c=2 -> pass@1 = 1/2; pass@2 = 1 - (2/4)(1/3) = 5/6
+    // problem 2: n=3, c=0 -> pass@k = 0 for k <= 3; NULL for k > n
+    // problem 3: n=3, c=2 -> n-c=1 < 2: the zero term collapses -> 1.0
+    val rows = Seq.fill(2)((1L, true)) ++ Seq.fill(2)((1L, false)) ++
+      Seq.fill(3)((2L, false)) ++ Seq.fill(2)((3L, true)) :+ ((3L, false))
+    val df = rows.toDF("p", "ok")
+    val out = Rank.passAtK(df, "p", "ok", Seq(1, 2))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L) == ((4L, 2L, Some(500000L), Some(833333L))), out)
+    assert(out(2L) == ((3L, 0L, Some(0L), Some(0L))), out)
+    assert(out(3L) == ((3L, 2L, Some(666667L), Some(1000000L))), out)
+    val nulls = Rank.passAtK(df, "p", "ok", Seq(4))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(nulls(1L).isDefined && nulls(2L).isEmpty && nulls(3L).isEmpty,
+      "pass@k must be NULL when n < k")
+  }
+
   test("unimaxAllocation: hand-computed capped prefix + equal shares") {
     val rows = Seq(("s1", 100L), ("s2", 1000L), ("s3", 10000L))
       .flatMap { case (s, n) => Seq((s, n / 2), (s, n - n / 2)) } // two rows per source

@@ -810,6 +810,13 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q190 pass@k: one keyed aggregation, zero joins, zero windows") {
+    val p = plan(RankQueries.q190PassAtK(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "pass@k must be one agg + projection")
+    graft.CacheScope.release()
+  }
+
   test("q185 unimax: corpus aggregates once; windows ride the model-sized sources frame") {
     val p = plan(RankQueries.q185Unimax(spark, sf))
     // one corpus-grain scan inside the operator (the budget scalar is a
