@@ -1272,6 +1272,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "winner column"), litStr(exprs(2), "loser column"),
           litInt(exprs(4), "rounds"), litStr(exprs(3), "weight column")))
     }
+    registerTable("spearman",
+      "spearman('table', 'aCol', 'bCol', 'keyCol') - exact-integer Spearman " +
+        "rank correlation between two scores of a keyed frame (strict " +
+        "tie-broken total orders, distributed prefix-sum ranks); one row " +
+        "(n, rho_micro)", 4) {
+      exprs =>
+        expand(graft.operators.Rank.spearmanCorr(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "a column"), litStr(exprs(2), "b column"),
+          litStr(exprs(3), "key column")))
+    }
     registerTable("pass_at_k",
       "pass_at_k('samplesTable', 'problemCol', 'passCol', k) - the HumanEval " +
         "unbiased estimator 1 - C(n-c,k)/C(n,k) per problem (product form, " +

@@ -169,6 +169,48 @@ object Rank {
         col("_comps").as("comparisons"))
   }
 
+  /** Spearman rank correlation between two scores of the same keyed
+    * frame — the leaderboard-agreement diagnostic (does the model-based
+    * rating order match the raw win rate? does this round's ranking
+    * agree with last week's?). Ranks are row indexes under the STRICT
+    * total orders `(aCol, keyCol)` / `(bCol, keyCol)` — the engine's
+    * tie-broken variant (deterministic; the averaged-ties variant needs
+    * fractional ranks and is a documented non-goal), so
+    * `ρ = 1 − 6·Σd² / (n·(n²−1))` is an EXACT rational and `rho_micro`
+    * an exact floor (negative-safe: the pmod idiom floors like DuckDB
+    * `//`). Output: ONE row `(n, rho_micro)`; degenerate n < 2 reports
+    * 0 (no pair order to agree on).
+    *
+    * Scale shape: each rank side is the distributed two-phase prefix
+    * sum over the range-partitioned order (the q161/q164 machinery — a
+    * global `row_number` window would serialize the corpus through one
+    * task), then one equi-join on the key and one global aggregation
+    * (map-side combined). Σd² rides decimal(38,0): it reaches n³/3,
+    * past a long for n beyond ~3·10⁶. */
+  def spearmanCorr(df: DataFrame, aCol: String, bCol: String,
+      keyCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = graft.CacheScope.track(
+      df.select(col(keyCol).as("_k"), col(aCol).as("_a"), col(bCol).as("_b"))
+        .withColumn("_one", lit(1L)).cache())
+    val ra = Relational.distributedPrefixSum(base, Seq(col("_a"), col("_k")), "_one")
+      .select(col("_k"), col("_cum_incl").as("_ra"))
+    val rb = Relational.distributedPrefixSum(base, Seq(col("_b"), col("_k")), "_one")
+      .select(col("_k"), col("_cum_incl").as("_rb"))
+    val agg = ra.join(rb, Seq("_k"))
+      .agg(count(lit(1)).as("n"),
+        // square in decimal: a long square of a rank difference would
+        // overflow past n ~ 3·10⁹ before the sum ever saw it
+        sum(dec(col("_ra") - col("_rb")) * dec(col("_ra") - col("_rb"))).as("_sd2"))
+    val n = dec(col("n"))
+    val den = n * (n * n - lit(1).cast("decimal(38,0)"))
+    val num = dec(lit(1000000L)) * (den - dec(lit(6L)) * col("_sd2"))
+    agg.select(col("n"),
+      when(col("n") >= 2,
+        ((num - pmod(num, den)) / den).cast("long"))
+        .otherwise(0L).as("rho_micro"))
+  }
+
   /** pass@k — the unbiased estimator from Chen et al. 2021 ("Evaluating
     * Large Language Models Trained on Code", HumanEval):
     * `pass@k = 1 − C(n−c, k)/C(n, k)` per problem, where `n` is the

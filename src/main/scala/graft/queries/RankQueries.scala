@@ -95,12 +95,24 @@ object RankQueries {
       "user_id", "pass", Seq(1, 10))
       .filter(col("n") >= 10)
 
+  // Leaderboard-agreement diagnostic: Spearman between the q184 BT
+  // ratings and the raw win RATE per item — "does the model-based
+  // ordering agree with the naive one?" in one exact-integer number.
+  def q191LeaderboardAgreement(s: SparkSession, d: String): DataFrame = {
+    val bt = Rank.bradleyTerry(partDuels(s, d), "winner", "loser", rounds = 6)
+    Rank.spearmanCorr(
+      bt.select(col("item_id"), col("rating_micro"),
+        expr("(1000000 * wins) div comparisons").as("winrate_micro")),
+      "rating_micro", "winrate_micro", "item_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_bradley_terry" -> q184BradleyTerry,
     "q185_unimax" -> q185Unimax,
     "q187_preference_leaderboard" -> q187PreferenceLeaderboard,
     "q189_unimax_draw" -> q189UnimaxDraw,
-    "q190_pass_at_k" -> q190PassAtK)
+    "q190_pass_at_k" -> q190PassAtK,
+    "q191_leaderboard_agreement" -> q191LeaderboardAgreement)
 
   /** The integer Bradley-Terry MM recurrence unrolled as CTEs over a
     * `comps(w, l)` relation — shared by q184 and the q187 composition
@@ -247,10 +259,41 @@ object RankQueries {
         FROM a WHERE n >= 10"""
   }
 
+  /** q191 oracle: the q184 BT chain (shared fragments), the win-rate
+    * projection, strict-total-order row_number ranks, then the exact
+    * Spearman rational — HUGEINT products, `//` floors negatives like
+    * the engine's pmod idiom. */
+  private val q191OracleSql: String =
+    s"""WITH comps AS (
+          SELECT a.l_partkey AS w, b.l_partkey AS l
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_quantity > b.l_quantity
+           AND a.l_partkey <> b.l_partkey),
+        ${btRoundsSql(6)},
+        lb AS (SELECT i.item AS item_id, g.g AS rating,
+            (1000000 * coalesce(w.wins, 0)) // i.comps AS wr
+          FROM items i
+          JOIN g6 g ON g.item = i.item
+          LEFT JOIN wins w ON w.item = i.item),
+        rk AS (SELECT item_id,
+            CAST(row_number() OVER (ORDER BY rating, item_id) AS BIGINT) AS ra,
+            CAST(row_number() OVER (ORDER BY wr, item_id) AS BIGINT) AS rb
+          FROM lb),
+        st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+            CAST(sum(CAST(ra - rb AS HUGEINT) * CAST(ra - rb AS HUGEINT)) AS HUGEINT) AS sd2
+          FROM rk)
+        SELECT CAST(n AS BIGINT) AS n,
+          CASE WHEN n >= 2
+            THEN CAST((1000000 * (n * (n * n - 1) - 6 * sd2)) // (n * (n * n - 1)) AS BIGINT)
+            ELSE 0 END AS rho_micro
+        FROM st"""
+
   val oracles: Map[String, String] = Map(
     "q184_bradley_terry" -> q184OracleSql,
     "q185_unimax" -> q185OracleSql,
     "q187_preference_leaderboard" -> q187OracleSql,
     "q189_unimax_draw" -> q189OracleSql,
-    "q190_pass_at_k" -> q190OracleSql)
+    "q190_pass_at_k" -> q190OracleSql,
+    "q191_leaderboard_agreement" -> q191OracleSql)
 }

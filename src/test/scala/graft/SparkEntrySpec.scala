@@ -14,8 +14,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 199 queries, unique names") {
-    assert(SparkEntry.queries.size == 199)
+  test("gate inventory: 200 queries, unique names") {
+    assert(SparkEntry.queries.size == 200)
   }
 
   test("round-9 web-curation family: all ten gates oracle-backed") {
@@ -28,10 +28,11 @@ class SparkEntrySpec extends SparkSpec {
       "the web-curation family must never be rows-only")
   }
 
-  test("round-9 eval/ranking family: all nine gates oracle-backed") {
+  test("round-9 eval/ranking family: all ten gates oracle-backed") {
     val fam = Set("q182_chrf", "q183_token_f1", "q184_bradley_terry",
       "q185_unimax", "q186_stream_retention_f1", "q187_preference_leaderboard",
-      "q188_stream_bradley_terry", "q189_unimax_draw", "q190_pass_at_k")
+      "q188_stream_bradley_terry", "q189_unimax_draw", "q190_pass_at_k",
+      "q191_leaderboard_agreement")
     assert(fam.subsetOf(SparkEntry.queries.keySet))
     assert(fam.subsetOf(SparkEntry.oracleSql.keySet),
       "the eval/ranking family must never be rows-only")

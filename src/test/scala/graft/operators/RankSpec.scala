@@ -120,6 +120,27 @@ class RankSpec extends SparkSpec {
       "pass@k must be NULL when n < k")
   }
 
+  test("spearmanCorr: exact rationals, negative floor, degenerate n") {
+    def rho(pairs: Seq[(Long, Long, Long)]): (Long, Long) = {
+      val out = Rank.spearmanCorr(pairs.toDF("k", "a", "b"), "a", "b", "k")
+        .head()
+      graft.CacheScope.release()
+      (out.getLong(0), out.getLong(1))
+    }
+    // identical order -> 1; exact reversal -> -1
+    assert(rho(Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))) == ((3L, 1000000L)))
+    assert(rho(Seq((1L, 10L, 300L), (2L, 20L, 200L), (3L, 30L, 100L))) == ((3L, -1000000L)))
+    // one swap at n=3: sum d^2 = 2 -> 1 - 12/24 = 0.5 exactly
+    assert(rho(Seq((1L, 10L, 20L), (2L, 20L, 10L), (3L, 30L, 30L))) == ((3L, 500000L)))
+    // n=6, rank-b permutation (6,5,4,3,1,2): sum d^2 = 68 ->
+    // rho = 1 - 408/210 = -0.9428571... -> FLOOR -942858 (a truncation
+    // would give -942857 — this pins the floor convention on negatives)
+    val neg = (1L to 6L).zip(Seq(6L, 5L, 4L, 3L, 1L, 2L)).map { case (i, b) => (i, i, b) }
+    assert(rho(neg) == ((6L, -942858L)))
+    // degenerate: a single item has no pair order to agree on
+    assert(rho(Seq((1L, 5L, 9L))) == ((1L, 0L)))
+  }
+
   test("unimaxAllocation: hand-computed capped prefix + equal shares") {
     val rows = Seq(("s1", 100L), ("s2", 1000L), ("s3", 10000L))
       .flatMap { case (s, n) => Seq((s, n / 2), (s, n - n / 2)) } // two rows per source

@@ -810,6 +810,17 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q191 spearman: prefix-sum ranks ride checkpoints — no global-order Window") {
+    val p = plan(RankQueries.q191LeaderboardAgreement(spark, sf))
+    // both rank sides are the distributed two-phase prefix sum, so the
+    // final plan reads checkpoint leaves; a Window here would mean a
+    // corpus serialized through one task's row_number
+    assert(p.contains("ExistingRDD"), "ranks must ride the prefix-sum checkpoints")
+    assert(!p.contains("Window"), "global-order window crept into the rank path")
+    assert(!p.contains("CartesianProduct"))
+    graft.CacheScope.release()
+  }
+
   test("q190 pass@k: one keyed aggregation, zero joins, zero windows") {
     val p = plan(RankQueries.q190PassAtK(spark, sf))
     assert(!p.contains("Join") && !p.contains("Window"),
