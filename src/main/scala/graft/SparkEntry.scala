@@ -34,7 +34,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       AnnQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
-      GraphQueries.all ++ WebQueries.all ++ RankQueries.all
+      GraphQueries.all ++ WebQueries.all ++ RankQueries.all ++
+      MetricsQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate/engine-side ops)
@@ -42,5 +43,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       AnnQueries.oracles ++ MultimodalQueries.oracles ++ StreamingQueries.oracles ++
-      GraphQueries.oracles ++ WebQueries.oracles ++ RankQueries.oracles
+      GraphQueries.oracles ++ WebQueries.oracles ++ RankQueries.oracles ++
+      MetricsQueries.oracles
 }

@@ -1303,6 +1303,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "source column"), litStr(exprs(2), "tokens column"),
           litLong(exprs(3), "budgetTokens"), litInt(exprs(4), "maxEpochs")))
     }
+    registerTable("roc_auc",
+      "roc_auc('table', 'scoreCol', 'labelCol') - tie-corrected Mann-Whitney " +
+        "ROC-AUC of a score against a boolean label (exact midrank integers, " +
+        "distributed prefix-sum ranks); one row (n_pos, n_neg, auc_micro)", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.rocAuc(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "score column"), litStr(exprs(2), "label column")))
+    }
+    registerTable("ks_two_sample",
+      "ks_two_sample('table', 'valueCol', 'sideCol') - two-sample " +
+        "Kolmogorov-Smirnov drift statistic (exact cross-multiplied ECDF sup); " +
+        "one row (n_a, n_b, d_micro, at_value)", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.ksTwoSample(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "value column"), litStr(exprs(2), "side column")))
+    }
+    registerTable("ks_from_counts",
+      "ks_from_counts('countsTable', 'valueCol', 'aCol', 'bCol') - the KS " +
+        "statistic over PRE-AGGREGATED value-grain counts (weighted form — " +
+        "drained streaming count state feeds it directly)", 4) {
+      exprs =>
+        expand(graft.operators.Metrics.ksFromCounts(
+          SparkSession.active.table(litStr(exprs(0), "counts table")),
+          litStr(exprs(1), "value column"), litStr(exprs(2), "a count column"),
+          litStr(exprs(3), "b count column")))
+    }
+    registerTable("cohen_kappa",
+      "cohen_kappa('table', 'raterACol', 'raterBCol') - Cohen's kappa " +
+        "inter-annotator agreement (exact rational, negative-safe floor); " +
+        "one row (n, agree, po_micro, kappa_micro)", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.cohenKappa(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "rater A column"), litStr(exprs(2), "rater B column")))
+    }
+    registerTable("retrieval_metrics",
+      "retrieval_metrics('table', 'queryCol', 'relCol', 'scoreCol', 'tieCol', k) - " +
+        "per-query MRR / DCG@k / NDCG@k / precision@k / recall@k over results " +
+        "ranked by (score DESC, tie ASC); literal-constant discounts, integer sums", 6) {
+      exprs =>
+        expand(graft.operators.Metrics.retrievalMetrics(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "query column"), litStr(exprs(2), "relevance column"),
+          Seq(org.apache.spark.sql.functions.col(litStr(exprs(3), "score column")).desc,
+            org.apache.spark.sql.functions.col(litStr(exprs(4), "tie column"))),
+          litInt(exprs(5), "k")))
+    }
     registerTable("pagerank",
       "pagerank('edgeTable', 'srcCol', 'dstCol', iterations) - integer micro-unit " +
         "PageRank (damping 0.85), fixed synchronous rounds, deterministic", 4) {

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-eval and drift metrics — the measurement layer of an eval /
+  * data-quality pipeline: classifier discrimination ([[rocAuc]]),
+  * ranked-retrieval quality ([[retrievalMetrics]]), distribution drift
+  * ([[ksTwoSample]]), and inter-annotator agreement ([[cohenKappa]]).
+  *
+  * Engine-exact contract (the [[Rank]] conventions): every statistic is
+  * either an EXACT integer rational floored through the negative-safe
+  * pmod idiom, or a per-TERM micro-quantized double whose expression
+  * tree (including its literal constants) is replayed verbatim by the
+  * oracle — sums then ride integers, so no result ever depends on
+  * aggregation order. Wide products ride decimal(38,0) ⇄ DuckDB
+  * HUGEINT.
+  */
+object Metrics {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+  /** Negative-safe integral floor division (pmod ≥ 0 for den > 0 —
+    * matches DuckDB `//` on negatives). */
+  private def fdiv(a: Column, b: Column): Column = (a - pmod(a, b)).divide(b)
+
+  /** ROC-AUC of a score against a boolean label via the tie-corrected
+    * Mann–Whitney U: with midranks R over ascending score,
+    * `AUC = (ΣR⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)`. Doubling clears the halves:
+    * a tie group at one score value spanning positions
+    * `(before, before+c]` has `2·midrank = 2·before + c + 1` (an odd
+    * integer), so `auc_micro = 10⁶·(2ΣR⁺ − n⁺(n⁺+1)) // (2·n⁺·n⁻)` is
+    * an exact floor. NULL scores are excluded (unrankable); a NULL
+    * label counts negative. One-class inputs report NULL (AUC is
+    * undefined without both classes).
+    *
+    * Scale shape: corpus volume collapses ONCE into the score-grain
+    * `(count, positives)` aggregation (map-side combined); the
+    * cumulative count over that grain is the distributed two-phase
+    * prefix sum (the q161/q164 machinery — no one-partition window),
+    * and the finale is a 1-row global aggregation. ΣR⁺ reaches n² —
+    * decimal(38,0), a long wraps past ~3·10⁹ rows.
+    *
+    * Output: ONE row `(n_pos, n_neg, auc_micro)`. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val grain = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).as("_s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+      .groupBy("_s").agg(count(lit(1)).as("_c"), sum(col("_y")).as("_p"))
+    val cum = Relational.distributedPrefixSum(grain, Seq(col("_s")), "_c")
+    val agg = cum.agg(
+      sum(col("_p")).as("n_pos"),
+      sum(col("_c") - col("_p")).as("n_neg"),
+      // per-group 2·Σmidrank of its positives: p · (2·before + c + 1)
+      sum(dec(col("_p")) *
+        dec(lit(2L) * (col("_cum_incl") - col("_c")) + col("_c") + lit(1L)))
+        .as("_r2"))
+    val num = dec(lit(1000000L)) *
+      (col("_r2") - dec(col("n_pos")) * dec(col("n_pos") + lit(1L)))
+    val den = dec(lit(2L)) * dec(col("n_pos")) * dec(col("n_neg"))
+    agg.select(
+      coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+      coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        fdiv(num, den).cast("long")).as("auc_micro"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `sideCol`-true
+    * (A) and -false (B) samples of `valueCol`:
+    * `D = sup |F_A − F_B|`, evaluated at every distinct sample value
+    * (ECDFs only step there) and cross-multiplied to the exact integer
+    * `max |cumA·n_B − cumB·n_A|`, so
+    * `d_micro = 10⁶·max // (n_A·n_B)` is an exact floor. `at_value` is
+    * the LARGEST value attaining the sup (deterministic tie policy).
+    * NULL values are excluded; an empty side reports NULL (no ECDF).
+    *
+    * Scale shape: one corpus-collapsing aggregation to value grain,
+    * two distributed prefix sums over it, one broadcast 1-row totals
+    * frame, two tiny aggregations over the grain. See
+    * [[ksFromCounts]] for the pre-aggregated form (a drained streaming
+    * count state feeds it directly). */
+  def ksTwoSample(df: DataFrame, valueCol: String, sideCol: String): DataFrame =
+    ksFromCounts(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).as("_v"),
+          when(col(sideCol).cast("boolean"), 1L).otherwise(0L).as("_a"))
+        .groupBy("_v").agg(sum(col("_a")).as("_ca"),
+          sum(lit(1L) - col("_a")).as("_cb")),
+      "_v", "_ca", "_cb")
+
+  /** [[ksTwoSample]] on PRE-AGGREGATED value-grain counts
+    * `(value, countA, countB)` — the weighted form (the
+    * [[Rank.bradleyTerry]] `weightCol` convention): exactly equivalent
+    * to the exploded samples, so a streaming complete-mode count state
+    * drains straight into it. */
+  def ksFromCounts(counts: DataFrame, valueCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val vType = counts.schema(valueCol).dataType
+    val g = graft.CacheScope.track(
+      counts.select(col(valueCol).as("_v"), col(aCol).cast("long").as("_ca"),
+          col(bCol).cast("long").as("_cb"))
+        .cache())
+    val fa = Relational.distributedPrefixSum(g, Seq(col("_v")), "_ca")
+      .select(col("_v"), col("_cum_incl").as("_fa"))
+    val fb = Relational.distributedPrefixSum(g, Seq(col("_v")), "_cb")
+      .select(col("_v"), col("_cum_incl").as("_fb"))
+    val tot = g.agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    // |F_A − F_B| cross-multiplied: |cumA·nB − cumB·nA| — decimal, the
+    // product reaches n², past a long at ~3·10⁹ samples a side
+    val diff = graft.CacheScope.track(
+      fa.join(fb, Seq("_v")).crossJoin(broadcast(tot))
+        .select(col("_v"), col("_na"), col("_nb"),
+          abs(dec(col("_fa")) * dec(col("_nb")) -
+            dec(col("_fb")) * dec(col("_na"))).as("_d"))
+        .cache())
+    val m = diff.agg(max(col("_d")).as("_dm"))
+    diff.join(broadcast(m), diff("_d") === m("_dm"))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(col("_dm")).as("_dmax"), max(col("_v")).as("_at"))
+      .select(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          fdiv(dec(lit(1000000L)) * col("_dmax"),
+            dec(col("n_a")) * dec(col("n_b"))).cast("long")).as("d_micro"),
+        col("_at").cast(vType).as("at_value"))
+  }
+
+  /** Cohen's kappa between two raters' labels of the same rows:
+    * `κ = (p_o − p_e)/(1 − p_e)` with `p_o = agree/n` and
+    * `p_e = Σ_c a_c·b_c / n²` — cleared to the exact rational
+    * `κ = (n·agree − Σ a_c b_c) / (n² − Σ a_c b_c)`, floored to
+    * `kappa_micro` through the negative-safe pmod idiom (κ < 0 = worse
+    * than chance — reachable and exact). Rows where either label is
+    * NULL are excluded (no agreement to measure). A zero denominator
+    * means both raters are constant on the SAME single category
+    * (Cauchy–Schwarz equality) — perfect agreement, reported as
+    * 1,000,000 by convention.
+    *
+    * Scale shape: corpus volume collapses ONCE into the
+    * (label_a, label_b) confusion-matrix grain (map-side combined,
+    * |labels|² rows); marginals, the p_e cross term, and the finale all
+    * ride that model-sized frame. Products reach n² — decimal(38,0).
+    *
+    * Output: ONE row `(n, agree, po_micro, kappa_micro)`. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = graft.CacheScope.track(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).as("_a"), col(bCol).as("_b"))
+        .groupBy("_a", "_b").agg(count(lit(1)).as("_n"))
+        .cache())
+    val tot = cm.agg(sum(col("_n")).as("n"),
+      sum(when(col("_a") === col("_b"), col("_n")).otherwise(0L)).as("agree"))
+    val pe = cm.groupBy("_a").agg(sum(col("_n")).as("_ma"))
+      .join(cm.groupBy("_b").agg(sum(col("_n")).as("_mb")),
+        col("_a") === col("_b"))
+      .agg(coalesce(sum(dec(col("_ma")) * dec(col("_mb"))),
+        dec(lit(0L))).as("_pe"))
+    val num = dec(lit(1000000L)) *
+      (dec(col("n")) * dec(col("agree")) - col("_pe"))
+    val den = dec(col("n")) * dec(col("n")) - col("_pe")
+    tot.crossJoin(broadcast(pe))
+      .select(
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("agree"), lit(0L)).as("agree"),
+        when(col("n") > 0,
+          fdiv(dec(lit(1000000L)) * dec(col("agree")), dec(col("n")))
+            .cast("long")).as("po_micro"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .when(den === dec(lit(0L)), 1000000L)
+          .otherwise(fdiv(num, den).cast("long")).as("kappa_micro"))
+  }
+
+  /** Ranked-retrieval quality per query: MRR, DCG@k / NDCG@k (Järvelin
+    * linear-gain form `rel_i / log₂(i+1)`), precision@k and recall@k
+    * over a result table carrying a query key, a non-negative integer
+    * relevance gain, and an explicit deterministic ranking order.
+    *
+    * Exactness: each DCG term is micro-quantized INDIVIDUALLY —
+    * `round(10⁶·rel / L_i)` where `L_i = log₂(i+1)` enters the plan as
+    * a PRE-COMPUTED double literal (the same literal the oracle prints,
+    * so no libm parity is ever at stake) — and the per-query sums are
+    * then pure integers, order-independent. MRR/precision/recall are
+    * exact integer floors. `k ≤ 64` keeps the literal discount table a
+    * CASE expression, not a plan blowup.
+    *
+    * Semantics: rank = row_number under `order` within the query;
+    * IDCG@k re-ranks the SAME result list by descending gain (the
+    * standard list-relative ideal); queries with no relevant result
+    * report `mrr_micro = 0`, `ndcg_micro = 0`, and NULL recall
+    * (undefined without a relevant set). NULL or negative gains fail
+    * loudly — silently zeroing a label bug would fabricate quality.
+    *
+    * Scale shape: two windows over the per-query result lists (list-
+    * bounded state, one Exchange on the query key) and one final
+    * aggregation to query grain. Nothing crosses queries.
+    *
+    * Output per query: `(queryCol, n_results, n_rel, mrr_micro,
+    * dcg_micro, idcg_micro, ndcg_micro, precision_micro,
+    * recall_micro)`. */
+  def retrievalMetrics(results: DataFrame, queryCol: String, relCol: String,
+      order: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "k in [1, 64]")
+    val rel = {
+      val c = col(relCol)
+      when(c.isNull || c < 0, expr(
+        s"raise_error('retrievalMetrics: NULL or negative relevance in $relCol')")
+        .cast("long"))
+        .otherwise(c.cast("long"))
+    }
+    val ranked = results
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(queryCol)).orderBy(order: _*)))
+      .select(col(queryCol).as("_q"), rel.as("_r"), col("_rk"))
+      .withColumn("_ik", row_number().over(
+        Window.partitionBy(col("_q")).orderBy(col("_r").desc, col("_rk"))))
+    // the literal discount table: position i (1-based) → log₂(i+1) as
+    // the exact double the JVM computed — printed verbatim into the
+    // oracle, so both engines divide by the identical constant
+    def dcgTerm(rk: Column): Column =
+      (1 to k).foldLeft(lit(0L)) { (acc, i) =>
+        when(rk === i && col("_r") > 0,
+          round(lit(1e6) * col("_r").cast("double") / lit(discount(i)))
+            .cast("long"))
+          .otherwise(acc)
+      }
+    val agg = ranked.groupBy(col("_q"))
+      .agg(count(lit(1)).as("n_results"),
+        sum(when(col("_r") > 0, 1L).otherwise(0L)).as("n_rel"),
+        min(when(col("_r") > 0, col("_rk"))).as("_first"),
+        sum(dcgTerm(col("_rk"))).as("dcg_micro"),
+        sum(dcgTerm(col("_ik"))).as("idcg_micro"),
+        sum(when(col("_rk") <= k && col("_r") > 0, 1L).otherwise(0L)).as("_hits"))
+    agg.select(col("_q").as(queryCol), col("n_results"), col("n_rel"),
+      when(col("_first").isNotNull,
+        fdiv(lit(1000000L), col("_first")).cast("long"))
+        .otherwise(0L).as("mrr_micro"),
+      col("dcg_micro"), col("idcg_micro"),
+      when(col("idcg_micro") > 0,
+        fdiv(dec(lit(1000000L)) * dec(col("dcg_micro")), dec(col("idcg_micro")))
+          .cast("long")).otherwise(0L).as("ndcg_micro"),
+      fdiv(dec(lit(1000000L)) * dec(col("_hits")), dec(lit(k.toLong)))
+        .cast("long").as("precision_micro"),
+      when(col("n_rel") > 0,
+        fdiv(dec(lit(1000000L)) * dec(col("_hits")), dec(col("n_rel")))
+          .cast("long")).as("recall_micro"))
+  }
+
+  /** `log₂(i+1)` as the JVM's exact double — THE constant both the plan
+    * and the oracle must share; [[discountSqlLiteral]] prints it
+    * round-trip-exactly for the oracle side. */
+  private[graft] def discount(i: Int): Double =
+    math.log(i + 1.0) / math.log(2.0)
+
+  /** The discount as a DuckDB double literal that parses back to the
+    * identical bits (shortest round-trip repr via Java's Double). */
+  private[graft] def discountSqlLiteral(i: Int): String = {
+    val d = discount(i)
+    s"CAST(${java.lang.Double.toString(d)} AS DOUBLE)"
+  }
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Portable, TextFunctions}
+import graft.operators.Metrics
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Eval-metric / drift query pack — the measurement tail of the eval
+  * pipeline:
+  *
+  *   - q192: ROC-AUC (tie-corrected Mann–Whitney) of document length as
+  *     a predictor of English — the "is this feature discriminative?"
+  *     diagnostic, exact to the micro-unit.
+  *   - q193: per-user ranked-retrieval metrics (MRR / DCG@10 / NDCG@10 /
+  *     precision@10 / recall@10) over value-ranked events against a
+  *     deterministic relevance rule.
+  *   - q194: two-sample Kolmogorov–Smirnov drift between the purchase
+  *     and view value distributions.
+  *   - q195: Cohen's kappa between two deterministic document "raters"
+  *     (char-length rule vs token-count rule) — annotation-QA.
+  *   - q197: composition — the q72 BM25 top-10 evaluated with
+  *     [[Metrics.retrievalMetrics]] against graded term-coverage
+  *     relevance (how many of the 4 query terms the doc contains).
+  */
+object MetricsQueries {
+
+  def q192RocAuc(s: SparkSession, d: String): DataFrame =
+    Metrics.rocAuc(
+      Tables.documents(s, d)
+        .select(col("n_chars"), (col("lang") === "en").as("is_en")),
+      "n_chars", "is_en")
+
+  def q193RetrievalMetrics(s: SparkSession, d: String): DataFrame =
+    Metrics.retrievalMetrics(
+      RelationalQueries.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          Portable.cents(col("value")).as("cents"),
+          (pmod(col("event_id"), lit(5)) === 0).cast("long").as("rel")),
+      "user_id", "rel", Seq(col("cents").desc, col("event_id")), k = 10)
+
+  def q194KsDrift(s: SparkSession, d: String): DataFrame =
+    Metrics.ksTwoSample(
+      RelationalQueries.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(Portable.cents(col("value")).as("cents"),
+          (col("event_type") === "purchase").as("is_a")),
+      "cents", "is_a")
+
+  def q195CohenKappa(s: SparkSession, d: String): DataFrame =
+    Metrics.cohenKappa(
+      Tables.documents(s, d).select(
+        when(col("n_chars") > 300, "long").otherwise("short").as("rater_a"),
+        when(TextFunctions.tokenCount(col("text")) > 50, "long")
+          .otherwise("short").as("rater_b")),
+      "rater_a", "rater_b")
+
+  /** q72's query terms — the composition grades its own search output. */
+  private val SearchTerms = Seq("spark", "hash", "merge", "window")
+
+  def q197SearchEval(s: SparkSession, d: String): DataFrame = {
+    val res = TextQueries.q72Bm25(s, d)
+    // graded relevance: how many DISTINCT query terms the doc contains
+    // (0..4) under the engine tokenizer — joined onto the top-10 only
+    // (result-list-sized, broadcastable)
+    val rel = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("_t"))
+      .filter(col("_t").isin(SearchTerms.map(x => x: Any): _*))
+      .groupBy("doc_id").agg(countDistinct(col("_t")).as("rel"))
+    Metrics.retrievalMetrics(
+      res.join(rel, Seq("doc_id"), "left")
+        .select(lit("q0").as("query_id"), col("doc_id"), col("score_micro"),
+          coalesce(col("rel"), lit(0L)).as("rel")),
+      "query_id", "rel", Seq(col("score_micro").desc, col("doc_id")), k = 10)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_roc_auc" -> q192RocAuc,
+    "q193_retrieval_metrics" -> q193RetrievalMetrics,
+    "q194_ks_drift" -> q194KsDrift,
+    "q195_cohen_kappa" -> q195CohenKappa,
+    "q197_search_eval" -> q197SearchEval)
+
+  private val q192OracleSql: String =
+    """WITH s AS (SELECT n_chars AS s,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE n_chars IS NOT NULL),
+      g AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+        FROM s GROUP BY 1),
+      cu AS (SELECT *, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum FROM g),
+      a AS (SELECT CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pos,
+          CAST(coalesce(sum(c - p), 0) AS BIGINT) AS n_neg,
+          coalesce(sum(CAST(p AS HUGEINT) * (2 * (cum - c) + c + 1)),
+            CAST(0 AS HUGEINT)) AS r2
+        FROM cu)
+      SELECT n_pos, n_neg,
+        CASE WHEN n_pos > 0 AND n_neg > 0
+          THEN CAST((1000000 * (r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)))
+                 // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+        END AS auc_micro
+      FROM a"""
+
+  /** The [[Metrics.retrievalMetrics]] replay over a `res(q, r, rk, ik)`
+    * relation (query, gain, rank, ideal rank) at `k` — the per-position
+    * discount literals are printed from the SAME doubles the plan uses,
+    * so the term arithmetic is bit-identical. Shared by q193 and the
+    * q197 composition. */
+  private[queries] def retrievalTailSql(k: Int, from: String): String = {
+    def term(rkCol: String) = (1 to k).map { i =>
+      s"WHEN $rkCol = $i AND r > 0 THEN CAST(round(1000000.0 * CAST(r AS DOUBLE) / ${Metrics.discountSqlLiteral(i)}) AS BIGINT)"
+    }.mkString("CASE ", " ", " ELSE 0 END")
+    s"""agg AS (SELECT q,
+          CAST(count(*) AS BIGINT) AS n_results,
+          CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+          min(CASE WHEN r > 0 THEN rk END) AS first_rk,
+          CAST(sum(${term("rk")}) AS BIGINT) AS dcg_micro,
+          CAST(sum(${term("ik")}) AS BIGINT) AS idcg_micro,
+          CAST(sum(CASE WHEN rk <= $k AND r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM $from GROUP BY q),
+      fin AS (SELECT q, n_results, n_rel,
+          CASE WHEN first_rk IS NOT NULL
+            THEN CAST(1000000 // first_rk AS BIGINT) ELSE 0 END AS mrr_micro,
+          dcg_micro, idcg_micro,
+          CASE WHEN idcg_micro > 0
+            THEN CAST((CAST(1000000 AS HUGEINT) * dcg_micro) // idcg_micro AS BIGINT)
+            ELSE 0 END AS ndcg_micro,
+          CAST((CAST(1000000 AS HUGEINT) * hits) // $k AS BIGINT) AS precision_micro,
+          CASE WHEN n_rel > 0
+            THEN CAST((CAST(1000000 AS HUGEINT) * hits) // n_rel AS BIGINT)
+          END AS recall_micro
+        FROM agg)"""
+  }
+
+  private val q193OracleSql: String =
+    s"""WITH e AS (SELECT user_id AS q, event_id,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS r
+        FROM events),
+      res AS (SELECT q, r,
+          CAST(row_number() OVER (PARTITION BY q
+            ORDER BY cents DESC, event_id) AS BIGINT) AS rk
+        FROM e),
+      res2 AS (SELECT q, r, rk,
+          CAST(row_number() OVER (PARTITION BY q
+            ORDER BY r DESC, rk) AS BIGINT) AS ik
+        FROM res),
+      ${retrievalTailSql(10, "res2")}
+      SELECT q AS user_id, n_results, n_rel, mrr_micro, dcg_micro,
+        idcg_micro, ndcg_micro, precision_micro, recall_micro
+      FROM fin"""
+
+  private val q194OracleSql: String =
+    """WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      g AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+          CAST(sum(1 - a) AS BIGINT) AS cb
+        FROM s GROUP BY 1),
+      c AS (SELECT v,
+          CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS fa,
+          CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS fb
+        FROM g),
+      t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+          CAST(sum(cb) AS BIGINT) AS nb FROM g),
+      d AS (SELECT c.v, t.na, t.nb,
+          abs(CAST(c.fa AS HUGEINT) * t.nb - CAST(c.fb AS HUGEINT) * t.na) AS dd
+        FROM c, t),
+      m AS (SELECT max(dd) AS dm FROM d)
+      SELECT max(d.na) AS n_a, max(d.nb) AS n_b,
+        CASE WHEN max(d.na) > 0 AND max(d.nb) > 0
+          THEN CAST((1000000 * max(d.dd))
+                 // (CAST(max(d.na) AS HUGEINT) * max(d.nb)) AS BIGINT)
+        END AS d_micro,
+        max(d.v) AS at_value
+      FROM d, m WHERE d.dd = m.dm"""
+
+  private val q195OracleSql: String =
+    """WITH r AS (SELECT
+          CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END AS a,
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) > 50
+            THEN 'long' ELSE 'short' END AS b
+        FROM documents),
+      cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1, 2),
+      t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+          CAST(coalesce(sum(CASE WHEN a = b THEN n ELSE 0 END), 0) AS BIGINT)
+            AS agree
+        FROM cm),
+      pe AS (SELECT coalesce(sum(CAST(ma.m AS HUGEINT) * mb.m),
+            CAST(0 AS HUGEINT)) AS pe
+        FROM (SELECT a, CAST(sum(n) AS BIGINT) AS m FROM cm GROUP BY 1) ma
+        JOIN (SELECT b, CAST(sum(n) AS BIGINT) AS m FROM cm GROUP BY 1) mb
+          ON ma.a = mb.b)
+      SELECT t.n, t.agree,
+        CASE WHEN t.n > 0
+          THEN CAST((1000000 * CAST(t.agree AS HUGEINT)) // t.n AS BIGINT)
+        END AS po_micro,
+        CASE WHEN t.n = 0 THEN NULL
+             WHEN CAST(t.n AS HUGEINT) * t.n - pe.pe = 0 THEN 1000000
+             ELSE CAST((1000000 * (CAST(t.n AS HUGEINT) * t.agree - pe.pe))
+                    // (CAST(t.n AS HUGEINT) * t.n - pe.pe) AS BIGINT)
+        END AS kappa_micro
+      FROM t, pe"""
+
+  /** q197 oracle: the whole q72 oracle as a CTE (nested WITH — the
+    * composition convention), graded term-coverage relevance over the
+    * engine tokenizer, then the shared retrieval-metrics tail on the
+    * one-query result list. */
+  private def q197OracleSql(q72Oracle: String): String =
+    s"""WITH topk AS ($q72Oracle),
+      rel AS (SELECT u.doc_id, CAST(count(DISTINCT u.tok) AS BIGINT) AS rel
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents) u
+        WHERE u.tok IN ('spark', 'hash', 'merge', 'window')
+        GROUP BY 1),
+      base AS (SELECT 'q0' AS q, t.doc_id, t.score_micro,
+          CAST(coalesce(r.rel, 0) AS BIGINT) AS r
+        FROM topk t LEFT JOIN rel r ON r.doc_id = t.doc_id),
+      res AS (SELECT q, r,
+          CAST(row_number() OVER (PARTITION BY q
+            ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rk
+        FROM base),
+      res2 AS (SELECT q, r, rk,
+          CAST(row_number() OVER (PARTITION BY q
+            ORDER BY r DESC, rk) AS BIGINT) AS ik
+        FROM res),
+      ${retrievalTailSql(10, "res2")}
+      SELECT q AS query_id, n_results, n_rel, mrr_micro, dcg_micro,
+        idcg_micro, ndcg_micro, precision_micro, recall_micro
+      FROM fin"""
+
+  val oracles: Map[String, String] = Map(
+    "q192_roc_auc" -> q192OracleSql,
+    "q193_retrieval_metrics" -> q193OracleSql,
+    "q194_ks_drift" -> q194OracleSql,
+    "q195_cohen_kappa" -> q195OracleSql,
+    "q197_search_eval" -> q197OracleSql(TextQueries.oracles("q72_bm25_search")))
+}

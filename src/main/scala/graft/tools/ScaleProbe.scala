@@ -941,6 +941,45 @@ object ScaleProbe {
     time("preference pairs 1x (5k prompts)")(prefX(1))
     time("preference pairs 10x (50k prompts)")(prefX(10))
 
+    // --- roc-auc: score-grain collapse + prefix sum — near-linear, the
+    // grain (distinct n_chars values) saturates so 10x rides the one
+    // corpus aggregation ------------------------------------------------
+    def aucX(k: Int): Long = {
+      val r = graft.operators.Metrics.rocAuc(
+          docsX(k).select(length(col("text")).as("s"),
+            (pmod(col("doc_id"), lit(3)) === 0).as("y")),
+          "s", "y")
+        .agg(sum(col("auc_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("roc-auc 1x (5k docs)")(aucX(1))
+    time("roc-auc 10x (50k docs)")(aucX(10))
+
+    // --- ks drift: same law — value-grain counts + two prefix sums ------
+    def ksX(k: Int): Long = {
+      val r = graft.operators.Metrics.ksTwoSample(
+          evX(k).select(pmod(col("event_id"), lit(5000)).as("v"),
+            (pmod(col("user_id"), lit(2)) === 0).as("a")),
+          "v", "a")
+        .agg(sum(col("d_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("ks two-sample 1x (100k events)")(ksX(1))
+    time("ks two-sample 10x (1M events, 10x users)")(ksX(10))
+
+    // --- retrieval metrics: per-query windows — state bounded by each
+    // user's own result list, 10x users = 10x lists, same list length ----
+    def rmX(k: Int): Long = {
+      val r = graft.operators.Metrics.retrievalMetrics(
+          evX(k).select(col("user_id"), col("event_id"),
+            (pmod(col("event_id"), lit(5)) === 0).cast("long").as("rel")),
+          "user_id", "rel", Seq(col("event_id").desc), k = 10)
+        .agg(sum(col("ndcg_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("retrieval metrics 1x (1k users)")(rmX(1))
+    time("retrieval metrics 10x (10k users)")(rmX(10))
+
     spark.stop()
   }
 }

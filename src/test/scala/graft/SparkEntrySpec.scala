@@ -14,8 +14,16 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 200 queries, unique names") {
-    assert(SparkEntry.queries.size == 200)
+  test("gate inventory: 205 queries, unique names") {
+    assert(SparkEntry.queries.size == 205)
+  }
+
+  test("round-9 metrics family: all five gates oracle-backed") {
+    val fam = Set("q192_roc_auc", "q193_retrieval_metrics", "q194_ks_drift",
+      "q195_cohen_kappa", "q197_search_eval")
+    assert(fam.subsetOf(SparkEntry.queries.keySet))
+    assert(fam.subsetOf(SparkEntry.oracleSql.keySet),
+      "the metrics family must never be rows-only")
   }
 
   test("round-9 web-curation family: all ten gates oracle-backed") {

@@ -819,4 +819,37 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("integer literal") || e2.getMessage.contains("n must be"))
     val _ = e
   }
+
+  test("metrics TVFs (roc_auc, ks, cohen_kappa, retrieval_metrics) from plain SQL") {
+    import spark.implicits._
+    Seq((1, false), (2, false), (3, true), (4, true)).toDF("s", "y")
+      .createOrReplaceTempView("auc_tvf_t")
+    val auc = spark.sql(
+      "SELECT auc_micro FROM roc_auc('auc_tvf_t', 's', 'y')").head().getLong(0)
+    assert(auc == 1000000L)
+    Seq((1, true), (2, true), (10, false), (11, false)).toDF("v", "a")
+      .createOrReplaceTempView("ks_tvf_t")
+    val ks = spark.sql(
+      "SELECT d_micro FROM ks_two_sample('ks_tvf_t', 'v', 'a')").head().getLong(0)
+    assert(ks == 1000000L)
+    graft.CacheScope.release()
+    Seq((1, 2L, 0L), (2, 0L, 2L)).toDF("v", "ca", "cb")
+      .createOrReplaceTempView("ksc_tvf_t")
+    val ksc = spark.sql(
+      "SELECT d_micro FROM ks_from_counts('ksc_tvf_t', 'v', 'ca', 'cb')")
+      .head().getLong(0)
+    assert(ksc == 1000000L)
+    graft.CacheScope.release()
+    Seq(("y", "y"), ("y", "n"), ("n", "y"), ("n", "n")).toDF("a", "b")
+      .createOrReplaceTempView("kap_tvf_t")
+    val kap = spark.sql(
+      "SELECT kappa_micro FROM cohen_kappa('kap_tvf_t', 'a', 'b')").head().getLong(0)
+    assert(kap == 0L, "independent balanced raters are exactly chance")
+    graft.CacheScope.release()
+    Seq(("q", "d1", 2, 1L), ("q", "d2", 1, 0L)).toDF("q", "d", "score", "r")
+      .createOrReplaceTempView("rm_tvf_t")
+    val rm = spark.sql("SELECT mrr_micro, ndcg_micro FROM retrieval_metrics(" +
+      "'rm_tvf_t', 'q', 'r', 'score', 'd', 2)").head()
+    assert(rm.getLong(0) == 1000000L && rm.getLong(1) == 1000000L)
+  }
 }

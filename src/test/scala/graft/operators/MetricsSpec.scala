@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- rocAuc ---------------------------------------------------------
+
+  test("rocAuc: perfect separation is 1e6, reversed is 0, balanced ties are 500000") {
+    val perfect = Seq((1, false), (2, false), (3, true), (4, true)).toDF("s", "y")
+    assert(Metrics.rocAuc(perfect, "s", "y").collect()(0).getLong(2) == 1000000L)
+    val reversed = Seq((1, true), (2, true), (3, false), (4, false)).toDF("s", "y")
+    assert(Metrics.rocAuc(reversed, "s", "y").collect()(0).getLong(2) == 0L)
+    // every score tied: midranks make AUC exactly 1/2
+    val tied = Seq((7, true), (7, false), (7, true), (7, false)).toDF("s", "y")
+    assert(Metrics.rocAuc(tied, "s", "y").collect()(0).getLong(2) == 500000L)
+  }
+
+  test("rocAuc: matches the brute-force pair count on tie-heavy data") {
+    // AUC = (#(s+ > s-) + 0.5 * #(s+ = s-)) / (n+ * n-)
+    val rows = (1 to 400).map { i =>
+      (i * 2654435761L % 17, i * 40503L % 7 < 3)
+    }
+    val local = {
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val wins = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      1000000L * wins / (2L * pos.size * neg.size) // floor, matches fdiv
+    }
+    val got = Metrics.rocAuc(rows.toDF("s", "y"), "s", "y").collect()(0)
+    assert(got.getLong(2) == local, s"engine ${got.getLong(2)} vs brute $local")
+    assert(got.getLong(0) == rows.count(_._2) && got.getLong(1) == rows.count(!_._2))
+  }
+
+  test("rocAuc: one-class input reports NULL; null scores excluded, null label = negative") {
+    val oneClass = Seq((1, true), (2, true)).toDF("s", "y")
+    assert(Metrics.rocAuc(oneClass, "s", "y").collect()(0).isNullAt(2))
+    val withNulls = Seq[(java.lang.Integer, java.lang.Boolean)](
+      (1, true), (null, true), (2, null), (3, true)).toDF("s", "y")
+    val r = Metrics.rocAuc(withNulls, "s", "y").collect()(0)
+    // null score dropped; null label counts negative: pos {1,3}, neg {2}
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 500000L) // pairs: (1<2)=0, (3>2)=1 -> 1/2
+  }
+
+  test("rocAuc: invariant under input row order") {
+    val rows = (1 to 300).map(i => (i * 48271 % 23, i % 5 == 0)).toDF("s", "y")
+    val a = Metrics.rocAuc(rows, "s", "y").collect()(0).getLong(2)
+    val b = Metrics.rocAuc(rows.orderBy(rand(7)), "s", "y").collect()(0).getLong(2)
+    assert(a == b)
+  }
+
+  // ---- ksTwoSample ----------------------------------------------------
+
+  test("ksTwoSample: identical samples give D = 0; disjoint ranges give D = 1e6") {
+    val same = Seq((1, true), (2, true), (3, true), (1, false), (2, false), (3, false))
+      .toDF("v", "a")
+    val r0 = Metrics.ksTwoSample(same, "v", "a").collect()(0)
+    assert(r0.getLong(2) == 0L)
+    val disjoint = Seq((1, true), (2, true), (10, false), (11, false)).toDF("v", "a")
+    val r1 = Metrics.ksTwoSample(disjoint, "v", "a").collect()(0)
+    assert(r1.getLong(2) == 1000000L)
+    assert(r1.getInt(3) == 2) // sup attained at A's last value
+  }
+
+  test("ksTwoSample: matches the local ECDF sweep on skewed data") {
+    val rows = (1 to 500).map { i =>
+      val side = i % 3 == 0
+      val v = if (side) (i * 7 % 40) else (i * 11 % 50)
+      (v, side)
+    }
+    val (as, bs) = (rows.filter(_._2).map(_._1), rows.filterNot(_._2).map(_._1))
+    val localD = {
+      val vs = rows.map(_._1).distinct.sorted
+      vs.map { v =>
+        val fa = as.count(_ <= v).toLong * bs.size
+        val fb = bs.count(_ <= v).toLong * as.size
+        math.abs(fa - fb)
+      }.max
+    }
+    val expect = 1000000L * localD / (as.size.toLong * bs.size)
+    val got = Metrics.ksTwoSample(rows.toDF("v", "a"), "v", "a").collect()(0)
+    assert(got.getLong(2) == expect, s"engine ${got.getLong(2)} vs local $expect")
+    graft.CacheScope.release()
+  }
+
+  test("ksFromCounts: pre-aggregated counts equal the exploded samples (weighted-form law)") {
+    val rows = (1 to 300).map(i => (i * 13 % 25, i % 4 == 0))
+    val exploded = Metrics.ksTwoSample(rows.toDF("v", "a"), "v", "a")
+      .collect()(0)
+    graft.CacheScope.release()
+    val counts = rows.groupBy(_._1).map { case (v, g) =>
+      (v, g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toSeq.toDF("v", "ca", "cb")
+    val agg = Metrics.ksFromCounts(counts, "v", "ca", "cb").collect()(0)
+    graft.CacheScope.release()
+    assert(exploded.getLong(2) == agg.getLong(2) && exploded.getInt(3) == agg.getInt(3))
+  }
+
+  test("ksTwoSample: empty side reports NULL d_micro") {
+    val oneSide = Seq((1, true), (2, true)).toDF("v", "a")
+    val r = Metrics.ksTwoSample(oneSide, "v", "a").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(2))
+    graft.CacheScope.release()
+  }
+
+  // ---- cohenKappa -----------------------------------------------------
+
+  test("cohenKappa: hand-computed 2x2 case is exact") {
+    // confusion: yes/yes 20, yes/no 5, no/yes 10, no/no 15 -> n=50
+    // po = 35/50; pe = (25*30 + 25*20)/2500 = 1250/2500
+    // kappa = (50*35 - 1250)/(2500 - 1250) = 500/1250 = 0.4 exactly
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Metrics.cohenKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getLong(0) == 50L && r.getLong(1) == 35L)
+    assert(r.getLong(2) == 700000L && r.getLong(3) == 400000L)
+    graft.CacheScope.release()
+  }
+
+  test("cohenKappa: worse-than-chance disagreement goes negative (floor like DuckDB //)") {
+    // raters always disagree on a balanced binary task: po=0, pe=1/2 -> kappa=-1
+    val rows = Seq(("y", "n"), ("n", "y"), ("y", "n"), ("n", "y"))
+    val r = Metrics.cohenKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getLong(3) == -1000000L)
+    graft.CacheScope.release()
+  }
+
+  test("cohenKappa: single shared category hits the pe=1 convention; nulls excluded") {
+    val rows = Seq(("x", "x"), ("x", "x"), ("x", "x"))
+    val r = Metrics.cohenKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getLong(3) == 1000000L, "Cauchy-Schwarz equality -> perfect agreement")
+    graft.CacheScope.release()
+    val withNull = Seq(("y", "y"), (null, "y"), ("n", null), ("n", "n"))
+      .toDF("a", "b")
+    val r2 = Metrics.cohenKappa(withNull, "a", "b").collect()(0)
+    assert(r2.getLong(0) == 2L && r2.getLong(1) == 2L)
+    graft.CacheScope.release()
+  }
+
+  // ---- retrievalMetrics -----------------------------------------------
+
+  test("retrievalMetrics: hand case — every metric to the micro-unit") {
+    // one query, 4 results ranked by score desc: gains (0, 2, 0, 1), k=3
+    val rows = Seq(("q", "d1", 40, 0L), ("q", "d2", 30, 2L),
+      ("q", "d3", 20, 0L), ("q", "d4", 10, 1L)).toDF("q", "d", "score", "rel")
+    val r = Metrics.retrievalMetrics(rows, "q", "rel",
+      Seq(col("score").desc, col("d")), k = 3).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L) // n_results, n_rel
+    assert(r.getLong(3) == 500000L) // first relevant at rank 2
+    // dcg@3 = round(1e6*2/log2(3)) = 1261860 (rank-3 gain 0, rank-4 cut)
+    val d2 = math.round(1e6 * 2.0 / Metrics.discount(2))
+    assert(r.getLong(4) == d2, s"dcg ${r.getLong(4)} vs $d2")
+    // ideal order: gains (2, 1, 0, 0) -> idcg = round(2e6/log2(2)) + round(1e6/log2(3))
+    val ideal = math.round(1e6 * 2.0 / Metrics.discount(1)) +
+      math.round(1e6 * 1.0 / Metrics.discount(2))
+    assert(r.getLong(5) == ideal)
+    assert(r.getLong(6) == 1000000L * d2 / ideal) // ndcg floor
+    assert(r.getLong(7) == 333333L) // 1 hit in top-3
+    assert(r.getLong(8) == 500000L) // 1 of 2 relevant inside k
+  }
+
+  test("retrievalMetrics: no relevant result -> mrr 0, ndcg 0, recall NULL") {
+    val rows = Seq(("q", 1, 0L), ("q", 2, 0L)).toDF("q", "score", "rel")
+    val r = Metrics.retrievalMetrics(rows, "q", "rel",
+      Seq(col("score").desc), k = 2).collect()(0)
+    assert(r.getLong(3) == 0L && r.getLong(6) == 0L && r.isNullAt(8))
+  }
+
+  test("retrievalMetrics: negative or NULL relevance fails loudly") {
+    val bad = Seq(("q", 1, -1L)).toDF("q", "score", "rel")
+    val e = intercept[Exception] {
+      Metrics.retrievalMetrics(bad, "q", "rel", Seq(col("score").desc), k = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("retrievalMetrics") ||
+      e.getCause != null && e.getCause.getMessage.contains("retrievalMetrics"))
+  }
+
+  test("retrievalMetrics: per-query isolation — metrics never cross queries") {
+    val rows = Seq(("a", 2, 1L), ("a", 1, 0L), ("b", 2, 0L), ("b", 1, 1L))
+      .toDF("q", "score", "rel")
+    val m = Metrics.retrievalMetrics(rows, "q", "rel",
+      Seq(col("score").desc), k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m("a") == 1000000L, "a's relevant doc ranks first")
+    assert(m("b") == 500000L, "b's relevant doc ranks second")
+  }
+
+  test("discount literals round-trip through the SQL repr") {
+    for (i <- 1 to 64) {
+      val lit = Metrics.discountSqlLiteral(i)
+      val d = lit.stripPrefix("CAST(").takeWhile(_ != ' ').toDouble
+      assert(java.lang.Double.compare(d, Metrics.discount(i)) == 0, s"i=$i")
+    }
+  }
+}

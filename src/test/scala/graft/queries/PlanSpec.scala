@@ -842,6 +842,60 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q192 roc-auc: one global agg over the prefix-sum checkpoint — no Window, no join") {
+    val p = plan(MetricsQueries.q192RocAuc(spark, sf))
+    // midranks ride the distributed prefix sum: the final plan is a
+    // 1-row aggregation over the checkpoint leaf; a Window here would
+    // mean the corpus serialized through one task's cumulative count
+    assert(p.contains("ExistingRDD"), "midranks must ride the prefix-sum checkpoint")
+    assert(!p.contains("Window"), "global-order window crept into the rank path")
+    assert(!p.contains("Join"), "roc-auc needs no join at all")
+    graft.CacheScope.release()
+  }
+
+  test("q193 retrieval metrics: both windows AND the final agg share ONE query-key Exchange") {
+    val p = plan(MetricsQueries.q193RetrievalMetrics(spark, sf))
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 2,
+      "rank + ideal-rank: exactly two windows")
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 1,
+      s"the query-key partitioning must be reused end to end:\n${p.take(800)}")
+    assert(!p.contains("Join"), "per-query metrics never join")
+  }
+
+  test("q194 ks drift: value-grain equi join of the two ECDF checkpoints — no pair shape") {
+    val p = plan(MetricsQueries.q194KsDrift(spark, sf))
+    assert(p.contains("ExistingRDD"), "ECDFs must ride the prefix-sum checkpoints")
+    assert(!p.contains("CartesianProduct"))
+    val keyLines = p.linesIterator.filter(_.contains("keys [")).mkString("\n")
+    assert(keyLines.contains("_v"), s"the ECDF join must be value-keyed:\n$keyLines")
+    // the only nested-loop shape is the broadcast 1-row totals cross
+    // (the BT normalization convention) — text-count is unreliable here
+    // (cached build plans reprint under every InMemoryTableScan ref), so
+    // pin the KIND: every occurrence must be the broadcast cross
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && !l.trim.startsWith("("))
+      .forall(_.contains("Cross BuildRight")),
+      "a non-broadcast nested loop crept into the ECDF path")
+    graft.CacheScope.release()
+  }
+
+  test("q195 cohen kappa: marginals and finale ride the CACHED confusion matrix") {
+    val p = plan(MetricsQueries.q195CohenKappa(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "totals, marginals and pe must all read the cached |labels|² frame")
+    assert(!p.contains("CartesianProduct"))
+    graft.CacheScope.release()
+  }
+
+  test("q197 search eval: inherits q72's top-k + the retrieval-metrics window shape") {
+    val p = plan(MetricsQueries.q197SearchEval(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "q72's partial top-k must survive")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 2,
+      "rank + ideal-rank over the 10-row result list")
+    graft.CacheScope.release()
+  }
+
   test("q127 curation v5: the extraction-era composition inherits every component's shape") {
     val p = plan(TextQueries.q127CurationV5(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
