@@ -35,7 +35,7 @@ object SparkEntry {
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       AnnQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
       GraphQueries.all ++ WebQueries.all ++ RankQueries.all ++
-      MetricsQueries.all
+      MetricsQueries.all ++ PrivacyQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approximate/engine-side ops)
@@ -44,5 +44,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       AnnQueries.oracles ++ MultimodalQueries.oracles ++ StreamingQueries.oracles ++
       GraphQueries.oracles ++ WebQueries.oracles ++ RankQueries.oracles ++
-      MetricsQueries.oracles
+      MetricsQueries.oracles ++ PrivacyQueries.oracles
 }

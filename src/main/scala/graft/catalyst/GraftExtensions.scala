@@ -1331,6 +1331,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "value column"), litStr(exprs(2), "a count column"),
           litStr(exprs(3), "b count column")))
     }
+    registerTable("chi_square",
+      "chi_square('table', 'aCol', 'bCol') - Pearson chi-square test of " +
+        "independence + Cramer's V2 effect size over the full r x c grid " +
+        "(exact split-division micro-units); one row (n, dof, chi2_micro, " +
+        "cramers_v2_micro)", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.chiSquareIndependence(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "a column"), litStr(exprs(2), "b column")))
+    }
+    registerTable("chi_square_from_counts",
+      "chi_square_from_counts('countsTable', 'aCol', 'bCol', 'nCol') - the " +
+        "chi-square test over PRE-AGGREGATED cell counts (weighted form — " +
+        "drained streaming count state feeds it directly)", 4) {
+      exprs =>
+        expand(graft.operators.Metrics.chiSquareFromCounts(
+          SparkSession.active.table(litStr(exprs(0), "counts table")),
+          litStr(exprs(1), "a column"), litStr(exprs(2), "b column"),
+          litStr(exprs(3), "count column")))
+    }
+    registerTable("l_diversity",
+      "l_diversity('table', 'quasi1,quasi2', 'sensitiveCol', l, c) - " +
+        "l-diversity audit per equivalence class: distinct-l and recursive " +
+        "(c,l) verdicts (exact integers); run k_anonymize first to fix " +
+        "failing classes", 5) {
+      exprs =>
+        expand(graft.operators.Privacy.lDiversityAudit(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "quasi columns").split(",").map(_.trim).toSeq,
+          litStr(exprs(2), "sensitive column"),
+          litInt(exprs(3), "l"), litInt(exprs(4), "c")))
+    }
+    registerTable("t_closeness",
+      "t_closeness('table', 'quasi1,quasi2', 'sensitiveCol') - t-closeness " +
+        "audit per equivalence class: ordered-EMD distance of the class's " +
+        "sensitive distribution from the population's (exact micro-units)", 3) {
+      exprs =>
+        expand(graft.operators.Privacy.tCloseness(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "quasi columns").split(",").map(_.trim).toSeq,
+          litStr(exprs(2), "sensitive column")))
+    }
     registerTable("cohen_kappa",
       "cohen_kappa('table', 'raterACol', 'raterBCol') - Cohen's kappa " +
         "inter-annotator agreement (exact rational, negative-safe floor); " +

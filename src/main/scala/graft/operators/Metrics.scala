@@ -246,6 +246,68 @@ object Metrics {
           .cast("long")).as("recall_micro"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns, with Cramér's V² effect size: over the full r×c grid
+    * (absent cells still carry expectation),
+    * `χ² = Σ (o·n − rₐ·c_b)² / (n·rₐ·c_b)` — each term floored to an
+    * exact integer micro-unit through the SPLIT division
+    * `10⁶·d²//nrc = 10⁶·(d²//nrc) + (10⁶·(d² mod nrc))//nrc` (both
+    * halves stay inside decimal(38,0) to ~3·10⁹ rows, the engine's
+    * standard wide-product bound), so the summed statistic is a pure
+    * integer, order-independent. `dof = (r−1)(c−1)`;
+    * `cramers_v2_micro = χ²_micro // (n·min(r−1, c−1))` (V² rather than
+    * V — the square root would leave the exact-rational envelope).
+    * Rows with a NULL side are excluded (no cell); dof = 0 (a constant
+    * column) reports NULL χ² — independence is untestable.
+    *
+    * Scale shape: corpus volume collapses ONCE into the contingency
+    * grain (map-side combined); marginals, the dense grid (model-sized,
+    * |a|·|b| cells, broadcast-built), and the finale all ride that
+    * frame. Output: ONE row `(n, dof, chi2_micro, cramers_v2_micro)`. */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareFromCounts(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).as("_a"), col(bCol).as("_b"))
+        .groupBy("_a", "_b").agg(count(lit(1)).as("_n")),
+      "_a", "_b", "_n")
+
+  /** [[chiSquareIndependence]] on PRE-AGGREGATED cell counts
+    * `(a, b, count)` — the weighted form (the [[ksFromCounts]]
+    * convention): exactly equivalent to the exploded rows, so a
+    * streaming complete-mode count state drains straight into it. */
+  def chiSquareFromCounts(counts: DataFrame, aCol: String, bCol: String,
+      nCol: String): DataFrame = {
+    val cm = graft.CacheScope.track(
+      counts.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).as("_a"), col(bCol).as("_b"),
+          col(nCol).cast("long").as("_n"))
+        .groupBy("_a", "_b").agg(sum(col("_n")).as("_n"))
+        .cache())
+    val ra = cm.groupBy("_a").agg(sum(col("_n")).as("_ra"))
+    val cb = cm.groupBy("_b").agg(sum(col("_n")).as("_cb"))
+    val tot = cm.agg(sum(col("_n")).as("_t"),
+      countDistinct(col("_a")).as("_r"), countDistinct(col("_b")).as("_c"))
+    val grid = ra.crossJoin(broadcast(cb)).crossJoin(broadcast(tot))
+      .join(cm, Seq("_a", "_b"), "left")
+    val d = dec(coalesce(col("_n"), lit(0L))) * dec(col("_t")) -
+      dec(col("_ra")) * dec(col("_cb"))
+    val d2 = d * d
+    val nrc = dec(col("_t")) * dec(col("_ra")) * dec(col("_cb"))
+    val term = dec(lit(1000000L)) * dec(fdiv(d2, nrc)) +
+      dec(fdiv(dec(lit(1000000L)) * pmod(d2, nrc), nrc))
+    val agg = grid.agg(max(col("_t")).as("n"), max(col("_r")).as("_r"),
+      max(col("_c")).as("_c"), sum(term).as("_chi2"))
+    agg.select(
+      coalesce(col("n"), lit(0L)).as("n"),
+      coalesce((col("_r") - 1) * (col("_c") - 1), lit(0L)).as("dof"),
+      when((col("_r") - 1) * (col("_c") - 1) > 0,
+        col("_chi2").cast("long")).as("chi2_micro"),
+      when((col("_r") - 1) * (col("_c") - 1) > 0,
+        fdiv(dec(col("_chi2")),
+          dec(col("n")) * dec(least(col("_r"), col("_c")) - lit(1L)))
+          .cast("long")).as("cramers_v2_micro"))
+  }
+
   /** `log₂(i+1)` as the JVM's exact double — THE constant both the plan
     * and the oracle must share; [[discountSqlLiteral]] prints it
     * round-trip-exactly for the oracle side. */

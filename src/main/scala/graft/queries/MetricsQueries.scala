@@ -55,6 +55,9 @@ object MetricsQueries {
           .otherwise("short").as("rater_b")),
       "rater_a", "rater_b")
 
+  def q200ChiSquare(s: SparkSession, d: String): DataFrame =
+    Metrics.chiSquareIndependence(Tables.documents(s, d), "lang", "source")
+
   /** q72's query terms — the composition grades its own search output. */
   private val SearchTerms = Seq("spark", "hash", "merge", "window")
 
@@ -80,7 +83,8 @@ object MetricsQueries {
     "q193_retrieval_metrics" -> q193RetrievalMetrics,
     "q194_ks_drift" -> q194KsDrift,
     "q195_cohen_kappa" -> q195CohenKappa,
-    "q197_search_eval" -> q197SearchEval)
+    "q197_search_eval" -> q197SearchEval,
+    "q200_chi_square" -> q200ChiSquare)
 
   private val q192OracleSql: String =
     """WITH s AS (SELECT n_chars AS s,
@@ -229,7 +233,41 @@ object MetricsQueries {
         idcg_micro, ndcg_micro, precision_micro, recall_micro
       FROM fin"""
 
+  /** q200 oracle — the split-division chi-square replay: each term's
+    * `10⁶·d²//nrc` is evaluated as `10⁶·(d²//nrc) + (10⁶·(d² mod nrc))//nrc`
+    * in BOTH engines (identical floors, both halves HUGEINT-safe). */
+  private val q200OracleSql: String =
+    """WITH cm AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+          FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+          GROUP BY 1, 2),
+      ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cm GROUP BY 1),
+      cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM cm GROUP BY 1),
+      tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t,
+          CAST(count(DISTINCT a) AS BIGINT) AS r,
+          CAST(count(DISTINCT b) AS BIGINT) AS c FROM cm),
+      grid AS (SELECT ra.ra, cb.cb, tot.t, tot.r, tot.c,
+          CAST(coalesce(cm.n, 0) AS HUGEINT) * tot.t
+            - CAST(ra.ra AS HUGEINT) * cb.cb AS d
+        FROM ra CROSS JOIN cb CROSS JOIN tot
+        LEFT JOIN cm ON cm.a = ra.a AND cm.b = cb.b),
+      terms AS (SELECT t, r, c,
+          1000000 * ((d * d) // (CAST(t AS HUGEINT) * ra * cb))
+            + (1000000 * ((d * d) % (CAST(t AS HUGEINT) * ra * cb)))
+              // (CAST(t AS HUGEINT) * ra * cb) AS term
+        FROM grid)
+      SELECT coalesce(max(t), 0) AS n,
+        coalesce((max(r) - 1) * (max(c) - 1), 0) AS dof,
+        CASE WHEN (max(r) - 1) * (max(c) - 1) > 0
+          THEN CAST(sum(term) AS BIGINT) END AS chi2_micro,
+        CASE WHEN (max(r) - 1) * (max(c) - 1) > 0
+          THEN CAST(sum(term)
+                 // (CAST(max(t) AS HUGEINT) * (least(max(r), max(c)) - 1))
+               AS BIGINT)
+        END AS cramers_v2_micro
+      FROM terms"""
+
   val oracles: Map[String, String] = Map(
+    "q200_chi_square" -> q200OracleSql,
     "q192_roc_auc" -> q192OracleSql,
     "q193_retrieval_metrics" -> q193OracleSql,
     "q194_ks_drift" -> q194OracleSql,

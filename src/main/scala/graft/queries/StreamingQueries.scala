@@ -311,6 +311,22 @@ object StreamingQueries {
     graft.operators.Rank.bradleyTerry(log, "w", "l", rounds = 6, weightCol = "n")
   }
 
+  // Streaming twin of q200: the (lang, source) contingency counts are
+  // the complete-mode state — O(grid cells), the model-sized confusion
+  // shape — and the drained counts flow through the SAME weighted-form
+  // operator ([[graft.operators.Metrics.chiSquareFromCounts]]). q200's
+  // batch oracle verbatim.
+  def q201StreamChiSquare(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val counts = drain(
+      docs.filter(col("lang").isNotNull && col("source").isNotNull)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n")),
+      "complete")
+    graft.operators.Metrics.chiSquareFromCounts(counts, "lang", "source", "n")
+  }
+
   def q136StreamFim(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -591,6 +607,7 @@ object StreamingQueries {
     "q180_stream_preference_pairs" -> q180StreamPreferencePairs,
     "q186_stream_retention_f1" -> q186StreamRetentionF1,
     "q188_stream_bradley_terry" -> q188StreamBradleyTerry,
+    "q201_stream_chi_square" -> q201StreamChiSquare,
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
@@ -649,6 +666,7 @@ object StreamingQueries {
     "q180_stream_preference_pairs" -> WebQueries.oracles("q178_preference_pairs"),
     "q186_stream_retention_f1" -> q186OracleSql,
     "q188_stream_bradley_terry" -> RankQueries.oracles("q184_bradley_terry"),
+    "q201_stream_chi_square" -> MetricsQueries.oracles("q200_chi_square"),
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),

@@ -980,6 +980,46 @@ object ScaleProbe {
     time("retrieval metrics 1x (1k users)")(rmX(1))
     time("retrieval metrics 10x (10k users)")(rmX(10))
 
+    // --- privacy audits: (class, value) grain collapse — 10x classes,
+    // constant per-class density (the honest horizontal scale-up) --------
+    val pcust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_nationkey"), col("c_acctbal"))
+    def privX(k: Int): DataFrame =
+      (0 until k).map(i => pcust.select(
+        col("c_mktsegment"),
+        (pmod(col("c_nationkey"), lit(5)) + i * 5).as("nat_mod"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_band")))
+        .reduce(_ unionByName _)
+    def ldivX(k: Int): Long = {
+      val r = graft.operators.Privacy.lDiversityAudit(privX(k),
+          Seq("c_mktsegment", "nat_mod"), "bal_band", l = 4, c = 1)
+        .agg(sum(col("n")) + sum(col("tail_sum"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("l-diversity 1x (25 classes, 15k rows)")(ldivX(1))
+    time("l-diversity 10x (250 classes, 150k rows)")(ldivX(10))
+    def tcloseX(k: Int): Long = {
+      val r = graft.operators.Privacy.tCloseness(privX(k),
+          Seq("c_mktsegment", "nat_mod"), "bal_band")
+        .agg(sum(col("t_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("t-closeness 1x (25 classes)")(tcloseX(1))
+    time("t-closeness 10x (250 classes)")(tcloseX(10))
+
+    // --- chi-square: contingency-grain collapse — 10x rows AND 10x grid
+    // cells (10x sources); marginal tables stay model-sized --------------
+    def chiX(k: Int): Long = {
+      val df = (0 until k).map(i => graft.Tables.documents(spark, sfDir)
+          .select(col("lang"), concat(col("source"), lit(s"_$i")).as("source")))
+        .reduce(_ unionByName _)
+      val r = graft.operators.Metrics.chiSquareIndependence(df, "lang", "source")
+        .agg(sum(col("chi2_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("chi-square 1x (5k docs, 100 cells)")(chiX(1))
+    time("chi-square 10x (50k docs, 1000 cells)")(chiX(10))
+
     spark.stop()
   }
 }

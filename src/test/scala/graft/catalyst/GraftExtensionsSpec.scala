@@ -852,4 +852,33 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "'rm_tvf_t', 'q', 'r', 'score', 'd', 2)").head()
     assert(rm.getLong(0) == 1000000L && rm.getLong(1) == 1000000L)
   }
+
+  test("chi_square and privacy TVFs from plain SQL") {
+    import spark.implicits._
+    (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+      .createOrReplaceTempView("chi_tvf_t")
+    val chi = spark.sql(
+      "SELECT chi2_micro, cramers_v2_micro FROM chi_square('chi_tvf_t', 'a', 'b')")
+      .head()
+    assert(chi.getLong(0) == 10000000L && chi.getLong(1) == 1000000L)
+    graft.CacheScope.release()
+    Seq(("x", "p", 5L), ("y", "q", 5L)).toDF("a", "b", "n")
+      .createOrReplaceTempView("chic_tvf_t")
+    val chic = spark.sql("SELECT chi2_micro FROM chi_square_from_counts(" +
+      "'chic_tvf_t', 'a', 'b', 'n')").head().getLong(0)
+    assert(chic == 10000000L, "weighted form agrees with exploded rows")
+    graft.CacheScope.release()
+    Seq(("A", "x"), ("A", "y"), ("B", "w"), ("B", "w")).toDF("q", "v")
+      .createOrReplaceTempView("ldiv_tvf_t")
+    val ld = spark.sql("SELECT q, distinct_l_ok FROM l_diversity(" +
+      "'ldiv_tvf_t', 'q', 'v', 2, 1)").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(ld == Map("A" -> true, "B" -> false))
+    Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("q", "v")
+      .createOrReplaceTempView("tc_tvf_t")
+    val tcr = spark.sql("SELECT t_micro FROM t_closeness('tc_tvf_t', 'q', 'v')")
+      .collect().map(_.getLong(0))
+    assert(tcr.forall(_ == 0L), "population-mirroring classes score 0")
+    graft.CacheScope.release()
+  }
 }

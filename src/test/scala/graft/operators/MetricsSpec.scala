@@ -197,4 +197,72 @@ class MetricsSpec extends SparkSpec {
       assert(java.lang.Double.compare(d, Metrics.discount(i)) == 0, s"i=$i")
     }
   }
+
+  // ---- chiSquareIndependence ------------------------------------------
+
+  private def chi(rows: Seq[(String, String)]) =
+    Metrics.chiSquareIndependence(rows.toDF("a", "b"), "a", "b").collect()(0)
+
+  test("chiSquare: exact independence is 0, perfect association is n with V2 = 1") {
+    // uniform 2x2: every o equals its expectation
+    val indep = for (a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5)
+      yield (a, b)
+    val ri = chi(indep)
+    assert(ri.getLong(2) == 0L && ri.getLong(3) == 0L && ri.getLong(1) == 1L)
+    // diagonal 2x2: chi2 = n, V2 = 1
+    val diag = Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q"))
+    val rd = chi(diag)
+    assert(rd.getLong(2) == 20L * 1000000L, "chi2 = n on a perfect diagonal")
+    assert(rd.getLong(3) == 1000000L, "Cramer's V2 = 1")
+  }
+
+  test("chiSquare: matches the local split-division brute force on hashed data") {
+    val rows = (1 to 700).map(i =>
+      (s"a${i * 48271 % 5}", s"b${(i * 2654435761L + i * i) % 4}"))
+    val local: (Long, Long, Long, Long) = {
+      val cm = rows.groupBy(identity).map { case (k, v) => k -> BigInt(v.size) }
+      val as = rows.map(_._1).distinct.sorted
+      val bs = rows.map(_._2).distinct.sorted
+      val ra = as.map(a => a -> cm.collect { case ((x, _), n) if x == a => n }.sum).toMap
+      val cb = bs.map(b => b -> cm.collect { case ((_, y), n) if y == b => n }.sum).toMap
+      val n = BigInt(rows.size)
+      var chi2 = BigInt(0)
+      for (a <- as; b <- bs) {
+        val d = cm.getOrElse((a, b), BigInt(0)) * n - ra(a) * cb(b)
+        val nrc = n * ra(a) * cb(b)
+        chi2 += BigInt(1000000) * ((d * d) / nrc) + (BigInt(1000000) * ((d * d) % nrc)) / nrc
+      }
+      val dof = (as.size - 1L) * (bs.size - 1L)
+      val v2 = chi2 / (n * (math.min(as.size, bs.size) - 1))
+      (n.toLong, dof, chi2.toLong, v2.toLong)
+    }
+    val r = chi(rows)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == local)
+  }
+
+  test("chiSquare: constant column means dof 0 and NULL statistic; NULLs excluded") {
+    val const = Seq(("x", "p"), ("x", "q"), ("x", "p"))
+    val r = chi(const)
+    assert(r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3))
+    val withNulls = Seq[(String, String)](("x", "p"), (null, "q"), ("y", null),
+      ("y", "q"), ("x", "p"), ("y", "q"))
+    assert(chi(withNulls).getLong(0) == 4L, "null-side rows carry no cell")
+  }
+
+  test("chiSquareFromCounts: weighted form equals the exploded rows") {
+    val rows = (1 to 300).map(i => (s"a${i % 3}", s"b${i * 7 % 5}"))
+    val exploded = chi(rows)
+    val counts = rows.groupBy(identity).toSeq
+      .map { case ((a, b), v) => (a, b, v.size.toLong) }
+      .toDF("a", "b", "n")
+    val weighted = Metrics.chiSquareFromCounts(counts, "a", "b", "n").collect()(0)
+    assert(exploded.toSeq == weighted.toSeq)
+  }
+
+  test("chiSquare: invariant under input row order") {
+    val rows = (1 to 400).map(i => (s"a${i * 31 % 4}", s"b${i * 17 % 6}"))
+    val a = chi(rows)
+    val b = chi(scala.util.Random.shuffle(rows))
+    assert(a.toSeq == b.toSeq)
+  }
 }

@@ -907,4 +907,43 @@ class PlanSpec extends SparkSpec {
     assert(p.split("\\(\\d+\\) Window").length - 1 == 2,
       s"expected exactly two Windows:\n${p.take(1500)}")
   }
+
+  test("q198 l-diversity: grain agg + ONE class-keyed window — no join, no global order") {
+    val p = plan(PrivacyQueries.q198LDiversity(spark, sf))
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 1,
+      "exactly one window: the per-class descending-count rank")
+    assert(!p.contains("Join"), "the audit never joins")
+    // grain Exchange + class Exchange; the finale reuses the window's
+    // class partitioning — a third Exchange means that reuse broke
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 2,
+      s"expected exactly two Exchanges:\n${p.take(1200)}")
+    graft.CacheScope.release()
+  }
+
+  test("q199 t-closeness: cached grain feeds all consumers; only broadcast crosses; one class window") {
+    val p = plan(PrivacyQueries.q199TCloseness(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "global, classes and the matrix join must all read the cached grain")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && !l.trim.startsWith("("))
+      .forall(_.contains("Cross BuildRight")),
+      "the only nested loops allowed are the model-sized broadcast crosses")
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 1,
+      "exactly one window: the per-class ordered-EMD prefix")
+    graft.CacheScope.release()
+  }
+
+  test("q200 chi-square: cached contingency grain, broadcast-built grid, no window") {
+    val p = plan(MetricsQueries.q200ChiSquare(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "marginals, totals and the grid join must all read the cached grain")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && !l.trim.startsWith("("))
+      .forall(_.contains("Cross BuildRight")),
+      "the only nested loops allowed are the model-sized broadcast crosses")
+    assert(!p.contains("Window"), "chi-square needs no window at all")
+    graft.CacheScope.release()
+  }
 }
