@@ -1373,6 +1373,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "quasi columns").split(",").map(_.trim).toSeq,
           litStr(exprs(2), "sensitive column")))
     }
+    registerTable("concentration_profile",
+      "concentration_profile('table', 'keyCol', 'weightCol') - Gini / HHI / " +
+        "top-share concentration of an integral weight over a key universe " +
+        "(exact integer rationals, prefix-sum ranks); one row (n_keys, total, " +
+        "gini_micro, hhi_micro, top1_micro, top10_micro)", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.concentrationProfile(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "key column"), litStr(exprs(2), "weight column")))
+    }
+    registerTable("js_divergence",
+      "js_divergence('table', 'valueCol', 'sideCol') - Jensen-Shannon " +
+        "divergence (nats, micro-quantized) between the side-true and " +
+        "side-false categorical distributions — the always-finite drift " +
+        "companion to ks_two_sample for unordered categories", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.jsDivergence(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "value column"), litStr(exprs(2), "side column")))
+    }
+    registerTable("jsd_from_counts",
+      "jsd_from_counts('countsTable', 'valueCol', 'aCol', 'bCol') - the JSD " +
+        "over PRE-AGGREGATED value-grain counts (weighted form — drained " +
+        "streaming count state feeds it directly)", 4) {
+      exprs =>
+        expand(graft.operators.Metrics.jsdFromCounts(
+          SparkSession.active.table(litStr(exprs(0), "counts table")),
+          litStr(exprs(1), "value column"), litStr(exprs(2), "a count column"),
+          litStr(exprs(3), "b count column")))
+    }
     registerTable("cohen_kappa",
       "cohen_kappa('table', 'raterACol', 'raterBCol') - Cohen's kappa " +
         "inter-annotator agreement (exact rational, negative-safe floor); " +

@@ -308,6 +308,120 @@ object Metrics {
           .cast("long")).as("cramers_v2_micro"))
   }
 
+  /** Concentration profile of an integral weight over a key universe —
+    * the "is this corpus dominated by a few sources?" diagnostic run
+    * before any mixture decision: Gini coefficient (population form over
+    * the key grain: `G = (2·Σᵢ i·w₍ᵢ₎ − (n+1)·W) / (n·W)` with weights
+    * ascending and rank i = 1..n), Herfindahl–Hirschman index
+    * (`Σ (w_k/W)²`), and top-1 / top-10 shares. Every statistic is an
+    * exact integer rational: ranks are row indexes under the strict
+    * (weight, key) total order via the distributed two-phase prefix sum
+    * (never a global window), and the rank-weighted sum rides
+    * decimal(38,0). Equal-weight ties cannot perturb Gini (Σi over a tie
+    * block is rank-assignment-invariant). NULL weights are excluded;
+    * a NEGATIVE key total fails loudly (the Lorenz order is undefined —
+    * refunds must be netted or filtered by the caller first).
+    *
+    * Scale shape: corpus volume collapses ONCE into the key grain; the
+    * prefix sum, the moment aggregation and the TakeOrdered top-10 all
+    * ride that frame; output is ONE row
+    * `(n_keys, total, gini_micro, hhi_micro, top1_micro, top10_micro)`. */
+  def concentrationProfile(df: DataFrame, keyCol: String,
+      weightCol: String): DataFrame = {
+    val grain = graft.CacheScope.track(
+      df.filter(col(weightCol).isNotNull)
+        .select(col(keyCol).as("_k"), col(weightCol).cast("long").as("_w"))
+        .groupBy("_k").agg(sum(col("_w")).as("_wk0"))
+        .select(col("_k"),
+          when(col("_wk0") < 0, expr(
+            "raise_error('concentrationProfile: negative key total — net or filter refunds first')")
+            .cast("long"))
+            .otherwise(col("_wk0")).as("_wk"))
+        .cache())
+    val ranked = Relational.distributedPrefixSum(
+      grain.withColumn("_one", lit(1L)), Seq(col("_wk"), col("_k")), "_one")
+    val iw = ranked.agg(
+      coalesce(sum(dec(col("_cum_incl")) * dec(col("_wk"))), dec(lit(0L)))
+        .as("_iw"))
+    val tot = grain.agg(sum(col("_wk")).as("_W"), count(lit(1)).as("_n"),
+      max(col("_wk")).as("_top1"),
+      coalesce(sum(dec(col("_wk")) * dec(col("_wk"))), dec(lit(0L))).as("_sq"))
+    val top10 = grain.orderBy(col("_wk").desc, col("_k")).limit(10)
+      .agg(coalesce(sum(col("_wk")), lit(0L)).as("_t10"))
+    iw.crossJoin(broadcast(tot)).crossJoin(broadcast(top10))
+      .select(
+        coalesce(col("_n"), lit(0L)).as("n_keys"),
+        coalesce(col("_W"), lit(0L)).as("total"),
+        when(col("_n") > 0 && col("_W") > 0,
+          fdiv(dec(lit(1000000L)) *
+              (dec(lit(2L)) * col("_iw") -
+                dec(col("_n") + lit(1L)) * dec(col("_W"))),
+            dec(col("_n")) * dec(col("_W"))).cast("long")).as("gini_micro"),
+        when(col("_W") > 0,
+          fdiv(dec(lit(1000000L)) * col("_sq"),
+            dec(col("_W")) * dec(col("_W"))).cast("long")).as("hhi_micro"),
+        when(col("_W") > 0,
+          fdiv(dec(lit(1000000L)) * dec(col("_top1")), dec(col("_W")))
+            .cast("long")).as("top1_micro"),
+        when(col("_W") > 0,
+          fdiv(dec(lit(1000000L)) * dec(col("_t10")), dec(col("_W")))
+            .cast("long")).as("top10_micro"))
+  }
+
+  /** Jensen–Shannon divergence (nats) between the `sideCol`-true (A) and
+    * -false (B) categorical distributions of `valueCol` — the
+    * always-finite drift companion to [[ksTwoSample]] for UNordered
+    * categories (KL explodes on any novel category; JSD ≤ ln 2). Each
+    * value's term
+    * `½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q))` (zero-sided halves drop out
+    * exactly) is micro-quantized INDIVIDUALLY from the same IEEE
+    * expression tree the oracle replays — `ln` is the one transcendental,
+    * the q19/q92/BM25 exposure — so the sum is a pure integer,
+    * order-free. NULL values are excluded; an empty side reports NULL.
+    *
+    * Scale shape: one corpus-collapsing aggregation to value grain, a
+    * 1-row totals broadcast, one aggregation over the grain.
+    * Output: ONE row `(n_a, n_b, jsd_micro)`. */
+  def jsDivergence(df: DataFrame, valueCol: String, sideCol: String): DataFrame =
+    jsdFromCounts(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).as("_v"),
+          when(col(sideCol).cast("boolean"), 1L).otherwise(0L).as("_a"))
+        .groupBy("_v").agg(sum(col("_a")).as("_ca"),
+          sum(lit(1L) - col("_a")).as("_cb")),
+      "_v", "_ca", "_cb")
+
+  /** [[jsDivergence]] on PRE-AGGREGATED value-grain counts
+    * `(value, countA, countB)` — the weighted form; a drained streaming
+    * count state feeds it directly. */
+  def jsdFromCounts(counts: DataFrame, valueCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val g = graft.CacheScope.track(
+      counts.select(col(valueCol).as("_v"), col(aCol).cast("long").as("_ca"),
+          col(bCol).cast("long").as("_cb"))
+        .cache())
+    val tot = g.agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    // ANSI guard: an EMPTY side makes its ratio 0/0 — the output is NULL
+    // in that case anyway (gated below), so pin the ratio to 0.0 rather
+    // than tripping the ANSI divide-by-zero error mid-aggregation
+    val p = when(col("_na") > 0,
+      col("_ca").cast("double") / col("_na").cast("double")).otherwise(lit(0.0))
+    val q = when(col("_nb") > 0,
+      col("_cb").cast("double") / col("_nb").cast("double")).otherwise(lit(0.0))
+    val term =
+      when(col("_ca") > 0,
+        lit(0.5) * p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)) +
+      when(col("_cb") > 0,
+        lit(0.5) * q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))
+    g.crossJoin(broadcast(tot))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        sum(round(lit(1e6) * term).cast("long")).as("_jsd"))
+      .select(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("_jsd")).as("jsd_micro"))
+  }
+
   /** `log₂(i+1)` as the JVM's exact double — THE constant both the plan
     * and the oracle must share; [[discountSqlLiteral]] prints it
     * round-trip-exactly for the oracle side. */

@@ -58,6 +58,18 @@ object MetricsQueries {
   def q200ChiSquare(s: SparkSession, d: String): DataFrame =
     Metrics.chiSquareIndependence(Tables.documents(s, d), "lang", "source")
 
+  def q202Concentration(s: SparkSession, d: String): DataFrame =
+    Metrics.concentrationProfile(
+      Tables.orders(s, d).select(col("o_custkey"),
+        Portable.cents(col("o_totalprice")).as("cents")),
+      "o_custkey", "cents")
+
+  def q203JsdDrift(s: SparkSession, d: String): DataFrame =
+    Metrics.jsDivergence(
+      RelationalQueries.events(s, d).select(col("event_type"),
+        (pmod(col("user_id"), lit(2)) === 0).as("is_a")),
+      "event_type", "is_a")
+
   /** q72's query terms — the composition grades its own search output. */
   private val SearchTerms = Seq("spark", "hash", "merge", "window")
 
@@ -84,7 +96,9 @@ object MetricsQueries {
     "q194_ks_drift" -> q194KsDrift,
     "q195_cohen_kappa" -> q195CohenKappa,
     "q197_search_eval" -> q197SearchEval,
-    "q200_chi_square" -> q200ChiSquare)
+    "q200_chi_square" -> q200ChiSquare,
+    "q202_concentration" -> q202Concentration,
+    "q203_jsd_drift" -> q203JsdDrift)
 
   private val q192OracleSql: String =
     """WITH s AS (SELECT n_chars AS s,
@@ -266,8 +280,68 @@ object MetricsQueries {
         END AS cramers_v2_micro
       FROM terms"""
 
+  private val q202OracleSql: String =
+    """WITH g AS (SELECT o_custkey AS k,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS w
+        FROM orders GROUP BY 1),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY w, k) AS BIGINT) AS i
+        FROM g),
+      t AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(count(*) AS BIGINT) AS n,
+          CAST(max(w) AS BIGINT) AS top1,
+          coalesce(sum(CAST(w AS HUGEINT) * w), CAST(0 AS HUGEINT)) AS sq,
+          coalesce(sum(CAST(i AS HUGEINT) * w), CAST(0 AS HUGEINT)) AS iw
+        FROM r),
+      tt AS (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS t10
+        FROM (SELECT w FROM g ORDER BY w DESC, k LIMIT 10))
+      SELECT coalesce(t.n, 0) AS n_keys, coalesce(t.tw, 0) AS total,
+        CASE WHEN t.n > 0 AND t.tw > 0
+          THEN CAST((1000000 * (2 * t.iw - CAST(t.n + 1 AS HUGEINT) * t.tw))
+                 // (CAST(t.n AS HUGEINT) * t.tw) AS BIGINT) END AS gini_micro,
+        CASE WHEN t.tw > 0
+          THEN CAST((1000000 * t.sq)
+                 // (CAST(t.tw AS HUGEINT) * t.tw) AS BIGINT) END AS hhi_micro,
+        CASE WHEN t.tw > 0
+          THEN CAST((1000000 * CAST(t.top1 AS HUGEINT)) // t.tw AS BIGINT)
+        END AS top1_micro,
+        CASE WHEN t.tw > 0
+          THEN CAST((1000000 * CAST(tt.t10 AS HUGEINT)) // t.tw AS BIGINT)
+        END AS top10_micro
+      FROM t, tt"""
+
+  /** q203 oracle — the JSD terms replay the IDENTICAL IEEE expression
+    * tree (explicit double casts on every division; `ln` is the one
+    * transcendental — the q19/q92 exposure); per-value terms are
+    * non-negative by the log-sum inequality, so HALF_UP and
+    * half-away-from-zero rounding agree. */
+  private val q203OracleSql: String =
+    """WITH s AS (SELECT event_type AS v,
+          CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        FROM events WHERE event_type IS NOT NULL),
+      g AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+          CAST(sum(1 - a) AS BIGINT) AS cb FROM s GROUP BY 1),
+      t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+          CAST(sum(cb) AS BIGINT) AS nb FROM g),
+      terms AS (SELECT t.na, t.nb,
+          CAST(round(1000000.0 * (
+            CASE WHEN g.ca > 0 THEN 0.5 * (CAST(g.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+              * ln(2.0 * (CAST(g.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                  / ((CAST(g.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                     + (CAST(g.cb AS DOUBLE) / CAST(t.nb AS DOUBLE)))) ELSE 0.0 END
+            + CASE WHEN g.cb > 0 THEN 0.5 * (CAST(g.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+              * ln(2.0 * (CAST(g.cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+                  / ((CAST(g.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                     + (CAST(g.cb AS DOUBLE) / CAST(t.nb AS DOUBLE)))) ELSE 0.0 END
+          )) AS BIGINT) AS term
+        FROM g, t)
+      SELECT max(na) AS n_a, max(nb) AS n_b,
+        CASE WHEN max(na) > 0 AND max(nb) > 0
+          THEN CAST(sum(term) AS BIGINT) END AS jsd_micro
+      FROM terms"""
+
   val oracles: Map[String, String] = Map(
     "q200_chi_square" -> q200OracleSql,
+    "q202_concentration" -> q202OracleSql,
+    "q203_jsd_drift" -> q203OracleSql,
     "q192_roc_auc" -> q192OracleSql,
     "q193_retrieval_metrics" -> q193OracleSql,
     "q194_ks_drift" -> q194OracleSql,

@@ -1020,6 +1020,30 @@ object ScaleProbe {
     time("chi-square 1x (5k docs, 100 cells)")(chiX(1))
     time("chi-square 10x (50k docs, 1000 cells)")(chiX(10))
 
+    // --- concentration: key-grain collapse + prefix-sum ranks — 10x keys
+    def concX(k: Int): Long = {
+      val ords = (0 until k).map(i => graft.Tables.orders(spark, sfDir)
+          .select((col("o_custkey") + i * 10000000L).as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("w")))
+        .reduce(_ unionByName _)
+      val r = graft.operators.Metrics.concentrationProfile(ords, "k", "w")
+        .agg(sum(col("gini_micro")) + sum(col("hhi_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("concentration 1x (15k keys)")(concX(1))
+    time("concentration 10x (150k keys)")(concX(10))
+
+    // --- jsd drift: value-grain collapse — 10x rows, fixed value universe
+    def jsdX(k: Int): Long = {
+      val e = evX(k).select(col("event_type").as("v"),
+        (pmod(col("user_id"), lit(2)) === 0).as("a"))
+      val r = graft.operators.Metrics.jsDivergence(e, "v", "a")
+        .agg(sum(col("jsd_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("jsd drift 1x (100k events)")(jsdX(1))
+    time("jsd drift 10x (1M events)")(jsdX(10))
+
     spark.stop()
   }
 }

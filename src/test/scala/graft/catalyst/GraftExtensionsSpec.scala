@@ -881,4 +881,24 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tcr.forall(_ == 0L), "population-mirroring classes score 0")
     graft.CacheScope.release()
   }
+
+  test("concentration_profile and js_divergence TVFs from plain SQL") {
+    import spark.implicits._
+    (Seq(("hog", 1000L)) ++ (1 to 9).map(i => (s"z$i", 0L))).toDF("k", "w")
+      .createOrReplaceTempView("conc_tvf_t")
+    val cp = spark.sql("SELECT gini_micro, hhi_micro FROM " +
+      "concentration_profile('conc_tvf_t', 'k', 'w')").head()
+    assert(cp.getLong(0) == 900000L && cp.getLong(1) == 1000000L)
+    graft.CacheScope.release()
+    Seq(("x", true), ("y", true), ("x", false), ("y", false)).toDF("v", "a")
+      .createOrReplaceTempView("jsd_tvf_t")
+    assert(spark.sql("SELECT jsd_micro FROM js_divergence('jsd_tvf_t', 'v', 'a')")
+      .head().getLong(0) == 0L)
+    graft.CacheScope.release()
+    Seq(("x", 2L, 2L), ("y", 1L, 1L)).toDF("v", "ca", "cb")
+      .createOrReplaceTempView("jsdc_tvf_t")
+    assert(spark.sql("SELECT jsd_micro FROM jsd_from_counts(" +
+      "'jsdc_tvf_t', 'v', 'ca', 'cb')").head().getLong(0) == 0L)
+    graft.CacheScope.release()
+  }
 }

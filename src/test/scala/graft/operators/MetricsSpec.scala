@@ -265,4 +265,85 @@ class MetricsSpec extends SparkSpec {
     val b = chi(scala.util.Random.shuffle(rows))
     assert(a.toSeq == b.toSeq)
   }
+
+  // ---- concentrationProfile --------------------------------------------
+
+  private def conc(rows: Seq[(String, Long)]) =
+    Metrics.concentrationProfile(rows.toDF("k", "w"), "k", "w").collect()(0)
+
+  test("concentrationProfile: uniform weights — gini 0, hhi 1/n") {
+    val r = conc((1 to 8).map(i => (s"k$i", 100L)))
+    assert(r.getLong(2) == 0L && r.getLong(3) == 125000L)
+    assert(r.getLong(4) == 125000L, "top1 = 1/8")
+    assert(r.getLong(5) == 1000000L, "top10 of 8 keys = everything")
+  }
+
+  test("concentrationProfile: total concentration — gini (n-1)/n, hhi 1, top1 1") {
+    val r = conc(Seq(("hog", 1000L)) ++ (1 to 9).map(i => (s"z$i", 0L)))
+    assert(r.getLong(0) == 10L && r.getLong(1) == 1000L)
+    assert(r.getLong(2) == 900000L, "gini = 9/10")
+    assert(r.getLong(3) == 1000000L && r.getLong(4) == 1000000L)
+  }
+
+  test("concentrationProfile: matches the local exact rational on hashed weights") {
+    val rows = (1 to 300).map(i => (s"k$i", (i * 2654435761L % 997)))
+    val local: (Long, Long, Long, Long) = {
+      val ws = rows.map(_._2)
+      val n = BigInt(ws.size); val W = BigInt(ws.sum)
+      // rank by (w, k) — matches the operator's strict order
+      val sorted = rows.sortBy(r => (r._2, r._1)).map(_._2)
+      val iw = sorted.zipWithIndex.map { case (w, i) => BigInt(i + 1) * w }.sum
+      val g = (BigInt(1000000) * (2 * iw - (n + 1) * W)) / (n * W)
+      val hhi = (BigInt(1000000) * ws.map(w => BigInt(w) * w).sum) / (W * W)
+      val t10 = BigInt(ws.sorted.reverse.take(10).sum) * 1000000 / W
+      (g.toLong, hhi.toLong, t10.toLong, W.toLong)
+    }
+    val r = conc(rows)
+    assert((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(1)) == local)
+  }
+
+  test("concentrationProfile: negative key total fails loudly") {
+    intercept[Exception] {
+      conc(Seq(("a", 5L), ("b", -3L)))
+    }
+    graft.CacheScope.release()
+  }
+
+  // ---- jsDivergence -----------------------------------------------------
+
+  private def jsd(rows: Seq[(String, Boolean)]) =
+    Metrics.jsDivergence(rows.toDF("v", "a"), "v", "a").collect()(0)
+
+  test("jsDivergence: identical distributions are 0; disjoint supports are ln 2") {
+    val same = Seq(("x", true), ("y", true), ("x", false), ("y", false))
+    assert(jsd(same).getLong(2) == 0L)
+    // disjoint singletons: each side contributes round(1e6 * ln(2)/2)
+    val disjoint = Seq(("x", true), ("y", false))
+    assert(jsd(disjoint).getLong(2) == 2L * math.round(1e6 * math.log(2.0) / 2.0))
+  }
+
+  test("jsDivergence: matches the local term-by-term computation on skewed data") {
+    val rows = (1 to 500).map(i => (s"v${i * 7 % 11}", i * 48271 % 3 == 0))
+    val local: Long = {
+      val ca = rows.filter(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val cb = rows.filterNot(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val na = ca.values.sum.toDouble; val nb = cb.values.sum.toDouble
+      (ca.keySet ++ cb.keySet).toSeq.map { v =>
+        val p = ca.getOrElse(v, 0L) / na; val q = cb.getOrElse(v, 0L) / nb
+        val t = (if (p > 0) 0.5 * p * math.log(2.0 * p / (p + q)) else 0.0) +
+          (if (q > 0) 0.5 * q * math.log(2.0 * q / (p + q)) else 0.0)
+        math.round(1e6 * t)
+      }.sum
+    }
+    assert(jsd(rows).getLong(2) == local)
+  }
+
+  test("jsDivergence: empty side reports NULL; counts form equals exploded rows") {
+    assert(jsd(Seq(("x", true), ("y", true))).isNullAt(2))
+    val rows = (1 to 200).map(i => (s"v${i % 6}", i % 3 == 0))
+    val counts = rows.groupBy(_._1).toSeq.map { case (v, r) =>
+      (v, r.count(_._2).toLong, r.count(!_._2).toLong) }.toDF("v", "ca", "cb")
+    val w = Metrics.jsdFromCounts(counts, "v", "ca", "cb").collect()(0)
+    assert(jsd(rows).toSeq == w.toSeq)
+  }
 }

@@ -934,6 +934,32 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q202 concentration: prefix-sum ranks (checkpoint leaf), TakeOrdered top-10, no global window") {
+    val p = plan(MetricsQueries.q202Concentration(spark, sf))
+    assert(p.contains("ExistingRDD"),
+      "Lorenz ranks must ride the prefix-sum checkpoint")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-10 share must be a partial top-k, not a global sort")
+    assert(!p.contains("Window"), "a global-order window crept into the rank path")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && !l.trim.startsWith("("))
+      .forall(_.contains("Cross BuildRight")),
+      "the only nested loops allowed are the 1-row broadcast crosses")
+    graft.CacheScope.release()
+  }
+
+  test("q203 jsd drift: one value-grain collapse + 1-row totals broadcast — no window, no shuffle join") {
+    val p = plan(MetricsQueries.q203JsdDrift(spark, sf))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && !l.trim.startsWith("("))
+      .forall(_.contains("Cross BuildRight")),
+      "the totals must ride a broadcast cross")
+    graft.CacheScope.release()
+  }
+
   test("q200 chi-square: cached contingency grain, broadcast-built grid, no window") {
     val p = plan(MetricsQueries.q200ChiSquare(spark, sf))
     assert(p.contains("InMemoryTableScan"),
