@@ -1373,6 +1373,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "quasi columns").split(",").map(_.trim).toSeq,
           litStr(exprs(2), "sensitive column")))
     }
+    registerTable("preference_cycles",
+      "preference_cycles('duelsTable', 'winnerCol', 'loserCol') - every " +
+        "majority-preference 3-cycle (a beats b beats c beats a) in the duel " +
+        "graph — the annotation-QA gate before trusting a bradley_terry " +
+        "board; ties are ambivalent (no edge); degree-oriented wedges, " +
+        "hub-safe", 3) {
+      exprs =>
+        expand(graft.operators.Rank.preferenceCycles(
+          SparkSession.active.table(litStr(exprs(0), "duels table")),
+          litStr(exprs(1), "winner column"), litStr(exprs(2), "loser column")))
+    }
     registerTable("concentration_profile",
       "concentration_profile('table', 'keyCol', 'weightCol') - Gini / HHI / " +
         "top-share concentration of an integral weight over a key universe " +

@@ -228,6 +228,97 @@ object Rank {
     * c = conditional sum — map-side combined, corpus volume never
     * touched again), then a pure projection per k. Output:
     * `(problem_id, n, c, pass<k>_micro …)`. */
+  /** Preference-cycle audit: every directed 3-cycle (a beats b beats c
+    * beats a) in the MAJORITY duel graph — the annotation-QA gate run on
+    * preference data before trusting a [[bradleyTerry]] board (a high
+    * cycle rate means the raters disagree with themselves, not that the
+    * model ordering is subtle). Duels aggregate to the canonical
+    * unordered-pair grain; a pair's majority direction is its edge,
+    * exact ties are ambivalent (no edge). Output: one row per cyclic
+    * triad, items sorted ascending, with the three canonical-pair
+    * verdicts — `(item_a, item_b, item_c, a_beats_b, b_beats_c,
+    * a_beats_c)`; cycles satisfy `a_beats_b ≠ a_beats_c` and
+    * `b_beats_c = a_beats_b` (the two rotation classes), which the
+    * caller can read back as the walk direction. Self-duels are dropped.
+    *
+    * Scale shape (the q146 triangle machinery): duel volume collapses
+    * ONCE to the pair grain; wedges enumerate from each edge's
+    * degree-SMALLEST endpoint under the (degree, id) total order, so
+    * per-task transient candidates are bounded by oriented out-degree²
+    * ≈ O(√E) per node — hub-safe even on a near-complete tournament —
+    * and the closing edge lookup is an equi join carrying the third
+    * direction flag. Nothing re-reads the duel log after the pair
+    * aggregation. */
+  def preferenceCycles(duels: DataFrame, winnerCol: String, loserCol: String,
+      weightCol: String = null): DataFrame = {
+    val idType = duels.schema(winnerCol).dataType
+    val wgt = if (weightCol == null) lit(1L) else col(weightCol).cast("long")
+    val wc = col(winnerCol).cast("long")
+    val lc = col(loserCol).cast("long")
+    val pairs = duels.filter(wc =!= lc)
+      .select(least(wc, lc).as("_lo"), greatest(wc, lc).as("_hi"),
+        when(wc < lc, wgt).otherwise(0L).as("_wl"),
+        when(wc > lc, wgt).otherwise(0L).as("_wh"))
+      .groupBy("_lo", "_hi")
+      .agg(sum(col("_wl")).as("_wl"), sum(col("_wh")).as("_wh"))
+    val edges = graft.CacheScope.track(
+      pairs.filter(col("_wl") =!= col("_wh"))
+        .select(col("_lo").as("_a"), col("_hi").as("_b"),
+          (col("_wl") > col("_wh")).as("_fab"))
+        .cache())
+    val deg = edges.select(col("_a").as("_n")).union(edges.select(col("_b").as("_n")))
+      .groupBy("_n").agg(count(lit(1)).as("_d"))
+    val keyA = struct(col("_da"), col("_a"))
+    val keyB = struct(col("_db"), col("_b"))
+    // orient each edge from its degree-smallest endpoint; _fuv keeps the
+    // PREFERENCE direction ("u beats v") across the flip
+    val o = graft.CacheScope.track(edges
+      .join(deg.select(col("_n").as("_a"), col("_d").as("_da")), "_a")
+      .join(deg.select(col("_n").as("_b"), col("_d").as("_db")), "_b")
+      .select(
+        when(keyA < keyB, col("_a")).otherwise(col("_b")).as("_u"),
+        when(keyA < keyB, col("_b")).otherwise(col("_a")).as("_v"),
+        when(keyA < keyB, col("_db")).otherwise(col("_da")).as("_dv"),
+        when(keyA < keyB, col("_fab")).otherwise(!col("_fab")).as("_fuv"))
+      .cache())
+    val wedges = o.select(col("_u"), col("_v").as("_x"), col("_dv").as("_dx"),
+        col("_fuv").as("_fux"))
+      .join(o.select(col("_u"), col("_v").as("_y"), col("_dv").as("_dy"),
+        col("_fuv").as("_fuy")), Seq("_u"))
+      .filter(struct(col("_dx"), col("_x")) < struct(col("_dy"), col("_y")))
+    val tri = wedges
+      .join(o.select(col("_u").as("_x"), col("_v").as("_y"),
+        col("_fuv").as("_fxy")), Seq("_x", "_y"))
+      .filter(col("_fux") =!= col("_fuy") && col("_fxy") === col("_fux"))
+    // canonical ascending triple + the three canonical-pair verdicts
+    val ps = array(
+      struct(least(col("_u"), col("_x")).as("p"),
+        greatest(col("_u"), col("_x")).as("q"),
+        when(col("_u") < col("_x"), col("_fux")).otherwise(!col("_fux")).as("g")),
+      struct(least(col("_u"), col("_y")).as("p"),
+        greatest(col("_u"), col("_y")).as("q"),
+        when(col("_u") < col("_y"), col("_fuy")).otherwise(!col("_fuy")).as("g")),
+      struct(least(col("_x"), col("_y")).as("p"),
+        greatest(col("_x"), col("_y")).as("q"),
+        when(col("_x") < col("_y"), col("_fxy")).otherwise(!col("_fxy")).as("g")))
+    def flagFor(p: Column, q: Column, arr: Column): Column =
+      element_at(filter(arr, s =>
+        s.getField("p") === p && s.getField("q") === q), 1).getField("g")
+    tri.select(
+        least(col("_u"), col("_x"), col("_y")).as("_s1"),
+        (col("_u") + col("_x") + col("_y") -
+          least(col("_u"), col("_x"), col("_y")) -
+          greatest(col("_u"), col("_x"), col("_y"))).as("_s2"),
+        greatest(col("_u"), col("_x"), col("_y")).as("_s3"),
+        ps.as("_ps"))
+      .select(col("_s1").cast(idType).as("item_a"),
+        col("_s2").cast(idType).as("item_b"),
+        col("_s3").cast(idType).as("item_c"),
+        flagFor(col("_s1"), col("_s2"), col("_ps")).as("a_beats_b"),
+        flagFor(col("_s2"), col("_s3"), col("_ps")).as("b_beats_c"),
+        flagFor(col("_s1"), col("_s3"), col("_ps")).as("a_beats_c"))
+  }
+
   def passAtK(samples: DataFrame, problemCol: String, passCol: String,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "ks: non-empty, each >= 1")

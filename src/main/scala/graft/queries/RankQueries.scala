@@ -106,8 +106,20 @@ object RankQueries {
       "rating_micro", "winrate_micro", "item_id")
   }
 
+  // Annotation-QA over the duel graph: every majority-preference
+  // 3-cycle among part BUCKETS (pmod 100 — a dense tournament where
+  // near-tied buckets produce genuine cycles at every SF). A clean
+  // transitive signal would emit zero rows; the cycle rate here is the
+  // "don't trust the q184 board blindly" diagnostic.
+  def q204PreferenceCycles(s: SparkSession, d: String): DataFrame =
+    Rank.preferenceCycles(
+      partDuels(s, d).select(pmod(col("winner"), lit(100)).as("winner"),
+        pmod(col("loser"), lit(100)).as("loser")),
+      "winner", "loser")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_bradley_terry" -> q184BradleyTerry,
+    "q204_preference_cycles" -> q204PreferenceCycles,
     "q185_unimax" -> q185Unimax,
     "q187_preference_leaderboard" -> q187PreferenceLeaderboard,
     "q189_unimax_draw" -> q189UnimaxDraw,
@@ -289,8 +301,31 @@ object RankQueries {
             ELSE 0 END AS rho_micro
         FROM st"""
 
+  /** q204 oracle: the same duel construction bucketed, the same
+    * majority-edge rule, and the triangle enumerated DIRECTLY by the
+    * id-order three-way join (the oracle may be quadratic where the
+    * engine is degree-oriented — same rows either way); the cycle
+    * predicate on canonical flags is `f_ab ≠ f_ac ∧ f_bc = f_ab`. */
+  private val q204OracleSql: String =
+    """WITH duels AS (
+        SELECT a.l_partkey % 100 AS w, b.l_partkey % 100 AS l
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_quantity > b.l_quantity AND a.l_partkey <> b.l_partkey),
+      p AS (SELECT least(w, l) AS lo, greatest(w, l) AS hi,
+          CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS wl,
+          CAST(sum(CASE WHEN w > l THEN 1 ELSE 0 END) AS BIGINT) AS wh
+        FROM duels WHERE w <> l GROUP BY 1, 2),
+      e AS (SELECT lo, hi, wl > wh AS f FROM p WHERE wl <> wh)
+      SELECT e1.lo AS item_a, e1.hi AS item_b, e2.hi AS item_c,
+        e1.f AS a_beats_b, e2.f AS b_beats_c, e3.f AS a_beats_c
+      FROM e e1
+      JOIN e e2 ON e2.lo = e1.hi
+      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+      WHERE e1.f <> e3.f AND e2.f = e1.f"""
+
   val oracles: Map[String, String] = Map(
     "q184_bradley_terry" -> q184OracleSql,
+    "q204_preference_cycles" -> q204OracleSql,
     "q185_unimax" -> q185OracleSql,
     "q187_preference_leaderboard" -> q187OracleSql,
     "q189_unimax_draw" -> q189OracleSql,

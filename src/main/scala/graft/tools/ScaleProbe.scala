@@ -1044,6 +1044,26 @@ object ScaleProbe {
     time("jsd drift 1x (100k events)")(jsdX(1))
     time("jsd drift 10x (1M events)")(jsdX(10))
 
+    // --- preference cycles: synthetic hashed tournament — 10x ITEMS means
+    // ~1000x triangles (triads grow n^3 on a dense tournament); the law
+    // that matters is wedge volume tracking oriented out-degree^2, so the
+    // 10x arm must grow like its OUTPUT, not explode past it -------------
+    def cycX(items: Long): Long = {
+      val ids = spark.range(items)
+      val duels = ids.select(col("id").as("_a"))
+        .crossJoin(ids.select(col("id").as("_b")))
+        .filter(col("_a") < col("_b"))
+        .select(
+          when((col("_a") * 2654435761L + col("_b") * 40503L) % 7 < 4,
+            col("_a")).otherwise(col("_b")).as("w"),
+          when((col("_a") * 2654435761L + col("_b") * 40503L) % 7 < 4,
+            col("_b")).otherwise(col("_a")).as("l"))
+      val r = graft.operators.Rank.preferenceCycles(duels, "w", "l").count()
+      graft.CacheScope.release(); r
+    }
+    time("preference cycles 1x (100-item tournament)")(cycX(100))
+    time("preference cycles 10x (1000-item tournament, ~1000x triads)")(cycX(1000))
+
     spark.stop()
   }
 }

@@ -900,5 +900,12 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT jsd_micro FROM jsd_from_counts(" +
       "'jsdc_tvf_t', 'v', 'ca', 'cb')").head().getLong(0) == 0L)
     graft.CacheScope.release()
+    Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("w", "l")
+      .createOrReplaceTempView("cyc_tvf_t")
+    val cyc = spark.sql(
+      "SELECT item_a, item_b, item_c FROM preference_cycles('cyc_tvf_t', 'w', 'l')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cyc.toSeq == Seq((1L, 2L, 3L)))
+    graft.CacheScope.release()
   }
 }

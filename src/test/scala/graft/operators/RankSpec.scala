@@ -170,4 +170,77 @@ class RankSpec extends SparkSpec {
       assert(uncapped.length <= 1, s"budget=$budget uncapped shares differ")
     }
   }
+
+  // ---- preferenceCycles -------------------------------------------------
+
+  private def cycles(duels: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    Rank.preferenceCycles(duels.toDF("w", "l"), "w", "l").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+  }
+
+  test("preferenceCycles: a transitive tournament has zero cycles") {
+    // 1 beats 2,3,4; 2 beats 3,4; 3 beats 4 — fully consistent raters
+    val duels = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(cycles(duels).isEmpty)
+    graft.CacheScope.release()
+  }
+
+  test("preferenceCycles: the hand 3-cycle comes back with its canonical flags") {
+    val r = cycles(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(r.toSeq == Seq((1L, 2L, 3L, true, true, false)))
+    graft.CacheScope.release()
+    // the reverse rotation: 2 beats 1, 3 beats 2, 1 beats 3
+    val rev = cycles(Seq((2L, 1L), (3L, 2L), (1L, 3L)))
+    assert(rev.toSeq == Seq((1L, 2L, 3L, false, false, true)))
+    graft.CacheScope.release()
+  }
+
+  test("preferenceCycles: majority rules a noisy pair; an exact tie breaks the cycle") {
+    // 1>2 twice vs 2>1 once -> majority 1>2; cycle survives the noise
+    val noisy = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+    assert(cycles(noisy).length == 1)
+    graft.CacheScope.release()
+    // tie 1-vs-2 removes the edge -> no triangle at all
+    val tied = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+    assert(cycles(tied).isEmpty)
+    graft.CacheScope.release()
+  }
+
+  test("preferenceCycles: self-duels carry no edge") {
+    assert(cycles(Seq((1L, 1L), (1L, 2L), (2L, 3L), (3L, 1L))).length == 1)
+    graft.CacheScope.release()
+  }
+
+  test("preferenceCycles: matches local exhaustive triad enumeration on a hashed tournament") {
+    val n = 25L
+    // deterministic noisy tournament: direction of (a,b) from a hash
+    val duels = for {
+      a <- 1L to n; b <- (a + 1) to n
+    } yield if ((a * 2654435761L + b * 40503L) % 7 < 4) (a, b) else (b, a)
+    val local = {
+      val beats = duels.map { case (w, l) => (w, l) }.toSet
+      (for {
+        a <- 1L to n; b <- (a + 1) to n; c <- (b + 1) to n
+        fab = beats((a, b)); fbc = beats((b, c)); fac = beats((a, c))
+        if fab != fac && fbc == fab
+      } yield (a, b, c, fab, fbc, fac)).toSet
+    }
+    assert(cycles(duels).toSet == local)
+    graft.CacheScope.release()
+  }
+
+  test("preferenceCycles: weightCol form equals exploded duels") {
+    import spark.implicits._
+    val duels = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+    val weighted = Seq((1L, 2L, 2L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("w", "l", "n")
+    val a = cycles(duels).toSeq
+    val b = Rank.preferenceCycles(weighted, "w", "l", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toSeq
+    assert(a == b)
+    graft.CacheScope.release()
+  }
 }

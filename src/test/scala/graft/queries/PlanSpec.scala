@@ -960,6 +960,16 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q204 preference cycles: pair-grain collapse, equi wedge joins only — no pair shape") {
+    val p = plan(RankQueries.q204PreferenceCycles(spark, sf))
+    assert(!p.contains("CartesianProduct"), "wedge enumeration degenerated to N^2")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "wedge enumeration degenerated to N^2")
+    assert(!p.contains("Window"), "no window belongs in the triangle path")
+    assert(p.contains("InMemoryTableScan"),
+      "wedges and the closing-edge lookup must reuse the cached oriented frame")
+    graft.CacheScope.release()
+  }
+
   test("q200 chi-square: cached contingency grain, broadcast-built grid, no window") {
     val p = plan(MetricsQueries.q200ChiSquare(spark, sf))
     assert(p.contains("InMemoryTableScan"),
