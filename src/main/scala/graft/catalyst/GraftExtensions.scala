@@ -1404,6 +1404,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "value column"), litStr(exprs(2), "side column")))
     }
+    registerTable("psi",
+      "psi('table', 'valueCol', 'sideCol') - Population Stability Index " +
+        "between the side-true (reference) and side-false (actual) binned " +
+        "distributions (< 0.1 stable, > 0.25 act); fails loudly on a bin " +
+        "empty on one side — re-bin coarser rather than silently smooth", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.psi(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "value column"), litStr(exprs(2), "side column")))
+    }
+    registerTable("psi_from_counts",
+      "psi_from_counts('countsTable', 'valueCol', 'aCol', 'bCol') - PSI over " +
+        "PRE-AGGREGATED bin counts (weighted form — drained streaming count " +
+        "state feeds it directly)", 4) {
+      exprs =>
+        expand(graft.operators.Metrics.psiFromCounts(
+          SparkSession.active.table(litStr(exprs(0), "counts table")),
+          litStr(exprs(1), "value column"), litStr(exprs(2), "a count column"),
+          litStr(exprs(3), "b count column")))
+    }
     registerTable("jsd_from_counts",
       "jsd_from_counts('countsTable', 'valueCol', 'aCol', 'bCol') - the JSD " +
         "over PRE-AGGREGATED value-grain counts (weighted form — drained " +

@@ -422,6 +422,60 @@ object Metrics {
         when(col("n_a") > 0 && col("n_b") > 0, col("_jsd")).as("jsd_micro"))
   }
 
+  /** Population Stability Index between the `sideCol`-true (A, the
+    * "expected"/reference side) and -false (B, the "actual" side) binned
+    * distributions of `valueCol`: `PSI = Σ (p_i − q_i)·ln(p_i/q_i)` —
+    * the industry-standard model-monitoring drift score (< 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 act). Terms are non-negative by sign
+    * agreement and micro-quantized individually from the identical IEEE
+    * tree the oracle replays (the [[jsDivergence]] convention), so the
+    * sum is a pure integer. PSI is UNDEFINED on a bin empty on either
+    * side (ln 0) — this fails LOUDLY rather than silently smoothing:
+    * re-bin coarser or pre-smooth explicitly (a fabricated ε would make
+    * the score depend on an invisible constant). NULL values excluded;
+    * an empty side reports NULL.
+    *
+    * Scale shape: identical to [[jsDivergence]] — one value-grain
+    * collapse, a 1-row totals broadcast, one aggregation.
+    * Output: ONE row `(n_a, n_b, psi_micro)`. */
+  def psi(df: DataFrame, valueCol: String, sideCol: String): DataFrame =
+    psiFromCounts(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(valueCol).as("_v"),
+          when(col(sideCol).cast("boolean"), 1L).otherwise(0L).as("_a"))
+        .groupBy("_v").agg(sum(col("_a")).as("_ca"),
+          sum(lit(1L) - col("_a")).as("_cb")),
+      "_v", "_ca", "_cb")
+
+  /** [[psi]] on PRE-AGGREGATED value-grain counts — the weighted form;
+    * a drained streaming count state feeds it directly. */
+  def psiFromCounts(counts: DataFrame, valueCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val g = graft.CacheScope.track(
+      counts.select(col(valueCol).as("_v"), col(aCol).cast("long").as("_ca"),
+          col(bCol).cast("long").as("_cb"))
+        .cache())
+    val tot = g.agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    val p = when(col("_na") > 0,
+      col("_ca").cast("double") / col("_na").cast("double")).otherwise(lit(0.0))
+    val q = when(col("_nb") > 0,
+      col("_cb").cast("double") / col("_nb").cast("double")).otherwise(lit(0.0))
+    // gated behind the both-sides-present check and the empty-side NULL,
+    // so the ln arguments are always strictly positive when evaluated
+    val term = when(col("_na") > 0 && col("_nb") > 0,
+      when(col("_ca") === 0 || col("_cb") === 0, expr(
+        "raise_error('psi: a bin is empty on one side — PSI is undefined (ln 0); re-bin coarser or pre-smooth explicitly')")
+        .cast("double"))
+        .otherwise((p - q) * log(p / q))).otherwise(lit(0.0))
+    g.crossJoin(broadcast(tot))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        sum(round(lit(1e6) * term).cast("long")).as("_psi"))
+      .select(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("_psi")).as("psi_micro"))
+  }
+
   /** `log₂(i+1)` as the JVM's exact double — THE constant both the plan
     * and the oracle must share; [[discountSqlLiteral]] prints it
     * round-trip-exactly for the oracle side. */

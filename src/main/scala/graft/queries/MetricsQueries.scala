@@ -64,6 +64,13 @@ object MetricsQueries {
         Portable.cents(col("o_totalprice")).as("cents")),
       "o_custkey", "cents")
 
+  def q205PsiDrift(s: SparkSession, d: String): DataFrame =
+    Metrics.psi(
+      RelationalQueries.events(s, d)
+        .select(pmod(Portable.cents(col("value")), lit(8)).as("band"),
+          (pmod(col("user_id"), lit(2)) === 0).as("is_a")),
+      "band", "is_a")
+
   def q203JsdDrift(s: SparkSession, d: String): DataFrame =
     Metrics.jsDivergence(
       RelationalQueries.events(s, d).select(col("event_type"),
@@ -98,7 +105,8 @@ object MetricsQueries {
     "q197_search_eval" -> q197SearchEval,
     "q200_chi_square" -> q200ChiSquare,
     "q202_concentration" -> q202Concentration,
-    "q203_jsd_drift" -> q203JsdDrift)
+    "q203_jsd_drift" -> q203JsdDrift,
+    "q205_psi_drift" -> q205PsiDrift)
 
   private val q192OracleSql: String =
     """WITH s AS (SELECT n_chars AS s,
@@ -338,10 +346,34 @@ object MetricsQueries {
           THEN CAST(sum(term) AS BIGINT) END AS jsd_micro
       FROM terms"""
 
+  /** q205 oracle — the PSI terms replay the identical IEEE tree; cents
+    * mirror `Portable.cents` (`round(value*100)`). */
+  private val q205OracleSql: String =
+    """WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) % 8 AS v,
+          CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        FROM events WHERE value IS NOT NULL),
+      g AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+          CAST(sum(1 - a) AS BIGINT) AS cb FROM s GROUP BY 1),
+      t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+          CAST(sum(cb) AS BIGINT) AS nb FROM g),
+      terms AS (SELECT t.na, t.nb,
+          CAST(round(1000000.0 * (
+            ((CAST(g.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+             - (CAST(g.cb AS DOUBLE) / CAST(t.nb AS DOUBLE)))
+            * ln((CAST(g.ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+                 / (CAST(g.cb AS DOUBLE) / CAST(t.nb AS DOUBLE)))
+          )) AS BIGINT) AS term
+        FROM g, t)
+      SELECT max(na) AS n_a, max(nb) AS n_b,
+        CASE WHEN max(na) > 0 AND max(nb) > 0
+          THEN CAST(sum(term) AS BIGINT) END AS psi_micro
+      FROM terms"""
+
   val oracles: Map[String, String] = Map(
     "q200_chi_square" -> q200OracleSql,
     "q202_concentration" -> q202OracleSql,
     "q203_jsd_drift" -> q203OracleSql,
+    "q205_psi_drift" -> q205OracleSql,
     "q192_roc_auc" -> q192OracleSql,
     "q193_retrieval_metrics" -> q193OracleSql,
     "q194_ks_drift" -> q194OracleSql,

@@ -327,6 +327,25 @@ object StreamingQueries {
     graft.operators.Metrics.chiSquareFromCounts(counts, "lang", "source", "n")
   }
 
+  // Streaming twin of q203: the per-(event_type, cohort) counts are the
+  // complete-mode state — O(value universe), the drift-monitor shape
+  // (this is exactly how a production drift monitor runs: counts
+  // accumulate on the stream, the divergence evaluates on the drained
+  // state) — feeding the SAME weighted-form operator. q203's batch
+  // oracle verbatim.
+  def q206StreamJsdDrift(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val ev = eventsStream(s, d)
+    val counts = drain(
+      ev.filter(col("event_type").isNotNull)
+        .select(col("event_type").as("v"),
+          when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L).as("a"))
+        .groupBy(col("v"))
+        .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb")),
+      "complete")
+    graft.operators.Metrics.jsdFromCounts(counts, "v", "ca", "cb")
+  }
+
   def q136StreamFim(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -608,6 +627,7 @@ object StreamingQueries {
     "q186_stream_retention_f1" -> q186StreamRetentionF1,
     "q188_stream_bradley_terry" -> q188StreamBradleyTerry,
     "q201_stream_chi_square" -> q201StreamChiSquare,
+    "q206_stream_jsd_drift" -> q206StreamJsdDrift,
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
@@ -667,6 +687,7 @@ object StreamingQueries {
     "q186_stream_retention_f1" -> q186OracleSql,
     "q188_stream_bradley_terry" -> RankQueries.oracles("q184_bradley_terry"),
     "q201_stream_chi_square" -> MetricsQueries.oracles("q200_chi_square"),
+    "q206_stream_jsd_drift" -> MetricsQueries.oracles("q203_jsd_drift"),
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),

@@ -900,6 +900,11 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT jsd_micro FROM jsd_from_counts(" +
       "'jsdc_tvf_t', 'v', 'ca', 'cb')").head().getLong(0) == 0L)
     graft.CacheScope.release()
+    Seq(("x", true), ("y", true), ("x", false), ("y", false)).toDF("v", "a")
+      .createOrReplaceTempView("psi_tvf_t")
+    assert(spark.sql("SELECT psi_micro FROM psi('psi_tvf_t', 'v', 'a')")
+      .head().getLong(0) == 0L)
+    graft.CacheScope.release()
     Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("w", "l")
       .createOrReplaceTempView("cyc_tvf_t")
     val cyc = spark.sql(

@@ -338,6 +338,40 @@ class MetricsSpec extends SparkSpec {
     assert(jsd(rows).getLong(2) == local)
   }
 
+  // ---- psi ---------------------------------------------------------------
+
+  private def psiOf(rows: Seq[(String, Boolean)]) =
+    Metrics.psi(rows.toDF("v", "a"), "v", "a").collect()(0)
+
+  test("psi: identical distributions are 0; hand case matches term-by-term") {
+    val same = Seq(("x", true), ("y", true), ("x", false), ("y", false))
+    assert(psiOf(same).getLong(2) == 0L)
+    // A = (1/2, 1/2), B = (1/4, 3/4)
+    val rows = Seq(("x", true), ("y", true),
+      ("x", false), ("y", false), ("y", false), ("y", false))
+    val expected =
+      math.round(1e6 * (0.5 - 0.25) * math.log(0.5 / 0.25)) +
+      math.round(1e6 * (0.5 - 0.75) * math.log(0.5 / 0.75))
+    assert(psiOf(rows).getLong(2) == expected)
+  }
+
+  test("psi: an empty bin on one side fails loudly (no silent smoothing)") {
+    intercept[Exception] {
+      psiOf(Seq(("x", true), ("y", true), ("x", false)))
+    }
+    graft.CacheScope.release()
+  }
+
+  test("psi: empty side reports NULL; counts form equals exploded rows") {
+    assert(psiOf(Seq(("x", true), ("y", true))).isNullAt(2))
+    // side from i % 3 so every i % 4 bin sees both sides
+    val rows = (1 to 200).map(i => (s"v${i % 4}", i % 3 == 0))
+    val counts = rows.groupBy(_._1).toSeq.map { case (v, r) =>
+      (v, r.count(_._2).toLong, r.count(!_._2).toLong) }.toDF("v", "ca", "cb")
+    val w = Metrics.psiFromCounts(counts, "v", "ca", "cb").collect()(0)
+    assert(psiOf(rows).toSeq == w.toSeq)
+  }
+
   test("jsDivergence: empty side reports NULL; counts form equals exploded rows") {
     assert(jsd(Seq(("x", true), ("y", true))).isNullAt(2))
     val rows = (1 to 200).map(i => (s"v${i % 6}", i % 3 == 0))

@@ -970,6 +970,17 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q205 psi drift: the q203 shape — one value-grain collapse, broadcast totals") {
+    val p = plan(MetricsQueries.q205PsiDrift(spark, sf))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && !l.trim.startsWith("("))
+      .forall(_.contains("Cross BuildRight")),
+      "the totals must ride a broadcast cross")
+    graft.CacheScope.release()
+  }
+
   test("q200 chi-square: cached contingency grain, broadcast-built grid, no window") {
     val p = plan(MetricsQueries.q200ChiSquare(spark, sf))
     assert(p.contains("InMemoryTableScan"),
