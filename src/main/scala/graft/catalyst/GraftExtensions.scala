@@ -1373,6 +1373,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "quasi columns").split(",").map(_.trim).toSeq,
           litStr(exprs(2), "sensitive column")))
     }
+    registerTable("temperature_mix",
+      "temperature_mix('table', 'sourceCol', 'tokensCol', budgetTokens) - " +
+        "alpha=1/2 temperature-sampled mixture allocation (sqrt weights — " +
+        "exact across engines — + Hamilton largest-remainder); draws may " +
+        "exceed a source's tokens (epochs > 1 is the point); compose with " +
+        "unimax for an epoch cap", 4) {
+      exprs =>
+        expand(graft.operators.Relational.temperatureAllocation(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "source column"), litStr(exprs(2), "tokens column"),
+          litLong(exprs(3), "budgetTokens")))
+    }
     registerTable("preference_cycles",
       "preference_cycles('duelsTable', 'winnerCol', 'loserCol') - every " +
         "majority-preference 3-cycle (a beats b beats c beats a) in the duel " +

@@ -412,6 +412,70 @@ object Relational {
           .otherwise(0L).as("epochs_micro"))
   }
 
+  /** Temperature-sampled mixture allocation at α = 1/2 — the √-schedule
+    * of multilingual pretraining (mBERT/XLM-R lineage): draws per source
+    * follow `w_s = ⌊√(total tokens)⌋`, so low-resource sources are
+    * up-sampled and head dominance flattened (a source 100× larger gets
+    * only 10× the draws). α = 1/2 is the one temperature the engine can
+    * promise EXACTLY across engines: IEEE-754 `sqrt` is correctly
+    * rounded in both (general `pow` is not), and for totals < 2⁵² the
+    * floor is the true integer square root. The budget then splits by
+    * Hamilton largest-remainder apportionment in exact integers
+    * (budget·w products on decimal(38,0), remainder order tie-broken by
+    * source name; zero-remainder sources can never receive a top-up, so
+    * zero-token sources always draw 0).
+    *
+    * Draws may EXCEED a source's own tokens — epochs > 1 on small
+    * sources is the point of temperature sampling; compose with
+    * [[unimaxAllocation]] when unbounded repetition is unwanted.
+    *
+    * Scale shape (the [[unimaxAllocation]] contract): corpus volume
+    * collapses ONCE into the model-sized sources frame; the remainder
+    * rank is the one global window and rides that frame.
+    *
+    * Output per source: `(source, total_tokens, weight, draw_tokens,
+    * epochs_micro)`; draws sum to exactly `budgetTokens` whenever any
+    * source has tokens. */
+  def temperatureAllocation(df: DataFrame, sourceCol: String, tokensCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens >= 0")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column = (a - pmod(a, b)).divide(b)
+    val src = graft.CacheScope.track(
+      df.groupBy(col(sourceCol).as("source"))
+        .agg(sum(col(tokensCol).cast("long")).as("total_tokens"))
+        .cache())
+    val weighted = src.select(col("source"), col("total_tokens"),
+      floor(sqrt(col("total_tokens").cast("double"))).cast("long").as("weight"))
+    val tot = weighted.agg(coalesce(sum(col("weight")), lit(0L)).as("_W"))
+    val based = graft.CacheScope.track(
+      weighted.crossJoin(broadcast(tot)).select(
+        col("source"), col("total_tokens"), col("weight"),
+        when(col("_W") > 0,
+          fdiv(dec(lit(budgetTokens)) * dec(col("weight")), dec(col("_W")))
+            .cast("long")).otherwise(0L).as("_q"),
+        when(col("_W") > 0,
+          pmod(dec(lit(budgetTokens)) * dec(col("weight")), dec(col("_W"))))
+          .otherwise(dec(lit(0L))).as("_r"))
+      .cache())
+    val left = based.agg(
+      (lit(budgetTokens) - coalesce(sum(col("_q")), lit(0L))).as("_left"),
+      coalesce(sum(col("weight")), lit(0L)).as("_w2"))
+    val draw = when(col("_w2") > 0,
+      col("_q") + when(col("_i") <= col("_left"), 1L).otherwise(0L))
+      .otherwise(0L)
+    based
+      .withColumn("_i", row_number().over(
+        Window.orderBy(col("_r").desc, col("source"))))
+      .crossJoin(broadcast(left))
+      .select(col("source"), col("total_tokens"), col("weight"),
+        draw.as("draw_tokens"),
+        when(col("total_tokens") > 0,
+          fdiv(dec(lit(1000000L)) * dec(draw), dec(col("total_tokens")))
+            .cast("long")).otherwise(0L).as("epochs_micro"))
+  }
+
   /** Deterministic per-epoch training-data shuffle: every row of every
     * epoch 0..`epochs`−1 gets a (shard_id, pos) read address — shard and
     * within-shard rank are both epoch-salted md5 draws of `keyCol` — so a

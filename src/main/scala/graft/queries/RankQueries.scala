@@ -54,6 +54,18 @@ object RankQueries {
       "lang", "_t", budget, maxEpochs = 3)
   }
 
+  // Temperature-sampled mixture (α = 1/2) across languages — the
+  // classical multilingual schedule next to q185's UniMax: half the
+  // corpus as budget, √-weights flatten en's dominance (its epochs_micro
+  // lands well under the small languages').
+  def q207TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    val budget = docs.agg(sum(toks).as("t")).head().getLong(0) / 2
+    Relational.temperatureAllocation(
+      docs.select(col("lang"), toks.as("_t")), "lang", "_t", budget)
+  }
+
   // Composition: DPO preference pairs (q178) -> Bradley-Terry
   // leaderboard over sentence POSITIONS (the chosen sent_idx beats the
   // rejected one, one duel per prompt).
@@ -120,6 +132,7 @@ object RankQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_bradley_terry" -> q184BradleyTerry,
     "q204_preference_cycles" -> q204PreferenceCycles,
+    "q207_temperature_mix" -> q207TemperatureMix,
     "q185_unimax" -> q185Unimax,
     "q187_preference_leaderboard" -> q187PreferenceLeaderboard,
     "q189_unimax_draw" -> q189UnimaxDraw,
@@ -323,9 +336,47 @@ object RankQueries {
       JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
       WHERE e1.f <> e3.f AND e2.f = e1.f"""
 
+  /** q207 oracle: the identical √-weight Hamilton replay — `sqrt` is
+    * IEEE-correctly-rounded in both engines, so `floor(sqrt(·))` is the
+    * shared integer weight; HUGEINT budget·weight products mirror the
+    * engine's decimal(38,0). */
+  private val q207OracleSql: String =
+    """WITH src AS (SELECT lang AS source,
+          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+            AS total_tokens
+        FROM documents GROUP BY 1),
+      b AS (SELECT CAST(sum(total_tokens) AS BIGINT) // 2 AS budget FROM src),
+      w AS (SELECT source, total_tokens,
+          CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS weight
+        FROM src),
+      t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w),
+      q AS (SELECT w.*, t.tw,
+          CASE WHEN t.tw > 0
+            THEN CAST((CAST((SELECT budget FROM b) AS HUGEINT) * weight) // t.tw
+                 AS BIGINT) ELSE 0 END AS q,
+          CASE WHEN t.tw > 0
+            THEN (CAST((SELECT budget FROM b) AS HUGEINT) * weight) % t.tw
+            ELSE CAST(0 AS HUGEINT) END AS r
+        FROM w, t),
+      lft AS (SELECT CAST((SELECT budget FROM b) - sum(q) AS BIGINT) AS leftv,
+          CAST(sum(weight) AS BIGINT) AS w2 FROM q),
+      g AS (SELECT q.*, CAST(row_number() OVER (ORDER BY r DESC, source)
+          AS BIGINT) AS i FROM q)
+      SELECT g.source, g.total_tokens, g.weight,
+        CASE WHEN lft.w2 > 0
+          THEN g.q + CASE WHEN g.i <= lft.leftv THEN 1 ELSE 0 END
+          ELSE 0 END AS draw_tokens,
+        CASE WHEN g.total_tokens > 0
+          THEN CAST((1000000 * CAST(CASE WHEN lft.w2 > 0
+              THEN g.q + CASE WHEN g.i <= lft.leftv THEN 1 ELSE 0 END
+              ELSE 0 END AS HUGEINT)) // g.total_tokens AS BIGINT)
+          ELSE 0 END AS epochs_micro
+      FROM g, lft"""
+
   val oracles: Map[String, String] = Map(
     "q184_bradley_terry" -> q184OracleSql,
     "q204_preference_cycles" -> q204OracleSql,
+    "q207_temperature_mix" -> q207OracleSql,
     "q185_unimax" -> q185OracleSql,
     "q187_preference_leaderboard" -> q187OracleSql,
     "q189_unimax_draw" -> q189OracleSql,

@@ -171,6 +171,44 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  // ---- temperatureAllocation ---------------------------------------------
+
+  test("temperatureAllocation: draws sum exactly to budget; sqrt flattens the head") {
+    import spark.implicits._
+    val src = Seq(("big", 1000000L), ("small", 10000L)).toDF("s", "t")
+    val r = Relational.temperatureAllocation(src, "s", "t", 110000L)
+      .collect().map(x => x.getString(0) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r.values.map(_._2).sum == 110000L, "Hamilton sums to the budget")
+    // weights 1000 vs 100 — the 100x source draws exactly 10x
+    assert(r("big")._1 == 1000L && r("small")._1 == 100L)
+    assert(r("big")._2 == 100000L && r("small")._2 == 10000L)
+    graft.CacheScope.release()
+  }
+
+  test("temperatureAllocation: largest-remainder exactness and zero-token isolation") {
+    import spark.implicits._
+    // weights 1,1,1 over budget 10: quotas 3,3,3 + one top-up by name
+    val eq = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("s", "t")
+    val re = Relational.temperatureAllocation(eq, "s", "t", 10L)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(re.values.sum == 10L && re.values.toSeq.sorted == Seq(3L, 3L, 4L))
+    graft.CacheScope.release()
+    // a zero-token source never receives a top-up
+    val z = Seq(("a", 100L), ("zero", 0L)).toDF("s", "t")
+    val rz = Relational.temperatureAllocation(z, "s", "t", 7L)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(rz("zero") == 0L && rz("a") == 7L)
+    graft.CacheScope.release()
+    // zero budget, and the all-zero corpus, both allocate nothing
+    assert(Relational.temperatureAllocation(z, "s", "t", 0L)
+      .agg(org.apache.spark.sql.functions.sum($"draw_tokens")).head().getLong(0) == 0L)
+    graft.CacheScope.release()
+    val allZero = Seq(("a", 0L), ("b", 0L)).toDF("s", "t")
+    assert(Relational.temperatureAllocation(allZero, "s", "t", 5L)
+      .agg(org.apache.spark.sql.functions.sum($"draw_tokens")).head().getLong(0) == 0L)
+    graft.CacheScope.release()
+  }
+
   // ---- preferenceCycles -------------------------------------------------
 
   private def cycles(duels: Seq[(Long, Long)]) = {

@@ -981,6 +981,17 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q207 temperature mix: one corpus collapse; windows ride the model-sized sources frame") {
+    val p = plan(RankQueries.q207TemperatureMix(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // the remainder rank is the ONE window, over the cached sources frame
+    assert(p.split("\\(\\d+\\) Window").length - 1 == 1,
+      "exactly one window: the Hamilton remainder rank")
+    assert(p.contains("InMemoryTableScan"),
+      "quota and top-up must reuse the cached per-source frame")
+    graft.CacheScope.release()
+  }
+
   test("q200 chi-square: cached contingency grain, broadcast-built grid, no window") {
     val p = plan(MetricsQueries.q200ChiSquare(spark, sf))
     assert(p.contains("InMemoryTableScan"),
