@@ -1416,6 +1416,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "value column"), litStr(exprs(2), "side column")))
     }
+    registerTable("fairness_report",
+      "fairness_report('table', 'groupCol', 'labelCol', 'predCol') - " +
+        "group-fairness audit of a binary classifier: per-group selection " +
+        "rate / TPR / FPR with signed gaps vs the pooled rates (exact " +
+        "integer floors) — run before shipping any quality filter", 4) {
+      exprs =>
+        expand(graft.operators.Metrics.fairnessReport(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "group column"), litStr(exprs(2), "label column"),
+          litStr(exprs(3), "prediction column")))
+    }
+    registerTable("mcnemar",
+      "mcnemar('table', 'aCorrectCol', 'bCorrectCol') - McNemar's paired " +
+        "test between two classifiers judged on the SAME rows (discordant " +
+        "counts, (b-c)^2/(b+c), no continuity correction); one row " +
+        "(n, b_discordant, c_discordant, chi2_micro)", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.mcnemar(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "A verdict column"), litStr(exprs(2), "B verdict column")))
+    }
+    registerTable("average_precision",
+      "average_precision('table', 'scoreCol', 'labelCol') - PR-curve area " +
+        "(AP) of a score against a boolean label — roc_auc's companion for " +
+        "imbalanced classes; step-wise tie blocks, exact per-block floors; " +
+        "one row (n_pos, n_neg, ap_micro)", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.averagePrecision(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "score column"), litStr(exprs(2), "label column")))
+    }
+    registerTable("prob_scorecard",
+      "prob_scorecard('table', 'probMicroCol', 'labelCol', bins) - Brier " +
+        "score + Expected Calibration Error over micro-unit probabilities " +
+        "(exact rationals; out-of-range fails loudly); one row " +
+        "(n, n_pos, brier_micro, ece_micro)", 4) {
+      exprs =>
+        expand(graft.operators.Metrics.probScorecard(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "probability column"), litStr(exprs(2), "label column"),
+          litInt(exprs(3), "bins")))
+    }
     registerTable("psi",
       "psi('table', 'valueCol', 'sideCol') - Population Stability Index " +
         "between the side-true (reference) and side-false (actual) binned " +

@@ -308,6 +308,176 @@ object Metrics {
           .cast("long")).as("cramers_v2_micro"))
   }
 
+  /** Average precision (the PR-curve area) of a score against a boolean
+    * label — [[rocAuc]]'s companion for IMBALANCED classes (ROC-AUC
+    * saturates when negatives dominate; AP tracks the positive class):
+    * scores collapse to DESCENDING blocks (a tie block contributes at
+    * its block-end precision — the step-wise ties convention),
+    * `AP = Σ_blocks (pos_b/n_pos)·(cumpos_b/cum_n_b)`, each block's term
+    * floored to an exact integer micro-unit (per-block floors, summed —
+    * deterministic and replayed verbatim by the oracle; ≤ 1 micro lost
+    * per distinct score). NULL scores excluded, NULL labels negative,
+    * no-positive input reports NULL.
+    *
+    * Scale shape: the [[rocAuc]] machinery — one corpus-collapsing
+    * aggregation to score grain, two distributed prefix sums over it in
+    * descending order, a 1-row totals broadcast, one final aggregation.
+    * Output: ONE row `(n_pos, n_neg, ap_micro)`. */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val grain = graft.CacheScope.track(
+      df.filter(col(scoreCol).isNotNull)
+        .select(col(scoreCol).as("_s"),
+          when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+        .groupBy("_s").agg(count(lit(1)).as("_c"), sum(col("_y")).as("_p"))
+        .cache())
+    val desc = Seq(col("_s").desc)
+    val cn = Relational.distributedPrefixSum(grain, desc, "_c")
+      .select(col("_s"), col("_cum_incl").as("_cn"))
+    val cp = Relational.distributedPrefixSum(grain, desc, "_p")
+      .select(col("_s"), col("_cum_incl").as("_cp"))
+    val tot = grain.agg(coalesce(sum(col("_p")), lit(0L)).as("_npos"),
+      coalesce(sum(col("_c") - col("_p")), lit(0L)).as("_nneg"))
+    grain.join(cn, Seq("_s")).join(cp, Seq("_s")).crossJoin(broadcast(tot))
+      .agg(max(col("_npos")).as("n_pos"), max(col("_nneg")).as("n_neg"),
+        sum(when(col("_p") > 0 && col("_npos") > 0,
+          fdiv(dec(lit(1000000L)) * dec(col("_p")) * dec(col("_cp")),
+            dec(col("_npos")) * dec(col("_cn"))))
+          .otherwise(dec(lit(0L)))).as("_ap"))
+      .select(
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        when(col("n_pos") > 0, col("_ap").cast("long")).as("ap_micro"))
+  }
+
+  /** Probabilistic-forecast scorecard over an INTEGRAL micro-unit
+    * probability column (0..10⁶ — the engine's score convention, q152's
+    * calibration curves are the per-bin view, this is the scalar):
+    * Brier score `Σ(p − y)²/n` (p, y in micro units — exact rational,
+    * reported in micro) and Expected Calibration Error over `bins`
+    * equal-width probability bins —
+    * `ECE = Σ_b (n_b/n)·|mean_p_b − frac_pos_b|`, cross-multiplied to
+    * the exact `Σ_b |Σp_b − 10⁶·pos_b| // n`. Out-of-range or NULL
+    * probabilities fail LOUDLY (a clamped bad probability would fake
+    * calibration); NULL labels count negative.
+    *
+    * Scale shape: corpus volume collapses ONCE into the bin grain
+    * (map-side combined, `bins` rows); both statistics ride it.
+    * Output: ONE row `(n, n_pos, brier_micro, ece_micro)`. */
+  def probScorecard(df: DataFrame, probMicroCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 10000, "bins in [1, 10000]")
+    val p = {
+      val c = col(probMicroCol)
+      when(c.isNull || c < 0 || c > 1000000L, expr(
+        s"raise_error('probScorecard: $probMicroCol outside [0, 1e6] micro units')")
+        .cast("long")).otherwise(c.cast("long"))
+    }
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val binId = least(fdiv(dec(p) * dec(lit(bins.toLong)), dec(lit(1000000L)))
+      .cast("long"), lit(bins.toLong - 1))
+    val g = df.select(p.as("_p"), y.as("_y"), binId.as("_b"))
+      .groupBy("_b").agg(count(lit(1)).as("_n"), sum(col("_y")).as("_pos"),
+        sum(dec(col("_p"))).as("_sp"),
+        sum(dec(col("_p") - lit(1000000L) * col("_y")) *
+          dec(col("_p") - lit(1000000L) * col("_y"))).as("_sq"))
+    g.agg(coalesce(sum(col("_n")), lit(0L)).as("n"),
+        coalesce(sum(col("_pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("_sq")), dec(lit(0L))).as("_sq"),
+        coalesce(sum(abs(col("_sp") - dec(lit(1000000L)) * dec(col("_pos")))),
+          dec(lit(0L))).as("_gap"))
+      .select(col("n"), col("n_pos"),
+        when(col("n") > 0,
+          fdiv(col("_sq"), dec(lit(1000000L)) * dec(col("n"))).cast("long"))
+          .as("brier_micro"),
+        when(col("n") > 0,
+          fdiv(col("_gap"), dec(col("n"))).cast("long")).as("ece_micro"))
+  }
+
+  /** Group-fairness audit of a binary classifier: per group, selection
+    * rate (demographic parity), true-positive rate and false-positive
+    * rate (equalized odds), each with its signed gap against the POOLED
+    * rate — the bias report run before shipping any quality filter
+    * (a "quality" classifier that silently drops one source or language
+    * at 3× the rate of another is a data bug wearing a model's clothes).
+    * All rates are exact integer floors; a group with no positives
+    * reports NULL tpr (no rate to have), no negatives NULL fpr; gaps are
+    * NULL where the rate is. NULL group is its own group (both engines
+    * group NULLs as equal); NULL label/pred count false.
+    *
+    * Scale shape: corpus volume collapses ONCE into the (group, y, ŷ)
+    * grain (map-side combined, 4 cells per group); the pooled rates are
+    * a 1-row broadcast over that frame.
+    *
+    * Output per group: `(groupCol, n, sel_micro, tpr_micro, fpr_micro,
+    * sel_gap_micro, tpr_gap_micro, fpr_gap_micro)`. */
+  def fairnessReport(df: DataFrame, groupCol: String, labelCol: String,
+      predCol: String): DataFrame = {
+    val cm = graft.CacheScope.track(
+      df.select(col(groupCol).as("_g"),
+          when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("_y"),
+          when(col(predCol).cast("boolean"), 1L).otherwise(0L).as("_p"))
+        .groupBy("_g", "_y", "_p").agg(count(lit(1)).as("_n"))
+        .cache())
+    def rates(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = grouped
+      .agg(sum(col("_n")).as("n"),
+        sum(col("_n") * col("_p")).as("_sel"),
+        sum(col("_n") * col("_y")).as("_pos"),
+        sum(col("_n") * col("_y") * col("_p")).as("_tp"),
+        sum(col("_n") * (lit(1L) - col("_y")) * col("_p")).as("_fp"))
+      .select(col("*"),
+        fdiv(dec(lit(1000000L)) * dec(col("_sel")), dec(col("n")))
+          .cast("long").as("sel_micro"),
+        when(col("_pos") > 0,
+          fdiv(dec(lit(1000000L)) * dec(col("_tp")), dec(col("_pos")))
+            .cast("long")).as("tpr_micro"),
+        when(col("n") - col("_pos") > 0,
+          fdiv(dec(lit(1000000L)) * dec(col("_fp")),
+            dec(col("n") - col("_pos"))).cast("long")).as("fpr_micro"))
+    val per = rates(cm.groupBy("_g"))
+    val pooled = rates(cm.groupBy())
+      .select(col("sel_micro").as("_psel"), col("tpr_micro").as("_ptpr"),
+        col("fpr_micro").as("_pfpr"))
+    per.crossJoin(broadcast(pooled))
+      .select(col("_g").as(groupCol), col("n"),
+        col("sel_micro"), col("tpr_micro"), col("fpr_micro"),
+        (col("sel_micro") - col("_psel")).as("sel_gap_micro"),
+        (col("tpr_micro") - col("_ptpr")).as("tpr_gap_micro"),
+        (col("fpr_micro") - col("_pfpr")).as("fpr_gap_micro"))
+  }
+
+  /** McNemar's paired test between two classifiers judged on the SAME
+    * rows (`aCorrectCol` / `bCorrectCol` boolean verdicts): the test
+    * rides ONLY the discordant counts — `b` = A right where B wrong,
+    * `c` = A wrong where B right — with the statistic
+    * `χ² = (b − c)²/(b + c)` (1 dof, no continuity correction —
+    * documented, the oracle replays the same convention) as an exact
+    * integer micro floor. Rows where either verdict is NULL are
+    * excluded; `b + c = 0` (no disagreement) reports NULL — there is
+    * nothing to test.
+    *
+    * Scale shape: ONE corpus-collapsing aggregation. Output: ONE row
+    * `(n, b_discordant, c_discordant, chi2_micro)`. */
+  def mcnemar(df: DataFrame, aCorrectCol: String,
+      bCorrectCol: String): DataFrame = {
+    val agg = df.filter(col(aCorrectCol).isNotNull && col(bCorrectCol).isNotNull)
+      .select(col(aCorrectCol).cast("boolean").as("_a"),
+        col(bCorrectCol).cast("boolean").as("_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_a") && !col("_b"), 1L).otherwise(0L)).as("b_discordant"),
+        sum(when(!col("_a") && col("_b"), 1L).otherwise(0L)).as("c_discordant"))
+    agg.select(
+      coalesce(col("n"), lit(0L)).as("n"),
+      coalesce(col("b_discordant"), lit(0L)).as("b_discordant"),
+      coalesce(col("c_discordant"), lit(0L)).as("c_discordant"),
+      when(col("b_discordant") + col("c_discordant") > 0,
+        fdiv(dec(lit(1000000L)) *
+            dec(col("b_discordant") - col("c_discordant")) *
+            dec(col("b_discordant") - col("c_discordant")),
+          dec(col("b_discordant") + col("c_discordant"))).cast("long"))
+        .as("chi2_micro"))
+  }
+
   /** Concentration profile of an integral weight over a key universe —
     * the "is this corpus dominated by a few sources?" diagnostic run
     * before any mixture decision: Gini coefficient (population form over

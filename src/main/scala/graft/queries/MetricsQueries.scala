@@ -64,6 +64,44 @@ object MetricsQueries {
         Portable.cents(col("o_totalprice")).as("cents")),
       "o_custkey", "cents")
 
+  // Same discriminator construction as q192 — AP beside AUC on the one
+  // imbalanced-classes question ("en" is the minority at every SF).
+  def q208AveragePrecision(s: SparkSession, d: String): DataFrame =
+    Metrics.averagePrecision(
+      Tables.documents(s, d)
+        .select(col("n_chars"), (col("lang") === "en").as("is_en")),
+      "n_chars", "is_en")
+
+  // Deterministic pseudo-forecast: p = min(1e6, 500·n_chars) — a length-
+  // monotone "probability" of being English, graded by Brier + ECE.
+  def q209ProbScorecard(s: SparkSession, d: String): DataFrame =
+    Metrics.probScorecard(
+      Tables.documents(s, d).filter(col("n_chars").isNotNull)
+        .select(least(lit(1000000L), col("n_chars").cast("long") * 500L)
+          .as("p_micro"), (col("lang") === "en").as("is_en")),
+      "p_micro", "is_en", bins = 10)
+
+  // Bias audit of the length-rule "quality classifier" across sources:
+  // does the filter select / hit / false-alarm uniformly, or does one
+  // source pay for the others?
+  def q210FairnessReport(s: SparkSession, d: String): DataFrame =
+    Metrics.fairnessReport(
+      Tables.documents(s, d).select(col("source"),
+        (col("lang") === "en").as("is_en"),
+        (col("n_chars") > 300).as("pred_en")),
+      "source", "is_en", "pred_en")
+
+  // Paired comparison of the q195 raters as CLASSIFIERS of English:
+  // does the char rule beat the token rule on the same documents, or is
+  // the difference inside discordance noise?
+  def q211Mcnemar(s: SparkSession, d: String): DataFrame =
+    Metrics.mcnemar(
+      Tables.documents(s, d).select(
+        ((col("n_chars") > 300) === (col("lang") === "en")).as("a_ok"),
+        ((TextFunctions.tokenCount(col("text")) > 50) ===
+          (col("lang") === "en")).as("b_ok")),
+      "a_ok", "b_ok")
+
   def q205PsiDrift(s: SparkSession, d: String): DataFrame =
     Metrics.psi(
       RelationalQueries.events(s, d)
@@ -106,7 +144,11 @@ object MetricsQueries {
     "q200_chi_square" -> q200ChiSquare,
     "q202_concentration" -> q202Concentration,
     "q203_jsd_drift" -> q203JsdDrift,
-    "q205_psi_drift" -> q205PsiDrift)
+    "q205_psi_drift" -> q205PsiDrift,
+    "q208_average_precision" -> q208AveragePrecision,
+    "q209_prob_scorecard" -> q209ProbScorecard,
+    "q210_fairness_report" -> q210FairnessReport,
+    "q211_mcnemar" -> q211Mcnemar)
 
   private val q192OracleSql: String =
     """WITH s AS (SELECT n_chars AS s,
@@ -369,7 +411,109 @@ object MetricsQueries {
           THEN CAST(sum(term) AS BIGINT) END AS psi_micro
       FROM terms"""
 
+  private val q208OracleSql: String =
+    """WITH s AS (SELECT n_chars AS s,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE n_chars IS NOT NULL),
+      g AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+        FROM s GROUP BY 1),
+      cu AS (SELECT *, CAST(sum(c) OVER (ORDER BY s DESC) AS BIGINT) AS cn,
+          CAST(sum(p) OVER (ORDER BY s DESC) AS BIGINT) AS cp FROM g),
+      t AS (SELECT CAST(coalesce(sum(p), 0) AS BIGINT) AS npos,
+          CAST(coalesce(sum(c - p), 0) AS BIGINT) AS nneg FROM g)
+      SELECT max(t.npos) AS n_pos, max(t.nneg) AS n_neg,
+        CASE WHEN max(t.npos) > 0
+          THEN CAST(coalesce(sum(CASE WHEN cu.p > 0
+              THEN (CAST(1000000 AS HUGEINT) * cu.p * cu.cp)
+                   // (CAST(t.npos AS HUGEINT) * cu.cn) ELSE 0 END), 0)
+               AS BIGINT)
+        END AS ap_micro
+      FROM t LEFT JOIN cu ON true"""
+
+  private val q209OracleSql: String =
+    """WITH s AS (SELECT least(1000000, CAST(n_chars AS BIGINT) * 500) AS p,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE n_chars IS NOT NULL),
+      b AS (SELECT least((p * 10) // 1000000, 9) AS b,
+          CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
+          CAST(sum(p) AS HUGEINT) AS sp,
+          sum(CAST(p - 1000000 * y AS HUGEINT) * (p - 1000000 * y)) AS sq
+        FROM s GROUP BY 1)
+      SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+        CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos,
+        CASE WHEN sum(n) > 0
+          THEN CAST(sum(sq) // (CAST(1000000 AS HUGEINT) * sum(n)) AS BIGINT)
+        END AS brier_micro,
+        CASE WHEN sum(n) > 0
+          THEN CAST(sum(abs(sp - CAST(1000000 AS HUGEINT) * pos)) // sum(n)
+               AS BIGINT)
+        END AS ece_micro
+      FROM b"""
+
+  private val q210OracleSql: String =
+    """WITH r AS (SELECT source AS g,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+          CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS p
+        FROM documents),
+      cm AS (SELECT g, y, p, CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY 1, 2, 3),
+      per AS (SELECT g, CAST(sum(n) AS BIGINT) AS n,
+          CAST(sum(n * p) AS BIGINT) AS sel, CAST(sum(n * y) AS BIGINT) AS pos,
+          CAST(sum(n * y * p) AS BIGINT) AS tp,
+          CAST(sum(n * (1 - y) * p) AS BIGINT) AS fp
+        FROM cm GROUP BY 1),
+      pm AS (SELECT g, n,
+          CAST((1000000 * CAST(sel AS HUGEINT)) // n AS BIGINT) AS sel_micro,
+          CASE WHEN pos > 0
+            THEN CAST((1000000 * CAST(tp AS HUGEINT)) // pos AS BIGINT)
+          END AS tpr_micro,
+          CASE WHEN n - pos > 0
+            THEN CAST((1000000 * CAST(fp AS HUGEINT)) // (n - pos) AS BIGINT)
+          END AS fpr_micro
+        FROM per),
+      pool AS (SELECT
+          CAST((1000000 * CAST(sum(n * p) AS HUGEINT)) // sum(n) AS BIGINT)
+            AS psel,
+          CASE WHEN sum(n * y) > 0
+            THEN CAST((1000000 * CAST(sum(n * y * p) AS HUGEINT))
+                   // sum(n * y) AS BIGINT) END AS ptpr,
+          CASE WHEN sum(n * (1 - y)) > 0
+            THEN CAST((1000000 * CAST(sum(n * (1 - y) * p) AS HUGEINT))
+                   // sum(n * (1 - y)) AS BIGINT) END AS pfpr
+        FROM cm)
+      SELECT pm.g AS source, pm.n, pm.sel_micro, pm.tpr_micro, pm.fpr_micro,
+        pm.sel_micro - pool.psel AS sel_gap_micro,
+        pm.tpr_micro - pool.ptpr AS tpr_gap_micro,
+        pm.fpr_micro - pool.pfpr AS fpr_gap_micro
+      FROM pm, pool"""
+
+  private val q211OracleSql: String =
+    """WITH r AS (SELECT
+          ((n_chars > 300) = (lang = 'en')) AS a,
+          ((len(string_split_regex(trim(text), '\s+')) > 50) = (lang = 'en'))
+            AS b
+        FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(coalesce(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS b_discordant,
+        CAST(coalesce(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS c_discordant,
+        CASE WHEN coalesce(sum(CASE WHEN a <> b THEN 1 ELSE 0 END), 0) > 0
+          THEN CAST((1000000 *
+                 CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                   - sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS HUGEINT)
+                 * (sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                   - sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)))
+               // (sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)) AS BIGINT)
+        END AS chi2_micro
+      FROM r"""
+
   val oracles: Map[String, String] = Map(
+    "q210_fairness_report" -> q210OracleSql,
+    "q211_mcnemar" -> q211OracleSql,
+    "q208_average_precision" -> q208OracleSql,
+    "q209_prob_scorecard" -> q209OracleSql,
     "q200_chi_square" -> q200OracleSql,
     "q202_concentration" -> q202OracleSql,
     "q203_jsd_drift" -> q203OracleSql,

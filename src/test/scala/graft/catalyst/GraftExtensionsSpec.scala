@@ -900,6 +900,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT jsd_micro FROM jsd_from_counts(" +
       "'jsdc_tvf_t', 'v', 'ca', 'cb')").head().getLong(0) == 0L)
     graft.CacheScope.release()
+    Seq(("A", true, true), ("A", false, false), ("B", true, false), ("B", false, true))
+      .toDF("g", "y", "p").createOrReplaceTempView("fair_tvf_t")
+    val fr = spark.sql("SELECT g, tpr_micro FROM fairness_report(" +
+      "'fair_tvf_t', 'g', 'y', 'p')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fr == Map("A" -> 1000000L, "B" -> 0L))
+    graft.CacheScope.release()
+    Seq((true, false), (true, false), (false, true), (true, true)).toDF("a", "b")
+      .createOrReplaceTempView("mcn_tvf_t")
+    assert(spark.sql("SELECT chi2_micro FROM mcnemar('mcn_tvf_t', 'a', 'b')")
+      .head().getLong(0) == 333333L) // (2-1)^2/3
+    Seq((4, true), (3, true), (2, false), (1, false)).toDF("s", "y")
+      .createOrReplaceTempView("ap_tvf_t")
+    assert(spark.sql("SELECT ap_micro FROM average_precision('ap_tvf_t', 's', 'y')")
+      .head().getLong(0) == 1000000L)
+    graft.CacheScope.release()
+    Seq((1000000L, true), (0L, false)).toDF("p", "y")
+      .createOrReplaceTempView("brier_tvf_t")
+    val sc = spark.sql("SELECT brier_micro, ece_micro FROM prob_scorecard(" +
+      "'brier_tvf_t', 'p', 'y', 10)").head()
+    assert(sc.getLong(0) == 0L && sc.getLong(1) == 0L)
     Seq(("x", true), ("y", true), ("x", false), ("y", false)).toDF("v", "a")
       .createOrReplaceTempView("psi_tvf_t")
     assert(spark.sql("SELECT psi_micro FROM psi('psi_tvf_t', 'v', 'a')")

@@ -266,6 +266,139 @@ class MetricsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  // ---- averagePrecision ---------------------------------------------------
+
+  test("averagePrecision: perfect separation is 1e6 with divisible blocks; tie block steps") {
+    val perfect = Seq((4, true), (3, true), (2, false), (1, false)).toDF("s", "y")
+    assert(Metrics.averagePrecision(perfect, "s", "y").collect()(0).getLong(2)
+      == 1000000L)
+    // one tied block, 1 of 2 positive: AP = (1/1)*(1/2)
+    val tied = Seq((7, true), (7, false)).toDF("s", "y")
+    assert(Metrics.averagePrecision(tied, "s", "y").collect()(0).getLong(2)
+      == 500000L)
+  }
+
+  test("averagePrecision: matches the local block formula on hashed data") {
+    val rows = (1 to 400).map(i => (i * 2654435761L % 19, i * 40503L % 5 < 2))
+    val local: Long = {
+      val blocks = rows.groupBy(_._1).toSeq.sortBy(-_._1).map { case (_, r) =>
+        (BigInt(r.size), BigInt(r.count(_._2))) }
+      val npos = blocks.map(_._2).sum
+      var cn = BigInt(0); var cp = BigInt(0); var ap = BigInt(0)
+      for ((c, p) <- blocks) {
+        cn += c; cp += p
+        if (p > 0) ap += (BigInt(1000000) * p * cp) / (npos * cn)
+      }
+      ap.toLong
+    }
+    val r = Metrics.averagePrecision(rows.toDF("s", "y"), "s", "y").collect()(0)
+    assert(r.getLong(2) == local, s"engine ${r.getLong(2)} vs brute $local")
+  }
+
+  test("averagePrecision: no positives reports NULL; null handling matches rocAuc") {
+    val onlyNeg = Seq((1, false), (2, false)).toDF("s", "y")
+    assert(Metrics.averagePrecision(onlyNeg, "s", "y").collect()(0).isNullAt(2))
+    val withNulls = Seq[(java.lang.Integer, java.lang.Boolean)](
+      (3, true), (null, true), (2, null), (1, true)).toDF("s", "y")
+    val r = Metrics.averagePrecision(withNulls, "s", "y").collect()(0)
+    // null score dropped, null label negative: pos {3,1}, neg {2}
+    // blocks desc: (3,T) term 1e6*1*1/(2*1); (1,T) term 1e6*1*2/(2*3)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 500000L + 333333L)
+  }
+
+  // ---- probScorecard -------------------------------------------------------
+
+  test("probScorecard: the perfect forecast scores 0 on both; constant half is exact") {
+    val perfect = Seq((1000000L, true), (0L, false), (1000000L, true))
+      .toDF("p", "y")
+    val rp = Metrics.probScorecard(perfect, "p", "y").collect()(0)
+    assert(rp.getLong(2) == 0L && rp.getLong(3) == 0L)
+    // constant 0.5 on a balanced sample: Brier = 0.25, ECE = 0
+    val half = Seq((500000L, true), (500000L, false)).toDF("p", "y")
+    val rh = Metrics.probScorecard(half, "p", "y").collect()(0)
+    assert(rh.getLong(2) == 250000L && rh.getLong(3) == 0L)
+    // same constant on an ALL-positive sample: ECE = 0.5 exactly
+    val off = Seq((500000L, true), (500000L, true)).toDF("p", "y")
+    assert(Metrics.probScorecard(off, "p", "y").collect()(0).getLong(3)
+      == 500000L)
+  }
+
+  test("probScorecard: matches the local exact rational on hashed forecasts") {
+    val rows = (1 to 500).map { i =>
+      val p = (i * 2654435761L % 1000001L)
+      (p, (i * 48271 % 100) < p / 10000)
+    }
+    val local: (Long, Long) = {
+      val n = BigInt(rows.size)
+      val sq = rows.map { case (p, y) =>
+        val d = BigInt(p) - (if (y) 1000000 else 0); d * d }.sum
+      val gap = rows.groupBy { case (p, _) =>
+        math.min(p * 10 / 1000000, 9) }.values.map { r =>
+        (r.map(x => BigInt(x._1)).sum -
+          BigInt(1000000) * r.count(_._2)).abs }.sum
+      ((sq / (BigInt(1000000) * n)).toLong, (gap / n).toLong)
+    }
+    val r = Metrics.probScorecard(rows.toDF("p", "y"), "p", "y").collect()(0)
+    assert((r.getLong(2), r.getLong(3)) == local)
+  }
+
+  test("probScorecard: out-of-range probability fails loudly") {
+    intercept[Exception] {
+      Metrics.probScorecard(Seq((1000001L, true)).toDF("p", "y"), "p", "y")
+        .collect()
+    }
+    graft.CacheScope.release()
+  }
+
+  // ---- fairnessReport -------------------------------------------------------
+
+  test("fairnessReport: hand-computed group rates and gaps") {
+    // group A: y/pred (1,1),(1,0),(0,1),(0,0); group B: (1,1)x2,(0,0)x2
+    val rows = Seq(
+      ("A", true, true), ("A", true, false), ("A", false, true), ("A", false, false),
+      ("B", true, true), ("B", true, true), ("B", false, false), ("B", false, false))
+      .toDF("g", "y", "p")
+    val r = Metrics.fairnessReport(rows, "g", "y", "p").collect()
+      .map(x => x.getString(0) -> x).toMap
+    // A: sel 1/2, tpr 1/2, fpr 1/2; B: sel 1/2, tpr 1, fpr 0
+    // pooled: sel 1/2, tpr 3/4, fpr 1/4
+    assert(r("A").getLong(2) == 500000L && r("A").getLong(3) == 500000L
+      && r("A").getLong(4) == 500000L)
+    assert(r("B").getLong(3) == 1000000L && r("B").getLong(4) == 0L)
+    assert(r("A").getLong(5) == 0L, "A's selection gap vs pooled")
+    assert(r("A").getLong(6) == 500000L - 750000L, "A under-hits by 1/4")
+    assert(r("B").getLong(7) == 0L - 250000L, "B under-false-alarms by 1/4")
+    graft.CacheScope.release()
+  }
+
+  test("fairnessReport: one-class groups report NULL rates and NULL gaps") {
+    val rows = Seq(("A", true, true), ("A", true, false), ("B", false, false))
+      .toDF("g", "y", "p")
+    val r = Metrics.fairnessReport(rows, "g", "y", "p").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("A").isNullAt(4) && r("A").isNullAt(7), "A has no negatives: fpr NULL")
+    assert(r("B").isNullAt(3) && r("B").isNullAt(6), "B has no positives: tpr NULL")
+    graft.CacheScope.release()
+  }
+
+  // ---- mcnemar --------------------------------------------------------------
+
+  test("mcnemar: hand case, symmetry, and the no-disagreement NULL") {
+    val rows = Seq((true, false), (true, false), (true, false), (false, true),
+      (true, true), (false, false)).toDF("a", "b")
+    val r = Metrics.mcnemar(rows, "a", "b").collect()(0)
+    // b=3, c=1: chi2 = (3-1)^2/(3+1) = 1 exactly
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L && r.getLong(3) == 1000000L)
+    val sym = Metrics.mcnemar(rows, "b", "a").collect()(0)
+    assert(sym.getLong(3) == r.getLong(3), "the statistic is symmetric")
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Metrics.mcnemar(agree, "a", "b").collect()(0).isNullAt(3))
+    val withNull = Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (true, false), (null, true), (true, null)).toDF("a", "b")
+    assert(Metrics.mcnemar(withNull, "a", "b").collect()(0).getLong(0) == 1L)
+  }
+
   // ---- concentrationProfile --------------------------------------------
 
   private def conc(rows: Seq[(String, Long)]) =

@@ -992,6 +992,45 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q208 average precision: descending prefix-sum checkpoints, score-keyed joins only") {
+    val p = plan(MetricsQueries.q208AveragePrecision(spark, sf))
+    assert(p.contains("ExistingRDD"),
+      "the PR curve must ride the prefix-sum checkpoints")
+    assert(!p.contains("Window"), "a global-order window crept into the rank path")
+    assert(!p.contains("CartesianProduct"))
+    val keyLines = p.linesIterator.filter(_.contains("keys [")).mkString("\n")
+    assert(keyLines.contains("_s"), s"the curve joins must be score-keyed:\n$keyLines")
+    graft.CacheScope.release()
+  }
+
+  test("q209 prob scorecard: one bin-grain collapse — no join, no window") {
+    val p = plan(MetricsQueries.q209ProbScorecard(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 == 2,
+      "bin-grain partial+final agg then the 1-row finale — two Exchanges")
+    graft.CacheScope.release()
+  }
+
+  test("q210 fairness report: cached confusion grain, pooled rates broadcast, no window") {
+    val p = plan(MetricsQueries.q210FairnessReport(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "per-group and pooled rates must both read the cached (g, y, p) grain")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && !l.trim.startsWith("("))
+      .forall(_.contains("Cross BuildRight")),
+      "the pooled rates must ride a 1-row broadcast cross")
+    graft.CacheScope.release()
+  }
+
+  test("q211 mcnemar: one corpus-collapsing aggregation — nothing else") {
+    val p = plan(MetricsQueries.q211Mcnemar(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.split("\\(\\d+\\) Exchange").length - 1 <= 1,
+      "one partial+final global agg at most")
+    graft.CacheScope.release()
+  }
+
   test("q200 chi-square: cached contingency grain, broadcast-built grid, no window") {
     val p = plan(MetricsQueries.q200ChiSquare(spark, sf))
     assert(p.contains("InMemoryTableScan"),
