@@ -1416,6 +1416,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "value column"), litStr(exprs(2), "side column")))
     }
+    registerTable("classification_report",
+      "classification_report('table', 'labelCol', 'predCol') - per-class " +
+        "support/tp/fp/fn + precision/recall/F1 (exact integer floors, " +
+        "F1 = 2tp/(2tp+fp+fn)); class universe = labels UNION predictions " +
+        "so broken classes cannot hide", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.classificationReport(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "label column"), litStr(exprs(2), "prediction column")))
+    }
     registerTable("fairness_report",
       "fairness_report('table', 'groupCol', 'labelCol', 'predCol') - " +
         "group-fairness audit of a binary classifier: per-group selection " +

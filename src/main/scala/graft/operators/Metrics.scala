@@ -446,6 +446,58 @@ object Metrics {
         (col("fpr_micro") - col("_pfpr")).as("fpr_gap_micro"))
   }
 
+  /** Multi-class classification report — per class: support, tp/fp/fn
+    * and precision / recall / F1 as exact integer floors
+    * (`F1 = 2tp/(2tp + fp + fn)` — the harmonic mean cleared to one
+    * rational, no float intermediate). The class universe is the UNION
+    * of observed labels and predictions: a predicted-but-never-true
+    * class appears with support 0 (recall NULL), a true-but-never-
+    * predicted class with precision NULL — silently dropping either
+    * hides exactly the classes that are broken. Rows with a NULL label
+    * or prediction are excluded.
+    *
+    * Macro/micro averages are one tiny aggregation over this output
+    * (deliberately not baked in: micro-F1 of a single-label task equals
+    * accuracy, and macro needs a NULL policy only the caller can pick).
+    *
+    * Scale shape: corpus volume collapses ONCE into the cached
+    * (label, pred) confusion grain (|classes|² rows); marginals, the
+    * diagonal and the finale all ride it. */
+  def classificationReport(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val clsType = df.schema(labelCol).dataType
+    val cm = graft.CacheScope.track(
+      df.filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+        .select(col(labelCol).cast("string").as("_y"),
+          col(predCol).cast("string").as("_p"))
+        .groupBy("_y", "_p").agg(count(lit(1)).as("_n"))
+        .cache())
+    val lt = cm.groupBy(col("_y").as("_c")).agg(sum(col("_n")).as("support"))
+    val pt = cm.groupBy(col("_p").as("_c")).agg(sum(col("_n")).as("_predn"))
+    val dg = cm.filter(col("_y") === col("_p"))
+      .groupBy(col("_y").as("_c")).agg(sum(col("_n")).as("_tp"))
+    val f = lt.join(pt, Seq("_c"), "full_outer").join(dg, Seq("_c"), "left")
+      .select(col("_c"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("_tp"), lit(0L)).as("tp"),
+        (coalesce(col("_predn"), lit(0L)) - coalesce(col("_tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("_tp"), lit(0L)))
+          .as("fn"))
+    f.select(col("_c").cast(clsType).as("class"),
+      col("support"), col("tp"), col("fp"), col("fn"),
+      when(col("tp") + col("fp") > 0,
+        fdiv(dec(lit(1000000L)) * dec(col("tp")),
+          dec(col("tp") + col("fp"))).cast("long")).as("precision_micro"),
+      when(col("support") > 0,
+        fdiv(dec(lit(1000000L)) * dec(col("tp")), dec(col("support")))
+          .cast("long")).as("recall_micro"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        fdiv(dec(lit(2000000L)) * dec(col("tp")),
+          dec(lit(2L) * col("tp") + col("fp") + col("fn"))).cast("long"))
+        .as("f1_micro"))
+  }
+
   /** McNemar's paired test between two classifiers judged on the SAME
     * rows (`aCorrectCol` / `bCorrectCol` boolean verdicts): the test
     * rides ONLY the discordant counts — `b` = A right where B wrong,

@@ -102,6 +102,17 @@ object MetricsQueries {
           (col("lang") === "en")).as("b_ok")),
       "a_ok", "b_ok")
 
+  // Composition: the q113 NB classifier's held-out predictions joined
+  // back to their true language, graded per class — the classifier era's
+  // missing scoreboard (which language does the model break on?).
+  def q212ClassReport(s: SparkSession, d: String): DataFrame = {
+    val scored = TextQueries.q113NbClassify(s, d)
+    Metrics.classificationReport(
+      scored.join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id")),
+      "lang", "label_pred")
+  }
+
   def q205PsiDrift(s: SparkSession, d: String): DataFrame =
     Metrics.psi(
       RelationalQueries.events(s, d)
@@ -148,7 +159,8 @@ object MetricsQueries {
     "q208_average_precision" -> q208AveragePrecision,
     "q209_prob_scorecard" -> q209ProbScorecard,
     "q210_fairness_report" -> q210FairnessReport,
-    "q211_mcnemar" -> q211Mcnemar)
+    "q211_mcnemar" -> q211Mcnemar,
+    "q212_class_report" -> q212ClassReport)
 
   private val q192OracleSql: String =
     """WITH s AS (SELECT n_chars AS s,
@@ -509,7 +521,41 @@ object MetricsQueries {
         END AS chi2_micro
       FROM r"""
 
+  /** q212 oracle: the whole q113 oracle nested as a CTE (the composition
+    * convention), truth re-joined on doc_id, then the exact-rational
+    * per-class report. */
+  private def q212OracleSql(q113Oracle: String): String =
+    s"""WITH scored AS ($q113Oracle),
+      truth AS (SELECT d.lang AS y, s.label_pred AS p
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+      cm AS (SELECT y, p, CAST(count(*) AS BIGINT) AS n
+        FROM truth WHERE y IS NOT NULL AND p IS NOT NULL GROUP BY 1, 2),
+      lt AS (SELECT y AS c, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+      pt AS (SELECT p AS c, CAST(sum(n) AS BIGINT) AS predn FROM cm GROUP BY 1),
+      dg AS (SELECT y AS c, CAST(sum(n) AS BIGINT) AS tp
+        FROM cm WHERE y = p GROUP BY 1),
+      f AS (SELECT coalesce(lt.c, pt.c) AS c,
+          coalesce(lt.support, 0) AS support,
+          coalesce(dg.tp, 0) AS tp,
+          coalesce(pt.predn, 0) - coalesce(dg.tp, 0) AS fp,
+          coalesce(lt.support, 0) - coalesce(dg.tp, 0) AS fn
+        FROM lt FULL OUTER JOIN pt ON lt.c = pt.c
+        LEFT JOIN dg ON dg.c = coalesce(lt.c, pt.c))
+      SELECT c AS class, support, tp, fp, fn,
+        CASE WHEN tp + fp > 0
+          THEN CAST((1000000 * CAST(tp AS HUGEINT)) // (tp + fp) AS BIGINT)
+        END AS precision_micro,
+        CASE WHEN support > 0
+          THEN CAST((1000000 * CAST(tp AS HUGEINT)) // support AS BIGINT)
+        END AS recall_micro,
+        CASE WHEN 2 * tp + fp + fn > 0
+          THEN CAST((2000000 * CAST(tp AS HUGEINT)) // (2 * tp + fp + fn)
+               AS BIGINT)
+        END AS f1_micro
+      FROM f"""
+
   val oracles: Map[String, String] = Map(
+    "q212_class_report" -> q212OracleSql(TextQueries.oracles("q113_nb_classify")),
     "q210_fairness_report" -> q210OracleSql,
     "q211_mcnemar" -> q211OracleSql,
     "q208_average_precision" -> q208OracleSql,

@@ -900,6 +900,13 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT jsd_micro FROM jsd_from_counts(" +
       "'jsdc_tvf_t', 'v', 'ca', 'cb')").head().getLong(0) == 0L)
     graft.CacheScope.release()
+    Seq(("a", "a"), ("b", "a")).toDF("y", "p")
+      .createOrReplaceTempView("cr_tvf_t")
+    val cr = spark.sql("SELECT class, f1_micro FROM classification_report(" +
+      "'cr_tvf_t', 'y', 'p')").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(cr == Map("a" -> 666666L, "b" -> 0L))
+    graft.CacheScope.release()
     Seq(("A", true, true), ("A", false, false), ("B", true, false), ("B", false, true))
       .toDF("g", "y", "p").createOrReplaceTempView("fair_tvf_t")
     val fr = spark.sql("SELECT g, tpr_micro FROM fairness_report(" +

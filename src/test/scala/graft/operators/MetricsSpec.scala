@@ -382,6 +382,34 @@ class MetricsSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  // ---- classificationReport ---------------------------------------------------
+
+  test("classificationReport: hand-computed multiclass case, F1 as one rational") {
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"),
+      ("c", "c")).toDF("y", "p")
+    val r = Metrics.classificationReport(rows, "y", "p").collect()
+      .map(x => x.getString(0) -> x).toMap
+    // a: support 3, tp 2, fp 1 (b→a), fn 1 → P=R=F1=2/3
+    assert(r("a").getLong(1) == 3L && r("a").getLong(2) == 2L
+      && r("a").getLong(3) == 1L && r("a").getLong(4) == 1L)
+    assert(r("a").getLong(5) == 666666L && r("a").getLong(6) == 666666L
+      && r("a").getLong(7) == 666666L)
+    assert(r("c").getLong(7) == 1000000L, "the clean class is perfect")
+  }
+
+  test("classificationReport: pred-only and truth-only classes both appear") {
+    val rows = Seq(("a", "ghost"), ("missed", "a")).toDF("y", "p")
+    val r = Metrics.classificationReport(rows, "y", "p").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("a", "ghost", "missed"))
+    assert(r("ghost").getLong(1) == 0L && r("ghost").isNullAt(6),
+      "pred-only class: support 0, recall NULL")
+    assert(r("ghost").getLong(5) == 0L, "ghost precision 0 of 1 prediction")
+    assert(r("missed").isNullAt(5), "never-predicted class: precision NULL")
+    assert(r("missed").getLong(6) == 0L)
+    graft.CacheScope.release()
+  }
+
   // ---- mcnemar --------------------------------------------------------------
 
   test("mcnemar: hand case, symmetry, and the no-disagreement NULL") {

@@ -1031,6 +1031,14 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q212 class report: inherits q113's model-join shape; report rides the cached grain") {
+    val p = plan(MetricsQueries.q212ClassReport(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "marginals, diagonal and finale must read the cached confusion grain")
+    assert(!p.contains("CartesianProduct"))
+    graft.CacheScope.release()
+  }
+
   test("q200 chi-square: cached contingency grain, broadcast-built grid, no window") {
     val p = plan(MetricsQueries.q200ChiSquare(spark, sf))
     assert(p.contains("InMemoryTableScan"),
