@@ -113,6 +113,20 @@ object MetricsQueries {
       "lang", "label_pred")
   }
 
+  // Composition: the q143 funnel's completion verdict tested for cohort
+  // independence — "did the A/B split move purchase conversion, or is
+  // the lift inside chance?" — the events era chained into the stats
+  // era. Only funnel STARTERS enter the test (q143's emit contract).
+  def q213FunnelAb(s: SparkSession, d: String): DataFrame = {
+    val fun = graft.operators.Events.funnelSteps(
+      RelationalQueries.events(s, d), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), Some("7 days"))
+    Metrics.chiSquareIndependence(
+      fun.select((pmod(col("user_id"), lit(2)) === 0).as("cohort"),
+        (col("furthest_step") >= 3).as("converted")),
+      "cohort", "converted")
+  }
+
   def q205PsiDrift(s: SparkSession, d: String): DataFrame =
     Metrics.psi(
       RelationalQueries.events(s, d)
@@ -160,7 +174,8 @@ object MetricsQueries {
     "q209_prob_scorecard" -> q209ProbScorecard,
     "q210_fairness_report" -> q210FairnessReport,
     "q211_mcnemar" -> q211Mcnemar,
-    "q212_class_report" -> q212ClassReport)
+    "q212_class_report" -> q212ClassReport,
+    "q213_funnel_ab" -> q213FunnelAb)
 
   private val q192OracleSql: String =
     """WITH s AS (SELECT n_chars AS s,
@@ -309,13 +324,16 @@ object MetricsQueries {
         idcg_micro, ndcg_micro, precision_micro, recall_micro
       FROM fin"""
 
-  /** q200 oracle — the split-division chi-square replay: each term's
-    * `10⁶·d²//nrc` is evaluated as `10⁶·(d²//nrc) + (10⁶·(d² mod nrc))//nrc`
-    * in BOTH engines (identical floors, both halves HUGEINT-safe). */
-  private val q200OracleSql: String =
-    """WITH cm AS (SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
-          FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
-          GROUP BY 1, 2),
+  /** The split-division chi-square replay over a `cells(a, b)` relation —
+    * each term's `10⁶·d²//nrc` is evaluated as
+    * `10⁶·(d²//nrc) + (10⁶·(d² mod nrc))//nrc` in BOTH engines (identical
+    * floors, both halves HUGEINT-safe). Shared by q200 and the q213
+    * composition (the retrievalTailSql discipline: the statistic is
+    * defined once). Expects the caller's WITH chain to end before it;
+    * emits the final SELECT. */
+  private[queries] def chiSquareTailSql(from: String): String =
+    s"""cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+          FROM $from WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2),
       ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cm GROUP BY 1),
       cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM cm GROUP BY 1),
       tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t,
@@ -341,6 +359,10 @@ object MetricsQueries {
                AS BIGINT)
         END AS cramers_v2_micro
       FROM terms"""
+
+  private val q200OracleSql: String =
+    s"""WITH cells AS (SELECT lang AS a, source AS b FROM documents),
+      ${chiSquareTailSql("cells")}"""
 
   private val q202OracleSql: String =
     """WITH g AS (SELECT o_custkey AS k,
@@ -554,8 +576,17 @@ object MetricsQueries {
         END AS f1_micro
       FROM f"""
 
+  /** q213 oracle: the whole q143 funnel oracle nested as a CTE, then the
+    * shared chi-square tail over (cohort, converted). */
+  private def q213OracleSql(q143Oracle: String): String =
+    s"""WITH fun AS ($q143Oracle),
+      cells AS (SELECT (user_id % 2 = 0) AS a,
+          (furthest_step >= 3) AS b FROM fun),
+      ${chiSquareTailSql("cells")}"""
+
   val oracles: Map[String, String] = Map(
     "q212_class_report" -> q212OracleSql(TextQueries.oracles("q113_nb_classify")),
+    "q213_funnel_ab" -> q213OracleSql(RelationalQueries.oracles("q143_funnel")),
     "q210_fairness_report" -> q210OracleSql,
     "q211_mcnemar" -> q211OracleSql,
     "q208_average_precision" -> q208OracleSql,

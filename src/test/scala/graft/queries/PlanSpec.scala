@@ -1039,6 +1039,18 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q213 funnel A/B: inherits the funnel's step joins + the chi-square grain tail") {
+    val p = plan(MetricsQueries.q213FunnelAb(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"),
+      "the chi-square tail must ride its cached contingency grain")
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && !l.trim.startsWith("("))
+      .forall(_.contains("Cross BuildRight")),
+      "only the model-sized broadcast crosses may nest loops")
+    graft.CacheScope.release()
+  }
+
   test("q200 chi-square: cached contingency grain, broadcast-built grid, no window") {
     val p = plan(MetricsQueries.q200ChiSquare(spark, sf))
     assert(p.contains("InMemoryTableScan"),
