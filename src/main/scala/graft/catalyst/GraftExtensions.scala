@@ -1437,6 +1437,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "group column"), litStr(exprs(2), "label column"),
           litStr(exprs(3), "prediction column")))
     }
+    registerTable("fairness_from_counts",
+      "fairness_from_counts('countsTable', 'groupCol', 'labelCol', 'predCol', " +
+        "'nCol') - the fairness report over PRE-AGGREGATED confusion cells " +
+        "(weighted form — drained streaming count state feeds it directly)", 5) {
+      exprs =>
+        expand(graft.operators.Metrics.fairnessFromCounts(
+          SparkSession.active.table(litStr(exprs(0), "counts table")),
+          litStr(exprs(1), "group column"), litStr(exprs(2), "label column"),
+          litStr(exprs(3), "prediction column"), litStr(exprs(4), "count column")))
+    }
     registerTable("mcnemar",
       "mcnemar('table', 'aCorrectCol', 'bCorrectCol') - McNemar's paired " +
         "test between two classifiers judged on the SAME rows (discordant " +

@@ -412,12 +412,27 @@ object Metrics {
     * Output per group: `(groupCol, n, sel_micro, tpr_micro, fpr_micro,
     * sel_gap_micro, tpr_gap_micro, fpr_gap_micro)`. */
   def fairnessReport(df: DataFrame, groupCol: String, labelCol: String,
-      predCol: String): DataFrame = {
+      predCol: String): DataFrame =
+    fairnessFromCounts(
+      df.select(col(groupCol),
+          when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("_yy"),
+          when(col(predCol).cast("boolean"), 1L).otherwise(0L).as("_pp"))
+        .groupBy(groupCol, "_yy", "_pp").agg(count(lit(1)).as("_nn")),
+      groupCol, "_yy", "_pp", "_nn")
+
+  /** [[fairnessReport]] on PRE-AGGREGATED (group, label, pred, count)
+    * confusion cells — the weighted form (the [[ksFromCounts]]
+    * convention): exactly equivalent to the exploded rows, so a drained
+    * streaming count state (the production bias-monitor shape) feeds it
+    * directly. Label/pred cells must already be 0/1-coded booleans. */
+  def fairnessFromCounts(counts: DataFrame, groupCol: String, labelCol: String,
+      predCol: String, nCol: String): DataFrame = {
     val cm = graft.CacheScope.track(
-      df.select(col(groupCol).as("_g"),
+      counts.select(col(groupCol).as("_g"),
           when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("_y"),
-          when(col(predCol).cast("boolean"), 1L).otherwise(0L).as("_p"))
-        .groupBy("_g", "_y", "_p").agg(count(lit(1)).as("_n"))
+          when(col(predCol).cast("boolean"), 1L).otherwise(0L).as("_p"),
+          col(nCol).cast("long").as("_n"))
+        .groupBy("_g", "_y", "_p").agg(sum(col("_n")).as("_n"))
         .cache())
     def rates(grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = grouped
       .agg(sum(col("_n")).as("n"),

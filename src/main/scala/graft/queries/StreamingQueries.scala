@@ -346,6 +346,26 @@ object StreamingQueries {
     graft.operators.Metrics.jsdFromCounts(counts, "v", "ca", "cb")
   }
 
+  // Streaming twin of q210: the (group, label, pred) confusion cells are
+  // the complete-mode state — O(groups · 4), the production bias-monitor
+  // shape (the filter's verdicts accumulate on the stream, the fairness
+  // report evaluates on the drained state) — feeding the SAME
+  // weighted-form operator. q210's batch oracle verbatim.
+  def q214StreamFairness(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val counts = drain(
+      docs.select(col("source"),
+          (col("lang") === "en").as("is_en"),
+          (col("n_chars") > 300).as("pred_en"))
+        .groupBy(col("source"), col("is_en"), col("pred_en"))
+        .agg(count(lit(1)).as("n")),
+      "complete")
+    graft.operators.Metrics.fairnessFromCounts(
+      counts, "source", "is_en", "pred_en", "n")
+  }
+
   def q136StreamFim(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -628,6 +648,7 @@ object StreamingQueries {
     "q188_stream_bradley_terry" -> q188StreamBradleyTerry,
     "q201_stream_chi_square" -> q201StreamChiSquare,
     "q206_stream_jsd_drift" -> q206StreamJsdDrift,
+    "q214_stream_fairness" -> q214StreamFairness,
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
@@ -688,6 +709,7 @@ object StreamingQueries {
     "q188_stream_bradley_terry" -> RankQueries.oracles("q184_bradley_terry"),
     "q201_stream_chi_square" -> MetricsQueries.oracles("q200_chi_square"),
     "q206_stream_jsd_drift" -> MetricsQueries.oracles("q203_jsd_drift"),
+    "q214_stream_fairness" -> MetricsQueries.oracles("q210_fairness_report"),
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),

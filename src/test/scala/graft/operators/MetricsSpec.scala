@@ -382,6 +382,18 @@ class MetricsSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("fairnessFromCounts: weighted form equals exploded rows") {
+    val rows = (1 to 120).map(i => (s"g${i % 3}", i % 2 == 0, i % 5 < 2))
+    val counts = rows.groupBy(identity).toSeq.map { case ((g, y, p), v) =>
+      (g, y, p, v.size.toLong) }.toDF("g", "y", "p", "n")
+    val a = Metrics.fairnessReport(rows.toDF("g", "y", "p"), "g", "y", "p")
+      .collect().map(_.toSeq).toSet
+    val b = Metrics.fairnessFromCounts(counts, "g", "y", "p", "n")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    graft.CacheScope.release()
+  }
+
   // ---- classificationReport ---------------------------------------------------
 
   test("classificationReport: hand-computed multiclass case, F1 as one rational") {
