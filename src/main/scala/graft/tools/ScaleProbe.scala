@@ -1064,6 +1064,34 @@ object ScaleProbe {
     time("preference cycles 1x (100-item tournament)")(cycX(100))
     time("preference cycles 10x (1000-item tournament, ~1000x triads)")(cycX(1000))
 
+    // --- fairness report: confusion-grain collapse — 10x rows AND 10x
+    // groups (constant per-group density) ---------------------------------
+    def fairX(k: Int): Long = {
+      val df = (0 until k).map(i => graft.Tables.documents(spark, sfDir)
+          .select(concat(col("source"), lit(s"_$i")).as("g"),
+            (col("lang") === "en").as("y"), (col("n_chars") > 300).as("p")))
+        .reduce(_ unionByName _)
+      val r = graft.operators.Metrics.fairnessReport(df, "g", "y", "p")
+        .agg(sum(col("sel_micro")) + sum(col("n"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("fairness report 1x (5k docs, 20 groups)")(fairX(1))
+    time("fairness report 10x (50k docs, 200 groups)")(fairX(10))
+
+    // --- classification report: confusion-grain collapse — 10x rows over
+    // the fixed class universe --------------------------------------------
+    def crepX(k: Int): Long = {
+      val df = (0 until k).map(_ => graft.Tables.documents(spark, sfDir)
+          .select(col("lang").as("y"),
+            when(col("n_chars") > 300, "en").otherwise(col("lang")).as("p")))
+        .reduce(_ unionByName _)
+      val r = graft.operators.Metrics.classificationReport(df, "y", "p")
+        .agg(sum(col("support")) + sum(col("tp"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("classification report 1x (5k docs)")(crepX(1))
+    time("classification report 10x (50k docs)")(crepX(10))
+
     spark.stop()
   }
 }
