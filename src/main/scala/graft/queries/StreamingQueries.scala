@@ -366,6 +366,22 @@ object StreamingQueries {
       counts, "source", "is_en", "pred_en", "n")
   }
 
+  // Streaming twin of q205: per-(band, cohort) counts as complete-mode
+  // state — O(bands), the PSI monitor shape — drained into the SAME
+  // weighted-form operator. q205's batch oracle verbatim.
+  def q215StreamPsi(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val ev = eventsStream(s, d)
+    val counts = drain(
+      ev.filter(col("value").isNotNull)
+        .select(pmod(Portable.cents(col("value")), lit(8)).as("v"),
+          when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L).as("a"))
+        .groupBy(col("v"))
+        .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb")),
+      "complete")
+    graft.operators.Metrics.psiFromCounts(counts, "v", "ca", "cb")
+  }
+
   def q136StreamFim(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -649,6 +665,7 @@ object StreamingQueries {
     "q201_stream_chi_square" -> q201StreamChiSquare,
     "q206_stream_jsd_drift" -> q206StreamJsdDrift,
     "q214_stream_fairness" -> q214StreamFairness,
+    "q215_stream_psi" -> q215StreamPsi,
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
@@ -710,6 +727,7 @@ object StreamingQueries {
     "q201_stream_chi_square" -> MetricsQueries.oracles("q200_chi_square"),
     "q206_stream_jsd_drift" -> MetricsQueries.oracles("q203_jsd_drift"),
     "q214_stream_fairness" -> MetricsQueries.oracles("q210_fairness_report"),
+    "q215_stream_psi" -> MetricsQueries.oracles("q205_psi_drift"),
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),
