@@ -1467,6 +1467,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "score column"), litStr(exprs(2), "label column")))
     }
+    registerTable("gains_table",
+      "gains_table('table', 'scoreCol', 'labelCol', buckets) - gains / lift " +
+        "decile analysis of a score vs a boolean label (cumulative positive " +
+        "capture + lift vs random, exact floors; tie blocks never split)", 4) {
+      exprs =>
+        expand(graft.operators.Metrics.gainsTable(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "score column"), litStr(exprs(2), "label column"),
+          litInt(exprs(3), "buckets")))
+    }
     registerTable("prob_scorecard",
       "prob_scorecard('table', 'probMicroCol', 'labelCol', bins) - Brier " +
         "score + Expected Calibration Error over micro-unit probabilities " +

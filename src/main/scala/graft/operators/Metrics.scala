@@ -350,6 +350,61 @@ object Metrics {
         when(col("n_pos") > 0, col("_ap").cast("long")).as("ap_micro"))
   }
 
+  /** Gains / lift table (decile analysis) of a score against a boolean
+    * label — the campaign-targeting view of the same curve
+    * [[averagePrecision]] integrates: rows rank by DESCENDING score into
+    * `buckets` equal-width rank bands, and each band reports its
+    * cumulative capture of positives (`gain`) and its capture ratio
+    * against random targeting (`lift`). Tie blocks never split — a
+    * score block belongs to the band its LAST row lands in
+    * (`band = (cum_n − 1)·buckets // N`, exact integers), so sparse
+    * score universes may leave bands empty rather than invent an order
+    * inside a tie. All statistics are exact integer floors; no-positive
+    * input reports NULL gain/lift.
+    *
+    * Scale shape: the [[averagePrecision]] machinery — score-grain
+    * collapse, two descending prefix sums, then everything rides the
+    * band grain (≤ `buckets` rows; its running sums use a window over
+    * that model-sized frame, the unimax contract).
+    *
+    * Output per band: `(band, n, pos, cum_n, cum_pos, gain_micro,
+    * lift_micro)`. */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, "buckets in [2, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val grain = graft.CacheScope.track(
+      df.filter(col(scoreCol).isNotNull)
+        .select(col(scoreCol).as("_s"),
+          when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("_y"))
+        .groupBy("_s").agg(count(lit(1)).as("_c"), sum(col("_y")).as("_p"))
+        .cache())
+    val desc = Seq(col("_s").desc)
+    val cn = Relational.distributedPrefixSum(grain, desc, "_c")
+      .select(col("_s"), col("_cum_incl").as("_cn"))
+    val tot = grain.agg(coalesce(sum(col("_c")), lit(0L)).as("_tn"),
+      coalesce(sum(col("_p")), lit(0L)).as("_tp"))
+    val banded = grain.join(cn, Seq("_s")).crossJoin(broadcast(tot))
+      .groupBy(fdiv(dec((col("_cn") - 1) * buckets), dec(col("_tn")))
+        .cast("long").as("band"))
+      .agg(sum(col("_c")).as("n"), sum(col("_p")).as("pos"),
+        max(col("_tn")).as("_tn"), max(col("_tp")).as("_tp"))
+    banded
+      .withColumn("cum_n", sum(col("n")).over(
+        Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_pos", sum(col("pos")).over(
+        Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("band"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
+        when(col("_tp") > 0,
+          fdiv(dec(lit(1000000L)) * dec(col("cum_pos")), dec(col("_tp")))
+            .cast("long")).as("gain_micro"),
+        when(col("_tp") > 0 && col("cum_n") > 0,
+          fdiv(dec(lit(1000000L)) * dec(col("cum_pos")) * dec(col("_tn")),
+            dec(col("cum_n")) * dec(col("_tp"))).cast("long")).as("lift_micro"))
+  }
+
   /** Probabilistic-forecast scorecard over an INTEGRAL micro-unit
     * probability column (0..10⁶ — the engine's score convention, q152's
     * calibration curves are the per-bin view, this is the scalar):

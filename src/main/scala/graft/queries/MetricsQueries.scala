@@ -127,6 +127,15 @@ object MetricsQueries {
       "cohort", "converted")
   }
 
+  // Deciles of the q192 discriminator: where do the English documents
+  // concentrate when ranked by length — the targeting view of the curve
+  // q208 integrates.
+  def q216GainsTable(s: SparkSession, d: String): DataFrame =
+    Metrics.gainsTable(
+      Tables.documents(s, d)
+        .select(col("n_chars"), (col("lang") === "en").as("is_en")),
+      "n_chars", "is_en", buckets = 10)
+
   def q205PsiDrift(s: SparkSession, d: String): DataFrame =
     Metrics.psi(
       RelationalQueries.events(s, d)
@@ -175,7 +184,8 @@ object MetricsQueries {
     "q210_fairness_report" -> q210FairnessReport,
     "q211_mcnemar" -> q211Mcnemar,
     "q212_class_report" -> q212ClassReport,
-    "q213_funnel_ab" -> q213FunnelAb)
+    "q213_funnel_ab" -> q213FunnelAb,
+    "q216_gains_table" -> q216GainsTable)
 
   private val q192OracleSql: String =
     """WITH s AS (SELECT n_chars AS s,
@@ -584,7 +594,35 @@ object MetricsQueries {
           (furthest_step >= 3) AS b FROM fun),
       ${chiSquareTailSql("cells")}"""
 
+  private val q216OracleSql: String =
+    """WITH s AS (SELECT n_chars AS s,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents WHERE n_chars IS NOT NULL),
+      g AS (SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+        FROM s GROUP BY 1),
+      cu AS (SELECT *, CAST(sum(c) OVER (ORDER BY s DESC) AS BIGINT) AS cn
+        FROM g),
+      t AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nn,
+          CAST(coalesce(sum(p), 0) AS BIGINT) AS pp FROM g),
+      b AS (SELECT ((cu.cn - 1) * 10) // t.nn AS band,
+          CAST(sum(cu.c) AS BIGINT) AS n, CAST(sum(cu.p) AS BIGINT) AS pos,
+          max(t.nn) AS nn, max(t.pp) AS pp
+        FROM cu, t GROUP BY 1),
+      r AS (SELECT *, CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cum_n,
+          CAST(sum(pos) OVER (ORDER BY band) AS BIGINT) AS cum_pos
+        FROM b)
+      SELECT band, n, pos, cum_n, cum_pos,
+        CASE WHEN pp > 0
+          THEN CAST((1000000 * CAST(cum_pos AS HUGEINT)) // pp AS BIGINT)
+        END AS gain_micro,
+        CASE WHEN pp > 0 AND cum_n > 0
+          THEN CAST((1000000 * CAST(cum_pos AS HUGEINT) * nn)
+                 // (CAST(cum_n AS HUGEINT) * pp) AS BIGINT)
+        END AS lift_micro
+      FROM r"""
+
   val oracles: Map[String, String] = Map(
+    "q216_gains_table" -> q216OracleSql,
     "q212_class_report" -> q212OracleSql(TextQueries.oracles("q113_nb_classify")),
     "q213_funnel_ab" -> q213OracleSql(RelationalQueries.oracles("q143_funnel")),
     "q210_fairness_report" -> q210OracleSql,

@@ -15,7 +15,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("gate inventory: 205 queries, unique names") {
-    assert(SparkEntry.queries.size == 223)
+    assert(SparkEntry.queries.size == 224)
   }
 
   test("round-9 metrics family: all five gates oracle-backed") {

@@ -307,6 +307,56 @@ class MetricsSpec extends SparkSpec {
     assert(r.getLong(2) == 500000L + 333333L)
   }
 
+  // ---- gainsTable ------------------------------------------------------------
+
+  test("gainsTable: perfect ranking captures everything in the top band") {
+    // 20 rows, top 2 scores are the only positives, 10 bands of 2
+    val rows = (1 to 20).map(i => (21 - i, i <= 2)).toDF("s", "y")
+    val r = Metrics.gainsTable(rows, "s", "y", buckets = 10).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(2) == 2L, "both positives in band 0")
+    assert(r(0L).getLong(5) == 1000000L, "gain 100% immediately")
+    assert(r(0L).getLong(6) == 10000000L, "lift 10x at the top decile")
+    assert(r(9L).getLong(6) == 1000000L, "lift decays to 1 at full depth")
+    graft.CacheScope.release()
+  }
+
+  test("gainsTable: tie blocks never split — block lands in its last row's band") {
+    // one score block of 6 rows over 2 bands of 5: block end = row 6 ->
+    // band 1; band 0 is EMPTY (absent), not fabricated
+    val rows = (Seq.fill(6)((5, true)) ++ Seq.fill(4)((1, false))).toDF("s", "y")
+    val r = Metrics.gainsTable(rows, "s", "y", buckets = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 10L), s"tie block must land whole in band 1, got $r")
+    graft.CacheScope.release()
+  }
+
+  test("gainsTable: matches the local exact computation on hashed data") {
+    val rows = (1 to 300).map(i => (i * 2654435761L % 37, i * 40503L % 4 == 0))
+    val local = {
+      val blocks = rows.groupBy(_._1).toSeq.sortBy(-_._1).map { case (_, r) =>
+        (r.size.toLong, r.count(_._2).toLong) }
+      val bigN = rows.size.toLong; val bigP = blocks.map(_._2).sum
+      var cn = 0L
+      val bands = blocks.map { case (c, p) =>
+        cn += c; (((cn - 1) * 10) / bigN, c, p) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, r) => (b, r.map(_._2).sum, r.map(_._3).sum) }
+      var cumN = 0L; var cumP = 0L
+      bands.map { case (b, n, p) =>
+        cumN += n; cumP += p
+        (b, n, p, cumN, cumP,
+          BigInt(1000000) * cumP / bigP,
+          BigInt(1000000) * cumP * bigN / (BigInt(cumN) * bigP))
+      }.map(t => (t._1, t._2, t._3, t._4, t._5, t._6.toLong, t._7.toLong))
+    }
+    val got = Metrics.gainsTable(rows.toDF("s", "y"), "s", "y", 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))).sortBy(_._1)
+    assert(got.toSeq == local)
+    graft.CacheScope.release()
+  }
+
   // ---- probScorecard -------------------------------------------------------
 
   test("probScorecard: the perfect forecast scores 0 on both; constant half is exact") {

@@ -1051,6 +1051,19 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q216 gains table: prefix-sum checkpoint ranks; windows only on the band grain") {
+    val p = plan(MetricsQueries.q216GainsTable(spark, sf))
+    assert(p.contains("ExistingRDD"),
+      "the rank path must ride the prefix-sum checkpoint")
+    assert(!p.contains("CartesianProduct"))
+    // the two running sums ride the <=10-row band frame — allowed; what
+    // must NOT appear is a window before the band aggregation collapses
+    // the corpus (the band agg sits between the score join and the window)
+    assert(p.split("\\(\\d+\\) Window").length - 1 <= 2,
+      "only the band-grain running sums may window")
+    graft.CacheScope.release()
+  }
+
   test("q200 chi-square: cached contingency grain, broadcast-built grid, no window") {
     val p = plan(MetricsQueries.q200ChiSquare(spark, sf))
     assert(p.contains("InMemoryTableScan"),
