@@ -83,6 +83,62 @@ object Bench {
     * the r6 failure mode is tens of percent. */
   val ExtCpuCeiling = 0.15
 
+  // --- JVM-internal telemetry (round 10) -----------------------------------
+  // The r9 verdict's open question: overlapping-gate medians climbed
+  // +10-45% across a round with ZERO source changes, while the external-CPU
+  // sentinel read clean every run — so whatever moves is INSIDE the JVM
+  // (heap/GC pressure as 224 gates accumulate) or machine drift the probe
+  // under-measures. These counters make the run carry its own answer: if
+  // gc_ms on the slow queries and the probe-query samples both climb with
+  // suite position, it's warm-JVM pressure; if they stay flat while wall
+  // climbs, the box itself drifted.
+
+  private def gcBeans = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+  }
+  /** Cumulative stop-the-world GC milliseconds since JVM start (all
+    * collectors); consumers difference consecutive readings. */
+  private def gcMs(): Long = gcBeans.map(b => math.max(b.getCollectionTime, 0L)).sum
+  private def gcCount(): Long = gcBeans.map(b => math.max(b.getCollectionCount, 0L)).sum
+
+  private def heapPools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP && p.isValid)
+  }
+  /** Arm the per-query heap high-water: reset every heap pool's peak. */
+  private def resetHeapPeaks(): Unit =
+    heapPools.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
+  /** Heap high-water since the last reset, MiB (sum across heap pools —
+    * an upper bound when pools peak at different instants, which is the
+    * right direction for a pressure sentinel). */
+  private def heapPeakMb(): Long =
+    heapPools.map(p => try p.getPeakUsage.getUsed catch { case _: Throwable => 0L })
+      .sum >> 20
+  /** Heap currently used, MiB — sampled at the calibration marks to show
+    * whether residency accumulates as the suite progresses. */
+  private def heapUsedMb(): Long =
+    (java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed) >> 20
+
+  /** The drift probe: ONE fixed cheap gate re-measured at suite start,
+    * at every calibration mark, and at the end — warm-JVM degradation is
+    * then a measured series, not an inference from cross-round medians.
+    * Min-of-2 like the calibration probe (a single post-heavy-query GC
+    * spike must not masquerade as drift; genuine accumulated pressure
+    * slows BOTH samples). */
+  val ProbeQuery = "q04_agg_group"
+  private def probeSample(spark: SparkSession, sfDir: String): Double = {
+    def once(): Double = SparkEntry.queries.get(ProbeQuery).map { fn =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      finally CacheScope.release()
+      (System.nanoTime() - t0) / 1e9
+    }.getOrElse(-1.0)
+    math.min(once(), once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -107,9 +163,22 @@ object Bench {
     // taken OUTSIDE the per-query timers.
     val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val cpuMarks = scala.collection.mutable.ArrayBuffer[Option[(Long, Long, Long)]]()
+    // Telemetry series, one entry per calibration mark (start/every
+    // CalibEvery/end): probe-query wall, cumulative GC ms/count, heap
+    // residency. All sampled OUTSIDE the per-query timers.
+    val probeSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val gcMarks = scala.collection.mutable.ArrayBuffer[Long]()
+    val gcCountMarks = scala.collection.mutable.ArrayBuffer[Long]()
+    val heapMarks = scala.collection.mutable.ArrayBuffer[Long]()
+    def telemetryMark(): Unit = {
+      calibSamples += calibSample(spark)
+      cpuMarks += cpuStat()
+      probeSamples += probeSample(spark, sfDir)
+      gcMarks += gcMs(); gcCountMarks += gcCount(); heapMarks += heapUsedMb()
+    }
     calibSec(spark)
-    calibSamples += calibSample(spark)
-    cpuMarks += cpuStat()
+    probeSample(spark, sfDir) // throwaway: the probe plan itself warms
+    telemetryMark()
     // Optional comma-separated subset for local iteration (driver leaves unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Optional per-query repeat count: report the MEDIAN of n runs inside
@@ -123,26 +192,32 @@ object Bench {
     // `errors` field (it still reports its wall time — the time spent
     // failing is real) and the judge sees the failure in the artifact.
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Per-query telemetry follows the MEDIAN run: times carry (wall, gc,
+    // heap-peak) per repeat and the reported gc/heap are the median-wall
+    // run's own (a mean would blend a one-off full GC into every repeat).
+    val gcByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val heapByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val gateSeq = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .zipWithIndex
+    val results = gateSeq.zipWithIndex
       .map { case ((name, fn), i) =>
-      if (i > 0 && i % CalibEvery == 0) {
-        calibSamples += calibSample(spark)
-        cpuMarks += cpuStat()
-      }
+      if (i > 0 && i % CalibEvery == 0) telemetryMark()
       val times = (1 to repeat).map { _ =>
+        resetHeapPeaks()
+        val gc0 = gcMs()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case _: Throwable => if (!errors.contains(name)) errors += name
         }
         finally CacheScope.release() // inside the timer: release cost is part of the query
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, gcMs() - gc0, heapPeakMb())
       }
-      name -> median(times)
+      val med = times.sortBy(_._1).apply((times.length - 1) / 2)
+      gcByQuery(name) = med._2
+      heapByQuery(name) = med._3
+      name -> med._1
     }.toMap
-    calibSamples += calibSample(spark)
-    cpuMarks += cpuStat()
+    telemetryMark()
     val idleRef = calibIdleRef(cpus.toInt)
     // PRIMARY rule: any inter-mark interval where other processes held
     // > ExtCpuCeiling of the box. Timing-probe rule is the fallback for
@@ -161,12 +236,27 @@ object Bench {
     val calibJson = calibSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val extJson = extShares.map(_.map(v => f"$v%.3f").getOrElse("null"))
       .mkString("[", ",", "]")
+    // Telemetry payload: the ordered gate list makes the gc/heap maps and
+    // the mark series positionally interpretable (mark k sits after gate
+    // k*CalibEvery); gc_marks_ms differenced = GC burned per 15-gate span.
+    val probeJson = probeSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val gcMarksJson = gcMarks.mkString("[", ",", "]")
+    val gcCountJson = gcCountMarks.mkString("[", ",", "]")
+    val heapMarksJson = heapMarks.mkString("[", ",", "]")
+    val gcQJson = gateSeq.map { case (k, _) =>
+      "\"" + k + "\":" + gcByQuery.getOrElse(k, -1L) }.mkString("{", ",", "}")
+    val heapQJson = gateSeq.map { case (k, _) =>
+      "\"" + k + "\":" + heapByQuery.getOrElse(k, -1L) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","calib_pre":${calibSamples.head},"calib_post":${calibSamples.last}""" +
       s""","calib_samples":$calibJson,"calib_idle_ref":$idleRef""" +
       s""","ext_cpu_shares":$extJson,"ext_cpu_ceiling":$ExtCpuCeiling""" +
+      s""","probe_query":"$ProbeQuery","probe_sec":$probeJson""" +
+      s""","gc_marks_ms":$gcMarksJson,"gc_marks_count":$gcCountJson""" +
+      s""","heap_used_mb_marks":$heapMarksJson""" +
+      s""","gc_ms":$gcQJson,"heap_peak_mb":$heapQJson""" +
       s""","polluted":$polluted,"errors":$errJson}"""
     println(json)
     // Machine-readable handoff (round 8): the same JSON at a stable path,

@@ -1457,6 +1457,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "A verdict column"), litStr(exprs(2), "B verdict column")))
     }
+    registerTable("matthews_corr",
+      "matthews_corr('table', 'labelCol', 'predCol') - multiclass Matthews " +
+        "correlation (Gorodkin R_K) over the classification_report " +
+        "confusion grain; exact integer marginals, micro-quantized " +
+        "factored-sqrt finale; one row (n, n_correct, n_classes, mcc_micro)",
+      3) {
+      exprs =>
+        expand(graft.operators.Metrics.matthewsCorrelation(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "label column"), litStr(exprs(2), "prediction column")))
+    }
     registerTable("average_precision",
       "average_precision('table', 'scoreCol', 'labelCol') - PR-curve area " +
         "(AP) of a score against a boolean label — roc_auc's companion for " +

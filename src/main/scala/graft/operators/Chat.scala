@@ -29,7 +29,10 @@ object Chat {
     *   - `v_starts`: the first role is `system` or `user`
     *   - `v_alternates`: no two consecutive turns share a role
     *   - `v_ends`: the last role is `assistant`
-    *   - `v_nonempty`: no empty/whitespace-only content
+    *   - `v_nonempty`: no empty/whitespace-only/NULL content (a NULL
+    *     content is treated exactly like whitespace-only: the turn
+    *     renders as `<|role|><|end|>` and the conversation is flagged
+    *     invalid — never silently dropped from the rendered string)
     *   - `valid`: the conjunction
     *
     * Shape: ONE hash Exchange on the conversation key — the lag window
@@ -53,7 +56,8 @@ object Chat {
           array_sort(collect_list(struct(col(ordCol).as("o"),
             col(roleCol).as("r"), col(contentCol).as("c")))),
           t => concat(lit("<|"), t.getField("r"), lit("|>"),
-            t.getField("c"), lit("<|end|>"))), "").as("rendered"),
+            coalesce(t.getField("c"), lit("")), lit("<|end|>"))), "")
+          .as("rendered"),
         min(col(roleCol).isin(roles.map(_.asInstanceOf[Any]): _*).cast("int"))
           .as("v_roles"),
         min_by(col(roleCol), col(ordCol)).isin("system", "user").cast("int")
@@ -61,7 +65,8 @@ object Chat {
         (coalesce(max(col("_dup")), lit(0)) === 0).cast("int").as("v_alternates"),
         (max_by(col(roleCol), col(ordCol)) === "assistant").cast("int")
           .as("v_ends"),
-        min((trim(col(contentCol)) =!= "").cast("int")).as("v_nonempty"))
+        min((coalesce(trim(col(contentCol)), lit("")) =!= "").cast("int"))
+          .as("v_nonempty"))
       .withColumn("valid",
         (col("v_roles") === 1 && col("v_starts") === 1 &&
           col("v_alternates") === 1 && col("v_ends") === 1 &&
@@ -106,7 +111,10 @@ object Chat {
     * masked turn: `convCol`, `ordCol`, `span_start` (inclusive),
     * `span_end` (exclusive); `substring(rendered, span_start+1,
     * span_end-span_start) == content` by construction (property-tested
-    * against the renderer).
+    * against the renderer). NULL content is treated as `''` — the same
+    * convention as the renderer, so the offsets of every LATER turn stay
+    * aligned with `rendered` and the degenerate turn itself yields an
+    * empty span (`span_end == span_start`), never a NULL.
     *
     * Shape: one key Exchange — a running-sum window over each
     * conversation's own turns accumulates the rendered-piece lengths;
@@ -117,8 +125,9 @@ object Chat {
     val w = Window.partitionBy(col(convCol)).orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     // piece = "<|" + role + "|>" + content + "<|end|>"
+    val contentLen = coalesce(length(col(contentCol)), lit(0))
     val pieceLen = (length(col(roleCol)) + lit(4) +
-      length(col(contentCol)) + lit(7)).cast("long")
+      contentLen + lit(7)).cast("long")
     val headLen = (length(col(roleCol)) + lit(4)).cast("long")
     turns.select(col(convCol), col(ordCol), col(roleCol), col(contentCol),
         coalesce(sum(pieceLen).over(w), lit(0L)).as("_before"),
@@ -126,7 +135,7 @@ object Chat {
       .filter(col(roleCol) === maskRole)
       .select(col(convCol), col(ordCol),
         (col("_before") + col("_head")).as("span_start"),
-        (col("_before") + col("_head") + length(col(contentCol)))
+        (col("_before") + col("_head") + contentLen)
           .cast("long").as("span_end"))
   }
 }

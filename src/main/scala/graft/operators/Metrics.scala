@@ -568,6 +568,68 @@ object Metrics {
         .as("f1_micro"))
   }
 
+  /** Matthews correlation coefficient over the same confusion grain as
+    * [[classificationReport]] — the single balance-robust scalar the
+    * per-class report deliberately leaves to the caller. The multiclass
+    * (Gorodkin R_K) form rides only the class marginals: with s = Σn,
+    * c = Σdiagonal, t_k/p_k the true/predicted class totals,
+    *
+    *   MCC = (c·s − Σ p_k·t_k)
+    *         / ( √(s² − Σ p_k²) · √(s² − Σ t_k²) )
+    *
+    * (the binary case reduces to the familiar
+    * (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn))). The numerator
+    * and both radicands are EXACT integers on decimal(38,0) (s² wraps a
+    * long past ~3·10⁹ rows; decimal is safe to s ≈ 10¹⁹); only the two
+    * square roots are IEEE doubles, micro-quantized through
+    * `round(1e6·…)` with the oracle replaying the identical expression
+    * tree — the q92/BLEU round-transcendental convention (√ alone is
+    * correctly rounded in both engines; the factored √f₁·√f₂ form also
+    * keeps each radicand inside decimal(38,0) where the product f₁·f₂
+    * would overflow it). A one-class input (either radicand 0 — every
+    * prediction or every label identical) reports NULL: the correlation
+    * is undefined, not zero. Rows with a NULL label or prediction are
+    * excluded, exactly as in the report.
+    *
+    * Scale shape: corpus volume collapses ONCE into the (label, pred)
+    * confusion cells; marginals, the diagonal and the finale all ride
+    * that model-sized grain (|classes|² rows), and the two 1-row frames
+    * meet in a broadcast cross. Output: ONE row
+    * `(n, n_correct, n_classes, mcc_micro)`. */
+  def matthewsCorrelation(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val cm = graft.CacheScope.track(
+      df.filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+        .select(col(labelCol).cast("string").as("_y"),
+          col(predCol).cast("string").as("_p"))
+        .groupBy("_y", "_p").agg(count(lit(1)).as("_n"))
+        .cache())
+    val lt = cm.groupBy(col("_y").as("_c")).agg(sum(col("_n")).as("_t"))
+    val pt = cm.groupBy(col("_p").as("_c")).agg(sum(col("_n")).as("_pn"))
+    val marg = lt.join(pt, Seq("_c"), "full_outer")
+      .select(coalesce(col("_t"), lit(0L)).as("_t"),
+        coalesce(col("_pn"), lit(0L)).as("_pn"))
+      .agg(coalesce(sum(col("_t")), lit(0L)).as("_s"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(dec(col("_pn")) * dec(col("_t"))), dec(lit(0L)))
+          .as("_spt"),
+        coalesce(sum(dec(col("_t")) * dec(col("_t"))), dec(lit(0L)))
+          .as("_st2"),
+        coalesce(sum(dec(col("_pn")) * dec(col("_pn"))), dec(lit(0L)))
+          .as("_sp2"))
+    val diag = cm.filter(col("_y") === col("_p"))
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("_c"))
+    val num = (dec(col("_c")) * dec(col("_s")) - col("_spt")).cast("double")
+    val f1 = dec(col("_s")) * dec(col("_s")) - col("_sp2")
+    val f2 = dec(col("_s")) * dec(col("_s")) - col("_st2")
+    marg.crossJoin(broadcast(diag))
+      .select(col("_s").as("n"), col("_c").as("n_correct"), col("n_classes"),
+        when(f1 > 0 && f2 > 0,
+          round(lit(1000000.0) *
+            (num / (sqrt(f1.cast("double")) * sqrt(f2.cast("double")))))
+            .cast("long")).as("mcc_micro"))
+  }
+
   /** McNemar's paired test between two classifiers judged on the SAME
     * rows (`aCorrectCol` / `bCorrectCol` boolean verdicts): the test
     * rides ONLY the discordant counts — `b` = A right where B wrong,

@@ -121,7 +121,11 @@ object Rank {
     // engine-wide idiom; a long multiply would overflow past wins ~ 9e6
     def fdiv(a: Column, b: Column): Column = (a - pmod(a, b)).divide(b)
     val scale = dec(lit(1000000000000L)) // 10^12
-    val maxN = dir.agg(max(col("_n"))).head().getLong(0)
+    // max over an EMPTY dir frame is NULL (an empty duel log — e.g. a
+    // drained streaming state before any data — must yield an empty
+    // ratings frame, not an NPE); 0L keeps the codegen'd long fast-path
+    val maxN = Option(dir.agg(max(col("_n"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val tTerm =
       if (maxN <= 9000000L) expr("_n * 1000000000000 div greatest(_gi + _gj, 1)")
       else fdiv(dec(col("_n")) * scale,

@@ -334,7 +334,7 @@ object DedupQueries {
     s"""WITH ${jaccardCtesSql(3, 0.4)},
         p AS MATERIALIZED (SELECT id_a, id_b FROM jp),
         toks AS MATERIALIZED (
-          SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
           WHERE doc_id IN (SELECT id_a FROM p UNION SELECT id_b FROM p)),
         ${gramsSql(1, "g1")}, ${gramsSql(2, "g2")},
         t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM g1 GROUP BY 1),
@@ -376,7 +376,7 @@ object DedupQueries {
     s"""WITH ${jaccardCtesSql(3, 0.4)},
         p AS MATERIALIZED (SELECT id_a, id_b FROM jp),
         toks AS MATERIALIZED (
-          SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
           WHERE doc_id IN (SELECT id_a FROM p UNION SELECT id_b FROM p)),
         ${gramsSql(1, "g1")}, ${gramsSql(2, "g2")},
         t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t FROM g1 GROUP BY 1),

@@ -113,6 +113,18 @@ object MetricsQueries {
       "lang", "label_pred")
   }
 
+  // The q212 confusion cells collapsed into the one balance-robust
+  // scalar the per-class report leaves out: multiclass MCC of the q113
+  // NB classifier against the true language (fills the q196 numbering
+  // hole with the metric the suite lacked).
+  def q196Mcc(s: SparkSession, d: String): DataFrame = {
+    val scored = TextQueries.q113NbClassify(s, d)
+    Metrics.matthewsCorrelation(
+      scored.join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id")),
+      "lang", "label_pred")
+  }
+
   // Composition: the q143 funnel's completion verdict tested for cohort
   // independence — "did the A/B split move purchase conversion, or is
   // the lift inside chance?" — the events era chained into the stats
@@ -182,6 +194,7 @@ object MetricsQueries {
     "q208_average_precision" -> q208AveragePrecision,
     "q209_prob_scorecard" -> q209ProbScorecard,
     "q210_fairness_report" -> q210FairnessReport,
+    "q196_mcc" -> q196Mcc,
     "q211_mcnemar" -> q211Mcnemar,
     "q212_class_report" -> q212ClassReport,
     "q213_funnel_ab" -> q213FunnelAb,
@@ -586,6 +599,39 @@ object MetricsQueries {
         END AS f1_micro
       FROM f"""
 
+  /** q196 oracle: the q113 oracle nested as a CTE (the q212 composition
+    * convention), then the Gorodkin R_K form over exact HUGEINT
+    * marginals — the two square roots replay the engine's factored
+    * `round(1e6 · num / (√f₁·√f₂))` double tree verbatim. */
+  private def q196OracleSql(q113Oracle: String): String =
+    s"""WITH scored AS ($q113Oracle),
+      truth AS (SELECT d.lang AS y, s.label_pred AS p
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+      cm AS (SELECT y, p, CAST(count(*) AS BIGINT) AS n
+        FROM truth WHERE y IS NOT NULL AND p IS NOT NULL GROUP BY 1, 2),
+      lt AS (SELECT y AS c, CAST(sum(n) AS HUGEINT) AS t FROM cm GROUP BY 1),
+      pt AS (SELECT p AS c, CAST(sum(n) AS HUGEINT) AS pn FROM cm GROUP BY 1),
+      j AS (SELECT coalesce(lt.t, 0) AS t, coalesce(pt.pn, 0) AS pn
+        FROM lt FULL OUTER JOIN pt ON lt.c = pt.c),
+      m AS (SELECT CAST(coalesce(sum(t), 0) AS HUGEINT) AS s,
+          CAST(count(*) AS BIGINT) AS n_classes,
+          CAST(coalesce(sum(pn * t), 0) AS HUGEINT) AS spt,
+          CAST(coalesce(sum(t * t), 0) AS HUGEINT) AS st2,
+          CAST(coalesce(sum(pn * pn), 0) AS HUGEINT) AS sp2
+        FROM j),
+      dg AS (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) AS c
+        FROM cm WHERE y = p)
+      SELECT CAST(m.s AS BIGINT) AS n, CAST(dg.c AS BIGINT) AS n_correct,
+        m.n_classes AS n_classes,
+        CASE WHEN (m.s * m.s - m.sp2) > 0 AND (m.s * m.s - m.st2) > 0
+          THEN CAST(round(1000000.0 *
+                 (CAST(dg.c * m.s - m.spt AS DOUBLE)
+                   / (sqrt(CAST(m.s * m.s - m.sp2 AS DOUBLE))
+                      * sqrt(CAST(m.s * m.s - m.st2 AS DOUBLE)))))
+               AS BIGINT)
+        END AS mcc_micro
+      FROM m, dg"""
+
   /** q213 oracle: the whole q143 funnel oracle nested as a CTE, then the
     * shared chi-square tail over (cohort, converted). */
   private def q213OracleSql(q143Oracle: String): String =
@@ -623,6 +669,7 @@ object MetricsQueries {
 
   val oracles: Map[String, String] = Map(
     "q216_gains_table" -> q216OracleSql,
+    "q196_mcc" -> q196OracleSql(TextQueries.oracles("q113_nb_classify")),
     "q212_class_report" -> q212OracleSql(TextQueries.oracles("q113_nb_classify")),
     "q213_funnel_ab" -> q213OracleSql(RelationalQueries.oracles("q143_funnel")),
     "q210_fairness_report" -> q210OracleSql,

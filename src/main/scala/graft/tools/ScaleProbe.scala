@@ -623,6 +623,12 @@ object ScaleProbe {
     }
     time("bradley-terry 1x (500k duels, 10k items, 6 rounds)")(btX(500000L))
     time("bradley-terry 10x (5M duels)")(btX(5000000L))
+    // 100x arm, same fixed 10k-item pool: 50M duels approach the ~50M
+    // canonical-pair ceiling, so the round cost is bounded by the
+    // SATURATING distinct-pair frame while the one log-collapsing groupBy
+    // is the only part that scales with duel volume — the flat law one
+    // decade further out
+    time("bradley-terry 100x (50M duels, fixed pool)")(btX(50000000L))
 
     // --- k-anonymity: fixed combination space, 10x rows (level counts
     // shift toward 0 as groups fill — the aggregation is the cost)
@@ -954,6 +960,10 @@ object ScaleProbe {
     }
     time("roc-auc 1x (5k docs)")(aucX(1))
     time("roc-auc 10x (50k docs)")(aucX(10))
+    // 100x arm: the grain-collapse law one decade further — the score
+    // universe (distinct lengths) saturated long ago, so 100x rows ride
+    // the ONE corpus aggregation and the fixed-size prefix sum behind it
+    time("roc-auc 100x (500k docs, saturated grain)")(aucX(100))
 
     // --- ks drift: same law — value-grain counts + two prefix sums ------
     def ksX(k: Int): Long = {
@@ -1064,6 +1074,31 @@ object ScaleProbe {
     time("preference cycles 1x (100-item tournament)")(cycX(100))
     time("preference cycles 10x (1000-item tournament, ~1000x triads)")(cycX(1000))
 
+    // --- preference cycles, output-bound law: the real-leaderboard graph
+    // shape is BUCKETED (duels concentrate inside leagues, not one dense
+    // global tournament). Fixed 100-item buckets, duels only within a
+    // bucket: scaling the BUCKET COUNT 100x scales duels, wedges and
+    // triads all EXACTLY 100x — so a wall ratio tracking ~100x (not
+    // bucketcount^3) is the proof the engine's cost is bound by its
+    // output volume, one decade past the 10x probes -----------------------
+    def cycBucketedX(buckets: Long): Long = {
+      val ids = spark.range(buckets * 100L)
+        .select(col("id"), (col("id") - col("id") % 100L).as("_bkt"))
+      val duels = ids.select(col("_bkt"), col("id").as("_a"))
+        .join(ids.select(col("_bkt"), col("id").as("_b")), Seq("_bkt"))
+        .filter(col("_a") < col("_b"))
+        .select(
+          when((col("_a") * 2654435761L + col("_b") * 40503L) % 7 < 4,
+            col("_a")).otherwise(col("_b")).as("w"),
+          when((col("_a") * 2654435761L + col("_b") * 40503L) % 7 < 4,
+            col("_b")).otherwise(col("_a")).as("l"))
+      val r = graft.operators.Rank.preferenceCycles(duels, "w", "l").count()
+      graft.CacheScope.release(); r
+    }
+    time("preference cycles bucketed 1x (1 league of 100)")(cycBucketedX(1))
+    time("preference cycles bucketed 100x (100 leagues, 100x triads)")(
+      cycBucketedX(100))
+
     // --- fairness report: confusion-grain collapse — 10x rows AND 10x
     // groups (constant per-group density) ---------------------------------
     def fairX(k: Int): Long = {
@@ -1091,6 +1126,20 @@ object ScaleProbe {
     }
     time("classification report 1x (5k docs)")(crepX(1))
     time("classification report 10x (50k docs)")(crepX(10))
+
+    // --- matthews correlation: the same confusion-grain collapse, ending
+    // in two 1-row frames — 10x rows must ride the one corpus pass -------
+    def mccX(k: Int): Long = {
+      val df = (0 until k).map(_ => graft.Tables.documents(spark, sfDir)
+          .select(col("lang").as("y"),
+            when(col("n_chars") > 300, "en").otherwise(col("lang")).as("p")))
+        .reduce(_ unionByName _)
+      val r = graft.operators.Metrics.matthewsCorrelation(df, "y", "p")
+        .agg(sum(col("n")) + sum(col("mcc_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("matthews corr 1x (5k docs)")(mccX(1))
+    time("matthews corr 10x (50k docs)")(mccX(10))
 
     spark.stop()
   }

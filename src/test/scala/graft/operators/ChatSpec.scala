@@ -91,6 +91,38 @@ class ChatSpec extends SparkSpec {
     }
   }
 
+  test("NULL content is whitespace-like: renders empty, flags v_nonempty=0, valid=0") {
+    // one NULL among real turns, and an all-NULL conversation — both must
+    // come out valid=0 (never NULL), and the NULL turn must still appear
+    // in the rendered string as <|role|><|end|> so offsets stay aligned
+    val turns = Seq(
+      (10L, 1L, "user", "hi"), (10L, 2L, "assistant", null),
+      (11L, 1L, "user", null), (11L, 2L, "assistant", null))
+      .toDF("conv", "ord", "role", "content")
+    val out = Chat.renderConversations(turns, "conv", "ord", "role", "content")
+      .collect().map(r => r.getAs[Long]("conv") -> r).toMap
+    assert(out(10L).getAs[String]("rendered") ==
+      "<|user|>hi<|end|><|assistant|><|end|>")
+    assert(out(10L).getAs[Int]("v_nonempty") == 0)
+    assert(out(10L).getAs[Int]("valid") == 0)
+    assert(out(11L).getAs[String]("rendered") ==
+      "<|user|><|end|><|assistant|><|end|>")
+    assert(out(11L).getAs[Int]("v_nonempty") == 0)
+    assert(out(11L).getAs[Int]("valid") == 0)
+    // lossMaskSpans on the same frame: the NULL-content assistant turn
+    // yields an EMPTY span (span_end == span_start), never a NULL, and
+    // later spans still index the rendered string correctly
+    val spans = Chat.lossMaskSpans(turns, "conv", "ord", "role", "content")
+      .collect().map(r => (r.getAs[Long]("conv"), r.getAs[Long]("ord")) ->
+        ((r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))).toMap
+    val (s10, e10) = spans((10L, 2L))
+    assert(s10 == e10, "NULL content must give an empty span, not NULL")
+    assert(out(10L).getAs[String]("rendered").length.toLong >= e10)
+    val (s11a, e11a) = spans((11L, 2L))
+    assert(s11a == e11a)
+    assert(s11a == "<|user|><|end|><|assistant|>".length.toLong)
+  }
+
   test("renderConversations: conv 3 alternation note — assistant-first still alternates") {
     val out = render(Seq(
       (9L, 1L, "assistant", "a"), (9L, 2L, "user", "b"), (9L, 3L, "assistant", "c")))

@@ -472,6 +472,52 @@ class MetricsSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  // ---- matthewsCorrelation ---------------------------------------------------
+
+  test("matthewsCorrelation: binary hand case matches the tp/tn/fp/fn form") {
+    // tp=4, tn=3, fp=1, fn=2 → MCC = (4·3 − 1·2)/√(5·6·4·5) = 10/√600
+    //   = 0.40824829… → 408248 micro (the Gorodkin form reduces to it)
+    val rows = (Seq.fill(4)(("1", "1")) ++ Seq.fill(3)(("0", "0")) ++
+      Seq.fill(1)(("0", "1")) ++ Seq.fill(2)(("1", "0"))).toDF("y", "p")
+    val r = Metrics.matthewsCorrelation(rows, "y", "p").collect()(0)
+    assert(r.getLong(0) == 10L && r.getLong(1) == 7L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 408248L, r)
+    graft.CacheScope.release()
+  }
+
+  test("matthewsCorrelation: perfect 1e6, inverse -1e6, one-class NULL") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("y", "p")
+    assert(Metrics.matthewsCorrelation(perfect, "y", "p").collect()(0)
+      .getLong(3) == 1000000L)
+    graft.CacheScope.release()
+    val inverse = Seq(("a", "b"), ("b", "a")).toDF("y", "p")
+    assert(Metrics.matthewsCorrelation(inverse, "y", "p").collect()(0)
+      .getLong(3) == -1000000L)
+    graft.CacheScope.release()
+    // one-class truth: s² − Σt² = 0 → undefined, NULL (never 0)
+    val oneClass = Seq(("a", "a"), ("a", "b")).toDF("y", "p")
+    assert(Metrics.matthewsCorrelation(oneClass, "y", "p").collect()(0)
+      .isNullAt(3))
+    graft.CacheScope.release()
+    // constant prediction: s² − Σp² = 0 → NULL likewise
+    val onePred = Seq(("a", "a"), ("b", "a")).toDF("y", "p")
+    assert(Metrics.matthewsCorrelation(onePred, "y", "p").collect()(0)
+      .isNullAt(3))
+    graft.CacheScope.release()
+  }
+
+  test("matthewsCorrelation: NULL rows excluded; empty input gives n=0, NULL mcc") {
+    val withNull = Seq[(String, String)](("a", "a"), (null, "a"), ("a", null))
+      .toDF("y", "p")
+    val r = Metrics.matthewsCorrelation(withNull, "y", "p").collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    graft.CacheScope.release()
+    val empty = Seq.empty[(String, String)].toDF("y", "p")
+    val e = Metrics.matthewsCorrelation(empty, "y", "p").collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(2) == 0L && e.isNullAt(3))
+    graft.CacheScope.release()
+  }
+
   // ---- mcnemar --------------------------------------------------------------
 
   test("mcnemar: hand case, symmetry, and the no-disagreement NULL") {

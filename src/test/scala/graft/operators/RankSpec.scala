@@ -23,6 +23,16 @@ class RankSpec extends SparkSpec {
     }
   }
 
+  test("bradleyTerry: an empty duel log yields an empty ratings frame, not an NPE") {
+    // the drained-streaming-state-before-any-data shape: zero comparisons
+    val comps = Seq.empty[(Long, Long)].toDF("w", "l")
+    val out = Rank.bradleyTerry(comps, "w", "l", rounds = 3)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("item_id", "rating_micro", "wins", "comparisons"))
+    graft.CacheScope.release()
+  }
+
   test("bradleyTerry: transitive chain orders items; zero-win item rates 0; gauge holds") {
     // A beats B twice, B beats C twice, A beats C once
     val comps = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L), (1L, 3L)).toDF("w", "l")

@@ -1039,6 +1039,18 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q196 mcc: rides the cached confusion grain; diagonal meets marginals in a broadcast cross") {
+    val p = plan(MetricsQueries.q196Mcc(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "marginals and diagonal must read the cached confusion grain")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && !l.trim.startsWith("("))
+      .forall(_.contains("Cross BuildRight")),
+      "the two 1-row finales may only meet in a broadcast cross")
+    graft.CacheScope.release()
+  }
+
   test("q213 funnel A/B: inherits the funnel's step joins + the chi-square grain tail") {
     val p = plan(MetricsQueries.q213FunnelAb(spark, sf))
     assert(!p.contains("CartesianProduct"))

@@ -224,4 +224,65 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("complete-mode crash recovery: q188's pair-count drain resumes from checkpoint under both state providers") {
+    // The round-9 monitor twins (q188/q201/q206/q214/q215) share ONE
+    // drain shape: complete-mode COUNT state drained into the weighted
+    // form of a batch operator. This proves the shape's recovery story on
+    // its largest instance — Bradley-Terry pair counts: the query is
+    // stopped mid-feed, more duels arrive while it is down, and after the
+    // checkpoint restart the drained counts fed through the weighted BT
+    // loop must equal the batch operator over the full exploded log —
+    // under the default (HDFS-backed) provider AND RocksDB.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    for ((provider, tag) <- Seq(None -> "hdfs", Some(rocks) -> "rocksdb")) {
+      val prev = spark.conf.getOption(providerKey)
+      provider.foreach(spark.conf.set(providerKey, _))
+      try {
+        val dir = Files.createTempDirectory(s"btr-in-$tag").toString
+        val ckpt = Files.createTempDirectory(s"btr-ck-$tag").toString
+        val name = s"btr_$tag"
+        // pre-crash log: A(1) beats B(2) twice, B beats C(3) twice
+        val batch1 = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L)).toDF("w", "l")
+        // arrives while the query is down: A beats C, plus a REPEAT of an
+        // existing pair — its count must merge into pre-crash state (2+1),
+        // not reset or double
+        val batch2 = Seq((1L, 3L), (1L, 2L)).toDF("w", "l")
+        batch1.coalesce(1).write.mode("append").parquet(dir)
+        def start() = {
+          val duels = spark.readStream.schema(batch1.schema).parquet(dir)
+          duels.groupBy("w", "l").agg(count(lit(1)).as("n"))
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt).outputMode("complete").start()
+        }
+        val q1 = start()
+        try q1.processAllAvailable() finally q1.stop() // the "crash"
+        batch2.coalesce(1).write.mode("append").parquet(dir)
+        val q2 = start()
+        val drained =
+          try { q2.processAllAvailable(); spark.table(name).as[(Long, Long, Long)].collect() }
+          finally q2.stop()
+        val counts = drained.map { case (w, l, n) => (w, l) -> n }.toMap
+        assert(counts((1L, 2L)) == 3L,
+          s"[$tag] the repeated pair must MERGE into pre-crash state (2+1)")
+        assert(drained.map(_._3).sum == 6L, s"[$tag] six duels total")
+        val got = graft.operators.Rank.bradleyTerry(
+            drained.toSeq.toDF("w", "l", "n"), "w", "l", rounds = 4, weightCol = "n")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        graft.CacheScope.release()
+        val want = graft.operators.Rank.bradleyTerry(
+            batch1.unionByName(batch2), "w", "l", rounds = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        graft.CacheScope.release()
+        assert(got == want,
+          s"[$tag] drained-state BT must equal batch BT over the full log: got $got want $want")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
+  }
 }
