@@ -1468,6 +1468,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "label column"), litStr(exprs(2), "prediction column")))
     }
+    registerTable("fleiss_kappa",
+      "fleiss_kappa('table', 'itemCol', 'categoryCol') - Fleiss' kappa " +
+        "over a one-row-per-rating table (fixed rater count per item " +
+        "enforced loudly); exact integer rational, negative-safe micro " +
+        "floor; one row (n_items, n_raters, n_categories, kappa_micro)",
+      3) {
+      exprs =>
+        expand(graft.operators.Metrics.fleissKappa(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "item column"), litStr(exprs(2), "category column")))
+    }
     registerTable("average_precision",
       "average_precision('table', 'scoreCol', 'labelCol') - PR-curve area " +
         "(AP) of a score against a boolean label — roc_auc's companion for " +

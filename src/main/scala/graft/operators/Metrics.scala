@@ -171,6 +171,75 @@ object Metrics {
           .otherwise(fdiv(num, den).cast("long")).as("kappa_micro"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — [[cohenKappa]]'s generalization from
+    * two fixed raters to ANY fixed number of raters per item, the
+    * agreement number for a real annotation job (n labelers per
+    * document). Input is ONE ROW PER RATING (`itemCol`, `categoryCol`);
+    * rater identity is irrelevant to the statistic and deliberately not
+    * a parameter.
+    *
+    * With N items, n raters per item, n_ij raters putting item i in
+    * category j, C_j = Σ_i n_ij and the integer sums S2 = Σ_ij n_ij²,
+    * T = Σ_j C_j²:
+    *
+    *   κ = (P̄ − P̄_e)/(1 − P̄_e)
+    *     = ((S2 − Nn)·Nn − T·(n−1)) / ((n−1)·((Nn)² − T))
+    *
+    * — the textbook form cleared to ONE exact integer rational (both
+    * clearings multiply by Nn²·(n−1) > 0, so the sign is preserved);
+    * products reach (Nn)², so everything rides decimal(38,0) (safe to
+    * Nn ≈ 10¹⁹ ratings). The floor is the negative-safe pmod idiom —
+    * κ < 0 (worse than chance) is reachable and exact. Conventions:
+    * NULL item/category rows are excluded; a DIFFERING per-item rating
+    * count fails loudly (`raise_error` — Fleiss' P_i denominator
+    * n(n−1) is only defined for a fixed n, and silently averaging
+    * unequal panels would fake precision); n = 1 reports NULL (one
+    * rater has no one to agree with); a single category used anywhere
+    * (T = (Nn)², denominator 0) reports 1,000,000 — everyone agreed on
+    * everything, the [[cohenKappa]] constant-same convention.
+    *
+    * Scale shape: corpus volume collapses ONCE into the (item,
+    * category) cell grain; the per-item pass rides cells (≤ N·|cats|
+    * rows, map-side combined), the category marginals ride |cats| rows,
+    * and the two 1-row finales meet in a broadcast cross. Output: ONE
+    * row `(n_items, n_raters, n_categories, kappa_micro)`. */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      categoryCol: String): DataFrame = {
+    val cells = graft.CacheScope.track(
+      df.filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+        .select(col(itemCol).as("_i"), col(categoryCol).cast("string").as("_c"))
+        .groupBy("_i", "_c").agg(count(lit(1)).as("_n"))
+        .cache())
+    val items = cells.groupBy("_i").agg(sum(col("_n")).as("_ni"),
+      sum(dec(col("_n")) * dec(col("_n"))).as("_s2i"))
+    val tot = items.agg(count(lit(1)).as("n_items"),
+      min(col("_ni")).as("_nmin"), max(col("_ni")).as("_nmax"),
+      coalesce(sum(col("_s2i")), dec(lit(0L))).as("_s2"))
+    val cats = cells.groupBy("_c").agg(sum(col("_n")).as("_cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(dec(col("_cj")) * dec(col("_cj"))), dec(lit(0L))).as("_t"))
+    val n = when(col("n_items") === 0, lit(null).cast("long"))
+      .when(col("_nmin") === col("_nmax"), col("_nmin"))
+      .otherwise(raise_error(concat(
+        lit("fleissKappa: per-item rating counts differ (min "),
+        col("_nmin").cast("string"), lit(", max "),
+        col("_nmax").cast("string"),
+        lit(") - Fleiss' kappa requires a fixed rater count per item"))))
+    val nn = dec(col("n_items")) * dec(col("_nr"))
+    val num = (col("_s2") - nn) * nn - col("_t") * dec(col("_nr") - lit(1L))
+    val den = dec(col("_nr") - lit(1L)) * (nn * nn - col("_t"))
+    tot.crossJoin(broadcast(cats))
+      .withColumn("_nr", n)
+      .select(col("n_items"),
+        coalesce(col("_nr"), lit(0L)).as("n_raters"),
+        col("n_categories"),
+        when(col("n_items") === 0 || col("_nr") < 2,
+            lit(null).cast("long"))
+          .when(den === dec(lit(0L)), 1000000L)
+          .otherwise(fdiv(dec(lit(1000000L)) * num, den).cast("long"))
+          .as("kappa_micro"))
+  }
+
   /** Ranked-retrieval quality per query: MRR, DCG@k / NDCG@k (Järvelin
     * linear-gain form `rel_i / log₂(i+1)`), precision@k and recall@k
     * over a result table carrying a query key, a non-negative integer

@@ -55,6 +55,22 @@ object MetricsQueries {
           .otherwise("short").as("rater_b")),
       "rater_a", "rater_b")
 
+  // Fleiss' kappa over a THREE-rater panel: the q195 pair of rule-raters
+  // plus a third (raw trimmed length), each labeling every document
+  // long/short — exactly 3 ratings per item, the fixed-n panel the
+  // statistic requires. "Do the three length heuristics constitute one
+  // consistent annotator pool?"
+  def q217FleissKappa(s: SparkSession, d: String): DataFrame = {
+    val ratings = Tables.documents(s, d).select(col("doc_id"),
+        explode(array(
+          when(col("n_chars") > 300, "long").otherwise("short"),
+          when(TextFunctions.tokenCount(col("text")) > 50, "long")
+            .otherwise("short"),
+          when(length(trim(col("text"))) > 290, "long").otherwise("short")))
+          .as("category"))
+    Metrics.fleissKappa(ratings, "doc_id", "category")
+  }
+
   def q200ChiSquare(s: SparkSession, d: String): DataFrame =
     Metrics.chiSquareIndependence(Tables.documents(s, d), "lang", "source")
 
@@ -195,6 +211,7 @@ object MetricsQueries {
     "q209_prob_scorecard" -> q209ProbScorecard,
     "q210_fairness_report" -> q210FairnessReport,
     "q196_mcc" -> q196Mcc,
+    "q217_fleiss_kappa" -> q217FleissKappa,
     "q211_mcnemar" -> q211Mcnemar,
     "q212_class_report" -> q212ClassReport,
     "q213_funnel_ab" -> q213FunnelAb,
@@ -632,6 +649,42 @@ object MetricsQueries {
         END AS mcc_micro
       FROM m, dg"""
 
+  /** q217 oracle: the exact integer Fleiss rational — cells → per-item
+    * sums (fixed n enforced by the engine's raise_error; the oracle just
+    * uses min(ni)) → the cleared Gorodkin-style one-rational finale on
+    * HUGEINT, floored with DuckDB's // (negative-safe like the engine's
+    * pmod idiom). The three raters replay q195's rule idiom. */
+  private val q217OracleSql: String =
+    """WITH r AS (SELECT doc_id, unnest([
+          CASE WHEN n_chars > 300 THEN 'long' ELSE 'short' END,
+          CASE WHEN len(string_split_regex(trim(text), '\s+')) > 50
+            THEN 'long' ELSE 'short' END,
+          CASE WHEN len(trim(text)) > 290 THEN 'long' ELSE 'short' END]) AS c
+        FROM documents),
+      cells AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+        FROM r GROUP BY 1, 2),
+      items AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS ni,
+          CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2i
+        FROM cells GROUP BY 1),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+          min(ni) AS nr, CAST(coalesce(sum(s2i), 0) AS HUGEINT) AS s2
+        FROM items),
+      c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+          CAST(coalesce(sum(CAST(cj AS HUGEINT) * cj), 0) AS HUGEINT) AS tt
+        FROM (SELECT c, CAST(sum(n) AS BIGINT) AS cj FROM cells GROUP BY 1))
+      SELECT t.n_items, CAST(coalesce(t.nr, 0) AS BIGINT) AS n_raters,
+        c2.n_categories,
+        CASE WHEN t.n_items = 0 OR t.nr < 2 THEN NULL
+             WHEN (t.nr - 1) * (CAST(t.n_items AS HUGEINT) * t.nr
+                    * t.n_items * t.nr - c2.tt) = 0 THEN 1000000
+             ELSE CAST((1000000 * ((t.s2 - CAST(t.n_items AS HUGEINT) * t.nr)
+                      * (CAST(t.n_items AS HUGEINT) * t.nr)
+                    - c2.tt * (t.nr - 1)))
+                 // ((t.nr - 1) * (CAST(t.n_items AS HUGEINT) * t.nr
+                      * t.n_items * t.nr - c2.tt)) AS BIGINT)
+        END AS kappa_micro
+      FROM t, c2"""
+
   /** q213 oracle: the whole q143 funnel oracle nested as a CTE, then the
     * shared chi-square tail over (cohort, converted). */
   private def q213OracleSql(q143Oracle: String): String =
@@ -670,6 +723,7 @@ object MetricsQueries {
   val oracles: Map[String, String] = Map(
     "q216_gains_table" -> q216OracleSql,
     "q196_mcc" -> q196OracleSql(TextQueries.oracles("q113_nb_classify")),
+    "q217_fleiss_kappa" -> q217OracleSql,
     "q212_class_report" -> q212OracleSql(TextQueries.oracles("q113_nb_classify")),
     "q213_funnel_ab" -> q213OracleSql(RelationalQueries.oracles("q143_funnel")),
     "q210_fairness_report" -> q210OracleSql,

@@ -1141,6 +1141,25 @@ object ScaleProbe {
     time("matthews corr 1x (5k docs)")(mccX(1))
     time("matthews corr 10x (50k docs)")(mccX(10))
 
+    // --- fleiss kappa: cell-grain collapse — 10x items (3 raters each)
+    // must ride the one corpus pass; cells = items·|cats| stay map-side
+    def fleissX(k: Int): Long = {
+      val base = graft.Tables.documents(spark, sfDir)
+      val r = (0 until k).map(i => base.select(
+          (col("doc_id") + i * 10000000L).as("item"),
+          explode(array(
+            when(col("n_chars") > 300, "long").otherwise("short"),
+            when(col("n_chars") % 7 < 3, "long").otherwise("short"),
+            when(length(col("text")) > 290, "long").otherwise("short")))
+            .as("cat")))
+        .reduce(_ unionByName _)
+      val out = graft.operators.Metrics.fleissKappa(r, "item", "cat")
+        .agg(sum(col("n_items")) + sum(col("kappa_micro"))).head().getLong(0)
+      graft.CacheScope.release(); out
+    }
+    time("fleiss kappa 1x (5k docs x 3 raters)")(fleissX(1))
+    time("fleiss kappa 10x (50k docs x 3 raters)")(fleissX(10))
+
     spark.stop()
   }
 }

@@ -518,6 +518,70 @@ class MetricsSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  // ---- fleissKappa -----------------------------------------------------------
+
+  test("fleissKappa: 2-item 2-rater hand case gives -1/3 (negative-safe floor)") {
+    // item 1: both raters say A; item 2: split A/B
+    //   P̄ = 1/2, p_A = 3/4 → P̄_e = 5/8... integer form:
+    //   N=2 n=2 S2=6 T=10 → κ = ((6−4)·4 − 10·1)/(1·(16−10)) = −2/6 = −1/3
+    //   floor(1e6·(−1/3)) = −333334 (floor, NOT truncation toward zero)
+    val r = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B")).toDF("item", "cat")
+    val out = Metrics.fleissKappa(r, "item", "cat").collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 2L && out.getLong(2) == 2L)
+    assert(out.getLong(3) == -333334L, out)
+    graft.CacheScope.release()
+  }
+
+  test("fleissKappa: perfect agreement 1e6; single category 1e6; one rater NULL") {
+    val perfect = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B")).toDF("item", "cat")
+    assert(Metrics.fleissKappa(perfect, "item", "cat").collect()(0)
+      .getLong(3) == 1000000L)
+    graft.CacheScope.release()
+    // single category anywhere → T = (Nn)² → everyone agreed on everything
+    val oneCat = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A")).toDF("item", "cat")
+    assert(Metrics.fleissKappa(oneCat, "item", "cat").collect()(0)
+      .getLong(3) == 1000000L)
+    graft.CacheScope.release()
+    // one rater per item: nothing to agree with → NULL, not 1e6
+    val solo = Seq((1L, "A"), (2L, "B")).toDF("item", "cat")
+    val s = Metrics.fleissKappa(solo, "item", "cat").collect()(0)
+    assert(s.getLong(1) == 1L && s.isNullAt(3))
+    graft.CacheScope.release()
+  }
+
+  test("fleissKappa: Fleiss-textbook-shape case matches the brute rational") {
+    // 4 items, 3 raters, 3 categories — computed by hand from the
+    // integer form: S2 = Σ n_ij², T = Σ C_j²
+    //   item1: A,A,B  item2: B,B,B  item3: A,B,C  item4: C,C,A
+    // S2 = (4+1)+(9)+(1+1+1)+(4+1) = 22; C_A=4 C_B=5 C_C=3 → T=50
+    // N=4 n=3 Nn=12: num = (22−12)·12 − 50·2 = 20; den = 2·(144−50) = 188
+    // κ = 20/188 = 5/47 = 0.10638… → 106382 micro
+    val r = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"),
+      (2L, "B"), (2L, "B"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "C"),
+      (4L, "C"), (4L, "C"), (4L, "A")).toDF("item", "cat")
+    val out = Metrics.fleissKappa(r, "item", "cat").collect()(0)
+    assert(out.getLong(0) == 4L && out.getLong(1) == 3L && out.getLong(2) == 3L)
+    assert(out.getLong(3) == 106382L, out)
+    graft.CacheScope.release()
+  }
+
+  test("fleissKappa: unequal per-item rating counts fail loudly; empty input NULL") {
+    val uneven = Seq((1L, "A"), (1L, "A"), (2L, "B")).toDF("item", "cat")
+    val e = intercept[Exception] {
+      Metrics.fleissKappa(uneven, "item", "cat").collect()
+    }
+    assert(e.getMessage.contains("fixed rater count") ||
+      e.getCause != null && e.getCause.getMessage.contains("fixed rater count"),
+      e.getMessage)
+    graft.CacheScope.release()
+    val empty = Seq.empty[(Long, String)].toDF("item", "cat")
+    val out = Metrics.fleissKappa(empty, "item", "cat").collect()(0)
+    assert(out.getLong(0) == 0L && out.getLong(1) == 0L && out.isNullAt(3))
+    graft.CacheScope.release()
+  }
+
   // ---- mcnemar --------------------------------------------------------------
 
   test("mcnemar: hand case, symmetry, and the no-disagreement NULL") {

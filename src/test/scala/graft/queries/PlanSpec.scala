@@ -1051,6 +1051,18 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q217 fleiss kappa: rides the cached cell grain; finales meet in a broadcast cross") {
+    val p = plan(MetricsQueries.q217FleissKappa(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "per-item sums and category marginals must read the cached cell grain")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && !l.trim.startsWith("("))
+      .forall(_.contains("Cross BuildRight")),
+      "the two 1-row finales may only meet in a broadcast cross")
+    graft.CacheScope.release()
+  }
+
   test("q213 funnel A/B: inherits the funnel's step joins + the chi-square grain tail") {
     val p = plan(MetricsQueries.q213FunnelAb(spark, sf))
     assert(!p.contains("CartesianProduct"))
