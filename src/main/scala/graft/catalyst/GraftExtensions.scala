@@ -1468,6 +1468,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "label column"), litStr(exprs(2), "prediction column")))
     }
+    registerTable("cohen_kappa_from_counts",
+      "cohen_kappa_from_counts('countsTable', 'aCol', 'bCol', 'nCol') - " +
+        "Cohen's kappa over PRE-AGGREGATED confusion cells (weighted form " +
+        "— drained streaming count state feeds it directly)", 4) {
+      exprs =>
+        expand(graft.operators.Metrics.cohenKappaFromCounts(
+          SparkSession.active.table(litStr(exprs(0), "counts table")),
+          litStr(exprs(1), "a column"), litStr(exprs(2), "b column"),
+          litStr(exprs(3), "count column")))
+    }
+    registerTable("fleiss_kappa_from_counts",
+      "fleiss_kappa_from_counts('countsTable', 'itemCol', 'categoryCol', " +
+        "'nCol') - Fleiss' kappa over PRE-AGGREGATED (item, category) " +
+        "rating cells (weighted form - the annotation-job monitor shape)",
+      4) {
+      exprs =>
+        expand(graft.operators.Metrics.fleissKappaFromCounts(
+          SparkSession.active.table(litStr(exprs(0), "counts table")),
+          litStr(exprs(1), "item column"), litStr(exprs(2), "category column"),
+          litStr(exprs(3), "count column")))
+    }
     registerTable("fleiss_kappa",
       "fleiss_kappa('table', 'itemCol', 'categoryCol') - Fleiss' kappa " +
         "over a one-row-per-rating table (fixed rater count per item " +

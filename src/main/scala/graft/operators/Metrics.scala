@@ -143,11 +143,24 @@ object Metrics {
     * ride that model-sized frame. Products reach n² — decimal(38,0).
     *
     * Output: ONE row `(n, agree, po_micro, kappa_micro)`. */
-  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    cohenKappaFromCounts(
+      df.select(col(aCol).as("_ka"), col(bCol).as("_kb"), lit(1L).as("_kw")),
+      "_ka", "_kb", "_kw")
+
+  /** [[cohenKappa]]'s weighted form — the production streaming-monitor
+    * shape (the ksFromCounts convention): the (rater_a, rater_b)
+    * confusion cells arrive PRE-COUNTED (e.g. drained complete-mode
+    * state), and the identical statistic rides them, so the exploded
+    * batch oracle applies verbatim. Weighted ≡ exploded is spec-pinned. */
+  def cohenKappaFromCounts(counts: DataFrame, aCol: String, bCol: String,
+      nCol: String): DataFrame = {
     val cm = graft.CacheScope.track(
-      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
-        .select(col(aCol).as("_a"), col(bCol).as("_b"))
-        .groupBy("_a", "_b").agg(count(lit(1)).as("_n"))
+      counts.filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+          col(nCol).cast("long") > 0)
+        .select(col(aCol).as("_a"), col(bCol).as("_b"),
+          col(nCol).cast("long").as("_w"))
+        .groupBy("_a", "_b").agg(sum(col("_w")).as("_n"))
         .cache())
     val tot = cm.agg(sum(col("_n")).as("n"),
       sum(when(col("_a") === col("_b"), col("_n")).otherwise(0L)).as("agree"))
@@ -204,11 +217,28 @@ object Metrics {
     * and the two 1-row finales meet in a broadcast cross. Output: ONE
     * row `(n_items, n_raters, n_categories, kappa_micro)`. */
   def fleissKappa(df: DataFrame, itemCol: String,
-      categoryCol: String): DataFrame = {
+      categoryCol: String): DataFrame =
+    fleissKappaFromCounts(
+      df.select(col(itemCol).as("_ki"), col(categoryCol).as("_kc"),
+        lit(1L).as("_kw")),
+      "_ki", "_kc", "_kw")
+
+  /** [[fleissKappa]]'s weighted form — the annotation-job monitor shape:
+    * the (item, category) rating cells arrive PRE-COUNTED (e.g. drained
+    * complete-mode state accumulated while labelers work), and the
+    * identical statistic rides them, so the exploded batch oracle
+    * applies verbatim. State grain is O(items·|cats|) — the SIZE OF THE
+    * LABELING JOB, not of any corpus; an annotation batch is
+    * model-sized by construction. Weighted ≡ exploded is spec-pinned. */
+  def fleissKappaFromCounts(counts: DataFrame, itemCol: String,
+      categoryCol: String, nCol: String): DataFrame = {
     val cells = graft.CacheScope.track(
-      df.filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
-        .select(col(itemCol).as("_i"), col(categoryCol).cast("string").as("_c"))
-        .groupBy("_i", "_c").agg(count(lit(1)).as("_n"))
+      counts.filter(col(itemCol).isNotNull && col(categoryCol).isNotNull &&
+          col(nCol).cast("long") > 0)
+        .select(col(itemCol).as("_i"),
+          col(categoryCol).cast("string").as("_c"),
+          col(nCol).cast("long").as("_w"))
+        .groupBy("_i", "_c").agg(sum(col("_w")).as("_n"))
         .cache())
     val items = cells.groupBy("_i").agg(sum(col("_n")).as("_ni"),
       sum(dec(col("_n")) * dec(col("_n"))).as("_s2i"))

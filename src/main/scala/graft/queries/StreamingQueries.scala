@@ -382,6 +382,51 @@ object StreamingQueries {
     graft.operators.Metrics.psiFromCounts(counts, "v", "ca", "cb")
   }
 
+  // Streaming twin of q195: the two rule-raters' (a, b) confusion cells
+  // as complete-mode state — O(|labels|²), the agreement-monitor shape
+  // (two classifiers judged continuously, the kappa evaluates on the
+  // drained state) — feeding the SAME weighted-form operator
+  // ([[graft.operators.Metrics.cohenKappaFromCounts]]). q195's batch
+  // oracle verbatim.
+  def q218StreamCohenKappa(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val counts = drain(
+      docs.select(
+          when(col("n_chars") > 300, "long").otherwise("short").as("a"),
+          when(graft.functions.TextFunctions.tokenCount(col("text")) > 50,
+            "long").otherwise("short").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n")),
+      "complete")
+    graft.operators.Metrics.cohenKappaFromCounts(counts, "a", "b", "n")
+  }
+
+  // Streaming twin of q217: the (item, category) rating cells as
+  // complete-mode state — O(items·|cats|), the ANNOTATION-JOB monitor
+  // shape (state is the size of the labeling batch, bounded by the job
+  // itself, not any corpus; ratings accumulate while labelers work and
+  // the agreement evaluates on the drained cells) — feeding the SAME
+  // weighted-form operator. q217's batch oracle verbatim.
+  def q219StreamFleissKappa(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val ratings = docs.select(col("doc_id"),
+      explode(array(
+        when(col("n_chars") > 300, "long").otherwise("short"),
+        when(graft.functions.TextFunctions.tokenCount(col("text")) > 50,
+          "long").otherwise("short"),
+        when(length(trim(col("text"))) > 290, "long").otherwise("short")))
+        .as("category"))
+    val cells = drain(
+      ratings.groupBy(col("doc_id"), col("category"))
+        .agg(count(lit(1)).as("n")),
+      "complete")
+    graft.operators.Metrics.fleissKappaFromCounts(
+      cells, "doc_id", "category", "n")
+  }
+
   def q136StreamFim(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
@@ -666,6 +711,8 @@ object StreamingQueries {
     "q206_stream_jsd_drift" -> q206StreamJsdDrift,
     "q214_stream_fairness" -> q214StreamFairness,
     "q215_stream_psi" -> q215StreamPsi,
+    "q218_stream_cohen_kappa" -> q218StreamCohenKappa,
+    "q219_stream_fleiss_kappa" -> q219StreamFleissKappa,
     "q141_stream_apply_changes" -> q141StreamApplyChanges,
     "q156_stream_expectations" -> q156StreamExpectations,
     "q157_stream_key_skew" -> q157StreamKeySkew,
@@ -728,6 +775,8 @@ object StreamingQueries {
     "q206_stream_jsd_drift" -> MetricsQueries.oracles("q203_jsd_drift"),
     "q214_stream_fairness" -> MetricsQueries.oracles("q210_fairness_report"),
     "q215_stream_psi" -> MetricsQueries.oracles("q205_psi_drift"),
+    "q218_stream_cohen_kappa" -> MetricsQueries.oracles("q195_cohen_kappa"),
+    "q219_stream_fleiss_kappa" -> MetricsQueries.oracles("q217_fleiss_kappa"),
     "q141_stream_apply_changes" -> RelationalQueries.oracles("q140_apply_changes"),
     "q156_stream_expectations" -> RelationalQueries.q156OracleSql,
     "q157_stream_key_skew" -> RelationalQueries.oracles("q153_key_skew"),

@@ -567,6 +567,28 @@ class MetricsSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("kappa weighted forms: FromCounts on pre-aggregated cells equals the exploded operator") {
+    // cohen: 4 (A,A) + 3 (B,B) + 2 (A,B) + 1 (B,A) — counts vs explosion
+    val cCells = Seq(("A", "A", 4L), ("B", "B", 3L), ("A", "B", 2L), ("B", "A", 1L))
+    val cRows = cCells.flatMap { case (a, b, n) => Seq.fill(n.toInt)((a, b)) }
+    val wc = Metrics.cohenKappaFromCounts(
+      cCells.toDF("a", "b", "n"), "a", "b", "n").collect()(0)
+    val xc = Metrics.cohenKappa(cRows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(wc.toSeq == xc.toSeq, s"cohen weighted $wc != exploded $xc")
+    graft.CacheScope.release()
+    // fleiss: the textbook-shape case as cells
+    val fCells = Seq((1L, "A", 2L), (1L, "B", 1L), (2L, "B", 3L),
+      (3L, "A", 1L), (3L, "B", 1L), (3L, "C", 1L), (4L, "C", 2L), (4L, "A", 1L))
+    val fRows = fCells.flatMap { case (i, c, n) => Seq.fill(n.toInt)((i, c)) }
+    val wf = Metrics.fleissKappaFromCounts(
+      fCells.toDF("item", "cat", "n"), "item", "cat", "n").collect()(0)
+    val xf = Metrics.fleissKappa(fRows.toDF("item", "cat"), "item", "cat")
+      .collect()(0)
+    assert(wf.toSeq == xf.toSeq, s"fleiss weighted $wf != exploded $xf")
+    assert(wf.getLong(3) == 106382L)
+    graft.CacheScope.release()
+  }
+
   test("fleissKappa: unequal per-item rating counts fail loudly; empty input NULL") {
     val uneven = Seq((1L, "A"), (1L, "A"), (2L, "B")).toDF("item", "cat")
     val e = intercept[Exception] {
