@@ -1468,6 +1468,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           SparkSession.active.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "label column"), litStr(exprs(2), "prediction column")))
     }
+    registerTable("classification_summary",
+      "classification_summary('table', 'labelCol', 'predCol') - macro/" +
+        "micro one-row summary of the classification report: micro " +
+        "accuracy + macro P/R/F1 under the explicit exclude-and-count " +
+        "NULL policy (undefined classes excluded from the mean, their " +
+        "counts reported)", 3) {
+      exprs =>
+        expand(graft.operators.Metrics.classificationSummary(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "label column"), litStr(exprs(2), "prediction column")))
+    }
     registerTable("cohen_kappa_from_counts",
       "cohen_kappa_from_counts('countsTable', 'aCol', 'bCol', 'nCol') - " +
         "Cohen's kappa over PRE-AGGREGATED confusion cells (weighted form " +

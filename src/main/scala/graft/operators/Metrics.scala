@@ -667,6 +667,56 @@ object Metrics {
         .as("f1_micro"))
   }
 
+  /** The macro/micro summary [[classificationReport]] deliberately
+    * leaves to the caller, with the NULL policy made EXPLICIT: macro
+    * averages EXCLUDE classes whose metric is undefined (a ghost class
+    * predicted but never true has no recall; a missed class never
+    * predicted has no precision) and the report carries
+    * `n_undefined_precision` / `n_undefined_recall` so the exclusion is
+    * visible, never silent — the exclude-and-count policy. Averaging
+    * undefined-as-zero is a different (defensible) policy; a caller who
+    * wants it can reconstruct it exactly from the report's counts.
+    *
+    * Exactness: micro accuracy is ONE rational (Σtp / n — for
+    * single-label data micro-P = micro-R = micro-F1 = accuracy, so one
+    * number is the whole micro story); each macro value is the floor of
+    * the MEAN OF THE PER-CLASS FLOORED MICROS (floor(Σ micro_c / k)) —
+    * deterministic integer arithmetic end to end, replayed verbatim by
+    * the oracle, at most 1 micro-unit below the unfloored mean per
+    * class. Output: ONE row `(n, n_classes, accuracy_micro,
+    * macro_precision_micro, macro_recall_micro, macro_f1_micro,
+    * n_undefined_precision, n_undefined_recall)`.
+    *
+    * Scale shape: inherits [[classificationReport]]'s one corpus
+    * collapse; the summary itself is a global aggregate over the
+    * |classes| report rows. */
+  def classificationSummary(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val rep = classificationReport(df, labelCol, predCol)
+    rep.agg(
+        coalesce(sum(col("support")), lit(0L)).as("n"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(col("tp")), lit(0L)).as("_tp"),
+        count(col("precision_micro")).as("_np"),
+        count(col("recall_micro")).as("_nr"),
+        count(col("f1_micro")).as("_nf"),
+        coalesce(sum(col("precision_micro")), lit(0L)).as("_sp"),
+        coalesce(sum(col("recall_micro")), lit(0L)).as("_sr"),
+        coalesce(sum(col("f1_micro")), lit(0L)).as("_sf"))
+      .select(col("n"), col("n_classes"),
+        when(col("n") > 0,
+          fdiv(dec(lit(1000000L)) * dec(col("_tp")), dec(col("n")))
+            .cast("long")).as("accuracy_micro"),
+        when(col("_np") > 0, fdiv(dec(col("_sp")), dec(col("_np")))
+          .cast("long")).as("macro_precision_micro"),
+        when(col("_nr") > 0, fdiv(dec(col("_sr")), dec(col("_nr")))
+          .cast("long")).as("macro_recall_micro"),
+        when(col("_nf") > 0, fdiv(dec(col("_sf")), dec(col("_nf")))
+          .cast("long")).as("macro_f1_micro"),
+        (col("n_classes") - col("_np")).as("n_undefined_precision"),
+        (col("n_classes") - col("_nr")).as("n_undefined_recall"))
+  }
+
   /** Matthews correlation coefficient over the same confusion grain as
     * [[classificationReport]] — the single balance-robust scalar the
     * per-class report deliberately leaves to the caller. The multiclass

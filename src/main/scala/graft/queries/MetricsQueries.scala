@@ -71,6 +71,17 @@ object MetricsQueries {
     Metrics.fleissKappa(ratings, "doc_id", "category")
   }
 
+  // The q212 report's one-row summary: micro accuracy + the macro
+  // averages under the explicit exclude-and-count NULL policy — "one
+  // number across classes" for the same NB-vs-truth question.
+  def q220MacroReport(s: SparkSession, d: String): DataFrame = {
+    val scored = TextQueries.q113NbClassify(s, d)
+    Metrics.classificationSummary(
+      scored.join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id")),
+      "lang", "label_pred")
+  }
+
   def q200ChiSquare(s: SparkSession, d: String): DataFrame =
     Metrics.chiSquareIndependence(Tables.documents(s, d), "lang", "source")
 
@@ -212,6 +223,7 @@ object MetricsQueries {
     "q210_fairness_report" -> q210FairnessReport,
     "q196_mcc" -> q196Mcc,
     "q217_fleiss_kappa" -> q217FleissKappa,
+    "q220_macro_report" -> q220MacroReport,
     "q211_mcnemar" -> q211Mcnemar,
     "q212_class_report" -> q212ClassReport,
     "q213_funnel_ab" -> q213FunnelAb,
@@ -649,6 +661,36 @@ object MetricsQueries {
         END AS mcc_micro
       FROM m, dg"""
 
+  /** q220 oracle: the WHOLE q212 report oracle nested as a CTE, then the
+    * identical one-row summary — micro accuracy as one rational, macros
+    * as floor(Σ per-class-floored-micro / defined-count), DuckDB count()
+    * over the nullable metric columns carrying the exclude-and-count
+    * policy exactly as the engine does. */
+  private def q220OracleSql(q212Oracle: String): String =
+    s"""WITH rep AS ($q212Oracle)
+      SELECT CAST(coalesce(sum(support), 0) AS BIGINT) AS n,
+        CAST(count(*) AS BIGINT) AS n_classes,
+        CASE WHEN coalesce(sum(support), 0) > 0
+          THEN CAST((1000000 * CAST(coalesce(sum(tp), 0) AS HUGEINT))
+                 // CAST(sum(support) AS HUGEINT) AS BIGINT)
+        END AS accuracy_micro,
+        CASE WHEN count(precision_micro) > 0
+          THEN CAST(CAST(coalesce(sum(precision_micro), 0) AS HUGEINT)
+                 // count(precision_micro) AS BIGINT)
+        END AS macro_precision_micro,
+        CASE WHEN count(recall_micro) > 0
+          THEN CAST(CAST(coalesce(sum(recall_micro), 0) AS HUGEINT)
+                 // count(recall_micro) AS BIGINT)
+        END AS macro_recall_micro,
+        CASE WHEN count(f1_micro) > 0
+          THEN CAST(CAST(coalesce(sum(f1_micro), 0) AS HUGEINT)
+                 // count(f1_micro) AS BIGINT)
+        END AS macro_f1_micro,
+        CAST(count(*) - count(precision_micro) AS BIGINT)
+          AS n_undefined_precision,
+        CAST(count(*) - count(recall_micro) AS BIGINT) AS n_undefined_recall
+      FROM rep"""
+
   /** q217 oracle: the exact integer Fleiss rational — cells → per-item
     * sums (fixed n enforced by the engine's raise_error; the oracle just
     * uses min(ni)) → the cleared Gorodkin-style one-rational finale on
@@ -724,6 +766,8 @@ object MetricsQueries {
     "q216_gains_table" -> q216OracleSql,
     "q196_mcc" -> q196OracleSql(TextQueries.oracles("q113_nb_classify")),
     "q217_fleiss_kappa" -> q217OracleSql,
+    "q220_macro_report" ->
+      q220OracleSql(q212OracleSql(TextQueries.oracles("q113_nb_classify"))),
     "q212_class_report" -> q212OracleSql(TextQueries.oracles("q113_nb_classify")),
     "q213_funnel_ab" -> q213OracleSql(RelationalQueries.oracles("q143_funnel")),
     "q210_fairness_report" -> q210OracleSql,

@@ -1160,6 +1160,20 @@ object ScaleProbe {
     time("fleiss kappa 1x (5k docs x 3 raters)")(fleissX(1))
     time("fleiss kappa 10x (50k docs x 3 raters)")(fleissX(10))
 
+    // --- classification summary: the report's confusion-grain collapse
+    // plus one |classes|-row aggregate — 10x rows ride the one corpus pass
+    def csumX(k: Int): Long = {
+      val df = (0 until k).map(_ => graft.Tables.documents(spark, sfDir)
+          .select(col("lang").as("y"),
+            when(col("n_chars") > 300, "en").otherwise(col("lang")).as("p")))
+        .reduce(_ unionByName _)
+      val r = graft.operators.Metrics.classificationSummary(df, "y", "p")
+        .agg(sum(col("n")) + sum(col("macro_f1_micro"))).head().getLong(0)
+      graft.CacheScope.release(); r
+    }
+    time("classification summary 1x (5k docs)")(csumX(1))
+    time("classification summary 10x (50k docs)")(csumX(10))
+
     spark.stop()
   }
 }

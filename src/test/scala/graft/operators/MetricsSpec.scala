@@ -472,6 +472,40 @@ class MetricsSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  // ---- classificationSummary --------------------------------------------------
+
+  test("classificationSummary: hand case with a ghost and a missed class (exclude-and-count)") {
+    // truth a,a,a,b,c,c; preds a,a,b,b,a,d — class c never predicted
+    // (precision undefined), ghost d never true (recall undefined)
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("c", "a"), ("c", "d")).toDF("y", "p")
+    val r = Metrics.classificationSummary(rows, "y", "p").collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 500000L) // accuracy 3/6
+    // precision defined for a (666666), b (500000), d (0) → 1166666/3
+    assert(r.getLong(3) == 388888L, r)
+    // recall defined for a (666666), b (1000000), c (0) → 1666666/3
+    assert(r.getLong(4) == 555555L, r)
+    // f1 defined for all four: 666666+666666+0+0 → /4
+    assert(r.getLong(5) == 333333L, r)
+    assert(r.getLong(6) == 1L && r.getLong(7) == 1L)
+    graft.CacheScope.release()
+  }
+
+  test("classificationSummary: perfect predictions; empty input") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("b", "b")).toDF("y", "p")
+    val p = Metrics.classificationSummary(perfect, "y", "p").collect()(0)
+    assert(p.getLong(2) == 1000000L && p.getLong(3) == 1000000L &&
+      p.getLong(4) == 1000000L && p.getLong(5) == 1000000L)
+    assert(p.getLong(6) == 0L && p.getLong(7) == 0L)
+    graft.CacheScope.release()
+    val empty = Seq.empty[(String, String)].toDF("y", "p")
+    val e = Metrics.classificationSummary(empty, "y", "p").collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2) &&
+      e.isNullAt(3) && e.isNullAt(4) && e.isNullAt(5))
+    graft.CacheScope.release()
+  }
+
   // ---- matthewsCorrelation ---------------------------------------------------
 
   test("matthewsCorrelation: binary hand case matches the tp/tn/fp/fn form") {

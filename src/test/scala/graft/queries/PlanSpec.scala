@@ -1051,6 +1051,14 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q220 macro report: inherits the report's cached confusion grain; one global agg tail") {
+    val p = plan(MetricsQueries.q220MacroReport(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      "the summary must ride the report's cached confusion grain")
+    assert(!p.contains("CartesianProduct"))
+    graft.CacheScope.release()
+  }
+
   test("q217 fleiss kappa: rides the cached cell grain; finales meet in a broadcast cross") {
     val p = plan(MetricsQueries.q217FleissKappa(spark, sf))
     assert(p.contains("InMemoryTableScan"),
