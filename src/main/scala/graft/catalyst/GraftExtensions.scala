@@ -1030,6 +1030,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litStr(exprs(1), "id column"), litStr(exprs(2), "vector column"),
           litInt(exprs(3), "k")))
     }
+    registerTable("ivf_knn_graph",
+      "ivf_knn_graph('table', 'idCol', 'vecCol', k) - PRODUCTION k-nearest-" +
+        "neighbor graph: exact-integer IVF partition + probe-cell candidates + " +
+        "exact cosine re-rank (sub-quadratic; knn_graph is its exhaustive audit)", 4) {
+      exprs =>
+        expand(graft.operators.Similarity.ivfKnnGraph(
+          SparkSession.active.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "id column"), litStr(exprs(2), "vector column"),
+          litInt(exprs(3), "k")))
+    }
     registerTable("hard_negatives",
       "hard_negatives('corpus', 'queries', 'idCol', 'vecCol', k, loSimMicro, hiSimMicro) - " +
         "per query, top-k corpus rows in the cosine band [lo, hi) (millionths): " +

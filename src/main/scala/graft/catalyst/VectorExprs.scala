@@ -233,6 +233,71 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]], 
     copy(child = newChild)
 }
 
+/** The EXACT-integer coarse quantizer behind
+  * [[graft.operators.Similarity.ivfKnnGraph]]: the `topN` cell ids whose
+  * integer centroids minimize the squared L2 distance to an array<long>
+  * micro-quantized vector, ordered by (score asc, cell id asc) with
+  * score = Σ_d c_d·(c_d − 2·v_d) — the ||v||²-free form of ||v−c||²,
+  * whose argmin is the same (the per-row ||v||² term is constant). All
+  * arithmetic is Long (|score| ≤ 3·dim·maxCoord² ≈ 6.4e13 at dim 64 /
+  * 1e6-quantized unit-range coords — far inside Long), so a DuckDB
+  * oracle replaying the same products over the same quantized vectors
+  * reproduces every assignment and probe list bit-for-bit — unlike
+  * [[NearestCentroids]], whose double dots are partition-order-safe but
+  * not cross-engine-replayable. Ties (identical centroids from clone
+  *-degenerate corpora) break on the smaller cell id, a strict total
+  * order either engine can state as `ORDER BY score, cell`. */
+case class NearestCellsExact(child: Expression, cells: Array[Int],
+    centroids: Array[Array[Long]], topN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(cells.nonEmpty && cells.length == centroids.length,
+    "cells and centroids must align and be non-empty")
+  require(cells.zip(cells.tail).forall { case (a, b) => a < b },
+    "cells must be strictly ascending (the stable score sort breaks ties on position)")
+  require(topN >= 1 && topN <= cells.length, "topN in [1, nCells]")
+  private val centroidDim = centroids(0).length
+  require(centroids.forall(_.length == centroidDim), "ragged centroid matrix")
+  ModelGuard.check("nearest_cells_exact matrix",
+    centroids.length.toLong * centroidDim, "kCells (or the vector dim)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells_exact requires array<long>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells_exact"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    if (dim != centroidDim) throw new IllegalStateException(
+      s"nearest_cells_exact: vector dim $dim != centroid dim $centroidDim")
+    val v = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { v(i) = arr.getLong(i); i += 1 }
+    val n = cells.length
+    val scores = new Array[Long](n)
+    var c = 0
+    while (c < n) {
+      val cent = centroids(c)
+      var s = 0L
+      var j = 0
+      while (j < dim) { val cd = cent(j); s += cd * (cd - 2L * v(j)); j += 1 }
+      scores(c) = s
+      c += 1
+    }
+    // cells[] is sorted ascending by construction, so a stable sort on
+    // score alone breaks ties on the smaller cell id.
+    val idx = Array.range(0, n).sortBy(scores(_)).take(topN)
+    new GenericArrayData(idx.map(cells(_)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExact =
+    copy(child = newChild)
+}
+
 /** Guard rail for trained models that ride query plans as literals /
   * expression state (IVF centroids, PQ codebooks): they are broadcast
   * with EVERY serialized task, so they must stay broadcast-sized, not
@@ -270,4 +335,10 @@ object VectorExprs {
     * is an L2 mean and assignment must optimize the same objective. */
   def nearestCentroidsL2(v: Column, centroids: Array[Array[Double]], topN: Int): Column =
     Cols.column(NearestCentroids(Cols.expression(v), centroids, topN, l2 = true))
+
+  /** Top-`topN` cell ids by exact-integer squared-L2 to the aligned
+    * (cells, centroids) matrix — see [[NearestCellsExact]]. */
+  def nearestCellsExact(v: Column, cells: Array[Int], centroids: Array[Array[Long]],
+      topN: Int): Column =
+    Cols.column(NearestCellsExact(Cols.expression(v), cells, centroids, topN))
 }

@@ -357,6 +357,145 @@ object Similarity {
         (col("_r") + 1).cast("int").as("rank"))
   }
 
+  /** PRODUCTION twin of [[knnGraph]] — the approximate kNN graph build a
+    * 100-TB curation pipeline actually runs, as an EXACT-REPLAYABLE
+    * operator: an IVF coarse partition (integer k-means) prunes the
+    * quadratic pair space to probe-cell candidates, and every arithmetic
+    * step is integer (or a pinned fixed-order IEEE expression), so a SQL
+    * oracle replays the full edge set bit-for-bit. [[knnGraph]] stays as
+    * the exhaustive a-arm audit (gate q108), mirroring the ANN family's
+    * production/audit convention (q51/q51a, q53/q53a).
+    *
+    * Why not the hyperplane-band candidate engine the near-dup family
+    * uses ([[cosineNearDupCandidates]])? Banding prunes by SIMILARITY
+    * LEVEL, and a kNN graph's edges live wherever the data's nearest
+    * neighbors are — on the gate corpus the top-3 sims center on ~0.38,
+    * where a 0.9999-recall band family degenerates (candidateFraction
+    * 0.889 at τ=0.45 — the calibrated [[bandedCost]] model and the r6
+    * probe both say the banded path costs ~9× the exact tiles there,
+    * and any τ that bands well leaves the graph empty: one pair ≥ 0.6
+    * in the whole sf0.1 corpus). IVF prunes by PARTITION instead —
+    * candidates per query ≈ nProbe·N/kCells regardless of where the
+    * sim mass sits, total work O(N·kCells·dim + N·(N/kCells)·nProbe·dim)
+    * ≈ O(N^1.5) at kCells = √N, against the exact build's O(N²).
+    *
+    * The algorithm (every step cross-engine exact):
+    *  1. Quantize: q_d = round(x_d · 1e6)::long per coordinate.
+    *  2. kCells = max(4, min(maxCells, floor(√N))); init centroids =
+    *     Forgy seeds: the min-id member of each md5(id) % kCells bucket
+    *     (the [[graft.functions.Portable.md5Long60]] convention), so
+    *     seeds are actual distinct vectors, deterministically spread.
+    *  3. `lloydRounds` synchronous k-means rounds on the quantized
+    *     vectors: assign each vector to the cell minimizing the exact
+    *     integer score Σ c_d(c_d − 2q_d) (ties → smaller cell id), then
+    *     re-center each non-empty cell at the per-coordinate FLOOR mean
+    *     (floorDiv — exact, order-free); empty cells keep their centroid.
+    *  4. Final pass against the last centroids: each vector's home cell
+    *     (rank-1) defines the member lists; its `nProbe` nearest cells
+    *     define the probe list.
+    *  5. Candidates = probes ⋈ members on cell (minus self); exact
+    *     cosine on the ORIGINAL vectors in the engine-wide micro
+    *     convention (`round(dot(unit_a, unit_b)·1e5)` =
+    *     `round(list_cosine_similarity·1e5)`), bounded-state top-k per
+    *     query via [[graft.catalyst.TopKPairs]].
+    *
+    * Scale shape: the centroid matrix is MODEL-sized (≤ maxCells·dim
+    * longs, [[graft.catalyst.ModelGuard]]-checked) and rides the
+    * assignment expression to executors — assignment is one narrow pass
+    * over the corpus, no N×K row explosion. The per-round re-center is
+    * one (cell, dim)-grain aggregation (map-side combined, K·dim output
+    * rows); the only corpus-sized shuffles are the candidate equi-join
+    * on cell and the top-k aggregation — both keyed, both AQE-planned
+    * (skewed cells split by AQE; per-cell member lists are N/K-sized by
+    * construction). Driver traffic is centroids only (K·dim longs per
+    * round — the same model-sized-collect contract as the PQ/IVF
+    * codebooks in [[Embeddings]]).
+    *
+    * Output: `(query_id, neighbor_id, sim_micro, rank)` — [[knnGraph]]'s
+    * exact schema, so the PageRank / label-propagation / triangle loops
+    * consume either build unchanged.
+    */
+  def ivfKnnGraph(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lloydRounds: Int = 3,
+      nProbe: Int = 3,
+      maxCells: Int = 4096): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(lloydRounds >= 0, "lloydRounds >= 0")
+    require(nProbe >= 1, "nProbe >= 1")
+    val idType = emb.schema(idCol).dataType
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(idType),
+      s"idCol '$idCol' must be an integral type; got ${idType.catalogString}")
+    // One persisted frame carries both vector forms: the quantized longs
+    // (partition + probe arithmetic) and the unit doubles (final exact
+    // cosine) — scanned once, reused by every round and the final join.
+    val base = graft.CacheScope.track(
+      emb.select(col(idCol).cast("long").as("_id"),
+          transform(col(vecCol).cast("array<double>"),
+            x => round(x * lit(1000000d)).cast("long")).as("_q"),
+          VectorExprs.unitVec(col(vecCol)).as("_v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    val n = base.count()
+    val kCells = math.max(4, math.min(maxCells,
+      math.floor(math.sqrt(n.toDouble)).toInt))
+    // Forgy init: min-id member of each md5 bucket (model-sized collect).
+    val seedRows = base
+      .select(pmod(graft.functions.Portable.md5Long60(col("_id").cast("string")),
+        lit(kCells)).cast("int").as("_cell"), col("_id"))
+      .groupBy("_cell").agg(min("_id").as("_id"))
+      .join(base.select(col("_id"), col("_q")), Seq("_id"))
+      .select("_cell", "_q").collect()
+    var cents: Array[(Int, Array[Long])] = seedRows
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val cellIds = cents.map(_._1)
+    for (_ <- 1 to lloydRounds) {
+      // Two selects, deliberately: a generator select hoists its other
+      // expressions ABOVE the Generate node, so fusing the argmin and
+      // posexplode into one select would re-evaluate the K·dim argmin
+      // once per generated row — dim× the work. Assigning `_cell` to an
+      // attribute first pins it below the Generate (once per vector).
+      val assigned = base.select(
+          element_at(VectorExprs.nearestCellsExact(
+            col("_q"), cellIds, cents.map(_._2), 1), 1).as("_cell"),
+          col("_q"))
+        .select(col("_cell"), posexplode(col("_q")).as(Seq("_d", "_x")))
+      // (cell, dim)-grain partial sums — K·dim rows back to the driver,
+      // floor-mean there (Math.floorDiv = the (s − pmod)/n convention).
+      val byCellDim = assigned.groupBy("_cell", "_d")
+        .agg(sum("_x").as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val upd = byCellDim.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        val arr = new Array[Long](cents.head._2.length)
+        rows.foreach(r => arr(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+        (cell, arr)
+      }
+      cents = cents.map { case (c, prev) => (c, upd.getOrElse(c, prev)) }
+    }
+    val probed = base.withColumn("_cells",
+      VectorExprs.nearestCellsExact(col("_q"), cellIds, cents.map(_._2), nProbe))
+    val members = probed.select(element_at(col("_cells"), 1).as("_cell"),
+      col("_id").as("_nid"), col("_v").as("_nv"))
+    val queries = probed.select(col("_id").as("_qid"), col("_v").as("_qv"),
+      explode(col("_cells")).as("_cell"))
+    queries.join(members, Seq("_cell"))
+      .filter(col("_qid") =!= col("_nid"))
+      .withColumn("_negSim",
+        -round(VectorExprs.dotD(col("_qv"), col("_nv")) * 100000).cast("long"))
+      .groupBy(col("_qid"))
+      .agg(graft.catalyst.TopKPairs.topKPairs(col("_negSim"), col("_nid"), k).as("_top"))
+      .select(col("_qid"), posexplode(col("_top")).as(Seq("_r", "_e")))
+      .select(col("_qid").cast(idType).as("query_id"),
+        col("_e._2").cast(idType).as("neighbor_id"),
+        (-col("_e._1")).as("sim_micro"),
+        (col("_r") + 1).cast("int").as("rank"))
+  }
+
   /** LSH-bucketed approximate top-k (the 100-TB scale path): corpus and
     * queries are sketched with `nBits` signed random hyperplanes
     * (deterministic, seeded; sketch sign is scale-invariant so unit vectors

@@ -228,6 +228,15 @@ object AnnQueries {
   def q108KnnGraph(s: SparkSession, d: String): DataFrame =
     Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
 
+  // PRODUCTION twin of q108 — the same k=3 kNN graph contract built by
+  // the sub-quadratic IVF path (integer k-means partition, probe-cell
+  // candidates, exact cosine re-rank). Every step integer/pinned-IEEE,
+  // so the oracle replays the FULL approximate edge set bit-for-bit —
+  // the graph-family a/b convention: q108 audits the exhaustive build,
+  // q221 gates the one a 100-TB pipeline runs.
+  def q221IvfKnnGraph(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfKnnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+
   // Hard-negative mining (contrastive training): per query, top-10
   // corpus rows in the cosine band [0.10, 0.45) — confusable but below
   // the q44 near-dup threshold, so a mined negative is never a positive.
@@ -253,6 +262,7 @@ object AnnQueries {
     "q91a_pca_exhaustive" -> q91aPcaExhaustive,
     "q95a_diversity_audit" -> q95aDiversityAudit,
     "q108_knn_graph" -> q108KnnGraph,
+    "q221_ivf_knn_graph" -> q221IvfKnnGraph,
     "q109_hard_negatives" -> q109HardNegatives,
     "q114_contrastive_pairs" -> q114ContrastivePairs,
     "q97_hybrid_search" -> q97HybridSearch,
@@ -283,6 +293,58 @@ object AnnQueries {
          FROM scored
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) <= 3
        )"""
+
+  /** DuckDB CTE fragment yielding `knn(query_id, neighbor_id, sim_micro,
+    * rnk)` for the PRODUCTION (IVF) graph build — the exact-integer
+    * replay of [[Similarity.ivfKnnGraph]] at the gate parameters (k=3,
+    * 3 Lloyd rounds, nProbe=3, kCells=max(4, floor(√N))): quantized
+    * vectors long-form, md5-bucket Forgy seeds, three unrolled
+    * assign/re-center rounds (floor-division via the (s − pmod)/n
+    * identity), then probe-cell candidates scored with the SAME
+    * `round(list_cosine_similarity·1e5)` convention as [[knnEdges3Cte]].
+    * Ends at the same `knn` shape, so the graph-loop oracles
+    * ([[GraphQueries]]) consume either fragment unchanged. */
+  private[queries] val ivfKnn3Cte: String = {
+    val rounds = 3
+    val sb = new StringBuilder
+    sb ++= """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       ks AS (SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS kc FROM e),
+       qv AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(v))) AS d,
+         CAST(round(unnest(v) * 1000000) AS BIGINT) AS q FROM e),
+       bkt AS (SELECT vec_id, ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+           % (SELECT kc FROM ks) AS cell FROM e),
+       s0 AS (SELECT cell, min(vec_id) AS sid FROM bkt GROUP BY 1),
+       c0 AS MATERIALIZED (SELECT s0.cell, qv.d, qv.q AS c FROM s0 JOIN qv ON qv.vec_id = s0.sid)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        a$r AS MATERIALIZED (SELECT vec_id, cell FROM (
+            SELECT qv.vec_id, c.cell, sum(c.c * (c.c - 2 * qv.q)) AS score
+            FROM qv JOIN c${r - 1} c ON qv.d = c.d GROUP BY 1, 2)
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) = 1),
+        u$r AS (SELECT a.cell, qv.d, CAST(sum(qv.q) AS BIGINT) AS s, count(*) AS n
+            FROM a$r a JOIN qv ON qv.vec_id = a.vec_id GROUP BY 1, 2),
+        c$r AS MATERIALIZED (SELECT p.cell, p.d,
+            coalesce(CAST((u.s - (((u.s % u.n) + u.n) % u.n)) // u.n AS BIGINT), p.c) AS c
+            FROM c${r - 1} p LEFT JOIN u$r u ON u.cell = p.cell AND u.d = p.d)"""
+    }
+    sb ++= s""",
+      fr AS MATERIALIZED (SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS pr FROM (
+            SELECT qv.vec_id, c.cell, sum(c.c * (c.c - 2 * qv.q)) AS score
+            FROM qv JOIN c$rounds c ON qv.d = c.d GROUP BY 1, 2)),
+      cand AS (SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id
+          FROM fr p JOIN fr m ON m.cell = p.cell AND m.pr = 1 AND m.vec_id <> p.vec_id
+          WHERE p.pr <= 3),
+      scored AS (SELECT c.query_id, c.neighbor_id,
+          CAST(round(list_cosine_similarity(a.v, b.v) * 100000) AS BIGINT) AS sim_micro
+          FROM cand c JOIN e a ON a.vec_id = c.query_id JOIN e b ON b.vec_id = c.neighbor_id),
+      knn AS MATERIALIZED (
+        SELECT query_id, neighbor_id, sim_micro,
+          row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS rnk
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) <= 3)"""
+    sb.toString
+  }
 
   /** The exact cosine top-5 replay — q50's oracle, shared verbatim by
     * every exhaustive-arm audit gate (q53a/q66a/q67a/q91a must equal
@@ -358,6 +420,11 @@ object AnnQueries {
          SELECT query_id AS anchor_id, neighbor_id AS pair_id, 'neg' AS role, sim, rank FROM neg""",
     "q108_knn_graph" ->
       s"""WITH $knnEdges3Cte
+         SELECT query_id, neighbor_id, sim_micro,
+           CAST(rnk AS INT) AS rank
+         FROM knn""",
+    "q221_ivf_knn_graph" ->
+      s"""WITH $ivfKnn3Cte
          SELECT query_id, neighbor_id, sim_micro,
            CAST(rnk AS INT) AS rank
          FROM knn""",

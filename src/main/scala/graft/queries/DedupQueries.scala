@@ -222,12 +222,20 @@ object DedupQueries {
   // duplicate cluster (tie: smallest id). "Keep best" upgraded from the
   // q120 scalar-quality rule to a graph prior: the survivor is the most
   // prototypical document, not just the longest.
+  //
+  // Since r11 the PageRank prior rides the PRODUCTION edge build
+  // (Similarity.ivfKnnGraph, q221) — the exhaustive build this gate
+  // inherited was 500 of its 667 sf1 seconds. The near-dup CLUSTER stage
+  // deliberately stays on the exact tiled pairs: at tau=0.45 the
+  // calibrated bandedCost model says hyperplane banding costs ~9x the
+  // tiles (candidateFraction 0.889 — the q68 auto-dispatcher encodes
+  // exactly this decision), and the tiled scan is the cheap stage here.
   def q135CurationV6(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val clusters = Dedup.connectedComponents(
       Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45), "id_a", "id_b")
     val pr = graft.operators.Graph.pageRank(
-      Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+      Similarity.ivfKnnGraph(emb, "vec_id", "embedding", k = 3)
         .select("query_id", "neighbor_id"),
       "query_id", "neighbor_id", iterations = 12)
     emb.select(col("vec_id"))
@@ -506,7 +514,7 @@ object DedupQueries {
     * (shared fragments with q108/q132), cosine pairs + recursive-CTE
     * components (shared shape with q55), then keep-most-central. */
   private val q135OracleSql: String =
-    s"""WITH RECURSIVE ${AnnQueries.knnEdges3Cte},
+    s"""WITH RECURSIVE ${AnnQueries.ivfKnn3Cte},
         ${GraphQueries.pageRankChainCtes},
         pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b

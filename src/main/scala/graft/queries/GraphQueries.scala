@@ -6,18 +6,27 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Graph-analytics query pack: centrality and label spread over the k=3
-  * cosine kNN graph of the `embeddings` table (the q108 edge set — both
-  * oracles replay it via [[AnnQueries.knnEdges3Cte]], so the three gates
-  * can never drift apart on what the graph IS).
+  * cosine kNN graph of the `embeddings` table.
   *
-  * Both gates are exact: integer micro-unit PageRank and
+  * Since round 11 the gates ride the PRODUCTION edge build —
+  * [[Similarity.ivfKnnGraph]] (q221's sub-quadratic IVF partition +
+  * probe-cell candidates + exact re-rank) — instead of the exhaustive
+  * O(N²) [[Similarity.knnGraph]], which stays gated as the q108 audit
+  * arm. This is the ANN family's production/audit convention applied to
+  * the graph family (the r10 verdict's #1): the loops are IDENTICAL
+  * code over either edge set, the edge build each loop inherits is the
+  * one a 100-TB pipeline can actually afford, and the oracles replay
+  * the IVF edge set bit-for-bit via [[AnnQueries.ivfKnn3Cte]] — so the
+  * gates stay full hash gates, not rows-only approximations.
+  *
+  * All gates remain exact: integer micro-unit PageRank and
   * deterministically tie-broken label propagation replay move-for-move
-  * in DuckDB as unrolled fixed-round CTE chains.
+  * in DuckDB as unrolled fixed-round CTE chains over the same edges.
   */
 object GraphQueries {
 
   private def knnEdges(s: SparkSession, d: String): DataFrame =
-    Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+    Similarity.ivfKnnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
 
   // Centrality scoring over the kNN graph — the "how prototypical is this
   // document" prior a curation pipeline uses to pick cluster
@@ -52,7 +61,8 @@ object GraphQueries {
   /** The integer PageRank recurrence unrolled as a CTE chain ending at
     * `r12(id, r)` — shared by the q132 gate and the curation-v6
     * composition (q135) so "what PageRank computes" is defined once.
-    * Assumes the kNN fragment ([[AnnQueries.knnEdges3Cte]]) precedes it.
+    * Assumes a kNN fragment ending at `knn` ([[AnnQueries.ivfKnn3Cte]])
+    * precedes it.
     * `//` is DuckDB integral division = Spark's `div` on the
     * non-negative values used here. */
   private[queries] val pageRankChainCtes: String = {
@@ -77,7 +87,7 @@ object GraphQueries {
   }
 
   private val q132OracleSql: String =
-    s"""WITH ${AnnQueries.knnEdges3Cte},
+    s"""WITH ${AnnQueries.ivfKnn3Cte},
         $pageRankChainCtes
         SELECT id AS node_id, r AS rank_micro FROM r12"""
 
@@ -87,7 +97,7 @@ object GraphQueries {
   private val q133OracleSql: String = {
     val rounds = 8
     val sb = new StringBuilder
-    sb ++= s"WITH ${AnnQueries.knnEdges3Cte},\n"
+    sb ++= s"WITH ${AnnQueries.ivfKnn3Cte},\n"
     sb ++= "nodes AS (SELECT DISTINCT id FROM (SELECT query_id AS id FROM knn UNION ALL SELECT neighbor_id FROM knn)),\n"
     sb ++= "seeds AS (SELECT vec_id AS id, CAST(label AS INT) AS seed FROM embeddings WHERE vec_id % 10 = 0),\n"
     sb ++= "ns AS MATERIALIZED (SELECT n.id, s.seed FROM nodes n LEFT JOIN seeds s ON n.id = s.id),\n"
@@ -118,7 +128,7 @@ object GraphQueries {
     * comparisons; `%` operands are non-negative so DuckDB's remainder
     * equals Spark's pmod. */
   private val q146OracleSql: String =
-    s"""WITH ${AnnQueries.knnEdges3Cte},
+    s"""WITH ${AnnQueries.ivfKnn3Cte},
         und AS (SELECT DISTINCT least(query_id, neighbor_id) AS a,
                   greatest(query_id, neighbor_id) AS b
                 FROM knn WHERE query_id <> neighbor_id),

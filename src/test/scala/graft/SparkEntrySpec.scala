@@ -14,8 +14,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 229 queries, unique names") {
-    assert(SparkEntry.queries.size == 229)
+  test("gate inventory: 230 queries, unique names") {
+    assert(SparkEntry.queries.size == 230)
   }
 
   test("round-9 metrics family: all five gates oracle-backed") {

@@ -235,6 +235,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfKnnGraph: contract laws — schema, ranks, no self-edges, physical invariance") {
+    val emb = Tables.embeddings(spark, sf)
+    val g = Similarity.ivfKnnGraph(emb, "vec_id", "embedding", k = 3)
+    assert(g.columns.toSeq == Seq("query_id", "neighbor_id", "sim_micro", "rank"),
+      "production twin must keep knnGraph's exact schema (the loops consume either)")
+    val rows = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.forall { case (q, n, _, _) => q != n }, "no self edges")
+    rows.groupBy(_._1).values.foreach { es =>
+      val sorted = es.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length), "ranks dense from 1")
+      assert(sorted.length <= 3, "degree capped at k")
+      val order = sorted.map(e => (-e._3, e._2)).toSeq
+      assert(order == order.sorted, "rank order must be (sim desc, neighbor asc)")
+    }
+    // Physical invariance: input partitioning is a knob, not a semantic —
+    // the md5 seeds, integer Lloyd rounds and exact re-rank make the
+    // edge set a pure function of the data.
+    val g2 = Similarity.ivfKnnGraph(emb.repartition(7), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(g2.toSet == rows.toSet, "repartitioning must not change one edge")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfKnnGraph(emb.withColumn("vec_id", col("vec_id").cast("string")),
+        "vec_id", "embedding", k = 3)
+    }
+  }
+
+  test("ivfKnnGraph: recall vs the exhaustive build is data-bound and rises with nProbe") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = topkSet(Similarity.knnGraph(emb, "vec_id", "embedding", k = 3))
+    def recallAt(np: Int): Double = {
+      val approx = topkSet(Similarity.ivfKnnGraph(emb, "vec_id", "embedding",
+        k = 3, nProbe = np))
+      (approx & exact).size.toDouble / exact.size
+    }
+    val r3 = recallAt(3)
+    val r10 = recallAt(10)
+    // The gate corpus is NEAR-RANDOM (top-3 sims center on ~0.38), the
+    // adversarial case for any partition-pruned ANN — measured recall
+    // here is a floor, not what clustered production embeddings give.
+    info(f"ivfKnnGraph recall@3: nProbe=3 -> $r3%.3f, nProbe=10 -> $r10%.3f")
+    assert(r3 >= 0.30, f"IVF graph recall collapsed at gate knobs: $r3%.3f")
+    assert(r10 >= r3, "probing more cells must not lose recall")
+    // Every approximate edge is a REAL pair scored with the exact
+    // convention: sims of IVF edges can never exceed the exact top-1.
+    val top1 = Similarity.knnGraph(emb, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    Similarity.ivfKnnGraph(emb, "vec_id", "embedding", k = 3).collect()
+      .foreach(r => assert(r.getLong(2) <= top1(r.getLong(0)),
+        "an IVF edge outscored the exhaustive top-1 — scoring conventions diverged"))
+  }
+
   test("hardNegatives: top-k WITHIN the band — never a near-dup, never below the floor") {
     val n = 200
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < n)
