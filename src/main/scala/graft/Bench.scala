@@ -162,7 +162,14 @@ object Bench {
     // the run still lands on a sample — and one AFTER. All samples are
     // taken OUTSIDE the per-query timers.
     val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
-    val cpuMarks = scala.collection.mutable.ArrayBuffer[Option[(Long, Long, Long)]]()
+    // Each mark stores TWO cpu readings — one taken before the mark's own
+    // calibration/probe work and one after — so the ext-CPU interval for a
+    // gate span runs from the PREVIOUS mark's post-probe reading to the
+    // NEXT mark's pre-probe reading: the bench's own probe/calibration CPU
+    // never sits inside (and never dilutes) the window the pollution
+    // sentinel judges (r10 advice).
+    val cpuMarks = scala.collection.mutable.ArrayBuffer[
+      (Option[(Long, Long, Long)], Option[(Long, Long, Long)])]()
     // Telemetry series, one entry per calibration mark (start/every
     // CalibEvery/end): probe-query wall, cumulative GC ms/count, heap
     // residency. All sampled OUTSIDE the per-query timers.
@@ -171,10 +178,11 @@ object Bench {
     val gcCountMarks = scala.collection.mutable.ArrayBuffer[Long]()
     val heapMarks = scala.collection.mutable.ArrayBuffer[Long]()
     def telemetryMark(): Unit = {
+      val pre = cpuStat() // closes the preceding gate interval
       calibSamples += calibSample(spark)
-      cpuMarks += cpuStat()
       probeSamples += probeSample(spark, sfDir)
       gcMarks += gcMs(); gcCountMarks += gcCount(); heapMarks += heapUsedMb()
+      cpuMarks += ((pre, cpuStat())) // opens the next gate interval
     }
     calibSec(spark)
     probeSample(spark, sfDir) // throwaway: the probe plan itself warms
@@ -224,7 +232,7 @@ object Bench {
     // environments without /proc (and stays in the artifact for eyes).
     val extShares: Seq[Option[Double]] =
       cpuMarks.toList.sliding(2).toList.collect {
-        case List(a, b) => extShare(a, b)
+        case List(a, b) => extShare(a._2, b._1)
       }
     val extAvailable = extShares.nonEmpty && extShares.forall(_.isDefined)
     val polluted =

@@ -200,8 +200,11 @@ object Metrics {
     *
     * — the textbook form cleared to ONE exact integer rational (both
     * clearings multiply by Nn²·(n−1) > 0, so the sign is preserved);
-    * products reach (Nn)², so everything rides decimal(38,0) (safe to
-    * Nn ≈ 10¹⁹ ratings). The floor is the negative-safe pmod idiom —
+    * products reach (Nn)² and the numerator carries an extra factor up
+    * to n via (S2 − Nn)·Nn (S2 ≤ n·Nn), so decimal(38,0) holds to
+    * Nn ≈ 10¹⁹/√n ratings — past that Spark's non-ANSI decimal multiply
+    * yields NULL kappa rather than a wrong number (r10 advice: the
+    * envelope documented here now matches the arithmetic). The floor is the negative-safe pmod idiom —
     * κ < 0 (worse than chance) is reachable and exact. Conventions:
     * NULL item/category rows are excluded; a DIFFERING per-item rating
     * count fails loudly (`raise_error` — Fleiss' P_i denominator

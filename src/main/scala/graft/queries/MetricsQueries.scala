@@ -702,7 +702,11 @@ object MetricsQueries {
           CASE WHEN len(string_split_regex(trim(text), '\s+')) > 50
             THEN 'long' ELSE 'short' END,
           CASE WHEN len(trim(text)) > 290 THEN 'long' ELSE 'short' END]) AS c
-        FROM documents),
+        FROM documents
+        -- pin the engine's NULL policy: fleissKappaFromCounts EXCLUDES
+        -- NULL items, while a bare GROUP BY would keep a NULL group
+        -- (r10 advice — latent divergence if doc_id ever carries NULLs)
+        WHERE doc_id IS NOT NULL),
       cells AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
         FROM r GROUP BY 1, 2),
       items AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS ni,

@@ -408,6 +408,14 @@ object StreamingQueries {
   // itself, not any corpus; ratings accumulate while labelers work and
   // the agreement evaluates on the drained cells) — feeding the SAME
   // weighted-form operator. q217's batch oracle verbatim.
+  //
+  // BOUND (r10 advice): unlike the label-grain monitor twins, this
+  // state is keyed per ITEM, so it is only safe because the keyspace is
+  // an annotation job (10³-10⁶ items), never a corpus. Pointing this
+  // shape at an unbounded item stream would grow both the state store
+  // and the per-trigger complete-mode re-emission without limit — for
+  // that, window the job id into the key (one drained state per
+  // labeling batch) or switch to update mode over a bounded item set.
   def q219StreamFleissKappa(s0: SparkSession, d: String): DataFrame = {
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
