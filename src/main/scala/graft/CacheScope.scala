@@ -24,20 +24,86 @@ import org.apache.spark.sql.Dataset
   * partitioning, shared by sequentialPack / concurrencySweep /
   * paretoClasses — is self-contained: persist → eager materialize →
   * unpersist inside the helper and never tracked here).
+  *
+  * CONCURRENCY: the registries are THREAD-scoped and the unpersists are
+  * REFERENCE-COUNTED. A multi-tenant service runs many sessions' queries
+  * concurrently against one SparkContext (the reference serves many
+  * browsing sessions at once), which exposes two cross-talk paths a
+  * serial harness never sees:
+  *
+  *  1. A global registry would make one session's end-of-query
+  *     `release()` free ANOTHER session's in-flight tracked checkpoint —
+  *     whose lineage is truncated, so the victim fails with lost blocks
+  *     rather than recomputing. Hence thread scope: each gate builds and
+  *     materializes its plan on its calling thread, so thread scope is
+  *     session scope for every harness (Verify, Bench, the soak, tests).
+  *
+  *  2. Spark's CacheManager dedupes persists by CANONICALIZED PLAN
+  *     across sessions of one SparkContext: two workers running the
+  *     same (or a shingle-sharing) gate hold ONE shared cache entry,
+  *     and either worker's unpersist — end-of-query or an operator's
+  *     deliberate early release — yanks it while the other is mid-query
+  *     (observed as a transiently EMPTY q45 under the interleaved soak,
+  *     ~1-in-3 runs before this fix). Hence the per-plan reference
+  *     counts: an unpersist is DEFERRED until the last same-plan holder
+  *     releases — nothing is ever uncached while any tracked query
+  *     still holds it. `ConcurrentGatesSpec` pins both properties with
+  *     interleaved inventories under both session-sharing models.
   */
 object CacheScope {
 
-  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
-  private val trackedCp = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val tracked = new ThreadLocal[java.util.ArrayDeque[Dataset[_]]] {
+    override def initialValue(): java.util.ArrayDeque[Dataset[_]] =
+      new java.util.ArrayDeque[Dataset[_]]()
+  }
+  private val trackedCp = new ThreadLocal[java.util.ArrayDeque[Dataset[_]]] {
+    override def initialValue(): java.util.ArrayDeque[Dataset[_]] =
+      new java.util.ArrayDeque[Dataset[_]]()
+  }
 
-  /** Register an operator-internal persisted dataset for later release. */
-  def track[T](ds: Dataset[T]): Dataset[T] = { tracked.add(ds); ds }
+  /** Reference counts per canonicalized plan — the key CacheManager
+    * itself dedupes persisted plans on, so count scope == entry scope. */
+  private val refCounts =
+    new java.util.HashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
+
+  private def keyOf(ds: Dataset[_]) = ds.queryExecution.analyzed.canonicalized
+
+  /** Take a reference on a persisted plan WITHOUT enqueueing it for the
+    * end-of-query release — for operator-internal frames released early
+    * and explicitly via [[releaseOne]] (iterative loops' edge lists). */
+  def retain[T](ds: Dataset[T]): Dataset[T] = refCounts.synchronized {
+    refCounts.merge(keyOf(ds), 1, (a, b) => a + b); ds
+  }
+
+  /** Drop one reference; unpersist only when the LAST same-plan holder
+    * (across all threads/sessions) lets go. */
+  def releaseOne(ds: Dataset[_]): Unit = {
+    val free = refCounts.synchronized {
+      val left = refCounts.merge(keyOf(ds), -1, (a, b) => a + b)
+      if (left <= 0) { refCounts.remove(keyOf(ds)); true } else false
+    }
+    if (free) ds.unpersist(false)
+  }
+
+  /** Register an operator-internal persisted dataset for later release
+    * (by the SAME thread — see CONCURRENCY above). */
+  def track[T](ds: Dataset[T]): Dataset[T] = { retain(ds); tracked.get().add(ds); ds }
+
+  /** Early-release a frame THIS THREAD already `track`ed (iterative
+    * operators free their raw edge cache once the loop-lived frames are
+    * materialized): drops the reference now instead of at end-of-query,
+    * and removes it from the thread's queue so the reference is never
+    * double-counted. */
+  def releaseEarly(ds: Dataset[_]): Unit = {
+    tracked.get().remove(ds)
+    releaseOne(ds)
+  }
 
   /** Register a `localCheckpoint`'d dataset (an operator OUTPUT whose
     * blocks must survive until the caller has materialized it) for
-    * release with the next [[release]]. `Dataset.unpersist` cannot free
-    * these — see [[releaseLocalCheckpoint]]. */
-  def trackCheckpoint[T](ds: Dataset[T]): Dataset[T] = { trackedCp.add(ds); ds }
+    * release with the next same-thread [[release]]. `Dataset.unpersist`
+    * cannot free these — see [[releaseLocalCheckpoint]]. */
+  def trackCheckpoint[T](ds: Dataset[T]): Dataset[T] = { trackedCp.get().add(ds); ds }
 
   /** Free the RDD blocks behind a `localCheckpoint`'d dataset NOW.
     *
@@ -58,22 +124,26 @@ object CacheScope {
       case _ => ()
     }
 
-  /** Release everything tracked since the last release: unpersist
-    * (non-blocking) the persisted intermediates and free the blocks of
-    * tracked checkpoints. */
+  /** Release everything THIS THREAD tracked since its last release:
+    * unpersist (non-blocking) the persisted intermediates and free the
+    * blocks of tracked checkpoints. Other threads' registries are
+    * untouched — their in-flight checkpoints stay alive. */
   def release(): Unit = {
-    var ds = tracked.poll()
+    val t = tracked.get()
+    var ds = t.poll()
     while (ds != null) {
-      ds.unpersist(false)
-      ds = tracked.poll()
+      releaseOne(ds)
+      ds = t.poll()
     }
-    var cp = trackedCp.poll()
+    val tc = trackedCp.get()
+    var cp = tc.poll()
     while (cp != null) {
       releaseLocalCheckpoint(cp)
-      cp = trackedCp.poll()
+      cp = tc.poll()
     }
   }
 
-  /** Number of currently-tracked (not yet released) persists. */
-  def pendingCount: Int = tracked.size() + trackedCp.size()
+  /** Number of persists the CALLING thread has tracked and not yet
+    * released. */
+  def pendingCount: Int = tracked.get().size() + trackedCp.get().size()
 }

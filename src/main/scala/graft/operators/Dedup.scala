@@ -185,21 +185,21 @@ object Dedup {
     // symmetrize via explode, NOT a self-union: a union evaluates the
     // whole upstream pair plan twice (for q45/q46/q55 that plan is the
     // full candidate+verify join), explode doubles rows in one pass
-    val e0 = pairs
+    val e0 = graft.CacheScope.retain(pairs
       .select(explode(array(
         struct(col(aCol).as("_x"), col(bCol).as("_y")),
         struct(col(bCol).as("_x"), col(aCol).as("_y")))).as("_e"))
       .select(col("_e._x").as("_x"), col("_e._y").as("_y"))
       .distinct()
-      .cache()
+      .cache())
     // the Graph-family co-partitioned-iteration discipline: pin the
     // symmetric edge list on the per-round join key (_y) with an
     // edge-volume-derived partition count, SORTED, so each round's
     // propagate join re-shuffles and re-sorts only the V-row label side
-    val edges = e0
+    val edges = graft.CacheScope.retain(e0
       .repartition(Graph.iterPartitions(e0, e0.count()), col("_y"))
       .sortWithinPartitions("_y")
-      .cache()
+      .cache())
     // Each round references the previous labels twice (carry + propagate),
     // so without lineage truncation the logical plan doubles per round —
     // 2^rounds analysis blow-up on high-diameter graphs (found by probing
@@ -210,7 +210,7 @@ object Dedup {
       .localCheckpoint()
     // current's checkpoint just materialized `edges` — the raw
     // pre-partition copy is now dead weight for every remaining round
-    e0.unpersist(false)
+    graft.CacheScope.releaseOne(e0)
     val repType = current.schema("_rep").dataType
     var converged = false
     var round = 0
@@ -226,11 +226,12 @@ object Dedup {
         // cache: the jump self-join below consumes `propagated` twice —
         // uncached, the whole edges-join + aggregation would execute twice
         // per round (exchange reuse is not guaranteed under AQE)
-        val propagated = labels.select(col("_id"), col("_rep"), col("_rep").as("_prev"))
+        val propagated = graft.CacheScope.retain(
+          labels.select(col("_id"), col("_rep"), col("_rep").as("_prev"))
           .unionByName(viaNeighbors)
           .groupBy("_id")
           .agg(min(col("_rep")).as("_rep"), max(col("_prev")).as("_prev"))
-          .cache()
+          .cache())
         try {
           // pointer jump: _rep := _rep(_rep). Every rep value is itself a node
           // (labels start as self-ids and only node ids propagate), so the
@@ -248,7 +249,7 @@ object Dedup {
           current = next
           converged = changed == 0
           round += 1
-        } finally propagated.unpersist()
+        } finally graft.CacheScope.releaseOne(propagated)
       }
       if (!converged) throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
@@ -256,7 +257,10 @@ object Dedup {
     } catch {
       case t: Throwable =>
         graft.CacheScope.releaseLocalCheckpoint(current); throw t
-    } finally { edges.unpersist(); e0.unpersist() }
+    // e0's reference was dropped before the loop (the old double
+    // unpersist was idempotent; a refcounted double-release would
+    // steal another session's reference)
+    } finally graft.CacheScope.releaseOne(edges)
     // the result rides the final round's checkpoint blocks — the caller
     // must consume them before the next CacheScope.release()
     graft.CacheScope.trackCheckpoint(

@@ -90,7 +90,7 @@ object Graph {
     // free the raw edge cache — it would otherwise sit as |E| dead rows
     // through every round
     withDeg.count(); nodes.count()
-    e.unpersist(false)
+    graft.CacheScope.releaseEarly(e)
     var r = nodes.withColumn("_r", lit(1000000L)).localCheckpoint()
     for (_ <- 1 to iterations) {
       val sums = withDeg
@@ -156,7 +156,7 @@ object Graph {
     // the pageRank discipline: materialize the loop-lived frames, free
     // the raw pre-repartition edge cache before the rounds begin
     e.count(); nodes.count()
-    e0.unpersist(false)
+    graft.CacheScope.releaseEarly(e0)
     var labels = nodes.withColumn("_lbl", col("_seed")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val votes = e

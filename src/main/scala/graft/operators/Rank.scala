@@ -96,7 +96,7 @@ object Rank {
         .repartition(p, col("_item")).sortWithinPartitions("_item").cache())
     dir.count()
     val nItems = items.count()
-    c.unpersist(false)
+    graft.CacheScope.releaseEarly(c)
     // γ enters each round as a localCheckpoint leaf, whose size statistic
     // is the planner default (huge) — without help the round's two joins
     // plan as sort-merge and re-shuffle the |dir| intermediate TWICE per

@@ -1014,10 +1014,14 @@ object Relational {
   private[graft] def distributedPrefixSum(df: DataFrame, order: Seq[Column],
       valueCol: String): DataFrame = {
     val spark = df.sparkSession
-    val w = df.repartitionByRange(order: _*)
+    // retain/releaseOne, not bare persist/unpersist: concurrent sessions
+    // share this cache entry by canonical plan, and a recompute after a
+    // premature unpersist would RE-SAMPLE the range partitioner mid-query
+    // (the one recompute in the engine that can change results)
+    val w = graft.CacheScope.retain(df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val pidTotals = w.groupBy("_pid").agg(sum(col(valueCol)).as("_ps"))
         .orderBy("_pid").collect().map(r => (r.getInt(0), r.getLong(1)))
@@ -1031,7 +1035,7 @@ object Relational {
           .withColumn("_cum_incl", col("_off") + cumIn)
           .drop("_pid", "_off")
           .localCheckpoint())
-    } finally w.unpersist(false)
+    } finally graft.CacheScope.releaseOne(w)
   }
 
   /** Pareto / ABC classification: aggregate `valueCol` per key, rank
