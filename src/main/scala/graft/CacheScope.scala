@@ -76,14 +76,25 @@ object CacheScope {
   }
 
   /** Drop one reference; unpersist only when the LAST same-plan holder
-    * (across all threads/sessions) lets go. */
-  def releaseOne(ds: Dataset[_]): Unit = {
-    val free = refCounts.synchronized {
+    * (across all threads/sessions) lets go. The unpersist happens INSIDE
+    * the lock: deciding "count hit zero" and executing the unpersist as
+    * separate steps would let a concurrent retain slip between them and
+    * have its shared cache entry yanked mid-query (ADVICE r11). Holding
+    * the lock is cheap — unpersist(blocking = false) only marks blocks
+    * for async removal. */
+  def releaseOne(ds: Dataset[_]): Unit =
+    if (sys.props.contains("graft.cachescope.legacyRelease")) {
+      // DIAGNOSTIC ONLY (r12 root-cause bisect): the pre-r12 behavior —
+      // zero-decision inside the lock, unpersist outside it.
+      val free = refCounts.synchronized {
+        val left = refCounts.merge(keyOf(ds), -1, (a, b) => a + b)
+        if (left <= 0) { refCounts.remove(keyOf(ds)); true } else false
+      }
+      if (free) ds.unpersist(false)
+    } else refCounts.synchronized {
       val left = refCounts.merge(keyOf(ds), -1, (a, b) => a + b)
-      if (left <= 0) { refCounts.remove(keyOf(ds)); true } else false
+      if (left <= 0) { refCounts.remove(keyOf(ds)); ds.unpersist(false) }
     }
-    if (free) ds.unpersist(false)
-  }
 
   /** Register an operator-internal persisted dataset for later release
     * (by the SAME thread — see CONCURRENCY above). */

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -16,8 +17,43 @@ object Tables {
   /** Small dimensions that should always broadcast in joins. */
   val Dims: Set[String] = Set("region", "nation", "customer", "supplier", "part")
 
+  private val scopeIds = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val scopeId = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = java.lang.Long.valueOf(scopeIds.incrementAndGet())
+  }
+
+  /** CONCURRENCY ISOLATION (r12 root cause, BASELINE.md "silent-empty
+    * under concurrency"): Spark's CacheManager dedupes cache entries by
+    * canonicalized plan ACROSS sessions of one SparkContext, so two
+    * concurrent workers running the same (or a fragment-sharing) gate
+    * share ONE entry for every operator-internal persist. That sharing is
+    * the precondition for a proven wrong-answer chain: any unpersist of a
+    * plan another entry depends on triggers CacheManager's dependent
+    * RE-COMPILE (`recacheByCondition` — it runs even with cascade=false),
+    * which swaps a FRESH CachedRDDBuilder under a live query; two
+    * concurrent jobs then race-materialize it, BlockManager put-contention
+    * drops one compute iterator unconsumed, and the builder's row-count
+    * accumulator under-counts (to 0 in the observed repro) while its
+    * partition-completion counter marks the entry fully loaded — poisoned
+    * RUNTIME STATISTICS over intact data. AQE's PropagateEmptyRelation
+    * trusts those stats and rewrites dependent joins to EmptyRelation:
+    * silently empty/wrong results (ForcedStatsRace exhibits the chain
+    * deterministically; the pre-fix soak reproduced it ~1-in-3 runs).
+    *
+    * The fix is structural: every load is tagged with a THREAD-scoped
+    * no-op projection (`withColumn(lit(scopeId)).drop`), so concurrent
+    * workers' plans are never canonically equal and never share a cache
+    * entry — no shared entry, no cross-worker dependent re-compile, no
+    * concurrent double-materialization. Within a thread (the serial
+    * Verify/Bench harnesses, each soak worker) canonical forms are
+    * unchanged-equal, so same-scope cache reuse still works. The tag is
+    * dead code after analysis — CollapseProject removes it, so optimized
+    * plans, pushdown, and PLANS.md pins are byte-identical. */
+  private def scopeTag(df: DataFrame): DataFrame =
+    df.withColumn("__graft_scope", lit(scopeId.get.longValue)).drop("__graft_scope")
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    scopeTag(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

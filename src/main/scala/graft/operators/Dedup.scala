@@ -192,25 +192,54 @@ object Dedup {
       .select(col("_e._x").as("_x"), col("_e._y").as("_y"))
       .distinct()
       .cache())
+    // e0's reference is dropped as soon as the round-0 checkpoint has
+    // materialized `edges` — but ANY exception before that point (count,
+    // repartition sizing, the checkpoint itself) must release it too, or
+    // the refCounts entry leaks permanently and the cache entry can never
+    // be freed for the JVM's lifetime (ADVICE r11).
+    var e0Released = false
+    def releaseE0(): Unit = if (!e0Released) { e0Released = true; graft.CacheScope.releaseOne(e0) }
+    try {
     // the Graph-family co-partitioned-iteration discipline: pin the
     // symmetric edge list on the per-round join key (_y) with an
     // edge-volume-derived partition count, SORTED, so each round's
     // propagate join re-shuffles and re-sorts only the V-row label side
+    val nE0 = e0.count()
     val edges = graft.CacheScope.retain(e0
-      .repartition(Graph.iterPartitions(e0, e0.count()), col("_y"))
+      .repartition(Graph.iterPartitions(e0, nE0), col("_y"))
       .sortWithinPartitions("_y")
       .cache())
+    try {
     // Each round references the previous labels twice (carry + propagate),
     // so without lineage truncation the logical plan doubles per round —
     // 2^rounds analysis blow-up on high-diameter graphs (found by probing
     // a 39-node path). localCheckpoint materializes the round and resets
     // the plan; on a cluster use reliable checkpointing instead.
-    var current = edges.select(col("_x").as("_id")).distinct()
+    val round0 = edges.select(col("_x").as("_id")).distinct()
       .withColumn("_rep", col("_id"))
-      .localCheckpoint()
+    var current = round0.localCheckpoint()
+    // diagnostic arm of the r12 concurrency root-cause hunt: detect the
+    // observed silent-empty corruption IN FLIGHT and dump the post-AQE
+    // executed plan of the materialization that produced it
+    if (sys.props.contains("graft.paranoid")) {
+      val c0 = current.count()
+      if (c0 == 0 && nE0 > 0) {
+        val e0Recount = e0.count()
+        val edgesRecount = edges.count()
+        System.err.println(
+          s"[graft.paranoid] ${Thread.currentThread().getName}: CC round-0 EMPTY " +
+            s"(nE0=$nE0, c0=0; recounts: e0=$e0Recount edges=$edgesRecount)\n" +
+            s"--- executed plan of the empty checkpoint materialization ---\n" +
+            round0.queryExecution.executedPlan.toString)
+      } else if (nE0 == 0) {
+        System.err.println(
+          s"[graft.paranoid] ${Thread.currentThread().getName}: CC e0 EMPTY at count " +
+            s"(recount=${e0.count()})")
+      }
+    }
     // current's checkpoint just materialized `edges` — the raw
     // pre-partition copy is now dead weight for every remaining round
-    graft.CacheScope.releaseOne(e0)
+    releaseE0()
     val repType = current.schema("_rep").dataType
     var converged = false
     var round = 0
@@ -236,11 +265,21 @@ object Dedup {
           // pointer jump: _rep := _rep(_rep). Every rep value is itself a node
           // (labels start as self-ids and only node ids propagate), so the
           // lookup side is unique-keyed; left join guards the identity case.
-          val next = propagated
+          val preJump = propagated
             .join(propagated.select(col("_id").as("_rid"), col("_rep").as("_rrep")),
               col("_rep") === col("_rid"), "left")
             .select(col("_id"), coalesce(col("_rrep"), col("_rep")).as("_rep"), col("_prev"))
-            .localCheckpoint()
+          val next = preJump.localCheckpoint()
+          if (sys.props.contains("graft.paranoid")) {
+            val cNext = next.count()
+            if (cNext == 0)
+              System.err.println(
+                s"[graft.paranoid] ${Thread.currentThread().getName}: CC round $round " +
+                  s"COLLAPSED to 0 rows (nE0=$nE0; recounts: propagated=${propagated.count()}, " +
+                  s"edges=${edges.count()})\n" +
+                  s"--- executed plan of the collapsed round ---\n" +
+                  preJump.queryExecution.executedPlan.toString)
+          }
           val changed = next.filter(col("_rep") =!= col("_prev")).count() // scans checkpointed blocks only
           // `next` is an EAGER checkpoint — already materialized — so the
           // replaced round is consumer-free; free its RDD blocks for real
@@ -257,14 +296,16 @@ object Dedup {
     } catch {
       case t: Throwable =>
         graft.CacheScope.releaseLocalCheckpoint(current); throw t
-    // e0's reference was dropped before the loop (the old double
-    // unpersist was idempotent; a refcounted double-release would
-    // steal another session's reference)
-    } finally graft.CacheScope.releaseOne(edges)
+    }
     // the result rides the final round's checkpoint blocks — the caller
     // must consume them before the next CacheScope.release()
     graft.CacheScope.trackCheckpoint(
       current.select(col("_id").as("id"), col("_rep").as("rep")))
+    // edges is released exactly once whether the loop finished or threw
+    // (outer finally); e0 likewise via releaseE0's idempotence guard —
+    // a refcounted double-release would steal another holder's reference.
+    } finally graft.CacheScope.releaseOne(edges)
+    } finally releaseE0()
   }
 
   /** Near-dup-aware train/valid/test split: assign every document's

@@ -170,6 +170,64 @@ object Similarity {
     bandedCost(nd, plan.bandBits, plan.totalBands) < nd * nd / 2.0
   }
 
+  /** Modeled IVF-arm cost at corpus size `n`, in tiled-dot units: one
+    * K-cell integer argmin per vector per assignment pass — (R+1)·N·K,
+    * each cell score a dim-length pass like one dot — plus the κ-weighted
+    * verify of the ~nProbe·N²/K candidate pairs (κ = the same measured
+    * re-attach overhead the banded model uses). Threshold-INDEPENDENT:
+    * IVF prunes by partition, so this cost doesn't degrade where banding
+    * does (low τ, spread similarity mass). K follows
+    * [[ivfNearDupPairs]]' own sizing (√N in [4, maxCells]). */
+  def ivfCost(n: Double, lloydRounds: Int = 3, nProbe: Int = 3,
+      maxCells: Int = 4096): Double = {
+    val k = math.max(4.0, math.min(maxCells.toDouble, math.floor(math.sqrt(n))))
+    (lloydRounds + 1) * n * k +
+      CandidateVerifyOverhead * nProbe * n * n / k
+  }
+
+  /** Three-way near-dup plan decision (the q68 dispatcher's cost model
+    * extended to the IVF arm — r11 verdict item 3): cheapest of the exact
+    * tiles, the derived band family, and the IVF partition, on the SAME
+    * calibrated unit scale. The exact and banded arms emit the exact pair
+    * set (banding at the derived recall bound); the IVF arm is
+    * approximate BY CONTRACT (partition recall < 1), so it is only
+    * eligible when the caller opts in via `allowApprox` —
+    * [[cosineNearDupAuto]] keeps its exact-pair contract and never picks
+    * it; [[cosineNearDupAutoApprox]] is the production dispatcher. */
+  def nearDupPlan(n: Long, minSim: Double, targetRecall: Double = 0.9999,
+      allowApprox: Boolean = false): String = {
+    val nd = n.toDouble
+    val plan = deriveBands(minSim, targetRecall, math.max(n, 2L))
+    val exact = nd * nd / 2.0
+    val banded = bandedCost(nd, plan.bandBits, plan.totalBands)
+    if (allowApprox && ivfCost(nd) < math.min(exact, banded)) "ivf"
+    else if (banded < exact) "banded"
+    else "exact"
+  }
+
+  /** The production near-dup dispatcher: [[nearDupPlan]] with the IVF arm
+    * eligible. Exact tiles below the IVF crossover (~2k vectors at the
+    * calibrated constants — small corpora verify exactly for free), IVF
+    * above it at thresholds where banding degenerates, banded where the
+    * family prunes well and beats IVF. Callers needing recall 1.0 use
+    * [[cosineNearDupAuto]] instead. */
+  def cosineNearDupAutoApprox(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSim: Double,
+      targetRecall: Double = 0.9999): DataFrame = {
+    val n = emb.select(count(lit(1))).head().getLong(0)
+    nearDupPlan(n, minSim, targetRecall, allowApprox = true) match {
+      case "ivf" => ivfNearDupPairs(emb, idCol, vecCol, minSim)
+      case "banded" =>
+        val plan = deriveBands(minSim, targetRecall, math.max(n, 2L))
+        cosineNearDupCandidates(emb, idCol, vecCol, minSim,
+          plan.nBits, plan.bands, plan.sketchSeeds)
+      case _ => cosineNearDupPairs(emb, idCol, vecCol, minSim)
+    }
+  }
+
   /** Low-`bandBits` mask of a 64-bit sketch. JVM long shifts are mod 64, so
     * `(1L << 64) - 1L` would be 0 — a full-width band masks with -1L
     * (all 64 bits) instead of silently collapsing every band value to 0
@@ -357,6 +415,136 @@ object Similarity {
         (col("_r") + 1).cast("int").as("rank"))
   }
 
+  private def requireIntegralId(emb: DataFrame, idCol: String): org.apache.spark.sql.types.DataType = {
+    val idType = emb.schema(idCol).dataType
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(idType),
+      s"idCol '$idCol' must be an integral type; got ${idType.catalogString}")
+    idType
+  }
+
+  /** The shared IVF coarse partition behind [[ivfKnnGraph]] and
+    * [[ivfNearDupPairs]]: quantize to integer micro-units, Forgy-seed
+    * kCells = max(4, min(maxCells, ⌊√N⌋)) centroids from md5 buckets,
+    * `lloydRounds` synchronous integer k-means rounds (floor-mean
+    * re-centering, driver traffic = K·dim longs per round), then one
+    * final pass assigning every vector its `nProbe` nearest cells.
+    * Returns (base, probed): the persisted (id, quantized, unit) frame
+    * and base + `_cells` (probe list; element 1 = home cell). Every step
+    * is integer-exact or pinned-IEEE, so a SQL oracle replays the
+    * partition bit-for-bit (AnnQueries.ivfFrCte). */
+  private def ivfProbed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      lloydRounds: Int,
+      nProbe: Int,
+      maxCells: Int): (DataFrame, DataFrame) = {
+    require(lloydRounds >= 0, "lloydRounds >= 0")
+    require(nProbe >= 1, "nProbe >= 1")
+    // One persisted frame carries both vector forms: the quantized longs
+    // (partition + probe arithmetic) and the unit doubles (final exact
+    // cosine) — scanned once, reused by every round and the final join.
+    val base = graft.CacheScope.track(
+      emb.select(col(idCol).cast("long").as("_id"),
+          transform(col(vecCol).cast("array<double>"),
+            x => round(x * lit(1000000d)).cast("long")).as("_q"),
+          VectorExprs.unitVec(col(vecCol)).as("_v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    val n = base.count()
+    val kCells = math.max(4, math.min(maxCells,
+      math.floor(math.sqrt(n.toDouble)).toInt))
+    // Forgy init: min-id member of each md5 bucket (model-sized collect).
+    val seedRows = base
+      .select(pmod(graft.functions.Portable.md5Long60(col("_id").cast("string")),
+        lit(kCells)).cast("int").as("_cell"), col("_id"))
+      .groupBy("_cell").agg(min("_id").as("_id"))
+      .join(base.select(col("_id"), col("_q")), Seq("_id"))
+      .select("_cell", "_q").collect()
+    var cents: Array[(Int, Array[Long])] = seedRows
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val cellIds = cents.map(_._1)
+    for (_ <- 1 to lloydRounds) {
+      // Two selects, deliberately: a generator select hoists its other
+      // expressions ABOVE the Generate node, so fusing the argmin and
+      // posexplode into one select would re-evaluate the K·dim argmin
+      // once per generated row — dim× the work. Assigning `_cell` to an
+      // attribute first pins it below the Generate (once per vector).
+      val assigned = base.select(
+          element_at(VectorExprs.nearestCellsExact(
+            col("_q"), cellIds, cents.map(_._2), 1), 1).as("_cell"),
+          col("_q"))
+        .select(col("_cell"), posexplode(col("_q")).as(Seq("_d", "_x")))
+      // (cell, dim)-grain partial sums — K·dim rows back to the driver,
+      // floor-mean there (Math.floorDiv = the (s − pmod)/n convention).
+      val byCellDim = assigned.groupBy("_cell", "_d")
+        .agg(sum("_x").as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val upd = byCellDim.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        val arr = new Array[Long](cents.head._2.length)
+        rows.foreach(r => arr(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+        (cell, arr)
+      }
+      cents = cents.map { case (c, prev) => (c, upd.getOrElse(c, prev)) }
+    }
+    // clamp the probe count to the REALIZED cell count: Forgy seeds are
+    // md5 buckets, so a small or hash-degenerate corpus can yield fewer
+    // non-empty cells than nProbe — the oracle's `p.pr <= nProbe` degrades
+    // gracefully there, and the engine must too rather than tripping
+    // NearestCellsExact's topN <= cells require.
+    val probed = base.withColumn("_cells",
+      VectorExprs.nearestCellsExact(col("_q"), cellIds, cents.map(_._2),
+        math.min(nProbe, cellIds.length)))
+    (base, probed)
+  }
+
+  /** PRODUCTION twin of [[cosineNearDupPairs]] on the IVF partition — the
+    * sub-quadratic near-dup pair arm for thresholds where hyperplane
+    * banding degenerates (τ=0.45: candidateFraction 0.889 — banding costs
+    * ~9× the exact tiles, [[bandedCost]]). IVF prunes by PARTITION, not by
+    * similarity level: candidates = probe-cells(a) ⋈ home-cell(b), so the
+    * candidate mass is ≈ nProbe·N²/kCells — O(N^1.5) at kCells = √N —
+    * regardless of where the corpus's similarity mass sits (the same move
+    * [[ivfKnnGraph]] made for the kNN build, applied to the PAIR stage;
+    * r11 verdict item 3). Candidates dedupe at the id grain BEFORE the
+    * vectors re-attach (the [[cosineNearDupCandidates]] discipline — a
+    * pair sharing several probed cells is verified once), then one exact
+    * codegen dot per pair, threshold at `minSim` in the engine-wide
+    * 5-decimal convention. Output `(id_a < id_b, sim)` — a SUBSET of the
+    * exact operator's pairs (recall < 1 by contract: a pair whose members
+    * share NO probed cell is missed; measured in SimilaritySpec, and every
+    * gate riding this arm replays the full IVF partition in its oracle, so
+    * the approximate pair set itself is hash-checked bit-for-bit). */
+  def ivfNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSim: Double,
+      lloydRounds: Int = 3,
+      nProbe: Int = 3,
+      maxCells: Int = 4096): DataFrame = {
+    val idType = requireIntegralId(emb, idCol)
+    val (base, probed) = ivfProbed(emb, idCol, vecCol, lloydRounds, nProbe, maxCells)
+    val members = probed.select(element_at(col("_cells"), 1).as("_cell"),
+      col("_id").as("_mid"))
+    val queries = probed.select(col("_id").as("_qid"),
+      explode(col("_cells")).as("_cell"))
+    val cand = queries.join(members, Seq("_cell"))
+      .filter(col("_qid") =!= col("_mid"))
+      .select(least(col("_qid"), col("_mid")).as("id_a"),
+        greatest(col("_qid"), col("_mid")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("_id").as("id_a"), col("_v").as("_va")), Seq("id_a"))
+      .join(base.select(col("_id").as("id_b"), col("_v").as("_vb")), Seq("id_b"))
+      .withColumn("sim", cosineOfUnits("_va", "_vb"))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("sim"))
+  }
+
   /** PRODUCTION twin of [[knnGraph]] — the approximate kNN graph build a
     * 100-TB curation pipeline actually runs, as an EXACT-REPLAYABLE
     * operator: an IVF coarse partition (integer k-means) prunes the
@@ -424,61 +612,8 @@ object Similarity {
       nProbe: Int = 3,
       maxCells: Int = 4096): DataFrame = {
     require(k >= 1, "k >= 1")
-    require(lloydRounds >= 0, "lloydRounds >= 0")
-    require(nProbe >= 1, "nProbe >= 1")
-    val idType = emb.schema(idCol).dataType
-    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
-      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-    require(integral.contains(idType),
-      s"idCol '$idCol' must be an integral type; got ${idType.catalogString}")
-    // One persisted frame carries both vector forms: the quantized longs
-    // (partition + probe arithmetic) and the unit doubles (final exact
-    // cosine) — scanned once, reused by every round and the final join.
-    val base = graft.CacheScope.track(
-      emb.select(col(idCol).cast("long").as("_id"),
-          transform(col(vecCol).cast("array<double>"),
-            x => round(x * lit(1000000d)).cast("long")).as("_q"),
-          VectorExprs.unitVec(col(vecCol)).as("_v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
-    val n = base.count()
-    val kCells = math.max(4, math.min(maxCells,
-      math.floor(math.sqrt(n.toDouble)).toInt))
-    // Forgy init: min-id member of each md5 bucket (model-sized collect).
-    val seedRows = base
-      .select(pmod(graft.functions.Portable.md5Long60(col("_id").cast("string")),
-        lit(kCells)).cast("int").as("_cell"), col("_id"))
-      .groupBy("_cell").agg(min("_id").as("_id"))
-      .join(base.select(col("_id"), col("_q")), Seq("_id"))
-      .select("_cell", "_q").collect()
-    var cents: Array[(Int, Array[Long])] = seedRows
-      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    val cellIds = cents.map(_._1)
-    for (_ <- 1 to lloydRounds) {
-      // Two selects, deliberately: a generator select hoists its other
-      // expressions ABOVE the Generate node, so fusing the argmin and
-      // posexplode into one select would re-evaluate the K·dim argmin
-      // once per generated row — dim× the work. Assigning `_cell` to an
-      // attribute first pins it below the Generate (once per vector).
-      val assigned = base.select(
-          element_at(VectorExprs.nearestCellsExact(
-            col("_q"), cellIds, cents.map(_._2), 1), 1).as("_cell"),
-          col("_q"))
-        .select(col("_cell"), posexplode(col("_q")).as(Seq("_d", "_x")))
-      // (cell, dim)-grain partial sums — K·dim rows back to the driver,
-      // floor-mean there (Math.floorDiv = the (s − pmod)/n convention).
-      val byCellDim = assigned.groupBy("_cell", "_d")
-        .agg(sum("_x").as("_s"), count(lit(1)).as("_n"))
-        .collect()
-      val upd = byCellDim.groupBy(_.getInt(0)).map { case (cell, rows) =>
-        val arr = new Array[Long](cents.head._2.length)
-        rows.foreach(r => arr(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
-        (cell, arr)
-      }
-      cents = cents.map { case (c, prev) => (c, upd.getOrElse(c, prev)) }
-    }
-    val probed = base.withColumn("_cells",
-      VectorExprs.nearestCellsExact(col("_q"), cellIds, cents.map(_._2), nProbe))
+    val idType = requireIntegralId(emb, idCol)
+    val (_, probed) = ivfProbed(emb, idCol, vecCol, lloydRounds, nProbe, maxCells)
     val members = probed.select(element_at(col("_cells"), 1).as("_cell"),
       col("_id").as("_nid"), col("_v").as("_nv"))
     val queries = probed.select(col("_id").as("_qid"), col("_v").as("_qv"),

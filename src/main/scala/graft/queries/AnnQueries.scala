@@ -304,11 +304,16 @@ object AnnQueries {
     * `round(list_cosine_similarity·1e5)` convention as [[knnEdges3Cte]].
     * Ends at the same `knn` shape, so the graph-loop oracles
     * ([[GraphQueries]]) consume either fragment unchanged. */
-  private[queries] val ivfKnn3Cte: String = {
+  /** DuckDB CTE fragment replaying [[Similarity.ivfProbed]]'s coarse
+    * partition, ending at `fr(vec_id, cell, pr)` — pr = probe rank, pr=1
+    * the home cell. Shared prefix of [[ivfKnn3Cte]] (kNN tail) and
+    * [[ivfPairsCte]] (near-dup pair tail), so a partition change lands in
+    * every IVF consumer or in none. */
+  private[queries] val ivfFrCte: String = {
     val rounds = 3
     val sb = new StringBuilder
     sb ++= """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       ks AS (SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) AS kc FROM e),
+       ks AS (SELECT greatest(4, least(4096, CAST(floor(sqrt(count(*))) AS BIGINT))) AS kc FROM e),
        qv AS MATERIALIZED (SELECT vec_id, unnest(range(0, len(v))) AS d,
          CAST(round(unnest(v) * 1000000) AS BIGINT) AS q FROM e),
        bkt AS (SELECT vec_id, ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
@@ -331,8 +336,14 @@ object AnnQueries {
       fr AS MATERIALIZED (SELECT vec_id, cell,
           row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS pr FROM (
             SELECT qv.vec_id, c.cell, sum(c.c * (c.c - 2 * qv.q)) AS score
-            FROM qv JOIN c$rounds c ON qv.d = c.d GROUP BY 1, 2)),
-      cand AS (SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id
+            FROM qv JOIN c$rounds c ON qv.d = c.d GROUP BY 1, 2))"""
+    sb.toString
+  }
+
+  /** kNN tail over `fr` — exposed separately so a composite oracle
+    * (q135) can ride ONE partition prefix with both tails. */
+  private[queries] val ivfKnnTail: String =
+    s"""cand AS (SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id
           FROM fr p JOIN fr m ON m.cell = p.cell AND m.pr = 1 AND m.vec_id <> p.vec_id
           WHERE p.pr <= 3),
       scored AS (SELECT c.query_id, c.neighbor_id,
@@ -343,8 +354,26 @@ object AnnQueries {
           row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) AS rnk
         FROM scored
         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim_micro DESC, neighbor_id) <= 3)"""
-    sb.toString
-  }
+
+  private[queries] val ivfKnn3Cte: String = s"$ivfFrCte,\n      $ivfKnnTail"
+
+  /** Near-dup pair tail over `fr` (see [[ivfKnnTail]]): probe-cell
+    * candidate pairs deduped at the canonical (id_a < id_b) grain, exact
+    * cosine verify at `minSim` in the 5-decimal convention. Ends at
+    * `ivfpairs(id_a, id_b, sim)`. */
+  private[queries] def ivfPairsTail(minSim: Double): String =
+    s"""pcand AS (SELECT DISTINCT least(p.vec_id, m.vec_id) AS id_a,
+          greatest(p.vec_id, m.vec_id) AS id_b
+          FROM fr p JOIN fr m ON m.cell = p.cell AND m.pr = 1 AND m.vec_id <> p.vec_id
+          WHERE p.pr <= 3),
+      ivfpairs AS MATERIALIZED (SELECT id_a, id_b, sim FROM (
+          SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.v, b.v), 5) AS sim
+          FROM pcand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b)
+        WHERE sim >= $minSim)"""
+
+  /** Full IVF near-dup pairs replay — q223's oracle. */
+  private[queries] def ivfPairsCte(minSim: Double): String =
+    s"$ivfFrCte,\n      ${ivfPairsTail(minSim)}"
 
   /** The exact cosine top-5 replay — q50's oracle, shared verbatim by
     * every exhaustive-arm audit gate (q53a/q66a/q67a/q91a must equal

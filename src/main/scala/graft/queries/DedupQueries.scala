@@ -216,24 +216,36 @@ object DedupQueries {
       pairs, "id_a", "id_b")
   }
 
-  // Curation v6 — the graph-era operators composed end to end: exact
-  // cosine near-dup pairs -> connected components -> PageRank centrality
-  // over the kNN graph -> keep the most CENTRAL member of every
-  // duplicate cluster (tie: smallest id). "Keep best" upgraded from the
-  // q120 scalar-quality rule to a graph prior: the survivor is the most
-  // prototypical document, not just the longest.
+  // PRODUCTION arm of the IVF near-dup pair stage (the q221 move applied
+  // to PAIRS — r11 verdict item 3): probe-cell candidates + exact cosine
+  // verify at tau=0.45, the threshold where hyperplane banding degenerates
+  // (candidateFraction 0.889). O(N^1.5) candidate mass at kCells=sqrt(N),
+  // indifferent to where the similarity mass sits; the full approximate
+  // pair set replays bit-for-bit in DuckDB (partition replay + verify).
+  // q44 stays the exact audit arm of this threshold.
+  def q223IvfNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+
+  // Curation v6 — the graph-era operators composed end to end: near-dup
+  // pairs -> connected components -> PageRank centrality over the kNN
+  // graph -> keep the most CENTRAL member of every duplicate cluster
+  // (tie: smallest id). "Keep best" upgraded from the q120 scalar-quality
+  // rule to a graph prior: the survivor is the most prototypical
+  // document, not just the longest.
   //
   // Since r11 the PageRank prior rides the PRODUCTION edge build
-  // (Similarity.ivfKnnGraph, q221) — the exhaustive build this gate
-  // inherited was 500 of its 667 sf1 seconds. The near-dup CLUSTER stage
-  // deliberately stays on the exact tiled pairs: at tau=0.45 the
-  // calibrated bandedCost model says hyperplane banding costs ~9x the
-  // tiles (candidateFraction 0.889 — the q68 auto-dispatcher encodes
-  // exactly this decision), and the tiled scan is the cheap stage here.
+  // (Similarity.ivfKnnGraph, q221). Since r12 the CLUSTER stage rides the
+  // PRODUCTION pair build too (Similarity.ivfNearDupPairs, q223): the
+  // exact tiled pairs this stage inherited were quadratic at the gate's
+  // tau=0.45 — 208 of its 248 sf1 seconds, a 23x sf0.1->sf1 ratio (the
+  // r11 verdict's last scale flag). Banding is NOT the fix at this
+  // threshold (candidateFraction 0.889, the q68 dispatcher's measured
+  // decision); IVF-cell candidates prune by partition instead. The exact
+  // pair set remains audited by q44/q55 (same threshold, exact arms).
   def q135CurationV6(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val clusters = Dedup.connectedComponents(
-      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45), "id_a", "id_b")
+      Similarity.ivfNearDupPairs(emb, "vec_id", "embedding", 0.45), "id_a", "id_b")
     val pr = graft.operators.Graph.pageRank(
       Similarity.ivfKnnGraph(emb, "vec_id", "embedding", k = 3)
         .select("query_id", "neighbor_id"),
@@ -284,7 +296,8 @@ object DedupQueries {
     "q104_embed_decontaminate" -> q104EmbedDecontaminate,
     "q106_incremental_neardup" -> q106IncrementalNearDup,
     "q68_embed_neardup_auto" -> q68EmbedNearDupAuto,
-    "q69_decontaminate" -> q69Decontaminate)
+    "q69_decontaminate" -> q69Decontaminate,
+    "q223_ivf_neardup" -> q223IvfNearDup)
 
   /** Word n-gram distinct shingle list in DuckDB. */
   private def shinglesSql(n: Int) =
@@ -510,16 +523,17 @@ object DedupQueries {
           CAST(sa = sb AS INT) AS exact
         FROM pr"""
 
-  /** q135 oracle: the composition replayed — kNN + unrolled PageRank
-    * (shared fragments with q108/q132), cosine pairs + recursive-CTE
-    * components (shared shape with q55), then keep-most-central. */
+  /** q135 oracle: the composition replayed — ONE IVF partition prefix
+    * feeding both tails (kNN edges for the PageRank prior, probe-cell
+    * near-dup pairs for the cluster stage — exactly the engine's shared
+    * `ivfProbed`), unrolled PageRank (shared fragments with q108/q132),
+    * recursive-CTE components (shared shape with q55), keep-most-central. */
   private val q135OracleSql: String =
-    s"""WITH RECURSIVE ${AnnQueries.ivfKnn3Cte},
+    s"""WITH RECURSIVE ${AnnQueries.ivfFrCte},
+        ${AnnQueries.ivfKnnTail},
+        ${AnnQueries.ivfPairsTail(0.45)},
         ${GraphQueries.pageRankChainCtes},
-        pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM e a JOIN e b ON a.vec_id < b.vec_id
-          WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45),
+        pairs AS (SELECT id_a, id_b FROM ivfpairs),
         edges2 AS (SELECT id_a AS x, id_b AS y FROM pairs
                    UNION SELECT id_b, id_a FROM pairs),
         walk(id, rep) AS (
@@ -573,6 +587,9 @@ object DedupQueries {
                  ELSE 'test' END AS split
           FROM b""",
     "q135_curation_v6" -> q135OracleSql,
+    "q223_ivf_neardup" ->
+      s"""WITH ${AnnQueries.ivfPairsCte(0.45)}
+          SELECT id_a, id_b, sim FROM ivfpairs""",
     "q120_dedup_keep_best" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
           pairs AS (

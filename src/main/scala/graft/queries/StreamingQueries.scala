@@ -311,6 +311,51 @@ object StreamingQueries {
     graft.operators.Rank.bradleyTerry(log, "w", "l", rounds = 6, weightCol = "n")
   }
 
+  // PRODUCTION twin of q188 — the r11 verdict's state-bound knob,
+  // EXECUTED. Same duel stream, but the pair-count state never lives in
+  // a complete-mode state store: each micro-batch's duels collapse to
+  // per-batch PARTIAL (w, l, n) counts inside foreachBatch and land in a
+  // batch-keyed spill store (idempotent overwrite per batch id =
+  // exactly-once under micro-batch retries); the ratings merge the
+  // partials with ONE keyed sum at drain time. Streaming memory is
+  // O(per-trigger distinct pairs) — bounded by trigger sizing
+  // (maxFilesPerTrigger / maxOffsetsPerTrigger), NOT by the entity
+  // universe — the state store vanishes entirely (StreamingSpec pins
+  // stateOperators == 0) and nothing is re-emitted per trigger. At 100 TB
+  // the spill store is object storage and the merge is the same keyed
+  // sum; q188 stays as the complete-mode audit twin. Partial-count sum
+  // is order-free integer arithmetic, so q184's oracle applies VERBATIM
+  // (the q78 convention).
+  def q222StreamBtBounded(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.lineitem(s, d).schema
+    val li = s.readStream.schema(schema).parquet(asStreamDir(s"$d/lineitem.parquet"))
+    val stat = Tables.lineitem(s, d)
+    val duels = li
+      .select(col("l_orderkey").as("_o"), col("l_partkey").as("_pw"),
+        col("l_quantity").as("_qw"))
+      .join(stat.select(col("l_orderkey").as("_o"), col("l_partkey").as("_pl"),
+        col("l_quantity").as("_ql")), Seq("_o"))
+      .filter(col("_qw") > col("_ql") && col("_pw") =!= col("_pl"))
+      .select(col("_pw").as("w"), col("_pl").as("l"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bt-partials").toString
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
+      batch.groupBy("w", "l").agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val q = duels.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-bt-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // partition discovery keys the partials by batch; the merge is one
+    // map-side-combined keyed sum — the incremental form of q188's state
+    val log = s.read.parquet(outDir).drop("batch")
+      .groupBy("w", "l").agg(sum(col("n")).as("n"))
+    graft.operators.Rank.bradleyTerry(log, "w", "l", rounds = 6, weightCol = "n")
+  }
+
   // Streaming twin of q200: the (lang, source) contingency counts are
   // the complete-mode state — O(grid cells), the model-sized confusion
   // shape — and the drained counts flow through the SAME weighted-form
@@ -715,6 +760,7 @@ object StreamingQueries {
     "q180_stream_preference_pairs" -> q180StreamPreferencePairs,
     "q186_stream_retention_f1" -> q186StreamRetentionF1,
     "q188_stream_bradley_terry" -> q188StreamBradleyTerry,
+    "q222_stream_bt_bounded" -> q222StreamBtBounded,
     "q201_stream_chi_square" -> q201StreamChiSquare,
     "q206_stream_jsd_drift" -> q206StreamJsdDrift,
     "q214_stream_fairness" -> q214StreamFairness,
@@ -779,6 +825,7 @@ object StreamingQueries {
     "q180_stream_preference_pairs" -> WebQueries.oracles("q178_preference_pairs"),
     "q186_stream_retention_f1" -> q186OracleSql,
     "q188_stream_bradley_terry" -> RankQueries.oracles("q184_bradley_terry"),
+    "q222_stream_bt_bounded" -> RankQueries.oracles("q184_bradley_terry"),
     "q201_stream_chi_square" -> MetricsQueries.oracles("q200_chi_square"),
     "q206_stream_jsd_drift" -> MetricsQueries.oracles("q203_jsd_drift"),
     "q214_stream_fairness" -> MetricsQueries.oracles("q210_fairness_report"),

@@ -14,8 +14,15 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 230 queries, unique names") {
-    assert(SparkEntry.queries.size == 230)
+  test("gate inventory: 232 queries, unique names") {
+    assert(SparkEntry.queries.size == 232)
+  }
+
+  test("round-12 production arms: bounded-state BT and IVF pair gates oracle-backed") {
+    val fam = Set("q222_stream_bt_bounded", "q223_ivf_neardup")
+    assert(fam.subsetOf(SparkEntry.queries.keySet))
+    assert(fam.subsetOf(SparkEntry.oracleSql.keySet),
+      "the round-12 production arms must never be rows-only")
   }
 
   test("round-9 metrics family: all five gates oracle-backed") {

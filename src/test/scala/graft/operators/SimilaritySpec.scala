@@ -160,6 +160,57 @@ class SimilaritySpec extends SparkSpec {
       Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)))
   }
 
+  // --- IVF near-dup pair arm (q223 / q135 cluster stage) ----------------
+
+  test("ivfNearDupPairs: no false positives; recall rises with nProbe; full probe == exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = pairSet(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45))
+    assert(exact.nonEmpty, "gate data must contain near-dup pairs")
+    def recallAt(np: Int): Double = {
+      val got = pairSet(Similarity.ivfNearDupPairs(emb, "vec_id", "embedding", 0.45,
+        nProbe = np))
+      assert((got -- exact).isEmpty,
+        s"nProbe=$np: exact verify admits no false positives, got ${(got -- exact).take(5)}")
+      (got & exact).size.toDouble / exact.size
+    }
+    val n = emb.count()
+    val kCells = math.max(4, math.min(4096, math.floor(math.sqrt(n.toDouble)).toInt))
+    val rs = Seq(1, 3, kCells).map(np => np -> recallAt(np))
+    rs.foreach { case (np, r) => info(f"pair recall@nProbe=$np: $r%.3f") }
+    assert(rs.map(_._2).zip(rs.map(_._2).tail).forall { case (lo, hi) => hi >= lo },
+      s"pair recall must be monotone in nProbe: $rs")
+    assert(rs.last._2 == 1.0,
+      "probing every cell makes every pair a candidate: must equal the exact pair set")
+    assert(rs(1)._2 >= 0.3, f"default-knob pair recall collapsed: ${rs(1)._2}%.3f")
+  }
+
+  test("nearDupPlan: three-way cost model — IVF only on opt-in, exact below the crossover") {
+    // exact-contract dispatch can never pick the approximate arm
+    for (tau <- Seq(0.45, 0.8); n <- Seq(500L, 20000L, 1000000L))
+      assert(Similarity.nearDupPlan(n, tau) != "ivf",
+        s"recall-1.0 dispatch must never pick the approximate arm (tau=$tau n=$n)")
+    // the exact-contract decisions are bandedCheaper verbatim
+    assert(Similarity.nearDupPlan(20000L, 0.45) == "exact")
+    assert(Similarity.nearDupPlan(200000L, 0.8) == "banded")
+    // production dispatch: small corpora verify exactly for free; the
+    // banding-degenerate tau=0.45 regime goes IVF once the quadratic term
+    // dominates the partition cost (model crossover ~2k vectors)
+    assert(Similarity.nearDupPlan(500L, 0.45, allowApprox = true) == "exact")
+    assert(Similarity.nearDupPlan(100000L, 0.45, allowApprox = true) == "ivf")
+    assert(Similarity.nearDupPlan(1000000L, 0.45, allowApprox = true) == "ivf")
+    // IVF prunes by partition, so it also beats the banded arm at scale
+    // where banding is feasible — the caller's recall contract, not cost,
+    // is what keeps the banded arm in the family
+    assert(Similarity.nearDupPlan(1000000L, 0.8, allowApprox = true) == "ivf")
+  }
+
+  test("cosineNearDupAutoApprox at gate size takes the exact arm and equals the exact pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.cosineNearDupAutoApprox(emb, "vec_id", "embedding", 0.45)
+    assert(pairSet(got) == pairSet(
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)))
+  }
+
   test("band candidates prune: wider bands cut candidates; narrower bands regain recall") {
     val emb = Tables.embeddings(spark, sf)
     val n = emb.count()

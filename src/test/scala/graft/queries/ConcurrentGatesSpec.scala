@@ -96,10 +96,14 @@ class ConcurrentGatesSpec extends SparkSpec {
     }
 
   test("concurrent workers sharing ONE SparkSession reproduce every gate hash") {
+    reference // force the serial reference BEFORE any concurrency (ADVICE
+    // r11: a lazily-computed reference after the soak would inherit any
+    // persistently-corrupted shared state and pass vacuously)
     assertAllMatch(soak(_ => spark))
   }
 
   test("concurrent newSession() workers (multi-tenant shape) reproduce every gate hash") {
+    reference
     assertAllMatch(soak(_ => spark.newSession()))
   }
 }

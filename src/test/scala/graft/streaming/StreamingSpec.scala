@@ -286,6 +286,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bounded-state BT drain (q222 shape): zero state stores, crash-safe batch-keyed partials, batch parity") {
+    // The r11 verdict's q188 scale knob, spec-pinned: per-batch partial
+    // pair counts written to a batch-keyed store inside foreachBatch —
+    // (a) the streaming plan holds NO state store at all (the
+    //     complete-mode O(pairs) heap state is gone by construction),
+    // (b) a crash + restart re-emits only NEW batches, and an overwrite
+    //     by batch id keeps a retried batch idempotent (exactly-once),
+    // (c) the keyed merge of the partials + weighted BT equals the batch
+    //     operator over the full exploded log.
+    val dir = Files.createTempDirectory("btb-in").toString
+    val ckpt = Files.createTempDirectory("btb-ck").toString
+    val outDir = Files.createTempDirectory("btb-partials").toString
+    val batch1 = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L)).toDF("w", "l")
+    val batch2 = Seq((1L, 3L), (1L, 2L)).toDF("w", "l")
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+    @volatile var lastProgressStateOps = -1
+    def start() = {
+      val duels = spark.readStream.schema(batch1.schema).parquet(dir)
+      val writeBatch: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) =>
+        b.groupBy("w", "l").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      duels.writeStream.foreachBatch(writeBatch)
+        .option("checkpointLocation", ckpt).start()
+    }
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      lastProgressStateOps = q1.lastProgress.stateOperators.length
+    } finally q1.stop() // the "crash"
+    assert(lastProgressStateOps == 0,
+      "the bounded drain must run with ZERO stateful operators — that is the whole point")
+    batch2.coalesce(1).write.mode("append").parquet(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val merged = spark.read.parquet(outDir).drop("batch")
+      .groupBy("w", "l").agg(sum(col("n")).as("n"))
+    val counts = merged.as[(Long, Long, Long)].collect().map { case (w, l, n) => (w, l) -> n }.toMap
+    assert(counts((1L, 2L)) == 3L, "partials from both lives must merge (2+1), not reset or double")
+    assert(counts.values.sum == 6L, "six duels total")
+    val got = graft.operators.Rank.bradleyTerry(merged, "w", "l", rounds = 4, weightCol = "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.release()
+    val want = graft.operators.Rank.bradleyTerry(
+        batch1.unionByName(batch2), "w", "l", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.release()
+    assert(got == want, s"merged-partials BT must equal batch BT: got $got want $want")
+  }
+
   test("complete-mode crash recovery: q219's (item, category) cell drain resumes from checkpoint under both state providers") {
     // q219's drained state is the one remaining shape with no
     // kill-and-resume proof (r10 verdict #5): the monitor twins' other
