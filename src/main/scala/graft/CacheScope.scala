@@ -140,6 +140,7 @@ object CacheScope {
     * blocks of tracked checkpoints. Other threads' registries are
     * untouched — their in-flight checkpoints stay alive. */
   def release(): Unit = {
+    bumpGeneration()
     val t = tracked.get()
     var ds = t.poll()
     while (ds != null) {
@@ -157,4 +158,17 @@ object CacheScope {
   /** Number of persists the CALLING thread has tracked and not yet
     * released. */
   def pendingCount: Int = tracked.get().size() + trackedCp.get().size()
+
+  private val gen = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = java.lang.Long.valueOf(0L)
+  }
+  private[graft] def bumpGeneration(): Unit = gen.set(gen.get + 1L)
+
+  /** The calling thread's release generation: bumped by every
+    * [[release]], so operator-level memos of TRACKED frames (e.g.
+    * [[graft.operators.Similarity]]'s shared IVF partition) can
+    * invalidate themselves the moment the frames they hand out would be
+    * unpersisted — a memo hit is only ever served within the query that
+    * built it. */
+  def generation: Long = gen.get
 }

@@ -50,7 +50,8 @@ object Tables {
     * dead code after analysis — CollapseProject removes it, so optimized
     * plans, pushdown, and PLANS.md pins are byte-identical. */
   private def scopeTag(df: DataFrame): DataFrame =
-    df.withColumn("__graft_scope", lit(scopeId.get.longValue)).drop("__graft_scope")
+    if (sys.props.contains("graft.notag")) df // DIAGNOSTIC ONLY (A/B bisects)
+    else df.withColumn("__graft_scope", lit(scopeId.get.longValue)).drop("__graft_scope")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     scopeTag(spark.read.parquet(s"$sfDir/$name.parquet"))

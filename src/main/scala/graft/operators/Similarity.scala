@@ -435,7 +435,42 @@ object Similarity {
     * and base + `_cells` (probe list; element 1 = home cell). Every step
     * is integer-exact or pinned-IEEE, so a SQL oracle replays the
     * partition bit-for-bit (AnnQueries.ivfFrCte). */
+  /** Per-thread, per-release-generation memo for [[ivfProbed]]: a
+    * composition that consumes the SAME partition twice in one query
+    * (q135: the kNN prior AND the pair stage) must not run the k-means
+    * driver loop and assignment passes twice. Keyed by the input's
+    * canonical plan + every parameter; invalidated the moment
+    * [[graft.CacheScope.release]] would unpersist the handed-out frames
+    * (generation check), so a stale hit is impossible. Thread-local, so
+    * it inherits the r12 worker-isolation discipline for free. */
+  private val probedMemo = new ThreadLocal[
+      scala.collection.mutable.Map[(Any, String, String, Int, Int, Int), (Long, (DataFrame, DataFrame))]] {
+    override def initialValue() =
+      scala.collection.mutable.Map.empty[(Any, String, String, Int, Int, Int), (Long, (DataFrame, DataFrame))]
+  }
+
   private def ivfProbed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      lloydRounds: Int,
+      nProbe: Int,
+      maxCells: Int): (DataFrame, DataFrame) = {
+    val key = (emb.queryExecution.analyzed.canonicalized: Any,
+      idCol, vecCol, lloydRounds, nProbe, maxCells)
+    val memo = probedMemo.get()
+    val g = graft.CacheScope.generation
+    memo.get(key) match {
+      case Some((gen, frames)) if gen == g => frames
+      case _ =>
+        val frames = ivfProbedBuild(emb, idCol, vecCol, lloydRounds, nProbe, maxCells)
+        memo.clear() // one live entry per generation is all the engine composes
+        memo(key) = (g, frames)
+        frames
+    }
+  }
+
+  private def ivfProbedBuild(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
