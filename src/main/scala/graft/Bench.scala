@@ -122,6 +122,50 @@ object Bench {
     (java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed) >> 20
 
+  // --- Fixed-work cross-round ANCHOR (round 13) ----------------------------
+  // The r12 verdict's open measurement question: a +11.3% overlap-230 delta
+  // could not be split into "host drift" vs "code regression" because every
+  // telemetry channel (calib probe, ext-CPU, GC, heap) is either within-run
+  // or CPU-only. The anchor is a FIXED workload touching all three resource
+  // axes a gate touches — parquet scan+decode, hash CPU, a high-cardinality
+  // shuffle — over synthetic data written fresh each run (fixed generator,
+  // fixed plan, no dependence on SF dir or inventory). Its wall time moves
+  // ONLY with the machine, so any cross-round overlap comparison can be
+  // reported raw AND anchor-normalized: delta_norm = delta_raw ×
+  // (anchor_then / anchor_now). Bump AnchorVersion if the workload ever
+  // changes — versions are not comparable.
+
+  val AnchorVersion = 1
+  val AnchorRows = 4L << 20 // 4Mi rows ≈ 1-2 s/run idle: big enough to swamp
+                            // scheduler jitter, small enough for ~10 s total
+  val AnchorN = 5
+
+  /** Write the anchor's fixed synthetic table (untimed): 32 parquet
+    * partitions of (id, key, val, payload) where every column derives from
+    * `id` via xxhash64 — deterministic bytes, realistic decode cost. */
+  private def anchorBuild(spark: SparkSession, dir: String): Unit =
+    spark.range(0, AnchorRows, 1, 32)
+      .select(col("id"),
+        pmod(xxhash64(col("id")), lit(2L << 20)).as("key"),
+        pmod(xxhash64(col("id") + 1), lit(1000)).as("v"),
+        concat(lit("anchor-payload-"), conv(xxhash64(col("id") + 2), 10, 16)).as("payload"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** One timed anchor run: scan all 4 columns (decode), per-row hash CPU on
+    * the string payload, then a ~2M-group shuffle (map-side combine cannot
+    * collapse it — real exchange volume) and a final global sum. */
+  private def anchorSec(spark: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    spark.read.parquet(dir)
+      // pmod BEFORE the sums: raw xxhash64 spans the full long range and
+      // ANSI mode throws on sum overflow
+      .select(col("key"),
+        (pmod(xxhash64(col("payload")), lit(1000000000L)) + col("v") + col("id")).as("h"))
+      .groupBy("key").agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+      .select(sum(pmod(col("s"), lit(1000000))) + sum(col("n"))).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** The drift probe: ONE fixed cheap gate re-measured at suite start,
     * at every calibration mark, and at the end — warm-JVM degradation is
     * then a measured series, not an inference from cross-round medians.
@@ -186,6 +230,13 @@ object Bench {
     }
     calibSec(spark)
     probeSample(spark, sfDir) // throwaway: the probe plan itself warms
+    // Fixed-work anchor: build (untimed) + one throwaway (plan/codegen
+    // warmth) + AnchorN timed samples BEFORE the suite, two more AFTER it
+    // (late-JVM state). All outside the per-query timers.
+    val anchorDir = java.nio.file.Files.createTempDirectory("graft-anchor").toString
+    anchorBuild(spark, anchorDir)
+    anchorSec(spark, anchorDir) // throwaway
+    val anchorPre = (1 to AnchorN).map(_ => anchorSec(spark, anchorDir))
     telemetryMark()
     // Optional comma-separated subset for local iteration (driver leaves unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -226,6 +277,10 @@ object Bench {
       name -> med._1
     }.toMap
     telemetryMark()
+    val anchorPost = (1 to 2).map(_ => anchorSec(spark, anchorDir))
+    try graft.catalog.GraftCatalog.deleteRecursively(
+      java.nio.file.Paths.get(anchorDir))
+    catch { case scala.util.control.NonFatal(_) => () }
     val idleRef = calibIdleRef(cpus.toInt)
     // PRIMARY rule: any inter-mark interval where other processes held
     // > ExtCpuCeiling of the box. Timing-probe rule is the fallback for
@@ -256,8 +311,13 @@ object Bench {
     val heapQJson = gateSeq.map { case (k, _) =>
       "\"" + k + "\":" + heapByQuery.getOrElse(k, -1L) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val anchorPreJson = anchorPre.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val anchorPostJson = anchorPost.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val anchorMedian = median(anchorPre)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","anchor_version":$AnchorVersion,"anchor_sec":$anchorPreJson""" +
+      f""","anchor_median":$anchorMedian%.3f,"anchor_post_sec":$anchorPostJson""" +
       s""","calib_pre":${calibSamples.head},"calib_post":${calibSamples.last}""" +
       s""","calib_samples":$calibJson,"calib_idle_ref":$idleRef""" +
       s""","ext_cpu_shares":$extJson,"ext_cpu_ceiling":$ExtCpuCeiling""" +

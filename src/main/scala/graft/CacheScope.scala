@@ -62,38 +62,64 @@ object CacheScope {
   }
 
   /** Reference counts per canonicalized plan — the key CacheManager
-    * itself dedupes persisted plans on, so count scope == entry scope. */
-  private val refCounts =
-    new java.util.HashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
+    * itself dedupes persisted plans on, so count scope == entry scope.
+    * ConcurrentHashMap gives per-key (bin-striped) atomicity: `compute`
+    * holds only the key's bin lock, so releases of UNRELATED plans never
+    * serialize behind each other (ADVICE r12 — the previous global
+    * monitor made every retain/track/release wait out the slowest
+    * release's `recacheByCondition` dependent-plan re-compilation). */
+  private val refCounts = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
 
   private def keyOf(ds: Dataset[_]) = ds.queryExecution.analyzed.canonicalized
+
+  private val warnedLegacy = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** The r12 root-cause bisect toggle, checked per call (tools set it in
+    * main before any release). A stray `-D` flag must not be silent: the
+    * first observation logs LOUDLY, because this path re-enables a proven
+    * wrong-answer concurrency window (ADVICE r12). */
+  private def legacyRelease: Boolean = {
+    val on = sys.props.contains("graft.cachescope.legacyRelease")
+    if (on && warnedLegacy.compareAndSet(false, true))
+      System.err.println("[graft] WARNING: graft.cachescope.legacyRelease is set — " +
+        "DIAGNOSTIC-ONLY release path active; concurrent sessions can return " +
+        "silently EMPTY results (the r12 root-caused defect). Never set in production.")
+    on
+  }
 
   /** Take a reference on a persisted plan WITHOUT enqueueing it for the
     * end-of-query release — for operator-internal frames released early
     * and explicitly via [[releaseOne]] (iterative loops' edge lists). */
-  def retain[T](ds: Dataset[T]): Dataset[T] = refCounts.synchronized {
+  def retain[T](ds: Dataset[T]): Dataset[T] = {
     refCounts.merge(keyOf(ds), 1, (a, b) => a + b); ds
   }
 
   /** Drop one reference; unpersist only when the LAST same-plan holder
     * (across all threads/sessions) lets go. The unpersist happens INSIDE
-    * the lock: deciding "count hit zero" and executing the unpersist as
-    * separate steps would let a concurrent retain slip between them and
-    * have its shared cache entry yanked mid-query (ADVICE r11). Holding
-    * the lock is cheap — unpersist(blocking = false) only marks blocks
-    * for async removal. */
+    * the per-key atomic `compute`: deciding "count hit zero" and executing
+    * the unpersist as separate steps would let a concurrent retain slip
+    * between them and have its shared cache entry yanked mid-query
+    * (ADVICE r11). Only same-key (and same-bin) operations wait: the cost
+    * of holding the bin lock includes CacheManager's
+    * `recacheByCondition` dependent re-compilation, not just the async
+    * block-removal mark — which is exactly why the lock is per-key, not
+    * global (ADVICE r12). */
   def releaseOne(ds: Dataset[_]): Unit =
-    if (sys.props.contains("graft.cachescope.legacyRelease")) {
+    if (legacyRelease) {
       // DIAGNOSTIC ONLY (r12 root-cause bisect): the pre-r12 behavior —
-      // zero-decision inside the lock, unpersist outside it.
-      val free = refCounts.synchronized {
-        val left = refCounts.merge(keyOf(ds), -1, (a, b) => a + b)
-        if (left <= 0) { refCounts.remove(keyOf(ds)); true } else false
-      }
+      // zero-decision atomically, unpersist OUTSIDE the atomic section.
+      var free = false
+      refCounts.compute(keyOf(ds), (_, v) => {
+        val left = (if (v == null) 0 else v.intValue) - 1
+        if (left <= 0) { free = true; null } else Integer.valueOf(left)
+      })
       if (free) ds.unpersist(false)
-    } else refCounts.synchronized {
-      val left = refCounts.merge(keyOf(ds), -1, (a, b) => a + b)
-      if (left <= 0) { refCounts.remove(keyOf(ds)); ds.unpersist(false) }
+    } else {
+      refCounts.compute(keyOf(ds), (_, v) => {
+        val left = (if (v == null) 0 else v.intValue) - 1
+        if (left <= 0) { ds.unpersist(false); null } else Integer.valueOf(left)
+      })
+      ()
     }
 
   /** Register an operator-internal persisted dataset for later release

@@ -163,16 +163,8 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
     n
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.exists(p)) {
-      if (Files.isDirectory(p)) {
-        val children = Files.list(p)
-        try children.iterator().asScala.toSeq.foreach(deleteRecursively)
-        finally children.close()
-      }
-      Files.delete(p)
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    GraftCatalog.deleteRecursively(p)
 
   /** Enforce the table's `retention.ms` (the reference's dual regime:
     * 10-year browse retention vs size/time-bounded rolling streams):
@@ -240,4 +232,20 @@ class GraftCatalog(spark: SparkSession, catalogFile: Option[String] = None) {
         if (a(4).isEmpty) None else Some(a(4)),
         a(5), a(6).toInt, a(7), a(8).toLong)
     }
+}
+
+object GraftCatalog {
+  import scala.jdk.CollectionConverters._
+
+  /** Recursive local-FS delete (topic vacuum, temp spill-dir cleanup). */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.iterator().asScala.toSeq.foreach(deleteRecursively)
+        finally children.close()
+      }
+      Files.delete(p)
+    }
+  }
 }

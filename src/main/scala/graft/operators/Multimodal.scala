@@ -45,9 +45,51 @@ object Multimodal {
   private[operators] def imageLuma(id: Long, x: Int, y: Int): Int =
     ((id * 7 + x * 5 + y * 3) % 256).toInt
 
+  // --- codec plumbing (r13: the q61 variance root-cause) -------------------
+  // The convenience API (`ImageIO.read(InputStream)` / `ImageIO.write`)
+  // hides two per-call costs that made the q61 gate's wall breathe 4×
+  // across same-code runs (r12 verdict item 2):
+  //  1. `ImageIO.getUseCache()` defaults TRUE, so every read/write wraps
+  //     its stream in a FileCache stream — a TEMP FILE created, written,
+  //     and deleted PER IMAGE. The q61 gate runs ~2,000 codec calls across
+  //     32 concurrent tasks: thousands of file create/delete syscalls in
+  //     one tmp directory, whose cost rides kernel/dentry/page-cache state
+  //     the JVM cannot see — exactly the shape of unexplainable
+  //     cross-run variance. These rasters are ≤ a few KiB: memory-cached
+  //     streams are strictly better.
+  //  2. Each call re-scans the IIORegistry for a matching SPI (header
+  //     sniff across providers) and constructs a fresh reader/writer.
+  // Both are removed: explicit per-THREAD reader/writer instances (an
+  // ImageReader is stateful and not thread-safe; executor pool threads are
+  // long-lived, so this is ≤ nCores instances) over Memory-cache streams.
+  // `graft.multimodal.legacyCodec` restores the convenience API for A/B
+  // bisects (BASELINE.md q61 section).
+  private def legacyCodec = sys.props.contains("graft.multimodal.legacyCodec")
+
+  private val pngReaderTL = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+  }
+  private val pngWriterTL = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+  }
+
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    if (legacyCodec) javax.imageio.ImageIO.write(img, "png", bos)
+    else {
+      val writer = pngWriterTL.get()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
+      } finally {
+        writer.setOutput(null)
+        ios.close()
+      }
+    }
     bos.toByteArray
   }
 
@@ -102,7 +144,21 @@ object Multimodal {
   }
 
   private def decodeGray(payload: Array[Byte]): java.awt.image.BufferedImage = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val img =
+      if (legacyCodec)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      else {
+        val reader = pngReaderTL.get()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          reader.setInput(iis, true, true)
+          reader.read(0)
+        } finally {
+          reader.setInput(null)
+          iis.close()
+        }
+      }
     require(img != null, "payload is not a decodable image")
     img
   }

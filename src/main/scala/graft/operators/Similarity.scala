@@ -219,7 +219,9 @@ object Similarity {
       targetRecall: Double = 0.9999): DataFrame = {
     val n = emb.select(count(lit(1))).head().getLong(0)
     nearDupPlan(n, minSim, targetRecall, allowApprox = true) match {
-      case "ivf" => ivfNearDupPairs(emb, idCol, vecCol, minSim)
+      // the sizing count is threaded into the IVF arm so the corpus is
+      // counted once, not re-counted by ivfProbedBuild (ADVICE r12)
+      case "ivf" => ivfNearDupPairs(emb, idCol, vecCol, minSim, nHint = n)
       case "banded" =>
         val plan = deriveBands(minSim, targetRecall, math.max(n, 2L))
         cosineNearDupCandidates(emb, idCol, vecCol, minSim,
@@ -455,7 +457,11 @@ object Similarity {
       vecCol: String,
       lloydRounds: Int,
       nProbe: Int,
-      maxCells: Int): (DataFrame, DataFrame) = {
+      maxCells: Int,
+      nHint: Long = -1L): (DataFrame, DataFrame) = {
+    // nHint is NOT part of the memo key: it is a pure sizing shortcut
+    // (callers must pass the exact corpus count or nothing), so the built
+    // frames are identical with or without it.
     val key = (emb.queryExecution.analyzed.canonicalized: Any,
       idCol, vecCol, lloydRounds, nProbe, maxCells)
     val memo = probedMemo.get()
@@ -463,7 +469,7 @@ object Similarity {
     memo.get(key) match {
       case Some((gen, frames)) if gen == g => frames
       case _ =>
-        val frames = ivfProbedBuild(emb, idCol, vecCol, lloydRounds, nProbe, maxCells)
+        val frames = ivfProbedBuild(emb, idCol, vecCol, lloydRounds, nProbe, maxCells, nHint)
         memo.clear() // one live entry per generation is all the engine composes
         memo(key) = (g, frames)
         frames
@@ -476,7 +482,8 @@ object Similarity {
       vecCol: String,
       lloydRounds: Int,
       nProbe: Int,
-      maxCells: Int): (DataFrame, DataFrame) = {
+      maxCells: Int,
+      nHint: Long = -1L): (DataFrame, DataFrame) = {
     require(lloydRounds >= 0, "lloydRounds >= 0")
     require(nProbe >= 1, "nProbe >= 1")
     // One persisted frame carries both vector forms: the quantized longs
@@ -488,7 +495,11 @@ object Similarity {
             x => round(x * lit(1000000d)).cast("long")).as("_q"),
           VectorExprs.unitVec(col(vecCol)).as("_v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
-    val n = base.count()
+    // a caller that already counted the corpus (the q68 dispatcher) hands
+    // the count in; the persisted base still materializes on first use
+    // (the Forgy seed collect below), so skipping the count scan loses
+    // nothing (ADVICE r12)
+    val n = if (nHint >= 0L) nHint else base.count()
     val kCells = math.max(4, math.min(maxCells,
       math.floor(math.sqrt(n.toDouble)).toInt))
     // Forgy init: min-id member of each md5 bucket (model-sized collect).
@@ -559,9 +570,10 @@ object Similarity {
       minSim: Double,
       lloydRounds: Int = 3,
       nProbe: Int = 3,
-      maxCells: Int = 4096): DataFrame = {
+      maxCells: Int = 4096,
+      nHint: Long = -1L): DataFrame = {
     val idType = requireIntegralId(emb, idCol)
-    val (base, probed) = ivfProbed(emb, idCol, vecCol, lloydRounds, nProbe, maxCells)
+    val (base, probed) = ivfProbed(emb, idCol, vecCol, lloydRounds, nProbe, maxCells, nHint)
     val members = probed.select(element_at(col("_cells"), 1).as("_cell"),
       col("_id").as("_mid"))
     val queries = probed.select(col("_id").as("_qid"),

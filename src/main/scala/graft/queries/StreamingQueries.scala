@@ -338,21 +338,43 @@ object StreamingQueries {
         col("l_quantity").as("_ql")), Seq("_o"))
       .filter(col("_qw") > col("_ql") && col("_pw") =!= col("_pl"))
       .select(col("_pw").as("w"), col("_pl").as("l"))
-    val outDir = java.nio.file.Files.createTempDirectory("graft-bt-partials").toString
+    val outPath = java.nio.file.Files.createTempDirectory("graft-bt-partials")
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft-bt-ckpt")
+    val outDir = outPath.toString
     val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
       batch.groupBy("w", "l").agg(count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     val q = duels.writeStream
       .foreachBatch(writeBatch)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-bt-ckpt").toString)
+      .option("checkpointLocation", ckptPath.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     // partition discovery keys the partials by batch; the merge is one
-    // map-side-combined keyed sum — the incremental form of q188's state
-    val log = s.read.parquet(outDir).drop("batch")
-      .groupBy("w", "l").agg(sum(col("n")).as("n"))
+    // map-side-combined keyed sum — the incremental form of q188's state.
+    // An all-empty stream leaves outDir with no batch dirs (parquet schema
+    // inference would throw); the batch operator's answer there is the
+    // empty duel log → empty ratings, so build that frame directly
+    // (ADVICE r12). The merged log is localCheckpoint'd (eager, spillable)
+    // so both temp dirs can be deleted NOW instead of leaking one pair of
+    // spill dirs per invocation across bench repeats (ADVICE r12); the
+    // checkpoint blocks are freed by the caller's end-of-query release.
+    val hasBatches = {
+      val ls = java.nio.file.Files.list(outPath)
+      try ls.anyMatch(p => p.getFileName.toString.startsWith("batch="))
+      finally ls.close()
+    }
+    val log =
+      if (!hasBatches)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            duels.schema("w"), duels.schema("l"),
+            org.apache.spark.sql.types.StructField("n", LongType, nullable = false))))
+      else graft.CacheScope.trackCheckpoint(
+        s.read.parquet(outDir).drop("batch")
+          .groupBy("w", "l").agg(sum(col("n")).as("n")).localCheckpoint())
+    graft.catalog.GraftCatalog.deleteRecursively(outPath)
+    graft.catalog.GraftCatalog.deleteRecursively(ckptPath)
     graft.operators.Rank.bradleyTerry(log, "w", "l", rounds = 6, weightCol = "n")
   }
 

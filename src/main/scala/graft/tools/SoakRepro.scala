@@ -24,6 +24,10 @@ object SoakRepro {
     val maxLoops = args.lift(0).map(_.toInt).getOrElse(6)
     if (!args.contains("--no-paranoid")) System.setProperty("graft.paranoid", "1")
     if (args.contains("--legacy")) System.setProperty("graft.cachescope.legacyRelease", "1")
+    // The FULL pre-r12 window needs BOTH reverts: the thread-scope tag
+    // alone defeats the legacy release window (r12 soak: tag+legacy arm
+    // 10/10 green), so the red regression arm is `--legacy --notag`.
+    if (args.contains("--notag")) System.setProperty("graft.notag", "1")
     val sf = "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
       .master("local[4]")
