@@ -22,6 +22,25 @@ object Tables {
     override def initialValue(): java.lang.Long = java.lang.Long.valueOf(scopeIds.incrementAndGet())
   }
 
+  /** OPT-IN shared cache scope (r12 verdict item 5). Worker isolation
+    * (the per-thread tag below) deliberately forgoes cross-worker cache
+    * sharing, costing ~20% multi-session soak throughput. Workers of ONE
+    * trusted tenant that want the sharing back opt in by adopting a
+    * common scope id: their plans become canonically equal again, so
+    * CacheManager dedupes their persists into shared entries. Safety then
+    * rests on [[CacheScope]]'s per-key ATOMIC reference-counted release
+    * (the r12 bisect's other independent fix: atomic release alone
+    * survived 22 consecutive soak loops pre-tag) — not on isolation.
+    * Isolation stays the DEFAULT; never share a scope across tenants. */
+  private val sharedScopeId = new ThreadLocal[Option[java.lang.Long]] {
+    override def initialValue(): Option[java.lang.Long] = None
+  }
+  def enterSharedScope(id: Long): Unit =
+    sharedScopeId.set(Some(java.lang.Long.valueOf(id)))
+  def exitSharedScope(): Unit = sharedScopeId.set(None)
+  private def effectiveScope: Long =
+    sharedScopeId.get().map(_.longValue).getOrElse(scopeId.get.longValue)
+
   /** CONCURRENCY ISOLATION (r12 root cause, BASELINE.md "silent-empty
     * under concurrency"): Spark's CacheManager dedupes cache entries by
     * canonicalized plan ACROSS sessions of one SparkContext, so two
@@ -66,7 +85,7 @@ object Tables {
       // one, but fail closed rather than open (ADVICE r12).
       require(!df.columns.contains("__graft_scope"),
         "loaded table already has a __graft_scope column — scope tagging would drop it")
-      df.withColumn("__graft_scope", lit(scopeId.get.longValue)).drop("__graft_scope")
+      df.withColumn("__graft_scope", lit(effectiveScope)).drop("__graft_scope")
     }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

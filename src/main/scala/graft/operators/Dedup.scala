@@ -628,4 +628,63 @@ object Dedup {
       .filter(col("split_a") =!= col("split_b"))
       .select("id_a", "id_b", "jaccard", "split_a", "split_b")
   }
+
+  /** Exact-substring dedup coverage (the last prominent LLM dedup grain —
+    * r12 verdict item 7): for every document, the maximal character spans
+    * covered by corpus-repeated substrings of length >= `minLen` — the
+    * exact removal set of an ExactSubstr dedup pass (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", which
+    * drops every character inside any substring >= 50 chars occurring
+    * twice in the corpus). Winnowing (q117/q119) only GUARANTEES
+    * detection for runs >= w+k−1 at its fingerprint density; this is the
+    * exact-grain complement.
+    *
+    * Definition: position p of doc d is covered iff the `minLen`-gram
+    * starting at p occurs >= 2 times corpus-wide (any documents, same
+    * document included — Lee et al. count intra-doc repeats). A substring
+    * of length >= minLen repeats iff all its minLen-windows repeat, so
+    * the union of repeated substrings' characters = the union of covered
+    * windows, and the output spans are the maximal runs of consecutive
+    * covered positions, widened by the window length: `(doc_id,
+    * start_pos, span_len)` (1-based, code-point grain — both engines'
+    * substring/length semantics).
+    *
+    * Distributed shape (the sort-based plan, no suffix explosion): ONE
+    * scan explodes stride-1 minLen-grams (generate + project fuse in one
+    * codegen stage, so the carried text never reaches an exchange); the
+    * repeat test is a keyed gram-count aggregation (map-side combined)
+    * and a semi-join of the gram stream against the repeated keys — both
+    * shuffles keyed by the gram, never by document pairs. The island
+    * merge is a per-document window (doc-keyed shuffle, corpus-row
+    * sized). Shuffle width is minLen bytes per gram row — the standard
+    * distributed trade against a single-node suffix array; a 100-TB run
+    * banding further would group on a 64-bit gram hash (8 bytes/row) and
+    * re-verify raw grams inside each bucket, the same
+    * candidates-then-verify contract as the near-dup family. */
+  def exactSubstringSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen >= 2")
+    val grams = docs
+      .select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= minLen) // sequence(1, <1) would DESCEND
+      .select(col("_id"),
+        explode(sequence(lit(1), length(col("_t")) - (minLen - 1))).as("_p"),
+        col("_t"))
+      .select(col("_id"), col("_p"), col("_t").substr(col("_p"), lit(minLen)).as("_g"))
+    val repeated = grams.groupBy("_g").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("_g")
+    val covered = grams.join(repeated, Seq("_g"), "left_semi")
+    covered
+      .withColumn("_isl", col("_p") -
+        row_number().over(Window.partitionBy(col("_id")).orderBy(col("_p"))))
+      .groupBy(col("_id"), col("_isl"))
+      .agg(min(col("_p")).as("start_pos"),
+        (max(col("_p")) - min(col("_p")) + minLen).as("span_len"))
+      .select(col("_id").as("doc_id"),
+        col("start_pos").cast("long").as("start_pos"),
+        col("span_len").cast("long").as("span_len"))
+  }
 }

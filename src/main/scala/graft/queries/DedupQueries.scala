@@ -155,6 +155,14 @@ object DedupQueries {
       "doc_id", "text", store, "doc_id", "shingles", n = 3, minJaccard = 0.4)
   }
 
+  // Exact-substring dedup coverage (Lee et al. 2022's ExactSubstr grain):
+  // per document, the maximal character spans covered by corpus-repeated
+  // substrings >= 40 chars — the exact removal set an ExactSubstr pass
+  // would drop. 40 is the Lee-et-al-shaped threshold scaled to the gate
+  // corpus's doc lengths (their 50 targets web-crawl docs).
+  def q225ExactSubstring(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstringSpans(Tables.documents(s, d), "doc_id", "text", minLen = 40)
+
   // Pairwise source overlap (dataset governance): exact bigram-shingle
   // Jaccard per source pair — 20 sources, 190 pairs, natural cross-source
   // bigram overlap ~500 shingles per pair at the gate SF.
@@ -297,7 +305,8 @@ object DedupQueries {
     "q106_incremental_neardup" -> q106IncrementalNearDup,
     "q68_embed_neardup_auto" -> q68EmbedNearDupAuto,
     "q69_decontaminate" -> q69Decontaminate,
-    "q223_ivf_neardup" -> q223IvfNearDup)
+    "q223_ivf_neardup" -> q223IvfNearDup,
+    "q225_exact_substring" -> q225ExactSubstring)
 
   /** Word n-gram distinct shingle list in DuckDB. */
   private def shinglesSql(n: Int) =
@@ -673,6 +682,25 @@ object DedupQueries {
     // q56's candidates+verify path must reproduce the exact pair set —
     // same oracle as q44 by design.
     "q56_embed_neardup_cand" -> cosinePairsOracleSql,
+    // character-grain stride-1 40-gram coverage islands, replayed
+    // relationally: both engines' length/substr are code-point based and
+    // positions are exact integers, so span bounds hash-match bit-for-bit
+    "q225_exact_substring" ->
+      """WITH gr AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, CAST(p AS INT), 40) AS gram
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 39, 0))) AS p
+                 FROM documents)
+         ),
+         rep AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
+         cov AS (
+           SELECT doc_id, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+           FROM gr WHERE gram IN (SELECT gram FROM rep)
+         )
+         SELECT doc_id, CAST(min(p) AS BIGINT) AS start_pos,
+           CAST(max(p) - min(p) + 40 AS BIGINT) AS span_len
+         FROM cov GROUP BY doc_id, isl""",
     "q106_incremental_neardup" ->
       s"""WITH inc AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents
                        WHERE doc_id % 10 = 0),

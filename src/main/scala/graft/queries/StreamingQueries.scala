@@ -701,6 +701,75 @@ object StreamingQueries {
       store, "doc_id", "shingles", n = 3, minJaccard = 0.4), "complete")
   }
 
+  // PRODUCTION twin of q107 — the q222 discipline applied to the
+  // incremental near-dup monitor (r12 verdict item 4). q107 keeps the
+  // (inc, hist) intersection counts as complete-mode state: O(candidate
+  // pairs) heap, re-emitted every trigger, the q188-family GC channel
+  // (sf1 34.9→57.8 s). Here the streaming plan is STATELESS end-to-end:
+  // shingle explode + the stream-static equi-join on the shingle hash run
+  // per micro-batch, each batch's (inc, hist, na, nb) partial
+  // intersection counts collapse map-side and land in a batch-keyed
+  // spill store (overwrite per batch id = exactly-once under retries),
+  // and the Jaccard evaluates once at drain over ONE keyed sum of the
+  // partials. Intersection counts are additive over shingle-match rows,
+  // so the merge is exact and q106's batch oracle applies VERBATIM (the
+  // q78 convention). Streaming memory is bounded by trigger sizing, not
+  // by the pair universe; at 100 TB the spill store is object storage
+  // and the drain is the same keyed sum. q107 stays as the
+  // complete-mode audit twin.
+  def q224StreamNearDupBounded(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    val store = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("_hid"), graft.catalyst.ShingleExprs.shingleHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 3).as("_sh"))
+      .select(col("_hid"), size(col("_sh")).as("_nb"), explode(col("_sh")).as("_g"))
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("_iid"), graft.catalyst.ShingleExprs.shingleHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 3).as("_s"))
+      .select(col("_iid"), size(col("_s")).as("_na"), explode(col("_s")).as("_g"))
+    val matches = inc.join(store, Seq("_g")) // stream-static: stateless
+      .select("_iid", "_hid", "_na", "_nb")
+    val outPath = java.nio.file.Files.createTempDirectory("graft-nd-partials")
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft-nd-ckpt")
+    val outDir = outPath.toString
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
+      batch.groupBy("_iid", "_hid", "_na", "_nb").agg(count(lit(1)).as("_inter"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val q = matches.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckptPath.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hasBatches = {
+      val ls = java.nio.file.Files.list(outPath)
+      try ls.anyMatch(p => p.getFileName.toString.startsWith("batch="))
+      finally ls.close()
+    }
+    val merged =
+      if (!hasBatches)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            matches.schema("_iid"), matches.schema("_hid"),
+            matches.schema("_na"), matches.schema("_nb"),
+            org.apache.spark.sql.types.StructField("_inter", LongType, nullable = false))))
+      else graft.CacheScope.trackCheckpoint(
+        s.read.parquet(outDir).drop("batch")
+          .groupBy("_iid", "_hid", "_na", "_nb").agg(sum(col("_inter")).as("_inter"))
+          .localCheckpoint())
+    graft.catalog.GraftCatalog.deleteRecursively(outPath)
+    graft.catalog.GraftCatalog.deleteRecursively(ckptPath)
+    // the SAME Jaccard arithmetic as Dedup.incrementalNearDup: one double
+    // division of exact integers, thresholded on the IEEE value
+    merged
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (col("_na") + col("_nb") - col("_inter")).cast("double"))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("_iid").as("inc_id"), col("_hid").as("hist_id"), col("jaccard"))
+  }
+
   // Streaming twin of q70: the deterministic weighted training mixture as
   // a continuous STATELESS projection + per-row generator over a document
   // stream (floor(w) copies + a salted-md5 fractional draw — no rand(),
@@ -772,6 +841,7 @@ object StreamingQueries {
     "q125_stream_sentence_split" -> q125StreamSentenceSplit,
     "q82_stream_decontaminate" -> q82StreamDecontaminate,
     "q107_stream_incremental_neardup" -> q107StreamIncrementalNearDup,
+    "q224_stream_neardup_bounded" -> q224StreamNearDupBounded,
     "q87_stream_mixture" -> q87StreamMixture,
     "q89_stream_quota_sample" -> q89StreamQuotaSample,
     "q98_stream_lm_score" -> q98StreamLmScore,
@@ -863,6 +933,7 @@ object StreamingQueries {
     "q125_stream_sentence_split" -> TextQueries.oracles("q122_sentence_split"),
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q107_stream_incremental_neardup" -> DedupQueries.oracles("q106_incremental_neardup"),
+    "q224_stream_neardup_bounded" -> DedupQueries.oracles("q106_incremental_neardup"),
     "q98_stream_lm_score" -> TextQueries.oracles("q92_lm_score"),
     "q87_stream_mixture" -> TextQueries.oracles("q70_weighted_mixture"),
     "q89_stream_quota_sample" -> TextQueries.oracles("q80_quota_sample"),

@@ -64,7 +64,13 @@ object ConcurrencySoak {
     val t1 = System.nanoTime()
     val threads = (0 until sessions).map { w =>
       val t = new Thread(() => {
+        // sharedscope: the OPT-IN same-tenant mode (r12 verdict item 5) —
+        // workers adopt one cache scope id, so operator-internal persists
+        // dedupe into shared CacheManager entries again (cross-worker
+        // reuse); correctness then rides CacheScope's atomic refcounted
+        // release. Runs on child sessions (the service shape).
         val s = if (mode == "shared") spark else spark.newSession()
+        if (mode == "sharedscope") graft.Tables.enterSharedScope(424242L)
         val mine = TrieMap[String, String]()
         results(w) = mine
         val w0 = System.nanoTime()

@@ -1174,6 +1174,24 @@ object ScaleProbe {
     time("classification summary 1x (5k docs)")(csumX(1))
     time("classification summary 10x (50k docs)")(csumX(10))
 
+    // --- exact-substring spans (r13): gram volume = corpus chars, keyed
+    // gram-count agg + semi-join + per-doc island window — 10x docs (as
+    // distinct near-clone copies, ids offset so repeats stay honest)
+    // means 10x gram rows through every stage, and cross-copy repeats
+    // multiply covered positions ~10x too: growth must track the gram
+    // stream, never any pair structure --------------------------------
+    def essX(k: Int): Long = {
+      val docs = (0 until k).map(j => graft.Tables.documents(spark, sfDir)
+          .select((col("doc_id") + lit(j * 10000000L)).as("doc_id"),
+            col("text")))
+        .reduce(_ unionByName _)
+      val out = graft.operators.Dedup
+        .exactSubstringSpans(docs, "doc_id", "text", minLen = 40).count()
+      graft.CacheScope.release(); out
+    }
+    time("exact-substring spans 1x (5k docs)")(essX(1))
+    time("exact-substring spans 10x (50k docs)")(essX(10))
+
     spark.stop()
   }
 }

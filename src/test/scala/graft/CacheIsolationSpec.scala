@@ -51,6 +51,40 @@ class CacheIsolationSpec extends SparkSpec {
     } finally cached.unpersist(true)
   }
 
+  test("opt-in shared scope: same-id threads are canonically EQUAL, exit restores isolation") {
+    // The r12 verdict's throughput knob: trusted same-tenant workers
+    // adopt one scope id and get cross-worker cache sharing back;
+    // isolation stays the default and returns the moment they exit.
+    def loadInScope(scope: Option[Long]): DataFrame = {
+      @volatile var out: DataFrame = null
+      val t = new Thread(() => {
+        scope.foreach(Tables.enterSharedScope)
+        try out = Tables.documents(spark, sf)
+        finally Tables.exitSharedScope()
+      }, "iso-shared-load")
+      t.start(); t.join()
+      out
+    }
+    val a = loadInScope(Some(7L))
+    val b = loadInScope(Some(7L))
+    val c = loadInScope(None)
+    assert(canonOf(a) == canonOf(b),
+      "same shared scope id across threads must be canonically equal (sharing restored)")
+    assert(canonOf(a) != canonOf(c),
+      "a worker outside the shared scope must stay isolated")
+    // exit is thread-local and immediate: the SAME thread re-isolated
+    @volatile var inOut: (DataFrame, DataFrame) = null
+    val t = new Thread(() => {
+      Tables.enterSharedScope(7L)
+      val in = Tables.documents(spark, sf)
+      Tables.exitSharedScope()
+      inOut = (in, Tables.documents(spark, sf))
+    }, "iso-shared-exit")
+    t.start(); t.join()
+    assert(canonOf(inOut._1) == canonOf(a), "inside the scope: shared")
+    assert(canonOf(inOut._2) != canonOf(a), "after exit: isolated again")
+  }
+
   test("the scope tag is dead after optimization: optimized plans are tag-free and equal") {
     val mine = Tables.documents(spark, sf)
     val theirs = loadOnThread()

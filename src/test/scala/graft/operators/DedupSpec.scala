@@ -248,4 +248,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
       "gate corpus must contain pairs the naive split separates")
   }
+
+  test("exactSubstringSpans: cross-doc and intra-doc repeats, maximal islands, exact bounds") {
+    // `common` is 44 chars, non-periodic. doc 1 carries it at position 1,
+    // doc 2 at position 11; doc 3 shares nothing; doc 4 repeats its own
+    // 40-char chunk twice (intra-doc repeats count — Lee et al.).
+    val common = "the quick brown fox jumps over lazy dog 0123" // 44 chars
+    assert(common.length == 44)
+    val chunk = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmn" // 40 chars
+    assert(chunk.length == 40)
+    // the characters AFTER `common` differ ('!' vs '&') — a shared
+    // trailing char would extend the repeated run by one (caught by the
+    // first version of this fixture, where both tails began with ' ')
+    val docs = Seq(
+      (1L, common + "!unique tail for document number one!!"),
+      (2L, "ten chars " + common + "&and a different ending here"),
+      (3L, "this text shares no forty-char run with anything else in the corpus at all"),
+      (4L, chunk + " some unique middle filler text " + chunk)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(docs, "doc_id", "text", minLen = 40)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc1: windows 1..5 of `common` repeat -> island [1..5], span 5+40-1 = 44
+    // doc2: same island shifted by the 10-char prefix -> start 11, span 44
+    // doc4: chunk at 1 (1 window) and at 73 (1 window), separated -> two 40-spans
+    val want = Set(
+      (1L, 1L, 44L),
+      (2L, 11L, 44L),
+      (4L, 1L, 40L),
+      (4L, 73L, 40L))
+    assert(got == want, s"got $got want $want")
+    // raising minLen above the repeat length empties the result
+    assert(Dedup.exactSubstringSpans(docs, "doc_id", "text", minLen = 45).count() == 0)
+  }
 }

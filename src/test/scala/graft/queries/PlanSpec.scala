@@ -1108,4 +1108,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "chi-square needs no window at all")
     graft.CacheScope.release()
   }
+
+  test("q225 exact-substring: gram-keyed semi-join + keyed agg — no pairs, text never in an exchange") {
+    val p = plan(DedupQueries.q225ExactSubstring(spark, sf))
+    assert(!p.contains("CartesianProduct"), "gram repeat test degenerated to pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "gram repeat test degenerated to pairs")
+    assert(p.contains("LeftSemi"), "the coverage mark must be a semi-join (no repeat multiplicity)")
+    // the carried full text must be projected away before any exchange:
+    // gram rows shuffle minLen chars, never the document
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("_t"), s"document text reached an exchange:\n$exchanges")
+    assert(p.contains("Generate"), "stride-1 grams ride one generator, not a join")
+  }
 }

@@ -335,6 +335,77 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"merged-partials BT must equal batch BT: got $got want $want")
   }
 
+  test("bounded-state near-dup drain (q224 shape): zero state stores, crash-safe batch-keyed partials, batch parity") {
+    // The q222 discipline applied to the incremental near-dup monitor
+    // (r12 verdict item 4): the stream-static shingle join is stateless,
+    // each batch's (inc, hist, na, nb) partial intersection counts land
+    // in a batch-keyed store, and ONE keyed sum at drain reproduces the
+    // complete-mode operator exactly —
+    // (a) the streaming plan holds NO state store (q107's O(pairs)
+    //     complete-mode state is gone by construction),
+    // (b) crash + restart re-emits only NEW batches; overwrite-by-batch-id
+    //     keeps a retried batch idempotent,
+    // (c) merged partials + the Jaccard threshold equal the batch
+    //     operator over the full increment set.
+    import graft.catalyst.ShingleExprs
+    import graft.functions.TextFunctions
+    val dir = Files.createTempDirectory("ndb-in").toString
+    val ckpt = Files.createTempDirectory("ndb-ck").toString
+    val outDir = Files.createTempDirectory("ndb-partials").toString
+    // history: two docs; increments: one near-dup of h1 (per life), one noise
+    val hist = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (200L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val store = hist.select(col("doc_id").as("_hid"),
+        ShingleExprs.shingleHashes(TextFunctions.tokens(col("text")), 3).as("_sh"))
+      .select(col("_hid"), size(col("_sh")).as("_nb"), explode(col("_sh")).as("_g"))
+    val batch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta NINE"),
+      (11L, "unrelated words entirely about some other topic")).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "one two three four five six seven NINE")).toDF("doc_id", "text")
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+    @volatile var lastProgressStateOps = -1
+    def start() = {
+      val inc = spark.readStream.schema(batch1.schema).parquet(dir)
+        .select(col("doc_id").as("_iid"),
+          ShingleExprs.shingleHashes(TextFunctions.tokens(col("text")), 3).as("_s"))
+        .select(col("_iid"), size(col("_s")).as("_na"), explode(col("_s")).as("_g"))
+      val matches = inc.join(store, Seq("_g")).select("_iid", "_hid", "_na", "_nb")
+      val writeBatch: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) =>
+        b.groupBy("_iid", "_hid", "_na", "_nb").agg(count(lit(1)).as("_inter"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      matches.writeStream.foreachBatch(writeBatch)
+        .option("checkpointLocation", ckpt).start()
+    }
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      lastProgressStateOps = q1.lastProgress.stateOperators.length
+    } finally q1.stop() // the "crash"
+    assert(lastProgressStateOps == 0,
+      "the bounded drain must run with ZERO stateful operators — that is the whole point")
+    batch2.coalesce(1).write.mode("append").parquet(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).drop("batch")
+      .groupBy("_iid", "_hid", "_na", "_nb").agg(sum(col("_inter")).as("_inter"))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (col("_na") + col("_nb") - col("_inter")).cast("double"))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("_iid").as("inc_id"), col("_hid").as("hist_id"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.operators.Dedup.incrementalNearDup(
+        batch1.unionByName(batch2), "doc_id", "text",
+        hist.select(col("doc_id"),
+          ShingleExprs.shingleHashes(TextFunctions.tokens(col("text")), 3).as("shingles")),
+        "doc_id", "shingles", n = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.CacheScope.release()
+    assert(got.nonEmpty, "the near-dup increments must match their history docs")
+    assert(got == want, s"merged-partials near-dup must equal the batch operator: got $got want $want")
+  }
+
   test("complete-mode crash recovery: q219's (item, category) cell drain resumes from checkpoint under both state providers") {
     // q219's drained state is the one remaining shape with no
     // kill-and-resume proof (r10 verdict #5): the monitor twins' other
