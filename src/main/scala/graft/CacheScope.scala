@@ -87,6 +87,53 @@ object CacheScope {
     on
   }
 
+  // --- OPT-IN shared scope (r13) -------------------------------------------
+  // Under worker isolation (the Tables scope tag) cache entries are never
+  // shared, so the per-key refcount sees every consumer. Under the OPT-IN
+  // shared scope (same-tenant workers adopting one tag id) that invariant
+  // BREAKS: CacheManager serves worker B's gate from worker A's entry via
+  // plan LOOKUP, which the refcount never sees — so A's end-of-query
+  // unpersist can still land under B's live query and re-open the proven
+  // silent-empty chain (reproduced in loop 1 of the first shared-scope
+  // soak attempt this round: a refcount-only shared mode is NOT safe).
+  // The safe contract: while ANY member of a scope is active, NO tracked
+  // unpersist executes — count-zero releases are DEFERRED to a pending
+  // queue that the LAST member drains on exit. Within the scope's
+  // lifetime cache residency grows with the distinct frames used (block
+  // eviction under pressure degrades to recompute, which is safe — only
+  // entry-level unpersist triggers the dependent-recompile channel).
+  private val scopeMembers = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+  private val scopePending = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
+  private val threadScope = new ThreadLocal[Option[Long]] {
+    override def initialValue(): Option[Long] = None
+  }
+
+  /** Join a shared release scope (called via `Tables.enterSharedScope`). */
+  private[graft] def enterSharedScope(id: Long): Unit = {
+    threadScope.set(Some(id))
+    scopeMembers.merge(id, 1, (a, b) => a + b)
+    scopePending.computeIfAbsent(id,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]())
+  }
+
+  /** Leave the scope; the LAST member out drains the deferred unpersists
+    * (no member is active, so nothing can be mid-query on those entries;
+    * a tenant's next scope session starts cold, which is the documented
+    * price of the sharing). */
+  private[graft] def exitSharedScope(): Unit = threadScope.get().foreach { id =>
+    threadScope.set(None)
+    val left = scopeMembers.merge(id, -1, (a, b) => a + b)
+    if (left <= 0) {
+      scopeMembers.remove(id)
+      val q = scopePending.remove(id)
+      if (q != null) {
+        var ds = q.poll()
+        while (ds != null) { ds.unpersist(false); ds = q.poll() }
+      }
+    }
+  }
+
   /** Take a reference on a persisted plan WITHOUT enqueueing it for the
     * end-of-query release — for operator-internal frames released early
     * and explicitly via [[releaseOne]] (iterative loops' edge lists). */
@@ -114,12 +161,26 @@ object CacheScope {
         if (left <= 0) { free = true; null } else Integer.valueOf(left)
       })
       if (free) ds.unpersist(false)
-    } else {
-      refCounts.compute(keyOf(ds), (_, v) => {
-        val left = (if (v == null) 0 else v.intValue) - 1
-        if (left <= 0) { ds.unpersist(false); null } else Integer.valueOf(left)
-      })
-      ()
+    } else threadScope.get() match {
+      case Some(id) =>
+        // shared scope: NEVER unpersist while the scope lives — a sibling
+        // may be consuming this entry through a lookup the refcount
+        // cannot see. Defer to the scope's exit drain.
+        refCounts.compute(keyOf(ds), (_, v) => {
+          val left = (if (v == null) 0 else v.intValue) - 1
+          if (left <= 0) {
+            val q = scopePending.get(id)
+            if (q != null) q.add(ds) else ds.unpersist(false) // scope already drained: free now
+            null
+          } else Integer.valueOf(left)
+        })
+        ()
+      case None =>
+        refCounts.compute(keyOf(ds), (_, v) => {
+          val left = (if (v == null) 0 else v.intValue) - 1
+          if (left <= 0) { ds.unpersist(false); null } else Integer.valueOf(left)
+        })
+        ()
     }
 
   /** Register an operator-internal persisted dataset for later release

@@ -35,9 +35,20 @@ object Tables {
   private val sharedScopeId = new ThreadLocal[Option[java.lang.Long]] {
     override def initialValue(): Option[java.lang.Long] = None
   }
-  def enterSharedScope(id: Long): Unit =
+  /** Entering also joins [[CacheScope]]'s DEFERRED-release scope: with
+    * shared entries, CacheManager serves a sibling's query via plan
+    * lookup — a consumer the refcount cannot see — so per-query
+    * unpersists must not fire while any member is active (the refcount-
+    * only shared mode reproduced the silent-empty chain in loop 1 of its
+    * first soak). The last member's [[exitSharedScope]] drains them. */
+  def enterSharedScope(id: Long): Unit = {
     sharedScopeId.set(Some(java.lang.Long.valueOf(id)))
-  def exitSharedScope(): Unit = sharedScopeId.set(None)
+    CacheScope.enterSharedScope(id)
+  }
+  def exitSharedScope(): Unit = {
+    sharedScopeId.set(None)
+    CacheScope.exitSharedScope()
+  }
   private def effectiveScope: Long =
     sharedScopeId.get().map(_.longValue).getOrElse(scopeId.get.longValue)
 

@@ -78,7 +78,10 @@ object ConcurrencySoak {
             gates.take(w * 57 % gates.size), (n, f) => mine(n) = f)
         catch { case e: Throwable =>
           errors(w) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}" }
-        finally walls(w) = (System.nanoTime() - w0) / 1e9
+        finally {
+          walls(w) = (System.nanoTime() - w0) / 1e9
+          graft.Tables.exitSharedScope() // drains deferred unpersists (last member)
+        }
       }, s"soak-$w")
       t.start(); t
     }

@@ -82,8 +82,13 @@ object SoakRepro {
               try {
                 val rotated = inventory.drop(w * 4 % inventory.size) ++
                   inventory.take(w * 4 % inventory.size)
+                // --sharedscope: all workers adopt ONE cache scope (the
+                // r13 opt-in same-tenant mode) — correctness must then
+                // ride the atomic refcounted release alone.
+                if (args.contains("--sharedscope")) graft.Tables.enterSharedScope(77L)
                 val s = if (mode == "shared") spark else spark.newSession()
-                results(w) = runInventory(s, rotated)
+                try results(w) = runInventory(s, rotated)
+                finally graft.Tables.exitSharedScope() // no-op outside a scope
               } catch { case e: Throwable => failures(w) = e }
             }, s"soak-$mode-$loop-$w")
             t.start(); t

@@ -14,8 +14,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 232 queries, unique names") {
-    assert(SparkEntry.queries.size == 232)
+  test("gate inventory: 234 queries, unique names") {
+    assert(SparkEntry.queries.size == 234)
   }
 
   test("round-12 production arms: bounded-state BT and IVF pair gates oracle-backed") {

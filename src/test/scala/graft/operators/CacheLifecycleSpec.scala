@@ -234,4 +234,41 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(leaked(baseline).isEmpty,
       "the result checkpoint must be freed by the harness release()")
   }
+
+  test("shared scope defers unpersists: entries survive any member's release, last exit drains") {
+    // The r13 opt-in shared-scope contract: while ANY member is active,
+    // count-zero releases must NOT unpersist (CacheManager can serve a
+    // sibling via lookup the refcount never sees — the refcount-only
+    // shared mode reproduced the silent-empty chain in soak loop 1);
+    // the LAST member's exit drains every deferred entry.
+    CacheScope.release()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val released = new java.util.concurrent.CountDownLatch(1)
+    @volatile var afterRelease = Map.empty[Int, String]
+    val a = new Thread(() => {
+      Tables.enterSharedScope(990L)
+      try {
+        val df = CacheScope.track(
+          Tables.documents(spark, sf).select("doc_id", "n_chars").persist())
+        df.count()
+        CacheScope.release() // count hits zero -> DEFERRED, not unpersisted
+        afterRelease = leaked(baseline)
+        released.countDown()
+        gate.await() // stay an active member while the main thread checks
+      } finally Tables.exitSharedScope()
+    }, "scope-a")
+    val b = new Thread(() => {
+      Tables.enterSharedScope(990L)
+      try { gate.await() } finally Tables.exitSharedScope()
+    }, "scope-b")
+    a.start(); b.start()
+    released.await()
+    assert(afterRelease.nonEmpty,
+      "the tracked persist must SURVIVE release() while the scope is live")
+    gate.countDown()
+    a.join(); b.join()
+    assert(leaked(baseline).isEmpty,
+      s"last member's exit must drain the deferred unpersists: ${leaked(baseline)}")
+  }
 }
