@@ -106,4 +106,35 @@ class ConcurrentGatesSpec extends SparkSpec {
     reference
     assertAllMatch(soak(_ => spark.newSession()))
   }
+
+  test("concurrent SHARED-SCOPE workers (opt-in same-tenant mode) reproduce every gate hash") {
+    // The r13 opt-in mode: workers adopt one cache scope, so CacheManager
+    // dedupes their operator-internal persists into SHARED entries — the
+    // exact precondition of the r12 silent-empty chain. Safety rides the
+    // deferred-drain release (unpersists queue until the last member
+    // exits); a refcount-only variant of this mode diverged in soak
+    // loop 1 (BASELINE.md r13), so this arm is the CI pin that the
+    // deferral stays load-bearing.
+    reference
+    val results = TrieMap[Int, Map[String, String]]()
+    val failures = TrieMap[Int, Throwable]()
+    val threads = (0 until workers).map { w =>
+      val t = new Thread(() => {
+        graft.Tables.enterSharedScope(4242L)
+        try {
+          val rotated = inventory.drop(w * 4 % inventory.size) ++
+            inventory.take(w * 4 % inventory.size)
+          results(w) = runInventory(spark.newSession(), rotated)
+        } catch { case e: Throwable => failures(w) = e }
+        finally graft.Tables.exitSharedScope() // last member out drains
+      }, s"soak-sharedscope-$w")
+      t.start(); t
+    }
+    threads.foreach(_.join(TimeUnit.MINUTES.toMillis(20)))
+    assert(threads.forall(!_.isAlive), "a soak worker wedged (20 min)")
+    failures.headOption.foreach { case (w, e) =>
+      fail(s"worker $w threw ${e.getClass.getSimpleName}: ${e.getMessage}", e)
+    }
+    assertAllMatch((0 until workers).map(results(_)))
+  }
 }
