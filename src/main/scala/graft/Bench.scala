@@ -233,7 +233,12 @@ object Bench {
     // Fixed-work anchor: build (untimed) + one throwaway (plan/codegen
     // warmth) + AnchorN timed samples BEFORE the suite, two more AFTER it
     // (late-JVM state). All outside the per-query timers.
+    // The anchor dir must not outlive the run even when a gate throws —
+    // try/finally below covers the whole suite body (ADVICE r13: a mid-
+    // suite exception used to leak 32 partitions of 4Mi rows per failed
+    // run).
     val anchorDir = java.nio.file.Files.createTempDirectory("graft-anchor").toString
+    try {
     anchorBuild(spark, anchorDir)
     anchorSec(spark, anchorDir) // throwaway
     val anchorPre = (1 to AnchorN).map(_ => anchorSec(spark, anchorDir))
@@ -278,9 +283,6 @@ object Bench {
     }.toMap
     telemetryMark()
     val anchorPost = (1 to 2).map(_ => anchorSec(spark, anchorDir))
-    try graft.catalog.GraftCatalog.deleteRecursively(
-      java.nio.file.Paths.get(anchorDir))
-    catch { case scala.util.control.NonFatal(_) => () }
     val idleRef = calibIdleRef(cpus.toInt)
     // PRIMARY rule: any inter-mark interval where other processes held
     // > ExtCpuCeiling of the box. Timing-probe rule is the fallback for
@@ -338,6 +340,11 @@ object Bench {
       // NonFatal only: an OOM/interrupt must propagate, not vanish into
       // a "could not write" line with the bench reporting success
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    } finally {
+      try graft.catalog.GraftCatalog.deleteRecursively(
+        java.nio.file.Paths.get(anchorDir))
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     spark.stop()
   }

@@ -87,7 +87,7 @@ object CacheScope {
     on
   }
 
-  // --- OPT-IN shared scope (r13) -------------------------------------------
+  // --- OPT-IN shared scope (r13; hardened r14) -----------------------------
   // Under worker isolation (the Tables scope tag) cache entries are never
   // shared, so the per-key refcount sees every consumer. Under the OPT-IN
   // shared scope (same-tenant workers adopting one tag id) that invariant
@@ -95,41 +95,135 @@ object CacheScope {
   // plan LOOKUP, which the refcount never sees — so A's end-of-query
   // unpersist can still land under B's live query and re-open the proven
   // silent-empty chain (reproduced in loop 1 of the first shared-scope
-  // soak attempt this round: a refcount-only shared mode is NOT safe).
-  // The safe contract: while ANY member of a scope is active, NO tracked
+  // soak attempt: a refcount-only shared mode is NOT safe).
+  // The safe contract: while ANY member of a scope is mid-query, NO tracked
   // unpersist executes — count-zero releases are DEFERRED to a pending
-  // queue that the LAST member drains on exit. Within the scope's
-  // lifetime cache residency grows with the distinct frames used (block
-  // eviction under pressure degrades to recompute, which is safe — only
-  // entry-level unpersist triggers the dependent-recompile channel).
+  // queue. Drains happen only at provable quiescent points, guarded by a
+  // per-scope FAIR read-write lock:
+  //
+  //   - every member holds the scope's READ lock for its whole membership
+  //     EXCEPT inside its own end-of-query [[release]] — so "no reader"
+  //     means "no member can be mid-query", including pure-LOOKUP
+  //     consumers that never touch the refcount;
+  //   - [[release]] momentarily drops the read lock and, when the pending
+  //     queue has grown past [[drainWatermark]], try-locks WRITE (barging,
+  //     never queued — a busy scope just skips) and drains: long-lived
+  //     scopes stay bounded instead of accumulating every distinct plan's
+  //     entry until the last exit (r13 verdict watch item 2);
+  //   - the LAST member's exit removes the queue atomically with the
+  //     membership decision (one `compute` — ADVICE r13: the previous
+  //     merge-then-remove let a concurrent enter join a half-torn-down
+  //     scope) and drains under a BLOCKING write lock, so even a
+  //     fresh-epoch joiner racing the teardown cannot be mid-query while
+  //     the old epoch's entries are unpersisted.
+  //
+  // Within a quiescent window cache residency still grows with distinct
+  // frames used (block eviction under pressure degrades to recompute,
+  // which is safe — only entry-level unpersist triggers the
+  // dependent-recompile channel).
   private val scopeMembers = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
   private val scopePending = new java.util.concurrent.ConcurrentHashMap[
     Long, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
+  // One FAIR lock per scope id, kept for the id's lifetime (a handful of
+  // tenant ids; never removed — removal would race fresh joiners holding
+  // the same object). Fairness matters on the teardown path: a waiting
+  // writer blocks NEW readers, so the blocking drain always makes progress
+  // even under a continuous stream of fresh-epoch joiners.
+  private val scopeLocks = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def lockOf(id: Long) = scopeLocks.computeIfAbsent(id,
+    _ => new java.util.concurrent.locks.ReentrantReadWriteLock(true))
   private val threadScope = new ThreadLocal[Option[Long]] {
     override def initialValue(): Option[Long] = None
   }
 
-  /** Join a shared release scope (called via `Tables.enterSharedScope`). */
+  /** Pending-queue size that triggers a quiescent-point drain attempt at
+    * the next [[release]]. Override (tests, tuning) via
+    * `-Dgraft.cachescope.drainWatermark=N`. */
+  def drainWatermark: Int =
+    sys.props.get("graft.cachescope.drainWatermark").map(_.toInt).getOrElse(32)
+
+  /** Deferred count-zero releases currently queued for scope `id` —
+    * observability for specs and embedders sizing [[drainWatermark]]. */
+  private[graft] def scopePendingSize(id: Long): Int = {
+    val q = scopePending.get(id); if (q == null) 0 else q.size()
+  }
+
+  /** Live member count of scope `id` (0 after the last exit's teardown) —
+    * spec observability for the atomic enter/exit transitions. */
+  private[graft] def scopeMemberCount(id: Long): Int = {
+    val v = scopeMembers.get(id); if (v == null) 0 else v.intValue
+  }
+
+  /** Join a shared release scope (called via `Tables.enterSharedScope`).
+    * Not re-entrant: joining while already in a scope would orphan the
+    * earlier membership (its count never reaches zero, so its deferred
+    * unpersists never drain — ADVICE r13). Fail fast instead. */
   private[graft] def enterSharedScope(id: Long): Unit = {
-    threadScope.set(Some(id))
-    scopeMembers.merge(id, 1, (a, b) => a + b)
+    require(threadScope.get().isEmpty,
+      s"already in shared scope ${threadScope.get().get}: exit it first")
+    // Membership and teardown are decided inside the SAME per-key compute
+    // (see exitSharedScope): either this runs before a concurrent last-exit
+    // decision (count goes 1->2, no teardown) or after the entry's atomic
+    // removal (fresh epoch, count 1, fresh pending queue below).
+    scopeMembers.compute(id, (_, v) =>
+      Integer.valueOf(if (v == null) 1 else v.intValue + 1))
     scopePending.computeIfAbsent(id,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]())
+    // Hold the read lock for the whole membership (released only inside
+    // release()'s quiescent window and at exit): a member is presumed
+    // mid-query at all times, so pure-lookup consumers are covered.
+    lockOf(id).readLock().lock()
+    threadScope.set(Some(id))
   }
 
   /** Leave the scope; the LAST member out drains the deferred unpersists
-    * (no member is active, so nothing can be mid-query on those entries;
-    * a tenant's next scope session starts cold, which is the documented
-    * price of the sharing). */
+    * under a blocking write lock (no member is active and any fresh-epoch
+    * joiner is held at its read lock until the drain completes, so nothing
+    * can be mid-query on those entries; a tenant's next scope session
+    * starts cold, which is the documented price of the sharing). */
   private[graft] def exitSharedScope(): Unit = threadScope.get().foreach { id =>
     threadScope.set(None)
-    val left = scopeMembers.merge(id, -1, (a, b) => a + b)
-    if (left <= 0) {
-      scopeMembers.remove(id)
-      val q = scopePending.remove(id)
-      if (q != null) {
-        var ds = q.poll()
-        while (ds != null) { ds.unpersist(false); ds = q.poll() }
+    lockOf(id).readLock().unlock()
+    // Decrement, teardown decision, and queue removal in ONE atomic
+    // compute: a concurrent enterSharedScope on the same id either lands
+    // before (count stays positive — no teardown) or after the removal
+    // (fresh epoch with a fresh queue). The ADVICE r13 race — increment
+    // against a still-present zero count followed by a foreign queue
+    // drain under a live member — is structurally gone.
+    var drained: java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]] = null
+    scopeMembers.compute(id, (_, v) => {
+      val left = (if (v == null) 0 else v.intValue) - 1
+      if (left <= 0) { drained = scopePending.remove(id); null }
+      else Integer.valueOf(left)
+    })
+    if (drained != null) {
+      val wl = lockOf(id).writeLock()
+      wl.lock() // blocking: waits out any fresh-epoch member mid-query
+      try {
+        var ds = drained.poll()
+        while (ds != null) { ds.unpersist(false); ds = drained.poll() }
+      } finally wl.unlock()
+    }
+  }
+
+  /** Quiescent-point drain attempt (inside [[release]], read lock NOT
+    * held): if the scope's pending queue exceeds the watermark, try to
+    * take the write lock WITHOUT queueing — success proves no member is
+    * mid-query anywhere, so the deferred count-zero entries are consumed
+    * by nobody and unpersist safely. Failure means a sibling is mid-query:
+    * skip, the next release retries. Entries enqueued concurrently (by
+    * siblings inside their own release) are safe to drain too — their
+    * enqueuer is also outside any query while we hold the write lock. */
+  private def drainIfQuiescent(id: Long): Unit = {
+    val q = scopePending.get(id)
+    if (q != null && q.size() > drainWatermark) {
+      val wl = lockOf(id).writeLock()
+      if (wl.tryLock()) {
+        try {
+          var ds = q.poll()
+          while (ds != null) { ds.unpersist(false); ds = q.poll() }
+        } finally wl.unlock()
       }
     }
   }
@@ -225,21 +319,34 @@ object CacheScope {
   /** Release everything THIS THREAD tracked since its last release:
     * unpersist (non-blocking) the persisted intermediates and free the
     * blocks of tracked checkpoints. Other threads' registries are
-    * untouched — their in-flight checkpoints stay alive. */
+    * untouched — their in-flight checkpoints stay alive.
+    *
+    * Inside a shared scope this is the member's QUIESCENT WINDOW: the
+    * membership-long read lock is dropped for the duration (the thread is
+    * by contract between queries), the thread's count-zero releases are
+    * deferred to the scope's pending queue, and if that queue has grown
+    * past [[drainWatermark]] a barging write-lock attempt drains it —
+    * bounding a long-lived scope's cache residency without ever
+    * unpersisting under a possibly-mid-query sibling. */
   def release(): Unit = {
     bumpGeneration()
-    val t = tracked.get()
-    var ds = t.poll()
-    while (ds != null) {
-      releaseOne(ds)
-      ds = t.poll()
-    }
-    val tc = trackedCp.get()
-    var cp = tc.poll()
-    while (cp != null) {
-      releaseLocalCheckpoint(cp)
-      cp = tc.poll()
-    }
+    val scope = threadScope.get()
+    scope.foreach(id => lockOf(id).readLock().unlock())
+    try {
+      val t = tracked.get()
+      var ds = t.poll()
+      while (ds != null) {
+        releaseOne(ds)
+        ds = t.poll()
+      }
+      val tc = trackedCp.get()
+      var cp = tc.poll()
+      while (cp != null) {
+        releaseLocalCheckpoint(cp)
+        cp = tc.poll()
+      }
+      scope.foreach(drainIfQuiescent)
+    } finally scope.foreach(id => lockOf(id).readLock().lock())
   }
 
   /** Number of persists the CALLING thread has tracked and not yet

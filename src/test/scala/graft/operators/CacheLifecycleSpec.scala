@@ -271,4 +271,146 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(leaked(baseline).isEmpty,
       s"last member's exit must drain the deferred unpersists: ${leaked(baseline)}")
   }
+
+  test("long-lived shared scope stays bounded: quiescent-point drains cap pending + residency") {
+    // r13 verdict watch item 2: a scope that outlives many queries (a real
+    // multi-tenant service session) must not accumulate every distinct
+    // plan's cache entry until the last exit. With the watermark forced
+    // low, a SINGLE member cycling distinct persisted frames across the
+    // equivalent of several inventories must see its pending queue drained
+    // at release-time quiescent points — never above watermark + the one
+    // cycle in flight — and persistent-RDD residency capped with it.
+    import org.apache.spark.sql.functions._
+    CacheScope.release()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val prev = sys.props.get("graft.cachescope.drainWatermark")
+    sys.props("graft.cachescope.drainWatermark") = "4"
+    try {
+      val t = new Thread(() => {
+        Tables.enterSharedScope(991L)
+        try {
+          var maxPending = 0
+          var maxLive = 0
+          (1 to 18).foreach { i => // 18 distinct frames ≈ 3 six-gate inventories
+            val df = CacheScope.track(Tables.documents(spark, sf)
+              .select(col("doc_id"), (col("n_chars") + i).as("x")).persist())
+            df.count()
+            CacheScope.release() // deferral + quiescent drain attempt
+            maxPending = math.max(maxPending, CacheScope.scopePendingSize(991L))
+            maxLive = math.max(maxLive,
+              (spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline).size)
+          }
+          assert(maxPending <= 5, // watermark 4 + the cycle that tips it over
+            s"pending queue must stay bounded by the watermark, saw $maxPending")
+          assert(maxLive <= 6,
+            s"cache residency must be capped by the drains, saw $maxLive live entries")
+        } finally Tables.exitSharedScope()
+      }, "scope-longlived")
+      t.start(); t.join()
+      assert(leaked(baseline).isEmpty, s"exit drains the rest: ${leaked(baseline)}")
+    } finally prev match {
+      case Some(v) => sys.props("graft.cachescope.drainWatermark") = v
+      case None => sys.props.remove("graft.cachescope.drainWatermark")
+    }
+  }
+
+  test("quiescent drain is SKIPPED while any sibling is mid-query (read lock held)") {
+    // The safety half of the watermark drain: a sibling that is presumed
+    // mid-query (it holds the scope read lock for its whole membership
+    // outside its own release()) must block the drain — tryLock(write)
+    // fails — so deferred entries survive exactly until a provable
+    // quiescent point.
+    import org.apache.spark.sql.functions._
+    CacheScope.release()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val prev = sys.props.get("graft.cachescope.drainWatermark")
+    sys.props("graft.cachescope.drainWatermark") = "2"
+    val hold = new java.util.concurrent.CountDownLatch(1)
+    val bJoined = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val b = new Thread(() => {
+        Tables.enterSharedScope(992L)
+        bJoined.countDown()
+        try hold.await() finally Tables.exitSharedScope()
+      }, "scope-busy-sibling")
+      b.start(); bJoined.await()
+      @volatile var pendingWhileBusy = -1
+      @volatile var liveWhileBusy = Map.empty[Int, String]
+      val a = new Thread(() => {
+        Tables.enterSharedScope(992L)
+        try {
+          (1 to 6).foreach { i =>
+            val df = CacheScope.track(Tables.documents(spark, sf)
+              .select(col("doc_id"), (col("n_chars") - i).as("y")).persist())
+            df.count()
+            CacheScope.release()
+          }
+          pendingWhileBusy = CacheScope.scopePendingSize(992L)
+          liveWhileBusy = leaked(baseline)
+        } finally Tables.exitSharedScope()
+      }, "scope-releaser")
+      a.start(); a.join()
+      assert(pendingWhileBusy == 6,
+        s"all 6 deferrals must survive while the sibling is mid-query: $pendingWhileBusy")
+      assert(liveWhileBusy.size == 6,
+        s"no entry may be unpersisted under a live sibling: ${liveWhileBusy.size}")
+      hold.countDown(); b.join()
+      assert(leaked(baseline).isEmpty,
+        s"last exit still drains everything: ${leaked(baseline)}")
+      assert(CacheScope.scopeMemberCount(992L) == 0)
+    } finally prev match {
+      case Some(v) => sys.props("graft.cachescope.drainWatermark") = v
+      case None => sys.props.remove("graft.cachescope.drainWatermark")
+    }
+  }
+
+  test("enterSharedScope is not re-entrant: joining while in a scope fails fast") {
+    // ADVICE r13: silently overwriting the thread's scope would orphan the
+    // earlier membership (count never reaches zero -> permanent leak).
+    @volatile var thrown: Option[Throwable] = None
+    val t = new Thread(() => {
+      Tables.enterSharedScope(993L)
+      try { try Tables.enterSharedScope(994L) catch { case e: Throwable => thrown = Some(e) } }
+      finally Tables.exitSharedScope()
+    }, "scope-reenter")
+    t.start(); t.join()
+    assert(thrown.exists(_.isInstanceOf[IllegalArgumentException]),
+      s"double enter must throw, got $thrown")
+    assert(CacheScope.scopeMemberCount(993L) == 0 &&
+      CacheScope.scopeMemberCount(994L) == 0, "no orphaned membership")
+  }
+
+  test("enter/exit churn is atomic: no negative counts, no half-torn-down epoch (ADVICE r13)") {
+    // The r13 advice race: between the last member's decrement-to-zero and
+    // the queue removal, a concurrent enter could join a scope mid-teardown
+    // and have its pending queue drained under it. With membership
+    // transitions decided inside one per-key compute this cannot happen:
+    // hammer same-id enter/exit churn with a tracked persist per pass and
+    // assert the terminal state is fully clean.
+    import org.apache.spark.sql.functions._
+    CacheScope.release()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try (0 until 12).foreach { i =>
+          Tables.enterSharedScope(995L)
+          try {
+            val df = CacheScope.track(Tables.documents(spark, sf)
+              .select(col("doc_id"), (col("n_chars") * 2 + w * 100 + i).as("z")).persist())
+            df.count()
+            CacheScope.release()
+            assert(CacheScope.scopeMemberCount(995L) >= 1,
+              "a live member must always see itself counted")
+          } finally Tables.exitSharedScope()
+        } catch { case e: Throwable => errors.add(e) }
+      }, s"scope-churn-$w")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"churn must be exception-free: ${errors.peek()}")
+    assert(CacheScope.scopeMemberCount(995L) == 0, "terminal member count must be 0")
+    assert(CacheScope.scopePendingSize(995L) == 0, "terminal pending must be drained")
+    assert(leaked(baseline).isEmpty,
+      s"no epoch may leak entries through the churn: ${leaked(baseline)}")
+  }
 }

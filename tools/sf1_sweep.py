@@ -10,7 +10,7 @@ Usage: sf1_sweep.py <sfDir> <outDir> [timeout_sec=600] [query ...]
 Prints one line per gate + a summary JSON {green, timeout, mismatch,
 error, no_oracle} with the gate lists.
 """
-import sys, json, glob, os, multiprocessing as mp
+import sys, json, glob, os, queue as queue_mod, multiprocessing as mp
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 600
@@ -91,7 +91,14 @@ def main():
             print(f"{name}: TIMEOUT >{timeout}s (quadratic-oracle class)", flush=True)
             buckets["timeout"].append(name)
             continue
-        verdict, detail = q.get() if not q.empty() else ("error", "child died silently")
+        # q.get with a timeout, not an empty() pre-check: the child's
+        # feeder thread can still be flushing the verdict when join()
+        # returns, so empty() here would misclassify a real verdict as
+        # "died silently" (ADVICE r13).
+        try:
+            verdict, detail = q.get(timeout=10)
+        except queue_mod.Empty:
+            verdict, detail = "error", "child died silently"
         print(f"{name}: {verdict.upper()} ({detail})", flush=True)
         buckets[verdict].append(name)
     summary = {k: {"n": len(v), "gates": v} for k, v in buckets.items()}
