@@ -649,34 +649,74 @@ object Dedup {
     * start_pos, span_len)` (1-based, code-point grain — both engines'
     * substring/length semantics).
     *
-    * Distributed shape (the sort-based plan, no suffix explosion): ONE
-    * scan explodes stride-1 minLen-grams (generate + project fuse in one
-    * codegen stage, so the carried text never reaches an exchange); the
-    * repeat test is a keyed gram-count aggregation (map-side combined)
-    * and a semi-join of the gram stream against the repeated keys — both
-    * shuffles keyed by the gram, never by document pairs. The island
-    * merge is a per-document window (doc-keyed shuffle, corpus-row
-    * sized). Shuffle width is minLen bytes per gram row — the standard
-    * distributed trade against a single-node suffix array; a 100-TB run
-    * banding further would group on a 64-bit gram hash (8 bytes/row) and
-    * re-verify raw grams inside each bucket, the same
-    * candidates-then-verify contract as the near-dup family. */
+    * Distributed shape (the sort-based plan, no suffix explosion,
+    * HASH-BANDED since r14 — candidates-then-verify, the same contract as
+    * the near-dup family): ONE scan explodes stride-1 minLen-grams and
+    * immediately projects each down to its 64-bit `xxhash64` (generate +
+    * project + hash fuse in one codegen stage, so neither the carried
+    * text nor any raw gram reaches the banding exchanges):
+    *
+    *  1. CANDIDATES — a keyed gram-HASH count (map-side combined; the
+    *     exchange carries an 8-byte key + count, not minLen chars) keeps
+    *     the hashes occurring >= 2 times; a semi-join of the (id, pos,
+    *     hash) position stream against them shuffles ~(8 + id + pos)
+    *     bytes/row — the ~minLen× → ~20-byte/row collapse that makes the
+    *     pass 100-TB-shaped (at minLen=40 the raw-gram plan shuffles
+    *     ~4 PB for a 100 TB corpus; this one ~2× corpus bytes).
+    *  2. VERIFY — 64-bit collisions are guaranteed at corpus scale
+    *     (birthday bound ~2^32 grams; a 100 TB corpus holds ~10^14), so
+    *     candidate positions re-derive their RAW gram by joining back to
+    *     the documents table on doc id (text crosses an exchange exactly
+    *     once, at 1× corpus bytes — the join re-co-locates text with its
+    *     candidate positions; AQE broadcasts the candidate side when
+    *     small) and the exact repeat test reruns on raw grams WITHIN the
+    *     candidate set only. A raw gram repeats iff its hash repeats, so
+    *     every position of every truly-repeated gram is in the candidate
+    *     set and in-candidate counts equal global counts: the output is
+    *     IDENTICAL to the unbanded plan, bit for bit.
+    *
+    * The island merge is a per-document window (doc-keyed shuffle,
+    * candidate-row sized). Verify-stage shuffle width is minLen bytes ×
+    * CANDIDATE rows (true repeats + vanishing collisions) — the output-
+    * sensitive cost every candidates-then-verify operator in this engine
+    * pays, not a corpus-sized constant. */
   def exactSubstringSpans(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       minLen: Int): DataFrame = {
     require(minLen >= 2, "minLen >= 2")
-    val grams = docs
+    val base = docs
       .select(col(idCol).as("_id"), col(textCol).as("_t"))
       .filter(length(col("_t")) >= minLen) // sequence(1, <1) would DESCEND
+    // (id, pos, gramHash) — the raw gram is consumed by xxhash64 inside
+    // the same codegen stage and never materializes into an exchange
+    val hashed = base
       .select(col("_id"),
         explode(sequence(lit(1), length(col("_t")) - (minLen - 1))).as("_p"),
         col("_t"))
+      .select(col("_id"), col("_p"),
+        xxhash64(col("_t").substr(col("_p"), lit(minLen))).as("_h"))
+    val repeatedHash = hashed.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select("_h")
+    val candidates = hashed.join(repeatedHash, Seq("_h"), "left_semi")
+    // verify: re-derive the raw gram for CANDIDATE positions only and
+    // rerun the exact repeat test on it (collision kill)
+    val candGrams = candidates
+      .join(base, Seq("_id"))
       .select(col("_id"), col("_p"), col("_t").substr(col("_p"), lit(minLen)).as("_g"))
-    val repeated = grams.groupBy("_g").agg(count(lit(1)).as("_c"))
+    val repeated = candGrams.groupBy("_g").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= 2).select("_g")
-    val covered = grams.join(repeated, Seq("_g"), "left_semi")
+    val covered = candGrams.join(repeated, Seq("_g"), "left_semi")
+    coverageIslands(covered, minLen)
+  }
+
+  /** Island merge shared by the batch ([[exactSubstringSpans]]) and
+    * streaming (q226 drain) exact-substring arms: collapse covered window
+    * positions `(_id, _p)` into maximal runs of consecutive positions,
+    * widened by the window length — `(doc_id, start_pos, span_len)`.
+    * One doc-keyed window + one keyed agg; covered-row sized. */
+  private[graft] def coverageIslands(covered: DataFrame, minLen: Int): DataFrame =
     covered
       .withColumn("_isl", col("_p") -
         row_number().over(Window.partitionBy(col("_id")).orderBy(col("_p"))))
@@ -686,5 +726,4 @@ object Dedup {
       .select(col("_id").as("doc_id"),
         col("start_pos").cast("long").as("start_pos"),
         col("span_len").cast("long").as("span_len"))
-  }
 }

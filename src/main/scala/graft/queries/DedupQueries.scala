@@ -308,6 +308,28 @@ object DedupQueries {
     "q223_ivf_neardup" -> q223IvfNearDup,
     "q225_exact_substring" -> q225ExactSubstring)
 
+  /** q225 oracle, parameterized by an extra predicate on the COVERED
+    * position rows (repeat counts always run over the FULL corpus): the
+    * batch gate passes "" (all docs); the streaming twin q226 restricts
+    * the OUTPUT to the increment slice with " AND doc_id % 10 = 0" while
+    * inheriting identical full-corpus repeat semantics. */
+  private[queries] def exactSubstringOracleSql(outputFilter: String): String =
+    s"""WITH gr AS (
+         SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, CAST(p AS INT), 40) AS gram
+         FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 39, 0))) AS p
+               FROM documents)
+       ),
+       rep AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
+       cov AS (
+         SELECT doc_id, p,
+           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+         FROM gr WHERE gram IN (SELECT gram FROM rep)$outputFilter
+       )
+       SELECT doc_id, CAST(min(p) AS BIGINT) AS start_pos,
+         CAST(max(p) - min(p) + 40 AS BIGINT) AS span_len
+       FROM cov GROUP BY doc_id, isl"""
+
   /** Word n-gram distinct shingle list in DuckDB. */
   private def shinglesSql(n: Int) =
     s"""list_distinct(list_transform(
@@ -324,17 +346,33 @@ object DedupQueries {
        WHERE round(list_cosine_similarity(a.v, b.v), 5) >= 0.45"""
 
   /** CTE fragment yielding `jp(id_a, id_b, jaccard)` — shared by the
-    * pair gate (q42) and the split-leakage audit (q111) so a shingle or
-    * threshold change lands in both oracles or in neither. */
+    * pair gate (q42), the split-leakage audit (q111), and the metric
+    * oracles (q134/q181/q182/q183) so a shingle or threshold change lands
+    * in every oracle or in none.
+    *
+    * Sub-quadratic since r14 (VERDICT r13 item 3): the original
+    * `sh a JOIN sh b ON a.doc_id < b.doc_id` evaluated `list_intersect`
+    * over all N²/2 doc pairs — a cap-timeout at sf1 (50k docs → 1.25G
+    * intersections). This inverted-index form explodes the DISTINCT
+    * shingle lists once and joins on shingle equality (Σ c_g² candidate
+    * rows — 279M at sf1, ~2.5 min in DuckDB), then derives the SAME
+    * jaccard from the intersection count and the two list sizes:
+    * `|A∩B| / (|A| + |B| - |A∩B|)` over identical integers is the
+    * bit-identical DOUBLE, and pairs with zero shared shingles (the only
+    * rows the index never sees) have jaccard 0 < thr by definition. */
   private def jaccardCtesSql(n: Int, thr: Double) =
     s"""sh AS (SELECT doc_id, ${shinglesSql(n)} AS s FROM documents),
-        jp AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-            CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-            CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= $thr)"""
+        shsz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM sh),
+        shex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        shiv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS i
+          FROM shex a JOIN shex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jp AS (SELECT id_a, id_b,
+            CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+          FROM shiv JOIN shsz sa ON sa.doc_id = shiv.id_a
+            JOIN shsz sb ON sb.doc_id = shiv.id_b
+          WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= $thr)"""
 
   private def jaccardPairsSql(n: Int, thr: Double) =
     s"""WITH ${jaccardCtesSql(n, thr)}
@@ -570,13 +608,8 @@ object DedupQueries {
     "q182_chrf" -> q182OracleSql,
     "q183_token_f1" -> q183OracleSql,
     "q139_dedup_aware_split" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
-          pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.4
-          ),
+      s"""WITH RECURSIVE ${jaccardCtesSql(3, 0.4)},
+          pairs AS (SELECT id_a, id_b FROM jp),
           edges AS (SELECT id_a AS x, id_b AS y FROM pairs
                     UNION SELECT id_b, id_a FROM pairs),
           walk(id, rep) AS (
@@ -600,13 +633,8 @@ object DedupQueries {
       s"""WITH ${AnnQueries.ivfPairsCte(0.45)}
           SELECT id_a, id_b, sim FROM ivfpairs""",
     "q120_dedup_keep_best" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
-          pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.4
-          ),
+      s"""WITH RECURSIVE ${jaccardCtesSql(3, 0.4)},
+          pairs AS (SELECT id_a, id_b FROM jp),
           edges AS (SELECT id_a AS x, id_b AS y FROM pairs
                     UNION SELECT id_b, id_a FROM pairs),
           walk(id, rep) AS (
@@ -673,11 +701,18 @@ object DedupQueries {
            SELECT doc_id,
              sum(CASE WHEN score > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS h
            FROM bits GROUP BY doc_id
-         )
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
-         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.h, b.h)) <= 3""",
+         ),
+         -- pigeonhole banding (r14, sub-quadratic): hamming <= 3 over 4
+         -- disjoint 16-bit chunks forces at least one chunk EQUAL, so the
+         -- band equi-join yields every qualifying pair (the engine's own
+         -- q43 candidate contract) and the bit_count verify drops the rest
+         bands AS (SELECT doc_id, h, k, (h >> (k * 16)) & 65535::UBIGINT AS band
+                   FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, a.h AS ha, b.doc_id AS id_b, b.h AS hb
+                  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band
+                    AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(ha, hb)) <= 3""",
     "q44_embed_neardup" -> cosinePairsOracleSql,
     // q56's candidates+verify path must reproduce the exact pair set —
     // same oracle as q44 by design.
@@ -685,33 +720,24 @@ object DedupQueries {
     // character-grain stride-1 40-gram coverage islands, replayed
     // relationally: both engines' length/substr are code-point based and
     // positions are exact integers, so span bounds hash-match bit-for-bit
-    "q225_exact_substring" ->
-      """WITH gr AS (
-           SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, CAST(p AS INT), 40) AS gram
-           FROM (SELECT doc_id, text,
-                   unnest(generate_series(1, greatest(length(text) - 39, 0))) AS p
-                 FROM documents)
-         ),
-         rep AS (SELECT gram FROM gr GROUP BY gram HAVING count(*) >= 2),
-         cov AS (
-           SELECT doc_id, p,
-             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
-           FROM gr WHERE gram IN (SELECT gram FROM rep)
-         )
-         SELECT doc_id, CAST(min(p) AS BIGINT) AS start_pos,
-           CAST(max(p) - min(p) + 40 AS BIGINT) AS span_len
-         FROM cov GROUP BY doc_id, isl""",
+    "q225_exact_substring" -> exactSubstringOracleSql(""),
+    // inverted-index form (r14): the inc × hist `list_intersect` join was
+    // on the ×10-clone-density sf1 exclusion list; exploded-shingle
+    // equality join + count gives the bit-identical jaccard (same
+    // integers through the same DOUBLE division), output-sensitively
     "q106_incremental_neardup" ->
-      s"""WITH inc AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents
-                       WHERE doc_id % 10 = 0),
-         hist AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents
-                  WHERE doc_id % 10 <> 0)
-         SELECT inc.doc_id AS inc_id, hist.doc_id AS hist_id,
-           CAST(len(list_intersect(inc.s, hist.s)) AS DOUBLE) /
-           CAST(len(inc.s) + len(hist.s) - len(list_intersect(inc.s, hist.s)) AS DOUBLE) AS jaccard
-         FROM inc JOIN hist ON
-           CAST(len(list_intersect(inc.s, hist.s)) AS DOUBLE) /
-           CAST(len(inc.s) + len(hist.s) - len(list_intersect(inc.s, hist.s)) AS DOUBLE) >= 0.4""",
+      s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
+         ix AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS g
+                FROM sh WHERE doc_id % 10 = 0),
+         hx AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS g
+                FROM sh WHERE doc_id % 10 <> 0),
+         iv AS (SELECT ix.doc_id AS inc_id, hx.doc_id AS hist_id,
+             CAST(count(*) AS BIGINT) AS i,
+             any_value(ix.sz) AS sa, any_value(hx.sz) AS sb
+           FROM ix JOIN hx ON ix.g = hx.g GROUP BY 1, 2)
+         SELECT inc_id, hist_id,
+           CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) AS jaccard
+         FROM iv WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= 0.4""",
     "q104_embed_decontaminate" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          r AS (SELECT vec_id + 1000000 AS ref_id,
@@ -731,21 +757,22 @@ object DedupQueries {
           new AS (SELECT i.doc_id, i.fp FROM inc i ANTI JOIN hist h USING (fp))
           SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp
           FROM new GROUP BY fp""",
+    // inverted-index form (r14): the corpus × eval `list_intersect` join
+    // was the r8 "60-minute oracle" at sf1; joining exploded DISTINCT
+    // shingles on equality and counting gives the identical shared_ngrams
+    // (both count distinct shared shingles), sub-quadratically (14 s sf1)
     "q69_decontaminate" ->
       s"""WITH sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
-          c AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
-          e AS (SELECT * FROM sh WHERE doc_id % 50 = 0)
-          SELECT c.doc_id, e.doc_id AS eval_id,
-            CAST(len(list_intersect(c.s, e.s)) AS BIGINT) AS shared_ngrams
-          FROM c JOIN e ON len(list_intersect(c.s, e.s)) >= 3""",
+          cx AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0),
+          ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+          shared AS (SELECT cx.doc_id AS doc_id, ex.doc_id AS eval_id,
+              CAST(count(*) AS BIGINT) AS shared_ngrams
+            FROM cx JOIN ex ON cx.g = ex.g GROUP BY 1, 2)
+          SELECT doc_id, eval_id, shared_ngrams
+          FROM shared WHERE shared_ngrams >= 3""",
     "q45_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM documents),
-          pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.4
-          ),
+      s"""WITH RECURSIVE ${jaccardCtesSql(3, 0.4)},
+          pairs AS (SELECT id_a, id_b FROM jp),
           edges AS (SELECT id_a AS x, id_b AS y FROM pairs
                     UNION SELECT id_b, id_a FROM pairs),
           walk(id, rep) AS (

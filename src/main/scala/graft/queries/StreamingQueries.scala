@@ -770,6 +770,92 @@ object StreamingQueries {
       .select(col("_iid").as("inc_id"), col("_hid").as("hist_id"), col("jaccard"))
   }
 
+  // Streaming twin of q225 — the dedup-family convention (q106 → q107/
+  // q224) applied to the exact-substring grain (r13 verdict item 6):
+  // today's crawl increment (doc_id % 10 == 0) arrives as a document
+  // STREAM; history exists ONLY as its 64-bit gram-hash COUNT store
+  // (8 bytes + count per distinct gram — the same wire format the r14
+  // hash-band pass ships, and the q106 convention: text never rescanned,
+  // collisions out of scope at the store's hash width). A position in an
+  // increment doc is covered iff its 40-gram occurs >= 2 times across
+  // history + the WHOLE increment — q225's full-corpus semantics
+  // restricted to increment docs, so q225's batch oracle applies with an
+  // output filter.
+  //
+  // Bounded by the q224 discipline — the streaming plan is STATELESS
+  // end-to-end: per micro-batch the stride-1 gram explode collapses
+  // map-side to (hash, n) partials and lands BOTH the partials and the
+  // batch's (id, pos, hash) position rows in batch-keyed spill stores
+  // (overwrite per batch id = exactly-once under retries); the repeat
+  // test (history count + one keyed sum of increment partials >= 2), the
+  // coverage semi-join and the island merge evaluate ONCE at drain.
+  // Gram counts are additive over batches, so the merge is exact. No
+  // state store at all; streaming memory is bounded by trigger sizing,
+  // not corpus size. At 100 TB the spill store is object storage and the
+  // drain is one keyed sum + semi-join — the batch op's own shape.
+  def q226StreamExactSubstring(s0: SparkSession, d: String): DataFrame = {
+    val minLen = 40
+    val s = streamSession(s0)
+    val schema = Tables.documents(s, d).schema
+    val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
+    def gramHashes(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("_id"), col("text").as("_t"))
+      .filter(length(col("_t")) >= minLen)
+      .select(col("_id"),
+        explode(sequence(lit(1), length(col("_t")) - (minLen - 1))).as("_p"),
+        col("_t"))
+      .select(col("_id"), col("_p"),
+        xxhash64(col("_t").substr(col("_p"), lit(minLen))).as("_h"))
+    val histStore = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+      .transform(gramHashes)
+      .groupBy("_h").agg(count(lit(1)).as("_ch"))
+    val incPos = docs.filter(col("doc_id") % 10 === 0).transform(gramHashes)
+    val outPath = java.nio.file.Files.createTempDirectory("graft-ess-partials")
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft-ess-ckpt")
+    val outDir = outPath.toString
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val b = batch.persist()
+      try {
+        b.groupBy("_h").agg(count(lit(1)).as("_n"))
+          .write.mode("overwrite").parquet(s"$outDir/counts/batch=$batchId")
+        b.write.mode("overwrite").parquet(s"$outDir/pos/batch=$batchId")
+      } finally { b.unpersist(false); () }
+    }
+    val q = incPos.writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", ckptPath.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val posDir = java.nio.file.Paths.get(s"$outDir/pos")
+    val hasBatches = java.nio.file.Files.isDirectory(posDir) && {
+      val ls = java.nio.file.Files.list(posDir)
+      try ls.anyMatch(p => p.getFileName.toString.startsWith("batch="))
+      finally ls.close()
+    }
+    val spans =
+      if (!hasBatches)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("start_pos", LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("span_len", LongType, nullable = true))))
+      else {
+        val incTotals = s.read.parquet(s"$outDir/counts").drop("batch")
+          .groupBy("_h").agg(sum(col("_n")).as("_ci"))
+        val repeated = incTotals.join(histStore, Seq("_h"), "left")
+          .filter(col("_ci") + coalesce(col("_ch"), lit(0L)) >= 2)
+          .select("_h")
+        val covered = s.read.parquet(s"$outDir/pos").drop("batch")
+          .join(repeated, Seq("_h"), "left_semi")
+        graft.CacheScope.trackCheckpoint(graft.operators.Dedup
+          .coverageIslands(covered, minLen).localCheckpoint())
+      }
+    graft.catalog.GraftCatalog.deleteRecursively(outPath)
+    graft.catalog.GraftCatalog.deleteRecursively(ckptPath)
+    spans
+  }
+
   // Streaming twin of q70: the deterministic weighted training mixture as
   // a continuous STATELESS projection + per-row generator over a document
   // stream (floor(w) copies + a salted-md5 fractional draw — no rand(),
@@ -842,6 +928,7 @@ object StreamingQueries {
     "q82_stream_decontaminate" -> q82StreamDecontaminate,
     "q107_stream_incremental_neardup" -> q107StreamIncrementalNearDup,
     "q224_stream_neardup_bounded" -> q224StreamNearDupBounded,
+    "q226_stream_exact_substring" -> q226StreamExactSubstring,
     "q87_stream_mixture" -> q87StreamMixture,
     "q89_stream_quota_sample" -> q89StreamQuotaSample,
     "q98_stream_lm_score" -> q98StreamLmScore,
@@ -934,6 +1021,10 @@ object StreamingQueries {
     "q82_stream_decontaminate" -> DedupQueries.oracles("q69_decontaminate"),
     "q107_stream_incremental_neardup" -> DedupQueries.oracles("q106_incremental_neardup"),
     "q224_stream_neardup_bounded" -> DedupQueries.oracles("q106_incremental_neardup"),
+    // q225's batch oracle with the output restricted to the increment
+    // slice — repeat counts stay full-corpus (history + whole increment)
+    "q226_stream_exact_substring" ->
+      DedupQueries.exactSubstringOracleSql(" AND doc_id % 10 = 0"),
     "q98_stream_lm_score" -> TextQueries.oracles("q92_lm_score"),
     "q87_stream_mixture" -> TextQueries.oracles("q70_weighted_mixture"),
     "q89_stream_quota_sample" -> TextQueries.oracles("q80_quota_sample"),

@@ -281,7 +281,7 @@ object TextQueries {
   // the q64 convention: prove the operator on data that actually has the
   // phenomenon. 5-token spans, common = present in >= 10 docs.
   private val Boiler = " follow us for updates and subscribe to the newsletter"
-  private def withBoiler(s: SparkSession, d: String): DataFrame =
+  private[graft] def withBoiler(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(Boiler)))
         .otherwise(col("text")).as("text"))

@@ -1192,6 +1192,77 @@ object ScaleProbe {
     time("exact-substring spans 1x (5k docs)")(essX(1))
     time("exact-substring spans 10x (50k docs)")(essX(10))
 
+    // --- exact-substring SHUFFLE-BYTES collapse (r14 hash-band pass):
+    // the banded plan ships 8-byte gram hashes through the corpus-sized
+    // exchanges where the pre-r14 plan shipped minLen raw chars per
+    // position. Measured on the FINAL executed plan's exchange dataSize
+    // (uncompressed logical bytes — compression would mask the collapse)
+    // with auto-broadcast off, so every exchange the 100-TB plan would
+    // run actually materializes at probe scale. The raw-gram baseline is
+    // inlined here verbatim (it no longer exists in the engine).
+    def exchangeTraffic(df: DataFrame): (Long, Long, Long) = {
+      // collect(), not count(): count() spawns its OWN QueryExecution and
+      // the inspected plan's metrics would stay zero (span output is tiny)
+      val n = df.collect().length.toLong
+      // AQE hides stage plans from TreeNode.collect — walk through the
+      // QueryStageExec boundaries explicitly
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+        case q: QueryStageExec => p +: walk(q.plan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      val ex = walk(df.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }.distinct
+      ex.foreach { e =>
+        val cols = e.child.output.map(_.name).mkString(",")
+        val b = e.metrics.get("dataSize").map(_.value).getOrElse(0L)
+        val r = e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+        println(f"    exchange [$cols%-12s] ${b / 1e6}%8.2f MB ${r}%9d recs ${if (r > 0) b / r else 0}%4d B/rec")
+      }
+      (n, ex.map(_.metrics.get("dataSize").map(_.value).getOrElse(0L)).sum,
+        ex.map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum)
+    }
+    def exactSubstrRawGram(d: DataFrame, minLen: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val grams = d
+        .select(col("doc_id").as("_id"), col("text").as("_t"))
+        .filter(length(col("_t")) >= minLen)
+        .select(col("_id"),
+          explode(sequence(lit(1), length(col("_t")) - (minLen - 1))).as("_p"),
+          col("_t"))
+        .select(col("_id"), col("_p"), col("_t").substr(col("_p"), lit(minLen)).as("_g"))
+      val repeated = grams.groupBy("_g").agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= 2).select("_g")
+      grams.join(repeated, Seq("_g"), "left_semi")
+        .withColumn("_isl", col("_p") -
+          row_number().over(Window.partitionBy(col("_id")).orderBy(col("_p"))))
+        .groupBy(col("_id"), col("_isl"))
+        .agg(min(col("_p")).as("start_pos"),
+          (max(col("_p")) - min(col("_p")) + minLen).as("span_len"))
+        .select(col("_id").as("doc_id"),
+          col("start_pos").cast("long").as("start_pos"),
+          col("span_len").cast("long").as("span_len"))
+    }
+    if (only.forall("exact-substring shuffle".contains(_))) {
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val d1 = docsX(1)
+        val (nB, bytesB, recsB) = exchangeTraffic(
+          Dedup.exactSubstringSpans(d1, "doc_id", "text", minLen = 40))
+        graft.CacheScope.release()
+        val (nR, bytesR, recsR) = exchangeTraffic(exactSubstrRawGram(d1, 40))
+        graft.CacheScope.release()
+        require(nB == nR, s"banded ($nB) and raw-gram ($nR) span counts differ!")
+        println(f"exact-substring shuffle bytes 1x: banded ${bytesB / 1e6}%9.1f MB " +
+          f"(${recsB} recs, ${if (recsB > 0) bytesB / recsB else 0} B/rec)  " +
+          f"raw-gram ${bytesR / 1e6}%9.1f MB (${recsR} recs, " +
+          f"${if (recsR > 0) bytesR / recsR else 0} B/rec)  collapse ${bytesR.toDouble / bytesB.max(1)}%4.1fx")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+
     spark.stop()
   }
 }

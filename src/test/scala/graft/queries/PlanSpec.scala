@@ -1109,15 +1109,46 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
-  test("q225 exact-substring: gram-keyed semi-join + keyed agg — no pairs, text never in an exchange") {
-    val p = plan(DedupQueries.q225ExactSubstring(spark, sf))
+  test("q225 exact-substring: corpus-sized exchanges carry the 8-byte gram hash, raw grams only candidate-sized") {
+    // The r14 hash-band contract (r13 verdict item 1): the corpus-wide
+    // banding stages (gram-hash repeat count + candidate semi-join) must
+    // ship xxhash64(gram) — ~20 bytes/row — never the minLen raw chars
+    // (~minLen× corpus bytes: a 4 PB shuffle at 100 TB / minLen=40); raw
+    // grams cross exchanges only in the candidate-sized verify stage, and
+    // the document text crosses at most the ONE verify re-join.
+    // disable auto-broadcast so the spec sees the SCALE shape (at the
+    // spec's SF every join would broadcast and no exchange would exist
+    // to inspect; at 100 TB none of these sides is broadcastable)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (df, p) =
+      try { val d = DedupQueries.q225ExactSubstring(spark, sf); (d, plan(d)) }
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert(!p.contains("CartesianProduct"), "gram repeat test degenerated to pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"), "gram repeat test degenerated to pairs")
     assert(p.contains("LeftSemi"), "the coverage mark must be a semi-join (no repeat multiplicity)")
-    // the carried full text must be projected away before any exchange:
-    // gram rows shuffle minLen chars, never the document
-    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
-    assert(!exchanges.contains("_t"), s"document text reached an exchange:\n$exchanges")
+    assert(p.contains("xxhash64"), "the banding hash is gone — raw grams are shuffling corpus-wide")
     assert(p.contains("Generate"), "stride-1 grams ride one generator, not a join")
+    // What each shuffle CARRIES = the `Input` line of every `(N) Exchange`
+    // block in the formatted plan. The plan duplicates the verify subtree
+    // (the repeat-count agg and the coverage semi-join each re-derive
+    // candGrams; exchange REUSE only lands at runtime), so normalize away
+    // expression ids and dedupe before counting.
+    val lines = p.linesIterator.toVector
+    val shuffles = lines.zipWithIndex.collect {
+      case (l, i) if l.trim.matches("""\(\d+\) Exchange""") =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input"))
+          .getOrElse("").replaceAll("#\\d+L?", "")
+    }.distinct
+    def carries(in: String, name: String) = in.contains(name + ",") || in.contains(name + "]")
+    assert(shuffles.nonEmpty, s"no exchanges to inspect:\n$p")
+    val banding = shuffles.filter(carries(_, "_h"))
+    assert(banding.nonEmpty, s"no hash-carrying banding exchange found in: $shuffles")
+    assert(banding.forall(in => !carries(in, "_g") && !carries(in, "_t")),
+      s"a banding exchange carries raw gram chars or document text: $shuffles")
+    assert(shuffles.count(carries(_, "_t")) <= 1,
+      s"document text may cross at most the one verify re-join exchange: $shuffles")
+    assert(shuffles.exists(in => !carries(in, "_g") && !carries(in, "_t")),
+      s"at least the hash-count exchange must be fully narrow: $shuffles")
   }
 }

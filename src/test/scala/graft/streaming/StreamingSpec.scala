@@ -406,6 +406,89 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"merged-partials near-dup must equal the batch operator: got $got want $want")
   }
 
+  test("bounded-state exact-substring drain (q226 shape): zero state stores, cross-batch repeats via summed partials, batch parity") {
+    // The q224 discipline applied to the exact-substring grain (r13
+    // verdict item 6): history exists only as its gram-hash COUNT store,
+    // each micro-batch lands (hash, n) partials AND its (id, pos, hash)
+    // position rows in batch-keyed stores, and the repeat test + island
+    // merge run once at drain —
+    // (a) the streaming plan holds NO state store,
+    // (b) a gram repeated only ACROSS batches (once in batch 1, once in
+    //     batch 2 — invisible to any single batch) is still covered,
+    //     because counts are additive over the batch-keyed partials,
+    // (c) crash + restart between batches re-emits only NEW batches,
+    // (d) the drained spans equal Dedup.exactSubstringSpans over the
+    //     full corpus, restricted to increment docs.
+    val minLen = 40
+    val common = "the quick brown fox jumps over lazy dog 0123" // 44 chars
+    val chunk = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmn" // 40 chars
+    val hist = Seq(
+      (101L, "ten chars " + common + "&history tail here")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, common + "!" + chunk), // common repeats vs history; chunk vs batch 2
+      (30L, "this text shares no forty-char run with anything else in the corpus at all!!"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "prefix 12 " + chunk + " and an ending")).toDF("doc_id", "text")
+    def gramHashes(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").as("_id"), col("text").as("_t"))
+      .filter(length(col("_t")) >= minLen)
+      .select(col("_id"),
+        explode(sequence(lit(1), length(col("_t")) - (minLen - 1))).as("_p"),
+        col("_t"))
+      .select(col("_id"), col("_p"),
+        xxhash64(col("_t").substr(col("_p"), lit(minLen))).as("_h"))
+    val histStore = gramHashes(hist).groupBy("_h").agg(count(lit(1)).as("_ch"))
+    val dir = Files.createTempDirectory("ess-in").toString
+    val ckpt = Files.createTempDirectory("ess-ck").toString
+    val outDir = Files.createTempDirectory("ess-partials").toString
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+    @volatile var lastProgressStateOps = -1
+    def start() = {
+      val incPos = gramHashes(spark.readStream.schema(batch1.schema).parquet(dir))
+      val writeBatch: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, id) => {
+        val bp = b.persist()
+        try {
+          bp.groupBy("_h").agg(count(lit(1)).as("_n"))
+            .write.mode("overwrite").parquet(s"$outDir/counts/batch=$id")
+          bp.write.mode("overwrite").parquet(s"$outDir/pos/batch=$id")
+        } finally { bp.unpersist(false); () }
+      }
+      incPos.writeStream.foreachBatch(writeBatch)
+        .option("checkpointLocation", ckpt).start()
+    }
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      lastProgressStateOps = q1.lastProgress.stateOperators.length
+    } finally q1.stop() // the "crash"
+    assert(lastProgressStateOps == 0,
+      "the bounded drain must run with ZERO stateful operators — that is the whole point")
+    batch2.coalesce(1).write.mode("append").parquet(dir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val incTotals = spark.read.parquet(s"$outDir/counts").drop("batch")
+      .groupBy("_h").agg(sum(col("_n")).as("_ci"))
+    val repeated = incTotals.join(histStore, Seq("_h"), "left")
+      .filter(col("_ci") + coalesce(col("_ch"), lit(0L)) >= 2)
+      .select("_h")
+    val covered = spark.read.parquet(s"$outDir/pos").drop("batch")
+      .join(repeated, Seq("_h"), "left_semi")
+    val got = graft.operators.Dedup.coverageIslands(covered, minLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.Dedup.exactSubstringSpans(
+        hist.unionByName(batch1).unionByName(batch2), "doc_id", "text", minLen)
+      .filter(col("doc_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.CacheScope.release()
+    // hand-computed pin: doc 10's common island (windows 1..5 repeat vs
+    // history), doc 10's chunk window (repeats vs BATCH 2 only — the
+    // cross-batch property), doc 20's chunk window; doc 30 clean
+    assert(got == Set((10L, 1L, 44L), (10L, 46L, 40L), (20L, 11L, 40L)),
+      s"hand-computed spans: got $got")
+    assert(got == want, s"drained spans must equal the batch operator: got $got want $want")
+  }
+
   test("complete-mode crash recovery: q219's (item, category) cell drain resumes from checkpoint under both state providers") {
     // q219's drained state is the one remaining shape with no
     // kill-and-resume proof (r10 verdict #5): the monitor twins' other
