@@ -137,11 +137,25 @@ object CacheScope {
     override def initialValue(): Option[Long] = None
   }
 
+  private val warnedBadWatermark = new java.util.concurrent.atomic.AtomicBoolean(false)
   /** Pending-queue size that triggers a quiescent-point drain attempt at
     * the next [[release]]. Override (tests, tuning) via
-    * `-Dgraft.cachescope.drainWatermark=N`. */
+    * `-Dgraft.cachescope.drainWatermark=N`. Re-read per call (specs flip
+    * it at runtime), but a malformed value must not throw inside the
+    * release/drain path mid-query (ADVICE r14): fall back to the default
+    * with one loud log instead. */
   def drainWatermark: Int =
-    sys.props.get("graft.cachescope.drainWatermark").map(_.toInt).getOrElse(32)
+    sys.props.get("graft.cachescope.drainWatermark") match {
+      case None => 32
+      case Some(s) => s.toIntOption match {
+        case Some(n) => n
+        case None =>
+          if (warnedBadWatermark.compareAndSet(false, true))
+            System.err.println(s"[graft] WARNING: ignoring malformed " +
+              s"-Dgraft.cachescope.drainWatermark='$s'; using default 32")
+          32
+      }
+    }
 
   /** Deferred count-zero releases currently queued for scope `id` —
     * observability for specs and embedders sizing [[drainWatermark]]. */
@@ -181,7 +195,16 @@ object CacheScope {
     * under a blocking write lock (no member is active and any fresh-epoch
     * joiner is held at its read lock until the drain completes, so nothing
     * can be mid-query on those entries; a tenant's next scope session
-    * starts cold, which is the documented price of the sharing). */
+    * starts cold, which is the documented price of the sharing).
+    *
+    * LIVENESS (ADVICE r14): a fresh-epoch joiner that entered between the
+    * count-zero decision and the write-lock acquisition holds the read
+    * lock for its whole query, so the exiting thread can block here for
+    * that query's duration (the lock is FAIR, so the waiting writer stalls
+    * further joiners and the drain does make progress — bounded by ONE
+    * in-flight query, not unbounded starvation). Callers on
+    * latency-critical service threads should exit at worker teardown, not
+    * between requests — documented at [[Tables.exitSharedScope]]. */
   private[graft] def exitSharedScope(): Unit = threadScope.get().foreach { id =>
     threadScope.set(None)
     lockOf(id).readLock().unlock()
@@ -214,7 +237,20 @@ object CacheScope {
     * by nobody and unpersist safely. Failure means a sibling is mid-query:
     * skip, the next release retries. Entries enqueued concurrently (by
     * siblings inside their own release) are safe to drain too — their
-    * enqueuer is also outside any query while we hold the write lock. */
+    * enqueuer is also outside any query while we hold the write lock.
+    *
+    * MULTI-MEMBER LIMITATION (ADVICE r14): members hold the read lock
+    * whenever not inside their own release(), so this barging tryLock
+    * succeeds only when EVERY member is simultaneously between queries —
+    * guaranteed for single-member scopes (each of their releases drains),
+    * increasingly rare as member count and query length grow. For an
+    * N-member scope the hard residency bound is therefore the LAST
+    * member's exit drain, not the watermark; the watermark is a
+    * best-effort bound in between. This is by design: any drain that
+    * could run while a sibling is mid-query would re-open the lookup-
+    * consumer silent-empty window the scope exists to close.
+    * `CacheLifecycleSpec` pins both halves (mid-query sibling blocks the
+    * watermark drain; teardown drains everything). */
   private def drainIfQuiescent(id: Long): Unit = {
     val q = scopePending.get(id)
     if (q != null && q.size() > drainWatermark) {

@@ -42,10 +42,29 @@ object Tables {
     * only shared mode reproduced the silent-empty chain in loop 1 of its
     * first soak). The last member's [[exitSharedScope]] drains them. */
   def enterSharedScope(id: Long): Unit = {
-    sharedScopeId.set(Some(java.lang.Long.valueOf(id)))
+    // Join CacheScope membership FIRST (it throws on re-entrant enter,
+    // ADVICE r14 medium): if the thread-local were set before a failed
+    // join, a caller that catches the exception would tag plans with the
+    // NEW scope id (sharing cache entries with that scope) while deferred-
+    // release membership stayed with the OLD scope — an old-scope drain
+    // could then unpersist an entry a new-scope member is mid-query on.
+    // Ordering alone makes the failure atomic: on throw, neither changes.
     CacheScope.enterSharedScope(id)
+    sharedScopeId.set(Some(java.lang.Long.valueOf(id)))
   }
+
+  /** Leaves the shared scope. NOTE (ADVICE r14): if this thread is the
+    * LAST member of the scope, [[CacheScope.exitSharedScope]] drains the
+    * scope's deferred unpersists under a blocking write lock — a joiner
+    * racing in on a fresh epoch can hold the read lock for its whole
+    * query, so this call may block for the duration of that query. Do
+    * not call from latency-critical service threads; exit at worker
+    * teardown (the soak harness pattern). */
   def exitSharedScope(): Unit = {
+    // Clear the plan-tag thread-local FIRST (reverse of enter): once
+    // membership is dropped a racing drain may unpersist shared entries,
+    // and any plan this thread builds afterwards must already carry its
+    // private isolation tag rather than the departed scope's id.
     sharedScopeId.set(None)
     CacheScope.exitSharedScope()
   }

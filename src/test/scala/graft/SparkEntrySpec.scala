@@ -14,8 +14,34 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("gate inventory: 234 queries, unique names") {
-    assert(SparkEntry.queries.size == 234)
+  test("gate inventory: no cross-pack name collisions") {
+    // `queries` is built by ++ over the per-family packs; a duplicate key
+    // would silently shadow an earlier gate. Assert the combined size
+    // equals the sum of the pack sizes so a collision can never ship.
+    val packs = Seq(
+      graft.queries.RelationalQueries.all, graft.queries.TextQueries.all,
+      graft.queries.DedupQueries.all, graft.queries.AnnQueries.all,
+      graft.queries.MultimodalQueries.all, graft.queries.StreamingQueries.all,
+      graft.queries.GraphQueries.all, graft.queries.WebQueries.all,
+      graft.queries.RankQueries.all, graft.queries.MetricsQueries.all,
+      graft.queries.PrivacyQueries.all)
+    assert(packs.map(_.size).sum == SparkEntry.queries.size,
+      "duplicate gate name across query packs (a later pack is shadowing an earlier one)")
+  }
+
+  test("gate inventory: the rows-only set is exactly the approximate-by-contract family") {
+    // Single source of truth for "which gates may lack a DuckDB oracle":
+    // the approximate family, each of which is paired with a hash-gated
+    // exact audit twin (qNNa_*). Any NEW gate must ship with an oracle or
+    // be deliberately added here — the count itself is derived, never pinned.
+    val approximateByContract = Set(
+      "q51_ann_lsh", "q52_approx_distinct", "q53_ann_ivf", "q54_sketches",
+      "q66_ann_pq", "q67_ann_ivfpq", "q91_ann_pca", "q94_bpe",
+      "q95_diversity_sample")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == approximateByContract,
+      s"rows-only drift: unexpected=${rowsOnly -- approximateByContract} " +
+        s"missing=${approximateByContract -- rowsOnly}")
   }
 
   test("round-12 production arms: bounded-state BT and IVF pair gates oracle-backed") {
