@@ -773,14 +773,20 @@ object StreamingQueries {
   // Streaming twin of q225 — the dedup-family convention (q106 → q107/
   // q224) applied to the exact-substring grain (r13 verdict item 6):
   // today's crawl increment (doc_id % 10 == 0) arrives as a document
-  // STREAM; history exists ONLY as its 64-bit gram-hash COUNT store
-  // (8 bytes + count per distinct gram — the same wire format the r14
-  // hash-band pass ships, and the q106 convention: text never rescanned,
-  // collisions out of scope at the store's hash width). A position in an
-  // increment doc is covered iff its 40-gram occurs >= 2 times across
-  // history + the WHOLE increment — q225's full-corpus semantics
-  // restricted to increment docs, so q225's batch oracle applies with an
-  // output filter.
+  // STREAM; history exists ONLY as its gram-hash COUNT store (the q106
+  // convention: text never rescanned). Store key width (ADVICE r14): the
+  // batch arm's candidates-then-verify kills 64-bit collisions against
+  // raw grams, but here the history TEXT is gone by contract, so a raw
+  // verify against history is impossible — instead the store key is
+  // 128-bit (two independent xxhash64 lanes, 16 bytes + count per
+  // distinct gram). Residual false-coverage probability is the 128-bit
+  // birthday bound: at the 100-TB design point (~10^14 distinct grams)
+  // P[any collision] ~ (10^14)^2 / 2^129 ~ 1.5e-11 — vs ~certainty at
+  // 64 bits (~10^28 / 2^65 >> 1), which is why 64 was inconsistent with
+  // the family contract. A position in an increment doc is covered iff
+  // its 40-gram occurs >= 2 times across history + the WHOLE increment —
+  // q225's full-corpus semantics restricted to increment docs, so q225's
+  // batch oracle applies with an output filter.
   //
   // Bounded by the q224 discipline — the streaming plan is STATELESS
   // end-to-end: per micro-batch the stride-1 gram explode collapses
@@ -805,10 +811,16 @@ object StreamingQueries {
         explode(sequence(lit(1), length(col("_t")) - (minLen - 1))).as("_p"),
         col("_t"))
       .select(col("_id"), col("_p"),
-        xxhash64(col("_t").substr(col("_p"), lit(minLen))).as("_h"))
+        // 128-bit composite store key: two xxhash64 lanes over the same
+        // gram, the second salted by a constant column so the mappings
+        // are independent — a false coverage needs a simultaneous
+        // collision in both (see the docstring's birthday bound).
+        xxhash64(col("_t").substr(col("_p"), lit(minLen))).as("_h1"),
+        xxhash64(col("_t").substr(col("_p"), lit(minLen)),
+          lit(0x9E3779B97F4A7C15L)).as("_h2"))
     val histStore = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
       .transform(gramHashes)
-      .groupBy("_h").agg(count(lit(1)).as("_ch"))
+      .groupBy("_h1", "_h2").agg(count(lit(1)).as("_ch"))
     val incPos = docs.filter(col("doc_id") % 10 === 0).transform(gramHashes)
     val outPath = java.nio.file.Files.createTempDirectory("graft-ess-partials")
     val ckptPath = java.nio.file.Files.createTempDirectory("graft-ess-ckpt")
@@ -816,7 +828,7 @@ object StreamingQueries {
     val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val b = batch.persist()
       try {
-        b.groupBy("_h").agg(count(lit(1)).as("_n"))
+        b.groupBy("_h1", "_h2").agg(count(lit(1)).as("_n"))
           .write.mode("overwrite").parquet(s"$outDir/counts/batch=$batchId")
         b.write.mode("overwrite").parquet(s"$outDir/pos/batch=$batchId")
       } finally { b.unpersist(false); () }
@@ -842,12 +854,12 @@ object StreamingQueries {
             org.apache.spark.sql.types.StructField("span_len", LongType, nullable = true))))
       else {
         val incTotals = s.read.parquet(s"$outDir/counts").drop("batch")
-          .groupBy("_h").agg(sum(col("_n")).as("_ci"))
-        val repeated = incTotals.join(histStore, Seq("_h"), "left")
+          .groupBy("_h1", "_h2").agg(sum(col("_n")).as("_ci"))
+        val repeated = incTotals.join(histStore, Seq("_h1", "_h2"), "left")
           .filter(col("_ci") + coalesce(col("_ch"), lit(0L)) >= 2)
-          .select("_h")
+          .select("_h1", "_h2")
         val covered = s.read.parquet(s"$outDir/pos").drop("batch")
-          .join(repeated, Seq("_h"), "left_semi")
+          .join(repeated, Seq("_h1", "_h2"), "left_semi")
         graft.CacheScope.trackCheckpoint(graft.operators.Dedup
           .coverageIslands(covered, minLen).localCheckpoint())
       }
