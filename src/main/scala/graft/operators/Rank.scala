@@ -19,6 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  // --- BT training memo (r15: the r14 verdict's family-cost item) ----------
+  // Four suite gates train the SAME Bradley-Terry model on the same duel
+  // data (q184 batch, q188 complete-mode stream audit, q222 bounded stream,
+  // q191 agreement diagnostic) — each paying the full `rounds × O(|pairs|)`
+  // MM chain. The chain's input is EXACTLY (pairs, wins, comps, rounds), so
+  // a γ vector is reusable whenever those match — proven, not assumed, by a
+  // content fingerprint (order-independent exact-decimal sum of xxhash64
+  // over the dir and items frames, folded into the counts that already
+  // materialize their caches — a miss costs nothing). A gate whose
+  // streaming path produced a WRONG duel log gets a different fingerprint
+  // and trains fresh — the memo can never mask a correctness bug; a
+  // false hit needs a 64-bit multiset-hash collision (~2^-64, non-
+  // adversarial input). The memo stores the final γ LONGS (items-sized —
+  // model-sized by the same ≤2M bound the broadcast hint uses; wins/comps
+  // always come from the calling query's own frames), so a hit is
+  // bit-identical to retraining by construction. Plain JVM data: no Spark
+  // cache entries involved, safe across sessions/threads, untouched by
+  // CacheScope's release cycle. Kill switch: -Dgraft.rank.nomemo (specs
+  // pinning the training itself set it).
+  private val MemoMaxItems = 2000000L
+  private val MemoMaxEntries = 4
+  private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Long, String, Long, String), Array[Long]]()
+  private[graft] val trainMemoHits = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def clearTrainMemo(): Unit = trainMemo.clear()
+
   /** Bradley-Terry strength ratings from pairwise outcomes via fixed
     * synchronous rounds of Hunter's MM algorithm (Hunter 2004, "MM
     * algorithms for generalized Bradley-Terry models").
@@ -66,111 +92,160 @@ object Rank {
       comps.select(col(winnerCol).cast("long").as("_w"), col(loserCol).cast("long").as("_l"),
           w.as("_k"))
         .cache())
-    // canonical undirected pair counts, then both directions — the
-    // |pairs|-row loop frame, partitioned AND sorted on the per-round
-    // aggregation key so no round re-shuffles it
-    val pairs = c.select(least(col("_w"), col("_l")).as("_i"),
-        greatest(col("_w"), col("_l")).as("_j"), col("_k"))
-      .groupBy("_i", "_j").agg(sum(col("_k")).as("_n"))
-      .filter(col("_n") > 0)
-    // loop-frame sizing: a BT round does two broadcast joins plus
-    // decimal(38,0) term arithmetic per dir row — roughly 8× denser than
-    // PageRank's long division, so target ~250k duel rows per task
-    // (Graph.iterPartitions' 2M-row constant left a 1.8M-duel gate on
-    // ONE core: measured 6 s/round single-task vs sub-second at p = 8)
-    val p = {
-      val sessionP = c.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      math.max(1, math.min(sessionP, ((c.count() + 249999L) / 250000L).toInt))
-    }
-    val dir = graft.CacheScope.track(
-      pairs.select(col("_i").as("_item"), col("_j").as("_opp"), col("_n"))
-        .union(pairs.select(col("_j").as("_item"), col("_i").as("_opp"), col("_n")))
-        .repartition(p, col("_item")).sortWithinPartitions("_item").cache())
-    val items = graft.CacheScope.track(
-      dir.groupBy("_item").agg(sum(col("_n")).as("_comps"))
-        .join(c.groupBy("_w").agg(sum(col("_k")).as("_wins"))
-            .withColumnRenamed("_w", "_item"),
-          Seq("_item"), "left")
-        .select(col("_item"), coalesce(col("_wins"), lit(0L)).as("_wins"),
-          col("_comps"))
-        .repartition(p, col("_item")).sortWithinPartitions("_item").cache())
-    dir.count()
-    val nItems = items.count()
-    graft.CacheScope.releaseEarly(c)
-    // γ enters each round as a localCheckpoint leaf, whose size statistic
-    // is the planner default (huge) — without help the round's two joins
-    // plan as sort-merge and re-shuffle the |dir| intermediate TWICE per
-    // round (measured: the whole round pipeline 6 s vs sub-second
-    // broadcast). Hint broadcast while the item set is model-sized
-    // (≤ 2M rows ≈ 32 MB); past that, let AQE keep the shuffle plan —
-    // γ genuinely no longer fits an executor broadcast.
-    val hint: DataFrame => DataFrame =
-      if (nItems <= 2000000L) broadcast(_) else identity
-    // the per-dir-row term is the hot inner loop (|dir| rows × rounds):
-    // when n·10¹² fits a long (n ≤ 9·10⁶ duels on ONE canonical pair),
-    // integral `div` on longs — codegen'd, no BigDecimal — computes the
-    // IDENTICAL floor (both operands non-negative); only past that bound
-    // does the term need the decimal ride. One tiny agg over the cached
-    // dir frame decides the dispatch.
-    // greatest(·, 1): a duel between two zero-rated items (reachable only
-    // under extreme skew — a winning item's rating can floor to 0 when it
-    // carries ≳2·10⁶ duels) must not divide by zero; the huge resulting
-    // term keeps both ratings at the 0 fixed point, and every
-    // non-degenerate case is untouched (γ_i + γ_j ≥ 1 already)
+    // canonical undirected pair counts — cached: it seeds the loop frame
+    // (dir, both directions) on a memo miss and is all a memo hit ever
+    // scans again (comps re-derivation)
+    val pairs = graft.CacheScope.track(
+      c.select(least(col("_w"), col("_l")).as("_i"),
+          greatest(col("_w"), col("_l")).as("_j"), col("_k"))
+        .groupBy("_i", "_j").agg(sum(col("_k")).as("_n"))
+        .filter(col("_n") > 0)
+        .cache())
+    // ONE materializing agg over pairs: size, the order-independent
+    // multiset fingerprint (hashed in BOTH directions — identical to
+    // fingerprinting the dir frame without building it), and max n (the
+    // long-vs-decimal term dispatch). sum/max over an empty frame is
+    // NULL → "0"/0.
+    val pRow = pairs.agg(count(lit(1)),
+      sum(xxhash64(col("_i"), col("_j"), col("_n")).cast("decimal(38,0)") +
+        xxhash64(col("_j"), col("_i"), col("_n")).cast("decimal(38,0)")),
+      max(col("_n"))).head()
+    val nPairs = pRow.getLong(0)
+    val fpPairs = Option(pRow.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0")
+    val maxN = Option(pRow.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // per-item win totals (one map-side-combined pass over the cached raw
+    // log) + its fingerprint: (pairs, wins) CONTENT fully determines the
+    // training input — comps per item is an aggregation of pairs
+    val winsDf = c.groupBy("_w").agg(sum(col("_k")).as("_wins"))
+      .withColumnRenamed("_w", "_item")
+    val wRow = winsDf.agg(count(lit(1)),
+      sum(xxhash64(col("_item"), col("_wins")).cast("decimal(38,0)"))).head()
+    val nWins = wRow.getLong(0)
+    val fpWins = Option(wRow.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0")
+    val memoKey: Option[(Int, Long, String, Long, String)] =
+      if (sys.props.contains("graft.rank.nomemo")) None
+      else Some((rounds, nPairs, fpPairs, nWins, fpWins))
+    val dirPlan = pairs.select(col("_i").as("_item"), col("_j").as("_opp"), col("_n"))
+      .union(pairs.select(col("_j").as("_item"), col("_i").as("_opp"), col("_n")))
+    def itemsPlan: DataFrame = dirPlan
+      .groupBy("_item").agg(sum(col("_n")).as("_comps"))
+      .join(winsDf, Seq("_item"), "left")
+      .select(col("_item"), coalesce(col("_wins"), lit(0L)).as("_wins"),
+        col("_comps"))
+    def finish(itemsDf: DataFrame, g: DataFrame): DataFrame =
+      itemsDf.join(g, Seq("_item"))
+        .select(col("_item").cast(idType).as("item_id"),
+          col("_g").as("rating_micro"), col("_wins").as("wins"),
+          col("_comps").as("comparisons"))
     // floor division on decimal(38,0) operands (non-negative here) — the
     // engine-wide idiom; a long multiply would overflow past wins ~ 9e6
     def fdiv(a: Column, b: Column): Column = (a - pmod(a, b)).divide(b)
     val scale = dec(lit(1000000000000L)) // 10^12
-    // max over an EMPTY dir frame is NULL (an empty duel log — e.g. a
-    // drained streaming state before any data — must yield an empty
-    // ratings frame, not an NPE); 0L keeps the codegen'd long fast-path
-    val maxN = Option(dir.agg(max(col("_n"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val tTerm =
-      if (maxN <= 9000000L) expr("_n * 1000000000000 div greatest(_gi + _gj, 1)")
-      else fdiv(dec(col("_n")) * scale,
-        dec(greatest(col("_gi") + col("_gj"), lit(1L)))).cast("decimal(38,0)")
-    var g = items.select(col("_item"), lit(1000000L).as("_g")).localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val denom = dir
-        .join(hint(g.select(col("_item"), col("_g").as("_gi"))), Seq("_item"))
-        .join(hint(g.select(col("_item").as("_opp"), col("_g").as("_gj"))), Seq("_opp"))
-        .select(col("_item"), tTerm.as("_t"))
-        // decimal sums: a long sum would wrap silently past 2^63 at
-        // cluster comparison volumes (Spark doesn't overflow-check sum)
-        .groupBy("_item").agg(sum(dec(col("_t"))).as("_D"))
-      // materialize the UNNORMALIZED ratings once per round: gp feeds
-      // BOTH the normalization total and the final projection — without
-      // this checkpoint the |dir|-row denominator pipeline above would
-      // execute twice per round (measured, ~2× round cost)
-      val gp = items
-        .join(denom, Seq("_item"))
-        .select(col("_item"),
-          // D = 0 can only happen when every per-pair term truncated to
-          // zero (γ_i + γ_j > n·10^12 — needs ~5·10^5+ items sharing one
-          // rating pool); rate 0 deterministically rather than null-poison
-          when(col("_D") > 0,
-            fdiv(dec(col("_wins")) * scale, dec(col("_D"))).cast("long"))
-            .otherwise(0L).as("_gp"))
-        .localCheckpoint()
-      val tot = gp.agg(
-        sum(dec(col("_gp"))).as("_T"), count(lit(1)).as("_N"))
-      val next = gp.crossJoin(broadcast(tot))
-        .select(col("_item"),
-          when(col("_T") > 0,
-            fdiv(dec(col("_gp")) * dec(col("_N")) * dec(lit(1000000L)),
-              dec(col("_T"))).cast("long"))
-            .otherwise(0L).as("_g"))
-        .localCheckpoint()
-      graft.CacheScope.releaseLocalCheckpoint(gp)
-      graft.CacheScope.releaseLocalCheckpoint(g)
-      g = next
+    val memoHit = memoKey.flatMap(k => Option(trainMemo.get(k)))
+    memoHit match {
+      case Some(flat) =>
+        // Memo hit: the γ vector for this exact (pairs, wins, rounds)
+        // content — a driver-local LocalRelation (model-sized), which the
+        // planner broadcasts into the final join. The loop-only frames
+        // (dir repartition+sort, items repartition+sort, the raw-log
+        // count) are never built; wins/comps re-derive from the cached
+        // pairs + raw log (c stays tracked until the caller's release).
+        // Bit-identical to retraining: the stored longs ARE a previous
+        // training's output for provably-equal input.
+        trainMemoHits.incrementAndGet()
+        val sp = comps.sparkSession
+        import sp.implicits._
+        finish(itemsPlan, flat.grouped(2).map(a => (a(0), a(1))).toSeq.toDF("_item", "_g"))
+      case None =>
+        // loop-frame sizing: a BT round does two broadcast joins plus
+        // decimal(38,0) term arithmetic per dir row — roughly 8× denser than
+        // PageRank's long division, so target ~250k duel rows per task
+        // (Graph.iterPartitions' 2M-row constant left a 1.8M-duel gate on
+        // ONE core: measured 6 s/round single-task vs sub-second at p = 8)
+        val p = {
+          val sessionP = c.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+          math.max(1, math.min(sessionP, ((c.count() + 249999L) / 250000L).toInt))
+        }
+        // the |pairs|×2-row loop frame, partitioned AND sorted on the
+        // per-round aggregation key so no round re-shuffles it
+        val dir = graft.CacheScope.track(
+          dirPlan.repartition(p, col("_item")).sortWithinPartitions("_item").cache())
+        val items = graft.CacheScope.track(
+          itemsPlan.repartition(p, col("_item")).sortWithinPartitions("_item").cache())
+        dir.count()
+        val nItems = items.count()
+        graft.CacheScope.releaseEarly(c)
+        // γ enters each round as a localCheckpoint leaf, whose size statistic
+        // is the planner default (huge) — without help the round's two joins
+        // plan as sort-merge and re-shuffle the |dir| intermediate TWICE per
+        // round (measured: the whole round pipeline 6 s vs sub-second
+        // broadcast). Hint broadcast while the item set is model-sized
+        // (≤ 2M rows ≈ 32 MB); past that, let AQE keep the shuffle plan —
+        // γ genuinely no longer fits an executor broadcast.
+        val hint: DataFrame => DataFrame =
+          if (nItems <= 2000000L) broadcast(_) else identity
+        // the per-dir-row term is the hot inner loop (|dir| rows × rounds):
+        // when n·10¹² fits a long (n ≤ 9·10⁶ duels on ONE canonical pair),
+        // integral `div` on longs — codegen'd, no BigDecimal — computes the
+        // IDENTICAL floor (both operands non-negative); only past that bound
+        // does the term need the decimal ride (maxN rode the pairs
+        // fingerprint agg).
+        // greatest(·, 1): a duel between two zero-rated items (reachable only
+        // under extreme skew — a winning item's rating can floor to 0 when it
+        // carries ≳2·10⁶ duels) must not divide by zero; the huge resulting
+        // term keeps both ratings at the 0 fixed point, and every
+        // non-degenerate case is untouched (γ_i + γ_j ≥ 1 already)
+        val tTerm =
+          if (maxN <= 9000000L) expr("_n * 1000000000000 div greatest(_gi + _gj, 1)")
+          else fdiv(dec(col("_n")) * scale,
+            dec(greatest(col("_gi") + col("_gj"), lit(1L)))).cast("decimal(38,0)")
+        var g0 = items.select(col("_item"), lit(1000000L).as("_g")).localCheckpoint()
+        for (_ <- 1 to rounds) {
+          val denom = dir
+            .join(hint(g0.select(col("_item"), col("_g").as("_gi"))), Seq("_item"))
+            .join(hint(g0.select(col("_item").as("_opp"), col("_g").as("_gj"))), Seq("_opp"))
+            .select(col("_item"), tTerm.as("_t"))
+            // decimal sums: a long sum would wrap silently past 2^63 at
+            // cluster comparison volumes (Spark doesn't overflow-check sum)
+            .groupBy("_item").agg(sum(dec(col("_t"))).as("_D"))
+          // materialize the UNNORMALIZED ratings once per round: gp feeds
+          // BOTH the normalization total and the final projection — without
+          // this checkpoint the |dir|-row denominator pipeline above would
+          // execute twice per round (measured, ~2× round cost)
+          val gp = items
+            .join(denom, Seq("_item"))
+            .select(col("_item"),
+              // D = 0 can only happen when every per-pair term truncated to
+              // zero (γ_i + γ_j > n·10^12 — needs ~5·10^5+ items sharing one
+              // rating pool); rate 0 deterministically rather than null-poison
+              when(col("_D") > 0,
+                fdiv(dec(col("_wins")) * scale, dec(col("_D"))).cast("long"))
+                .otherwise(0L).as("_gp"))
+            .localCheckpoint()
+          val tot = gp.agg(
+            sum(dec(col("_gp"))).as("_T"), count(lit(1)).as("_N"))
+          val next = gp.crossJoin(broadcast(tot))
+            .select(col("_item"),
+              when(col("_T") > 0,
+                fdiv(dec(col("_gp")) * dec(col("_N")) * dec(lit(1000000L)),
+                  dec(col("_T"))).cast("long"))
+                .otherwise(0L).as("_g"))
+            .localCheckpoint()
+          graft.CacheScope.releaseLocalCheckpoint(gp)
+          graft.CacheScope.releaseLocalCheckpoint(g0)
+          g0 = next
+        }
+        graft.CacheScope.trackCheckpoint(g0)
+        if (memoKey.isDefined && nItems <= MemoMaxItems) {
+          // γ is a final-round localCheckpoint — items-sized, already
+          // materialized; this collect is a model fetch (the same class as
+          // the centroid/codebook collects), never corpus data.
+          val flat = g0.collect().flatMap(r => Array(r.getLong(0), r.getLong(1)))
+          if (trainMemo.size >= MemoMaxEntries) trainMemo.clear()
+          trainMemo.put(memoKey.get, flat)
+        }
+        finish(items, g0)
     }
-    graft.CacheScope.trackCheckpoint(g)
-    items.join(g, Seq("_item"))
-      .select(col("_item").cast(idType).as("item_id"),
-        col("_g").as("rating_micro"), col("_wins").as("wins"),
-        col("_comps").as("comparisons"))
   }
 
   /** Spearman rank correlation between two scores of the same keyed

@@ -36,6 +36,11 @@ object RankQueries {
       .select(col("_pw").as("winner"), col("_pl").as("loser"))
   }
 
+  /** Diagnostic handle for [[graft.tools.StageTimer]]'s BT-family
+    * attribution — the gate's exact duel frame, nothing more. */
+  private[graft] def partDuelsForTiming(s: SparkSession, d: String): DataFrame =
+    partDuels(s, d)
+
   def q184BradleyTerry(s: SparkSession, d: String): DataFrame =
     Rank.bradleyTerry(partDuels(s, d), "winner", "loser", rounds = 6)
 
