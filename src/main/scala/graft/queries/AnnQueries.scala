@@ -280,11 +280,16 @@ object AnnQueries {
     * rnk)` — the k=3 cosine kNN graph replay shared by the q108 gate and
     * the graph-analytics oracles ([[GraphQueries]]), so a scoring or
     * tie-break change lands in every consumer or in none. */
+  // r15: fixed-size DOUBLE[64] arrays (the TESTDATA.md embedding width)
+  // so the exhaustive N² replay rides DuckDB's SIMD array kernel — same
+  // double arithmetic, verified bit-identical to the list form at sf0.1;
+  // at sf1 (4·10⁸ directed pairs) the replay fits the sweep cap (~100 s)
+  // where the list form was a by-contract exclusion.
   private[queries] val knnEdges3Cte: String =
-    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    """e AS (SELECT vec_id, embedding::DOUBLE[64] AS v FROM embeddings),
        scored AS (
          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-           CAST(round(list_cosine_similarity(a.v, b.v) * 100000) AS BIGINT) AS sim_micro
+           CAST(round(array_cosine_similarity(a.v, b.v) * 100000) AS BIGINT) AS sim_micro
          FROM e a JOIN e b ON a.vec_id <> b.vec_id
        ),
        knn AS MATERIALIZED (

@@ -799,25 +799,32 @@ object StreamingQueries {
   // state store at all; streaming memory is bounded by trigger sizing,
   // not corpus size. At 100 TB the spill store is object storage and the
   // drain is one keyed sum + semi-join — the batch op's own shape.
+  /** q226's gram-hash wire shape `(_id, _p, _h1, _h2)` — the exact frame
+    * the store build, the increment partials and the drain join all ride.
+    * Exposed for [[graft.tools.ScaleProbe]]'s ×100 store-join rows (the
+    * RankQueries.partDuelsForTiming convention) so the probe cannot
+    * drift from the operator. */
+  private[graft] def essGramHashes(df: DataFrame, minLen: Int): DataFrame = df
+    .select(col("doc_id").as("_id"), col("text").as("_t"))
+    .filter(length(col("_t")) >= minLen)
+    .select(col("_id"),
+      explode(sequence(lit(1), length(col("_t")) - (minLen - 1))).as("_p"),
+      col("_t"))
+    .select(col("_id"), col("_p"),
+      // 128-bit composite store key: two xxhash64 lanes over the same
+      // gram, the second salted by a constant column so the mappings
+      // are independent — a false coverage needs a simultaneous
+      // collision in both (see q226's docstring birthday bound).
+      xxhash64(col("_t").substr(col("_p"), lit(minLen))).as("_h1"),
+      xxhash64(col("_t").substr(col("_p"), lit(minLen)),
+        lit(0x9E3779B97F4A7C15L)).as("_h2"))
+
   def q226StreamExactSubstring(s0: SparkSession, d: String): DataFrame = {
     val minLen = 40
     val s = streamSession(s0)
     val schema = Tables.documents(s, d).schema
     val docs = s.readStream.schema(schema).parquet(asStreamDir(s"$d/documents.parquet"))
-    def gramHashes(df: DataFrame): DataFrame = df
-      .select(col("doc_id").as("_id"), col("text").as("_t"))
-      .filter(length(col("_t")) >= minLen)
-      .select(col("_id"),
-        explode(sequence(lit(1), length(col("_t")) - (minLen - 1))).as("_p"),
-        col("_t"))
-      .select(col("_id"), col("_p"),
-        // 128-bit composite store key: two xxhash64 lanes over the same
-        // gram, the second salted by a constant column so the mappings
-        // are independent — a false coverage needs a simultaneous
-        // collision in both (see the docstring's birthday bound).
-        xxhash64(col("_t").substr(col("_p"), lit(minLen))).as("_h1"),
-        xxhash64(col("_t").substr(col("_p"), lit(minLen)),
-          lit(0x9E3779B97F4A7C15L)).as("_h2"))
+    def gramHashes(df: DataFrame): DataFrame = essGramHashes(df, minLen)
     val histStore = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
       .transform(gramHashes)
       .groupBy("_h1", "_h2").agg(count(lit(1)).as("_ch"))

@@ -1263,6 +1263,79 @@ object ScaleProbe {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     }
 
+    // --- exact-substring hash-band ×10/×100 (r15, VERDICT r14 item 4):
+    // sf1 was 10×; these rows take the r14 grain two decades up. The
+    // corpus-grain exchanges must carry gram COUNT × the narrow-hash
+    // record (the 8-byte contract + fixed shuffle framing) — the TEXT
+    // column never rides an exchange, so ×100 grams means ×100 exchange
+    // rows at UNCHANGED B/rec, and wall tracks the gram stream linearly.
+    // Run with SPARK_GRAFT_SF_DIR=sf0.01 so the ×100 arm lands at
+    // sf1-equivalent volume in probe time (ratios are the product).
+    def essBandX(k: Int): Unit = {
+      val tag = f"exact-substring banded ${k}x shuffle"
+      if (only.forall(tag.contains(_))) {
+        val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val t0 = System.nanoTime()
+          val (n, bytes, recs) = exchangeTraffic(
+            Dedup.exactSubstringSpans(docsX(k), "doc_id", "text", minLen = 40))
+          graft.CacheScope.release()
+          println(f"$tag%-42s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            f"($n rows, ${bytes / 1e6}%9.1f MB over $recs recs, " +
+            f"${if (recs > 0) bytes / recs else 0} B/rec)")
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      }
+    }
+    essBandX(10)
+    essBandX(100)
+
+    // --- q226 increment-vs-store drain join, store ×1/×10/×100 (r15):
+    // today's crawl increment is CONSTANT while history's gram-hash
+    // count store grows with the archive. The drain joins increment
+    // totals against the store (left), semi-joins covered positions and
+    // merges islands — its exchanges must track the STORE row count at
+    // the 24-byte (h1, h2, n) record, never history text (which no
+    // longer exists by contract). Copy 0 is the TRUE store (real history
+    // matches survive, so the span output is the q226 set and must be
+    // IDENTICAL across k — the built-in correctness invariant); added
+    // copies are hash-salted so distinct keys really grow ×k
+    // (replicated clones would dedup to nothing).
+    def essStoreJoinX(k: Int): Unit = {
+      val tag = f"ess store-join inc 1x store ${k}x"
+      if (only.forall(tag.contains(_))) {
+        val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val t0 = System.nanoTime()
+          val grams1x = graft.queries.StreamingQueries.essGramHashes(
+            graft.Tables.documents(spark, sfDir).select("doc_id", "text"), 40)
+          val store1x = grams1x.filter(col("_id") % 10 =!= 0)
+            .groupBy("_h1", "_h2").agg(count(lit(1)).as("_ch"))
+          val store = (0 until k).map { i =>
+            if (i == 0) store1x
+            else store1x.select(xxhash64(col("_h1"), lit(i)).as("_h1"),
+              xxhash64(col("_h2"), lit(i + 1)).as("_h2"), col("_ch"))
+          }.reduce(_ unionByName _)
+          val incPos = graft.CacheScope.track(
+            grams1x.filter(col("_id") % 10 === 0).cache())
+          val incTotals = incPos.groupBy("_h1", "_h2").agg(count(lit(1)).as("_ci"))
+          val repeated = incTotals.join(store, Seq("_h1", "_h2"), "left")
+            .filter(col("_ci") + coalesce(col("_ch"), lit(0L)) >= 2)
+            .select("_h1", "_h2")
+          val (n, bytes, recs) = exchangeTraffic(Dedup.coverageIslands(
+            incPos.join(repeated, Seq("_h1", "_h2"), "left_semi"), 40))
+          graft.CacheScope.release()
+          println(f"$tag%-42s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+            f"($n rows, ${bytes / 1e6}%9.1f MB over $recs recs, " +
+            f"${if (recs > 0) bytes / recs else 0} B/rec)")
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      }
+    }
+    essStoreJoinX(1)
+    essStoreJoinX(10)
+    essStoreJoinX(100)
+
     spark.stop()
   }
 }
