@@ -100,9 +100,12 @@ object Metrics {
       counts.select(col(valueCol).as("_v"), col(aCol).cast("long").as("_ca"),
           col(bCol).cast("long").as("_cb"))
         .cache())
-    val fa = Relational.distributedPrefixSum(g, Seq(col("_v")), "_ca")
+    // value-grain count over the just-cached frame: both ECDF sides take
+    // the single-window fast path while the grain is model-sized
+    val nG = g.count()
+    val fa = Relational.distributedPrefixSum(g, Seq(col("_v")), "_ca", knownRows = nG)
       .select(col("_v"), col("_cum_incl").as("_fa"))
-    val fb = Relational.distributedPrefixSum(g, Seq(col("_v")), "_cb")
+    val fb = Relational.distributedPrefixSum(g, Seq(col("_v")), "_cb", knownRows = nG)
       .select(col("_v"), col("_cum_incl").as("_fb"))
     val tot = g.agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
     // |F_A − F_B| cross-multiplied: |cumA·nB − cumB·nA| — decimal, the
@@ -434,9 +437,11 @@ object Metrics {
         .groupBy("_s").agg(count(lit(1)).as("_c"), sum(col("_y")).as("_p"))
         .cache())
     val desc = Seq(col("_s").desc)
-    val cn = Relational.distributedPrefixSum(grain, desc, "_c")
+    // score-grain count over the just-cached frame (fast-path dispatch)
+    val nGrain = grain.count()
+    val cn = Relational.distributedPrefixSum(grain, desc, "_c", knownRows = nGrain)
       .select(col("_s"), col("_cum_incl").as("_cn"))
-    val cp = Relational.distributedPrefixSum(grain, desc, "_p")
+    val cp = Relational.distributedPrefixSum(grain, desc, "_p", knownRows = nGrain)
       .select(col("_s"), col("_cum_incl").as("_cp"))
     val tot = grain.agg(coalesce(sum(col("_p")), lit(0L)).as("_npos"),
       coalesce(sum(col("_c") - col("_p")), lit(0L)).as("_nneg"))
@@ -482,7 +487,9 @@ object Metrics {
         .groupBy("_s").agg(count(lit(1)).as("_c"), sum(col("_y")).as("_p"))
         .cache())
     val desc = Seq(col("_s").desc)
-    val cn = Relational.distributedPrefixSum(grain, desc, "_c")
+    // score-grain count over the just-cached frame (fast-path dispatch)
+    val cn = Relational.distributedPrefixSum(grain, desc, "_c",
+        knownRows = grain.count())
       .select(col("_s"), col("_cum_incl").as("_cn"))
     val tot = grain.agg(coalesce(sum(col("_c")), lit(0L)).as("_tn"),
       coalesce(sum(col("_p")), lit(0L)).as("_tp"))
@@ -844,8 +851,10 @@ object Metrics {
             .cast("long"))
             .otherwise(col("_wk0")).as("_wk"))
         .cache())
+    // key-grain count over the just-cached frame (fast-path dispatch)
     val ranked = Relational.distributedPrefixSum(
-      grain.withColumn("_one", lit(1L)), Seq(col("_wk"), col("_k")), "_one")
+      grain.withColumn("_one", lit(1L)), Seq(col("_wk"), col("_k")), "_one",
+      knownRows = grain.count())
     val iw = ranked.agg(
       coalesce(sum(dec(col("_cum_incl")) * dec(col("_wk"))), dec(lit(0L)))
         .as("_iw"))

@@ -19,31 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
-  // --- BT training memo (r15: the r14 verdict's family-cost item) ----------
-  // Four suite gates train the SAME Bradley-Terry model on the same duel
-  // data (q184 batch, q188 complete-mode stream audit, q222 bounded stream,
-  // q191 agreement diagnostic) — each paying the full `rounds × O(|pairs|)`
-  // MM chain. The chain's input is EXACTLY (pairs, wins, comps, rounds), so
-  // a γ vector is reusable whenever those match — proven, not assumed, by a
-  // content fingerprint (order-independent exact-decimal sum of xxhash64
-  // over the dir and items frames, folded into the counts that already
-  // materialize their caches — a miss costs nothing). A gate whose
-  // streaming path produced a WRONG duel log gets a different fingerprint
-  // and trains fresh — the memo can never mask a correctness bug; a
-  // false hit needs a 64-bit multiset-hash collision (~2^-64, non-
-  // adversarial input). The memo stores the final γ LONGS (items-sized —
-  // model-sized by the same ≤2M bound the broadcast hint uses; wins/comps
-  // always come from the calling query's own frames), so a hit is
-  // bit-identical to retraining by construction. Plain JVM data: no Spark
-  // cache entries involved, safe across sessions/threads, untouched by
-  // CacheScope's release cycle. Kill switch: -Dgraft.rank.nomemo (specs
-  // pinning the training itself set it).
-  private val MemoMaxItems = 2000000L
-  private val MemoMaxEntries = 4
-  private val trainMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Long, String, Long, String), Array[Long]]()
-  private[graft] val trainMemoHits = new java.util.concurrent.atomic.AtomicLong(0L)
-  private[graft] def clearTrainMemo(): Unit = trainMemo.clear()
+  /** Test-only seam: force [[bradleyTerry]]'s decimal(38,0) ride
+    * regardless of the maxComps bound, so specs can pin long-vs-decimal
+    * dispatch equivalence without building a >9·10⁶-comparison frame. */
+  private[graft] def withForcedDecimalRide[A](body: => A): A = {
+    sys.props("graft.rank.forcedecimal") = "1"
+    try body finally sys.props.remove("graft.rank.forcedecimal")
+  }
 
   /** Bradley-Terry strength ratings from pairwise outcomes via fixed
     * synchronous rounds of Hunter's MM algorithm (Hunter 2004, "MM
@@ -71,8 +53,13 @@ object Rank {
     * and sorted by item once, then cached — never re-shuffles: the
     * per-round denominator aggregation reuses its partitioning. Total
     * work is `rounds × O(|pairs|)` with no driver-side data; the one
-    * scalar (the normalization total) rides a broadcast 1-row frame
-    * inside the plan.
+    * scalar pair per round (the normalization total and item count —
+    * 2 values from an items-grain aggregation of the round's already-
+    * materialized checkpoint) is driver-fetched like the q185/q189
+    * budget scalars and re-enters the next round's plan as literals, so
+    * the per-round normalization is a pure projection instead of a
+    * third materialized frame (r15: one fewer job and one fewer
+    * items-sized checkpoint per round, arithmetic unchanged).
     *
     * Output: `(item_id, rating_micro, wins, comparisons)` — wins/
     * comparisons are the exact integer tallies the rating explains.
@@ -92,39 +79,18 @@ object Rank {
       comps.select(col(winnerCol).cast("long").as("_w"), col(loserCol).cast("long").as("_l"),
           w.as("_k"))
         .cache())
-    // canonical undirected pair counts — cached: it seeds the loop frame
-    // (dir, both directions) on a memo miss and is all a memo hit ever
-    // scans again (comps re-derivation)
+    // canonical undirected pair counts — cached so the direction-expanded
+    // loop frame's TWO union legs scan one materialized agg instead of
+    // running the pair aggregation twice (r15)
     val pairs = graft.CacheScope.track(
       c.select(least(col("_w"), col("_l")).as("_i"),
           greatest(col("_w"), col("_l")).as("_j"), col("_k"))
         .groupBy("_i", "_j").agg(sum(col("_k")).as("_n"))
         .filter(col("_n") > 0)
         .cache())
-    // ONE materializing agg over pairs: size, the order-independent
-    // multiset fingerprint (hashed in BOTH directions — identical to
-    // fingerprinting the dir frame without building it), and max n (the
-    // long-vs-decimal term dispatch). sum/max over an empty frame is
-    // NULL → "0"/0.
-    val pRow = pairs.agg(count(lit(1)),
-      sum(xxhash64(col("_i"), col("_j"), col("_n")).cast("decimal(38,0)") +
-        xxhash64(col("_j"), col("_i"), col("_n")).cast("decimal(38,0)")),
-      max(col("_n"))).head()
-    val nPairs = pRow.getLong(0)
-    val fpPairs = Option(pRow.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0")
-    val maxN = Option(pRow.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    // per-item win totals (one map-side-combined pass over the cached raw
-    // log) + its fingerprint: (pairs, wins) CONTENT fully determines the
-    // training input — comps per item is an aggregation of pairs
+    // per-item win totals: one map-side-combined pass over the cached raw log
     val winsDf = c.groupBy("_w").agg(sum(col("_k")).as("_wins"))
       .withColumnRenamed("_w", "_item")
-    val wRow = winsDf.agg(count(lit(1)),
-      sum(xxhash64(col("_item"), col("_wins")).cast("decimal(38,0)"))).head()
-    val nWins = wRow.getLong(0)
-    val fpWins = Option(wRow.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0")
-    val memoKey: Option[(Int, Long, String, Long, String)] =
-      if (sys.props.contains("graft.rank.nomemo")) None
-      else Some((rounds, nPairs, fpPairs, nWins, fpWins))
     val dirPlan = pairs.select(col("_i").as("_item"), col("_j").as("_opp"), col("_n"))
       .union(pairs.select(col("_j").as("_item"), col("_i").as("_opp"), col("_n")))
     def itemsPlan: DataFrame = dirPlan
@@ -141,111 +107,116 @@ object Rank {
     // engine-wide idiom; a long multiply would overflow past wins ~ 9e6
     def fdiv(a: Column, b: Column): Column = (a - pmod(a, b)).divide(b)
     val scale = dec(lit(1000000000000L)) // 10^12
-    val memoHit = memoKey.flatMap(k => Option(trainMemo.get(k)))
-    memoHit match {
-      case Some(flat) =>
-        // Memo hit: the γ vector for this exact (pairs, wins, rounds)
-        // content — a driver-local LocalRelation (model-sized), which the
-        // planner broadcasts into the final join. The loop-only frames
-        // (dir repartition+sort, items repartition+sort, the raw-log
-        // count) are never built; wins/comps re-derive from the cached
-        // pairs + raw log (c stays tracked until the caller's release).
-        // Bit-identical to retraining: the stored longs ARE a previous
-        // training's output for provably-equal input.
-        trainMemoHits.incrementAndGet()
-        val sp = comps.sparkSession
-        import sp.implicits._
-        finish(itemsPlan, flat.grouped(2).map(a => (a(0), a(1))).toSeq.toDF("_item", "_g"))
-      case None =>
-        // loop-frame sizing: a BT round does two broadcast joins plus
-        // decimal(38,0) term arithmetic per dir row — roughly 8× denser than
-        // PageRank's long division, so target ~250k duel rows per task
-        // (Graph.iterPartitions' 2M-row constant left a 1.8M-duel gate on
-        // ONE core: measured 6 s/round single-task vs sub-second at p = 8)
-        val p = {
-          val sessionP = c.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-          math.max(1, math.min(sessionP, ((c.count() + 249999L) / 250000L).toInt))
-        }
-        // the |pairs|×2-row loop frame, partitioned AND sorted on the
-        // per-round aggregation key so no round re-shuffles it
-        val dir = graft.CacheScope.track(
-          dirPlan.repartition(p, col("_item")).sortWithinPartitions("_item").cache())
-        val items = graft.CacheScope.track(
-          itemsPlan.repartition(p, col("_item")).sortWithinPartitions("_item").cache())
-        dir.count()
-        val nItems = items.count()
-        graft.CacheScope.releaseEarly(c)
-        // γ enters each round as a localCheckpoint leaf, whose size statistic
-        // is the planner default (huge) — without help the round's two joins
-        // plan as sort-merge and re-shuffle the |dir| intermediate TWICE per
-        // round (measured: the whole round pipeline 6 s vs sub-second
-        // broadcast). Hint broadcast while the item set is model-sized
-        // (≤ 2M rows ≈ 32 MB); past that, let AQE keep the shuffle plan —
-        // γ genuinely no longer fits an executor broadcast.
-        val hint: DataFrame => DataFrame =
-          if (nItems <= 2000000L) broadcast(_) else identity
-        // the per-dir-row term is the hot inner loop (|dir| rows × rounds):
-        // when n·10¹² fits a long (n ≤ 9·10⁶ duels on ONE canonical pair),
-        // integral `div` on longs — codegen'd, no BigDecimal — computes the
-        // IDENTICAL floor (both operands non-negative); only past that bound
-        // does the term need the decimal ride (maxN rode the pairs
-        // fingerprint agg).
-        // greatest(·, 1): a duel between two zero-rated items (reachable only
-        // under extreme skew — a winning item's rating can floor to 0 when it
-        // carries ≳2·10⁶ duels) must not divide by zero; the huge resulting
-        // term keeps both ratings at the 0 fixed point, and every
-        // non-degenerate case is untouched (γ_i + γ_j ≥ 1 already)
-        val tTerm =
-          if (maxN <= 9000000L) expr("_n * 1000000000000 div greatest(_gi + _gj, 1)")
-          else fdiv(dec(col("_n")) * scale,
-            dec(greatest(col("_gi") + col("_gj"), lit(1L)))).cast("decimal(38,0)")
-        var g0 = items.select(col("_item"), lit(1000000L).as("_g")).localCheckpoint()
-        for (_ <- 1 to rounds) {
-          val denom = dir
-            .join(hint(g0.select(col("_item"), col("_g").as("_gi"))), Seq("_item"))
-            .join(hint(g0.select(col("_item").as("_opp"), col("_g").as("_gj"))), Seq("_opp"))
-            .select(col("_item"), tTerm.as("_t"))
-            // decimal sums: a long sum would wrap silently past 2^63 at
-            // cluster comparison volumes (Spark doesn't overflow-check sum)
-            .groupBy("_item").agg(sum(dec(col("_t"))).as("_D"))
-          // materialize the UNNORMALIZED ratings once per round: gp feeds
-          // BOTH the normalization total and the final projection — without
-          // this checkpoint the |dir|-row denominator pipeline above would
-          // execute twice per round (measured, ~2× round cost)
-          val gp = items
-            .join(denom, Seq("_item"))
-            .select(col("_item"),
-              // D = 0 can only happen when every per-pair term truncated to
-              // zero (γ_i + γ_j > n·10^12 — needs ~5·10^5+ items sharing one
-              // rating pool); rate 0 deterministically rather than null-poison
-              when(col("_D") > 0,
-                fdiv(dec(col("_wins")) * scale, dec(col("_D"))).cast("long"))
-                .otherwise(0L).as("_gp"))
-            .localCheckpoint()
-          val tot = gp.agg(
-            sum(dec(col("_gp"))).as("_T"), count(lit(1)).as("_N"))
-          val next = gp.crossJoin(broadcast(tot))
-            .select(col("_item"),
-              when(col("_T") > 0,
-                fdiv(dec(col("_gp")) * dec(col("_N")) * dec(lit(1000000L)),
-                  dec(col("_T"))).cast("long"))
-                .otherwise(0L).as("_g"))
-            .localCheckpoint()
-          graft.CacheScope.releaseLocalCheckpoint(gp)
-          graft.CacheScope.releaseLocalCheckpoint(g0)
-          g0 = next
-        }
-        graft.CacheScope.trackCheckpoint(g0)
-        if (memoKey.isDefined && nItems <= MemoMaxItems) {
-          // γ is a final-round localCheckpoint — items-sized, already
-          // materialized; this collect is a model fetch (the same class as
-          // the centroid/codebook collects), never corpus data.
-          val flat = g0.collect().flatMap(r => Array(r.getLong(0), r.getLong(1)))
-          if (trainMemo.size >= MemoMaxEntries) trainMemo.clear()
-          trainMemo.put(memoKey.get, flat)
-        }
-        finish(items, g0)
+    // loop-frame sizing: a BT round does two broadcast joins plus
+    // per-dir-row term arithmetic — roughly 8× denser than PageRank's
+    // long division, so target ~250k duel rows per task
+    // (Graph.iterPartitions' 2M-row constant left a 1.8M-duel gate on
+    // ONE core: measured 6 s/round single-task vs sub-second at p = 8)
+    val p = {
+      val sessionP = c.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      math.max(1, math.min(sessionP, ((c.count() + 249999L) / 250000L).toInt))
     }
+    // the |pairs|×2-row loop frame, partitioned AND sorted on the
+    // per-round aggregation key so no round re-shuffles it
+    val dir = graft.CacheScope.track(
+      dirPlan.repartition(p, col("_item")).sortWithinPartitions("_item").cache())
+    val items = graft.CacheScope.track(
+      itemsPlan.repartition(p, col("_item")).sortWithinPartitions("_item").cache())
+    dir.count()
+    // ONE materializing agg over the items cache: the broadcast-hint size
+    // and the long-vs-decimal dispatch bound. max over an EMPTY items
+    // frame is NULL (an empty duel log — e.g. a drained streaming state
+    // before any data — must yield an empty ratings frame, not an NPE).
+    val iRow = items.agg(count(lit(1)), max(col("_comps"))).head()
+    val nItems = iRow.getLong(0)
+    val maxComps = Option(iRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    graft.CacheScope.releaseEarly(c)
+    // γ enters each round as a projection over a localCheckpoint leaf,
+    // whose size statistic is the planner default (huge) — without help
+    // the round's two joins plan as sort-merge and re-shuffle the |dir|
+    // intermediate TWICE per round (measured: the whole round pipeline
+    // 6 s vs sub-second broadcast). Hint broadcast while the item set is
+    // model-sized (≤ 2M rows ≈ 32 MB); past that, let AQE keep the
+    // shuffle plan — γ genuinely no longer fits an executor broadcast.
+    val hint: DataFrame => DataFrame =
+      if (nItems <= 2000000L) broadcast(_) else identity
+    // The hot inner loop is |dir| rows × rounds: term + keyed sum. When
+    // every per-item comparison total fits the long budget
+    // (maxComps ≤ 9·10⁶ ⟹ n_ij·10¹² ≤ 9·10¹⁸ for the term,
+    // Σ_j t_ij ≤ comps_i·10¹² ≤ 9·10¹⁸ for the denominator sum, and
+    // wins_i·10¹² ≤ 9·10¹⁸ for the γ' division — all < 2⁶³), the WHOLE
+    // round runs codegen'd long arithmetic: integral `div` computes the
+    // IDENTICAL floor as the decimal fdiv (operands non-negative), and
+    // the long sum provably cannot wrap under the bound (ANSI mode would
+    // throw, not wrap, as the backstop). Past the bound every leg rides
+    // decimal(38,0) exactly as before. r14 dispatched only the term (on
+    // max n_ij) and paid a decimal SUM per round — measured the round
+    // bottleneck; maxComps bounds max n_ij, so the stricter single
+    // dispatch never sends a previously-long term to decimal arithmetic
+    // at any certified SF (sf0.1 maxComps ≈ 10³).
+    // greatest(·, 1): a duel between two zero-rated items (reachable only
+    // under extreme skew — a winning item's rating can floor to 0 when it
+    // carries ≳2·10⁶ duels) must not divide by zero; the huge resulting
+    // term keeps both ratings at the 0 fixed point, and every
+    // non-degenerate case is untouched (γ_i + γ_j ≥ 1 already)
+    val fastLong = maxComps <= 9000000L &&
+      !sys.props.contains("graft.rank.forcedecimal")
+    val tTerm =
+      if (fastLong) expr("_n * 1000000000000 div greatest(_gi + _gj, 1)")
+      else fdiv(dec(col("_n")) * scale,
+        dec(greatest(col("_gi") + col("_gj"), lit(1L)))).cast("decimal(38,0)")
+    val dSum = if (fastLong) sum(col("_t")) else sum(dec(col("_t")))
+    // D = 0 can only happen when every per-pair term truncated to zero
+    // (γ_i + γ_j > n·10^12 — needs ~5·10^5+ items sharing one rating
+    // pool); rate 0 deterministically rather than null-poison
+    val gpExpr =
+      if (fastLong) when(col("_D") > 0, expr("_wins * 1000000000000 div _D"))
+        .otherwise(0L)
+      else when(col("_D") > 0,
+        fdiv(dec(col("_wins")) * scale, dec(col("_D"))).cast("long"))
+        .otherwise(0L)
+    // round state: `gp` is the round's UNNORMALIZED ratings checkpoint
+    // (items-sized, feeds the next round twice and the normalization
+    // total once); `gPlan` is γ as a pure projection over it — the
+    // normalization scalars (T, N) are driver literals, so no third
+    // per-round frame is ever materialized. Round 1 enters on the flat
+    // 1,000,000 init over the items cache.
+    var gPlan: DataFrame = items.select(col("_item"), lit(1000000L).as("_g"))
+    var gp: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val denom = dir
+        .join(hint(gPlan.select(col("_item"), col("_g").as("_gi"))), Seq("_item"))
+        .join(hint(gPlan.select(col("_item").as("_opp"), col("_g").as("_gj"))), Seq("_opp"))
+        .select(col("_item"), tTerm.as("_t"))
+        .groupBy("_item").agg(dSum.as("_D"))
+      // materialize the UNNORMALIZED ratings once per round: gp feeds
+      // the normalization total and both next-round broadcast sides —
+      // without this checkpoint the |dir|-row denominator pipeline above
+      // would execute three times per round (measured, ~2× round cost
+      // already at two)
+      val gpNext = items
+        .join(denom, Seq("_item"))
+        .select(col("_item"), gpExpr.as("_gp"))
+        .localCheckpoint()
+      // the normalization scalars: an items-grain 2-value fetch off the
+      // just-materialized checkpoint (model-sized by definition — the
+      // same class as the q185/q189 budget scalars), never corpus data.
+      // sum over an EMPTY frame is NULL → T = 0 → the all-zero branch,
+      // exactly the crossJoin form's `when(_T > 0)` fallback.
+      val tRow = gpNext.agg(sum(dec(col("_gp"))), count(lit(1))).head()
+      val totT = Option(tRow.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+      val totN = tRow.getLong(1)
+      if (gp != null) graft.CacheScope.releaseLocalCheckpoint(gp)
+      gp = gpNext
+      gPlan =
+        if (totT.signum > 0)
+          gp.select(col("_item"),
+            fdiv(dec(col("_gp")) * dec(lit(totN)) * dec(lit(1000000L)),
+              dec(lit(totT))).cast("long").as("_g"))
+        else gp.select(col("_item"), lit(0L).as("_g"))
+    }
+    graft.CacheScope.trackCheckpoint(gp)
+    finish(items, gPlan)
   }
 
   /** Spearman rank correlation between two scores of the same keyed
@@ -272,9 +243,16 @@ object Rank {
     val base = graft.CacheScope.track(
       df.select(col(keyCol).as("_k"), col(aCol).as("_a"), col(bCol).as("_b"))
         .withColumn("_one", lit(1L)).cache())
-    val ra = Relational.distributedPrefixSum(base, Seq(col("_a"), col("_k")), "_one")
+    // the count is a pass over the just-cached frame (paid once, both
+    // rank sides reuse it): at or under the model-sized bound each rank
+    // side is ONE single-task window instead of the 4-job two-phase
+    // machinery — see distributedPrefixSum's knownRows contract
+    val nBase = base.count()
+    val ra = Relational.distributedPrefixSum(base, Seq(col("_a"), col("_k")), "_one",
+        knownRows = nBase)
       .select(col("_k"), col("_cum_incl").as("_ra"))
-    val rb = Relational.distributedPrefixSum(base, Seq(col("_b"), col("_k")), "_one")
+    val rb = Relational.distributedPrefixSum(base, Seq(col("_b"), col("_k")), "_one",
+        knownRows = nBase)
       .select(col("_k"), col("_cum_incl").as("_rb"))
     val agg = ra.join(rb, Seq("_k"))
       .agg(count(lit(1)).as("n"),

@@ -1010,10 +1010,30 @@ object Relational {
     * MEMORY_AND_DISK across its two consumers (`repartitionByRange`
     * SAMPLES its boundaries per execution — an unpinned recompute could
     * place boundary rows differently than the collected offsets) and
-    * self-releases. */
+    * self-releases.
+    *
+    * `knownRows` (r15): callers whose input is an already-cached,
+    * grain-collapsed frame (score grain, item grain — the metric/rank
+    * family) pass its row count; at or under [[SmallWindowRows]] (the
+    * engine's model-sized bound, the same 2M the
+    * [[graft.operators.Rank.bradleyTerry]] broadcast hint uses) the
+    * prefix sum runs as ONE single-task global window instead of the
+    * 4-job two-phase machinery (range-sample, persist, offset collect,
+    * checkpoint join). Identical results: same strict order, same
+    * default RANGE frame (tie blocks accumulate together in BOTH paths
+    * — the two-phase per-partition window uses the same frame and the
+    * range partitioner never splits equal keys). −1 (default) or a
+    * count past the bound takes the distributed path — corpus-grain
+    * consumers (sequentialPack, concurrencySweep) never pass a count. */
+  val SmallWindowRows = 2000000L
   private[graft] def distributedPrefixSum(df: DataFrame, order: Seq[Column],
-      valueCol: String): DataFrame = {
+      valueCol: String, knownRows: Long = -1L): DataFrame = {
     val spark = df.sparkSession
+    if (knownRows >= 0 && knownRows <= SmallWindowRows)
+      return graft.CacheScope.trackCheckpoint(
+        df.withColumn("_cum_incl",
+          sum(col(valueCol)).over(Window.orderBy(order: _*)))
+          .localCheckpoint())
     // retain/releaseOne, not bare persist/unpersist: concurrent sessions
     // share this cache entry by canonical plan, and a recompute after a
     // premature unpersist would RE-SAMPLE the range partitioner mid-query

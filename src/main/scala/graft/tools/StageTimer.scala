@@ -79,28 +79,21 @@ object StageTimer {
 
     // ---- Bradley-Terry family, cumulative stages (VERDICT r14 item 2) ----
     // Where do q184/q188/q222/q191's seconds go: the duel self-join, the
-    // pair collapse, the 6 MM rounds (cold vs memo-hit), the streaming
-    // complete-mode drain, or the per-gate streaming session fixed cost?
+    // pair collapse, the 6 MM rounds, the streaming complete-mode drain,
+    // or the per-gate streaming session fixed cost?
     def duels = graft.queries.RankQueries.partDuelsForTiming(spark, sfDir)
     time("bt s1 partDuels self-join")(duels)
     time("bt s2 +canonical pair collapse")(
       duels.select(least(col("winner"), col("loser")).as("_i"),
           greatest(col("winner"), col("loser")).as("_j"))
         .groupBy("_i", "_j").agg(count(lit(1)).as("_n")))
-    sys.props("graft.rank.nomemo") = "1"
-    time("bt s3 full train COLD (memo off)")(
+    time("bt s3 full train (6 MM rounds)")(
       graft.operators.Rank.bradleyTerry(duels, "winner", "loser", rounds = 6))
-    sys.props.remove("graft.rank.nomemo")
-    graft.operators.Rank.clearTrainMemo()
-    graft.operators.Rank.bradleyTerry(duels, "winner", "loser", rounds = 6).count()
-    graft.CacheScope.release() // seed the memo
-    time("bt s4 full train WARM (memo hit)")(
-      graft.operators.Rank.bradleyTerry(duels, "winner", "loser", rounds = 6))
-    time("q191 full gate (memo warm)")(
+    time("q191 full gate (+Spearman)")(
       graft.queries.RankQueries.q191LeaderboardAgreement(spark, sfDir))
-    time("q188 full gate (stream drain + memo warm)")(
+    time("q188 full gate (stream drain)")(
       graft.queries.StreamingQueries.all("q188_stream_bradley_terry")(spark, sfDir))
-    time("q222 full gate (spill partials + memo warm)")(
+    time("q222 full gate (spill partials)")(
       graft.queries.StreamingQueries.all("q222_stream_bt_bounded")(spark, sfDir))
 
     println(f"anchor-cpu post ${math.min(calibSec(spark), calibSec(spark))}%.3f s")

@@ -6,14 +6,6 @@ import org.apache.spark.sql.functions._
 class RankSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Run `body` with the BT training memo disabled — for specs that pin
-    * properties of the TRAINING itself (a memo hit would make them
-    * vacuously true). */
-  private def withoutMemo[A](body: => A): A = {
-    sys.props("graft.rank.nomemo") = "1"
-    try body finally sys.props.remove("graft.rank.nomemo")
-  }
-
   test("bradleyTerry: two-item hand case hits the exact MM fixed point") {
     // A(1) beats B(2) 3 times, B beats A once -> MLE odds 3:1; with the
     // mean-1e6 gauge that is exactly (1_500_000, 500_000), and the
@@ -55,68 +47,52 @@ class RankSpec extends SparkSpec {
   }
 
   test("bradleyTerry: deterministic across runs and input row order") {
-    withoutMemo {
-      val comps = graft.Tables.lineitem(spark, sf)
-        .limit(500)
-        .select(col("l_partkey").cast("long").as("w"),
-          ((col("l_partkey") + col("l_suppkey")) % 200).cast("long").as("l"))
-        .filter(col("w") =!= col("l"))
-      val a = Rank.bradleyTerry(comps, "w", "l", rounds = 4)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-      graft.CacheScope.release()
-      val b = Rank.bradleyTerry(comps.orderBy(rand(42)), "w", "l", rounds = 4)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-      graft.CacheScope.release()
-      assert(a.sameElements(b), "row order must not change ratings")
-    }
+    val comps = graft.Tables.lineitem(spark, sf)
+      .limit(500)
+      .select(col("l_partkey").cast("long").as("w"),
+        ((col("l_partkey") + col("l_suppkey")) % 200).cast("long").as("l"))
+      .filter(col("w") =!= col("l"))
+    val a = Rank.bradleyTerry(comps, "w", "l", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    graft.CacheScope.release()
+    val b = Rank.bradleyTerry(comps.orderBy(rand(42)), "w", "l", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    graft.CacheScope.release()
+    assert(a.sameElements(b), "row order must not change ratings")
   }
 
   test("bradleyTerry: weighted pre-aggregated log equals the exploded duel log") {
-    withoutMemo {
-      val comps = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L),
-        (1L, 3L), (3L, 1L)).toDF("w", "l")
-      val exploded = Rank.bradleyTerry(comps, "w", "l", rounds = 5)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
-      graft.CacheScope.release()
-      val agg = comps.groupBy("w", "l").agg(count(lit(1)).as("n"))
-      val weighted = Rank.bradleyTerry(agg, "w", "l", rounds = 5, weightCol = "n")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
-      graft.CacheScope.release()
-      assert(exploded.sameElements(weighted),
-        s"weighted form diverged: ${exploded.toSeq} vs ${weighted.toSeq}")
-    }
+    val comps = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L),
+      (1L, 3L), (3L, 1L)).toDF("w", "l")
+    val exploded = Rank.bradleyTerry(comps, "w", "l", rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    graft.CacheScope.release()
+    val agg = comps.groupBy("w", "l").agg(count(lit(1)).as("n"))
+    val weighted = Rank.bradleyTerry(agg, "w", "l", rounds = 5, weightCol = "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    graft.CacheScope.release()
+    assert(exploded.sameElements(weighted),
+      s"weighted form diverged: ${exploded.toSeq} vs ${weighted.toSeq}")
   }
 
-  test("bradleyTerry training memo: content-addressed hit is bit-identical; fingerprint discriminates") {
-    Rank.clearTrainMemo()
-    val comps = graft.Tables.lineitem(spark, sf)
-      .limit(400)
-      .select(col("l_partkey").cast("long").as("w"),
-        ((col("l_partkey") * 3 + col("l_suppkey")) % 150).cast("long").as("l"))
-      .filter(col("w") =!= col("l"))
-    val hits0 = Rank.trainMemoHits.get()
-    val cold = Rank.bradleyTerry(comps, "w", "l", rounds = 4)
+  test("bradleyTerry: long fast path equals the decimal ride (dispatch equivalence)") {
+    // r15 round dispatch: when maxComps <= 9e6 the whole round (term,
+    // denominator sum, gamma' division) runs codegen'd long arithmetic.
+    // Same frame through both branches must produce identical ratings —
+    // the decimal ride is driven by the test-only seam rather than a
+    // >9e6-comparison input.
+    val comps = Seq((1L, 2L, 3L), (2L, 1L, 1L), (2L, 3L, 4L), (1L, 3L, 2L),
+      (3L, 4L, 5L), (4L, 2L, 2L)).toDF("w", "l", "n")
+    val fast = Rank.bradleyTerry(comps, "w", "l", rounds = 5, weightCol = "n")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
     graft.CacheScope.release()
-    assert(Rank.trainMemoHits.get() == hits0, "first training must be a miss")
-    // same content via a DIFFERENT construction (pre-aggregated weighted
-    // log, shuffled row order): the fingerprint must prove equality and
-    // serve the identical gamma vector
-    val warm = Rank.bradleyTerry(
-        comps.groupBy("w", "l").agg(count(lit(1)).as("n")).orderBy(rand(7)),
-        "w", "l", rounds = 4, weightCol = "n")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val slow = Rank.withForcedDecimalRide {
+      Rank.bradleyTerry(comps, "w", "l", rounds = 5, weightCol = "n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    }
     graft.CacheScope.release()
-    assert(Rank.trainMemoHits.get() == hits0 + 1, "equal content must memo-hit")
-    assert(cold.sameElements(warm), "memo hit must be bit-identical to retraining")
-    // different rounds and different content must both miss
-    Rank.bradleyTerry(comps, "w", "l", rounds = 3).collect()
-    graft.CacheScope.release()
-    Rank.bradleyTerry(comps.filter(col("w") % 7 =!= 0), "w", "l", rounds = 4).collect()
-    graft.CacheScope.release()
-    assert(Rank.trainMemoHits.get() == hits0 + 1,
-      "different rounds/content must train fresh")
-    Rank.clearTrainMemo()
+    assert(fast.sameElements(slow),
+      s"dispatch branches diverged: ${fast.toSeq} vs ${slow.toSeq}")
   }
 
   test("bradleyTerry round plan: broadcast gamma joins leave the pair frame unshuffled") {
