@@ -89,16 +89,26 @@ object Graph {
     // materialize the two loop-lived frames from the cached edges, then
     // free the raw edge cache — it would otherwise sit as |E| dead rows
     // through every round
-    withDeg.count(); nodes.count()
+    withDeg.count(); val nNodes = nodes.count()
     graft.CacheScope.releaseEarly(e)
+    // r15 (the bradleyTerry hint): the V-row state frames are
+    // model-sized — broadcast them into the round's joins while they fit
+    // (≤ 2M rows ≈ 32 MB), so a round neither re-shuffles nor re-sorts
+    // the rank side and the nodes-side join needs no exchange at all;
+    // past the bound, identity leaves AQE the shuffle plan (γ genuinely
+    // no longer fits an executor broadcast). The cached |E| side is
+    // untouched either way (GraphSpec's round-plan pin covers the SMJ
+    // fallback shape).
+    val hint: DataFrame => DataFrame =
+      if (nNodes <= 2000000L) broadcast(_) else identity
     var r = nodes.withColumn("_r", lit(1000000L)).localCheckpoint()
     for (_ <- 1 to iterations) {
       val sums = withDeg
-        .join(r.withColumnRenamed("_id", "_s"), "_s")
+        .join(hint(r.withColumnRenamed("_id", "_s")), "_s")
         .select(col("_d"), expr("_r div _deg").as("_c"))
         .groupBy("_d").agg(sum(col("_c")).as("_S"))
       val next = nodes
-        .join(sums.withColumnRenamed("_d", "_id"), Seq("_id"), "left")
+        .join(hint(sums.withColumnRenamed("_d", "_id")), Seq("_id"), "left")
         .select(col("_id"),
           (lit(base) + expr(s"($dampingPct * coalesce(_S, 0L)) div 100")).as("_r"))
         .localCheckpoint()
@@ -155,20 +165,25 @@ object Graph {
         .repartition(p, col("_id")).sortWithinPartitions("_id").cache())
     // the pageRank discipline: materialize the loop-lived frames, free
     // the raw pre-repartition edge cache before the rounds begin
-    e.count(); nodes.count()
+    e.count(); val nNodes = nodes.count()
     graft.CacheScope.releaseEarly(e0)
+    // model-sized broadcast hint for the V-row state frames (see
+    // pageRank) — the label side and the per-round vote table both
+    // broadcast while ≤ 2M rows; the cached |E| side never moves
+    val hint: DataFrame => DataFrame =
+      if (nNodes <= 2000000L) broadcast(_) else identity
     var labels = nodes.withColumn("_lbl", col("_seed")).localCheckpoint()
     for (_ <- 1 to rounds) {
       val votes = e
-        .join(labels.select(col("_id").as("_d"), col("_lbl").as("_nl")), "_d")
+        .join(hint(labels.select(col("_id").as("_d"), col("_lbl").as("_nl"))), "_d")
         .filter(col("_nl").isNotNull)
         .groupBy(col("_s"), col("_nl")).agg(count(lit(1)).as("_c"))
         .groupBy(col("_s"))
         .agg(max_by(col("_nl"), struct(col("_c"), (-col("_nl")).as("_neg"))).as("_vote"))
       // seed wins, else this round's plurality vote, else carry previous
       val next = nodes.select(col("_id"), col("_seed"))
-        .join(votes.select(col("_s").as("_id"), col("_vote")), Seq("_id"), "left")
-        .join(labels.select(col("_id"), col("_lbl").as("_prev")), Seq("_id"), "left")
+        .join(hint(votes.select(col("_s").as("_id"), col("_vote"))), Seq("_id"), "left")
+        .join(hint(labels.select(col("_id"), col("_lbl").as("_prev"))), Seq("_id"), "left")
         .select(col("_id"), col("_seed"),
           coalesce(col("_seed"), col("_vote"), col("_prev")).as("_lbl"))
         .localCheckpoint()

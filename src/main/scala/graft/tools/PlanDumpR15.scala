@@ -27,7 +27,11 @@ object PlanDumpR15 {
       "q184_bradley_terry", "q187_preference_leaderboard",
       "q188_stream_bradley_terry", "q191_leaderboard_agreement",
       "q222_stream_bt_bounded", "q194_ks_drift", "q202_concentration",
-      "q208_average_precision", "q216_gains_table")
+      "q208_average_precision", "q216_gains_table", "q192_roc_auc",
+      "q132_pagerank", "q133_label_prop", "q135_curation_v6",
+      "q45_dedup_clusters", "q46_curation_pipeline", "q55_embed_clusters",
+      "q90_incremental_dedup", "q120_dedup_keep_best",
+      "q139_dedup_aware_split")
     touched.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, d)

@@ -307,6 +307,33 @@ class RelationalSpec extends SparkSpec {
       windowPath.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("distributedPrefixSum: knownRows fast path equals the two-phase path, ties included") {
+    import org.apache.spark.sql.functions.col
+    // r15 dispatch pin: at/under SmallWindowRows the prefix sum runs as
+    // one single-task global window; both paths must agree row-for-row —
+    // INCLUDING tie groups (both use the default RANGE frame, so every
+    // member of a tie block carries the block-inclusive sum).
+    val rows = Seq((1L, 10L, 3L), (2L, 10L, 4L), (3L, 5L, 1L),
+      (4L, 20L, 2L), (5L, 10L, 5L), (6L, 5L, 7L)).toDF("_k", "_v", "_c")
+    def run(known: Long) = Relational.distributedPrefixSum(
+        rows, Seq(col("_v"), col("_k")), "_c", knownRows = known)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    val fast = run(known = 6L)      // ≤ SmallWindowRows → single window
+    graft.CacheScope.release()
+    val dist = run(known = -1L)     // default → two-phase machinery
+    graft.CacheScope.release()
+    assert(fast == dist, s"paths diverged: $fast vs $dist")
+    // and a RANGE-frame tie check on the value alone (a genuinely tied
+    // order): every member of the 10-tie block carries the same
+    // inclusive sum in both paths
+    def runTies(known: Long) = Relational.distributedPrefixSum(
+        rows, Seq(col("_v")), "_c", knownRows = known)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    val fastT = runTies(6L); graft.CacheScope.release()
+    val distT = runTies(-1L); graft.CacheScope.release()
+    assert(fastT == distT, s"tie handling diverged: $fastT vs $distT")
+  }
+
   test("tokenBudgetSample: hash-order prefix per stratum, crossing row kept, unbudgeted dropped") {
     import org.apache.spark.sql.functions.col
     // a: 10 rows × 10 tokens, budget 35 → cum_before 0/10/20/30 keep = 4 rows
