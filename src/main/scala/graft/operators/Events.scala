@@ -511,9 +511,16 @@ object Events {
     * incremental aggregation (deltas merge; the global cumsum doesn't,
     * so it shapes the drained state). Rides the shared
     * [[Relational.distributedPrefixSum]]. */
-  private[graft] def concurrencyFromDeltas(deltas: DataFrame): DataFrame =
-    Relational.distributedPrefixSum(deltas, Seq(col("_t")), "_d")
+  private[graft] def concurrencyFromDeltas(deltas: DataFrame): DataFrame = {
+    // cached (r15): the instant-grain delta table is the prefix sum's
+    // whole input — caching it makes the count cheap and lets a
+    // model-sized grain take distributedPrefixSum's single-window fast
+    // path; past the bound the two-phase path reads the cache instead
+    // of recomputing the delta aggregation into its range persist
+    val g = graft.CacheScope.track(deltas.cache())
+    Relational.distributedPrefixSum(g, Seq(col("_t")), "_d", knownRows = g.count())
       .select(col("_t").as("ts"), col("_cum_incl").cast("long").as("n_active"))
+  }
 
   /** Regular-grid gap fill over a keyed time series: resample each key's
     * series onto a fixed `step` grid from its first to its last

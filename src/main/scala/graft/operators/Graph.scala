@@ -52,17 +52,17 @@ object Graph {
     * identical in any engine replaying the same rule.
     *
     * Scale shape: the |E|-row frames are hash-partitioned and SORTED on
-    * the per-round join key ONCE, then cached — each round's sort-merge
-    * join re-shuffles and re-sorts only the V-row rank side against
-    * them (a round-robin AQE checkpoint reports UnknownPartitioning, so
-    * the V-row side cannot statically reuse its partitioning — but V ≪
-    * E, and |E| rows never move or sort again after round 0). The other
-    * per-round Exchange is the destination-key aggregation — the
-    * transpose, information-theoretically necessary. Rank state is one
-    * row per node; no step materializes anything bigger than the edge
-    * list (the Pregel shape, expressed declaratively so AQE handles
-    * skewed hub nodes). Total work is `iterations × O(|E|)` — fixed
-    * rounds, no convergence test, no driver-side data.
+    * the per-round join key ONCE, then cached; the V-row state frames
+    * (rank γ, the per-round sums) broadcast into the round joins while
+    * model-sized (r15 — the bradleyTerry hint; past 2M rows AQE keeps
+    * the shuffle plan), so |E| rows never move or sort again after
+    * round 0 and the only per-round Exchange is the destination-key
+    * aggregation — the transpose, information-theoretically necessary.
+    * Rank state is one row per node; no step materializes anything
+    * bigger than the edge list (the Pregel shape, expressed
+    * declaratively so AQE handles skewed hub nodes). Total work is
+    * `iterations × O(|E|)` — fixed rounds, no convergence test, no
+    * driver-side data.
     *
     * Output: `(node_id, rank_micro)`. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -92,13 +92,19 @@ object Graph {
     withDeg.count(); val nNodes = nodes.count()
     graft.CacheScope.releaseEarly(e)
     // r15 (the bradleyTerry hint): the V-row state frames are
-    // model-sized — broadcast them into the round's joins while they fit
-    // (≤ 2M rows ≈ 32 MB), so a round neither re-shuffles nor re-sorts
-    // the rank side and the nodes-side join needs no exchange at all;
-    // past the bound, identity leaves AQE the shuffle plan (γ genuinely
-    // no longer fits an executor broadcast). The cached |E| side is
-    // untouched either way (GraphSpec's round-plan pin covers the SMJ
-    // fallback shape).
+    // model-sized — broadcast them into the round's joins while they
+    // fit (≤ 2M rows ≈ 32 MB). The rank leaf itself carries stats (a
+    // localCheckpoint preserves them) and often auto-broadcasts, but
+    // the round's FINISH join runs against `sums` — an aggregation
+    // with no size estimate, so unhinted it plans sort-merge and
+    // exchanges BOTH model-sized sides every round (AQE converts to
+    // broadcast only after the shuffle has run); the hint broadcasts
+    // outright (plans/r15/pagerank_round_*: 2 SortMergeJoin + 7 Sort →
+    // 0 SMJ). Past the bound, identity leaves AQE the shuffle plan.
+    // The cached |E| side is untouched either way (GraphSpec's
+    // round-plan pin covers the SMJ fallback shape). Interleaved
+    // same-JVM A/B on q132's edges: 12-round loop −9.4%, checksums
+    // identical (BASELINE.md r15).
     val hint: DataFrame => DataFrame =
       if (nNodes <= 2000000L) broadcast(_) else identity
     var r = nodes.withColumn("_r", lit(1000000L)).localCheckpoint()

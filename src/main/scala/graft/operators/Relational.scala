@@ -1078,10 +1078,14 @@ object Relational {
       cuts: Seq[(String, Int)]): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == 100, "cuts must end at 100")
     require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be non-decreasing")
-    val totals = df.select(col(keyCol).as("_k"), col(valueCol).cast("long").as("_v"))
-      .groupBy("_k").agg(sum(col("_v")).as("total"))
+    // cached (r15): key-grain totals feed the prefix sum — the count
+    // makes a model-sized key universe take the single-window fast path
+    val totals = graft.CacheScope.track(
+      df.select(col(keyCol).as("_k"), col(valueCol).cast("long").as("_v"))
+        .groupBy("_k").agg(sum(col("_v")).as("total"))
+        .cache())
     val cum = distributedPrefixSum(totals,
-      Seq(col("total").desc, col("_k")), "total")
+      Seq(col("total").desc, col("_k")), "total", knownRows = totals.count())
     // the grand total is the last inclusive prefix — one cheap job over
     // the checkpoint-backed result, no second pass over the base frame
     val grandRow = cum.agg(max(col("_cum_incl"))).head()
