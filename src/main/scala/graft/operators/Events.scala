@@ -516,10 +516,16 @@ object Events {
     // whole input — caching it makes the count cheap and lets a
     // model-sized grain take distributedPrefixSum's single-window fast
     // path; past the bound the two-phase path reads the cache instead
-    // of recomputing the delta aggregation into its range persist
-    val g = graft.CacheScope.track(deltas.cache())
-    Relational.distributedPrefixSum(g, Seq(col("_t")), "_d", knownRows = g.count())
-      .select(col("_t").as("ts"), col("_cum_incl").cast("long").as("n_active"))
+    // of recomputing the delta aggregation into its range persist.
+    // retain/releaseOne, not track: the prefix sum materializes its
+    // checkpoint before returning, so the grain cache is DEAD on return
+    // — the operator self-releases it (the CacheLifecycleSpec pin:
+    // only the result checkpoint may outlive the call).
+    val g = graft.CacheScope.retain(deltas.cache())
+    try
+      Relational.distributedPrefixSum(g, Seq(col("_t")), "_d", knownRows = g.count())
+        .select(col("_t").as("ts"), col("_cum_incl").cast("long").as("n_active"))
+    finally graft.CacheScope.releaseOne(g)
   }
 
   /** Regular-grid gap fill over a keyed time series: resample each key's

@@ -1079,13 +1079,17 @@ object Relational {
     require(cuts.nonEmpty && cuts.last._2 == 100, "cuts must end at 100")
     require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be non-decreasing")
     // cached (r15): key-grain totals feed the prefix sum — the count
-    // makes a model-sized key universe take the single-window fast path
-    val totals = graft.CacheScope.track(
+    // makes a model-sized key universe take the single-window fast
+    // path. retain/releaseOne: the prefix sum returns checkpoint-backed,
+    // so the totals cache is dead on return and self-releases here.
+    val totals = graft.CacheScope.retain(
       df.select(col(keyCol).as("_k"), col(valueCol).cast("long").as("_v"))
         .groupBy("_k").agg(sum(col("_v")).as("total"))
         .cache())
-    val cum = distributedPrefixSum(totals,
-      Seq(col("total").desc, col("_k")), "total", knownRows = totals.count())
+    val cum =
+      try distributedPrefixSum(totals,
+        Seq(col("total").desc, col("_k")), "total", knownRows = totals.count())
+      finally graft.CacheScope.releaseOne(totals)
     // the grand total is the last inclusive prefix — one cheap job over
     // the checkpoint-backed result, no second pass over the base frame
     val grandRow = cum.agg(max(col("_cum_incl"))).head()
